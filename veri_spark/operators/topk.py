@@ -1,0 +1,79 @@
+"""Bounded top-k operators.
+
+The reference's ``Collector`` keeps the best ``limit`` rows by score with a
+``higherIsBetter`` flag (data/search.go:64-86); grouped top-k routes rows to
+per-group sub-collectors (data/aggregator.go:105-117).
+
+Spark-first mapping:
+
+- global top-k: ``ORDER BY score LIMIT k`` — the planner turns this into
+  ``TakeOrderedAndProject``, which already does per-partition bounded heaps
+  followed by a single driver-side merge (the reference's per-source
+  partial + final merge, README.md:38, for free).
+- per-group top-k: ``row_number() OVER (PARTITION BY g ORDER BY ...) <= k``
+  — Spark >= 3.5 plans a ``WindowGroupLimit`` (rank pushdown), so each
+  shuffle partition keeps only k rows per group before the full sort.
+
+Ties are broken by caller-supplied stable columns so results are
+deterministic — intentionally stronger than the reference, which disclaims
+determinism (README.md:22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordering(score_col: str, higher_is_better: bool, tie_cols: list[str]) -> list[Column]:
+    first = F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
+    return [first, *[F.col(c).asc() for c in tie_cols]]
+
+
+def topk(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    higher_is_better: bool = False,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Global bounded top-k (reference Collector, data/search.go:64-86)."""
+    return df.orderBy(*_ordering(score_col, higher_is_better, tie_cols or [])).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    k: int,
+    higher_is_better: bool = False,
+    tie_cols: list[str] | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group bounded top-k (reference grouped aggregator,
+    data/aggregator.go:105-117).
+
+    Keeps ``rank_col`` if requested (1-based rank within the group).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        *_ordering(score_col, higher_is_better, tie_cols or [])
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    out = ranked.filter(F.col("__rn") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    higher_is_better: bool = False,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the best-scoring row per key (reference merge dedup,
+    data/aggregator.go:118-134 — dedup on serialized DatumKey keeping the
+    better score).
+    """
+    return topk_per_group(df, key_cols, score_col, 1, higher_is_better, tie_cols)

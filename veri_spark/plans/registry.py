@@ -1,0 +1,567 @@
+"""Named query registry: every implemented operator from SURVEY.md section 2
+as a (PySpark program, DuckDB oracle SQL) pair.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/aliases match the oracle exactly (the external harness sorts
+columns by name and hash-compares values). Float outputs are rounded in BOTH
+programs — to 6 decimals for unit-scale values, 2 for money sums — so the
+cross-engine comparison is stable; every LIMIT has a deterministic tie-break.
+
+The KNN queries use ``vec_id = 0``'s embedding as the canonical query vector
+(mirroring the reference's golden test, which queries with row 0's own
+embedding — data/data_test.go:110-135).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from veri_spark.functions import vector as V
+from veri_spark.operators import search as S
+from veri_spark.operators import stats as ST
+from veri_spark.operators.topk import dedup_keep_best, topk, topk_per_group
+from veri_spark.sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vid).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+# SQL fragment helpers (DuckDB dialect). Vectors are cast to DOUBLE[] so the
+# oracle computes in the same precision as the Spark expressions.
+_Q0 = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+def _dd_l1(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, least(len({a}), len({b})) + 1),"
+        f" i -> abs({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KNN core (reference K1, K3, K4 — data/search.go:347-377, data/util.go)
+# ---------------------------------------------------------------------------
+
+def _knn(spark, sf_dir, score_func, hib=None, k=10):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cfg = S.SearchConfig(score_func=score_func, higher_is_better=hib, limit=k)
+    out = S.search(emb, q, cfg, vector_col="embedding", id_cols=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "knn_euclidean",
+    f"""
+    SELECT vec_id, ROUND(list_distance(embedding::DOUBLE[], {_Q0}), 6) AS score
+    FROM embeddings ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_euclidean(spark, sf_dir):
+    """K1+K3+K4: brute-force euclidean top-k (VectorDistance, data/util.go:39-43)."""
+    return _knn(spark, sf_dir, "VectorDistance")
+
+
+@register(
+    "knn_cosine",
+    f"""
+    SELECT vec_id,
+           ROUND(LEAST(GREATEST(list_cosine_similarity(embedding::DOUBLE[], {_Q0}), -1.0), 1.0), 6) AS score
+    FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_cosine(spark, sf_dir):
+    """K4: CosineSimilarity top-k (data/util.go:61-96; clamped to [-1,1])."""
+    return _knn(spark, sf_dir, "CosineSimilarity")
+
+
+@register(
+    "knn_l1",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, {_dd_l1('e.embedding', 'q.qe')} AS d FROM embeddings e, q)
+    SELECT vec_id, ROUND(d, 6) AS score
+    FROM s ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_l1(spark, sf_dir):
+    """K4: QuickVectorDistance = L1 (data/util.go:28-36)."""
+    return _knn(spark, sf_dir, "QuickVectorDistance")
+
+
+@register(
+    "knn_dot",
+    f"""
+    SELECT vec_id, ROUND(list_inner_product(embedding::DOUBLE[], {_Q0}), 6) AS score
+    FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_dot(spark, sf_dir):
+    """K4: VectorMultiplication = dot product, higher is better (data/util.go:46-53)."""
+    return _knn(spark, sf_dir, "VectorMultiplication")
+
+
+@register(
+    "knn_angular",
+    f"""
+    SELECT vec_id,
+           ROUND(1.0 - acos(LEAST(GREATEST(list_cosine_similarity(embedding::DOUBLE[], {_Q0}), -1.0), 1.0)) / pi(), 6) AS score
+    FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_angular(spark, sf_dir):
+    """K4: AngularDistance = 1 - acos(cos)/pi (data/util.go:56-58)."""
+    return _knn(spark, sf_dir, "AngularDistance")
+
+
+@register(
+    "knn_multi_query",
+    """
+    WITH s AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             LEAST(GREATEST(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), -1.0), 1.0) AS sc
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+    ), r AS (
+      SELECT query_id, vec_id, sc,
+             row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id ASC) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(sc, 6) AS score FROM r WHERE rn <= 5
+    """,
+)
+def knn_multi_query(spark, sf_dir):
+    """K7: multi-query fan-out (data/search.go:254-298) as a broadcast join
+    of the query set against the corpus + per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector"))
+    )
+    cfg = S.SearchConfig(score_func="CosineSimilarity", limit=5)
+    out = S.multi_search(
+        emb, queries, cfg, vector_col="embedding", id_cols=["vec_id"]
+    )
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "knn_grouped_topk",
+    f"""
+    WITH s AS (
+      SELECT label, vec_id,
+             LEAST(GREATEST(list_cosine_similarity(embedding::DOUBLE[], {_Q0}), -1.0), 1.0) AS sc
+      FROM embeddings
+    ), r AS (
+      SELECT label, vec_id, sc,
+             row_number() OVER (PARTITION BY label ORDER BY sc DESC, vec_id ASC) AS rnk
+      FROM s
+    )
+    SELECT label, vec_id, ROUND(sc, 6) AS score, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def knn_grouped_topk(spark, sf_dir):
+    """K9: per-group top-k (group_limit, data/aggregator.go:105-117)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cfg = S.SearchConfig(score_func="CosineSimilarity")
+    scored = S.score_corpus(emb, q, cfg, vector_col="embedding")
+    out = topk_per_group(
+        scored, ["label"], "score", 3, higher_is_better=True,
+        tie_cols=["vec_id"], rank_col="rnk",
+    )
+    return out.select("label", "vec_id", F.round("score", 6).alias("score"), "rnk")
+
+
+@register(
+    "knn_group_scored",
+    f"""
+    WITH s AS (
+      SELECT label, vec_id, list_distance(embedding::DOUBLE[], {_Q0}) AS sc
+      FROM embeddings
+    ), r AS (
+      SELECT label, vec_id, sc,
+             row_number() OVER (PARTITION BY label ORDER BY sc ASC, vec_id ASC) AS rn
+      FROM s
+    ), l AS (SELECT * FROM r WHERE rn <= 3)
+    SELECT label, arg_min(vec_id, rn) AS vec_id,
+           ROUND(SUM(sc) / (COUNT(*) * COUNT(*)), 6) AS group_score,
+           COUNT(*) AS group_size
+    FROM l GROUP BY label
+    ORDER BY group_score ASC, label ASC LIMIT 5
+    """,
+)
+def knn_group_scored(spark, sf_dir):
+    """K10+K11: group reduce — representative = best row, group score =
+    sum/len^2 for lower-is-better (data/aggregator.go:155-180)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cfg = S.SearchConfig(score_func="VectorDistance", group_limit=3, result_limit=5)
+    scored = S.score_corpus(emb, q, cfg, vector_col="embedding")
+    out = S.group_reduce(scored, cfg, group_col="label", id_cols=["vec_id"])
+    return out.select(
+        "label", "vec_id", F.round("group_score", 6).alias("group_score"), "group_size"
+    )
+
+
+@register(
+    "knn_context_rescore",
+    """
+    WITH q0 AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0),
+         c1 AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 1),
+         c2 AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 2)
+    SELECT vec_id,
+           ROUND(LEAST(list_distance(embedding::DOUBLE[], (SELECT e FROM q0)),
+                       list_distance(embedding::DOUBLE[], (SELECT e FROM c1)),
+                       list_distance(embedding::DOUBLE[], (SELECT e FROM c2))), 6) AS score
+    FROM embeddings ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_context_rescore(spark, sf_dir):
+    """K12: context re-scoring — score becomes the best of the original and
+    each context distance (data/aggregator.go:56-76)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    c1 = _query_vector(spark, sf_dir, 1)
+    c2 = _query_vector(spark, sf_dir, 2)
+    cfg = S.SearchConfig(score_func="VectorDistance", limit=10)
+    out = S.aggregated_search(
+        emb, q, cfg, context_vectors=[c1, c2], vector_col="embedding",
+        key_cols=["vec_id"],
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "knn_dedup_best",
+    f"""
+    WITH q5 AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 5),
+    u AS (
+      SELECT vec_id, list_distance(embedding::DOUBLE[], {_Q0}) AS sc FROM embeddings
+      UNION ALL
+      SELECT vec_id, list_distance(embedding::DOUBLE[], (SELECT e FROM q5)) AS sc FROM embeddings
+    )
+    SELECT vec_id, ROUND(MIN(sc), 6) AS score
+    FROM u GROUP BY vec_id ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_dedup_best(spark, sf_dir):
+    """K8: merge results from two searches, dedup on key keeping the best
+    score (data/aggregator.go:118-134)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = _query_vector(spark, sf_dir, 0)
+    q5 = _query_vector(spark, sf_dir, 5)
+    cfg = S.SearchConfig(score_func="VectorDistance")
+    merged = S.score_corpus(emb, q0, cfg, vector_col="embedding").unionByName(
+        S.score_corpus(emb, q5, cfg, vector_col="embedding")
+    )
+    best = dedup_keep_best(merged, ["vec_id"], "score", higher_is_better=False)
+    out = topk(best, "score", 10, higher_is_better=False, tie_cols=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "events_json_filter",
+    """
+    SELECT event_id, user_id, ROUND(value, 6) AS value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL AND event_type = 'click'
+    ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+)
+def events_json_filter(spark, sf_dir):
+    """F1/F2: JSON path-existence filtering (data/search.go:88-109) + top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    filtered = S.json_path_filter(ev, "props", ["k"]).filter(
+        F.col("event_type") == "click"
+    )
+    out = topk(filtered, "value", 20, higher_is_better=True, tie_cols=["event_id"])
+    return out.select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Statistics (reference A1-A4 — DataInfo, data/newsync.go:137-167)
+# ---------------------------------------------------------------------------
+
+@register(
+    "data_info_centroid",
+    """
+    SELECT pos - 1 AS pos, ROUND(AVG(v), 6) AS avg_val
+    FROM (SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v
+          FROM embeddings)
+    GROUP BY pos ORDER BY pos
+    """,
+)
+def data_info_centroid(spark, sf_dir):
+    """A2: centroid = elementwise mean of the vector column (data/util.go:15-26)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ST.centroid_df(emb, "embedding").select(
+        "pos", F.round("avg_val", 6).alias("avg_val")
+    )
+
+
+_DD_CENTROID_DIST = """
+    c AS (SELECT pos, AVG(v) AS av
+          FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS v FROM embeddings)
+          GROUP BY pos),
+    x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS v FROM embeddings),
+    d AS (SELECT x.vec_id, sqrt(SUM((x.v - c.av) * (x.v - c.av))) AS dist
+          FROM x JOIN c USING (pos) GROUP BY x.vec_id)
+"""
+
+
+@register(
+    "data_info_summary",
+    f"""
+    WITH {_DD_CENTROID_DIST}
+    SELECT COUNT(*)::BIGINT AS n, ROUND(MAX(dist), 6) AS max_dist FROM d
+    """,
+)
+def data_info_summary(spark, sf_dir):
+    """A1+A3: row count and exact max distance from centroid (two-pass;
+    the reference approximates with the previous pass's centroid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    center = ST.centroid(emb, "embedding")
+    dists = ST.with_centroid_distance(emb, center, "embedding")
+    return dists.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.max("dist"), 6).alias("max_dist")
+    )
+
+
+@register(
+    "dist_histogram",
+    f"""
+    WITH {_DD_CENTROID_DIST},
+    m AS (SELECT MAX(dist) AS maxd, COUNT(*) AS total FROM d)
+    SELECT LEAST(GREATEST(CAST(FLOOR(d.dist / m.maxd * 64) AS INT), 0), 63) AS bucket,
+           COUNT(*)::BIGINT AS cnt,
+           ROUND(COUNT(*) / ANY_VALUE(m.total), 6) AS freq
+    FROM d, m
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def dist_histogram(spark, sf_dir):
+    """A4: 64-bin histogram of distance-to-centroid, frequencies normalized
+    by N (data/newsync.go:158-167)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    center = ST.centroid(emb, "embedding")
+    dists = ST.with_centroid_distance(emb, center, "embedding")
+    max_dist = dists.agg(F.max("dist")).collect()[0][0]
+    hist = ST.histogram_df(dists, max_dist)
+    return hist.select("bucket", "cnt", F.round("freq", 6).alias("freq"))
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (native Spark ops over the TPC-H-ish tables; the
+# reference has no SQL — these demonstrate the engine's general analytics
+# capabilities per SURVEY.md section 2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan-heavy grouped aggregation with
+    full partial-aggregation (map-side combine) before the 4-group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_top_revenue",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3-style join + grouped agg + top-k. The customer dim is
+    broadcast (small side), so lineitem never shuffles for the join."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bld_orders = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("o_orderkey").alias("bld_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(bld_orders), F.col("l_orderkey") == F.col("bld_orderkey"))
+    agg = joined.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return topk(agg, "revenue", 10, higher_is_better=True, tie_cols=["o_orderkey"])
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark, sf_dir):
+    """Per-group top-k on a relational table (same WindowGroupLimit plan as
+    the KNN grouped collector)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o, ["o_custkey"], "o_totalprice", 3, higher_is_better=True,
+        tie_cols=["o_orderkey"], rank_col="rnk",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (streaming-capable: the same
+    expression runs under readStream + withWatermark; see
+    veri_spark/streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@register(
+    "upsert_latest_version",
+    """
+    SELECT user_id, event_id, event_type, ROUND(value, 6) AS value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def upsert_latest_version(spark, sf_dir):
+    """S1/S2 upsert semantics: latest version per key wins
+    (data/newsync.go:43-59) — row_number over (key ORDER BY version DESC)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+@register(
+    "ttl_expiry_filter",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n_live
+    FROM events
+    WHERE epoch_us(ts) + value * 86400 * 1000000
+          > epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+    GROUP BY event_type
+    """,
+)
+def ttl_expiry_filter(spark, sf_dir):
+    """F3/ST2: TTL predicate — expire_at = ts + value days; keep live rows
+    (data/newsync.go:78-80). Pure epoch arithmetic, pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    # double arithmetic on both engines (a bigint cast would truncate in
+    # Spark but round in DuckDB)
+    expire_us = F.unix_micros(F.col("ts").cast("timestamp")) + (
+        F.col("value") * 86400 * 1000000
+    )
+    cutoff = F.unix_micros(F.expr("TIMESTAMP '2024-02-15 00:00:00'"))
+    return (
+        ev.filter(expire_us > cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+
+
+@register(
+    "delete_anti_join",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n_remaining
+    FROM events WHERE user_id NOT IN (1, 2, 3)
+    GROUP BY event_type
+    """,
+)
+def delete_anti_join(spark, sf_dir):
+    """S3: delete-by-key as a broadcast anti-join (data/delete.go:8-10)."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.sparkSession.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    remaining = ev.join(F.broadcast(keys), "user_id", "left_anti")
+    return remaining.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_remaining"))

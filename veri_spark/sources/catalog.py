@@ -1,0 +1,61 @@
+"""Table catalog over the driver-generated parquet datasets.
+
+Maps the reference's named-dataset registry (reference: data/dataset.go:18-22,
+88-97 — named ``Data`` instances resolved on access) onto plain
+``spark.read.parquet`` with per-table normalization. At cluster scale these
+would be catalog tables (``spark.read.table``); the loader keeps the same
+shape so swapping the resolution layer is a one-liner.
+
+Normalization performed here (and nowhere else, so every query sees the same
+schema):
+
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
+  bigint nanos (``spark.sql.legacy.parquet.nanosAsLong``). We truncate to
+  microseconds — exactly what DuckDB/pyarrow do when they coerce ns → us —
+  and expose TIMESTAMP_NTZ so no session-timezone shift is ever applied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veri_spark.session import prepare_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table from ``sf_dir``, normalized.
+
+    Filters and projections applied by callers push down to the parquet scan
+    (the normalization below is a projection, not a barrier).
+    """
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → us truncation, matching DuckDB's coercion of the same file.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``load_tables(spark, d, 'orders', 'lineitem')``."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
