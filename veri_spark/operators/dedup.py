@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale text/embedding corpora.
+
+The reference deduplicates only on exact serialized keys (upsert,
+data/newsync.go:43-59) and on result merge (data/aggregator.go:118-134).
+This module adds the near-duplicate family a 100 TB training-data pipeline
+needs — each designed around its shuffle profile:
+
+- exact:       one hash-groupBy on a fingerprint (single shuffle on a short
+               key, never on the document body).
+- ngram-jaccard: shingle explode -> self-join on shingle -> pair counts.
+               Exact but quadratic within a shingle bucket; use for audits
+               or small blocks, not the 100 TB path.
+- MinHash+LSH: shingle explode -> per-doc signature agg -> band keys ->
+               self-join on (band, key). Linear in corpus size; candidate
+               pairs only where a band collides. This is the scale path.
+- SimHash:     token explode x bits -> per-doc weighted bit agg -> 32-bit
+               signature; near-dups share signatures up to small Hamming
+               distance.
+- embedding:   cosine self-join blocked on a grouping column (or LSH
+               buckets from similarity.py) — never an unblocked cross join.
+
+All hashes go through functions/hashing.portable_hash64 so the DuckDB oracle
+reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from veri_spark.functions.hashing import portable_hash64
+from veri_spark.functions.text import fingerprint, tokens, word_shingles
+from veri_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate summary: total docs, distinct texts,
+    and how many docs are duplicates of an earlier one."""
+    h = df.select(fingerprint(text_col).alias("fp"))
+    per = h.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_text"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup(df: DataFrame, key_col: Column, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key (hash-groupBy, one shuffle)."""
+    keyed = df.withColumn("__fp", key_col)
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["__fp", id_col]).drop("__fp")
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle) rows."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), k))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle self-join.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard) for every pair
+    sharing at least one shingle, with doc_a < doc_b. The join shuffles on
+    the shingle value; skewed (stop-shingle) buckets are the scale hazard —
+    AQE skew-join splits them, and the MinHash path avoids them entirely.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    H(i || '|' || shingle). One groupBy(id) with ``num_hashes`` min-aggs —
+    a single shuffle on the id, signatures computed map-side first."""
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    (id, band, band_key) where band_key concatenates the band's hash values.
+    Documents sharing any band key are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [
+            F.col(f"sig_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(",", *members).alias("band_key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end MinHash LSH: distinct candidate pairs (doc_a < doc_b)
+    whose signatures collide in at least one band."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    bk = minhash_band_keys(sigs, id_col, num_hashes, bands)
+    a = bk.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bk.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens (occurrence-
+    weighted): bit b is set when sum over tokens of ±1 (sign = bit b of the
+    token hash) is >= 0. Returns (id, simhash).
+
+    Plan shape: token explode x 32 bit rows -> groupBy(id, bit) sum ->
+    groupBy(id) assemble. Both aggregations partial-aggregate map-side.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = toks.withColumn("h", portable_hash64(F.col("tok")))
+    bits = toks.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    )
+    # shift amounts are columns, so use SQL exprs (the python shiftright/
+    # shiftleft helpers only accept literal ints)
+    signed = bits.withColumn(
+        "w", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    )
+    per_bit = signed.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    block_col: str | None = "label",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine similarity, blocked.
+
+    Self-join within ``block_col`` (never an unblocked cross join — at scale
+    block on an LSH bucket from similarity.lsh_hyperplane_signature).
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    a = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vector_col).alias("vec_a"),
+    )
+    b = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vector_col).alias("vec_b"),
+    )
+    on = [block_col] if block_col else []
+    pairs = (
+        (a.join(b, on) if on else a.crossJoin(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .drop("vec_a", "vec_b")
+    )
+    if min_cosine is not None:
+        pairs = pairs.filter(F.col("cos") >= min_cosine)
+    return pairs

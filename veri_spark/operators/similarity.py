@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns: exact baseline + scale paths.
+
+The reference's ANN layer is a per-node Annoy index rebuilt by a background
+pass and hot-swapped (data/data.go:27-32, data/newsync.go:147-222). On Spark
+the equivalents are:
+
+- exact brute-force top-k (the deterministic default — the reference's
+  brute-force path, data/search.go:347-377): scan + score + TakeOrdered.
+- IVF (inverted file): k centroids, vectors assigned to their nearest
+  centroid (the "index build" ≙ Process pass); a query probes only the
+  ``nprobe`` nearest centroid partitions. Assignment is a broadcast join
+  against the tiny centroid set; at scale the table is written partitioned
+  by ``centroid_id`` so probing prunes partitions at the parquet scan.
+- random-hyperplane LSH signatures (angular): 1 bit per plane, vectors
+  sharing a signature bucket are candidates. Deterministic plane matrix
+  derived from the portable hash so the oracle can reproduce it.
+
+MLlib's BucketedRandomProjectionLSH offers the euclidean variant of the
+same idea; these compositions keep everything in plain DataFrame ops (no
+model objects) and keep determinism for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from veri_spark.functions.hashing import portable_hash64_py
+from veri_spark.functions.vector import euclidean_distance
+from veri_spark.operators.topk import topk
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (euclidean).
+
+    ``centroids`` is tiny and broadcast; ties break on centroid id. One
+    narrow pass over the corpus — this is the IVF index build.
+    """
+    joined = df.crossJoin(F.broadcast(centroids))
+    scored = joined.withColumn(
+        "__d", euclidean_distance(F.col(vector_col), F.col(centroid_vec_col))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col(centroid_id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__d", centroid_vec_col)
+    )
+
+
+def take_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed: the k lowest-id vectors.
+
+    (KMeans refinement would improve balance; seeding is kept deterministic
+    for oracle parity. Swap in ``pyspark.ml.clustering.KMeans`` fit on a
+    sample for production quality.)
+    """
+    return (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("centroid_vec")
+        )
+    )
+
+
+def ivf_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query, take ``nprobe``,
+    search only vectors assigned to those centroids, exact top-k within.
+
+    With the corpus partitioned by centroid_id, the assignment filter is
+    partition pruning — the scan reads nprobe/k of the data.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vector_col)
+    probe = (
+        centroids.withColumn(
+            "__qd", euclidean_distance(F.col("centroid_vec"), query_vector)
+        )
+        .orderBy(F.col("__qd").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(F.broadcast(probe), "centroid_id")
+    scored = candidates.withColumn(
+        "score", euclidean_distance(F.col(vector_col), query_vector)
+    )
+    return topk(scored, "score", k, higher_is_better=False, tie_cols=[id_col])
+
+
+def hyperplane_matrix(dim: int, planes: int = 16) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix: sign from the portable
+    hash of ``"plane|pos"`` — reproducible in SQL, Python, and Spark."""
+    return [
+        [1.0 if portable_hash64_py(f"{p}|{pos}") % 2 == 1 else -1.0 for pos in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def lsh_hyperplane_signature(
+    df: DataFrame,
+    dim: int,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Angular LSH signature: bit p of ``sig`` = (v . h_p >= 0).
+
+    Vectors with equal signatures fall in the same bucket; bucket join =
+    candidate generation for cosine near-dup at scale (the explode/groupBy
+    shape partial-aggregates map-side, shuffling only (id, plane) partial
+    dots, never the vectors).
+    """
+    H = hyperplane_matrix(dim, planes)
+    # flat literal plane table: (plane, pos, w) — tiny, broadcast after the
+    # explode join below.
+    plane_rows = [(p, pos, H[p][pos]) for p in range(planes) for pos in range(dim)]
+    plane_df = df.sparkSession.createDataFrame(plane_rows, ["plane", "pos", "w"])
+    elems = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vector_col).cast("array<double>")).alias("pos", "v"),
+    )
+    dots = (
+        elems.join(F.broadcast(plane_df), "pos")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    return dots.groupBy(id_col).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane) ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("sig")
+    )

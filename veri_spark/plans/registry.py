@@ -565,3 +565,341 @@ def delete_anti_join(spark, sf_dir):
     keys = ev.sparkSession.createDataFrame([(1,), (2,), (3,)], ["user_id"])
     remaining = ev.join(F.broadcast(keys), "user_id", "left_anti")
     return remaining.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_remaining"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star extensions over the documents table)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments mirroring functions/text.py exactly.
+_DD_TOKS = "(SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)"
+_DD_SHINGLES = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+"""
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len(ws)::BIGINT AS n_tokens,
+           len(list_distinct(ws))::BIGINT AS n_distinct_tokens,
+           length(text)::BIGINT AS n_chars,
+           ROUND(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 6) AS avg_token_len
+    FROM {_DD_TOKS}
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document token statistics (token counting for the text pipeline)."""
+    from veri_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id,
+           ROUND(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+                 / len(ws), 6) AS en_ratio,
+           CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+                     / len(ws) >= 0.04
+                THEN 'en' ELSE 'other' END AS guess_lang
+    FROM {_DD_TOKS}
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic: core-English stopword ratio."""
+    from veri_spark.functions.text import en_stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = en_stopword_ratio("text")
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(ratio >= 0.04, "en").otherwise("other").alias("guess_lang"),
+    )
+
+
+@register(
+    "token_counts_top",
+    f"""
+    SELECT tok, COUNT(*)::BIGINT AS cnt
+    FROM (SELECT unnest(ws) AS tok FROM {_DD_TOKS})
+    GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20
+    """,
+)
+def token_counts_top(spark, sf_dir):
+    """Corpus token frequency (BPE-precursor vocabulary counting)."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(toks_fn("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return topk(counts, "cnt", 20, higher_is_better=True, tie_cols=["tok"])
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp,
+           CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS fp_int
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprints (md5 + 60-bit portable int)."""
+    from veri_spark.functions.text import fingerprint, fingerprint_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint("text").alias("fp"), fingerprint_int("text").alias("fp_int")
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           ROUND(LEAST(1.0, len(ws) / 64.0)
+                 * (len(list_distinct(ws)) / len(ws)), 6) AS quality
+    FROM {_DD_TOKS}
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Heuristic document quality: length saturation x lexical diversity."""
+    from veri_spark.functions.text import quality_score as q
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(q("text"), 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (exact / jaccard / MinHash LSH / SimHash / embedding)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_summary",
+    """
+    WITH per AS (SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n
+                 FROM documents GROUP BY fp)
+    SELECT SUM(n)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_distinct_text,
+           (SUM(n) - COUNT(*))::BIGINT AS n_dup_docs
+    FROM per
+    """,
+)
+def dedup_exact_summary(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate accounting."""
+    from veri_spark.operators.dedup import exact_dedup_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_summary(docs, "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DD_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: 3-word shingle self-join, top pairs."""
+    from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs))
+    out = topk(
+        pairs, "jaccard", 20, higher_is_better=True, tie_cols=["doc_a", "doc_b"]
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DD_SHINGLES},
+    sig AS (SELECT doc_id, seed,
+                   MIN(CAST('0x' || substr(md5(seed::VARCHAR || '|' || shingle), 1, 15) AS BIGINT)) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+            GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 16 hashes, 4 bands of 4."""
+    from veri_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+    b AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+          GROUP BY doc_id, bit)
+    SELECT doc_id,
+           SUM(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
+    FROM b GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash (32-bit, occurrence-weighted tokens) per document."""
+    from veri_spark.operators.dedup import simhash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             LEAST(GREATEST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), -1.0), 1.0) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos
+    FROM p ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: cosine self-join blocked on the label column."""
+    from veri_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, block_col="label")
+    out = topk(pairs, "cos", 20, higher_is_better=True, tie_cols=["id_a", "id_b"])
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF + hyperplane LSH (ANN scale paths; exact KNN above
+# is the baseline — reference K2's Annoy index maps here, SURVEY.md 2.3)
+# ---------------------------------------------------------------------------
+
+_DD_CENTROIDS = "(SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8)"
+
+
+@register(
+    "ann_ivf_assign",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    )
+    SELECT vec_id, centroid_id FROM r WHERE rn = 1
+    """,
+)
+def ann_ivf_assign(spark, sf_dir):
+    """IVF index build: assign every vector to its nearest centroid."""
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    return ivf_assign(emb, cents).select("vec_id", "centroid_id")
+
+
+@register(
+    "ann_ivf_search",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cd AS (SELECT c.centroid_id, list_distance(c.cvec, q.qe) AS qd
+           FROM {_DD_CENTROIDS} c, q),
+    probe AS (SELECT centroid_id FROM cd ORDER BY qd ASC, centroid_id ASC LIMIT 2),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), assigned AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id)
+    SELECT e.vec_id, ROUND(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS score
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_search(spark, sf_dir):
+    """IVF probe search: 2 nearest centroid partitions, exact top-10 within."""
+    from veri_spark.operators.similarity import ivf_search, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    q = _query_vector(spark, sf_dir, 0)
+    out = ivf_search(emb, cents, q, k=10, nprobe=2)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "ann_lsh_signature",
+    """
+    WITH planes AS (
+      SELECT p.plane, pos.pos,
+             CASE WHEN CAST('0x' || substr(md5(p.plane::VARCHAR || '|' || pos.pos::VARCHAR), 1, 15) AS BIGINT) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(range(0, 16)) AS plane) p
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) pos
+    ),
+    elems AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings),
+    dots AS (SELECT e.vec_id, pl.plane, SUM(e.v * pl.w) AS dot
+             FROM elems e JOIN planes pl ON e.pos = pl.pos
+             GROUP BY e.vec_id, pl.plane)
+    SELECT vec_id,
+           SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << plane) ELSE 0::BIGINT END)::BIGINT AS sig
+    FROM dots GROUP BY vec_id
+    """,
+)
+def ann_lsh_signature(spark, sf_dir):
+    """Random-hyperplane LSH signatures (16 planes, angular buckets)."""
+    from veri_spark.operators.similarity import lsh_hyperplane_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_hyperplane_signature(emb, dim=64, planes=16)
