@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+The set covers every engine subsystem at its most scale-sensitive: full-scan
+KNN, multi-query fan-out, two-level top-k, join+agg, window agg, shingle
+dedup, MinHash LSH, SimHash, LSH signatures, and the upsert window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from veri_spark.plans.registry import QUERIES
+from veri_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "knn_cosine",
+    "knn_euclidean",
+    "knn_multi_query",
+    "knn_group_scored",
+    "knn_context_rescore",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue",
+    "events_tumbling_window",
+    "upsert_latest_version",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_lsh_signature",
+    "ann_ivf_search",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("veri-bench")
+
+    # warm the JVM/codegen path on the tiny SF so first-query JIT cost does
+    # not land on the measured numbers
+    QUERIES["knn_euclidean"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

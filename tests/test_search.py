@@ -1,0 +1,152 @@
+"""Search-pipeline semantics: golden-style KNN, grouped top-k, group reduce,
+context re-scoring, dedup keep-best, JSON filters — mirroring the
+reference's end-to-end tests (data/data_test.go:17-135, FIXTURES.md 2/6).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from veri_spark.operators.search import (
+    SearchConfig,
+    aggregated_search,
+    context_rescore,
+    group_reduce,
+    json_path_filter,
+    multi_search,
+    score_corpus,
+    search,
+    ttl_filter,
+)
+
+
+def test_golden_knn_rank_order(spark, tiny_datums):
+    """Mirror of the golden assertion shape (data/data_test.go:125-135):
+    query with row a's own vector -> rank 0 is the row itself."""
+    out = search(
+        tiny_datums,
+        [0.1, 0.2, 0.3],
+        SearchConfig(score_func="VectorDistance", limit=3),
+        id_cols=["label"],
+    ).collect()
+    assert [r["label"] for r in out] == ["a", "b", "c"]
+    # feature is stored float32; the double query literal differs by the
+    # float32 quantization error
+    assert out[0]["score"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_golden_planted_neighbor(spark):
+    """FIXTURES.md section 2: planted exact duplicate (rank 0) and near
+    neighbor (rank 1) among well-separated rows."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    q = [rng.uniform(-1, 1) for _ in range(dim)]
+    near = [x + 0.001 for x in q]
+    rows = [(q, "query_dup", "g", 0), (near, "near", "g", 0)]
+    for i in range(48):
+        rows.append(([rng.uniform(5, 9) for _ in range(dim)], f"far{i}", "g", 0))
+    df = spark.createDataFrame(
+        rows, "feature array<float>, label string, group_label string, version bigint"
+    )
+    out = search(
+        df, q, SearchConfig(score_func="AngularDistance", higher_is_better=True, limit=10),
+        id_cols=["label"],
+    ).collect()
+    assert len(out) == 10
+    assert out[0]["label"] == "query_dup"
+    assert out[1]["label"] == "near"
+
+
+def test_multi_search_per_query_topk(spark, tiny_datums):
+    queries = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3]), (1, [0.2, 0.3, 0.7])],
+        "query_id int, query_vector array<float>",
+    )
+    out = multi_search(
+        tiny_datums, queries, SearchConfig(score_func="VectorDistance", limit=1),
+        id_cols=["label"],
+    ).collect()
+    best = {r["query_id"]: r["label"] for r in out}
+    assert best == {0: "a", 1: "c"}
+
+
+def test_group_reduce_formula(spark):
+    """K10: lower-is-better group score = sum(scores)/len^2; representative
+    = the group's best row (data/aggregator.go:155-180)."""
+    rows = [
+        ("g1", "x", 1.0),
+        ("g1", "y", 3.0),
+        ("g2", "z", 2.0),
+    ]
+    scored = spark.createDataFrame(rows, "group_label string, label string, score double")
+    cfg = SearchConfig(score_func="VectorDistance", group_limit=2, result_limit=5)
+    out = {
+        r["group_label"]: r
+        for r in group_reduce(scored, cfg, id_cols=["label"]).collect()
+    }
+    assert out["g1"]["group_score"] == pytest.approx(4.0 / 4)  # (1+3)/2^2
+    assert out["g1"]["label"] == "x"  # best (lowest) row is the representative
+    assert out["g2"]["group_score"] == pytest.approx(2.0 / 1)
+    assert out["g1"]["group_size"] == 2
+
+
+def test_group_reduce_higher_is_better_sum(spark):
+    rows = [("g1", "x", 0.9), ("g1", "y", 0.8)]
+    scored = spark.createDataFrame(rows, "group_label string, label string, score double")
+    cfg = SearchConfig(score_func="CosineSimilarity", group_limit=2)
+    out = group_reduce(scored, cfg, id_cols=["label"]).collect()[0]
+    assert out["group_score"] == pytest.approx(1.7)  # plain sum when higher=better
+    assert out["label"] == "x"
+
+
+def test_context_rescore_min_and_prioritize(spark, tiny_datums):
+    cfg = SearchConfig(score_func="VectorDistance")
+    scored = score_corpus(tiny_datums, [0.1, 0.2, 0.3], cfg)
+    ctx = [[0.2, 0.3, 0.7]]
+    # best-of(original, context)
+    out = {r["label"]: r["score"] for r in context_rescore(scored, ctx, cfg).collect()}
+    # float32 storage vs double literals: zero up to quantization error
+    assert out["c"] == pytest.approx(0.0, abs=1e-6)  # c matches the context vector
+    assert out["a"] == pytest.approx(0.0, abs=1e-6)  # a keeps its original self-match
+    # prioritize=True ignores the original score entirely (proto:44)
+    out2 = {
+        r["label"]: r["score"]
+        for r in context_rescore(scored, ctx, cfg, prioritize=True).collect()
+    }
+    assert out2["a"] == pytest.approx(math.sqrt(0.01 + 0.01 + 0.16), rel=1e-6)
+
+
+def test_aggregated_search_dedup_keeps_best(spark, tiny_datums):
+    doubled = tiny_datums.unionByName(tiny_datums)
+    out = aggregated_search(
+        doubled, [0.1, 0.2, 0.3], SearchConfig(limit=10), key_cols=["label"]
+    ).collect()
+    assert len(out) == 3  # duplicates collapsed, best kept
+
+
+def test_json_path_filters(spark):
+    """FIXTURES.md section 6: present/nested/absent paths, non-JSON rows."""
+    rows = [
+        (1, '{"category":"news","tier":{"name":"gold"}}'),
+        (2, '{"category":"spam"}'),
+        (3, "not json at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, label string")
+    assert {r["id"] for r in json_path_filter(df, "label", ["category"]).collect()} == {1, 2}
+    assert {r["id"] for r in json_path_filter(df, "label", ["tier.name"]).collect()} == {1}
+    assert json_path_filter(df, "label", ["missing"]).count() == 0
+    assert {
+        r["id"] for r in json_path_filter(df, "label", ["category", "tier.name"]).collect()
+    } == {1}
+
+
+def test_ttl_filter(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "2000-01-01 00:00:00"), (3, "2999-01-01 00:00:00")],
+        "id int, expire_at string",
+    ).withColumn("expire_at", F.col("expire_at").cast("timestamp"))
+    assert {r["id"] for r in ttl_filter(df).collect()} == {1, 3}

@@ -1,0 +1,95 @@
+"""Streaming windows (batch/stream parity) and multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from veri_spark.multimodal.binary import (
+    FEATURE_DIM,
+    decode_features,
+    decode_stub,
+    fake_media_table,
+    frame_sample,
+)
+from veri_spark.sources.catalog import load_table
+from veri_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_window_agg,
+    stream_events,
+    tumbling_window_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tumbling_batch(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = tumbling_window_agg(ev)
+    rows = out.collect()
+    assert rows and set(out.columns) == {
+        "window_start", "window_end", "event_type", "n_events", "sum_value",
+    }
+    assert sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_session_window_batch(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = session_window_agg(ev, gap="30 minutes").collect()
+    assert out
+    assert sum(r["n_events"] for r in out) == ev.count()
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """The same windowed aggregation under readStream equals the batch
+    result — the streaming extension's correctness check."""
+    # cast batch ts to TIMESTAMP to match the stream's watermark-compatible
+    # type (same instants; session tz is UTC)
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in tumbling_window_agg(ev).collect()
+    }
+    stream = stream_events(spark, SF_DIR)
+    assert stream.isStreaming
+    got = run_stream_to_memory(
+        tumbling_window_agg(stream), "t_tumbling_test", timeout_s=120
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in got.collect()
+    }
+    assert streamed == batch
+
+
+def test_decode_stub_gating():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"payload")
+    f = decode_stub(b"payload", deterministic_fake=True)
+    assert len(f) == FEATURE_DIM
+    assert f == decode_stub(b"payload", deterministic_fake=True)  # deterministic
+
+
+def test_decode_features_plumbing(spark):
+    media = fake_media_table(spark, n=30)
+    out = decode_features(media).collect()
+    assert len(out) == 30
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(r["feature"]) == FEATURE_DIM for r in out)
+    assert by_id[3]["n_bytes"] == len(b"media-payload-3" * 4)
+    # identical payload bytes -> identical features (content-addressed)
+    assert by_id[0]["feature"] == [
+        pytest.approx(x) for x in decode_stub(b"media-payload-0", True)
+    ]
+
+
+def test_frame_sample_explosion(spark):
+    media = fake_media_table(spark, n=12)
+    frames = frame_sample(media, every_ms=1000).collect()
+    videos = media.filter("kind = 'video'").select("media_id", "duration_ms").collect()
+    want = sum(max(r["duration_ms"], 1) // 1000 + (1 if max(r["duration_ms"],1) % 1000 else 0) for r in videos)
+    # one frame per started second per video
+    import math
+    want = sum(math.ceil(max(r["duration_ms"], 1) / 1000) for r in videos)
+    assert len(frames) == want
+    assert all(len(r["feature"]) == FEATURE_DIM for r in frames)

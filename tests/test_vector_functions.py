@@ -1,0 +1,97 @@
+"""Score-function semantics pinned to the reference (data/util.go:28-96),
+including the asymmetric-length behavior (FIXTURES.md section 3):
+truncate-to-min for euclidean/L1/dot, pad-to-max for cosine.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from veri_spark.functions.vector import (
+    SCORE_FUNCTIONS,
+    angular_distance,
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    is_approximate,
+    l1_distance,
+    score_fn,
+)
+
+
+def _eval(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_euclidean_hand_computed(spark):
+    # ||(0.1,0.2,0.3)-(0.2,0.3,0.4)|| = sqrt(3*0.01) (reference fixture rows)
+    v = _eval(spark, euclidean_distance([0.1, 0.2, 0.3], [0.2, 0.3, 0.4]))
+    assert v == pytest.approx(math.sqrt(0.03), rel=1e-9)
+
+
+def test_l1_hand_computed(spark):
+    v = _eval(spark, l1_distance([0.1, 0.2, 0.3], [0.2, 0.3, 0.4]))
+    assert v == pytest.approx(0.3, rel=1e-9)
+
+
+def test_dot_hand_computed(spark):
+    v = _eval(spark, dot_product([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]))
+    assert v == pytest.approx(32.0)
+
+
+def test_cosine_identical_is_one(spark):
+    v = _eval(spark, cosine_similarity([0.5, 0.5], [0.5, 0.5]))
+    assert v == pytest.approx(1.0)
+
+
+def test_truncate_to_min_for_distances(spark):
+    # reference truncates to the shorter vector (data/util.go:29-30):
+    # distance((1,1), (1,1,99)) == 0
+    assert _eval(spark, euclidean_distance([1.0, 1.0], [1.0, 1.0, 99.0])) == 0.0
+    assert _eval(spark, l1_distance([1.0, 1.0], [1.0, 1.0, 99.0])) == 0.0
+    assert _eval(spark, dot_product([1.0, 1.0], [1.0, 1.0, 99.0])) == pytest.approx(2.0)
+
+
+def test_cosine_pads_to_max(spark):
+    # reference iterates to the longer length with zeros (data/util.go:62-85):
+    # cos((1,0), (1,0,1)) = 1/sqrt(2) — the extra dim DOES count
+    v = _eval(spark, cosine_similarity([1.0, 0.0], [1.0, 0.0, 1.0]))
+    assert v == pytest.approx(1 / math.sqrt(2), rel=1e-9)
+
+
+def test_cosine_zero_norm_guard(spark):
+    assert _eval(spark, cosine_similarity([0.0, 0.0], [1.0, 2.0])) == 0.0
+
+
+def test_cosine_clamped(spark):
+    v = _eval(spark, cosine_similarity([1.0, 1.0], [-1.0, -1.0]))
+    # clamp guarantees the value never leaves [-1, 1]; the double math
+    # itself lands at -0.9999999999999998
+    assert -1.0 <= v <= 1.0
+    assert v == pytest.approx(-1.0, rel=1e-9)
+
+
+def test_angular_formula(spark):
+    # orthogonal vectors: cos=0 -> angular = 1 - (pi/2)/pi = 0.5
+    v = _eval(spark, angular_distance([1.0, 0.0], [0.0, 1.0]))
+    assert v == pytest.approx(0.5, rel=1e-9)
+    # identical: acos(cos)=~0 -> ~1.0 (cos lands at 1-2e-16, acos amplifies)
+    v = _eval(spark, angular_distance([1.0, 2.0], [1.0, 2.0]))
+    assert v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_registry_fallback_to_euclidean(spark):
+    # unknown names silently fall back (data/search.go:122-127)
+    builder, hib = score_fn("NoSuchFunction")
+    assert builder is SCORE_FUNCTIONS["VectorDistance"][0]
+    assert hib is False
+    builder2, _ = score_fn(None)
+    assert builder2 is builder
+
+
+def test_annoy_aliases_and_flag():
+    assert is_approximate("AnnoyCosineSimilarity")
+    assert not is_approximate("CosineSimilarity")
+    for name in ("AnnoyVectorDistance", "AnnoyAngularDistance"):
+        assert name in SCORE_FUNCTIONS

@@ -172,9 +172,10 @@ def context_rescore(
     candidates = [builder(F.col(vector_col), list(v)) for v in context_vectors]
     if not prioritize:
         candidates = [F.col("score"), *candidates]
-    best = F.greatest(*candidates) if hib else F.least(*candidates)
     if len(candidates) == 1:
         best = candidates[0]
+    else:
+        best = F.greatest(*candidates) if hib else F.least(*candidates)
     return scored.withColumn("score", best)
 
 

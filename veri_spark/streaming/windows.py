@@ -1,0 +1,157 @@
+"""Structured Streaming surface: event-time windows with watermarks.
+
+The reference is a continuously-running service but has no event-time
+windowing (SURVEY.md section 2.6); its streaming constructs are maintenance
+loops (ST1-ST3). This module supplies the streaming extension natively:
+tumbling / sliding / session windows with late-data watermarks, written so
+the SAME aggregation expression runs in batch (for the oracle) and under
+``readStream`` (for production).
+
+Scale notes: windowed aggregation state is bounded by the watermark; the
+shuffle key is (window, extra groups), so skewed event_types at 100 TB
+warrant salting the groupBy or widening to (window, type, user_id % N)
+pre-aggregation. The maintenance cadence of the reference (Process every
+60 s, data/data.go:158-164) maps to ``trigger(processingTime=...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veri_spark.session import prepare_session
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over the events parquet (one-file micro-batches).
+
+    Mirrors sources/catalog.load_table's nanos normalization so batch and
+    stream see the same schema.
+    """
+    prepare_session(spark)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    batch = spark.read.parquet(src)
+    # The file-stream source monitors a DIRECTORY; the fixture is a single
+    # file, so stage a symlink dir (at scale the source would already be an
+    # arriving-files directory / Kafka topic).
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="veri_events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+    # nanos-as-long normalization (same as catalog.load_table) — but cast to
+    # TIMESTAMP (not NTZ): Spark watermarks reject TIMESTAMP_NTZ event time.
+    # The session timezone is pinned to UTC by prepare_session, so the two
+    # types carry identical instants.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_length: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window: counts + value sum per (window, groups).
+
+    Works on both batch and streaming frames; the watermark bounds state and
+    admits late rows up to the given delay (no-op in batch).
+    """
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_length).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window_length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding event-time window (overlapping): same agg as tumbling."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_length, slide).alias("w"), *group_cols
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows: activity bursts separated by >= ``gap`` of silence,
+    per group. Batch-compatible; in streaming requires the watermark."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    windowed: DataFrame, query_name: str, timeout_s: int = 60
+) -> DataFrame:
+    """Execute a streaming aggregation into an in-memory sink and return the
+    materialized result (test/demo harness for the streaming path)."""
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return windowed.sparkSession.table(query_name)
