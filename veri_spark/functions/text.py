@@ -30,17 +30,17 @@ def word_shingles(toks: Column, k: int = 3, sep: str = " ") -> Column:
     """k-word shingles: [w1..wn] -> ["w1 w2 w3", "w2 w3 w4", ...].
 
     Empty array when the document has fewer than k tokens.
+
+    NOTE: pass a *materialized column* (``withColumn`` the token array
+    first), not an inline ``split(...)`` — Spark evaluates lambda-captured
+    subexpressions per element, turning an inline split into O(len^2) work
+    per document.
     """
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            sep, *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    return F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i, k)))
 
 
 def token_count(text: Column | str) -> Column:

@@ -53,17 +53,44 @@ def exact_dedup(df: DataFrame, key_col: Column, id_col: str) -> DataFrame:
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    with_size: bool = False,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle) rows."""
-    return df.select(
+    """Distinct k-word shingles per document: (id, shingle) rows.
+
+    ``with_size`` carries the per-doc shingle count through the explode
+    (computed on the pre-explode array, i.e. free) — jaccard_pairs then
+    needs no separate size aggregation or re-join.
+
+    The token and shingle arrays are STAGED as real columns before the
+    explode. Inlining them makes Catalyst re-evaluate the whole shingle
+    expression per exploded row (observed 40x slowdown) — see the note on
+    word_shingles.
+    """
+    if parallelism:
+        # the corpus fixture is one small parquet file = one input split;
+        # shingling is CPU-bound per row, so spread it. At real scale the
+        # scan already has many splits and this is unnecessary.
+        df = df.repartition(parallelism)
+    staged = df.withColumn("__toks", tokens(text_col)).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(tokens(text_col), k))).alias("shingle"),
+        F.array_distinct(word_shingles(F.col("__toks"), k)).alias("__sh"),
     )
+    if with_size:
+        return staged.select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode("__sh").alias("shingle"),
+        )
+    return staged.select(F.col(id_col), F.explode("__sh").alias("shingle"))
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id"
+    shingles: DataFrame, id_col: str = "doc_id", cache: bool = True
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle self-join.
 
@@ -71,7 +98,34 @@ def jaccard_pairs(
     sharing at least one shingle, with doc_a < doc_b. The join shuffles on
     the shingle value; skewed (stop-shingle) buckets are the scale hazard —
     AQE skew-join splits them, and the MinHash path avoids them entirely.
+
+    When ``shingles`` carries an ``n_sh`` column (doc_shingles
+    ``with_size=True``), sizes ride along as grouping keys — no separate
+    size aggregation and no post-join size joins, saving two shuffles.
+    ``cache`` persists the shingle frame for the legacy (no-size) path,
+    which reads it three times. At cluster scale prefer an explicit
+    checkpoint/table for the shingle set.
     """
+    if "n_sh" in shingles.columns:
+        a = shingles.select(
+            F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+        )
+        b = shingles.select(
+            F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+        )
+        return (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # n_a/n_b are functionally dependent on doc_a/doc_b: free keys
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            )
+        )
+    if cache:
+        shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -96,19 +150,42 @@ def jaccard_pairs(
     return out
 
 
+# Affine MinHash family over a 31-bit Mersenne prime: sig_i = min over
+# shingles of (a_i * H31(shingle) + b_i) mod P, where H31 is one portable
+# md5-derived base hash. One md5 per shingle row instead of num_hashes md5s
+# — the md5 was 16/17ths of the signature cost. a_i/b_i are fixed,
+# deterministically derived so the DuckDB oracle mirrors them.
+MINHASH_PRIME = 2147483647  # 2^31 - 1; products stay under 2^62 in int64
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    from veri_spark.functions.hashing import portable_hash64_py
+
+    return [
+        (
+            portable_hash64_py(f"minhash-a-{i}") % (MINHASH_PRIME - 1) + 1,
+            portable_hash64_py(f"minhash-b-{i}") % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signature per document: sig_i = min over shingles of
-    H(i || '|' || shingle). One groupBy(id) with ``num_hashes`` min-aggs —
-    a single shuffle on the id, signatures computed map-side first."""
+    (a_i * H31(shingle) + b_i) mod P. One groupBy(id) with ``num_hashes``
+    min-aggs — a single shuffle on the id, partial-aggregated map-side, and
+    a single md5 per shingle."""
+    base = portable_hash64(F.col("shingle")) % MINHASH_PRIME
+    hashed = shingles.withColumn("__h31", base)
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"sig_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h31") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_keys(
@@ -142,10 +219,11 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash LSH: distinct candidate pairs (doc_a < doc_b)
     whose signatures collide in at least one band."""
-    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sh = doc_shingles(df, id_col, text_col, shingle_k, parallelism=parallelism)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     bk = minhash_band_keys(sigs, id_col, num_hashes, bands)
     a = bk.select(F.col(id_col).alias("doc_a"), "band", "band_key")
@@ -159,7 +237,10 @@ def minhash_candidate_pairs(
 
 
 def simhash32(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """32-bit SimHash per document over whitespace tokens (occurrence-
     weighted): bit b is set when sum over tokens of ±1 (sign = bit b of the
@@ -168,6 +249,8 @@ def simhash32(
     Plan shape: token explode x 32 bit rows -> groupBy(id, bit) sum ->
     groupBy(id) assemble. Both aggregations partial-aggregate map-side.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     toks = toks.withColumn("h", portable_hash64(F.col("tok")))
     bits = toks.select(
@@ -199,22 +282,41 @@ def embedding_near_dup_pairs(
     block on an LSH bucket from similarity.lsh_hyperplane_signature).
     Returns (id_a, id_b, cos) with id_a < id_b.
     """
-    a = df.select(
-        *( [F.col(block_col)] if block_col else [] ),
-        F.col(id_col).alias("id_a"),
-        F.col(vector_col).alias("vec_a"),
+    # Hoist each vector's norm out of the pair loop: cos(a,b) =
+    # dot(a,b) / (norm_a * norm_b). The norms are computed once per row
+    # (identically to how the naive cosine would), so the per-pair work is
+    # one zip_with/aggregate instead of three.
+    v = F.col(vector_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
     )
-    b = df.select(
-        *( [F.col(block_col)] if block_col else [] ),
+    base = df.withColumn("__norm", norm)
+    a = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_a"),
+        v.alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
+    )
+    b = base.select(
+        *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_b"),
-        F.col(vector_col).alias("vec_b"),
+        v.alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
     )
     on = [block_col] if block_col else []
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a_, x: a_ + x,
+    )
+    cos = F.when((F.col("norm_a") == 0.0) | (F.col("norm_b") == 0.0), F.lit(0.0)).otherwise(
+        dot / (F.col("norm_a") * F.col("norm_b"))
+    )
     pairs = (
         (a.join(b, on) if on else a.crossJoin(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
-        .drop("vec_a", "vec_b")
+        .withColumn("cos", F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0)))
+        .drop("vec_a", "vec_b", "norm_a", "norm_b")
     )
     if min_cosine is not None:
         pairs = pairs.filter(F.col("cos") >= min_cosine)

@@ -131,23 +131,23 @@ def lsh_hyperplane_signature(
     dots, never the vectors).
     """
     H = hyperplane_matrix(dim, planes)
-    # flat literal plane table: (plane, pos, w) — tiny, broadcast after the
-    # explode join below.
-    plane_rows = [(p, pos, H[p][pos]) for p in range(planes) for pos in range(dim)]
-    plane_df = df.sparkSession.createDataFrame(plane_rows, ["plane", "pos", "w"])
-    elems = df.select(
-        F.col(id_col),
-        F.posexplode(F.col(vector_col).cast("array<double>")).alias("pos", "v"),
-    )
-    dots = (
-        elems.join(F.broadcast(plane_df), "pos")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
-    )
-    return dots.groupBy(id_col).agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane) ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("sig")
-    )
+    # In-row computation: each plane's dot product is a zip_with/aggregate
+    # against the LITERAL plane vector, so the whole signature is one narrow
+    # projection — no explode, no join, no shuffle at all. At 100 TB this is
+    # a map-only stage; the former explode+join formulation shuffled
+    # dim x planes rows per vector.
+    v = F.col(vector_col).cast("array<double>")
+
+    def plane_dot(p: int):
+        plane_lit = F.array(*[F.lit(w) for w in H[p]])
+        return F.aggregate(
+            F.zip_with(v, plane_lit, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        )
+
+    sig = None
+    for p in range(planes):
+        bit = F.when(plane_dot(p) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), sig.alias("sig"))

@@ -737,21 +737,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(doc_shingles(docs))
+    pairs = jaccard_pairs(doc_shingles(docs, with_size=True, parallelism=16))
     out = topk(
         pairs, "jaccard", 20, higher_is_better=True, tie_cols=["doc_a", "doc_b"]
     )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_seed_values() -> str:
+    """VALUES clause of the affine MinHash coefficients, mirroring
+    operators.dedup.minhash_coefficients exactly."""
+    from veri_spark.operators.dedup import minhash_coefficients
+
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coefficients(16))
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH {_DD_SHINGLES},
-    sig AS (SELECT doc_id, seed,
-                   MIN(CAST('0x' || substr(md5(seed::VARCHAR || '|' || shingle), 1, 15) AS BIGINT)) AS h
-            FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-            GROUP BY doc_id, seed),
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // 4 AS band,
                      string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
               FROM sig GROUP BY doc_id, seed // 4)
@@ -765,7 +777,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     from veri_spark.operators.dedup import minhash_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, num_hashes=16, bands=4)
+    return minhash_candidate_pairs(docs, num_hashes=16, bands=4, parallelism=16)
 
 
 @register(
@@ -786,7 +798,7 @@ def dedup_simhash(spark, sf_dir):
     from veri_spark.operators.dedup import simhash32
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash32(docs)
+    return simhash32(docs, parallelism=16)
 
 
 @register(
