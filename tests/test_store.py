@@ -1,0 +1,86 @@
+"""FeatureStore facade: the reference's service-verb lifecycle end-to-end
+(create -> insert -> search -> data_info -> delete -> export).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from veri_spark.operators.search import SearchConfig
+from veri_spark.store import DatasetConfig, FeatureStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return FeatureStore(spark, str(tmp_path / "datasets"))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(f, g, l, v, None, None, None, None, None) for (f, g, l, v) in rows],
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp",
+    )
+
+
+def test_lifecycle(spark, store):
+    rows = [
+        ([0.1, 0.2, 0.3], "g", "a", 0),
+        ([0.2, 0.3, 0.4], "g", "b", 0),
+        ([0.2, 0.3, 0.7], "h", "c", 0),
+    ]
+    assert store.insert("ds", _batch(spark, rows)) == 3
+
+    out = store.search("ds", [[0.1, 0.2, 0.3]], SearchConfig(limit=2)).collect()
+    assert [r["label"] for r in out] == ["a", "b"]
+
+    info = store.data_info("ds")
+    assert info["n"] == 3 and len(info["avg"]) == 3
+
+    store.delete("ds", spark.createDataFrame([("a",)], "label string"), ["label"])
+    assert store.export("ds").count() == 2
+
+
+def test_upsert_on_reinsert(spark, store):
+    rows = [([1.0, 0.0], "g", "x", 1)]
+    store.insert("up", _batch(spark, rows))
+    # same key (feature+group), higher version: replaces, does not duplicate
+    store.insert("up", _batch(spark, [([1.0, 0.0], "g", "x2", 2)]), no_target=True)
+    got = store.export("up").collect()
+    assert len(got) == 1
+    assert got[0]["label"] == "x2"
+
+
+def test_capacity_gate(spark, store):
+    store.create_dataset("cap", DatasetConfig(target_n=2))
+    admitted = store.insert("cap", _batch(spark, [
+        ([0.0, 1.0], "g", "a", 0), ([1.0, 0.0], "g", "b", 0), ([1.0, 1.0], "g", "c", 0),
+    ]))
+    assert admitted == 2  # third row rejected by TargetN (data/insert.go:12-14)
+    assert store.export("cap").count() == 2
+
+
+def test_config_version_bump(store):
+    first = store.create_dataset("cfg", DatasetConfig(target_n=10, version=1))
+    assert first.target_n == 10
+    # lower/equal version does not replace (data/dataset.go:117-126)
+    kept = store.create_dataset("cfg", DatasetConfig(target_n=99, version=1))
+    assert kept.target_n == 10
+    bumped = store.create_dataset("cfg", DatasetConfig(target_n=99, version=2))
+    assert bumped.target_n == 99
+
+
+def test_annoy_prefix_routes_to_ivf(spark, store):
+    import random
+
+    rng = random.Random(3)
+    rows = [([rng.uniform(-1, 1) for _ in range(8)], "g", str(i), 0) for i in range(40)]
+    store.insert("ann", _batch(spark, rows), no_target=True)
+    q = rows[7][0]
+    exact = store.search("ann", [q], SearchConfig(limit=3)).collect()
+    approx = store.search(
+        "ann", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=3),
+        n_centroids=4, nprobe=2,
+    ).collect()
+    assert exact[0]["label"] == "7"
+    assert approx[0]["label"] == "7"  # self-match survives the IVF probe
+    assert len(approx) == 3

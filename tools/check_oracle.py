@@ -41,7 +41,11 @@ def normalize(v):
 
 def rows_to_multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+    # None sorts before any value of any type (NULLs FIRST, type-safe)
+    return sorted(
+        (tuple(normalize(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is not None, str(type(v)), v) for v in t),
+    )
 
 
 def main():

@@ -915,3 +915,135 @@ def ann_lsh_signature(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_hyperplane_signature(emb, dim=64, planes=16)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: sessionization, distribution stats, rollup, sampling, windows —
+# relational/streaming extensions (SURVEY.md sections 2.5/2.6 north star)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o)
+    SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM f GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — the batch form
+    of streaming/windows.session_window_agg; the oracle is the classic
+    gaps-and-islands formulation."""
+    from veri_spark.streaming.windows import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_window_agg(ev, gap="30 minutes", group_cols=("user_id",))
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
+    "events_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(MEDIAN(value), 6) AS median_value,
+           ROUND(STDDEV_SAMP(value), 6) AS stddev_value,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_stats(spark, sf_dir):
+    """Distribution statistics per group: exact median, sample stddev,
+    distinct cardinality (approx_count_distinct is the at-scale variant;
+    exact here for the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "tpch_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def tpch_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (subtotal + grand-total rows) — the
+    grouping-sets surface Spark provides natively (SURVEY.md section 2.4).
+    NULL rollup keys are coalesced to 'ALL' so the result is sortable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    """
+    SELECT COUNT(*)::BIGINT AS n_sampled, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST('0x' || substr(md5(event_id::VARCHAR), 1, 15) AS BIGINT) % 10 = 0
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Reproducible ~10% sample by key hash (the deterministic analog of
+    df.sample / the reference's probabilistic peer sampling, ST4). Hash-mod
+    sampling survives reruns and joins, unlike RNG sampling."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.filter(portable_hash64(F.col("event_id").cast("string")) % 10 == 0)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "lineitem_running_total",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def lineitem_running_total(spark, sf_dir):
+    """Running-total window (ordered frame) — general window-function
+    surface beyond rank/top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_total"),
+    )

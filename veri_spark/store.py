@@ -1,0 +1,191 @@
+"""FeatureStore facade: the reference's service surface as a Python API.
+
+Mirrors the gRPC verbs of VeriService (veriservice.proto:7-17; SURVEY.md
+section 2.8) over DataFrames:
+
+    reference RPC              | here
+    ---------------------------+------------------------------------------
+    CreateDataIfNotExists      | create_dataset(name, config)
+    Insert                     | insert(name, df, ttl_seconds, no_target)
+    (delete via Data.Delete)   | delete(name, keys)
+    SearchStream               | search(name, queries, config, context)
+    GetDataInfo                | data_info(name)
+    DataStream (export)        | export(name)
+    Join/AddPeer/Ping          | dropped — the cluster manager owns membership
+
+Datasets are named parquet directories under a root path plus a JSON config
+sidecar (the analog of dataset.go's index.save persistence,
+data/dataset.go:166-227). State transitions are whole-table rewrites through
+the mutation operators — at production scale the same calls target Delta/
+Iceberg tables and become MERGE/DELETE; the facade isolates that choice.
+
+Score functions named with the reference's ``Annoy*`` prefix route to the
+approximate path (IVF probe search), mirroring data/search.go:136-141's
+dispatch; all other names run the exact pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veri_spark.functions.vector import is_approximate
+from veri_spark.operators import mutation as M
+from veri_spark.operators import stats as ST
+from veri_spark.operators.search import SearchConfig, aggregated_search, multi_search
+from veri_spark.operators.similarity import ivf_search, take_centroids
+from veri_spark.session import prepare_session
+
+DATUM_SCHEMA = (
+    "feature array<float>, group_label string, label string, version bigint, "
+    "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp"
+)
+
+
+@dataclass
+class DatasetConfig:
+    """Mirror of pb.DataConfig defaults (data/dataset.go:45-56)."""
+
+    target_n: int = 1000
+    target_utilization: float = 0.4
+    replication_on_insert: int = 1  # recorded, not enforced (storage owns it)
+    retention_days: int = 14
+    version: int = 0
+
+
+class FeatureStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = prepare_session(spark)
+        self.root = root.rstrip("/")
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- catalog ----------------------------------------------------------
+    def _data_path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def _config_path(self, name: str) -> str:
+        return f"{self.root}/{name}.config.json"
+
+    def create_dataset(self, name: str, config: DatasetConfig | None = None) -> DatasetConfig:
+        """CreateIfNotExists semantics (data/dataset.go:107-130): register
+        with defaults; a higher config.version replaces the stored config."""
+        config = config or DatasetConfig()
+        path = self._config_path(name)
+        if os.path.exists(path):
+            stored = DatasetConfig(**json.load(open(path)))
+            if config.version <= stored.version:
+                return stored
+        json.dump(asdict(config), open(path, "w"))
+        return config
+
+    def get_config(self, name: str) -> DatasetConfig:
+        path = self._config_path(name)
+        if os.path.exists(path):
+            return DatasetConfig(**json.load(open(path)))
+        return self.create_dataset(name)
+
+    def _read(self, name: str) -> DataFrame:
+        path = self._data_path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], DATUM_SCHEMA)
+        return self.spark.read.parquet(path)
+
+    # -- mutations --------------------------------------------------------
+    def insert(
+        self,
+        name: str,
+        df: DataFrame,
+        ttl_seconds: int | None = None,
+        no_target: bool = False,
+    ) -> int:
+        """Upsert a batch (S1/S2): TargetN cap unless no_target, TTL
+        attachment, last-version-wins on the datum key. Returns the admitted
+        row count."""
+        self.create_dataset(name)
+        cfg = self.get_config(name)
+        current = self._read(name)
+        batch = M.with_ttl(df, ttl_seconds)
+        if "version" not in batch.columns:
+            batch = batch.withColumn("version", F.lit(0).cast("bigint"))
+        admitted = M.capacity_gate(current.count(), batch, cfg.target_n, no_target)
+        admitted = admitted.withColumn("__key", M.datum_key())
+        cur_keyed = current.withColumn("__key", M.datum_key())
+        merged = M.upsert(cur_keyed, admitted.select(*cur_keyed.columns), ["__key"]).drop(
+            "__key"
+        )
+        n = admitted.count()
+        self._overwrite(name, merged)
+        return n
+
+    def delete(self, name: str, keys: DataFrame, key_cols: list[str]) -> None:
+        """Delete by key columns (S3)."""
+        self._overwrite(name, M.delete_keys(self._read(name), keys, key_cols))
+
+    def expire_now(self, name: str) -> None:
+        """TTL compaction (the reference's lazy expiry made explicit)."""
+        self._overwrite(name, M.expire(self._read(name)))
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        # plain-parquet state transition: write new, swap. Delta/Iceberg
+        # MERGE replaces this whole method in production.
+        tmp = self._data_path(name) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._data_path(name)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    # -- queries ----------------------------------------------------------
+    def search(
+        self,
+        name: str,
+        query_vectors: list[list[float]] | DataFrame,
+        config: SearchConfig | None = None,
+        context_vectors: list[list[float]] = (),
+        prioritize_context: bool = False,
+        nprobe: int = 2,
+        n_centroids: int = 16,
+    ) -> DataFrame:
+        """SearchStream (section 3.1): single- or multi-query KNN with the
+        full aggregation pipeline. ``Annoy*`` score functions take the
+        approximate IVF path (single-query only), like the reference's
+        prefix dispatch."""
+        config = config or SearchConfig()
+        corpus = self._read(name)
+        if isinstance(query_vectors, DataFrame):
+            return multi_search(corpus, query_vectors, config)
+        if len(query_vectors) == 1:
+            q = list(query_vectors[0])
+            if is_approximate(config.score_func):
+                cents = take_centroids(corpus, n_centroids, id_col="label", vector_col="feature")
+                return ivf_search(
+                    corpus, cents, q, k=config.limit, nprobe=nprobe,
+                    id_col="label", vector_col="feature",
+                )
+            return aggregated_search(
+                corpus, q, config,
+                context_vectors=context_vectors,
+                prioritize_context=prioritize_context,
+                key_cols=["label"],
+            )
+        queries = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+            "query_id int, query_vector array<float>",
+        )
+        return multi_search(corpus, queries, config)
+
+    def data_info(self, name: str) -> dict:
+        """GetDataInfo (proto:100-114): N, centroid, max distance, histogram."""
+        return ST.data_info(self._read(name))
+
+    def export(self, name: str) -> DataFrame:
+        """DataStream: the full live table (TTL-filtered)."""
+        from veri_spark.operators.search import ttl_filter
+
+        return ttl_filter(self._read(name))
