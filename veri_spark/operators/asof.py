@@ -1,0 +1,90 @@
+"""As-of (point-in-time) join: for each left row, the most recent right row
+at or before the left row's timestamp, per equality key.
+
+The reference has no temporal joins (SURVEY.md section 2.5 — "none in the
+reference"); this operator is part of the training-data-pipeline extension
+surface (feature backfill / point-in-time-correct feature lookup, the batch
+analog of a feature store's serving join).
+
+Implementation is the single-shuffle union formulation, not a range join:
+
+    union(left tagged 1, right tagged 0) keyed on `on`
+      -> window last(payload, ignorenulls) ordered by (ts, side, payload)
+      -> keep left rows
+
+A naive ``left.join(right, key AND r.ts <= l.ts)`` + groupBy-max is a range
+join that materializes every (left, earlier-right) pair — O(|L| * avg
+right-rows-per-key) intermediate rows and two shuffles. The union plan
+shuffles each input exactly once on the key, sorts within partitions, and
+carries O(1) state per row, so it survives a 100x scale-up where the range
+join explodes. Right rows sort before left rows at equal timestamps, giving
+``<=`` (inclusive) semantics; ties among right rows resolve to the greatest
+payload struct, which is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: Sequence[str] = (),
+    prefix: str = "asof_",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, annotated with ``prefix + right_ts``
+    and ``prefix + c`` for each payload column from the latest right row with
+    ``right[right_ts] <= left[left_ts]`` on the same key (NULLs when none).
+
+    ``tolerance_seconds`` optionally voids matches staler than the given gap
+    (the pandas ``merge_asof(tolerance=...)`` semantic).
+    """
+    on = list(on)
+    payload_cols = [c for c in payload_cols if c != right_ts]
+    payload_struct = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    l_tagged = left.select(
+        *[F.col(c).alias(f"__k_{c}") for c in on],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            right.select(payload_struct.alias("p")).schema["p"].dataType
+        ).alias("__payload"),
+        F.struct(*left.columns).alias("__left"),
+    )
+    r_tagged = right.select(
+        *[F.col(c).alias(f"__k_{c}") for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload_struct.alias("__payload"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("l")).schema["l"].dataType
+        ).alias("__left"),
+    )
+    w = (
+        Window.partitionBy(*[f"__k_{c}" for c in on])
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    match: Column = F.col("__match")
+    if tolerance_seconds is not None:
+        fresh = F.col("__match.__ts") >= F.col("__t") - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECOND"
+        )
+        match = F.when(fresh, F.col("__match"))
+    out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    out_cols.append(match.getField("__ts").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(match.getField(c).alias(f"{prefix}{c}") for c in payload_cols)
+    return filled.filter(F.col("__side") == 1).select(*out_cols)

@@ -1047,3 +1047,200 @@ def lineitem_running_total(spark, sf_dir):
         "l_linenumber",
         F.round(F.sum("l_extendedprice").over(w), 2).alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: as-of join, sliding windows, quantiles, multi-join, prefiltered
+# KNN, multimodal decode — extension surface (SURVEY.md sections 2.5/2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_prefiltered",
+    f"""
+    SELECT vec_id,
+           ROUND(LEAST(GREATEST(list_cosine_similarity(embedding::DOUBLE[], {_Q0}), -1.0), 1.0), 6) AS score
+    FROM embeddings WHERE label % 2 = 0
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def knn_prefiltered(spark, sf_dir):
+    """F1/F2-in-the-KNN-pipeline: predicate applied BEFORE scoring, so it
+    pushes to the parquet scan (the reference filters candidates inside the
+    search loop, data/search.go:363-374; declaratively the filter belongs
+    under the scan and Catalyst puts it there)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") % 2 == 0)
+    q = _query_vector(spark, sf_dir, 0)
+    cfg = S.SearchConfig(score_func="CosineSimilarity", limit=10)
+    out = S.search(emb, q, cfg, vector_col="embedding", id_cols=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH b AS (
+      SELECT date_trunc('minute', ts)
+               - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE AS ws,
+             event_type, value
+      FROM events
+    ), u AS (
+      SELECT ws, event_type, value FROM b
+      UNION ALL
+      SELECT ws - INTERVAL 30 MINUTE AS ws, event_type, value FROM b
+    )
+    SELECT ws AS window_start, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM u GROUP BY ws, event_type
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding event-time window (1 h length, 30 min slide): each event lands
+    in two overlapping windows. Streaming-capable via the same expression
+    (veri_spark/streaming/windows.sliding_window_agg); the oracle is the
+    union-of-shifted-buckets identity."""
+    from veri_spark.streaming.windows import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    win = sliding_window_agg(ev, window_length="1 hour", slide="30 minutes")
+    return win.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@register(
+    "asof_last_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.ts AS last_click_ts,
+           ROUND(c.value, 6) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click(spark, sf_dir):
+    """Point-in-time as-of join: each purchase annotated with the user's most
+    recent click at or before it. Single-shuffle union formulation
+    (operators/asof.py) — no range-join row explosion."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], payload_cols=["value"], prefix="last_click_"
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "last_click_ts",
+        F.round("last_click_value", 6).alias("last_click_value"),
+    )
+
+
+@register(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark, sf_dir):
+    """Exact linear-interpolated quantiles per group (percentile_approx with
+    tuned accuracy is the 100 TB variant; exact here for the oracle — both
+    use the same interpolation rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with constant-size dims broadcast.
+    nation x region (filtered to one region) is broadcast so the big
+    fact-side joins shuffle only on their keys; the date filter sits on
+    orders before any join so it reaches the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    dims = (
+        load_table(spark, sf_dir, "nation")
+        .join(load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           CAST('0x' || substr(md5(text), 1, 2) AS INT) AS f0
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text bytes stand in for encoded media
+    (the container has no image/audio codecs); the Arrow-batched mapInPandas
+    decode (multimodal/binary.decode_features) derives the deterministic-fake
+    feature, whose first component is the payload md5's first byte — which
+    the oracle recomputes in SQL. The schema/batching/column-pruning shape is
+    the real production path."""
+    from veri_spark.multimodal.binary import decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
+    feats = decode_features(media, id_col="doc_id", media_col="media")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0"),
+    )

@@ -46,11 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → us truncation, matching DuckDB's coercion of the same file.
+        # integer `div`, NOT floor(ts / 1000): ns values (~1.7e18) exceed
+        # double's 53-bit exact range, so float division is off by ±1 us.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -56,7 +56,7 @@ def stream_events(
     # types carry identical instants.
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
 
