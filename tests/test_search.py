@@ -4,6 +4,7 @@ reference's end-to-end tests (data/data_test.go:17-135, FIXTURES.md 2/6).
 """
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -150,3 +151,37 @@ def test_ttl_filter(spark):
         "id int, expire_at string",
     ).withColumn("expire_at", F.col("expire_at").cast("timestamp"))
     assert {r["id"] for r in ttl_filter(df).collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# Golden KNN parity with the reference's news-embedding fixture
+# (data/data_test.go:110-135): the loader holds OUT row 0 as the query (it is
+# never inserted, data_test.go:85-89); angular distance, higher-is-better,
+# k=10 -> rank 1 is the known golden title. The reference asserts this through
+# its Annoy index; the exact path agrees because Annoy re-scores candidates
+# with the requested score function.
+# ---------------------------------------------------------------------------
+
+NEWS_FIXTURE = "/root/reference/data/testdata/news_title_embdeddings.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(NEWS_FIXTURE), reason="reference fixture not present"
+)
+def test_golden_news_rank1(spark):
+    from veri_spark.sources.catalog import load_json_lines
+
+    news = load_json_lines(spark, NEWS_FIXTURE)
+    assert news.count() == 50
+    query_title = (
+        "The Brands Queen Elizabeth, Prince Charles, and Prince Philip Swear By"
+    )
+    q_row = news.filter(F.col("label") == query_title).first()
+    corpus = news.filter(F.col("label") != query_title)  # loader holds out row 0
+    cfg = SearchConfig(score_func="AngularDistance", limit=10)
+    out = search(
+        corpus, [float(x) for x in q_row["feature"]], cfg,
+        vector_col="feature", id_cols=["label"],
+    ).collect()
+    assert len(out) == 10
+    assert out[1]["label"] == "Every outfit Duchess Kate has worn in 2019"

@@ -59,3 +59,29 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables at once: ``load_tables(spark, d, 'orders', 'lineitem')``."""
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def load_json_lines(
+    spark: SparkSession,
+    path: str,
+    vector_col: str = "embedding",
+    label_col: str = "title",
+) -> DataFrame:
+    """JSON-lines datum source (reference S7: load_data_from_json,
+    data/data_test.go:70-96 — rows of ``{title, embedding}``).
+
+    The explicit schema skips Spark's sampling-based inference pass (one
+    fewer full read of the input) and pins the vector element type to FLOAT,
+    matching the datum schema. The reference loader uses the title as both
+    label and group label; we project the same shape.
+    """
+    prepare_session(spark)
+    df = spark.read.schema(
+        f"{label_col} string, {vector_col} array<float>"
+    ).json(path)
+    return df.select(
+        F.col(vector_col).alias("feature"),
+        F.col(label_col).alias("group_label"),
+        F.col(label_col).alias("label"),
+        F.lit(0).cast("bigint").alias("version"),
+    )
