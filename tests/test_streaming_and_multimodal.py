@@ -93,3 +93,35 @@ def test_frame_sample_explosion(spark):
     want = sum(math.ceil(max(r["duration_ms"], 1) / 1000) for r in videos)
     assert len(frames) == want
     assert all(len(r["feature"]) == FEATURE_DIM for r in frames)
+
+
+def test_stateful_running_stats(spark):
+    """applyInPandasWithState: streamed per-group stats equal the batch
+    aggregate after the single micro-batch drains."""
+    from veri_spark.streaming.stateful import running_group_stats
+
+    stream = stream_events(spark, SF_DIR)
+    stats = running_group_stats(stream, group_col="event_type")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["group_key"]: (r["n"], round(r["sum_value"], 6))
+        for r in spark.table("running_stats").collect()
+    }
+    from veri_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    expected = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
