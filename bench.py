@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "ann_lsh_signature",
     "ann_ivf_search",
     "text_stats",
+    "asof_last_click",
+    "events_sliding_window",
+    "tpch_q5_regional_revenue",
 ]
 
 
