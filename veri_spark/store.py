@@ -1,7 +1,7 @@
 """FeatureStore facade: the reference's service surface as a Python API.
 
 Mirrors the gRPC verbs of VeriService (veriservice.proto:7-17; SURVEY.md
-section 2.8) over DataFrames:
+section 2.9) over DataFrames:
 
     reference RPC              | here
     ---------------------------+------------------------------------------
