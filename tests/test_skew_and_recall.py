@@ -1,0 +1,105 @@
+"""Skew utilities and ANN recall-vs-exact checks (SURVEY.md section 5:
+approximate paths asserted on recall, exact paths on equality)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from veri_spark.operators.skew import salted_join, salted_two_stage, with_salt
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (k=0) with 900 rows, 10 cold keys with 10 each
+    rows = [(0, i, float(i % 7)) for i in range(900)]
+    rows += [(k, 1000 + k * 10 + j, float(j)) for k in range(1, 11) for j in range(10)]
+    return spark.createDataFrame(rows, "k int, row_id bigint, v double")
+
+
+def test_salted_two_stage_count_sum(spark, skewed):
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_two_stage(
+            skewed,
+            group_cols=["k"],
+            partial_aggs=[F.count(F.lit(1)).alias("pc"), F.sum("v").alias("ps")],
+            final_aggs=[F.sum("pc").alias("n"), F.sum("ps").alias("s")],
+            entropy_cols=["row_id"],
+            buckets=8,
+        ).collect()
+    }
+    exact = {
+        r["k"]: (r["n"], r["s"])
+        for r in skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_salted_two_stage_distinct_set(spark, skewed):
+    got = {
+        r["k"]: sorted(r["vals"])
+        for r in salted_two_stage(
+            skewed,
+            group_cols=["k"],
+            partial_aggs=[F.collect_set("v").alias("s")],
+            final_aggs=[
+                F.array_distinct(F.flatten(F.collect_list("s"))).alias("vals")
+            ],
+            entropy_cols=["row_id"],
+            buckets=8,
+        ).collect()
+    }
+    exact = {
+        r["k"]: sorted(r["vals"])
+        for r in skewed.groupBy("k").agg(F.collect_set("v").alias("vals")).collect()
+    }
+    assert got == exact
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    small = spark.createDataFrame(
+        [(k, f"name-{k}") for k in range(11)], "k int, name string"
+    )
+    got = sorted(
+        (r["row_id"], r["name"])
+        for r in salted_join(skewed, small, on=["k"], entropy_cols=["row_id"]).collect()
+    )
+    exact = sorted(
+        (r["row_id"], r["name"]) for r in skewed.join(small, "k").collect()
+    )
+    assert got == exact
+
+
+def test_with_salt_deterministic_and_bounded(spark, skewed):
+    a = with_salt(skewed, ["row_id"], 8).select("row_id", "__salt").collect()
+    b = with_salt(skewed, ["row_id"], 8).select("row_id", "__salt").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r["__salt"] < 8 for r in a)
+    # the hot key's rows actually spread across shards
+    n_shards = len({r["__salt"] for r in a})
+    assert n_shards == 8
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with a modest probe count recovers most of the exact top-k
+    (recall@10 threshold, not equality — the approximate path's contract)."""
+    from veri_spark.operators.search import SearchConfig, search
+    from veri_spark.operators.similarity import ivf_search, take_centroids
+    from veri_spark.sources.catalog import load_table
+    from veri_spark.plans.registry import _query_vector
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = _query_vector(spark, SF_DIR, 0)
+    exact = search(
+        emb, q, SearchConfig(score_func="VectorDistance", limit=10),
+        vector_col="embedding", id_cols=["vec_id"],
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    cents = take_centroids(emb, 8)
+    approx = ivf_search(emb, cents, q, k=10, nprobe=4)
+    approx_ids = {r["vec_id"] for r in approx.collect()}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5, f"recall@10 = {recall}"
