@@ -125,3 +125,26 @@ def test_stateful_running_stats(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming dedup on the datum key (the streaming form of S2's
+    change-dedup, data/newsync.go:43-57): duplicates arriving within the
+    watermark are dropped; state for older keys is evictable."""
+    stream = stream_events(spark, SF_DIR)
+    doubled = stream.unionByName(stream)  # every event arrives twice
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from veri_spark.sources.catalog import load_table
+
+    n_expected = load_table(spark, SF_DIR, "events").count()
+    assert spark.table("dedup_stream").count() == n_expected

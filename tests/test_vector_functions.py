@@ -95,3 +95,30 @@ def test_annoy_aliases_and_flag():
     assert not is_approximate("CosineSimilarity")
     for name in ("AnnoyVectorDistance", "AnnoyAngularDistance"):
         assert name in SCORE_FUNCTIONS
+
+
+def test_register_custom_pandas_score_fn(spark, tiny_datums):
+    """SURVEY section 2.7: the registry extension point — a NumPy-level
+    chebyshev distance registered by name runs through the normal search
+    pipeline via an Arrow-batched pandas_udf."""
+    import numpy as np
+
+    from veri_spark.functions.vector import make_pandas_score_fn, register_score_fn
+    from veri_spark.operators.search import SearchConfig, search
+
+    register_score_fn(
+        "ChebyshevDistance",
+        make_pandas_score_fn(lambda v, q: float(np.max(np.abs(v - q)))),
+        higher_is_better=False,
+    )
+    out = search(
+        tiny_datums,
+        [0.1, 0.2, 0.3],
+        SearchConfig(score_func="ChebyshevDistance", limit=3),
+        vector_col="feature",
+        id_cols=["label"],
+    ).collect()
+    assert [r["label"] for r in out] == ["a", "b", "c"]
+    assert abs(out[0]["score"]) < 1e-6           # exact self-match
+    assert abs(out[1]["score"] - 0.1) < 1e-6     # max|delta| = 0.1
+    assert abs(out[2]["score"] - 0.4) < 1e-6     # max|delta| = 0.4

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -134,3 +135,50 @@ def score_fn(name: str | None) -> tuple[Callable[..., Column], bool]:
 def is_approximate(name: str | None) -> bool:
     """Annoy-prefixed names request the ANN path (data/search.go:136-141)."""
     return bool(name) and name.startswith("Annoy")
+
+
+def register_score_fn(
+    name: str,
+    builder: Callable[..., Column],
+    higher_is_better: bool,
+) -> None:
+    """User extension point (SURVEY.md section 2.7): add a named score
+    function to the registry consulted per query.
+
+    The reference's only extensibility is this name->function map
+    (data/search.go:111-127); here a builder takes two Column arguments
+    (corpus vector, query literal) and returns a score Column. Prefer native
+    expressions (whole-stage codegen); for logic they cannot express, build
+    over an Arrow-vectorized ``pandas_udf`` — see make_pandas_score_fn.
+    """
+    SCORE_FUNCTIONS[name] = (builder, higher_is_better)
+
+
+def make_pandas_score_fn(fn: Callable) -> Callable[..., Column]:
+    """Wrap a NumPy-level function ``fn(v: np.ndarray, q: np.ndarray) ->
+    float`` as an Arrow-batched score builder usable with register_score_fn.
+
+    Both the corpus vector and the query columns go through one vectorized
+    ``pandas_udf`` (Arrow record batches, never row-at-a-time Python). The
+    query side is a literal, so Tungsten materializes it once per batch
+    column; the dominant cost stays the corpus-vector transfer, which any
+    Python-scored path must pay.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def scorer(vecs: pd.Series, qs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.float64)
+        for i, (v, q) in enumerate(zip(vecs, qs)):
+            out[i] = fn(np.asarray(v, dtype=np.float64), np.asarray(q, dtype=np.float64))
+        return pd.Series(out)
+
+    def builder(vec_col: Column, query) -> Column:
+        # callers pass the query as a Python sequence (like the native
+        # builders, score_corpus:103); normalize to an array literal
+        if not isinstance(query, Column):
+            query = F.array(*[F.lit(float(x)) for x in query])
+        return scorer(vec_col, query)
+
+    return builder

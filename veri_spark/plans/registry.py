@@ -1244,3 +1244,64 @@ def multimodal_decode_features(spark, sf_dir):
         "n_bytes",
         F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0"),
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + agg — every predicate reaches the
+    parquet scan (PushedFilters), zero shuffles beyond the final partial/
+    final agg pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_q18_big_spenders",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(o_totalprice), 2) AS total_spent,
+           COUNT(*)::BIGINT AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    HAVING COUNT(*) >= 12
+    ORDER BY total_spent DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q18_big_spenders(spark, sf_dir):
+    """TPC-H Q18 shape: join + grouped agg + HAVING + deterministic top-k.
+    The agg groups on the join key, so AQE coalesces the two shuffles; the
+    HAVING is a post-agg filter (cheap); the LIMIT is TakeOrdered
+    (partial+final, never a full sort)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        ords.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
