@@ -22,6 +22,18 @@ def _batch(spark, rows):
     )
 
 
+@pytest.fixture()
+def store_ds(spark, store):
+    rows = [
+        ([0.1, 0.2, 0.3], "g", "a", 0),
+        ([0.2, 0.3, 0.4], "g", "b", 0),
+        ([0.2, 0.3, 0.7], "h", "c", 0),
+        ([0.9, 0.1, 0.0], "h", "d", 0),
+    ]
+    store.insert("idx", _batch(spark, rows))
+    return store, "idx"
+
+
 def test_lifecycle(spark, store):
     rows = [
         ([0.1, 0.2, 0.3], "g", "a", 0),
@@ -84,3 +96,40 @@ def test_annoy_prefix_routes_to_ivf(spark, store):
     assert exact[0]["label"] == "7"
     assert approx[0]["label"] == "7"  # self-match survives the IVF probe
     assert len(approx) == 3
+
+
+def test_refresh_index_and_pruned_search(store_ds):
+    """refresh_index builds the partitioned IVF index; an Annoy*-named
+    search then serves from it and agrees with the exact ranking when
+    nprobe covers all centroids."""
+    store, name = store_ds
+    n = store.refresh_index(name, n_centroids=2)
+    assert n == store.export(name).count()
+    import os
+
+    idx_dir = store._index_path(name)
+    assert any(p.startswith("centroid_id=") for p in os.listdir(idx_dir))
+    cfg = SearchConfig(score_func="AnnoyVectorDistance", limit=2)
+    got = store.search(name, [[0.1, 0.2, 0.3]], cfg, nprobe=2).collect()
+    assert len(got) == 2
+    exact = store.search(
+        name, [[0.1, 0.2, 0.3]], SearchConfig(score_func="VectorDistance", limit=2)
+    ).collect()
+    assert [r["label"] for r in got] == [r["label"] for r in exact]
+
+
+def test_result_cache_roundtrip(store_ds):
+    store, name = store_ds
+    cfg = SearchConfig(score_func="CosineSimilarity", limit=2)
+    first = store.search(name, [[0.1, 0.2, 0.3]], cfg, cache_seconds=3600).collect()
+    import os
+
+    cache_dir = f"{store.root}/_cache"
+    assert os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) >= 2
+    again = store.search(name, [[0.1, 0.2, 0.3]], cfg, cache_seconds=3600).collect()
+    assert sorted(map(str, first)) == sorted(map(str, again))
+    other = store.search(
+        name, [[0.1, 0.2, 0.3]],
+        SearchConfig(score_func="VectorDistance", limit=2), cache_seconds=3600,
+    ).collect()
+    assert len(other) == 2

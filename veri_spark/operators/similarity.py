@@ -92,6 +92,25 @@ def ivf_search(
     partition pruning — the scan reads nprobe/k of the data.
     """
     assigned = ivf_assign(df, centroids, id_col, vector_col)
+    return ivf_search_assigned(
+        assigned, centroids, query_vector, k, nprobe, id_col, vector_col
+    )
+
+
+def ivf_search_assigned(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a PRE-ASSIGNED corpus (a persisted index built by a
+    prior maintenance pass — the hot-swapped Annoy snapshot analog,
+    data/newsync.go:147-222). When ``assigned`` is read from a table
+    partitioned by ``centroid_id``, the probe filter is partition pruning:
+    the scan touches nprobe/k of the files."""
     probe = (
         centroids.withColumn(
             "__qd", euclidean_distance(F.col("centroid_vec"), query_vector)
@@ -100,7 +119,8 @@ def ivf_search(
         .limit(nprobe)
         .select("centroid_id")
     )
-    candidates = assigned.join(F.broadcast(probe), "centroid_id")
+    probe_ids = [r["centroid_id"] for r in probe.collect()]
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     scored = candidates.withColumn(
         "score", euclidean_distance(F.col(vector_col), query_vector)
     )

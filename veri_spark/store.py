@@ -37,7 +37,12 @@ from veri_spark.functions.vector import is_approximate
 from veri_spark.operators import mutation as M
 from veri_spark.operators import stats as ST
 from veri_spark.operators.search import SearchConfig, aggregated_search, multi_search
-from veri_spark.operators.similarity import ivf_search, take_centroids
+from veri_spark.operators.similarity import (
+    ivf_assign,
+    ivf_search,
+    ivf_search_assigned,
+    take_centroids,
+)
 from veri_spark.session import prepare_session
 
 DATUM_SCHEMA = (
@@ -111,6 +116,10 @@ class FeatureStore:
         batch = M.with_ttl(df, ttl_seconds)
         if "version" not in batch.columns:
             batch = batch.withColumn("version", F.lit(0).cast("bigint"))
+        # null-pad optional datum columns (dim/size/...) absent from the batch
+        for field in current.schema.fields:
+            if field.name not in batch.columns:
+                batch = batch.withColumn(field.name, F.lit(None).cast(field.dataType))
         admitted = M.capacity_gate(current.count(), batch, cfg.target_n, no_target)
         admitted = admitted.withColumn("__key", M.datum_key())
         cur_keyed = current.withColumn("__key", M.datum_key())
@@ -151,34 +160,124 @@ class FeatureStore:
         prioritize_context: bool = False,
         nprobe: int = 2,
         n_centroids: int = 16,
+        cache_seconds: int | None = None,
     ) -> DataFrame:
         """SearchStream (section 3.1): single- or multi-query KNN with the
         full aggregation pipeline. ``Annoy*`` score functions take the
         approximate IVF path (single-query only), like the reference's
-        prefix dispatch."""
+        prefix dispatch — served from the persisted partition-pruned index
+        when refresh_index has run, else computed on the fly.
+        ``cache_seconds`` enables the result cache (K14): the key is the
+        normalized (dataset, queries, config) triple, mirroring
+        data/search.go:151-158's query-key + config-minus-uuid."""
         config = config or SearchConfig()
+        cache_key = None
+        if cache_seconds:
+            import hashlib
+
+            if not isinstance(query_vectors, DataFrame):
+                payload = json.dumps(
+                    [name, [list(map(float, v)) for v in query_vectors],
+                     [list(map(float, v)) for v in context_vectors],
+                     prioritize_context, nprobe, n_centroids, asdict(config)],
+                    sort_keys=True, default=str,
+                )
+                cache_key = hashlib.sha256(payload.encode()).hexdigest()[:32]
+                hit = self._cached_result(cache_key, cache_seconds)
+                if hit is not None:
+                    return hit
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return self._store_result(cache_key, df) if cache_key else df
+
         corpus = self._read(name)
         if isinstance(query_vectors, DataFrame):
             return multi_search(corpus, query_vectors, config)
         if len(query_vectors) == 1:
             q = list(query_vectors[0])
             if is_approximate(config.score_func):
+                idx = self._indexed(name)
+                if idx is not None:
+                    assigned, cents = idx
+                    return _finish(ivf_search_assigned(
+                        assigned, cents, q, k=config.limit, nprobe=nprobe,
+                        id_col="label", vector_col="feature",
+                    ))
                 cents = take_centroids(corpus, n_centroids, id_col="label", vector_col="feature")
-                return ivf_search(
+                return _finish(ivf_search(
                     corpus, cents, q, k=config.limit, nprobe=nprobe,
                     id_col="label", vector_col="feature",
-                )
-            return aggregated_search(
+                ))
+            return _finish(aggregated_search(
                 corpus, q, config,
                 context_vectors=context_vectors,
                 prioritize_context=prioritize_context,
                 key_cols=["label"],
-            )
+            ))
         queries = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
             "query_id int, query_vector array<float>",
         )
         return multi_search(corpus, queries, config)
+
+    # -- index lifecycle (Process / Annoyer hot-swap analog) ---------------
+    def _index_path(self, name: str) -> str:
+        return f"{self.root}/{name}.index"
+
+    def refresh_index(
+        self, name: str, n_centroids: int = 16, vector_col: str = "feature"
+    ) -> int:
+        """The reference's Process pass (data/newsync.go:93-227): rebuild the
+        ANN index from the live table and hot-swap it atomically. Here the
+        index is the IVF assignment written PARTITIONED BY centroid_id, so a
+        probe search prunes to nprobe/n_centroids of the files at the scan.
+        Returns the number of indexed rows."""
+        df = self._read(name)
+        df = df.withColumn("__row_id", F.xxhash64(*df.columns))
+        cents = take_centroids(df, n_centroids, id_col="__row_id", vector_col=vector_col)
+        assigned = ivf_assign(df, cents, id_col="__row_id", vector_col=vector_col)
+        tmp = self._index_path(name) + ".tmp"
+        assigned.drop("__row_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(tmp)
+        cents.write.mode("overwrite").parquet(tmp + ".centroids")
+        final = self._index_path(name)
+        import shutil
+
+        for suffix in ("", ".centroids"):
+            if os.path.exists(final + suffix):
+                shutil.rmtree(final + suffix)
+            os.rename(tmp + suffix, final + suffix)
+        return self.spark.read.parquet(final).count()
+
+    def _indexed(self, name: str):
+        final = self._index_path(name)
+        if not os.path.exists(final):
+            return None
+        return (
+            self.spark.read.parquet(final),
+            self.spark.read.parquet(final + ".centroids"),
+        )
+
+    # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
+    def _cached_result(self, key: str, max_age_s: int) -> DataFrame | None:
+        path = f"{self.root}/_cache/{key}"
+        meta = f"{path}.ts"
+        if os.path.exists(meta):
+            import time
+
+            if time.time() - float(open(meta).read()) <= max_age_s:
+                return self.spark.read.parquet(path)
+        return None
+
+    def _store_result(self, key: str, df: DataFrame) -> DataFrame:
+        import time
+
+        path = f"{self.root}/_cache/{key}"
+        df.write.mode("overwrite").parquet(path)
+        with open(f"{path}.ts", "w") as f:
+            f.write(str(time.time()))
+        return self.spark.read.parquet(path)
 
     def data_info(self, name: str) -> dict:
         """GetDataInfo (proto:100-114): N, centroid, max distance, histogram."""
