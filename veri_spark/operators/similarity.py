@@ -37,12 +37,33 @@ def ivf_assign(
     vector_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid_vec",
+    inline_threshold: int = 256,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (euclidean).
+    """Assign each vector to its nearest centroid (euclidean); ties break on
+    centroid id. This is the IVF index build.
 
-    ``centroids`` is tiny and broadcast; ties break on centroid id. One
-    narrow pass over the corpus — this is the IVF index build.
+    Small centroid sets (the normal case) are collected to the driver and
+    folded into the plan as LITERALS: the assignment is then
+    ``array_min(array(struct(dist_i, cid_i)...))`` — a map-only projection,
+    ZERO shuffles over the corpus. The earlier crossJoin + per-id window
+    formulation shuffled N x k rows on the vector id, which at 100 TB is the
+    single most expensive wrong plan in the engine. Above
+    ``inline_threshold`` centroids (codegen size), fall back to broadcast
+    join + min_by aggregation-free window.
     """
+    cents = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    if len(cents) <= inline_threshold:
+        candidates = [
+            F.struct(
+                euclidean_distance(
+                    F.col(vector_col), [float(x) for x in r[centroid_vec_col]]
+                ).alias("d"),
+                F.lit(r[centroid_id_col]).alias("cid"),
+            )
+            for r in cents
+        ]
+        best = F.array_min(F.array(*candidates))
+        return df.withColumn(centroid_id_col, best.getField("cid"))
     joined = df.crossJoin(F.broadcast(centroids))
     scored = joined.withColumn(
         "__d", euclidean_distance(F.col(vector_col), F.col(centroid_vec_col))
