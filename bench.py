@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_lsh_signature",
+    "ann_lsh_bucket_join",
     "ann_ivf_search",
     "text_stats",
     "asof_last_click",

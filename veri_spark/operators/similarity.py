@@ -192,3 +192,46 @@ def lsh_hyperplane_signature(
         )
         sig = bit if sig is None else sig + bit
     return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    dim: int,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """LSH banding over hyperplane signatures: split the ``planes``-bit
+    signature into ``bands`` contiguous bands; any pair sharing a band value
+    is a candidate (id_a < id_b, de-duplicated across bands).
+
+    The banding trade-off is the MinHash-LSH one: more bands -> higher
+    recall, more candidates. The band table carries only (id, band, value) —
+    vectors are re-joined afterwards so the explode never shuffles the
+    embedding payload. Candidate generation is linear in corpus size; there
+    is no all-pairs stage anywhere.
+    """
+    width = planes // bands
+    mask = (1 << width) - 1
+    sigs = lsh_hyperplane_signature(df, dim, planes, id_col, vector_col)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.explode(band_entries).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bv")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1305,3 +1305,54 @@ def tpch_q18_big_spenders(spark, sf_dir):
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "ann_lsh_bucket_join",
+    """
+    WITH planes AS (
+      SELECT p.plane, pos.pos,
+             CASE WHEN CAST('0x' || substr(md5(p.plane::VARCHAR || '|' || pos.pos::VARCHAR), 1, 15) AS BIGINT) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(range(0, 16)) AS plane) p
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) pos
+    ),
+    elems AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings),
+    dots AS (SELECT e.vec_id, pl.plane, SUM(e.v * pl.w) AS dot
+             FROM elems e JOIN planes pl ON e.pos = pl.pos
+             GROUP BY e.vec_id, pl.plane),
+    sigs AS (SELECT vec_id,
+                    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << plane) ELSE 0::BIGINT END)::BIGINT AS sig
+             FROM dots GROUP BY vec_id),
+    bands AS (SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS bv
+              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+    pairs AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+              FROM bands a JOIN bands bb
+                ON a.band = bb.band AND a.bv = bb.bv AND a.vec_id < bb.vec_id)
+    SELECT id_a, id_b,
+           ROUND(LEAST(GREATEST(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), -1.0), 1.0), 6) AS cosine
+    FROM pairs
+    JOIN embeddings ea ON id_a = ea.vec_id
+    JOIN embeddings eb ON id_b = eb.vec_id
+    ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+)
+def ann_lsh_bucket_join(spark, sf_dir):
+    """Similarity JOIN at scale: LSH-banded candidate generation (linear, no
+    all-pairs) + exact cosine re-scoring of candidates only. The band table
+    never carries vectors; embeddings re-join on the candidate ids."""
+    from veri_spark.operators.similarity import lsh_banded_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_banded_pairs(emb, dim=64, planes=16, bands=4)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    scored = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", V.cosine_similarity(F.col("__va"), F.col("__vb")))
+    )
+    out = topk(scored, "cosine", 20, higher_is_better=True, tie_cols=["id_a", "id_b"])
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
