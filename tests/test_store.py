@@ -133,3 +133,24 @@ def test_result_cache_roundtrip(store_ds):
         SearchConfig(score_func="VectorDistance", limit=2), cache_seconds=3600,
     ).collect()
     assert len(other) == 2
+
+
+def test_insert_stream_upserts(spark, store):
+    """Streaming ingest drains into the same upsert as the batch path."""
+    from veri_spark.streaming.windows import stream_events
+
+    stream = stream_events(spark, "/root/testdata/sf0.001")
+    datums = stream.select(
+        F.array(F.col("value").cast("float")).alias("feature"),
+        F.col("event_type").alias("group_label"),
+        F.col("event_id").cast("string").alias("label"),
+        F.col("event_id").alias("version"),
+    )
+    store.insert_stream("stream_ds", datums)
+    # upsert keys on (feature, group_label): events sharing both collapse
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.array(F.col("value").cast("float")).alias("feature"),
+        F.col("event_type").alias("group_label"),
+    )
+    expected = batch.dropDuplicates(["feature", "group_label"]).count()
+    assert store.export("stream_ds").count() == expected

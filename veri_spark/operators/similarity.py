@@ -235,3 +235,59 @@ def lsh_banded_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ivf_multi_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Batch ANN join: top-k nearest corpus vectors per query row, probing
+    only each query's ``nprobe`` nearest centroid buckets.
+
+    The scale shape: corpus and queries are BOTH assigned to centroid
+    buckets map-only (literal centroids, see ivf_assign); the join is an
+    equi-join on centroid_id — i.e. each query meets only its probed
+    fraction of the corpus, never a cross join. Per-query top-k is the
+    rank-window; Spark >= 3.5 pushes the rank filter into the sort
+    (InferWindowGroupLimit), so no group materializes fully.
+    """
+    from veri_spark.operators.topk import topk_per_group
+
+    cents = centroids.select("centroid_id", "centroid_vec").collect()
+    probe_entries = F.array(
+        *[
+            F.struct(
+                euclidean_distance(
+                    F.col(query_vec_col), [float(x) for x in r["centroid_vec"]]
+                ).alias("d"),
+                F.lit(r["centroid_id"]).alias("cid"),
+            )
+            for r in cents
+        ]
+    )
+    q_probed = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.slice(F.array_sort(probe_entries), 1, nprobe)).alias("__p"),
+    ).select(query_id_col, query_vec_col, F.col("__p.cid").alias("centroid_id"))
+    assigned = ivf_assign(df, centroids, id_col, vector_col)
+    candidates = assigned.join(q_probed, "centroid_id")
+    scored = candidates.withColumn(
+        "score", euclidean_distance(F.col(vector_col), F.col(query_vec_col))
+    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        "score",
+        k,
+        higher_is_better=False,
+        tie_cols=[id_col],
+        rank_col="rnk",
+    ).select(query_id_col, id_col, "score", "rnk")

@@ -1356,3 +1356,54 @@ def ann_lsh_bucket_join(spark, sf_dir):
     )
     out = topk(scored, "cosine", 20, higher_is_better=True, tie_cols=["id_a", "id_b"])
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "ann_ivf_multi_query",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.cvec)) AS centroid_id
+      FROM embeddings e CROSS JOIN cents c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    probes AS (
+      SELECT query_id, cid AS centroid_id FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_distance(q.qvec, c.cvec) ASC, c.cid ASC) AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id,
+             list_distance(a.embedding::DOUBLE[], q.qvec) AS d
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, ROUND(d, 6) AS score, rnk FROM (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_ivf_multi_query(spark, sf_dir):
+    """Batch ANN join (K7's scale path): per-query IVF probing — each query
+    meets only its probed centroid buckets, never the whole corpus."""
+    from veri_spark.operators.similarity import ivf_multi_search, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    cents = take_centroids(emb, 16)
+    out = ivf_multi_search(emb, cents, queries, k=5, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rnk")

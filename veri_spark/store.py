@@ -130,6 +130,30 @@ class FeatureStore:
         self._overwrite(name, merged)
         return n
 
+    def insert_stream(
+        self,
+        name: str,
+        stream: DataFrame,
+        ttl_seconds: int | None = None,
+        timeout_s: int = 120,
+    ) -> None:
+        """Streaming ingest (the reference's continuously-accepting Insert
+        RPC, node/nodeservice.go:35-51): each micro-batch runs the same
+        upsert as the batch path via foreachBatch, so change-dedup and
+        last-version-wins hold per batch. availableNow drains the source
+        then stops — swap the trigger for continuous production ingest."""
+
+        def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+            self.insert(name, batch_df, ttl_seconds=ttl_seconds, no_target=True)
+
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", f"{self.root}/{name}.checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+
     def delete(self, name: str, keys: DataFrame, key_cols: list[str]) -> None:
         """Delete by key columns (S3)."""
         self._overwrite(name, M.delete_keys(self._read(name), keys, key_cols))
