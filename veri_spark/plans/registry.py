@@ -1407,3 +1407,58 @@ def ann_ivf_multi_query(spark, sf_dir):
     cents = take_centroids(emb, 16)
     out = ivf_multi_search(emb, cents, queries, k=5, nprobe=2)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rnk")
+
+
+@register(
+    "docs_prep_pipeline",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    t AS (
+      SELECT doc_id, source, text, ws,
+             len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+               / len(ws) AS en_ratio,
+             LEAST(1.0, len(ws) / 64.0) * (len(list_distinct(ws)) / len(ws)) AS quality,
+             len(ws) AS n_tokens
+      FROM tok
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT t.*, row_number() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) AS rn
+        FROM t
+      ) WHERE rn = 1 AND en_ratio >= 0.04 AND quality >= 0.2
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM kept GROUP BY source
+    """,
+)
+def docs_prep_pipeline(spark, sf_dir):
+    """The composed training-data-prep pipeline over documents: exact dedup
+    (keep lowest doc_id per normalized text) -> language gate (English
+    stopword ratio) -> quality gate -> per-source corpus accounting. One
+    declarative plan: the dedup window and the final groupBy are the only
+    shuffles; every filter sits below them."""
+    from veri_spark.functions.text import (
+        en_stopword_ratio,
+        quality_score as q_score,
+        token_count,
+    )
+    from veri_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(
+        docs, F.md5(F.lower(F.trim(F.col("text")))), id_col="doc_id"
+    )
+    gated = deduped.withColumn("en_ratio", en_stopword_ratio("text")).withColumn(
+        "quality", q_score("text")
+    ).filter((F.col("en_ratio") >= 0.04) & (F.col("quality") >= 0.2))
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
