@@ -1462,3 +1462,109 @@ def docs_prep_pipeline(spark, sf_dir):
         F.sum(token_count("text")).alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue. The returnflag and
+    date predicates push to the two fact scans; nation broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate share over a fact-dim join;
+    part is the build side (broadcast at small SF, shuffled hash beyond)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "events_interarrival",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s)::BIGINT AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS avg_gap_s,
+           ROUND(MAX(gap_s), 6) AS max_gap_s
+    FROM d GROUP BY user_id
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gaps via lag(): general ordered-window surface
+    (the window and the groupBy share the user_id partitioning, so the agg
+    reuses the window's shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # NTZ -> TIMESTAMP -> double seconds (session tz pinned UTC, same instant)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gaps = ev.withColumn("gap_s", sec - F.lag(sec).over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+    )
