@@ -103,3 +103,34 @@ def test_ivf_recall_vs_exact(spark):
     approx_ids = {r["vec_id"] for r in approx.collect()}
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_mllib_brp_lsh_recall_vs_exact(spark):
+    """MLlib BucketedRandomProjectionLSH (the euclidean ANN family the
+    survey maps Annoy onto) against exact brute-force: recall@10 over the
+    embeddings fixture with a fixed seed."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import StructField, StructType, LongType
+
+    from veri_spark.operators.search import SearchConfig, search
+    from veri_spark.plans.registry import _query_vector
+    from veri_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
+    feat = emb.select("vec_id", to_vec("embedding").alias("features"))
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4,
+        seed=42,
+    ).fit(feat)
+    q = _query_vector(spark, SF_DIR, 0)
+    approx = model.approxNearestNeighbors(feat, Vectors.dense(q), 10)
+    approx_ids = {r["vec_id"] for r in approx.collect()}
+    exact = search(
+        emb, q, SearchConfig(score_func="VectorDistance", limit=10),
+        vector_col="embedding", id_cols=["vec_id"],
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5, f"recall@10 = {recall}"
