@@ -1570,3 +1570,139 @@ def events_interarrival(spark, sf_dir):
         F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
         F.round(F.max("gap_s"), 6).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: set ops, semi/anti joins, JSON extraction, OR predicates, CUBE
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+    )
+    ORDER BY c_custkey ASC
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti join (the S3 delete shape used as a query): customers with no
+    order in 1996Q1. left_anti shuffles only the join keys; the date filter
+    pushes to the orders scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_custkey")
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "repeat_buyers_both_years",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ORDER BY o_custkey ASC
+    """,
+)
+def repeat_buyers_both_years(spark, sf_dir):
+    """Set operation (INTERSECT): customers active in both years. Spark
+    plans intersect as a distinct + semi join on the hashed key."""
+    ords = load_table(spark, sf_dir, "orders")
+    y96 = ords.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = ords.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97).orderBy("o_custkey")
+
+
+@register(
+    "events_props_extract",
+    """
+    SELECT event_type,
+           COUNT(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           ROUND(MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_extract(spark, sf_dir):
+    """JSON VALUE extraction (beyond F1/F2's existence checks): pull a
+    numeric field out of the props document and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.max(k), 6).alias("max_k"),
+    )
+
+
+@register(
+    "lineitem_or_predicates",
+    """
+    SELECT COUNT(*)::BIGINT AS n, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE (l_quantity < 5 AND l_discount > 0.08)
+       OR (l_quantity > 45 AND l_returnflag = 'R')
+       OR (l_tax = 0.0 AND l_linestatus = 'F')
+    """,
+)
+def lineitem_or_predicates(spark, sf_dir):
+    """Q19-style disjunctive predicate: the whole OR tree stays in the scan
+    filter (no join, no shuffle before the final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("l_quantity") < 5) & (F.col("l_discount") > 0.08))
+        | ((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        | ((F.col("l_tax") == 0.0) & (F.col("l_linestatus") == "F"))
+    )
+    return li.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "orders_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations), NULL keys coalesced so the
+    result is sortable."""
+    ords = load_table(spark, sf_dir, "orders")
+    return (
+        ords.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
