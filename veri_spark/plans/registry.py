@@ -1706,3 +1706,28 @@ def orders_cube_status_priority(spark, sf_dir):
             "total",
         )
     )
+
+
+@register(
+    "events_pivot_by_type",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_by_type(spark, sf_dir):
+    """Pivot to wide format: per-user event counts, one column per type.
+    The explicit value list keeps it a single-pass aggregation (no extra
+    distinct-values job) — required practice at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
