@@ -154,3 +154,14 @@ def test_insert_stream_upserts(spark, store):
     )
     expected = batch.dropDuplicates(["feature", "group_label"]).count()
     assert store.export("stream_ds").count() == expected
+
+
+def test_compact_reduces_files(spark, store):
+    rows = [([float(i), 0.0], "g", f"r{i}", 0) for i in range(50)]
+    store.insert("cmp", _batch(spark, rows), no_target=True)
+    import os
+
+    n = store.compact("cmp", target_files=2)
+    assert n == 50
+    files = [f for f in os.listdir(store._data_path("cmp")) if f.endswith(".parquet")]
+    assert len(files) == 2

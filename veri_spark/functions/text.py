@@ -81,3 +81,18 @@ def fingerprint_int(text: Column | str) -> Column:
     """60-bit integer fingerprint (join/partition friendly)."""
     c = F.col(text) if isinstance(text, str) else text
     return portable_hash64(F.lower(F.trim(c)))
+
+
+# GPT-2-style pretokenizer regex, simplified to an engine-portable subset:
+# a token is a contraction suffix, a letter run (with optional leading
+# space), a digit run, a punctuation run, or residual whitespace. This is
+# the unit a BPE tokenizer would merge within; counting these approximates
+# LLM token counts far better than whitespace words on code/punctuated text.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate LLM token count: number of BPE-style pretokens
+    (``regexp_count`` runs JVM-side; no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))

@@ -1731,3 +1731,24 @@ def events_pivot_by_type(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@register(
+    "bpe_token_counts",
+    r"""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))::BIGINT AS total_bpe_tokens,
+           SUM(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """Token accounting two ways: BPE-style pretokens (the LLM-cost proxy)
+    vs whitespace words, per source. regexp_count stays in codegen."""
+    from veri_spark.functions.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+        F.sum(token_count("text")).alias("total_ws_tokens"),
+    )

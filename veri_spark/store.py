@@ -162,6 +162,15 @@ class FeatureStore:
         """TTL compaction (the reference's lazy expiry made explicit)."""
         self._overwrite(name, M.expire(self._read(name)))
 
+    def compact(self, name: str, target_files: int = 8) -> int:
+        """Small-files compaction: rewrite the dataset as ``target_files``
+        parquet files (streaming ingest leaves one file set per micro-batch;
+        at cluster scale this is OPTIMIZE/rewriteDataFiles). Drops expired
+        rows in the same pass. Returns the live row count."""
+        live = M.expire(self._read(name))
+        self._overwrite(name, live.repartition(target_files))
+        return self._read(name).count()
+
     def _overwrite(self, name: str, df: DataFrame) -> None:
         # plain-parquet state transition: write new, swap. Delta/Iceberg
         # MERGE replaces this whole method in production.
