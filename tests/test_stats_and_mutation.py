@@ -87,3 +87,22 @@ def test_datum_key_identity(spark):
     keys = [r["k"] for r in df.select(datum_key().alias("k")).collect()]
     assert keys[0] == keys[1]
     assert len({keys[0], keys[2], keys[3]}) == 3
+
+
+def test_approx_ops_within_tolerance(spark):
+    """The at-scale approximate forms track their exact counterparts within
+    documented error: approx_count_distinct (HLL++, ~2% default rsd) and
+    percentile_approx."""
+    from veri_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    row = ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.median("value").alias("exact_p50"),
+    ).first()
+    assert abs(row["approx_users"] - row["exact_users"]) <= max(
+        2, 0.05 * row["exact_users"]
+    )
+    assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.05 * abs(row["exact_p50"]) + 1.0

@@ -1752,3 +1752,66 @@ def bpe_token_counts(spark, sf_dir):
         F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
         F.sum(token_count("text")).alias("total_ws_tokens"),
     )
+
+
+@register(
+    "sample_stratified_by_type",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             CAST('0x' || substr(md5(event_id::VARCHAR), 1, 15) AS BIGINT) % 100 AS bucket
+      FROM events
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_sampled, ROUND(SUM(value), 2) AS sum_value
+    FROM h
+    WHERE (event_type = 'error' AND bucket < 50)
+       OR (event_type <> 'error' AND bucket < 10)
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_by_type(spark, sf_dir):
+    """Stratified deterministic sampling (df.sampleBy's reproducible
+    analog): rare strata keep a higher rate (50% errors vs 10% rest) via
+    per-key hash-mod thresholds — rerun-stable and join-stable, unlike RNG
+    sampling."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = portable_hash64(F.col("event_id").cast("string")) % 100
+    rate = F.when(F.col("event_type") == "error", F.lit(50)).otherwise(F.lit(10))
+    return (
+        ev.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_rolling_hour_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+    FROM events
+    WHERE user_id < 5
+    """,
+)
+def events_rolling_hour_sum(spark, sf_dir):
+    """Time-RANGE window: per-user sum over the trailing hour (rangeBetween
+    on epoch seconds — every event in the window, not a fixed row count)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum"),
+    )
