@@ -23,6 +23,10 @@ from veri_spark.session import get_spark  # noqa: E402
 
 
 def audit_plan(df) -> dict[str, int]:
+    # audit the static physical plan: structurally faithful (one print per
+    # operator). The post-execution AQE string reprints materialized stage
+    # subtrees and double-counts; at runtime AQE only improves on these
+    # numbers (join conversion, partition coalescing, skew splits).
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan))
