@@ -185,3 +185,22 @@ def test_golden_news_rank1(spark):
     ).collect()
     assert len(out) == 10
     assert out[1]["label"] == "Every outfit Duchess Kate has worn in 2019"
+
+
+def test_topk_deterministic_under_ties(spark):
+    """Determinism where the reference disclaims it (README.md:22): equal
+    scores break ties on the stable id column, so reruns and repartitions
+    return byte-identical rankings."""
+    rows = [([1.0, 0.0], "g", f"t{i}", 0) for i in range(20)]  # all equidistant
+    df = spark.createDataFrame(
+        rows, "feature array<float>, group_label string, label string, version bigint"
+    )
+    cfg = SearchConfig(score_func="VectorDistance", limit=5)
+    runs = [
+        [r["label"] for r in search(
+            df.repartition(p), [0.0, 0.0], cfg, vector_col="feature", id_cols=["label"]
+        ).collect()]
+        for p in (1, 7, 32)
+    ]
+    expected = sorted(f"t{i}" for i in range(20))[:5]  # lexicographic tie-break
+    assert runs[0] == runs[1] == runs[2] == expected

@@ -148,3 +148,50 @@ def test_streaming_dedup_within_watermark(spark):
 
     n_expected = load_table(spark, SF_DIR, "events").count()
     assert spark.table("dedup_stream").count() == n_expected
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream join with watermarks and a time-interval condition:
+    each purchase joins clicks by the same user within the preceding hour.
+    Verified against the equivalent batch range join."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import expr
+    from veri_spark.sources.catalog import load_table
+
+    stream = stream_events(spark, SF_DIR)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssjoin").count()
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    expected = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).count()
+    assert got == expected and got > 0
