@@ -21,18 +21,24 @@ Design stance (SURVEY.md section 7):
 """
 
 from veri_spark.session import get_spark, prepare_session
-from veri_spark.sources.catalog import load_table, load_tables, TABLES
+from veri_spark.sources.catalog import load_json_lines, load_table, load_tables, TABLES
 from veri_spark.operators.search import SearchConfig, search, multi_search
+from veri_spark.operators.asof import asof_join
+from veri_spark.store import DatasetConfig, FeatureStore
 
 __all__ = [
     "get_spark",
     "prepare_session",
+    "load_json_lines",
     "load_table",
     "load_tables",
     "TABLES",
     "SearchConfig",
     "search",
     "multi_search",
+    "asof_join",
+    "DatasetConfig",
+    "FeatureStore",
 ]
 
 __version__ = "0.1.0"

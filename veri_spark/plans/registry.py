@@ -1815,3 +1815,68 @@ def events_rolling_hour_sum(spark, sf_dir):
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("rolling_sum"),
     )
+
+
+@register(
+    "embeddings_label_centroids",
+    """
+    SELECT label, pos - 1 AS pos, ROUND(AVG(v), 6) AS avg_v
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS v
+          FROM embeddings)
+    WHERE pos <= 8
+    GROUP BY label, pos
+    """,
+)
+def embeddings_label_centroids(spark, sf_dir):
+    """Per-group centroid (the reference's per-dataset Avg, data/util.go:
+    15-26, generalized to groupBy): posexplode + per-(label, pos) mean in
+    long format. Map-side partial agg shrinks the shuffle to
+    |labels| x dim partials per task, never the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    ).filter(F.col("pos") < 8)
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("avg_v")
+    )
+
+
+@register(
+    "embedding_quantize_error",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> LEAST(GREATEST(round(x * 127.0), -127.0), 127.0) / 127.0) AS deq
+      FROM embeddings
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           ROUND(MAX(list_max(list_transform(range(1, len(e) + 1),
+                                             i -> abs(e[i] - deq[i])))), 6) AS max_abs_err,
+           ROUND(AVG(list_sum(list_transform(range(1, len(e) + 1),
+                                             i -> abs(e[i] - deq[i]))) / len(e)), 6) AS mean_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_error(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (the 4x storage /
+    bandwidth lever for vector corpora at 100 TB): symmetric scale 127,
+    clamp, dequantize, and report reconstruction error — all native array
+    expressions, map-only until the final tiny agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    deq = F.transform(
+        e,
+        lambda x: F.least(F.greatest(F.round(x * 127.0), F.lit(-127.0)), F.lit(127.0))
+        / 127.0,
+    )
+    err = F.zip_with(e, deq, lambda a, b: F.abs(a - b))
+    return emb.select(
+        F.array_max(err).alias("__mx"),
+        (F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.size(e)).alias("__mn"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("__mx"), 6).alias("max_abs_err"),
+        F.round(F.avg("__mn"), 6).alias("mean_abs_err"),
+    )
