@@ -105,3 +105,21 @@ def test_quality_score_range(spark):
     vals = [r["q"] for r in df.select(quality_score("text").alias("q")).collect()]
     assert 0 < vals[0] <= 1
     assert vals[1] == pytest.approx(1.0 * (1 / 200))  # saturated length, low diversity
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation converges past multi-hop chains (the hard case
+    for fixed-iteration propagation) and merges cliques."""
+    from veri_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert all(got[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert all(got[i] == 10 for i in (10, 11, 12))
+    assert got[20] == 20 and got[21] == 20

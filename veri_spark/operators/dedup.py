@@ -321,3 +321,66 @@ def embedding_near_dup_pairs(
     if min_cosine is not None:
         pairs = pairs.filter(F.col("cos") >= min_cosine)
     return pairs
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 8,
+    partitions: int = 16,
+) -> DataFrame:
+    """Connected components over a (small) candidate-pair edge set by
+    min-label propagation: every node starts as its own cluster; each
+    iteration takes the min cluster id among neighbors; stop at fixpoint.
+
+    This turns pairwise near-dup candidates into duplicate GROUPS with a
+    canonical representative (the min id) — the final step of a dedup
+    pipeline. The iteration count is bounded by the component diameter;
+    near-dup clusters are near-cliques, so a handful of passes converges
+    (the loop checks an actual fixpoint and stops early). Each pass joins
+    only the edge set — already reduced by LSH banding to a small fraction
+    of the corpus — never the corpus itself.
+
+    Returns (id, cluster) for every node appearing in an edge.
+    """
+    # the edge set is LSH-reduced and small relative to the corpus; pin a
+    # modest partition count so each propagation pass doesn't inherit a
+    # corpus-sized spark.sql.shuffle.partitions (size up for huge graphs)
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).repartition(partitions, "v").persist()
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().withColumn("cluster", F.col("id"))
+    )
+    # scope the shuffle width to the edge set for the duration of the loop
+    sess = edges.sparkSession
+    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym["v"] == labels["id"])
+                .groupBy("u")
+                .agg(F.min("cluster").alias("nmin"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                    ).alias("cluster"),
+                    F.col("cluster").alias("__old"),
+                )
+            ).persist()
+            changed = updated.filter(F.col("cluster") != F.col("__old")).count()
+            labels = updated.drop("__old")
+            if changed == 0:
+                break
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_parts)
+        sym.unpersist()
+    return labels

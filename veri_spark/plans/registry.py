@@ -1880,3 +1880,46 @@ def embedding_quantize_error(spark, sf_dir):
         F.round(F.max("__mx"), 6).alias("max_abs_err"),
         F.round(F.avg("__mn"), 6).alias("mean_abs_err"),
     )
+
+
+@register(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u)
+    SELECT cluster AS cluster_id, COUNT(*)::BIGINT AS cluster_size
+    FROM comp GROUP BY cluster
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs: connected components over the
+    MinHash-LSH candidate edges by min-label propagation (iterative, edge
+    set only — the corpus is never re-joined). The oracle computes the same
+    closure with a recursive CTE."""
+    from veri_spark.operators.dedup import connected_components, minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4, parallelism=16)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
