@@ -204,3 +204,26 @@ def test_topk_deterministic_under_ties(spark):
     ]
     expected = sorted(f"t{i}" for i in range(20))[:5]  # lexicographic tie-break
     assert runs[0] == runs[1] == runs[2] == expected
+
+
+def test_pluggable_group_score_functions(spark):
+    """GroupScoreFuncName is declared-but-dead in the reference (proto:35);
+    here the declared semantics work: named group reduces over the same
+    grouped top-k."""
+    rows = [("g1", "x", 1.0), ("g1", "y", 3.0), ("g2", "z", 2.0)]
+    scored = spark.createDataFrame(rows, "group_label string, label string, score double")
+
+    def reduce_with(name):
+        cfg = SearchConfig(
+            score_func="VectorDistance", group_limit=2, group_score_func=name
+        )
+        return {
+            r["group_label"]: r["group_score"]
+            for r in group_reduce(scored, cfg, id_cols=["label"]).collect()
+        }
+
+    assert reduce_with("")["g1"] == pytest.approx(1.0)        # (1+3)/4 default
+    assert reduce_with("sum")["g1"] == pytest.approx(4.0)
+    assert reduce_with("mean")["g1"] == pytest.approx(2.0)
+    assert reduce_with("best")["g1"] == pytest.approx(1.0)    # lower is better
+    assert reduce_with("sum_over_n2")["g2"] == pytest.approx(2.0)

@@ -52,6 +52,11 @@ class SearchConfig:
     result_limit: int | None = None  # proto:39 final truncation
     filters: Sequence[str] = field(default_factory=tuple)  # proto:36 on label
     group_filters: Sequence[str] = field(default_factory=tuple)  # proto:34
+    # proto:35 GroupScoreFuncName is DECLARED in the reference but never
+    # read (SURVEY.md section 2.7); we implement the declared semantics:
+    # "" = the reference's hardcoded One() formula (sum if higher-is-better,
+    # else sum/n^2); also: "sum", "mean", "best", "sum_over_n2".
+    group_score_func: str = ""
 
     def resolve(self):
         builder, default_hib = score_fn(self.score_func)
@@ -206,17 +211,26 @@ def group_reduce(
     others = [c for c in limited.columns if c not in (group_col, "score", "__rank")]
     agg = limited.groupBy(group_col).agg(
         F.sum("score").alias("__sum_score"),
+        (F.max("score") if hib else F.min("score")).alias("__best_score"),
         F.count(F.lit(1)).alias("group_size"),
         # representative = the group's rank-1 row; __rank is unique within
         # the group so min_by is deterministic (unlike first()).
         *[F.min_by(F.col(c), F.col("__rank")).alias(c) for c in others],
     )
-    group_score = (
-        F.col("__sum_score")
-        if hib
-        else F.col("__sum_score") / (F.col("group_size") * F.col("group_size"))
+    n2 = F.col("group_size") * F.col("group_size")
+    formulas = {
+        # "" reproduces the reference's hardcoded One() reduce
+        # (data/aggregator.go:155-180)
+        "": F.col("__sum_score") if hib else F.col("__sum_score") / n2,
+        "sum": F.col("__sum_score"),
+        "mean": F.col("__sum_score") / F.col("group_size"),
+        "best": F.col("__best_score"),
+        "sum_over_n2": F.col("__sum_score") / n2,
+    }
+    group_score = formulas.get(config.group_score_func, formulas[""])
+    reduced = agg.withColumn("group_score", group_score).drop(
+        "__sum_score", "__best_score"
     )
-    reduced = agg.withColumn("group_score", group_score).drop("__sum_score")
     n = config.result_limit or config.limit
     return topk(reduced, "group_score", n, hib, tie_cols=[group_col])
 
