@@ -85,3 +85,13 @@ def load_json_lines(
         F.col(label_col).alias("label"),
         F.lit(0).cast("bigint").alias("version"),
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Register the catalog tables as temp views so the full engine surface
+    is reachable from ``spark.sql`` (the reference has no SQL; Spark gives
+    it free). Returns the registered view names."""
+    use = list(names or TABLES)
+    for n in use:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return use
