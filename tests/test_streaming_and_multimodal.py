@@ -195,3 +195,26 @@ def test_stream_stream_interval_join(spark):
         & (F.col("c_ts") <= F.col("p_ts")),
     ).count()
     assert got == expected and got > 0
+
+
+def test_multimodal_features_feed_knn(spark):
+    """Composition: media -> frame features -> KNN search over frames. The
+    decoded feature column is a first-class vector: the whole search
+    pipeline (score exprs, top-k) runs on it unchanged."""
+    from veri_spark.multimodal.binary import fake_media_table, frame_sample
+    from veri_spark.operators.search import SearchConfig, search
+
+    frames = frame_sample(fake_media_table(spark, n=24), every_ms=2000)
+    q_row = frames.first()
+    out = search(
+        frames,
+        [float(x) for x in q_row["feature"]],
+        SearchConfig(score_func="CosineSimilarity", limit=5),
+        vector_col="feature",
+        id_cols=["media_id", "frame_ts_ms"],
+    ).collect()
+    assert len(out) == 5
+    assert (out[0]["media_id"], out[0]["frame_ts_ms"]) == (
+        q_row["media_id"], q_row["frame_ts_ms"],
+    )
+    assert out[0]["score"] == pytest.approx(1.0, abs=1e-6)
