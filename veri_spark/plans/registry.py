@@ -1923,3 +1923,32 @@ def dedup_minhash_clusters(spark, sf_dir):
     return comp.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+@register(
+    "tpch_q4_late_orders",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS as a left-semi join — each order contributes
+    once no matter how many late lines it has, and the semi join carries
+    only the join keys through the shuffle."""
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
