@@ -135,12 +135,18 @@ def multi_search(
     query_id_col: str = "query_id",
     id_cols: Sequence[str] = (),
     group_col: str = "group_label",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Multi-query KNN (K7, data/search.go:254-298): broadcast the query set
     against the corpus, score, per-query top-k.
 
     ``queries`` must carry (``query_id_col``, ``query_vector_col``). The
-    query side is broadcast — it is assumed small relative to the corpus.
+    query side is broadcast by default — right for the normal case of a
+    small query batch. For a query set too large to broadcast (a full
+    dataset-vs-dataset KNN join), pass ``broadcast_queries=False`` to let
+    Catalyst pick a non-broadcast strategy — and strongly prefer
+    similarity.ivf_multi_search there, which replaces the cross product
+    with an equi-join on probed centroid buckets.
     """
     config = config or SearchConfig()
     builder, hib = config.resolve()
@@ -149,7 +155,7 @@ def multi_search(
         df = json_path_filter(df, "label", config.filters)
     if config.group_filters and group_col in df.columns:
         df = json_path_filter(df, group_col, config.group_filters)
-    joined = df.crossJoin(F.broadcast(queries))
+    joined = df.crossJoin(F.broadcast(queries) if broadcast_queries else queries)
     scored = joined.withColumn(
         "score", builder(F.col(vector_col), F.col(query_vector_col))
     ).drop(query_vector_col)
