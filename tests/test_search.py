@@ -227,3 +227,22 @@ def test_pluggable_group_score_functions(spark):
     assert reduce_with("mean")["g1"] == pytest.approx(2.0)
     assert reduce_with("best")["g1"] == pytest.approx(1.0)    # lower is better
     assert reduce_with("sum_over_n2")["g2"] == pytest.approx(2.0)
+
+
+def test_multi_search_with_context(spark, tiny_datums):
+    """K12 in the multi-query merge (data/search.go:277-294): context
+    vectors re-score every per-query result before top-k."""
+    queries = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3])], "query_id int, query_vector array<float>"
+    )
+    ctx = [[0.2, 0.3, 0.7]]
+    out = {
+        r["label"]: r["score"]
+        for r in multi_search(
+            tiny_datums, queries, SearchConfig(score_func="VectorDistance", limit=3),
+            id_cols=["label"], context_vectors=ctx,
+        ).collect()
+    }
+    # row c matches the context vector exactly -> its distance drops to ~0
+    assert out["c"] == pytest.approx(0.0, abs=1e-6)
+    assert out["a"] == pytest.approx(0.0, abs=1e-6)  # keeps its self-match

@@ -136,6 +136,8 @@ def multi_search(
     id_cols: Sequence[str] = (),
     group_col: str = "group_label",
     broadcast_queries: bool = True,
+    context_vectors: Sequence[Sequence[float]] = (),
+    prioritize_context: bool = False,
 ) -> DataFrame:
     """Multi-query KNN (K7, data/search.go:254-298): broadcast the query set
     against the corpus, score, per-query top-k.
@@ -159,6 +161,12 @@ def multi_search(
     scored = joined.withColumn(
         "score", builder(F.col(vector_col), F.col(query_vector_col))
     ).drop(query_vector_col)
+    # K12 applies to the multi-query merge too (the reference re-scores in
+    # the shared aggregator, data/search.go:277-294 -> aggregator.go:56-76)
+    scored = context_rescore(
+        scored, context_vectors, config, vector_col=vector_col,
+        prioritize=prioritize_context,
+    )
     return topk_per_group(
         scored, [query_id_col], "score", config.limit, hib, tie_cols=list(id_cols)
     )

@@ -225,7 +225,11 @@ class FeatureStore:
 
         corpus = self._read(name)
         if isinstance(query_vectors, DataFrame):
-            return multi_search(corpus, query_vectors, config)
+            return multi_search(
+                corpus, query_vectors, config,
+                context_vectors=context_vectors,
+                prioritize_context=prioritize_context,
+            )
         if len(query_vectors) == 1:
             q = list(query_vectors[0])
             if is_approximate(config.score_func):
@@ -251,7 +255,11 @@ class FeatureStore:
             [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
             "query_id int, query_vector array<float>",
         )
-        return multi_search(corpus, queries, config)
+        return _finish(multi_search(
+            corpus, queries, config,
+            context_vectors=context_vectors,
+            prioritize_context=prioritize_context,
+        ))
 
     # -- index lifecycle (Process / Annoyer hot-swap analog) ---------------
     def _index_path(self, name: str) -> str:
