@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "asof_last_click",
     "events_sliding_window",
     "tpch_q5_regional_revenue",
+    "ann_ivf_multi_query",
+    "docs_prep_pipeline",
 ]
 
 
