@@ -246,3 +246,19 @@ def test_multi_search_with_context(spark, tiny_datums):
     # row c matches the context vector exactly -> its distance drops to ~0
     assert out["c"] == pytest.approx(0.0, abs=1e-6)
     assert out["a"] == pytest.approx(0.0, abs=1e-6)  # keeps its self-match
+
+
+def test_null_feature_ranks_last(spark):
+    """A null feature vector yields a null score; it must never outrank a
+    real match (Spark's bare asc() is NULLS FIRST — regression guard)."""
+    df = spark.createDataFrame(
+        [([0.1, 0.2], "ok"), (None, "null_feature")],
+        "feature array<float>, label string",
+    )
+    out = search(df, [0.1, 0.2], SearchConfig(limit=2), id_cols=["label"]).collect()
+    assert [r["label"] for r in out] == ["ok", "null_feature"]
+    hib = search(
+        df, [0.1, 0.2],
+        SearchConfig(score_func="CosineSimilarity", limit=2), id_cols=["label"],
+    ).collect()
+    assert hib[0]["label"] == "ok"

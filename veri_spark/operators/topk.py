@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 
 def _ordering(score_col: str, higher_is_better: bool, tie_cols: list[str]) -> list[Column]:
-    first = F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
+    # NULLS LAST in both directions: Spark's bare asc() is NULLS FIRST, which
+    # would rank a null score (e.g. a null feature vector) above every real
+    # match in lower-is-better searches
+    first = (
+        F.col(score_col).desc_nulls_last()
+        if higher_is_better
+        else F.col(score_col).asc_nulls_last()
+    )
     return [first, *[F.col(c).asc() for c in tie_cols]]
 
 
