@@ -134,3 +134,28 @@ def test_mllib_brp_lsh_recall_vs_exact(spark):
     exact_ids = {r["vec_id"] for r in exact.collect()}
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_kmeans_ivf_recall(spark):
+    """KMeans-seeded IVF: same pipeline, better-balanced buckets. Recall@10
+    with half the centroids probed must clear the floor."""
+    from veri_spark.operators.search import SearchConfig, search
+    from veri_spark.operators.similarity import ivf_search, kmeans_centroids
+    from veri_spark.plans.registry import _query_vector
+    from veri_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = _query_vector(spark, SF_DIR, 0)
+    cents = kmeans_centroids(emb, k=8)
+    approx_ids = {
+        r["vec_id"] for r in ivf_search(emb, cents, q, k=10, nprobe=4).collect()
+    }
+    exact_ids = {
+        r["vec_id"]
+        for r in search(
+            emb, q, SearchConfig(score_func="VectorDistance", limit=10),
+            vector_col="embedding", id_cols=["vec_id"],
+        ).collect()
+    }
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5, f"recall@10 = {recall}"

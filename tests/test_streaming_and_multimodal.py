@@ -218,3 +218,52 @@ def test_multimodal_features_feed_knn(spark):
         q_row["media_id"], q_row["frame_ts_ms"],
     )
     assert out[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_streaming_materialized_aggregate(spark, tmp_path):
+    """Incrementally-maintained aggregate (materialized-view pattern):
+    foreachBatch merges each micro-batch's windowed counts into a parquet
+    state table; after the stream drains it equals the batch aggregate."""
+    import os
+    import pyspark.sql.functions as F
+    from veri_spark.sources.catalog import load_table
+
+    state_dir = str(tmp_path / "agg_state")
+
+    def merge(batch_df, _batch_id):
+        agg = batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.col("w.start").alias("ws"), "event_type", "n")
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("ws", "event_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        agg.write.mode("overwrite").parquet(state_dir + ".tmp")
+        out = batch_df.sparkSession.read.parquet(state_dir + ".tmp")
+        out.write.mode("overwrite").parquet(state_dir)
+
+    stream = stream_events(spark, SF_DIR)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == expected

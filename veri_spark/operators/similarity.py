@@ -291,3 +291,34 @@ def ivf_multi_search(
         tie_cols=[id_col],
         rank_col="rnk",
     ).select(query_id_col, id_col, "score", "rnk")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Production-quality IVF centroids: MLlib KMeans fit (optionally on a
+    sample — at 100 TB you fit on ~1M sampled rows, not the corpus). Returns
+    the same (centroid_id, centroid_vec) shape as take_centroids, so the
+    whole IVF pipeline (assign/search/multi-search/persisted index) swaps
+    seeding strategies with one argument. Deterministic for a fixed seed;
+    the oracle-checked queries keep the lowest-id seeding because KMeans
+    determinism is not reproducible in SQL."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction:
+        feat = feat.sample(sample_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feat)
+    rows = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, centroid_vec array<double>"
+    )
