@@ -106,3 +106,37 @@ def test_approx_ops_within_tolerance(spark):
         2, 0.05 * row["exact_users"]
     )
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.05 * abs(row["exact_p50"]) + 1.0
+
+
+def test_empty_dataset_behaviors(spark, tmp_path):
+    """Empty/missing datasets: search returns no rows, data_info degrades
+    to zeros, export is empty — no exceptions anywhere."""
+    from veri_spark.operators.search import SearchConfig
+    from veri_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "ds"))
+    assert store.search("missing", [[0.1, 0.2]], SearchConfig(limit=3)).count() == 0
+    info = store.data_info("missing")
+    assert info["n"] == 0 and info["avg"] == [] and info["max_distance"] is None
+    assert store.export("missing").count() == 0
+
+
+def test_single_row_histogram_no_divzero(spark, tmp_path):
+    """One row: centroid is the row itself, max_distance 0; the histogram
+    clamps everything into bucket 0 instead of dividing by zero (the
+    reference's previous-pass-stats approximation sidesteps this; the exact
+    two-pass form must handle it)."""
+    from veri_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "ds"))
+    one = spark.createDataFrame(
+        [([1.0, 2.0], "g", "a", 0, None, None, None, None, None)],
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp",
+    )
+    store.insert("one", one)
+    info = store.data_info("one")
+    assert info["n"] == 1
+    assert info["avg"] == [1.0, 2.0]
+    assert info["max_distance"] == 0.0
+    assert info["hist"][0] == 1.0 and sum(info["hist"]) == 1.0
