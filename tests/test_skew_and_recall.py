@@ -159,3 +159,29 @@ def test_kmeans_ivf_recall(spark):
     }
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_mllib_approx_similarity_join(spark):
+    """MLlib approxSimilarityJoin (the model-based variant of our
+    lsh_banded_pairs): near pairs under a euclidean threshold contain the
+    planted duplicate."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)]
+    rows.append((1000, [x + 1e-4 for x in rows[0][1]]))  # planted near-dup of id 0
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    df = spark.createDataFrame(rows, "vid bigint, arr array<double>").select(
+        "vid", to_vec("arr").alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="h", bucketLength=1.0, numHashTables=4, seed=7
+    ).fit(df)
+    pairs = model.approxSimilarityJoin(df, df, 0.01, distCol="d").filter(
+        F.col("datasetA.vid") < F.col("datasetB.vid")
+    )
+    got = {(r["datasetA"]["vid"], r["datasetB"]["vid"]) for r in pairs.collect()}
+    assert (0, 1000) in got

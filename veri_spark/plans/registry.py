@@ -1952,3 +1952,54 @@ def tpch_q4_late_orders(spark, sf_dir):
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "customer_spend_quartiles",
+    """
+    WITH s AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spent
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, ROUND(spent, 2) AS spent,
+           ntile(4) OVER (ORDER BY spent DESC, o_custkey ASC) AS quartile
+    FROM s
+    """,
+)
+def customer_spend_quartiles(spark, sf_dir):
+    """NTILE bucketing: customers ranked into spend quartiles (global
+    ordered window over the pre-aggregated per-customer totals — the window
+    input is |customers| rows, never raw orders)."""
+    ords = load_table(spark, sf_dir, "orders")
+    spend = ords.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spent"))
+    w = Window.orderBy(F.col("spent").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        F.round("spent", 2).alias("spent"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "supplier_rank_in_nation",
+    """
+    SELECT n_name, s_name, ROUND(s_acctbal, 2) AS acctbal,
+           dense_rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    QUALIFY rnk <= 3
+    """,
+)
+def supplier_rank_in_nation(spark, sf_dir):
+    """dense_rank per group with a QUALIFY-style filter (top 3 suppliers by
+    balance per nation; broadcast nation)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rnk")
+    )
