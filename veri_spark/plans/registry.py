@@ -2003,3 +2003,33 @@ def supplier_rank_in_nation(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rnk")
     )
+
+
+@register(
+    "events_session_bounds",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS last_event,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def events_session_bounds(spark, sf_dir):
+    """first_value / last_value over an unbounded frame: each user's first
+    and last event id plus their event count (one row per user via
+    DISTINCT; the window and distinct share the user_id partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
