@@ -2033,3 +2033,37 @@ def events_session_bounds(spark, sf_dir):
         F.last("event_id").over(w).alias("last_event"),
         F.count(F.lit(1)).over(w).alias("n_events"),
     ).distinct()
+
+
+@register(
+    "customers_above_nation_avg",
+    """
+    WITH nat_avg AS (
+      SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_nationkey, COUNT(*)::BIGINT AS n_above,
+           ROUND(MAX(c.c_acctbal - a.avg_bal), 2) AS max_excess
+    FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    GROUP BY c.c_nationkey
+    """,
+)
+def customers_above_nation_avg(spark, sf_dir):
+    """Correlated-aggregate pattern (customers richer than their nation's
+    average): de-correlated into a grouped aggregate + self-join — what
+    Catalyst's subquery decorrelation produces, written directly. The tiny
+    per-nation aggregate broadcasts back onto the fact side."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nat_avg), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.max(F.col("c_acctbal") - F.col("avg_bal")), 2).alias("max_excess"),
+        )
+    )
