@@ -89,15 +89,46 @@ def doc_shingles(
     return staged.select(F.col(id_col), F.explode("__sh").alias("shingle"))
 
 
+def cap_stop_shingles(
+    shingles: DataFrame, id_col: str = "doc_id", max_doc_freq: int = 64
+) -> DataFrame:
+    """Drop stop shingles — shingles appearing in more than ``max_doc_freq``
+    distinct documents — before any shingle self-join.
+
+    A stop shingle makes its join bucket QUADRATIC (df^2 candidate rows); a
+    single shingle shared by 1M documents at 100 TB means 10^12 pairs from
+    one bucket. The df computation is one partial-aggregated groupBy on the
+    shingle; the resulting stop list is tiny by construction (high-df keys
+    are few) so removal is a broadcast anti-join, map-only over the shingle
+    stream. Standard practice in shingle-based dedup (the same cap MinHash
+    banding gets implicitly, since a universal shingle rarely wins a min).
+    """
+    stop = (
+        shingles.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return shingles.join(F.broadcast(stop), "shingle", "left_anti")
+
+
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", cache: bool = True
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    cache: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle self-join.
 
     Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard) for every pair
     sharing at least one shingle, with doc_a < doc_b. The join shuffles on
     the shingle value; skewed (stop-shingle) buckets are the scale hazard —
-    AQE skew-join splits them, and the MinHash path avoids them entirely.
+    set ``max_doc_freq`` to drop shingles above that document frequency
+    (cap_stop_shingles) so no join bucket exceeds df^2 = max_doc_freq^2
+    rows; jaccard is then exact over the capped shingle universe (sizes are
+    recomputed post-cap). Without the cap, AQE skew-join merely splits hot
+    buckets — the work is still quadratic; the MinHash path avoids it
+    entirely.
 
     When ``shingles`` carries an ``n_sh`` column (doc_shingles
     ``with_size=True``), sizes ride along as grouping keys — no separate
@@ -106,6 +137,11 @@ def jaccard_pairs(
     which reads it three times. At cluster scale prefer an explicit
     checkpoint/table for the shingle set.
     """
+    if max_doc_freq is not None:
+        # sizes must reflect the capped universe: drop any pre-computed n_sh
+        shingles = cap_stop_shingles(
+            shingles.drop("n_sh"), id_col=id_col, max_doc_freq=max_doc_freq
+        )
     if "n_sh" in shingles.columns:
         a = shingles.select(
             F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
@@ -343,6 +379,17 @@ def connected_components(
     of the corpus — never the corpus itself.
 
     Returns (id, cluster) for every node appearing in an edge.
+
+    Hygiene (the iterative-algorithm trio every Spark fixpoint loop needs):
+    each superseded labels frame is unpersisted as soon as its successor is
+    materialized (storage pool holds at most two node-set frames at any
+    time); ``localCheckpoint`` every 4 iterations truncates the otherwise
+    per-iteration-growing lineage; the shuffle width is scoped with explicit
+    ``repartition(partitions, ...)`` on the loop frames — never by mutating
+    session-global ``spark.sql.shuffle.partitions``, which is unsafe under
+    concurrent queries on the same session. Raises RuntimeError if the loop
+    exits before fixpoint (component diameter > max_iterations would
+    otherwise silently return wrong clusters).
     """
     # the edge set is LSH-reduced and small relative to the corpus; pin a
     # modest partition count so each propagation pass doesn't inherit a
@@ -353,14 +400,14 @@ def connected_components(
         edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     ).repartition(partitions, "v").persist()
     labels = (
-        sym.select(F.col("u").alias("id")).distinct().withColumn("cluster", F.col("id"))
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+        .repartition(partitions, "id")
+        .persist()
     )
-    # scope the shuffle width to the edge set for the duration of the loop
-    sess = edges.sparkSession
-    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    converged = False
     try:
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             neighbor_min = (
                 sym.join(labels, sym["v"] == labels["id"])
                 .groupBy("u")
@@ -375,12 +422,23 @@ def connected_components(
                     ).alias("cluster"),
                     F.col("cluster").alias("__old"),
                 )
-            ).persist()
+                .repartition(partitions, "id")
+            )
+            if (it + 1) % 4 == 0:
+                updated = updated.localCheckpoint(eager=False)
+            updated = updated.persist()
             changed = updated.filter(F.col("cluster") != F.col("__old")).count()
+            labels.unpersist()  # the count above materialized the successor
             labels = updated.drop("__old")
             if changed == 0:
+                converged = True
                 break
     finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_parts)
         sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iterations} "
+            "iterations (component diameter exceeds the bound); raise "
+            "max_iterations"
+        )
     return labels

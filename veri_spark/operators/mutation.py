@@ -100,13 +100,22 @@ def with_ttl(
 
 
 def capacity_gate(
-    current_count: int, batch: DataFrame, target_n: int, no_target: bool = False
+    current_count: int,
+    batch: DataFrame,
+    target_n: int,
+    no_target: bool = False,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """TargetN capacity cap (S1, data/insert.go:12-14): admit only up to the
     remaining budget; ``no_target`` disables the cap (InsertConfig.noTarget).
-    Admission order is undefined in the reference; here the batch is taken
-    as-is up to the limit."""
+    Admission order is undefined in the reference; here, when the cap binds,
+    admission is made DETERMINISTIC by ordering on ``order_cols`` before the
+    limit — a bare ``limit()`` on a multi-partition batch is nondeterministic
+    across evaluations, so the admitted count and the persisted rows could
+    disagree."""
     if no_target or target_n <= 0:
         return batch
     remaining = max(target_n - current_count, 0)
+    if order_cols:
+        batch = batch.orderBy(*[F.col(c).asc() for c in order_cols])
     return batch.limit(remaining)

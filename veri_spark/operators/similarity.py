@@ -105,6 +105,8 @@ def ivf_search(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    score_builder=None,
+    higher_is_better: bool = False,
 ) -> DataFrame:
     """IVF probe: rank centroids by distance to the query, take ``nprobe``,
     search only vectors assigned to those centroids, exact top-k within.
@@ -114,8 +116,34 @@ def ivf_search(
     """
     assigned = ivf_assign(df, centroids, id_col, vector_col)
     return ivf_search_assigned(
-        assigned, centroids, query_vector, k, nprobe, id_col, vector_col
+        assigned, centroids, query_vector, k, nprobe, id_col, vector_col,
+        score_builder=score_builder, higher_is_better=higher_is_better,
     )
+
+
+def ivf_probe_candidates(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    nprobe: int = 2,
+) -> DataFrame:
+    """The probe step alone: rank centroids by (euclidean) distance to the
+    query, keep ``nprobe``, and return the corpus rows assigned to those
+    buckets — UNscored. Probe selection is an index property and always uses
+    euclidean centroid distance (the geometry the buckets were built with);
+    the caller applies its own score function / filters / top-k to the
+    candidate set. When ``assigned`` is read from a table partitioned by
+    ``centroid_id``, the isin filter is partition pruning at the scan."""
+    probe = (
+        centroids.withColumn(
+            "__qd", euclidean_distance(F.col("centroid_vec"), query_vector)
+        )
+        .orderBy(F.col("__qd").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    probe_ids = [r["centroid_id"] for r in probe.collect()]
+    return assigned.filter(F.col("centroid_id").isin(probe_ids))
 
 
 def ivf_search_assigned(
@@ -126,26 +154,26 @@ def ivf_search_assigned(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    score_builder=None,
+    higher_is_better: bool = False,
 ) -> DataFrame:
     """IVF probe over a PRE-ASSIGNED corpus (a persisted index built by a
     prior maintenance pass — the hot-swapped Annoy snapshot analog,
     data/newsync.go:147-222). When ``assigned`` is read from a table
     partitioned by ``centroid_id``, the probe filter is partition pruning:
-    the scan touches nprobe/k of the files."""
-    probe = (
-        centroids.withColumn(
-            "__qd", euclidean_distance(F.col("centroid_vec"), query_vector)
-        )
-        .orderBy(F.col("__qd").asc(), F.col("centroid_id").asc())
-        .limit(nprobe)
-        .select("centroid_id")
-    )
-    probe_ids = [r["centroid_id"] for r in probe.collect()]
-    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    the scan touches nprobe/k of the files.
+
+    ``score_builder`` ranks the candidates (default euclidean, lower is
+    better) — the reference's Annoy path scores with the CONFIGURED
+    function (data/search.go:311-327), so callers dispatching Annoy* names
+    must pass the resolved builder, not rely on the default."""
+    candidates = ivf_probe_candidates(assigned, centroids, query_vector, nprobe)
+    if score_builder is None:
+        score_builder, higher_is_better = euclidean_distance, False
     scored = candidates.withColumn(
-        "score", euclidean_distance(F.col(vector_col), query_vector)
+        "score", score_builder(F.col(vector_col), query_vector)
     )
-    return topk(scored, "score", k, higher_is_better=False, tie_cols=[id_col])
+    return topk(scored, "score", k, higher_is_better=higher_is_better, tie_cols=[id_col])
 
 
 def hyperplane_matrix(dim: int, planes: int = 16) -> list[list[float]]:

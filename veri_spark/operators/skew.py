@@ -72,7 +72,21 @@ def salted_join(
     small side is too big to broadcast but the big side has hot keys; cost is
     ``buckets``x replication of the small side, which caps reducer skew at
     1/buckets of the hot key's rows.
+
+    Only big-side-preserving joins are valid: with ``right``/``full``/
+    ``cross``, an unmatched small-side row would be emitted once per salt
+    replica (``buckets`` duplicates), so those are rejected. ``left_semi``/
+    ``left_anti`` are fine (they never emit small-side rows).
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "the replicated small side would duplicate unmatched rows"
+        )
     on = list(on)
     big_s = with_salt(big, entropy_cols, buckets)
     small_r = small.withColumn(

@@ -428,8 +428,11 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     """,
 )
 def tpch_q3_top_revenue(spark, sf_dir):
-    """TPC-H Q3-style join + grouped agg + top-k. The customer dim is
-    broadcast (small side), so lineitem never shuffles for the join."""
+    """TPC-H Q3-style join + grouped agg + top-k. Only the customer dim is
+    broadcast (genuinely small); the orders-filtered build side is
+    fact-derived (~20% of orders), so its join with lineitem is left to
+    AQE — at sf0.01 AQE converts it to broadcast at runtime, at 100x it
+    stays a shuffle join instead of OOMing on a forced multi-GB broadcast."""
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -440,7 +443,7 @@ def tpch_q3_top_revenue(spark, sf_dir):
         F.col("o_orderkey").alias("bld_orderkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    joined = li.join(F.broadcast(bld_orders), F.col("l_orderkey") == F.col("bld_orderkey"))
+    joined = li.join(bld_orders, F.col("l_orderkey") == F.col("bld_orderkey"))
     agg = joined.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
@@ -720,9 +723,14 @@ def dedup_exact_summary(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     WITH {_DD_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    capped AS (SELECT s.doc_id, s.shingle FROM sh s
+               JOIN (SELECT shingle FROM sh
+                     GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 64) keep
+                 ON s.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               FROM capped a JOIN capped b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                GROUP BY doc_a, doc_b)
     SELECT doc_a, doc_b,
            ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
@@ -733,11 +741,17 @@ def dedup_exact_summary(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup: 3-word shingle self-join, top pairs."""
+    """n-gram Jaccard near-dup: 3-word shingle self-join, top pairs.
+
+    Stop shingles (document frequency > 64) are dropped before the
+    self-join (cap_stop_shingles) so no join bucket is quadratic in the
+    corpus; jaccard is exact over the capped shingle universe."""
     from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(doc_shingles(docs, with_size=True, parallelism=16))
+    pairs = jaccard_pairs(
+        doc_shingles(docs, parallelism=16), max_doc_freq=64
+    )
     out = topk(
         pairs, "jaccard", 20, higher_is_better=True, tie_cols=["doc_a", "doc_b"]
     )

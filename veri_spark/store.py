@@ -37,12 +37,7 @@ from veri_spark.functions.vector import is_approximate
 from veri_spark.operators import mutation as M
 from veri_spark.operators import stats as ST
 from veri_spark.operators.search import SearchConfig, aggregated_search, multi_search
-from veri_spark.operators.similarity import (
-    ivf_assign,
-    ivf_search,
-    ivf_search_assigned,
-    take_centroids,
-)
+from veri_spark.operators.similarity import ivf_assign, take_centroids
 from veri_spark.session import prepare_session
 
 DATUM_SCHEMA = (
@@ -120,8 +115,13 @@ class FeatureStore:
         for field in current.schema.fields:
             if field.name not in batch.columns:
                 batch = batch.withColumn(field.name, F.lit(None).cast(field.dataType))
-        admitted = M.capacity_gate(current.count(), batch, cfg.target_n, no_target)
-        admitted = admitted.withColumn("__key", M.datum_key())
+        # key BEFORE the capacity gate so admission can order on it: the gate's
+        # limit() is then deterministic, and the count below agrees with the
+        # rows the merge actually persists (same plan, same order, same rows).
+        batch = batch.withColumn("__key", M.datum_key())
+        admitted = M.capacity_gate(
+            current.count(), batch, cfg.target_n, no_target, order_cols=["__key"]
+        )
         cur_keyed = current.withColumn("__key", M.datum_key())
         merged = M.upsert(cur_keyed, admitted.select(*cur_keyed.columns), ["__key"]).drop(
             "__key"
@@ -233,17 +233,10 @@ class FeatureStore:
         if len(query_vectors) == 1:
             q = list(query_vectors[0])
             if is_approximate(config.score_func):
-                idx = self._indexed(name)
-                if idx is not None:
-                    assigned, cents = idx
-                    return _finish(ivf_search_assigned(
-                        assigned, cents, q, k=config.limit, nprobe=nprobe,
-                        id_col="label", vector_col="feature",
-                    ))
-                cents = take_centroids(corpus, n_centroids, id_col="label", vector_col="feature")
-                return _finish(ivf_search(
-                    corpus, cents, q, k=config.limit, nprobe=nprobe,
-                    id_col="label", vector_col="feature",
+                return _finish(self._approx_search(
+                    name, corpus, q, config, nprobe, n_centroids,
+                    context_vectors=context_vectors,
+                    prioritize_context=prioritize_context,
                 ))
             return _finish(aggregated_search(
                 corpus, q, config,
@@ -260,6 +253,53 @@ class FeatureStore:
             context_vectors=context_vectors,
             prioritize_context=prioritize_context,
         ))
+
+    def _approx_search(
+        self,
+        name: str,
+        corpus: DataFrame,
+        q: list[float],
+        config: SearchConfig,
+        nprobe: int,
+        n_centroids: int,
+        context_vectors=(),
+        prioritize_context: bool = False,
+    ) -> DataFrame:
+        """The Annoy* dispatch (data/search.go:136-141): IVF probe for
+        candidate generation, then the SAME scoring/filter/aggregation
+        semantics as the exact path — the reference's Annoy branch scores
+        candidates with the configured function and applies PassesFilters
+        before collecting (data/search.go:311-327), so TTL, JSON-path
+        filters, context re-scoring, and higher_is_better all apply here
+        identically; only candidate generation is approximate."""
+        from veri_spark.operators.search import (
+            context_rescore,
+            json_path_filter,
+            ttl_filter,
+        )
+        from veri_spark.operators.similarity import ivf_probe_candidates
+        from veri_spark.operators.topk import topk
+
+        builder, hib = config.resolve()
+        idx = self._indexed(name)
+        if idx is not None:
+            assigned, cents = idx
+        else:
+            cents = take_centroids(corpus, n_centroids, id_col="label", vector_col="feature")
+            assigned = ivf_assign(corpus, cents, id_col="label", vector_col="feature")
+        cand = ivf_probe_candidates(assigned, cents, q, nprobe=nprobe)
+        cand = ttl_filter(cand)
+        if config.filters and "label" in cand.columns:
+            cand = json_path_filter(cand, "label", config.filters)
+        if config.group_filters and "group_label" in cand.columns:
+            cand = json_path_filter(cand, "group_label", config.group_filters)
+        scored = cand.withColumn("score", builder(F.col("feature"), q))
+        scored = context_rescore(
+            scored, context_vectors, config, vector_col="feature",
+            prioritize=prioritize_context,
+        )
+        n = config.result_limit or config.limit
+        return topk(scored, "score", n, hib, tie_cols=["label"])
 
     # -- index lifecycle (Process / Annoyer hot-swap analog) ---------------
     def _index_path(self, name: str) -> str:
