@@ -185,3 +185,20 @@ def test_mllib_approx_similarity_join(spark):
     )
     got = {(r["datasetA"]["vid"], r["datasetB"]["vid"]) for r in pairs.collect()}
     assert (0, 1000) in got
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """right/full would emit unmatched small-side rows once per salt
+    replica; the helper refuses rather than silently duplicating."""
+    import pytest as _pytest
+
+    from veri_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, v string")
+    small = spark.createDataFrame([(1, "y"), (2, "z")], "k int, w string")
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with _pytest.raises(ValueError):
+            salted_join(big, small, ["k"], ["v"], buckets=4, how=how)
+    # left join still works and does not duplicate
+    out = salted_join(big, small, ["k"], ["v"], buckets=4, how="left").collect()
+    assert len(out) == 1

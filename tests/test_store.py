@@ -163,5 +163,163 @@ def test_compact_reduces_files(spark, store):
 
     n = store.compact("cmp", target_files=2)
     assert n == 50
-    files = [f for f in os.listdir(store._data_path("cmp")) if f.endswith(".parquet")]
-    assert len(files) == 2
+    # bucketed layout: each bucket dir holds exactly one file after compact
+    root = store._data_path("cmp")
+    buckets = [d for d in os.listdir(root) if d.startswith("bucket=")]
+    assert buckets
+    for b in buckets:
+        files = [f for f in os.listdir(f"{root}/{b}") if f.endswith(".parquet")]
+        assert len(files) == 1
+
+
+def _bucket_snapshot(data_dir):
+    """(file name, size, mtime) per bucket dir — identity of the physical
+    files, to prove untouched buckets are byte-stable across mutations."""
+    import os
+
+    out = {}
+    for b in sorted(os.listdir(data_dir)):
+        if not b.startswith("bucket="):
+            continue
+        d = os.path.join(data_dir, b)
+        out[b] = sorted(
+            (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_insert_rewrites_only_touched_buckets(spark, store):
+    """Partition-scoped mutation: an insert of keys hashing to one bucket
+    leaves every other bucket's files physically unmodified, and a
+    value-identical re-insert (CloseEnough, data/newsync.go:22-25,43-57)
+    rewrites NOTHING."""
+    from veri_spark.store import DatasetConfig
+
+    store.create_dataset("pb", DatasetConfig(n_buckets=4))
+    rows = [([float(i), 1.0], "g", f"r{i}", 1) for i in range(20)]
+    store.insert("pb", _batch(spark, rows), no_target=True)
+    data_dir = store._data_path("pb")
+    before = _bucket_snapshot(data_dir)
+    assert len(before) >= 2  # keys spread over multiple buckets
+
+    # CloseEnough skip: identical values, no TTL -> zero buckets rewritten
+    store.insert("pb", _batch(spark, rows), no_target=True)
+    assert _bucket_snapshot(data_dir) == before
+
+    # single-key update -> exactly one bucket rewritten
+    store.insert(
+        "pb", _batch(spark, [([0.0, 1.0], "g", "r0-updated", 2)]), no_target=True
+    )
+    after = _bucket_snapshot(data_dir)
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1
+    got = {r["label"] for r in store.export("pb").collect()}
+    assert "r0-updated" in got and "r0" not in got and len(got) == 20
+
+
+def test_delete_rewrites_only_hit_buckets(spark, store):
+    from veri_spark.store import DatasetConfig
+
+    store.create_dataset("pd", DatasetConfig(n_buckets=4))
+    rows = [([float(i), 2.0], "g", f"d{i}", 1) for i in range(20)]
+    store.insert("pd", _batch(spark, rows), no_target=True)
+    data_dir = store._data_path("pd")
+    before = _bucket_snapshot(data_dir)
+    store.delete("pd", spark.createDataFrame([("d3",)], "label string"), ["label"])
+    after = _bucket_snapshot(data_dir)
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1
+    assert store.export("pd").count() == 19
+    # deleting a key that matches nothing touches nothing
+    store.delete("pd", spark.createDataFrame([("nope",)], "label string"), ["label"])
+    assert _bucket_snapshot(data_dir) == after
+
+
+def test_result_cache_invalidated_by_write(spark, store):
+    """K14 + mutation stamp: a write after a cached search changes the next
+    result instead of serving the stale cache."""
+    rows = [([1.0, 0.0], "g", "a", 1), ([0.0, 1.0], "g", "b", 1)]
+    store.insert("inv", _batch(spark, rows), no_target=True)
+    cfg = SearchConfig(limit=1)
+    first = store.search("inv", [[0.9, 0.05]], cfg, cache_seconds=3600).collect()
+    assert first[0]["label"] == "a"
+    # new nearest neighbor lands after the cache was written
+    store.insert("inv", _batch(spark, [([0.9, 0.05], "g", "c", 1)]), no_target=True)
+    second = store.search("inv", [[0.9, 0.05]], cfg, cache_seconds=3600).collect()
+    assert second[0]["label"] == "c"
+
+
+def test_insert_stream_drops_expired(spark, store, tmp_path):
+    """Streaming ingest TTL (ST2 on the ingest path): rows already expired
+    when their micro-batch merges never land, matching batch expire()."""
+    import datetime
+
+    src = str(tmp_path / "stream_src")
+    now = datetime.datetime.now()
+    spark.createDataFrame(
+        [
+            ([1.0, 0.0], "g", "live", 1, None, None, None, None,
+             now + datetime.timedelta(hours=1)),
+            ([0.0, 1.0], "g", "dead", 1, None, None, None, None,
+             now - datetime.timedelta(hours=1)),
+            ([0.5, 0.5], "g", "forever", 1, None, None, None, None, None),
+        ],
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp",
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp"
+    ).parquet(src)
+    store.insert_stream("ttl_stream", stream)
+    got = {r["label"] for r in store.export("ttl_stream").collect()}
+    assert got == {"live", "forever"}
+
+
+def test_approx_search_honors_config(spark, store):
+    """The Annoy* path scores with the CONFIGURED function and applies
+    TTL + JSON filters (data/search.go:311-327), not hardcoded euclidean."""
+    import json as _json
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(0.1, 1.0) for _ in range(6)]
+        rows.append((v, _json.dumps({"kind": "even" if i % 2 == 0 else "odd"}),
+                     f"{i}", 1))
+    batch = spark.createDataFrame(
+        [(f, g, l, v, None, None, None, None, None) for (f, g, l, v) in rows],
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp",
+    )
+    store.insert("acfg", batch, no_target=True)
+    q = rows[6][0]
+    # cosine-ranked approximate search must agree with exact cosine when
+    # nprobe covers every centroid (same candidates, same scoring)
+    exact = store.search(
+        "acfg", [q], SearchConfig(score_func="CosineSimilarity", limit=5)
+    ).collect()
+    approx = store.search(
+        "acfg", [q], SearchConfig(score_func="AnnoyCosineSimilarity", limit=5),
+        n_centroids=4, nprobe=4,
+    ).collect()
+    assert [r["label"] for r in approx] == [r["label"] for r in exact]
+    assert approx[0]["score"] == pytest.approx(1.0)  # cosine self-match, not euclid 0
+    # group_filters apply on the approximate path too
+    filtered = store.search(
+        "acfg", [q],
+        SearchConfig(score_func="AnnoyCosineSimilarity", limit=40,
+                     group_filters=["kind"]),
+        n_centroids=4, nprobe=4,
+    ).collect()
+    assert len(filtered) == 40  # every row's group_label has .kind
+    bad = store.search(
+        "acfg", [q],
+        SearchConfig(score_func="AnnoyCosineSimilarity", limit=40,
+                     group_filters=["missing_path"]),
+        n_centroids=4, nprobe=4,
+    ).collect()
+    assert bad == []

@@ -88,8 +88,12 @@ def with_ttl(
     expire_col: str = "expire_at",
 ) -> DataFrame:
     """Attach an expire_at column from a TTL (InsertConfig.tTL ->
-    absolute expiry, data/newsync.go:28-32). ``ttl_seconds`` None = no TTL."""
+    absolute expiry, data/newsync.go:28-32). ``ttl_seconds`` None = no TTL —
+    an expire_at the batch ALREADY carries is kept (rows can arrive with
+    their own absolute expiry, e.g. on the streaming ingest path)."""
     if ttl_seconds is None:
+        if expire_col in df.columns:
+            return df
         return df.withColumn(expire_col, F.lit(None).cast("timestamp"))
     base = inserted_at if inserted_at is not None else F.current_timestamp()
     ttl = F.lit(ttl_seconds) if isinstance(ttl_seconds, int) else ttl_seconds

@@ -15,9 +15,25 @@ section 2.9) over DataFrames:
 
 Datasets are named parquet directories under a root path plus a JSON config
 sidecar (the analog of dataset.go's index.save persistence,
-data/dataset.go:166-227). State transitions are whole-table rewrites through
-the mutation operators — at production scale the same calls target Delta/
-Iceberg tables and become MERGE/DELETE; the facade isolates that choice.
+data/dataset.go:166-227). The layout is HASH-BUCKETED on the datum key:
+every row carries its ``__key`` (portable hash of the serialized-key analog)
+and lives under a ``bucket=pmod(__key, n_buckets)`` partition directory, so
+
+- a mutation batch touches only the buckets its keys hash to: the current
+  state is read with ``bucket IN (...)`` (partition pruning at the scan) and
+  rewritten with dynamic partition overwrite — untouched buckets' files are
+  never opened, never rewritten. Insert cost is O(batch + touched buckets),
+  the behavior the reference gets from its in-memory map upsert
+  (data/newsync.go:27-63), instead of O(table) per batch.
+- the reference's change-dedup write skip (``CloseEnough``,
+  data/newsync.go:22-25, 43-57: skip when value bytes equal and TTL within
+  +/-10 s) is applied per BUCKET: a touched bucket with zero actually-
+  changed rows is excluded from the rewrite set and its files stay
+  untouched.
+
+At production scale the same calls target Delta/Iceberg tables and become
+MERGE/DELETE (same bucketed layout, ACID commit); the facade isolates that
+choice.
 
 Score functions named with the reference's ``Annoy*`` prefix route to the
 approximate path (IVF probe search), mirroring data/search.go:136-141's
@@ -48,13 +64,19 @@ DATUM_SCHEMA = (
 
 @dataclass
 class DatasetConfig:
-    """Mirror of pb.DataConfig defaults (data/dataset.go:45-56)."""
+    """Mirror of pb.DataConfig defaults (data/dataset.go:45-56).
+
+    ``n_buckets`` sizes the hash-bucketed layout (fixed at dataset creation;
+    changing it requires a compact-style full rewrite). Size so one bucket's
+    rows fit an executor: at 100 TB with 4096 buckets a bucket is ~25 GB —
+    scale n_buckets with the table, not the batch."""
 
     target_n: int = 1000
     target_utilization: float = 0.4
     replication_on_insert: int = 1  # recorded, not enforced (storage owns it)
     retention_days: int = 14
     version: int = 0
+    n_buckets: int = 16
 
 
 class FeatureStore:
@@ -88,11 +110,70 @@ class FeatureStore:
             return DatasetConfig(**json.load(open(path)))
         return self.create_dataset(name)
 
-    def _read(self, name: str) -> DataFrame:
+    def _read_keyed(self, name: str) -> DataFrame:
+        """The stored frame WITH layout columns (``__key``, ``bucket``)."""
         path = self._data_path(name)
         if not os.path.exists(path):
-            return self.spark.createDataFrame([], DATUM_SCHEMA)
+            empty = self.spark.createDataFrame([], DATUM_SCHEMA)
+            return empty.withColumn("__key", F.lit(None).cast("bigint")).withColumn(
+                "bucket", F.lit(None).cast("int")
+            )
         return self.spark.read.parquet(path)
+
+    def _read(self, name: str) -> DataFrame:
+        return self._read_keyed(name).drop("__key", "bucket")
+
+    # -- dataset version stamp (K14 cache invalidation) --------------------
+    def _mutation_stamp(self, name: str) -> int:
+        """Monotonic per-dataset write version: bumped by every physical
+        write, baked into the result-cache key so a cached search can never
+        serve results from before a mutation."""
+        p = f"{self.root}/{name}.mutver"
+        return int(open(p).read()) if os.path.exists(p) else 0
+
+    def _bump_mutation(self, name: str) -> None:
+        nxt = self._mutation_stamp(name) + 1  # read BEFORE "w" truncates
+        with open(f"{self.root}/{name}.mutver", "w") as f:
+            f.write(str(nxt))
+
+    def _bucketize(self, df: DataFrame, n_buckets: int) -> DataFrame:
+        """Attach the layout columns: ``__key`` (datum identity) and its hash
+        bucket. Idempotent when ``__key`` already exists."""
+        if "__key" not in df.columns:
+            df = df.withColumn("__key", M.datum_key())
+        return df.withColumn(
+            "bucket", F.pmod(F.col("__key"), F.lit(n_buckets)).cast("int")
+        )
+
+    def _write_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
+        """Rewrite ONLY the given bucket partitions (dynamic partition
+        overwrite): partitions absent from ``df`` keep their files byte-for-
+        byte. ``df`` must already be restricted to ``buckets``. Buckets in
+        the list that end up with zero rows (fully-deleted) get their
+        directories dropped explicitly — dynamic overwrite cannot 'write an
+        empty partition'."""
+        if not buckets:
+            return
+        df = df.persist()
+        try:
+            present = {r["bucket"] for r in df.select("bucket").distinct().collect()}
+            if present:
+                (
+                    df.repartition(max(len(buckets), 1), "bucket")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(self._data_path(name))
+                )
+        finally:
+            df.unpersist()
+        import shutil
+
+        for b in set(buckets) - present:
+            d = f"{self._data_path(name)}/bucket={b}"
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        self._bump_mutation(name)
 
     # -- mutations --------------------------------------------------------
     def insert(
@@ -104,7 +185,14 @@ class FeatureStore:
     ) -> int:
         """Upsert a batch (S1/S2): TargetN cap unless no_target, TTL
         attachment, last-version-wins on the datum key. Returns the admitted
-        row count."""
+        row count.
+
+        Partition-scoped: only buckets the batch's keys hash to are read
+        (partition-pruned scan) and only buckets with an ACTUAL change —
+        a new key, a different value, or a TTL moved by more than the
+        reference's ±10 s ``CloseEnough`` window (data/newsync.go:22-25,
+        43-57) — are rewritten. Re-inserting an identical batch rewrites
+        nothing."""
         self.create_dataset(name)
         cfg = self.get_config(name)
         current = self._read(name)
@@ -118,16 +206,59 @@ class FeatureStore:
         # key BEFORE the capacity gate so admission can order on it: the gate's
         # limit() is then deterministic, and the count below agrees with the
         # rows the merge actually persists (same plan, same order, same rows).
-        batch = batch.withColumn("__key", M.datum_key())
-        admitted = M.capacity_gate(
-            current.count(), batch, cfg.target_n, no_target, order_cols=["__key"]
+        batch = self._bucketize(batch, cfg.n_buckets)
+        if no_target or cfg.target_n <= 0:
+            admitted = batch  # streaming/no-cap path: no table count needed
+        else:
+            admitted = M.capacity_gate(
+                current.count(), batch, cfg.target_n, False, order_cols=["__key"]
+            )
+        cur_keyed = self._read_keyed(name)
+        admitted = admitted.select(*cur_keyed.columns)
+        touched = sorted(
+            r["bucket"] for r in admitted.select("bucket").distinct().collect()
         )
-        cur_keyed = current.withColumn("__key", M.datum_key())
-        merged = M.upsert(cur_keyed, admitted.select(*cur_keyed.columns), ["__key"]).drop(
-            "__key"
+        cur_touched = cur_keyed.filter(F.col("bucket").isin(touched))
+        # CloseEnough per bucket: a row is a real change iff its key is new,
+        # its value (label/version) differs, or its TTL moved by > 10 s.
+        old = cur_touched.select(
+            F.col("__key").alias("__okey"),
+            F.col("label").alias("__olabel"),
+            F.col("version").alias("__oversion"),
+            F.col("expire_at").alias("__oexpire"),
+        )
+        cmp = admitted.join(old, admitted["__key"] == old["__okey"], "left")
+        ttl_close = (
+            (F.col("expire_at").isNull() & F.col("__oexpire").isNull())
+            | (
+                F.col("expire_at").isNotNull()
+                & F.col("__oexpire").isNotNull()
+                & (
+                    F.abs(
+                        F.col("expire_at").cast("double")
+                        - F.col("__oexpire").cast("double")
+                    )
+                    <= 10.0
+                )
+            )
+        )
+        changed = (
+            F.col("__okey").isNull()
+            | ~F.col("label").eqNullSafe(F.col("__olabel"))
+            | ~F.col("version").eqNullSafe(F.col("__oversion"))
+            | ~ttl_close
+        )
+        changed_buckets = sorted(
+            r["bucket"]
+            for r in cmp.filter(changed).select("bucket").distinct().collect()
         )
         n = admitted.count()
-        self._overwrite(name, merged)
+        if changed_buckets:
+            scope = F.col("bucket").isin(changed_buckets)
+            merged = M.upsert(
+                cur_touched.filter(scope), admitted.filter(scope), ["__key"]
+            )
+            self._write_buckets(name, merged, changed_buckets)
         return n
 
     def insert_stream(
@@ -140,11 +271,16 @@ class FeatureStore:
         """Streaming ingest (the reference's continuously-accepting Insert
         RPC, node/nodeservice.go:35-51): each micro-batch runs the same
         upsert as the batch path via foreachBatch, so change-dedup and
-        last-version-wins hold per batch. availableNow drains the source
-        then stops — swap the trigger for continuous production ingest."""
+        last-version-wins hold per batch. Rows that are ALREADY expired when
+        their micro-batch merges (an ``expire_at`` in the past) are dropped
+        before the upsert — the ingest-path analog of the reference's lazy
+        expiry on scan (data/newsync.go:78-80); pair with a watermark on the
+        event-time column upstream to bound state for late data.
+        availableNow drains the source then stops — swap the trigger for
+        continuous production ingest."""
 
         def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-            self.insert(name, batch_df, ttl_seconds=ttl_seconds, no_target=True)
+            self.insert(name, M.expire(batch_df), ttl_seconds=ttl_seconds, no_target=True)
 
         q = (
             stream.writeStream.foreachBatch(_merge)
@@ -155,33 +291,68 @@ class FeatureStore:
         q.awaitTermination(timeout_s)
 
     def delete(self, name: str, keys: DataFrame, key_cols: list[str]) -> None:
-        """Delete by key columns (S3)."""
-        self._overwrite(name, M.delete_keys(self._read(name), keys, key_cols))
+        """Delete by key columns (S3). Partition-scoped: buckets holding a
+        matching row are found with a broadcast semi-join; only those are
+        rewritten (a bucket deleted empty has its directory dropped)."""
+        cur = self._read_keyed(name)
+        keyset = F.broadcast(keys.select(*key_cols).distinct())
+        hit = sorted(
+            r["bucket"]
+            for r in cur.join(keyset, key_cols, "left_semi")
+            .select("bucket").distinct().collect()
+        )
+        if not hit:
+            return
+        remaining = M.delete_keys(
+            cur.filter(F.col("bucket").isin(hit)), keys, key_cols
+        )
+        self._write_buckets(name, remaining, hit)
 
     def expire_now(self, name: str) -> None:
-        """TTL compaction (the reference's lazy expiry made explicit)."""
-        self._overwrite(name, M.expire(self._read(name)))
+        """TTL compaction (the reference's lazy expiry made explicit).
+        Partition-scoped: only buckets that actually hold an expired row are
+        rewritten."""
+        cur = self._read_keyed(name)
+        if "expire_at" not in cur.columns:
+            return
+        expired = F.col("expire_at").isNotNull() & (
+            F.col("expire_at") <= F.current_timestamp()
+        )
+        hit = sorted(
+            r["bucket"]
+            for r in cur.filter(expired).select("bucket").distinct().collect()
+        )
+        if not hit:
+            return
+        live = M.expire(cur.filter(F.col("bucket").isin(hit)))
+        self._write_buckets(name, live, hit)
 
     def compact(self, name: str, target_files: int = 8) -> int:
-        """Small-files compaction: rewrite the dataset as ``target_files``
-        parquet files (streaming ingest leaves one file set per micro-batch;
-        at cluster scale this is OPTIMIZE/rewriteDataFiles). Drops expired
-        rows in the same pass. Returns the live row count."""
-        live = M.expire(self._read(name))
-        self._overwrite(name, live.repartition(target_files))
+        """Small-files compaction: rewrite each bucket as one parquet file
+        (streaming ingest leaves one file set per micro-batch; at cluster
+        scale this is OPTIMIZE/rewriteDataFiles). Drops expired rows in the
+        same pass. ``target_files`` bounds write parallelism; each bucket
+        still lands in a single file. Returns the live row count."""
+        live = M.expire(self._read_keyed(name))
+        self._overwrite(name, live.repartition(max(target_files, 1), "bucket"))
         return self._read(name).count()
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
-        # plain-parquet state transition: write new, swap. Delta/Iceberg
-        # MERGE replaces this whole method in production.
+        """Full-table state transition (compaction / re-bucketing): write the
+        bucketed layout fresh, swap atomically. Per-batch mutations never
+        come through here — they use _write_buckets' partition-scoped
+        rewrite. Delta/Iceberg MERGE replaces both in production."""
+        if "bucket" not in df.columns:
+            df = self._bucketize(df, self.get_config(name).n_buckets)
         tmp = self._data_path(name) + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         final = self._data_path(name)
         if os.path.exists(final):
             import shutil
 
             shutil.rmtree(final)
         os.rename(tmp, final)
+        self._bump_mutation(name)
 
     # -- queries ----------------------------------------------------------
     def search(
@@ -202,7 +373,9 @@ class FeatureStore:
         when refresh_index has run, else computed on the fly.
         ``cache_seconds`` enables the result cache (K14): the key is the
         normalized (dataset, queries, config) triple, mirroring
-        data/search.go:151-158's query-key + config-minus-uuid."""
+        data/search.go:151-158's query-key + config-minus-uuid, PLUS the
+        dataset's mutation stamp — any insert/delete/expire bumps the stamp,
+        so a cached result is never served across a write."""
         config = config or SearchConfig()
         cache_key = None
         if cache_seconds:
@@ -210,7 +383,8 @@ class FeatureStore:
 
             if not isinstance(query_vectors, DataFrame):
                 payload = json.dumps(
-                    [name, [list(map(float, v)) for v in query_vectors],
+                    [name, self._mutation_stamp(name),
+                     [list(map(float, v)) for v in query_vectors],
                      [list(map(float, v)) for v in context_vectors],
                      prioritize_context, nprobe, n_centroids, asdict(config)],
                     sort_keys=True, default=str,
