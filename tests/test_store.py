@@ -323,3 +323,47 @@ def test_approx_search_honors_config(spark, store):
         n_centroids=4, nprobe=4,
     ).collect()
     assert bad == []
+
+
+# -- Delta Lake production path (feature-flagged; runs only where the
+#    delta-spark package is on the classpath) --------------------------------
+
+def test_parquet_path_used_when_delta_absent(spark, store):
+    """Auto-detection: without delta-spark the store must take the parquet
+    bucket-overwrite path and never reference the delta package."""
+    from veri_spark.store import delta_available
+
+    if delta_available():
+        pytest.skip("delta-spark present; covered by test_delta_merge_roundtrip")
+    assert store.use_delta is False
+    rows = [([0.1, 0.2, 0.3], "g", "a", 0)]
+    store.insert("plainfmt", _batch(spark, rows))
+    assert store.export("plainfmt").count() == 1
+
+
+def test_delta_merge_roundtrip(spark, tmp_path):
+    """Delta path: insert twice (second is a CloseEnough no-op), delete by
+    label, expire — all through MERGE/DELETE. Skipped where delta-spark is
+    not installed (this container ships plain parquet only)."""
+    from veri_spark.store import delta_available
+
+    if not delta_available():
+        pytest.skip("delta-spark not installed")
+    store = FeatureStore(spark, str(tmp_path / "delta_ds"), use_delta=True)
+    rows = [
+        ([0.1, 0.2, 0.3], "g", "a", 0),
+        ([0.2, 0.3, 0.4], "g", "b", 0),
+    ]
+    store.insert("d1", _batch(spark, rows), no_target=True)
+    v0 = store._mutation_stamp("d1")
+    # identical re-insert: MERGE matches no clause -> no data rewrite
+    store.insert("d1", _batch(spark, rows), no_target=True)
+    assert store.export("d1").count() == 2
+    # changed label on the same key wins
+    rows2 = [([0.1, 0.2, 0.3], "g", "a2", 1)]
+    store.insert("d1", _batch(spark, rows2), no_target=True)
+    labels = {r["label"] for r in store.export("d1").collect()}
+    assert labels == {"a2", "b"}
+    store.delete("d1", spark.createDataFrame([("a2",)], "label string"), ["label"])
+    assert store.export("d1").count() == 1
+    assert store._mutation_stamp("d1") > v0

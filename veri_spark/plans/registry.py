@@ -2053,11 +2053,12 @@ def events_session_bounds(spark, sf_dir):
     "customers_above_nation_avg",
     """
     WITH nat_avg AS (
-      SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+      SELECT c_nationkey,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS avg_bal
       FROM customer GROUP BY c_nationkey
     )
     SELECT c.c_nationkey, COUNT(*)::BIGINT AS n_above,
-           ROUND(MAX(c.c_acctbal - a.avg_bal), 2) AS max_excess
+           FLOOR(MAX(c.c_acctbal - a.avg_bal) * 100 + 0.5) / 100 AS max_excess
     FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
     WHERE c.c_acctbal > a.avg_bal
     GROUP BY c.c_nationkey
@@ -2067,10 +2068,18 @@ def customers_above_nation_avg(spark, sf_dir):
     """Correlated-aggregate pattern (customers richer than their nation's
     average): de-correlated into a grouped aggregate + self-join — what
     Catalyst's subquery decorrelation produces, written directly. The tiny
-    per-nation aggregate broadcasts back onto the fact side."""
+    per-nation aggregate broadcasts back onto the fact side.
+
+    Cross-engine determinism: the average is computed as an EXACT decimal
+    sum divided in double (float summation order varies with partitioning,
+    and Spark's round() string-reprs the double while DuckDB rounds in
+    binary — at an exact .xx5 boundary they disagree), and the 2-decimal
+    rounding is the floor(x*100+0.5) formulation, which is pure IEEE double
+    arithmetic and therefore bit-identical in both engines."""
     cust = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
     nat_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_bal")
     )
     return (
         cust.join(F.broadcast(nat_avg), F.col("c_nationkey") == F.col("nk"))
@@ -2078,6 +2087,8 @@ def customers_above_nation_avg(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_above"),
-            F.round(F.max(F.col("c_acctbal") - F.col("avg_bal")), 2).alias("max_excess"),
+            (
+                F.floor(F.max(F.col("c_acctbal") - F.col("avg_bal")) * 100 + 0.5) / 100
+            ).alias("max_excess"),
         )
     )

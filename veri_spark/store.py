@@ -62,6 +62,19 @@ DATUM_SCHEMA = (
 )
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable. The container this
+    repo is developed in ships plain parquet only; on a production cluster
+    with Delta Lake on the classpath the FeatureStore mutation path upgrades
+    to ACID ``MERGE INTO`` automatically (see FeatureStore.use_delta)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 @dataclass
 class DatasetConfig:
     """Mirror of pb.DataConfig defaults (data/dataset.go:45-56).
@@ -80,9 +93,15 @@ class DatasetConfig:
 
 
 class FeatureStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, use_delta: bool | None = None):
+        """``use_delta=None`` auto-detects delta-spark; when active, insert/
+        delete/expire_now run as Delta ``MERGE``/``DELETE`` (ACID commit,
+        file-skipping on the bucket column) instead of the parquet
+        dynamic-partition-overwrite path. Requires the session to carry the
+        Delta SQL extension (io.delta.sql.DeltaSparkSessionExtension)."""
         self.spark = prepare_session(spark)
         self.root = root.rstrip("/")
+        self.use_delta = delta_available() if use_delta is None else use_delta
         os.makedirs(self.root, exist_ok=True)
 
     # -- catalog ----------------------------------------------------------
@@ -113,6 +132,8 @@ class FeatureStore:
     def _read_keyed(self, name: str) -> DataFrame:
         """The stored frame WITH layout columns (``__key``, ``bucket``)."""
         path = self._data_path(name)
+        if self.use_delta and os.path.exists(f"{path}/_delta_log"):
+            return self.spark.read.format("delta").load(path)
         if not os.path.exists(path):
             empty = self.spark.createDataFrame([], DATUM_SCHEMA)
             return empty.withColumn("__key", F.lit(None).cast("bigint")).withColumn(
@@ -215,6 +236,10 @@ class FeatureStore:
             )
         cur_keyed = self._read_keyed(name)
         admitted = admitted.select(*cur_keyed.columns)
+        if self.use_delta:
+            n = admitted.count()
+            self._delta_merge(name, admitted)
+            return n
         touched = sorted(
             r["bucket"] for r in admitted.select("bucket").distinct().collect()
         )
@@ -290,10 +315,56 @@ class FeatureStore:
         )
         q.awaitTermination(timeout_s)
 
+    def _delta_merge(self, name: str, batch: DataFrame) -> None:
+        """Delta MERGE upsert — the production mutation path the parquet
+        bucket-overwrite emulates. Last-version-wins on the datum key, with
+        the reference's CloseEnough change-dedup (data/newsync.go:22-25,
+        43-57) expressed as the WHEN MATCHED condition: an unchanged row
+        (same label/version, TTL within ±10 s) matches no clause, so Delta
+        rewrites no file for it — the row/file-granular version of the
+        parquet path's bucket skip. The ``t.bucket = s.bucket`` conjunct lets
+        Delta's file skipping prune untouched bucket partitions."""
+        from delta.tables import DeltaTable
+
+        path = self._data_path(name)
+        if not DeltaTable.isDeltaTable(self.spark, path):
+            batch.write.format("delta").partitionBy("bucket").save(path)
+            self._bump_mutation(name)
+            return
+        changed = (
+            "NOT (t.label <=> s.label) OR NOT (t.version <=> s.version)"
+            " OR ((t.expire_at IS NULL) != (s.expire_at IS NULL))"
+            " OR (abs(cast(t.expire_at as double) - cast(s.expire_at as double)) > 10.0)"
+        )
+        (
+            DeltaTable.forPath(self.spark, path)
+            .alias("t")
+            .merge(batch.alias("s"), "t.bucket = s.bucket AND t.__key = s.__key")
+            .whenMatchedUpdateAll(condition=f"s.version >= t.version AND ({changed})")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        self._bump_mutation(name)
+
     def delete(self, name: str, keys: DataFrame, key_cols: list[str]) -> None:
         """Delete by key columns (S3). Partition-scoped: buckets holding a
         matching row are found with a broadcast semi-join; only those are
-        rewritten (a bucket deleted empty has its directory dropped)."""
+        rewritten (a bucket deleted empty has its directory dropped). On the
+        Delta path this is a MERGE ... WHEN MATCHED DELETE (ACID, file-
+        skipped)."""
+        if self.use_delta and os.path.exists(f"{self._data_path(name)}/_delta_log"):
+            from delta.tables import DeltaTable
+
+            cond = " AND ".join(f"t.{c} <=> s.{c}" for c in key_cols)
+            (
+                DeltaTable.forPath(self.spark, self._data_path(name))
+                .alias("t")
+                .merge(keys.select(*key_cols).distinct().alias("s"), cond)
+                .whenMatchedDelete()
+                .execute()
+            )
+            self._bump_mutation(name)
+            return
         cur = self._read_keyed(name)
         keyset = F.broadcast(keys.select(*key_cols).distinct())
         hit = sorted(
@@ -311,7 +382,17 @@ class FeatureStore:
     def expire_now(self, name: str) -> None:
         """TTL compaction (the reference's lazy expiry made explicit).
         Partition-scoped: only buckets that actually hold an expired row are
-        rewritten."""
+        rewritten. On the Delta path this is a plain DELETE predicate —
+        Delta's stats-based file skipping touches only files whose
+        expire_at range overlaps."""
+        if self.use_delta and os.path.exists(f"{self._data_path(name)}/_delta_log"):
+            from delta.tables import DeltaTable
+
+            DeltaTable.forPath(self.spark, self._data_path(name)).delete(
+                "expire_at IS NOT NULL AND expire_at <= current_timestamp()"
+            )
+            self._bump_mutation(name)
+            return
         cur = self._read_keyed(name)
         if "expire_at" not in cur.columns:
             return
