@@ -2092,3 +2092,286 @@ def customers_above_nation_avg(spark, sf_dir):
             ).alias("max_excess"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 (round 2): TPC-H join/agg breadth — q7/q10/q13/q14/q17/q19/q22
+# shapes adapted to the available columns. Money aggregates follow the
+# deterministic cross-engine pattern: the per-row revenue product is exactly
+# <= 4 decimal digits (2dp price x 2dp discount), so casting it to
+# DECIMAL(18,4) BEFORE the sum makes the aggregate exact and summation-order-
+# insensitive in both engines; final outputs are rounded on the exact
+# decimal, then cast to DOUBLE so the schemas match.
+# ---------------------------------------------------------------------------
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+def _rev_dec():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate)::INT AS l_year,
+           ROUND(SUM({_REV_DEC}), 2)::DOUBLE AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue between two trading nations by year. Nation
+    (25 rows) broadcasts onto supplier and customer; the nation-name filter
+    then prunes both dims BEFORE they join the fact tables, so the big
+    lineitem-orders join only carries the two nations' rows. Supplier is a
+    small dim (broadcast); orders/customer/lineitem shuffle on their keys
+    with AQE free to re-plan."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    nat = sf("nation")
+    supp = (
+        sf("supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_13", "NATION_19"))
+    )
+    cust = (
+        sf("customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_13", "NATION_19"))
+    )
+    li = sf("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate", _rev_dec().alias("rev"))
+    ords = sf("orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM({_REV_DEC}), 2)::DOUBLE AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by returned-lineitem revenue in a
+    quarter. The returnflag + date predicates push to the scans; the
+    order-date filter prunes orders before the fact-fact join; nation
+    broadcasts; final top-20 is a bounded TakeOrdered, never a global sort."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    ords = sf("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = sf("lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev_dec().alias("rev")
+    )
+    agg = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sf("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sf("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+    out = topk(agg, "revenue", 20, higher_is_better=True, tie_cols=["c_custkey"])
+    return out.select("c_custkey", "c_name", "n_name", "revenue")
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts (customers
+    with zero orders included via the left outer join; the non-equi priority
+    condition rides the join, not a post-filter). Two-level aggregate: the
+    second groupBy input is |customers| rows, and the distribution itself is
+    at most a few hundred rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                   / SUM({_REV_DEC})::DOUBLE, 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month. The date filter
+    prunes lineitem at the scan; part joins on the key WITHOUT a broadcast
+    hint — part scales with the data (unlike nation/region) so the planner/
+    AQE must pick the strategy from observed sizes. Both sums are exact
+    decimals; the ratio is taken in double on the exact numerators."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).select("l_partkey", _rev_dec().alias("rev"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    WITH pavg AS (
+      SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_lim
+    """,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of one
+    brand. The correlated scalar subquery (per-part average quantity) is
+    de-correlated into a grouped aggregate joined back on the part key — one
+    shuffle each side, co-partitioned join. l_quantity is integer-valued so
+    the double AVG is an exact-integer sum divided by a count: deterministic
+    under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    j = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2
+        ).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT ROUND(SUM({_REV_DEC}), 2)::DOUBLE AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate across both
+    join sides. The per-side conjuncts that CAN prune independently do
+    (Catalyst derives p_brand IN (...) and l_quantity BETWEEN 1 AND 30 as
+    scan-level filters from the OR); the residual disjunction evaluates
+    after the join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_dec().alias("rev")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    """
+    WITH avg_pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*)::BIGINT AS numcust,
+           ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS totacctbal
+    FROM customer, avg_pos
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no urgent orders, by nation
+    (the synthetic generator gives every customer at least one order, so
+    the anti-join correlates on the priority-filtered subset to stay
+    non-empty). The global scalar (average positive balance) is computed as
+    an exact decimal sum and cross-joined as a literal-sized frame; NOT
+    EXISTS is a left-anti join whose build side carries only o_custkey
+    through the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(ords, rich["c_custkey"] == ords["o_custkey"], "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(dec), 2).cast("double").alias("totacctbal"),
+    )
