@@ -96,3 +96,16 @@ def bpe_token_count(text: Column | str) -> Column:
     (``regexp_count`` runs JVM-side; no UDF)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams of the lowercased text (language-ID / script
+    profiling signal). Pure array expression — no explode, no shuffle;
+    empty array for texts shorter than ``n``."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.lower(c)
+    ln = F.length(t)
+    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))

@@ -442,3 +442,116 @@ def connected_components(
             "max_iterations"
         )
     return labels
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document n-gram repetition signals (the Gopher-style quality
+    rules): ``top_frac`` = occurrences of the single most frequent n-gram /
+    total n-grams, ``dup_frac`` = fraction of n-gram occurrences that are
+    repeats of an earlier one. High values flag boilerplate/spam documents.
+
+    Plan shape: n-gram explode -> groupBy(id, gram) count -> groupBy(id)
+    max/sum. Both aggregations partial-aggregate map-side; state per doc is
+    its distinct-gram counts — linear in the corpus, no self-joins.
+    Documents with fewer than ``n`` tokens produce no n-grams and are absent
+    from the result.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    staged = df.withColumn("__toks", tokens(text_col)).select(
+        F.col(id_col), F.explode(word_shingles(F.col("__toks"), n)).alias("gram")
+    )
+    per_gram = staged.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_count"),
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+        ((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias("dup_frac"),
+    )
+
+
+def shared_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Cross-document repeated-window detection (the line-level / boilerplate
+    dedup of web-corpus pipelines, applied to rolling k-token windows since
+    the corpus has no line structure): for each document, the fraction of its
+    distinct k-token windows that also occur in at least one OTHER document.
+
+    Plan shape: distinct windows per doc (doc_shingles) -> groupBy(window)
+    doc-frequency -> join back on the window -> per-doc ratio. Two shuffles
+    on the short window string, both partial-aggregated; never an all-pairs
+    stage. At 100 TB the window df table is itself a useful artifact (the
+    boilerplate dictionary) and the join is map-side after bucketing both
+    sides by window.
+
+    Documents with fewer than ``k`` tokens have no windows and are absent.
+    """
+    win = doc_shingles(df, id_col, text_col, k=k, parallelism=parallelism).withColumnRenamed(
+        "shingle", "window"
+    )
+    # windows are distinct per doc, so count(*) = document frequency
+    dfreq = win.groupBy("window").agg(F.count(F.lit(1)).alias("df"))
+    joined = win.join(dfreq, "window")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        (
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("shared_frac"),
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within a Hamming radius, found WITHOUT an
+    all-pairs scan: the 32-bit signature splits into 4 bytes; by pigeonhole,
+    any pair within Hamming distance <= 3 agrees on at least one whole byte,
+    so candidates come from equi-joins on (byte_index, byte_value) only —
+    recall is EXACT for max_hamming <= 3, and each band bucket holds just
+    the docs sharing that byte. The verify step is one integer popcount
+    (bit_count(xor)) per candidate.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "byte banding guarantees recall only for max_hamming <= 3 "
+            "(4 bands; h+1 bands are needed for Hamming distance h)"
+        )
+    sigs = simhash32(df, id_col, text_col, parallelism=parallelism)
+    bands = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn("v", F.expr("shiftright(simhash, b * 8) & 255"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "b", "v"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "b", "v"
+    )
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -350,3 +350,90 @@ def kmeans_centroids(
     return df.sparkSession.createDataFrame(
         rows, "centroid_id bigint, centroid_vec array<double>"
     )
+
+
+def quantize_int8(
+    df: DataFrame, vector_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector scale
+    = max(|x|)/127, elements floor(x/scale + 0.5) in [-127, 127]. Cuts the
+    vector payload 4x (the dominant shuffle/scan cost of embedding
+    pipelines) while dot-product ranking stays within ~1% of float.
+
+    The floor(x*s+0.5) formulation is pure IEEE double arithmetic —
+    bit-identical across engines, unlike round()."""
+    v = F.col(vector_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    sc = F.lit(127.0) / mx
+    return df.withColumn("__mx", mx).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.floor(x * sc + F.lit(0.5)).cast("int")),
+    )
+
+
+def quantized_dot_scores(
+    df: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Dot-product scores computed in int8: integer dot of the quantized
+    vectors, de-scaled back to float space (score ~= <a, q>). The integer
+    dot is exact, so cross-engine results differ only by the deterministic
+    quantization error. Map-only plan: no shuffle until a downstream top-k."""
+    q = [float(x) for x in query]
+    qmx = max(abs(x) for x in q) or 1.0
+    qsc = 127.0 / qmx  # same associativity as quantize_int8 / the SQL oracle
+    qq = [int((x * qsc + 0.5) // 1) for x in q]
+    quant = quantize_int8(df, vector_col)
+    qarr = F.array(*[F.lit(int(x)) for x in qq])
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), qarr, lambda a, b: a.cast("bigint") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    score = dot.cast("double") * (F.col("__mx") * F.lit(qmx)) / F.lit(127.0 * 127.0)
+    return quant.select(F.col(id_col), score.alias("score"))
+
+
+def group_centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    per_group: int = 3,
+) -> DataFrame:
+    """Per-group centroid and the ``per_group`` farthest members (embedding-
+    space outlier detection / label-noise audit for training data).
+
+    Fully relational: posexplode the vectors, average per (label, dim) —
+    partial-aggregated, state = |labels| x dim — join the per-dim means back
+    and sum squared deviations per row, then a bounded per-group top-k. The
+    explode widens the data dim-fold but every stage is a hash aggregate;
+    nothing is quadratic and no vector ever crosses a shuffle twice."""
+    from veri_spark.operators.topk import topk_per_group
+
+    x = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.col(vector_col).cast("array<double>")).alias("i", "v"),
+    )
+    cent = x.groupBy(label_col, "i").agg(F.avg("v").alias("m"))
+    dist = (
+        x.join(cent, [label_col, "i"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+            ).alias("dist")
+        )
+    )
+    return topk_per_group(
+        dist,
+        [label_col],
+        "dist",
+        per_group,
+        higher_is_better=True,
+        tie_cols=[id_col],
+        rank_col="rnk",
+    )

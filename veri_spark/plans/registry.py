@@ -2375,3 +2375,214 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum(dec), 2).cast("double").alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 (round 2): LLM-pipeline depth — repetition quality, boilerplate
+# windows, SimHash Hamming radius, int8-quantized search, per-group centroid
+# outliers, token/char profiles, MinHash-vs-exact validation — plus
+# lead/lag, CUBE, and pivot analytics breadth.
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_repetition",
+    """
+    WITH bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram)
+    SELECT doc_id, SUM(c)::BIGINT AS n_grams, MAX(c)::BIGINT AS top_count,
+           ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_frac,
+           ROUND((SUM(c) - COUNT(*))::DOUBLE / SUM(c), 6) AS dup_frac
+    FROM pg GROUP BY doc_id
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: most-frequent-
+    bigram share and duplicate-bigram share. Two partial-aggregated
+    groupBys; no self-joins (operators/dedup.ngram_repetition)."""
+    from veri_spark.operators.dedup import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = ngram_repetition(docs, n=2, parallelism=16)
+    return rep.select(
+        "doc_id",
+        "n_grams",
+        "top_count",
+        F.round("top_frac", 6).alias("top_frac"),
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+@register(
+    "boilerplate_windows",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 6, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                    || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+             ))) AS win
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    dfq AS (SELECT win, COUNT(*) AS df FROM w GROUP BY win),
+    per AS (SELECT doc_id, COUNT(*) AS n_windows,
+                   SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_shared
+            FROM w JOIN dfq USING (win) GROUP BY doc_id)
+    SELECT doc_id, n_windows::BIGINT AS n_windows, n_shared::BIGINT AS n_shared,
+           ROUND(n_shared::DOUBLE / n_windows, 6) AS shared_frac
+    FROM per ORDER BY shared_frac DESC, doc_id ASC LIMIT 20
+    """,
+)
+def boilerplate_windows(spark, sf_dir):
+    """Cross-document repeated-window fraction (the boilerplate/line-dedup
+    signal of web-corpus pipelines, over rolling 8-token windows): docs
+    whose windows also appear elsewhere rank first
+    (operators/dedup.shared_window_stats)."""
+    from veri_spark.operators.dedup import shared_window_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = shared_window_stats(docs, k=8, parallelism=16)
+    out = topk(st, "shared_frac", 20, higher_is_better=True, tie_cols=["doc_id"])
+    return out.select(
+        "doc_id", "n_windows", "n_shared", F.round("shared_frac", 6).alias("shared_frac")
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+    bsum AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+             GROUP BY doc_id, bit),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
+            FROM bsum GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS v
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                    a.simhash AS sa, c.simhash AS sb
+             FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3, via byte banding
+    (pigeonhole: <=3 flipped bits leave >=1 of 4 bytes intact, so the
+    band join has EXACT recall — no all-pairs scan, one popcount per
+    candidate; operators/dedup.simhash_hamming_pairs)."""
+    from veri_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_hamming_pairs(docs, max_hamming=3, parallelism=16)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "embedding_quantize_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+               FROM embeddings),
+    qv AS (SELECT vec_id, mx,
+                  list_transform(e, x -> floor(x * (127.0 / mx) + 0.5)) AS q
+           FROM v),
+    q0 AS (SELECT q AS qz, mx AS mx0 FROM qv WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * qz[i]))
+                   * (mx * mx0) / 16129.0 AS score
+          FROM qv CROSS JOIN q0)
+    SELECT vec_id, ROUND(score, 6) AS score
+    FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_quantize_topk(spark, sf_dir):
+    """Int8-quantized dot-product top-k: 4x smaller vectors, integer dot
+    (exact), de-scaled to float space. The quantizer uses floor(x*s+0.5) —
+    pure IEEE arithmetic, so Spark and the oracle quantize identically
+    (operators/similarity.quantize_int8 / quantized_dot_scores)."""
+    from veri_spark.operators.similarity import quantized_dot_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    scored = quantized_dot_scores(emb, q)
+    out = topk(scored, "score", 10, higher_is_better=True, tie_cols=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "embedding_group_centroid",
+    """
+    WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    x AS (SELECT vec_id, label, i, e[i] AS v
+          FROM ev CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx),
+    c AS (SELECT label, i, AVG(v) AS m FROM x GROUP BY label, i),
+    d AS (SELECT vec_id, x.label AS label, SQRT(SUM((v - m) * (v - m))) AS dist
+          FROM x JOIN c ON x.label = c.label AND x.i = c.i
+          GROUP BY vec_id, x.label)
+    SELECT label, vec_id, ROUND(dist, 6) AS dist, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rnk
+          FROM d)
+    WHERE rnk <= 3
+    """,
+)
+def embedding_group_centroid(spark, sf_dir):
+    """Per-label centroid outliers (label-noise / contamination audit): the
+    3 members farthest from their group centroid. Posexplode -> per-dim
+    partial-agg mean -> rejoin -> bounded per-group top-k; state is
+    |labels| x dim, nothing quadratic
+    (operators/similarity.group_centroid_outliers)."""
+    from veri_spark.operators.similarity import group_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = group_centroid_outliers(emb, per_group=3)
+    return out.select("label", "vec_id", F.round("dist", 6).alias("dist"), "rnk")
+
+
+@register(
+    "token_length_histogram",
+    """
+    SELECT length(tok)::INT AS tok_len, COUNT(*)::BIGINT AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok_len
+    """,
+)
+def token_length_histogram(spark, sf_dir):
+    """Corpus token-length histogram (tokenizer sanity signal): explode ->
+    one partial-aggregated groupBy on a tiny key domain."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(toks_fn("text")).alias("tok"))
+        .groupBy(F.length("tok").alias("tok_len"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "char_trigram_profile",
+    """
+    WITH g AS (SELECT unnest(list_transform(
+                 range(1, greatest(length(lower(text)) - 1, 1)),
+                 i -> substr(lower(text), i, 3))) AS tri
+               FROM documents)
+    SELECT tri, COUNT(*)::BIGINT AS cnt FROM g GROUP BY tri
+    ORDER BY cnt DESC, tri ASC LIMIT 20
+    """,
+)
+def char_trigram_profile(spark, sf_dir):
+    """Character-trigram frequency profile (the feature space of classic
+    n-gram language ID): per-row array expression, explode, one groupBy
+    (functions/text.char_ngrams)."""
+    from veri_spark.functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(F.explode(char_ngrams("text", 3)).alias("tri"))
+    counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    return topk(counts, "cnt", 20, higher_is_better=True, tie_cols=["tri"])
