@@ -325,6 +325,86 @@ def test_approx_search_honors_config(spark, store):
     assert bad == []
 
 
+def test_live_count_sidecar_tracks_mutations(spark, store):
+    """The capacity gate's row count comes from a sidecar maintained by
+    batch-scale deltas (no full-table scan per insert); it must agree with
+    the real count across insert / upsert / delete / expire / compact."""
+    import os
+
+    rows = [([float(i), 3.0], "g", f"c{i}", 1) for i in range(10)]
+    store.insert("cnt", _batch(spark, rows), no_target=True)
+    assert os.path.exists(store._count_path("cnt"))
+    assert store._live_count("cnt") == 10 == store._read("cnt").count()
+    # upsert of an existing key: count unchanged
+    store.insert("cnt", _batch(spark, [([0.0, 3.0], "g", "c0-upd", 2)]), no_target=True)
+    assert store._live_count("cnt") == 10 == store._read("cnt").count()
+    # new key: +1
+    store.insert("cnt", _batch(spark, [([99.0, 3.0], "g", "new", 1)]), no_target=True)
+    assert store._live_count("cnt") == 11 == store._read("cnt").count()
+    # delete: -1
+    store.delete("cnt", spark.createDataFrame([("c3",)], "label string"), ["label"])
+    assert store._live_count("cnt") == 10 == store._read("cnt").count()
+    # expire: insert an already-expired row, then compact it away
+    import datetime
+
+    past = datetime.datetime.now() - datetime.timedelta(hours=1)
+    dead = spark.createDataFrame(
+        [([7.0, 7.0], "g", "dead", 1, None, None, None, None, past)],
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp",
+    )
+    store.insert("cnt", dead, no_target=True)
+    assert store._live_count("cnt") == 11
+    store.expire_now("cnt")
+    assert store._live_count("cnt") == 10 == store._read("cnt").count()
+    assert store.compact("cnt") == 10
+    assert store._live_count("cnt") == 10
+    # the capacity gate consumes the sidecar: a capped dataset still admits
+    # correctly when the sidecar is warm
+    store.create_dataset("cnt2", DatasetConfig(target_n=3))
+    assert store.insert("cnt2", _batch(spark, rows[:2])) == 2
+    assert store.insert("cnt2", _batch(spark, rows[2:6])) == 1  # budget left: 1
+
+
+def test_index_stale_after_mutation(spark, store):
+    """A persisted IVF index built before a mutation must NOT serve: the
+    mutation stamp bumps, _indexed reads as stale, and approximate search
+    falls back to on-the-fly assignment — so a post-refresh insert is
+    visible in approximate results."""
+    import random
+
+    rng = random.Random(5)
+    rows = [([rng.uniform(-1, 1) for _ in range(4)], "g", str(i), 1) for i in range(30)]
+    store.insert("stale", _batch(spark, rows), no_target=True)
+    store.refresh_index("stale", n_centroids=3)
+    assert store._indexed("stale") is not None
+    # a new exact-match row lands AFTER the index was built
+    q = [0.123, 0.456, 0.789, 0.321]
+    store.insert("stale", _batch(spark, [(q, "g", "fresh", 1)]), no_target=True)
+    assert store._indexed("stale") is None  # stale: stamp mismatch
+    got = store.search(
+        "stale", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=1),
+        n_centroids=3, nprobe=3,
+    ).collect()
+    assert got[0]["label"] == "fresh"
+    # re-refresh re-serves the fast path
+    store.refresh_index("stale", n_centroids=3)
+    assert store._indexed("stale") is not None
+
+
+def test_delta_flag_keeps_parquet_datasets_on_parquet_path(spark, store, tmp_path):
+    """With use_delta forced on, inserting into a PRE-EXISTING parquet-format
+    dataset must keep the bucket-overwrite path (the _delta_log guard) — not
+    attempt a Delta MERGE against a non-Delta directory. Runs without
+    delta-spark: the guard means the delta import is never reached."""
+    rows = [([0.5, 0.5], "g", "p0", 1)]
+    store.insert("legacy", _batch(spark, rows), no_target=True)
+    forced = FeatureStore(spark, store.root, use_delta=True)
+    forced.insert("legacy", _batch(spark, [([0.6, 0.6], "g", "p1", 1)]), no_target=True)
+    got = {r["label"] for r in forced.export("legacy").collect()}
+    assert got == {"p0", "p1"}
+
+
 # -- Delta Lake production path (feature-flagged; runs only where the
 #    delta-spark package is on the classpath) --------------------------------
 
@@ -366,4 +446,24 @@ def test_delta_merge_roundtrip(spark, tmp_path):
     assert labels == {"a2", "b"}
     store.delete("d1", spark.createDataFrame([("a2",)], "label string"), ["label"])
     assert store.export("d1").count() == 1
+    # intra-batch duplicate key: pre-MERGE dedup keeps the higher version
+    # instead of failing with 'multiple source rows matched'
+    dupes = _batch(spark, [([0.7, 0.7, 0.7], "g", "v1", 1),
+                           ([0.7, 0.7, 0.7], "g", "v2", 2)])
+    store.insert("d1", dupes, no_target=True)
+    labels = {r["label"] for r in store.export("d1").collect()}
+    assert "v2" in labels and "v1" not in labels
+    # expire path: a row carrying a past expire_at is dropped by expire_now
+    import datetime
+
+    past = datetime.datetime.now() - datetime.timedelta(hours=1)
+    expired_batch = spark.createDataFrame(
+        [([0.9, 0.9, 0.9], "g", "stale", 1, None, None, None, None, past)],
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp",
+    )
+    store.insert("d1", expired_batch, no_target=True)
+    store.expire_now("d1")
+    labels = {r["label"] for r in store.export("d1").collect()}
+    assert "stale" not in labels
     assert store._mutation_stamp("d1") > v0

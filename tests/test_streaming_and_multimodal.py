@@ -267,3 +267,76 @@ def test_streaming_materialized_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST2/ST3 ingest-path analog with event-time semantics: a row arriving
+    AFTER the watermark has passed its window is dropped by the streaming
+    aggregation — the late-data bound that keeps state finite at 100 TB.
+
+    Three micro-batches (maxFilesPerTrigger=1, files ordered by mtime): the
+    first carries on-time rows plus a fast-forward row that advances the
+    watermark past the first window's end; a second on-time batch locks the
+    advanced watermark in (the file source updates the watermark with a
+    one-batch lag under availableNow); the third carries a late row inside
+    the already-finalized window. Append mode emits the finalized window
+    WITHOUT the late row — had it been on time, n would be 4."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    T = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    schema = "ts timestamp, event_type string, value double"
+
+    def land(rows, name, mtime):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    mins = datetime.timedelta
+    now = time.time()
+    land(
+        [(T + mins(minutes=m), "click", 1.0) for m in (0, 15, 30)]
+        + [(T + mins(hours=3), "click", 1.0)],  # advances watermark to 12:00
+        "early",
+        now - 200,
+    )
+    land([(T + mins(hours=3, minutes=5), "click", 1.0)], "mid", now - 100)
+    land([(T + mins(minutes=45), "click", 1.0)], "late", now)  # < watermark
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_demo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["w"]["start"], r["n"]) for r in spark.table("wm_demo").collect()}
+    # only the finalized 10:00 window is emitted, with the 3 ON-TIME rows;
+    # the 10:45 straggler (event time < watermark) never reached the state
+    assert got == {(T, 3)}
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1

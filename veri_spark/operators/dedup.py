@@ -138,10 +138,16 @@ def jaccard_pairs(
     checkpoint/table for the shingle set.
     """
     if max_doc_freq is not None:
-        # sizes must reflect the capped universe: drop any pre-computed n_sh
+        # sizes must reflect the capped universe: drop any pre-computed n_sh,
+        # then recompute it ONCE with a window over the capped shingle stream
+        # (one shuffle on the doc id) so sizes ride the self-join keys again —
+        # same single-join plan shape as the uncapped with_size path, instead
+        # of the legacy persist + sizes-groupBy + two post-join size joins.
+        from pyspark.sql.window import Window as _W
+
         shingles = cap_stop_shingles(
             shingles.drop("n_sh"), id_col=id_col, max_doc_freq=max_doc_freq
-        )
+        ).withColumn("n_sh", F.count(F.lit(1)).over(_W.partitionBy(id_col)))
     if "n_sh" in shingles.columns:
         a = shingles.select(
             F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"

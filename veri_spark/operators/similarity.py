@@ -361,10 +361,13 @@ def quantize_int8(
     pipelines) while dot-product ranking stays within ~1% of float.
 
     The floor(x*s+0.5) formulation is pure IEEE double arithmetic —
-    bit-identical across engines, unlike round()."""
+    bit-identical across engines, unlike round(). A zero vector (mx = 0)
+    quantizes to all-zero with scale 1 instead of NaN-poisoning the column
+    (mirrors the ``or 1.0`` guard on the Python query side in
+    quantized_dot_scores)."""
     v = F.col(vector_col).cast("array<double>")
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    sc = F.lit(127.0) / mx
+    sc = F.lit(127.0) / F.when(mx == 0, F.lit(1.0)).otherwise(mx)
     return df.withColumn("__mx", mx).withColumn(
         out_col,
         F.transform(v, lambda x: F.floor(x * sc + F.lit(0.5)).cast("int")),

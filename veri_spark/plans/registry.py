@@ -31,6 +31,11 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — the second "
+                "registration would silently shadow the first (last-wins)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -1481,47 +1486,6 @@ def docs_prep_pipeline(spark, sf_dir):
 
 
 @register(
-    "tpch_q10_returned_items",
-    """
-    SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate <  TIMESTAMP '1996-07-01'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-    """,
-)
-def tpch_q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: who returned the most revenue. The returnflag and
-    date predicates push to the two fact scans; nation broadcasts."""
-    cust = load_table(spark, sf_dir, "customer")
-    ords = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nat = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-@register(
     "tpch_q14_promo_share",
     """
     SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
@@ -2132,9 +2096,10 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: revenue between two trading nations by year. Nation
     (25 rows) broadcasts onto supplier and customer; the nation-name filter
     then prunes both dims BEFORE they join the fact tables, so the big
-    lineitem-orders join only carries the two nations' rows. Supplier is a
-    small dim (broadcast); orders/customer/lineitem shuffle on their keys
-    with AQE free to re-plan."""
+    lineitem-orders join only carries the two nations' rows. No broadcast
+    hint on supplier or customer — both scale linearly with the data
+    (TPC-H: sf x 10k suppliers), so the planner/AQE must pick the strategy
+    from observed sizes; only the 25-row nation table is hinted."""
     sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
     nat = sf("nation")
     supp = (
@@ -2152,7 +2117,7 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     li = sf("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate", _rev_dec().alias("rev"))
     ords = sf("orders").select("o_orderkey", "o_custkey")
     joined = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -2236,9 +2201,9 @@ def tpch_q13_order_distribution(spark, sf_dir):
 @register(
     "tpch_q14_promo_effect",
     f"""
-    SELECT ROUND(
+    SELECT FLOOR(
              100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
-                   / SUM({_REV_DEC})::DOUBLE, 6) AS promo_revenue_pct
+                   / SUM({_REV_DEC})::DOUBLE * 1000000 + 0.5) / 1000000 AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
     """,
@@ -2248,7 +2213,11 @@ def tpch_q14_promo_effect(spark, sf_dir):
     prunes lineitem at the scan; part joins on the key WITHOUT a broadcast
     hint — part scales with the data (unlike nation/region) so the planner/
     AQE must pick the strategy from observed sizes. Both sums are exact
-    decimals; the ratio is taken in double on the exact numerators."""
+    decimals; the ratio is taken in double on the exact numerators, and the
+    6-decimal rounding uses the floor(x*1e6+0.5) formulation — pure IEEE
+    double arithmetic, bit-identical across engines (Spark's round() would
+    HALF_UP the double's string repr while DuckDB rounds the binary
+    value)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -2256,13 +2225,13 @@ def tpch_q14_promo_effect(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     zero = F.lit(0).cast("decimal(18,4)")
+    ratio = (
+        100.0
+        * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)).cast("double")
+        / F.sum("rev").cast("double")
+    )
     return j.agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)).cast("double")
-            / F.sum("rev").cast("double"),
-            6,
-        ).alias("promo_revenue_pct")
+        (F.floor(ratio * 1000000 + 0.5) / 1000000).alias("promo_revenue_pct")
     )
 
 
@@ -2273,7 +2242,7 @@ def tpch_q14_promo_effect(spark, sf_dir):
       SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_lim
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0, 2) AS avg_yearly
+    SELECT FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0 * 100 + 0.5) / 100 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pavg ON pk = l_partkey
@@ -2298,11 +2267,8 @@ def tpch_q17_small_quantity(spark, sf_dir):
         .join(pavg, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
     )
-    return j.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2
-        ).alias("avg_yearly")
-    )
+    yearly = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0
+    return j.agg((F.floor(yearly * 100 + 0.5) / 100).alias("avg_yearly"))
 
 
 @register(

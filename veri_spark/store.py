@@ -157,6 +157,34 @@ class FeatureStore:
         with open(f"{self.root}/{name}.mutver", "w") as f:
             f.write(str(nxt))
 
+    # -- live row count sidecar --------------------------------------------
+    # The capacity gate (S1) needs the stored row count per insert; a
+    # current.count() there is a full-table scan per batch — fine at the
+    # reference's TargetN=1000 defaults, O(table) at 100 TB. The count lives
+    # in a sidecar updated with each mutation's (already-computed, batch-
+    # scale) delta; unknown/stale (e.g. after a Delta MERGE, whose
+    # update/insert split isn't surfaced) falls back to one counting scan
+    # that re-seeds the sidecar.
+    def _count_path(self, name: str) -> str:
+        return f"{self.root}/{name}.count"
+
+    def _live_count(self, name: str) -> int:
+        p = self._count_path(name)
+        if os.path.exists(p):
+            return int(open(p).read())
+        n = self._read(name).count()
+        self._set_count(name, n)
+        return n
+
+    def _set_count(self, name: str, n: int) -> None:
+        with open(self._count_path(name), "w") as f:
+            f.write(str(int(n)))
+
+    def _invalidate_count(self, name: str) -> None:
+        p = self._count_path(name)
+        if os.path.exists(p):
+            os.remove(p)
+
     def _bucketize(self, df: DataFrame, n_buckets: int) -> DataFrame:
         """Attach the layout columns: ``__key`` (datum identity) and its hash
         bucket. Idempotent when ``__key`` already exists."""
@@ -228,17 +256,29 @@ class FeatureStore:
         # limit() is then deterministic, and the count below agrees with the
         # rows the merge actually persists (same plan, same order, same rows).
         batch = self._bucketize(batch, cfg.n_buckets)
+        live = self._live_count(name)  # sidecar read; no table scan when warm
         if no_target or cfg.target_n <= 0:
-            admitted = batch  # streaming/no-cap path: no table count needed
+            admitted = batch  # streaming/no-cap path: cap not enforced
         else:
             admitted = M.capacity_gate(
-                current.count(), batch, cfg.target_n, False, order_cols=["__key"]
+                live, batch, cfg.target_n, False, order_cols=["__key"]
             )
         cur_keyed = self._read_keyed(name)
         admitted = admitted.select(*cur_keyed.columns)
-        if self.use_delta:
+        data_path = self._data_path(name)
+        # Delta only when the table is new or already Delta (has _delta_log) —
+        # same guard as delete()/expire_now(). A pre-existing parquet-format
+        # dataset keeps the bucket-overwrite path even with delta-spark
+        # installed; migrating it is an explicit rewrite, not an insert
+        # side effect.
+        if self.use_delta and (
+            not os.path.exists(data_path)
+            or os.path.exists(f"{data_path}/_delta_log")
+        ):
             n = admitted.count()
             self._delta_merge(name, admitted)
+            self._invalidate_count(name)  # MERGE doesn't surface its
+            # update/insert split; next capacity gate re-seeds with one count
             return n
         touched = sorted(
             r["bucket"] for r in admitted.select("bucket").distinct().collect()
@@ -273,10 +313,15 @@ class FeatureStore:
             | ~F.col("version").eqNullSafe(F.col("__oversion"))
             | ~ttl_close
         )
-        changed_buckets = sorted(
-            r["bucket"]
-            for r in cmp.filter(changed).select("bucket").distinct().collect()
-        )
+        # one batch-scale pass yields BOTH the changed-bucket set and the
+        # live-count delta (distinct never-seen keys)
+        stats = cmp.agg(
+            F.collect_set(F.when(changed, F.col("bucket"))).alias("cb"),
+            F.count_distinct(
+                F.when(F.col("__okey").isNull(), F.col("__key"))
+            ).alias("n_new"),
+        ).first()
+        changed_buckets = sorted(stats["cb"])
         n = admitted.count()
         if changed_buckets:
             scope = F.col("bucket").isin(changed_buckets)
@@ -284,6 +329,7 @@ class FeatureStore:
                 cur_touched.filter(scope), admitted.filter(scope), ["__key"]
             )
             self._write_buckets(name, merged, changed_buckets)
+            self._set_count(name, live + stats["n_new"])
         return n
 
     def insert_stream(
@@ -323,9 +369,21 @@ class FeatureStore:
         (same label/version, TTL within ±10 s) matches no clause, so Delta
         rewrites no file for it — the row/file-granular version of the
         parquet path's bucket skip. The ``t.bucket = s.bucket`` conjunct lets
-        Delta's file skipping prune untouched bucket partitions."""
+        Delta's file skipping prune untouched bucket partitions.
+
+        The batch is deduped on ``__key`` FIRST (highest version wins,
+        deterministic tie-break) — MERGE hard-fails with 'multiple source
+        rows matched' on intra-batch key duplicates, and would otherwise
+        insert duplicate-key rows for new keys; the parquet path gets the
+        same guarantee from M.upsert's window."""
         from delta.tables import DeltaTable
 
+        from veri_spark.operators.topk import dedup_keep_best
+
+        batch = dedup_keep_best(
+            batch, ["__key"], "version", higher_is_better=True,
+            tie_cols=["label", "expire_at"],
+        )
         path = self._data_path(name)
         if not DeltaTable.isDeltaTable(self.spark, path):
             batch.write.format("delta").partitionBy("bucket").save(path)
@@ -364,20 +422,28 @@ class FeatureStore:
                 .execute()
             )
             self._bump_mutation(name)
+            self._invalidate_count(name)
             return
         cur = self._read_keyed(name)
         keyset = F.broadcast(keys.select(*key_cols).distinct())
-        hit = sorted(
-            r["bucket"]
-            for r in cur.join(keyset, key_cols, "left_semi")
-            .select("bucket").distinct().collect()
+        stats = (
+            cur.join(keyset, key_cols, "left_semi")
+            .agg(
+                F.collect_set("bucket").alias("hit"),
+                F.count(F.lit(1)).alias("n_del"),
+            )
+            .first()
         )
+        hit = sorted(stats["hit"])
         if not hit:
             return
+        live = self._live_count(name)  # before the write: post-write fallback
+        # scan would see the already-deleted state
         remaining = M.delete_keys(
             cur.filter(F.col("bucket").isin(hit)), keys, key_cols
         )
         self._write_buckets(name, remaining, hit)
+        self._set_count(name, live - stats["n_del"])
 
     def expire_now(self, name: str) -> None:
         """TTL compaction (the reference's lazy expiry made explicit).
@@ -392,21 +458,34 @@ class FeatureStore:
                 "expire_at IS NOT NULL AND expire_at <= current_timestamp()"
             )
             self._bump_mutation(name)
+            self._invalidate_count(name)
             return
         cur = self._read_keyed(name)
         if "expire_at" not in cur.columns:
             return
-        expired = F.col("expire_at").isNotNull() & (
-            F.col("expire_at") <= F.current_timestamp()
+        # one pinned cutoff for BOTH passes: with a live current_timestamp()
+        # the rewrite could expire rows the stats pass hadn't counted yet
+        import datetime as _dt
+
+        now = F.lit(_dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)).cast(
+            "timestamp"
         )
-        hit = sorted(
-            r["bucket"]
-            for r in cur.filter(expired).select("bucket").distinct().collect()
+        expired = F.col("expire_at").isNotNull() & (F.col("expire_at") <= now)
+        stats = (
+            cur.filter(expired)
+            .agg(
+                F.collect_set("bucket").alias("hit"),
+                F.count(F.lit(1)).alias("n_exp"),
+            )
+            .first()
         )
+        hit = sorted(stats["hit"])
         if not hit:
             return
-        live = M.expire(cur.filter(F.col("bucket").isin(hit)))
+        n_before = self._live_count(name)
+        live = M.expire(cur.filter(F.col("bucket").isin(hit)), now=now)
         self._write_buckets(name, live, hit)
+        self._set_count(name, n_before - stats["n_exp"])
 
     def compact(self, name: str, target_files: int = 8) -> int:
         """Small-files compaction: rewrite each bucket as one parquet file
@@ -416,7 +495,9 @@ class FeatureStore:
         still lands in a single file. Returns the live row count."""
         live = M.expire(self._read_keyed(name))
         self._overwrite(name, live.repartition(max(target_files, 1), "bucket"))
-        return self._read(name).count()
+        n = self._read(name).count()
+        self._set_count(name, n)
+        return n
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Full-table state transition (compaction / re-bucketing): write the
@@ -434,6 +515,7 @@ class FeatureStore:
             shutil.rmtree(final)
         os.rename(tmp, final)
         self._bump_mutation(name)
+        self._invalidate_count(name)  # callers that know the count re-seed it
 
     # -- queries ----------------------------------------------------------
     def search(
@@ -584,11 +666,27 @@ class FeatureStore:
             if os.path.exists(final + suffix):
                 shutil.rmtree(final + suffix)
             os.rename(tmp + suffix, final + suffix)
+        # stamp the dataset mutation version the index was built from: a
+        # later insert/delete/expire bumps the dataset stamp, the index
+        # reads as stale, and approximate search falls back to on-the-fly
+        # assignment (the reference rebuilds via its periodic Process pass —
+        # call refresh_index again to re-serve the fast path)
+        with open(final + ".mutver", "w") as f:
+            f.write(str(self._mutation_stamp(name)))
         return self.spark.read.parquet(final).count()
 
     def _indexed(self, name: str):
+        """The persisted IVF index, or None when absent OR STALE — built
+        from an older mutation stamp than the dataset's current one. Serving
+        a stale index would silently drop post-refresh inserts from
+        approximate results."""
         final = self._index_path(name)
         if not os.path.exists(final):
+            return None
+        stamp_file = final + ".mutver"
+        if not os.path.exists(stamp_file):
+            return None
+        if int(open(stamp_file).read()) != self._mutation_stamp(name):
             return None
         return (
             self.spark.read.parquet(final),
