@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "tpch_q5_regional_revenue",
     "ann_ivf_multi_query",
     "docs_prep_pipeline",
+    # round-2 heavyweights: the newest, most join-heavy shapes
+    "tpch_q7_volume_shipping",
+    "tpch_q17_small_quantity",
+    "dedup_simhash_hamming",
+    "dedup_minhash_clusters",
+    "char_trigram_profile",
 ]
 
 
@@ -55,6 +61,14 @@ def main() -> None:
     # warm the JVM/codegen path on the tiny SF so first-query JIT cost does
     # not land on the measured numbers
     QUERIES["knn_euclidean"](spark, "/root/testdata/sf0.001").collect()
+
+    # fixed synthetic probe, independent of any query code: exposes machine
+    # drift across rounds (BENCH_r01 vs r02 differed ~1.8x on identical
+    # code purely from host speed). Compare query times ACROSS rounds only
+    # after normalizing by calib_sec.
+    t0 = time.time()
+    spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    calib = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -70,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib_sec": calib,
                 "sf": sf,
             }
         )
