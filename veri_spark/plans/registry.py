@@ -2552,3 +2552,575 @@ def char_trigram_profile(spark, sf_dir):
     tri = docs.select(F.explode(char_ngrams("text", 3)).alias("tri"))
     counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
     return topk(counts, "cnt", 20, higher_is_better=True, tie_cols=["tri"])
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 (round 3): remaining TPC-H join shapes expressible on this star
+# schema. The testdata has no partsupp table and lineitem carries no
+# shipmode/commitdate/receiptdate, so q8/q9/q16/q20/q21 are implemented as
+# faithful SHAPE adaptations: same join graph, same decorrelation problem,
+# measures built from the columns that exist. Revenue stays decimal-exact
+# (summation-order-insensitive), ratio rounding stays floor(x*10^k+0.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    WITH base AS (
+      SELECT year(o_orderdate)::INT AS o_year,
+             {_REV_DEC} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           FLOOR(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                 / SUM(volume)::DOUBLE * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_7's share of supplier
+    revenue in the ASIA customer market, by order year. Seven-table join:
+    nation/region broadcast (constant-size dims); customer joins orders
+    BEFORE the fact join so the region filter prunes the customer side
+    early; supplier joins the fact on its key with no hint (scales with
+    data, AQE decides). Share numerator/denominator are exact decimals;
+    ratio rounded with the engine-portable floor formulation.
+
+    Reference parity: TPC-H Q8 minus the part filter (no partsupp/p_type
+    restriction reaches this schema's lineitem rows)."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    nat = sf("nation")
+    asia_nations = (
+        nat.join(
+            F.broadcast(sf("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust = (
+        sf("customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nk"))
+        .select("c_custkey")
+    )
+    ords = sf("orders").select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    supp = (
+        sf("supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = sf("lineitem").select("l_orderkey", "l_suppkey", _rev_dec().alias("volume"))
+    base = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)).cast("double")
+        / F.sum("volume").cast("double")
+    )
+    return base.groupBy("o_year").agg(
+        (F.floor(share * 1000000 + 0.5) / 1000000).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    """
+    WITH p AS (
+      SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, o_year, ROUND(SUM(amount), 2)::DOUBLE AS sum_profit
+    FROM p GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by supplier nation and year).
+    The cost term uses p_retailprice (the schema has no partsupp, so
+    ps_supplycost is modeled as half the retail price — same join graph,
+    same measure structure: revenue minus quantity-scaled cost). The p_name
+    filter prunes part BEFORE the fact join (semi-join push); nation
+    broadcasts; part/supplier/orders join the fact on their keys with AQE
+    choosing strategies. The per-row amount is cast to exact decimal before
+    the sum: 2dp*2dp and 2dp*int terms stay within 4dp, so the aggregate is
+    summation-order-insensitive."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    part = sf("part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = sf("supplier").select("s_suppkey", "s_nationkey")
+    nat = sf("nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    ords = sf("orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = sf("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    base = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return base.groupBy("nation", "o_year").agg(
+        F.round(F.sum(amount.alias("amount")), 2).cast("double").alias("sum_profit")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV_DEC}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2)::DOUBLE AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue — the view + scalar-max
+    subquery). Decorrelated Spark-first: the per-supplier revenue aggregate
+    is computed once, its global max reduces to ONE row, and the filter is
+    a broadcast join against that single-row frame — never a global
+    single-partition window over all suppliers (which is the scale trap at
+    sf x 10k supplier rows). Exact-decimal revenue makes 'equals max'
+    well-defined; ties all surface, ordered by key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_dec()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop("__mx")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%33%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part class): distinct
+    suppliers per (brand, type, size), excluding one brand and a
+    name-matched supplier blocklist (the complaints NOT IN — here a
+    broadcast anti-join, the scale-correct form of NOT IN when the subquery
+    side is provably small). lineitem stands in for partsupp as the
+    part-supplier bridge. The part predicates push to its scan and prune
+    the fact join via the key join; count_distinct shuffles once on the
+    group key with partial aggregation."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    part = sf("part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = sf("supplier").filter(F.col("s_name").like("%33%")).select("s_suppkey")
+    li = sf("lineitem").select("l_partkey", "l_suppkey")
+    base = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return base.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey HAVING SUM(l_quantity) > 100
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested semi-join: suppliers with excess shipments
+    of a part class in a year — availqty stands in as a shipped-quantity
+    threshold since the schema has no partsupp). Inner block: part-name
+    filter prunes part, key-joins the date-pruned fact, one grouped HAVING.
+    Outer: LEFT SEMI join — supplier rows stream past the (small) qualifying
+    keyset; no row multiplication, no distinct needed."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    part = sf("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = sf("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualifying = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = sf("supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_sole_blame",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_r
+      FROM l GROUP BY l_orderkey
+    ),
+    blamed AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM l JOIN per_order USING (l_orderkey)
+      WHERE l.l_returnflag = 'R' AND n_supp > 1 AND n_supp_r = 1
+    )
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+)
+def tpch_q21_sole_blame(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers solely at fault in multi-supplier
+    orders): the reference's EXISTS / NOT EXISTS pair over sibling
+    lineitems is DECORRELATED into one per-order aggregate — n_supp > 1
+    encodes the EXISTS (another supplier participated), n_supp_r = 1
+    encodes the NOT EXISTS (no OTHER supplier also failed; returnflag 'R'
+    stands in for the receipt-after-commit predicate absent from this
+    schema). One shuffle on l_orderkey serves the aggregate AND the
+    join back — versus the reference's two correlated self-join probes.
+    Final top-20 is a bounded TakeOrdered."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    ords = sf("orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l = (
+        sf("lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    blamed = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = sf("supplier").select("s_suppkey", "s_name")
+    agg = (
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    out = topk(agg, "numwait", 20, higher_is_better=True, tie_cols=["s_name"])
+    return out.select("s_name", "numwait")
+
+
+# ---------------------------------------------------------------------------
+# Batch 8 (round 3): training-data pipeline operators — benchmark
+# decontamination, sequence packing, TF-IDF salience, keyword density,
+# deterministic mixture sampling, cross-source boilerplate.
+# ---------------------------------------------------------------------------
+
+_DD_SPLIT_SHINGLES = """
+    ws_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    shl AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len(ws) - 1, 1)),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+            FROM ws_t),
+    train_sh AS (SELECT DISTINCT unnest(shs) AS shingle FROM shl WHERE doc_id % 10 <> 0),
+    eval_sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle
+                FROM shl WHERE doc_id % 10 = 0)
+"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH {_DD_SPLIT_SHINGLES}
+    SELECT e.doc_id, e.n_sh::BIGINT AS n_sh, COUNT(*)::BIGINT AS n_shared,
+           FLOOR(COUNT(*)::DOUBLE / e.n_sh * 1000000 + 0.5) / 1000000 AS overlap_ratio
+    FROM eval_sh e JOIN train_sh t ON e.shingle = t.shingle
+    GROUP BY e.doc_id, e.n_sh
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: n-gram overlap of each EVAL document
+    against the TRAIN shingle universe (the standard 'did the test set leak
+    into training data' check — GPT-3/PaLM-style 13-gram collision, here
+    3-gram on the short synthetic docs). The corpus is split
+    deterministically by doc_id % 10 (eval = 0). Plan: distinct train
+    shingles (one partial-agg groupBy), eval shingles inner-join on the
+    shingle value, one grouped count per eval doc — the fact side shuffles
+    ON THE SHINGLE, so the 100 TB run uses the same stop-shingle cap as
+    jaccard_pairs (cap_stop_shingles) to bound hot buckets; exact here for
+    the oracle. Never all-pairs: eval docs join the shingle SET, not train
+    docs."""
+    from veri_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    evald = docs.filter(F.col("doc_id") % 10 == 0)
+    train_sh = doc_shingles(train, k=3).select("shingle").distinct()
+    eval_sh = doc_shingles(evald, k=3, with_size=True)
+    joined = eval_sh.join(train_sh, "shingle")
+    return (
+        joined.groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            "n_shared",
+            (F.floor(F.col("n_shared").cast("double") / F.col("n_sh") * 1000000 + 0.5)
+             / 1000000).alias("overlap_ratio"),
+        )
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens + 1) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t)
+    SELECT doc_id, source, n_tokens, (cum_before // 1024)::BIGINT AS chunk_id
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training: greedy assignment of documents to
+    fixed token-budget chunks (1024 tokens, +1 separator per doc) within
+    each source shard, in deterministic doc_id order — the operator that
+    turns a document table into packed training sequences. One window
+    shuffle on the shard key; chunk_id = floor(preceding-tokens / budget).
+    At 100 TB the shard key (source/file) bounds each window partition to
+    one shard — no global ordering is ever materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    from veri_spark.functions.text import tokens as toks_fn
+
+    t = docs.select(
+        "doc_id", "source", F.size(toks_fn("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("n_tokens") + 1).over(w), F.lit(0))
+    )
+    return c.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.col("cum_before") / 1024).cast("bigint").alias("chunk_id"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH N AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+    ranked AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                         ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rnk
+               FROM tf JOIN df USING (tok))
+    SELECT doc_id, tok, tf, df, rnk::INT AS rnk,
+           FLOOR(tf * ln((n_docs + 1) / (df + 1)) * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM ranked, N WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per document by TF-IDF. The RANKING is integer-
+    deterministic (tf desc, df asc, tok asc) so both engines agree exactly;
+    the tfidf VALUE (floor-rounded ln weighting) is reported, not ranked
+    on, keeping libm ulp differences out of the comparison. Plan: one
+    explode + (doc,tok) groupBy for tf, a tok-keyed groupBy for df (partial
+    aggs both), df joins back on the token, rank is a WindowGroupLimit
+    (k=3 per doc pushed below the sort). The corpus size N is a single-row
+    broadcast, never a driver constant baked at plan time."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(toks_fn("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    ranked = (
+        tf.join(df_, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    tfidf = F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    return ranked.select(
+        "doc_id", "tok", "tf", "df", F.col("rnk").cast("int").alias("rnk"),
+        (F.floor(tfidf * 1000000 + 0.5) / 1000000).alias("tfidf"),
+    )
+
+
+@register(
+    "regex_keyword_density",
+    r"""
+    WITH m AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '\b(data|query|table)\b')) AS n_hits,
+                      len(string_split(text, ' ')) AS n_toks
+               FROM documents)
+    SELECT doc_id, n_hits::BIGINT AS n_hits,
+           FLOOR(n_hits::DOUBLE / n_toks * 1000000 + 0.5) / 1000000 AS density
+    FROM m WHERE n_hits > 0
+    """,
+)
+def regex_keyword_density(spark, sf_dir):
+    r"""Regex-extraction surface over the corpus (the PII-scrub / boilerplate
+    pattern-count shape): per-doc count of a keyword alternation and its
+    per-token density. regexp_count is a scan-local native expression in
+    whole-stage codegen — the same plan shape a real email/URL/SSN scrub
+    runs at 100 TB (pattern swapped, possibly + redaction via
+    regexp_replace). Pattern kept to RE2-and-Java-compatible syntax."""
+    docs = load_table(spark, sf_dir, "documents")
+    from veri_spark.functions.text import tokens as toks_fn
+
+    m = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\b(data|query|table)\b")).cast("bigint").alias("n_hits"),
+        F.size(toks_fn("text")).alias("n_toks"),
+    )
+    return m.filter(F.col("n_hits") > 0).select(
+        "doc_id", "n_hits",
+        (F.floor(F.col("n_hits").cast("double") / F.col("n_toks") * 1000000 + 0.5)
+         / 1000000).alias("density"),
+    )
+
+
+@register(
+    "mixture_weighted_sample",
+    """
+    WITH s AS (
+      SELECT lang, doc_id,
+             CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 20 END AS pct,
+             CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 AS slot
+      FROM documents
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_total,
+           SUM(CASE WHEN slot < pct THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM s GROUP BY lang
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: per-language keep rates (en
+    100%, de 50%, rest 20%) applied by portable key-hash threshold — the
+    reproducible form of the temperature/weighted sampling every training
+    mix uses. Hash-threshold sampling survives reruns, joins, and
+    incremental reprocessing (same doc always lands the same way), unlike
+    RNG sampling. Map-only until one tiny groupBy on lang."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(20)
+    )
+    slot = portable_hash64(F.col("doc_id").cast("string")) % 100
+    s = docs.select("lang", pct.alias("pct"), slot.alias("slot"))
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("slot") < F.col("pct"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "cross_source_duplicates",
+    """
+    SELECT fp, COUNT(DISTINCT source)::BIGINT AS n_sources, COUNT(*)::BIGINT AS n_docs
+    FROM (SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp, source
+          FROM documents) t
+    GROUP BY fp HAVING COUNT(DISTINCT source) > 1
+    """,
+)
+def cross_source_duplicates(spark, sf_dir):
+    """Cross-source duplicated PREFIXES: 8-token-prefix fingerprints
+    appearing in more than one source shard (syndicated headers /
+    boilerplate intros that inflate a training mix even when per-source
+    full-text dedup is clean). One groupBy on the prefix fingerprint — the
+    rows that survive HAVING are by construction few."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks_fn("text"), 1, 8)))
+    return (
+        docs.select(fp.alias("fp"), "source")
+        .groupBy("fp")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
