@@ -202,3 +202,78 @@ def test_salted_join_rejects_small_side_preserving_joins(spark):
     # left join still works and does not duplicate
     out = salted_join(big, small, ["k"], ["v"], buckets=4, how="left").collect()
     assert len(out) == 1
+
+
+# -- product quantization -----------------------------------------------------
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ encode/ADC on the embeddings fixture: codes compress dim->m ints,
+    the plan stays map-only (no Exchange before the final top-k), and
+    ADC top-10 recall vs exact euclidean is high at m=32,k=16 on 64-dim
+    (the fixture is near-isotropic, so recall needs fine 2-dim subspaces;
+    real text embeddings have correlated dims and do well at coarser m)."""
+    from veri_spark.functions.vector import euclidean_distance
+    from veri_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+    from veri_spark.operators.topk import topk
+    from veri_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train(emb, m=32, k=16, seed=7)
+    assert len(books) == 32 and len(books[0]) == 16 and len(books[0][0]) == 2
+
+    enc = pq_encode(emb, books)
+    row = enc.select("pq_code").first()
+    assert len(row["pq_code"]) == 32
+    assert all(0 <= c < 16 for c in row["pq_code"])
+
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    q = [float(x) for x in q]
+
+    # map-only until the bounded top-k: no Exchange in the scoring plan
+    scored = pq_adc_scores(pq_encode(emb, books), q, books)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    approx = pq_search(emb, q, books, n=10)
+    got = [r["vec_id"] for r in approx.collect()]
+    assert got[0] == 3  # self-match survives quantization at this setting
+
+    exact = topk(
+        emb.select("vec_id", euclidean_distance(F.col("embedding"), q).alias("score")),
+        "score", 10, higher_is_better=False, tie_cols=["vec_id"],
+    )
+    truth = {r["vec_id"] for r in exact.collect()}
+    recall = len(truth & set(got)) / 10.0
+    assert recall >= 0.6, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_encoded_corpus_reuse(spark):
+    """A pre-encoded corpus (the 100 TB layout: codes persisted, floats
+    left at rest) is scored without re-encoding: pq_search reuses pq_code."""
+    from veri_spark.operators.similarity import pq_encode, pq_search, pq_train
+    from veri_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train(emb, m=8, k=16, seed=7)
+    enc = pq_encode(emb, books).select("vec_id", "pq_code").persist()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    got = pq_search(enc, q, books, n=5).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 11
+    enc.unpersist()
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    from veri_spark.operators.similarity import pq_train
+    from veri_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)

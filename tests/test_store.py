@@ -467,3 +467,51 @@ def test_delta_merge_roundtrip(spark, tmp_path):
     labels = {r["label"] for r in store.export("d1").collect()}
     assert "stale" not in labels
     assert store._mutation_stamp("d1") > v0
+
+
+def test_insert_stream_dedup_within_watermark(spark, store, tmp_path):
+    """Stream-side datum dedup (dropDuplicatesWithinWatermark on the datum
+    key): a datum REPLAYED in a later micro-batch within the watermark delay
+    never reaches the merge — at-least-once sources don't trigger
+    read-modify-write. The replay carries a higher version and different
+    label; if it reached the upsert it would win, so label 'first'
+    surviving proves the drop happened stream-side."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    T = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    schema = (
+        "feature array<float>, group_label string, label string, version bigint, "
+        "dim1 int, dim2 int, size1 int, size2 int, expire_at timestamp, ts timestamp"
+    )
+
+    def land(rows, name, mtime):
+        stage = str(tmp_path / f"dstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    land([([1.0, 0.0], "g", "first", 1, None, None, None, None, None, T)], "a", now - 100)
+    land(
+        [([1.0, 0.0], "g", "replay", 2, None, None, None, None, None,
+          T + datetime.timedelta(minutes=1))],
+        "b", now,
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store.insert_stream(
+        "dedup_stream", stream, watermark=("ts", "1 hour"),
+        dedup_within_watermark=True,
+    )
+    got = store.export("dedup_stream").collect()
+    assert len(got) == 1
+    assert got[0]["label"] == "first"

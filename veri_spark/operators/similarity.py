@@ -440,3 +440,146 @@ def group_centroid_outliers(
         tie_cols=[id_col],
         rank_col="rnk",
     )
+
+
+# -- product quantization (PQ): the memory-scale ANN path ---------------------
+#
+# IVF bounds WHICH vectors a query touches; PQ bounds what each touched
+# vector COSTS: a d-dim float32 vector (4d bytes) becomes m one-byte codes
+# (16x smaller at d=64, m=8, k<=256), and scoring a candidate is m table
+# lookups instead of d multiply-adds. The codebooks are tiny (m*k*(d/m)
+# floats) and live in the PLAN as literals, so encode and ADC scoring are
+# both map-only — zero shuffles over the corpus, the same discipline as
+# ivf_assign. The reference's Annoy index is an in-memory tree per node;
+# IVF-PQ is the standard distributed replacement (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+
+def pq_train(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each vector into ``m`` contiguous
+    subvectors and fit KMeans with ``k`` centroids per subspace (optionally
+    on a sample — at 100 TB fit on ~1M sampled rows). Returns
+    ``codebooks[j][c] = centroid c of subspace j`` as plain Python lists,
+    sized to ride into later plans as literals. Deterministic for a fixed
+    seed. The vector dim must be divisible by ``m``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vector_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    v = F.col(vector_col).cast("array<double>")
+    base = df.select(v.alias("__v"))
+    if sample_fraction:
+        base = base.sample(sample_fraction, seed=seed)
+    base = base.persist()
+    try:
+        books: list[list[list[float]]] = []
+        for j in range(m):
+            feats = base.select(
+                array_to_vector(F.slice("__v", j * sub + 1, sub)).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + j, featuresCol="features").fit(feats)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    finally:
+        base.unpersist()
+    return books
+
+
+def _sq_dist_lit(col, centroid: list[float]):
+    """Squared euclidean distance between an array column and a literal."""
+    return F.aggregate(
+        F.zip_with(col, F.array(*[F.lit(float(x)) for x in centroid]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vector_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the argmin-distance
+    codebook entry. Map-only (codebooks are literals, same argmin-of-
+    struct-array trick as ivf_assign); ties break on the lower code. The
+    output ``array<int>`` of length m is what the 100 TB corpus stores and
+    shuffles — the float vectors never need to leave the scan again."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vector_col).cast("array<double>")
+    codes = []
+    for j in range(m):
+        s = F.slice(v, j * sub + 1, sub)
+        cands = [
+            F.struct(_sq_dist_lit(s, c).alias("d"), F.lit(ci).alias("c"))
+            for ci, c in enumerate(codebooks[j])
+        ]
+        codes.append(F.array_min(F.array(*cands))["c"])
+    return df.withColumn(out_col, F.array(*codes).cast("array<int>"))
+
+
+def pq_adc_scores(
+    df_codes: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC): approximate squared euclidean
+    distance of the (unquantized) query to each encoded vector, as the sum
+    of per-subspace lookup-table entries. The LUT (m x k doubles, built
+    driver-side from the query) enters the plan as a literal; scoring is
+    ``zip_with(code, LUT, (c, lut) -> lut[c]) |> sum`` — map-only over
+    m-byte codes. Lower is better (distance)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query]
+    lut = [
+        [
+            sum((q[j * sub + t] - c[t]) ** 2 for t in range(sub))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(*[
+        F.array(*[F.lit(d) for d in row]) for row in lut
+    ])
+    score = F.aggregate(
+        F.zip_with(F.col(code_col), lut_lit,
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df_codes.withColumn("score", score)
+
+
+def pq_search(
+    df: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    n: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ top-n: encode (or reuse a ``pq_code`` column if the
+    corpus is already encoded) + ADC score + bounded TakeOrdered. Compose
+    with ivf_probe_candidates for IVF-PQ: probe prunes the partitions, ADC
+    scores the survivors on codes alone."""
+    if "pq_code" not in df.columns:
+        df = pq_encode(df, codebooks, vector_col=vector_col)
+    scored = pq_adc_scores(df, query, codebooks, id_col=id_col)
+    return topk(
+        scored.select(id_col, "score"), "score", n,
+        higher_is_better=False, tie_cols=[id_col],
+    )

@@ -338,6 +338,8 @@ class FeatureStore:
         stream: DataFrame,
         ttl_seconds: int | None = None,
         timeout_s: int = 120,
+        watermark: tuple[str, str] | None = None,
+        dedup_within_watermark: bool = False,
     ) -> None:
         """Streaming ingest (the reference's continuously-accepting Insert
         RPC, node/nodeservice.go:35-51): each micro-batch runs the same
@@ -345,10 +347,23 @@ class FeatureStore:
         last-version-wins hold per batch. Rows that are ALREADY expired when
         their micro-batch merges (an ``expire_at`` in the past) are dropped
         before the upsert — the ingest-path analog of the reference's lazy
-        expiry on scan (data/newsync.go:78-80); pair with a watermark on the
-        event-time column upstream to bound state for late data.
-        availableNow drains the source then stops — swap the trigger for
-        continuous production ingest."""
+        expiry on scan (data/newsync.go:78-80).
+
+        ``watermark=(ts_col, delay)`` bounds streaming state for late data;
+        with ``dedup_within_watermark`` the stream is ALSO deduped on the
+        datum key (``dropDuplicatesWithinWatermark``) BEFORE any micro-batch
+        merges — the stream-side analog of the reference's CloseEnough
+        change-dedup: a datum replayed within the delay (at-least-once
+        sources, retried producers) never reaches the read-modify-write
+        path at all, and the dedup state is evicted once the watermark
+        passes, so it stays finite. availableNow drains the source then
+        stops — swap the trigger for continuous production ingest."""
+        if watermark is not None:
+            stream = stream.withWatermark(*watermark)
+            if dedup_within_watermark:
+                if "__key" not in stream.columns:
+                    stream = stream.withColumn("__key", M.datum_key())
+                stream = stream.dropDuplicatesWithinWatermark(["__key"])
 
         def _merge(batch_df: DataFrame, _batch_id: int) -> None:
             self.insert(name, M.expire(batch_df), ttl_seconds=ttl_seconds, no_target=True)
