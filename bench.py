@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "dedup_simhash_hamming",
     "dedup_minhash_clusters",
     "char_trigram_profile",
+    # round-3: PQ scoring + training-pipeline ops
+    "ann_pq_adc",
+    "decontamination_overlap",
+    "sequence_packing",
 ]
 
 

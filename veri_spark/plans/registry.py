@@ -3124,3 +3124,170 @@ def cross_source_duplicates(spark, sf_dir):
         )
         .filter(F.col("n_sources") > 1)
     )
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: PQ scoring, eval-set decontamination, sequence packing
+# ---------------------------------------------------------------------------
+
+# Deterministic PQ codebooks for the oracle pair: entry c of subspace j is
+# row c's j-th subvector (the same first-rows convention as _DD_CENTROIDS).
+# Production PQ trains KMeans codebooks (pq_train); the scoring math being
+# checked here — argmin encode + ADC lookup — is identical either way.
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 16
+
+
+def _dd_subdist(a: str, b: str, j: str = "j") -> str:
+    """DuckDB fragment: squared euclidean distance between the ``j``-th
+    8-wide subvectors of two DOUBLE[] columns (1-based list indexing)."""
+    d = f"({a}[{j}*8+t] - {b}[{j}*8+t])"
+    return f"list_sum(list_transform(range(1, 9), t -> {d} * {d}))"
+
+
+@register(
+    "ann_pq_adc",
+    f"""
+    WITH cb AS (SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e
+                FROM embeddings WHERE vec_id < {_PQ_K}),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    subd AS (
+      SELECT r.vec_id, j.j, cb.c, {_dd_subdist('r.e', 'cb.e', 'j.j')} AS d
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) r
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+      CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM subd) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT enc.vec_id, SUM({_dd_subdist('q.qe', 'cb.e', 'enc.j')}) AS score
+      FROM enc JOIN cb ON enc.c = cb.c CROSS JOIN q
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, ROUND(score, 6) AS score
+    FROM adc ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-10 (K2's memory-scale companion — the
+    reference holds full float vectors in its Annoy index per node,
+    annoyindex/; PQ stores m one-byte codes instead, 32x smaller at
+    d=64/m=8). Codebooks and the query LUT enter the plan as literals, so
+    encode + ADC are map-only over the corpus — zero shuffles before the
+    bounded top-k. Codebooks here are the first-16-rows convention so the
+    DuckDB oracle can replicate them; pq_train fits real KMeans books."""
+    from veri_spark.operators.similarity import pq_adc_scores, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in head}
+    books = [
+        [by_id[c][j * _PQ_SUB : (j + 1) * _PQ_SUB] for c in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+    q = _query_vector(spark, sf_dir, 0)
+    scored = pq_adc_scores(pq_encode(emb, books), q, books)
+    out = topk(
+        scored.select("vec_id", "score"), "score", 10,
+        higher_is_better=False, tie_cols=["vec_id"],
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "decontamination_overlap",
+    """
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20)
+    ),
+    corpus AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id >= 20)
+    )
+    SELECT c.doc_id, COUNT(*)::BIGINT AS n_shared
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id HAVING COUNT(*) >= 3
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing >= 3 distinct
+    3-word shingles with a held-out benchmark set (docs 0-19 stand in).
+    The benchmark shingle set is tiny and BROADCAST, so the corpus side is
+    map-only scan -> hash-semi-probe -> one groupBy(doc_id) — at 100 TB the
+    eval suites are a few MB of shingles against the whole crawl, which is
+    exactly this plan. Distinct shingles per side, so n_shared is the
+    shared-shingle count, not an occurrence count."""
+    from veri_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        doc_shingles(docs.filter(F.col("doc_id") < 20), parallelism=None)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = doc_shingles(
+        docs.filter(F.col("doc_id") >= 20), parallelism=16
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks AS cum_before
+      FROM t
+    )
+    SELECT source, FLOOR(cum_before / 512)::BIGINT AS bin,
+           COUNT(*)::BIGINT AS n_docs, SUM(n_toks)::BIGINT AS n_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: docs are laid end-to-end in
+    deterministic (doc_id) order within each source shard and assigned to
+    the 512-token training window where they START. Per (source, bin):
+    docs packed and token mass. Packing PARTITIONS BY SOURCE — the window
+    is per-shard, so at 100 TB each shard packs independently in parallel
+    (a single global ORDER BY would serialize the sort); real pipelines
+    pack per input shard for exactly this reason."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(toks_fn("text")).cast("bigint").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_toks").over(w) - F.col("n_toks"))
+    return (
+        c.select("source", F.floor(F.col("cum_before") / 512).cast("bigint").alias("bin"), "n_toks")
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
