@@ -515,3 +515,35 @@ def test_insert_stream_dedup_within_watermark(spark, store, tmp_path):
     got = store.export("dedup_stream").collect()
     assert len(got) == 1
     assert got[0]["label"] == "first"
+
+
+def test_ivf_pq_index_roundtrip(spark, store):
+    """refresh_index(pq_m=...) persists PQ codes + codebooks next to the IVF
+    assignment; approximate search then ADC-prunes candidates on codes and
+    exact-rescores survivors — the self-match must still rank first, and a
+    plain re-refresh (no pq_m) must drop the PQ sidecar."""
+    import random
+
+    rng = random.Random(9)
+    rows = [([rng.uniform(-1, 1) for _ in range(8)], "g", str(i), 1) for i in range(40)]
+    store.insert("pq", _batch(spark, rows), no_target=True)
+    store.refresh_index("pq", n_centroids=4, pq_m=4, pq_k=8)
+    assigned, cents, books = store._indexed("pq")
+    assert "pq_code" in assigned.columns
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 2
+    q = rows[17][0]
+    got = store.search(
+        "pq", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=3),
+        nprobe=4,
+    ).collect()
+    assert got[0]["label"] == "17"
+    assert got[0]["score"] < 1e-6
+    # rebuilding without PQ removes the sidecar; search still works
+    store.refresh_index("pq", n_centroids=4)
+    assigned2, _, books2 = store._indexed("pq")
+    assert books2 is None and "pq_code" not in assigned2.columns
+    got2 = store.search(
+        "pq", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=3),
+        nprobe=4,
+    ).collect()
+    assert got2[0]["label"] == "17"

@@ -623,7 +623,10 @@ class FeatureStore:
         candidates with the configured function and applies PassesFilters
         before collecting (data/search.go:311-327), so TTL, JSON-path
         filters, context re-scoring, and higher_is_better all apply here
-        identically; only candidate generation is approximate."""
+        identically; only candidate generation is approximate. When the
+        persisted index carries PQ codes (refresh_index(pq_m=...)), the
+        filtered candidates are additionally ADC-pruned on codes with a 4x
+        rerank margin before the exact scoring pass (IVF-PQ)."""
         from veri_spark.operators.search import (
             context_rescore,
             json_path_filter,
@@ -635,22 +638,37 @@ class FeatureStore:
         builder, hib = config.resolve()
         idx = self._indexed(name)
         if idx is not None:
-            assigned, cents = idx
+            assigned, cents, books = idx
         else:
             cents = take_centroids(corpus, n_centroids, id_col="label", vector_col="feature")
             assigned = ivf_assign(corpus, cents, id_col="label", vector_col="feature")
+            books = None
         cand = ivf_probe_candidates(assigned, cents, q, nprobe=nprobe)
         cand = ttl_filter(cand)
         if config.filters and "label" in cand.columns:
             cand = json_path_filter(cand, "label", config.filters)
         if config.group_filters and "group_label" in cand.columns:
             cand = json_path_filter(cand, "group_label", config.group_filters)
+        n = config.result_limit or config.limit
+        if books is not None and "pq_code" in cand.columns:
+            # IVF-PQ rerank: ADC-prune the (already filtered) candidates on
+            # their m-byte codes — euclidean in code space, the geometry the
+            # books were trained in — keeping a 4x rerank margin, then
+            # exact-score only the survivors with the CONFIGURED function.
+            # Filters run before the prune, so the margin can't starve the
+            # result set of eligible rows it already dropped.
+            from veri_spark.operators.similarity import pq_adc_scores
+
+            adc = pq_adc_scores(cand, q, books, code_col="pq_code").withColumnRenamed(
+                "score", "__adc"
+            )
+            cand = topk(adc, "__adc", max(4 * n, 32), higher_is_better=False,
+                        tie_cols=["label"]).drop("__adc")
         scored = cand.withColumn("score", builder(F.col("feature"), q))
         scored = context_rescore(
             scored, context_vectors, config, vector_col="feature",
             prioritize=prioritize_context,
         )
-        n = config.result_limit or config.limit
         return topk(scored, "score", n, hib, tie_cols=["label"])
 
     # -- index lifecycle (Process / Annoyer hot-swap analog) ---------------
@@ -658,17 +676,35 @@ class FeatureStore:
         return f"{self.root}/{name}.index"
 
     def refresh_index(
-        self, name: str, n_centroids: int = 16, vector_col: str = "feature"
+        self,
+        name: str,
+        n_centroids: int = 16,
+        vector_col: str = "feature",
+        pq_m: int | None = None,
+        pq_k: int = 16,
     ) -> int:
         """The reference's Process pass (data/newsync.go:93-227): rebuild the
         ANN index from the live table and hot-swap it atomically. Here the
         index is the IVF assignment written PARTITIONED BY centroid_id, so a
         probe search prunes to nprobe/n_centroids of the files at the scan.
-        Returns the number of indexed rows."""
+
+        ``pq_m`` additionally trains product-quantization codebooks (m
+        subspaces x pq_k entries, KMeans, fixed seed) and persists an
+        m-byte ``pq_code`` per row in the index: approximate search then
+        ADC-prunes the probed candidates on codes before exact-scoring the
+        survivors — at 100 TB the float vectors stay column-pruned out of
+        the candidate scan entirely. Requires a uniform vector dim
+        divisible by ``pq_m``. Returns the number of indexed rows."""
         df = self._read(name)
         df = df.withColumn("__row_id", F.xxhash64(*df.columns))
         cents = take_centroids(df, n_centroids, id_col="__row_id", vector_col=vector_col)
         assigned = ivf_assign(df, cents, id_col="__row_id", vector_col=vector_col)
+        books = None
+        if pq_m is not None:
+            from veri_spark.operators.similarity import pq_encode, pq_train
+
+            books = pq_train(df, vector_col=vector_col, m=pq_m, k=pq_k, seed=42)
+            assigned = pq_encode(assigned, books, vector_col=vector_col)
         tmp = self._index_path(name) + ".tmp"
         assigned.drop("__row_id").write.mode("overwrite").partitionBy(
             "centroid_id"
@@ -681,6 +717,13 @@ class FeatureStore:
             if os.path.exists(final + suffix):
                 shutil.rmtree(final + suffix)
             os.rename(tmp + suffix, final + suffix)
+        pq_file = final + ".pq"
+        if books is not None:
+            with open(pq_file + ".tmp", "w") as f:
+                json.dump(books, f)
+            os.replace(pq_file + ".tmp", pq_file)
+        elif os.path.exists(pq_file):
+            os.remove(pq_file)
         # stamp the dataset mutation version the index was built from: a
         # later insert/delete/expire bumps the dataset stamp, the index
         # reads as stale, and approximate search falls back to on-the-fly
@@ -691,10 +734,11 @@ class FeatureStore:
         return self.spark.read.parquet(final).count()
 
     def _indexed(self, name: str):
-        """The persisted IVF index, or None when absent OR STALE — built
-        from an older mutation stamp than the dataset's current one. Serving
-        a stale index would silently drop post-refresh inserts from
-        approximate results."""
+        """The persisted IVF index as (assigned, centroids, pq_codebooks) —
+        pq_codebooks is None for a plain IVF index — or None when absent OR
+        STALE — built from an older mutation stamp than the dataset's
+        current one. Serving a stale index would silently drop post-refresh
+        inserts from approximate results."""
         final = self._index_path(name)
         if not os.path.exists(final):
             return None
@@ -703,9 +747,14 @@ class FeatureStore:
             return None
         if int(open(stamp_file).read()) != self._mutation_stamp(name):
             return None
+        books = None
+        if os.path.exists(final + ".pq"):
+            with open(final + ".pq") as f:
+                books = json.load(f)
         return (
             self.spark.read.parquet(final),
             self.spark.read.parquet(final + ".centroids"),
+            books,
         )
 
     # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
