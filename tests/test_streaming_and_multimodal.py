@@ -151,30 +151,26 @@ def test_streaming_dedup_within_watermark(spark):
 
 
 def test_stream_stream_interval_join(spark):
-    """Stream-stream join with watermarks and a time-interval condition:
-    each purchase joins clicks by the same user within the preceding hour.
-    Verified against the equivalent batch range join."""
+    """interval_join on streams: each purchase joins clicks by the same
+    user within the preceding hour; watermark + bounded interval let Spark
+    evict join state. The streaming result must equal the SAME helper run
+    on the batch frames (and an independently-written raw batch join)."""
     import pyspark.sql.functions as F
-    from pyspark.sql.functions import expr
     from veri_spark.sources.catalog import load_table
+    from veri_spark.streaming.windows import interval_join
 
-    stream = stream_events(spark, SF_DIR)
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "2 hours")
+    def sides(ev):
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id", "ts")
+        return p, c
+
+    joined = interval_join(
+        *sides(stream_events(spark, SF_DIR)),
+        on="user_id", lower="-1 hours", upper="0 seconds",
     )
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
-    )
+    assert set(joined.columns) == {"p_id", "user_id", "ts", "c_id", "ts__r"}
     q = (
         joined.writeStream.format("memory").queryName("ssjoin")
         .outputMode("append").trigger(availableNow=True).start()
@@ -183,18 +179,17 @@ def test_stream_stream_interval_join(spark):
     got = spark.table("ssjoin").count()
 
     ev = load_table(spark, SF_DIR, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"))
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-    expected = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+    batch = interval_join(
+        *sides(ev), on="user_id", lower="-1 hours", upper="0 seconds"
     ).count()
-    assert got == expected and got > 0
+    p, c = sides(ev)
+    raw = p.join(
+        c.withColumnRenamed("user_id", "c_user").withColumnRenamed("ts", "c_ts"),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("ts")),
+    ).count()
+    assert got == batch == raw and got > 0
 
 
 def test_multimodal_features_feed_knn(spark):

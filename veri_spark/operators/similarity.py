@@ -22,6 +22,7 @@ model objects) and keep determinism for the correctness gate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -494,16 +495,6 @@ def pq_train(
     return books
 
 
-def _sq_dist_lit(col, centroid: list[float]):
-    """Squared euclidean distance between an array column and a literal."""
-    return F.aggregate(
-        F.zip_with(col, F.array(*[F.lit(float(x)) for x in centroid]),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -511,22 +502,40 @@ def pq_encode(
     out_col: str = "pq_code",
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace, the argmin-distance
-    codebook entry. Map-only (codebooks are literals, same argmin-of-
-    struct-array trick as ivf_assign); ties break on the lower code. The
-    output ``array<int>`` of length m is what the 100 TB corpus stores and
-    shuffles — the float vectors never need to leave the scan again."""
+    codebook entry (ties break on the lower code, numpy argmin-first).
+
+    This is the repo's second sanctioned Arrow escape hatch (SURVEY.md
+    2.7): a vectorized ``pandas_udf`` over (batch x k x sub) numpy
+    broadcasting. The m*k candidate distances per row CANNOT live in the
+    plan as literal expressions the way ivf_assign's centroids do — at
+    k=16 the generated code already blows janino's method limit and falls
+    back to interpreted per-row evaluation (~6x slower than this), and
+    production PQ wants k=256. Encode is still MAP-ONLY — one
+    ArrowEvalPython over the scan, no shuffle — and runs once at ingest;
+    queries touch only the persisted codes. The output ``array<int>`` of
+    length m is what the 100 TB corpus stores and shuffles — the float
+    vectors never need to leave the scan again."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    v = F.col(vector_col).cast("array<double>")
-    codes = []
-    for j in range(m):
-        s = F.slice(v, j * sub + 1, sub)
-        cands = [
-            F.struct(_sq_dist_lit(s, c).alias("d"), F.lit(ci).alias("c"))
-            for ci, c in enumerate(codebooks[j])
-        ]
-        codes.append(F.array_min(F.array(*cands))["c"])
-    return df.withColumn(out_col, F.array(*codes).cast("array<int>"))
+    books_np = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            # (B, k) squared distances; same math as the DuckDB oracle
+            d2 = ((S[:, None, :] - books_np[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vector_col)))
 
 
 def pq_adc_scores(
@@ -539,9 +548,9 @@ def pq_adc_scores(
     """Asymmetric distance computation (ADC): approximate squared euclidean
     distance of the (unquantized) query to each encoded vector, as the sum
     of per-subspace lookup-table entries. The LUT (m x k doubles, built
-    driver-side from the query) enters the plan as a literal; scoring is
-    ``zip_with(code, LUT, (c, lut) -> lut[c]) |> sum`` — map-only over
-    m-byte codes. Lower is better (distance)."""
+    driver-side from the query) enters the plan as a literal; the score is
+    an explicit m-term sum of element_at lookups (codegen — not a
+    higher-order function, see _sq_dist_lit). Lower is better (distance)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     q = [float(x) for x in query]
@@ -552,15 +561,12 @@ def pq_adc_scores(
         ]
         for j in range(m)
     ]
-    lut_lit = F.array(*[
-        F.array(*[F.lit(d) for d in row]) for row in lut
-    ])
-    score = F.aggregate(
-        F.zip_with(F.col(code_col), lut_lit,
-                   lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    code = F.col(code_col)
+    score = None
+    for j in range(m):
+        row_lit = F.array(*[F.lit(d) for d in lut[j]])
+        term = F.element_at(row_lit, F.element_at(code, j + 1) + 1)
+        score = term if score is None else score + term
     return df_codes.withColumn("score", score)
 
 

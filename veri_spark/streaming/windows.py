@@ -141,6 +141,53 @@ def session_window_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left row with
+    right rows sharing ``on`` whose timestamp lands in
+    ``[left_ts + lower, left_ts + upper]`` (the click-to-impression /
+    event-to-enrichment shape).
+
+    Both sides get the watermark; together with the bounded interval this
+    is what lets Spark EVICT join state — per key, each side buffers only
+    ``watermark + interval`` of rows, so state is O(rate x window), not
+    O(stream). An unbounded-condition stream-stream join would hold both
+    streams forever — never ship one at 100 TB/day. Batch frames join with
+    the identical predicate (no watermark needed), so the same function
+    serves the oracle path. Outer joins emit their null-padded rows only
+    after the watermark passes (Spark semantics), and require the time
+    bound on BOTH sides — which the symmetric interval provides.
+
+    When both timestamp columns share a name, the right one is renamed to
+    ``{right_ts}__r`` in the output; the join key appears once."""
+    l, r = left, right
+    if right_ts == left_ts:
+        r = r.withColumnRenamed(right_ts, right_ts + "__r")
+        right_ts = right_ts + "__r"
+    if left.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    lts, rts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    cond = (
+        (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
+        & (rts >= lts + F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return (
+        l.alias("__l").join(r.alias("__r"), cond, how).drop(F.col(f"__r.{on}"))
+    )
+
+
 def run_stream_to_memory(
     windowed: DataFrame, query_name: str, timeout_s: int = 60
 ) -> DataFrame:
