@@ -3291,3 +3291,249 @@ def sequence_packing(spark, sf_dir):
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").cast("bigint").alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 (round 3): TPC-H q2/q11 shapes (adapted — no partsupp table, so
+# lineitem's (l_partkey, l_suppkey) pairs serve as the supply relation),
+# the stream-grade interval join run on batch frames, and two more
+# training-pipeline ops (unigram LM quality proxy, dedup winner selection).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+      SELECT sp.partkey, sp.suppkey, sp.cost, s_name, n_name
+      FROM supply sp
+      JOIN supplier ON s_suppkey = sp.suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY partkey
+                                   ORDER BY cost ASC, suppkey ASC) AS rn
+      FROM eur
+    )
+    SELECT p_partkey, p_name, s_name, n_name, cost::DOUBLE AS cost
+    FROM best JOIN part ON p_partkey = partkey
+    WHERE rn = 1 AND p_size <= 15
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part), decorrelated: the
+    correlated MIN subquery becomes a per-part window rank over the supply
+    relation, rn = 1 keeps the winner (cost asc, suppkey asc — fully
+    deterministic; cost is an exact DECIMAL min, no float ties). Adapted to
+    this schema: lineitem's (l_partkey, l_suppkey) pairs ARE the supply
+    relation (no partsupp table). Scale shape: one groupBy over lineitem
+    (partial aggs), nation/region broadcast and prune supplier BEFORE the
+    supply join; the window partitions by partkey — millions of independent
+    partitions, no global sort. part joins last, filtered, on the already-
+    thinned winners. Reference: this is the search-and-reduce shape of
+    SURVEY §2 K9/K10 applied to relational data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    eur_supp = (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eur = supply.join(eur_supp, F.col("suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("partkey").orderBy(
+        F.col("cost").asc(), F.col("suppkey").asc()
+    )
+    best = eur.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(
+            part.filter(F.col("p_size") <= 15),
+            F.col("p_partkey") == F.col("partkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.col("cost").cast("double").alias("cost"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH sup_nat AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey WHERE n_name = 'NATION_7'
+    ), val AS (
+      SELECT l_partkey AS partkey, SUM({_REV_DEC}) AS value
+      FROM lineitem JOIN sup_nat ON s_suppkey = l_suppkey
+      GROUP BY 1
+    ), tot AS (SELECT SUM(value) AS total, COUNT(*) AS n FROM val)
+    SELECT partkey, ROUND(value, 2)::DOUBLE AS value
+    FROM val, tot WHERE value::DOUBLE > total::DOUBLE / n * 1.25
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose supply value within one nation exceeds
+    a fraction of that nation's total. The scalar subquery (global total)
+    is a one-row aggregate cross-joined back as a broadcast — Catalyst's
+    own decorrelation, written directly; never a driver-side collect, so
+    the plan is a single job at any scale. Value sums are exact
+    DECIMAL(18,4) (summation-order-proof across engines); the threshold
+    compare happens in double on both sides identically. Per-part groupBy
+    carries only the one nation's lineitems (the supplier semi-join prunes
+    first — nation is a broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    sup_nat = (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(sup_nat, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev_dec()).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double")
+            > F.col("total").cast("double") / F.col("n") * 1.25
+        )
+        .select(
+            "partkey",
+            (F.floor(F.col("value") * 100 + F.lit("0.5").cast("decimal(2,1)")) / 100)
+            .cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "interval_join_clicks",
+    """
+    WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p_id, COUNT(*)::BIGINT AS n_clicks
+    FROM p JOIN c ON p.user_id = c.user_id
+               AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY p_id
+    """,
+)
+def interval_join_clicks(spark, sf_dir):
+    """Event-time interval join (clicks within the hour before each
+    purchase, per user) through the SAME ``interval_join`` helper the
+    streaming path uses — one code path for both executions, which is the
+    point: the bounded interval + watermark make streaming state evictable
+    (O(rate x window) per key), and on batch frames the identical predicate
+    is a plain range join. Aggregated to per-purchase click counts.
+    Scale: the join shuffles both sides by user_id once; the time bound
+    keeps per-key fanout to one hour of events."""
+    from veri_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    j = interval_join(p, c, on="user_id", lower="-1 hours", upper="0 seconds")
+    return j.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@register(
+    "unigram_logprob_scores",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) x
+      GROUP BY doc_id, tok
+    ), freq AS (
+      SELECT tok, SUM(tf)::BIGINT AS c FROM tf GROUP BY tok
+    )
+    SELECT doc_id, SUM(tf)::BIGINT AS n_toks,
+           SUM(tf * FLOOR(1000000 * ln(c::DOUBLE) + 0.5)::BIGINT)::BIGINT
+             AS sum_micro_log
+    FROM tf JOIN freq USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark, sf_dir):
+    """Unigram language-model quality proxy: per-doc sum of per-token
+    corpus log-frequencies — the cheap stand-in for the KenLM/perplexity
+    filter every training mix runs (docs full of rare tokens score low).
+    Cross-engine determinism: each token's ln(count) is rounded to INTEGER
+    micro-nats FIRST, then summed as exact BIGINT — so the aggregate is
+    summation-order-proof (a raw double sum of logs would vary in the last
+    ulp with partitioning). Plan: explode -> (doc,tok) tf agg -> tok-keyed
+    corpus counts joined back -> per-doc agg; all partial-aggregated. The
+    tok join is zipf-skewed at 100 TB — AQE skew-join splits the hot
+    tokens; the freq side is vocabulary-sized, NOT broadcastable at web
+    scale (hundreds of millions of distinct tokens), so it stays a shuffle
+    join on purpose."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(toks_fn("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("c"))
+    micro = F.floor(1000000 * F.log(F.col("c").cast("double")) + 0.5).cast("bigint")
+    return (
+        tf.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_toks"),
+            F.sum(F.col("tf") * micro).cast("bigint").alias("sum_micro_log"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_first_by_source",
+    """
+    WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+         k AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM fp JOIN k USING (fp)
+    GROUP BY source
+    """,
+)
+def dedup_keep_first_by_source(spark, sf_dir):
+    """Dedup WINNER SELECTION (the materialization step the summary-only
+    dedup queries stop short of): exact-hash groups keep min(doc_id), and
+    every shard reports how many of its docs survived. This is the shape
+    that actually writes the deduped corpus at 100 TB: fingerprint groupBy
+    (short md5 keys, partial aggs), keeper set joined back on the
+    fingerprint, per-source counts. No full-text shuffle — only the
+    32-char fingerprint and ids move."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", F.md5(F.col("text")).alias("fp"))
+    k = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        fp.join(k, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+        )
+    )
