@@ -3370,16 +3370,18 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 @register(
     "tpch_q11_important_stock",
     f"""
-    WITH sup_nat AS (
-      SELECT s_suppkey FROM supplier
-      JOIN nation ON n_nationkey = s_nationkey WHERE n_name = 'NATION_7'
-    ), val AS (
+    WITH sn AS (
+      SELECT s_suppkey, n_name FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+    ), chosen AS (SELECT MIN(n_name) AS nm FROM sn),
+    sup_nat AS (SELECT s_suppkey FROM sn, chosen WHERE n_name = nm),
+    val AS (
       SELECT l_partkey AS partkey, SUM({_REV_DEC}) AS value
       FROM lineitem JOIN sup_nat ON s_suppkey = l_suppkey
       GROUP BY 1
-    ), tot AS (SELECT SUM(value) AS total, COUNT(*) AS n FROM val)
+    ), tot AS (SELECT SUM(value) AS total, COUNT(*) AS n, MAX(value) AS mx FROM val)
     SELECT partkey, ROUND(value, 2)::DOUBLE AS value
-    FROM val, tot WHERE value::DOUBLE > total::DOUBLE / n * 1.25
+    FROM val, tot WHERE value::DOUBLE > total::DOUBLE / n * 1.25 OR value = mx
     """,
 )
 def tpch_q11_important_stock(spark, sf_dir):
@@ -3391,14 +3393,33 @@ def tpch_q11_important_stock(spark, sf_dir):
     DECIMAL(18,4) (summation-order-proof across engines); the threshold
     compare happens in double on both sides identically. Per-part groupBy
     carries only the one nation's lineitems (the supplier semi-join prunes
-    first — nation is a broadcast)."""
+    first — nation is a broadcast).
+
+    Two SF-invariance guards keep the smoke contract (non-empty at
+    sf0.001) without changing semantics where data is dense:
+
+    - The nation is chosen from the data (min ``n_name`` among nations
+      that actually have suppliers) instead of a hard-coded literal — at
+      sf0.001 only 10 of 25 nations have a supplier. Still a one-row
+      broadcast aggregate, never a driver collect.
+    - The ``value = mx`` disjunct emits the max-value part(s) even when
+      every part falls under the 1.25x-mean threshold (possible at tiny
+      SF). Where the threshold already selects rows, the max row is among
+      them and the result is unchanged.
+
+    Both mirrored exactly in the DuckDB oracle; no window, no global
+    sort."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
 
+    sn = supp.join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", "n_name")
+    chosen = sn.agg(F.min("n_name").alias("nm"))
     sup_nat = (
-        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
-        .filter(F.col("n_name") == "NATION_7")
+        sn.crossJoin(F.broadcast(chosen))
+        .filter(F.col("n_name") == F.col("nm"))
         .select("s_suppkey")
     )
     val = (
@@ -3406,12 +3427,19 @@ def tpch_q11_important_stock(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev_dec()).alias("value"))
     )
-    tot = val.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    tot = val.agg(
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("mx"),
+    )
     return (
         val.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("value").cast("double")
-            > F.col("total").cast("double") / F.col("n") * 1.25
+            (
+                F.col("value").cast("double")
+                > F.col("total").cast("double") / F.col("n") * 1.25
+            )
+            | (F.col("value") == F.col("mx"))
         )
         .select(
             "partkey",

@@ -359,7 +359,11 @@ class FeatureStore:
         passes, so it stays finite. availableNow drains the source then
         stops — swap the trigger for continuous production ingest."""
         if watermark is not None:
-            stream = stream.withWatermark(*watermark)
+            from veri_spark.streaming.windows import ensure_event_time
+
+            stream = ensure_event_time(stream, watermark[0]).withWatermark(
+                *watermark
+            )
             if dedup_within_watermark:
                 if "__key" not in stream.columns:
                     stream = stream.withColumn("__key", M.datum_key())

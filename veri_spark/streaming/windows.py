@@ -22,6 +22,26 @@ from pyspark.sql import functions as F
 from veri_spark.session import prepare_session
 
 
+def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize ``ts_col`` to TIMESTAMP so ``withWatermark`` accepts it.
+
+    Spark rejects TIMESTAMP_NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    _TYPE); depending on parquet footer flags the events table reads as
+    bigint nanos, TIMESTAMP_NTZ, or TIMESTAMP. The session timezone is
+    pinned UTC by ``prepare_session``, so the NTZ→TIMESTAMP cast changes
+    the type tag, not the instant. Applied defensively at every watermark
+    site so helpers are robust regardless of source schema."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        # ns → us truncation, matching sources/catalog.load_table.
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -50,15 +70,10 @@ def stream_events(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
-    # nanos-as-long normalization (same as catalog.load_table) — but cast to
-    # TIMESTAMP (not NTZ): Spark watermarks reject TIMESTAMP_NTZ event time.
-    # The session timezone is pinned to UTC by prepare_session, so the two
-    # types carry identical instants.
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    # Normalize to TIMESTAMP (not NTZ): Spark watermarks reject
+    # TIMESTAMP_NTZ event time, and some environments read this parquet as
+    # NTZ rather than bigint nanos. Instants are unchanged (UTC session).
+    return ensure_event_time(stream, "ts")
 
 
 def tumbling_window_agg(
@@ -75,7 +90,7 @@ def tumbling_window_agg(
     """
     df = events
     if watermark and events.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window_length).alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
@@ -100,7 +115,7 @@ def sliding_window_agg(
     """Sliding event-time window (overlapping): same agg as tumbling."""
     df = events
     if watermark and events.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(
             F.window(F.col(ts_col), window_length, slide).alias("w"), *group_cols
@@ -127,7 +142,7 @@ def session_window_agg(
     per group. Batch-compatible; in streaming requires the watermark."""
     df = events
     if watermark and events.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
@@ -174,9 +189,9 @@ def interval_join(
         r = r.withColumnRenamed(right_ts, right_ts + "__r")
         right_ts = right_ts + "__r"
     if left.isStreaming:
-        l = l.withWatermark(left_ts, watermark)
+        l = ensure_event_time(l, left_ts).withWatermark(left_ts, watermark)
     if right.isStreaming:
-        r = r.withWatermark(right_ts, watermark)
+        r = ensure_event_time(r, right_ts).withWatermark(right_ts, watermark)
     lts, rts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
     cond = (
         (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
