@@ -74,11 +74,20 @@ def main() -> None:
     spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
     calib = round(time.time() - t0, 3)
 
+    # median of 3 runs per query: a single GC / compaction hiccup on one
+    # run (BENCH_r03's 15.9 s dedup_minhash_lsh outlier, 4.4 s on re-run)
+    # cannot dominate a round verdict. Spread (min/max) is reported so a
+    # noisy median is visible too.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).collect()
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = sorted(runs)[1]
+        spread[name] = [min(runs), max(runs)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "calib_sec": calib,
                 "sf": sf,
             }

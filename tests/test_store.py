@@ -547,3 +547,47 @@ def test_ivf_pq_index_roundtrip(spark, store):
         nprobe=4,
     ).collect()
     assert got2[0]["label"] == "17"
+
+
+def test_pq_index_stale_after_stream_insert(spark, store, tmp_path):
+    """insert_stream merges micro-batches into the store, but a persisted
+    IVF-PQ index only updates on an explicit refresh_index — the staleness
+    stamp must route approximate search to the on-the-fly fallback so rows
+    ingested through the stream AFTER the index build are still visible."""
+    import random
+
+    from veri_spark.store import DATUM_SCHEMA
+
+    rng = random.Random(7)
+    rows = [
+        ([rng.uniform(-1, 1) for _ in range(8)], "g", str(i), 1)
+        for i in range(40)
+    ]
+    store.insert("pqs", _batch(spark, rows), no_target=True)
+    store.refresh_index("pqs", n_centroids=4, pq_m=4)
+    idx = store._indexed("pqs")
+    assert idx is not None and idx[2] is not None  # PQ codebooks persisted
+
+    # a fresh exact-match datum arrives VIA THE STREAM after the build
+    q = [0.5] * 8
+    src = tmp_path / "pq_stream_src"
+    _batch(spark, [(q, "g", "fresh", 9)]).write.parquet(str(src))
+    stream = spark.readStream.schema(DATUM_SCHEMA).parquet(str(src))
+    store.insert_stream("pqs", stream)
+
+    assert store._indexed("pqs") is None  # stream insert bumped the stamp
+    got = store.search(
+        "pqs", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=1),
+        n_centroids=4, nprobe=4,
+    ).collect()
+    assert got[0]["label"] == "fresh"
+
+    # re-refresh re-serves the PQ fast path and still finds the row
+    store.refresh_index("pqs", n_centroids=4, pq_m=4)
+    idx = store._indexed("pqs")
+    assert idx is not None and idx[2] is not None
+    got2 = store.search(
+        "pqs", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=1),
+        n_centroids=4, nprobe=4,
+    ).collect()
+    assert got2[0]["label"] == "fresh"

@@ -5,6 +5,13 @@ against the same sf dir, then compares row count, sorted column names, and an
 order-insensitive value comparison. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+A full (un-filtered) run also writes ``CORRECTNESS_local.json`` at the repo
+root in the driver gate's schema — one row per registry query with
+rows/schema/hash match booleans. The driver's own CORRECTNESS_r* artifact
+has been pinned to the round-1 query list for three rounds running, so this
+file is the standing, diffable correctness signal for every query the gate
+does not cover (round-3 verdict item 3).
 """
 
 from __future__ import annotations
@@ -61,6 +68,19 @@ def main():
     oracles = entry_mod.oracle_sql()
 
     failed, passed, weak = [], [], []
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -72,10 +92,15 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
+            record(name, err=f"spark error: {ex}"[:500])
             continue
         if name not in oracles:
             weak.append(name)
             print(f"weak {name}: rows={len(s_rows)} (no oracle) [{time.time()-t0:.1f}s]")
+            record(
+                name, rows_match=len(s_rows) > 0, schema_match=True,
+                spark_rows=len(s_rows), err="no oracle (rows-only check)",
+            )
             continue
         try:
             res = con.execute(oracles[name])
@@ -84,18 +109,28 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
+            record(name, spark_rows=len(s_rows), err=f"duckdb error: {ex}"[:500])
             continue
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
+        schema_ok = sorted(s_cols) == sorted(d_cols)
+        rows_ok = len(s_rows) == len(d_rows)
+        hash_ok = False
+        if not schema_ok:
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
+        if not rows_ok:
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
             sm = rows_to_multiset(s_rows, s_cols)
             dm = rows_to_multiset(d_rows, d_cols)
-            if sm != dm:
+            hash_ok = sm == dm
+            if not hash_ok:
                 diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        record(
+            name, rows_match=rows_ok, schema_match=schema_ok, hash_match=hash_ok,
+            spark_rows=len(s_rows), oracle_rows=len(d_rows),
+            err="; ".join(problems)[:500] or None,
+        )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failed.append(name)
@@ -107,6 +142,15 @@ def main():
         f"\n{len(passed)} ok, {len(weak)} weak (no oracle), {len(failed)} FAILED"
         + (f": {failed}" if failed else "")
     )
+    if not only:
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_local.json")
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {out} ({len(report)} queries)")
     spark.stop()
     sys.exit(1 if failed else 0)
 

@@ -589,3 +589,32 @@ def pq_search(
         scored.select(id_col, "score"), "score", n,
         higher_is_better=False, tie_cols=[id_col],
     )
+
+
+def ivf_pq_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    n: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full memory- and compute-scale ANN path in one call —
+    the probe prunes WHICH vectors are touched (nprobe/k of the partitions,
+    partition pruning when the corpus is stored partitioned by
+    ``centroid_id``), PQ bounds what each touched vector COSTS (ADC over
+    m one-byte codes; the float vector is never read when a persisted
+    ``pq_code`` column exists). This is the composition the store's
+    ``refresh_index(pq_m=...)`` persists; exposed here so ad-hoc corpora
+    get the same plan. Map-only end to end: centroid probe ids and the
+    query LUT are plan literals, the only shuffle is the bounded top-n."""
+    cand = ivf_probe_candidates(assigned, centroids, query, nprobe=nprobe)
+    if "pq_code" not in cand.columns:
+        cand = pq_encode(cand, codebooks, vector_col=vector_col)
+    scored = pq_adc_scores(cand, query, codebooks, id_col=id_col)
+    return topk(
+        scored.select(id_col, "score"), "score", n,
+        higher_is_better=False, tie_cols=[id_col],
+    )

@@ -1498,7 +1498,10 @@ def docs_prep_pipeline(spark, sf_dir):
 )
 def tpch_q14_promo_share(spark, sf_dir):
     """TPC-H Q14 shape: conditional-aggregate share over a fact-dim join;
-    part is the build side (broadcast at small SF, shuffled hash beyond)."""
+    part is the build side (broadcast at small SF, shuffled hash beyond).
+    Distinct from `tpch_q14_promo_effect`: different month, broadcast-hinted
+    build side, and 2-dp output — that entry lets AQE choose the join and
+    rounds to 6 dp; both are kept to pin both planner disciplines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
@@ -2209,7 +2212,10 @@ def tpch_q13_order_distribution(spark, sf_dir):
     """,
 )
 def tpch_q14_promo_effect(spark, sf_dir):
-    """TPC-H Q14 shape: promo revenue share for one month. The date filter
+    """TPC-H Q14 shape: promo revenue share for one month (companion of
+    `tpch_q14_promo_share`, which broadcast-hints the build side and rounds
+    to 2 dp — same TPC-H question, deliberately different planner
+    discipline and rounding grain). The date filter
     prunes lineitem at the scan; part joins on the key WITHOUT a broadcast
     hint — part scales with the data (unlike nation/region) so the planner/
     AQE must pick the strategy from observed sizes. Both sums are exact
@@ -2899,7 +2905,9 @@ _DD_SPLIT_SHINGLES = """
     """,
 )
 def decontaminate_ngram_overlap(spark, sf_dir):
-    """Benchmark decontamination: n-gram overlap of each EVAL document
+    """Benchmark decontamination (companion of `decontamination_overlap`,
+    which flags the TRAIN side against a tiny broadcast benchmark set —
+    opposite output grain, different split): n-gram overlap of each EVAL document
     against the TRAIN shingle universe (the standard 'did the test set leak
     into training data' check — GPT-3/PaLM-style 13-gram collision, here
     3-gram on the short synthetic docs). The corpus is split
@@ -2946,7 +2954,9 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     """,
 )
 def pack_sequences(spark, sf_dir):
-    """Sequence packing for training: greedy assignment of documents to
+    """Sequence packing for training (companion of `sequence_packing`, which
+    buckets by START offset at a 512 budget and reports per-bin mass —
+    different assignment rule, budget, and output grain): greedy assignment of documents to
     fixed token-budget chunks (1024 tokens, +1 separator per doc) within
     each source shard, in deterministic doc_id order — the operator that
     turns a document table into packed training sequences. One window
@@ -3222,7 +3232,9 @@ def ann_pq_adc(spark, sf_dir):
     """,
 )
 def decontamination_overlap(spark, sf_dir):
-    """Eval-set decontamination: flag training docs sharing >= 3 distinct
+    """Eval-set decontamination (companion of `decontaminate_ngram_overlap`,
+    which scores EVAL docs against the train universe — opposite output
+    grain, different split): flag training docs sharing >= 3 distinct
     3-word shingles with a held-out benchmark set (docs 0-19 stand in).
     The benchmark shingle set is tiny and BROADCAST, so the corpus side is
     map-only scan -> hash-semi-probe -> one groupBy(doc_id) — at 100 TB the
@@ -3267,7 +3279,9 @@ def decontamination_overlap(spark, sf_dir):
     """,
 )
 def sequence_packing(spark, sf_dir):
-    """Concat-and-chunk sequence packing: docs are laid end-to-end in
+    """Concat-and-chunk sequence packing (companion of `pack_sequences`,
+    which assigns whole docs greedily at a 1024 budget and emits per-chunk
+    rows — different assignment rule, budget, and grain): docs are laid end-to-end in
     deterministic (doc_id) order within each source shard and assigned to
     the 512-token training window where they START. Per (source, bin):
     docs packed and token mass. Packing PARTITIONS BY SOURCE — the window
@@ -3565,3 +3579,75 @@ def dedup_keep_first_by_source(spark, sf_dir):
             .cast("bigint").alias("n_kept"),
         )
     )
+
+
+@register(
+    "ann_ivf_pq_search",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cd AS (SELECT c.centroid_id, list_distance(c.cvec, q.qe) AS qd
+           FROM {_DD_CENTROIDS} c, q),
+    probe AS (SELECT centroid_id FROM cd ORDER BY qd ASC, centroid_id ASC LIMIT 2),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), assigned AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id),
+    cb AS (SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id < {_PQ_K}),
+    subd AS (
+      SELECT r.vec_id, j.j, cb.c, {_dd_subdist('r.e', 'cb.e', 'j.j')} AS d
+      FROM (SELECT e.vec_id, e.embedding::DOUBLE[] AS e
+            FROM embeddings e JOIN cand USING (vec_id)) r
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+      CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM subd) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT enc.vec_id, SUM({_dd_subdist('q.qe', 'cb.e', 'enc.j')}) AS score
+      FROM enc JOIN cb ON enc.c = cb.c CROSS JOIN q
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, ROUND(score, 6) AS score
+    FROM adc ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_pq_search(spark, sf_dir):
+    """End-to-end IVF-PQ (round-3 verdict item 6): `ann_ivf_search` proves
+    the probe, `ann_pq_adc` proves ADC — this entry exercises their
+    COMPOSITION through `similarity.ivf_pq_search`, the plan the store's
+    `refresh_index(pq_m=...)` persists. Probe prunes to the 2 nearest of 8
+    centroid buckets (partition pruning on a persisted index), then ADC
+    scores only the survivors on m-byte codes. Codebooks are the
+    first-16-rows convention so the DuckDB oracle replicates them
+    (`pq_train` fits real KMeans books in production); the oracle mirrors
+    probe pruning and argmin encoding exactly."""
+    from veri_spark.operators.similarity import (
+        ivf_assign, ivf_pq_search, take_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    head = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in head}
+    books = [
+        [by_id[c][j * _PQ_SUB : (j + 1) * _PQ_SUB] for c in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+    q = _query_vector(spark, sf_dir, 0)
+    out = ivf_pq_search(assigned, cents, q, books, n=10, nprobe=2)
+    return out.select("vec_id", F.round("score", 6).alias("score"))

@@ -66,7 +66,15 @@ def delta_available() -> bool:
     """True when the delta-spark package is importable. The container this
     repo is developed in ships plain parquet only; on a production cluster
     with Delta Lake on the classpath the FeatureStore mutation path upgrades
-    to ACID ``MERGE INTO`` automatically (see FeatureStore.use_delta)."""
+    to ACID ``MERGE INTO`` automatically (see FeatureStore.use_delta).
+
+    EXPERIMENTAL: delta-spark cannot be installed in the development
+    sandbox (no network installs), so every ``use_delta`` branch
+    (_delta_merge, the Delta delete/expire paths) is written to the
+    published Delta Lake API but has NEVER EXECUTED here —
+    tests/test_store.py carries one skipif-marked test that activates the
+    moment the package is present. Treat those branches as unverified
+    until a Delta-equipped cluster runs them."""
     try:
         import delta  # noqa: F401
 
@@ -382,7 +390,9 @@ class FeatureStore:
 
     def _delta_merge(self, name: str, batch: DataFrame) -> None:
         """Delta MERGE upsert — the production mutation path the parquet
-        bucket-overwrite emulates. Last-version-wins on the datum key, with
+        bucket-overwrite emulates. EXPERIMENTAL / unexecuted in the
+        development sandbox (see ``delta_available``): review before first
+        production use. Last-version-wins on the datum key, with
         the reference's CloseEnough change-dedup (data/newsync.go:22-25,
         43-57) expressed as the WHEN MATCHED condition: an unchanged row
         (same label/version, TTL within ±10 s) matches no clause, so Delta
