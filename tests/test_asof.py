@@ -62,3 +62,37 @@ def test_asof_preserves_left_columns_and_count(frames):
     out = asof_join(left, right, on=["user"], payload_cols=["v"])
     assert set(out.columns) == {"id", "user", "ts", "asof_ts", "asof_v"}
     assert out.count() == left.count()
+
+
+def test_asof_forward(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on=["user"], payload_cols=["v"], direction="forward"
+    )
+    got = {r["id"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+    # id=1 at 10:00 matches the 10:00 right row (>= is inclusive), not 11:59
+    assert got[1] == (datetime(2024, 1, 1, 10, 0, 0), 2.0)
+    # id=2 at 12:00: all right rows earlier -> NULL
+    assert got[2] == (None, None)
+    # id=3 at 9:00 takes the EARLIEST later row
+    assert got[3] == (datetime(2024, 1, 1, 9, 30, 0), 4.0)
+    # id=4: key absent from right -> NULL
+    assert got[4] == (None, None)
+
+
+def test_asof_forward_tolerance(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on=["user"], payload_cols=["v"],
+        direction="forward", tolerance_seconds=600,
+    )
+    got = {r["id"]: r["asof_v"] for r in out.collect()}
+    assert got[1] == 2.0      # 0 s ahead, within 600 s
+    assert got[3] is None     # 30 min ahead, outside tolerance
+    assert got[2] is None and got[4] is None
+
+
+def test_asof_bad_direction(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["user"], direction="sideways")

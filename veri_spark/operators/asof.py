@@ -39,6 +39,7 @@ def asof_join(
     payload_cols: Sequence[str] = (),
     prefix: str = "asof_",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, annotated with ``prefix + right_ts``
     and ``prefix + c`` for each payload column from the latest right row with
@@ -46,7 +47,14 @@ def asof_join(
 
     ``tolerance_seconds`` optionally voids matches staler than the given gap
     (the pandas ``merge_asof(tolerance=...)`` semantic).
+
+    ``direction="forward"`` flips the temporal sense: the EARLIEST right row
+    with ``right[right_ts] >= left[left_ts]`` (time-to-next-event lookups).
+    Same single-shuffle union plan — only the window frame and the
+    equal-timestamp side ordering flip, so the scale behavior is identical.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     payload_cols = [c for c in payload_cols if c != right_ts]
     payload_struct = F.struct(
@@ -70,19 +78,34 @@ def asof_join(
             left.select(F.struct(*left.columns).alias("l")).schema["l"].dataType
         ).alias("__left"),
     )
-    w = (
-        Window.partitionBy(*[f"__k_{c}" for c in on])
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l_tagged.unionByName(r_tagged).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
+    part = Window.partitionBy(*[f"__k_{c}" for c in on])
+    if direction == "backward":
+        # right rows sort BEFORE left at equal ts -> <= inclusive; the
+        # latest preceding payload is last(ignorenulls) over [start, cur]
+        w = part.orderBy(
+            F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = F.last("__payload", ignorenulls=True)
+    else:
+        # right rows sort AFTER left at equal ts -> >= inclusive; the
+        # earliest following payload is first(ignorenulls) over [cur, end].
+        # Ties among right rows resolve to the LEAST payload struct
+        # (deterministic, mirrors backward's greatest-payload rule).
+        w = part.orderBy(
+            F.col("__t").asc(), F.col("__side").desc(), F.col("__payload").asc()
+        ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = F.first("__payload", ignorenulls=True)
+    filled = l_tagged.unionByName(r_tagged).withColumn("__match", fill.over(w))
     match: Column = F.col("__match")
     if tolerance_seconds is not None:
-        fresh = F.col("__match.__ts") >= F.col("__t") - F.expr(
-            f"INTERVAL {int(tolerance_seconds)} SECOND"
-        )
+        if direction == "backward":
+            fresh = F.col("__match.__ts") >= F.col("__t") - F.expr(
+                f"INTERVAL {int(tolerance_seconds)} SECOND"
+            )
+        else:
+            fresh = F.col("__match.__ts") <= F.col("__t") + F.expr(
+                f"INTERVAL {int(tolerance_seconds)} SECOND"
+            )
         match = F.when(fresh, F.col("__match"))
     out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
     out_cols.append(match.getField("__ts").alias(f"{prefix}{right_ts}"))

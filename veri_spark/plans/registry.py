@@ -3651,3 +3651,318 @@ def ann_ivf_pq_search(spark, sf_dir):
     q = _query_vector(spark, sf_dir, 0)
     out = ivf_pq_search(assigned, cents, q, books, n=10, nprobe=2)
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "tpch_q12_priority_counts",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts; this schema's
+    l_returnflag stands in for l_shipmode): fact-fact join with conditional
+    counts. The shipdate year filter pushes to the lineitem scan; the join
+    shuffles both sides on the order key ONCE (orders scales with lineitem
+    so no broadcast hint — AQE picks the strategy); the conditional sums are
+    partial-aggregated map-side to 3 groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "embedding_margin",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 10)
+    SELECT q_id,
+           ROUND(MIN(CASE WHEN e.label = q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END), 6) AS same_dist,
+           ROUND(MIN(CASE WHEN e.label != q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END), 6) AS diff_dist,
+           ROUND(MIN(CASE WHEN e.label != q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END)
+               - MIN(CASE WHEN e.label = q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END), 6) AS margin
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.q_id
+    GROUP BY q_id
+    """,
+)
+def embedding_margin(spark, sf_dir):
+    """Metric-learning margin audit (contrastive-pair mining diagnostic):
+    for each of 10 probe vectors, the distance to its nearest SAME-label
+    neighbor vs its nearest DIFFERENT-label neighbor, and the margin
+    between them — the per-anchor quantity triplet mining thresholds on.
+    Plan: the 10 probes are a broadcast, distances are map-side over one
+    corpus scan, and the conditional-min groupBy reduces to 10 rows —
+    at 100 TB this is one pass, no corpus self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    d = V.euclidean_distance(F.col("embedding"), F.col("qe"))
+    same = F.min(F.when(F.col("label") == F.col("ql"), d))
+    diff = F.min(F.when(F.col("label") != F.col("ql"), d))
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(
+            F.round(same, 6).alias("same_dist"),
+            F.round(diff, 6).alias("diff_dist"),
+            F.round(diff - same, 6).alias("margin"),
+        )
+    )
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    top AS (SELECT tok FROM freq ORDER BY c DESC, tok ASC LIMIT 50)
+    SELECT source, COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN tok IN (SELECT tok FROM top) THEN 1 ELSE 0 END)::BIGINT
+             AS covered,
+           ROUND(SUM(CASE WHEN tok IN (SELECT tok FROM top) THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS coverage
+    FROM toks GROUP BY source
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage per source: what fraction of a shard's token
+    occurrences a fixed top-50 global vocabulary explains — the tokenizer
+    /vocab-pruning diagnostic (OOV mass per source). Plan: token frequency
+    is one partial-aggregated groupBy; the top-50 vocab is a bounded top-k
+    BROADCAST back; coverage is then a single map-side-flagged pass over
+    the token stream with one groupBy(source). The vocabulary never
+    shuffles the corpus — at 100 TB the token stream is scanned twice
+    (freq + coverage), both passes map-combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = topk(freq, "c", 50, higher_is_better=True, tie_cols=["tok"]).select(
+        "tok", F.lit(1).alias("__hit")
+    )
+    return (
+        toks.join(F.broadcast(top), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("covered"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "length_bucket_sample",
+    """
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens, n_tokens // 10 AS bucket,
+                 row_number() OVER (PARTITION BY n_tokens // 10
+                                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          FROM t)
+    SELECT bucket::BIGINT AS bucket, doc_id, n_tokens::BIGINT AS n_tokens
+    FROM b WHERE rn <= 3
+    """,
+)
+def length_bucket_sample(spark, sf_dir):
+    """Curriculum / length-stratified sampling: bucket documents by token
+    count (width 10) and keep 3 per bucket, chosen DETERMINISTICALLY by
+    md5(doc_id) order — a reproducible stratified sample with no RNG state.
+    The rank<=3 filter compiles to WindowGroupLimit: each task keeps at
+    most 3 rows per bucket BEFORE the shuffle, so even with few buckets
+    (skewed window partitions) only n_partitions x 3 rows ever move."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    ).withColumn("bucket", (F.col("n_tokens") / 10).cast("int"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "event_funnel_steps",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+           (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+           (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel
+    """,
+)
+def event_funnel_steps(spark, sf_dir):
+    """Ordered three-step funnel (view -> later click -> later purchase),
+    counted by users reaching each stage. Each stage is a per-user MIN
+    aggregate joined to the next stage's filtered events — three shuffles,
+    all keyed on user_id so a co-partitioned events table reuses one
+    exchange; per-user state is a single timestamp, never an event list
+    (the sessionize-then-sort formulation would sort every user's full
+    history)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .select("user_id")
+        .distinct()
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "docs_norm_dedup_rate",
+    """
+    WITH n AS (
+      SELECT source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+      FROM documents)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT norm_fp)::BIGINT AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT norm_fp)::DOUBLE / COUNT(*), 6) AS dup_rate
+    FROM n GROUP BY source
+    """,
+)
+def docs_norm_dedup_rate(spark, sf_dir):
+    """Normalization-aware dedup rate per source: lowercase, strip
+    non-alphanumerics, collapse whitespace, then fingerprint — the measure
+    of how much exact-dedup is hiding behind trivial formatting variation
+    (the first pass of every crawl-cleaning pipeline). The distinct-count
+    runs on md5 fingerprints, NOT the normalized text: only 32-char hashes
+    reach the distinct shuffle, the documents never leave their scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = docs.select("source", F.md5(norm).alias("norm_fp"))
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("norm_fp")).alias("n_distinct"),
+        F.round(
+            1.0 - F.count_distinct(F.col("norm_fp")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "asof_next_error",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id, MIN(e.ts) AS next_error_ts
+    FROM p LEFT JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def asof_next_error(spark, sf_dir):
+    """FORWARD as-of join (time-to-next-event): each purchase annotated
+    with the user's next error at-or-after it. Exercises
+    asof_join(direction='forward') — the same single-shuffle union plan as
+    the backward form (each side shuffles once on user_id, O(1) window
+    state), where the naive left join + groupBy-min oracle formulation
+    materializes every (purchase, later-error) pair."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(
+        purchases, errors, on=["user_id"], direction="forward", prefix="next_"
+    )
+    return out.select("event_id", F.col("next_ts").alias("next_error_ts"))
+
+
+@register(
+    "heavy_hitters_share",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         tot AS (SELECT SUM(n) AS t FROM c)
+    SELECT user_id, n::BIGINT AS n_events, ROUND(n::DOUBLE / t, 6) AS share
+    FROM c, tot ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def heavy_hitters_share(spark, sf_dir):
+    """Skew diagnostic: the 10 heaviest keys and their share of all events
+    — the query you run BEFORE sizing a salt factor or enabling AQE skew
+    join on a key. Partial-aggregated groupBy, one-row broadcast total,
+    bounded top-k; the full key histogram never leaves the executors."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    scored = c.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
+    return topk(scored, "n_events", 10, higher_is_better=True, tie_cols=["user_id"])
