@@ -117,11 +117,15 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     cache: bool = True,
     max_doc_freq: int | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard via shingle self-join.
+    """All-pairs n-gram similarity via shingle self-join.
 
-    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard) for every pair
-    sharing at least one shingle, with doc_a < doc_b. The join shuffles on
+    Returns (doc_a, doc_b, n_common, n_a, n_b, <measure>) for every pair
+    sharing at least one shingle, with doc_a < doc_b. ``measure`` is
+    ``"jaccard"`` (shared / union) or ``"containment"`` (shared /
+    min(|A|, |B|) — detects a short doc embedded in a longer one); the
+    measure only changes the final projection, the join plan is identical. The join shuffles on
     the shingle value; skewed (stop-shingle) buckets are the scale hazard —
     set ``max_doc_freq`` to drop shingles above that document frequency
     (cap_stop_shingles) so no join bucket exceeds df^2 = max_doc_freq^2
@@ -137,6 +141,19 @@ def jaccard_pairs(
     which reads it three times. At cluster scale prefer an explicit
     checkpoint/table for the shingle set.
     """
+
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"measure must be jaccard|containment, got {measure!r}")
+
+    def _score(df):
+        if measure == "containment":
+            val = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+        else:
+            val = F.col("n_common") / (
+                F.col("n_a") + F.col("n_b") - F.col("n_common")
+            )
+        return df.withColumn(measure, val)
+
     if max_doc_freq is not None:
         # sizes must reflect the capped universe: drop any pre-computed n_sh,
         # then recompute it ONCE with a window over the capped shingle stream
@@ -161,10 +178,7 @@ def jaccard_pairs(
             # n_a/n_b are functionally dependent on doc_a/doc_b: free keys
             .groupBy("doc_a", "doc_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
-            .withColumn(
-                "jaccard",
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-            )
+            .transform(_score)
         )
     if cache:
         shingles = shingles.persist()
@@ -184,10 +198,7 @@ def jaccard_pairs(
         .join(
             sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b"
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
+        .transform(_score)
     )
     return out
 

@@ -3966,3 +3966,140 @@ def heavy_hitters_share(spark, sf_dir):
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
     )
     return topk(scored, "n_events", 10, higher_is_better=True, tie_cols=["user_id"])
+
+
+@register(
+    "bigram_lm_scores",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM w
+    ),
+    train AS (SELECT bg, COUNT(*)::BIGINT AS c FROM big
+              WHERE doc_id % 10 != 0 GROUP BY bg),
+    ev AS (SELECT doc_id, bg FROM big WHERE doc_id % 10 = 0)
+    SELECT ev.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           SUM(FLOOR(1000000 * ln(COALESCE(train.c, 0) + 1) + 0.5)::BIGINT)::BIGINT
+             AS sum_micro_log
+    FROM ev LEFT JOIN train USING (bg)
+    GROUP BY ev.doc_id
+    """,
+)
+def bigram_lm_scores(spark, sf_dir):
+    """Bigram language-model quality proxy with a train/eval split
+    (companion of `unigram_logprob_scores`, which scores every doc against
+    whole-corpus unigram counts — this entry holds out doc_id % 10 = 0,
+    trains bigram counts on the rest, and scores ONLY the held-out docs,
+    add-one smoothed so unseen bigrams contribute ln(1) = 0). Integer
+    micro-nat rounding BEFORE the sum keeps the aggregate
+    summation-order-proof across engines. Plan: one explode produces the
+    bigram stream, split by a pushed-down modulus filter; the train side is
+    a partial-aggregated count; the eval join is bigram-keyed — zipf-skewed
+    at 100 TB (AQE skew split), and the count side is vocabulary-squared
+    scale so it is deliberately NOT broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    big = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    train = (
+        big.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ev = big.filter(F.col("doc_id") % 10 == 0)
+    micro = F.floor(
+        1000000 * F.log(F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1) + 0.5
+    ).cast("bigint")
+    return (
+        ev.join(train, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(micro).cast("bigint").alias("sum_micro_log"),
+        )
+    )
+
+
+@register(
+    "mixture_reweight_factors",
+    """
+    WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(n_docs) AS t, COUNT(*) AS k FROM c)
+    SELECT lang, n_docs,
+           ROUND(n_docs::DOUBLE / t, 6) AS actual_share,
+           ROUND((1.0 / k) / (n_docs::DOUBLE / t), 6) AS weight
+    FROM c, tot
+    """,
+)
+def mixture_reweight_factors(spark, sf_dir):
+    """Data-mixture reweighting: per-language sampling weight that moves
+    the corpus to a UNIFORM target mix (weight = target_share /
+    actual_share — the multiplier a sampler applies per shard when
+    composing a training mixture). One partial-aggregated groupBy plus a
+    one-row broadcast total; the weights table is dimension-sized and
+    feeds a broadcast join in the sampling pass (`mixture_weighted_sample`
+    is that consumer shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").alias("t"), F.count(F.lit(1)).alias("k"))
+    share = F.col("n_docs").cast("double") / F.col("t")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("actual_share"),
+        F.round((1.0 / F.col("k")) / share, 6).alias("weight"),
+    )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_DD_SHINGLES},
+    capped AS (SELECT s.doc_id, s.shingle FROM sh s
+               JOIN (SELECT shingle FROM sh
+                     GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 64) keep
+                 ON s.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM capped a JOIN capped b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(c / LEAST(sa.n, sb.n), 6) AS containment
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup (companion of `dedup_ngram_jaccard`, same
+    capped-shingle candidate machinery but a DIFFERENT measure: shared /
+    min(|A|, |B|) instead of shared / |A union B| — containment catches a
+    short document EMBEDDED in a longer one, the quote/boilerplate-
+    inclusion case Jaccard's union denominator dilutes away). Stop
+    shingles (doc freq > 64) are dropped before the self-join so no
+    bucket is quadratic; sizes ride the join keys."""
+    from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        doc_shingles(docs, parallelism=16), max_doc_freq=64, measure="containment"
+    )
+    out = topk(
+        pairs, "containment", 20, higher_is_better=True,
+        tie_cols=["doc_a", "doc_b"],
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )
