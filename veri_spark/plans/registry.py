@@ -4103,3 +4103,176 @@ def dedup_containment(spark, sf_dir):
     return out.select(
         "doc_a", "doc_b", F.round("containment", 6).alias("containment")
     )
+
+
+@register(
+    "events_dense_hourly",
+    """
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                           date_trunc('hour', MAX(ts)) AS t1 FROM events),
+    spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2)
+    SELECT s.h AS window_start, t.event_type,
+           COALESCE(a.n, 0)::BIGINT AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+)
+def events_dense_hourly(spark, sf_dir):
+    """Time-series densification (gap filling): every (hour, event_type)
+    cell over the observed span, zero-filled where no events landed — the
+    sparse->dense step before any rolling-window model sees the series.
+    The hour spine is GENERATED (sequence + explode from a one-row
+    min/max aggregate), never scanned: spine size is time-span x types,
+    independent of event volume, so at 100 TB the dense frame is still
+    tiny and the only corpus-sized work is the one hourly pre-aggregation
+    the left join probes into."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["window_start", "event_type"], "left")
+        .select(
+            "window_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH wk AS (SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::TIMESTAMP AS w FROM events),
+    cohort AS (SELECT user_id, MIN(w) AS c FROM wk GROUP BY user_id)
+    SELECT cohort.c AS cohort_week,
+           (date_diff('day', cohort.c, wk.w) / 7)::BIGINT AS week_offset,
+           COUNT(*)::BIGINT AS n_active
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active week, and
+    for each later week-offset how many of that cohort were active — the
+    engagement table every growth dashboard is built on. (user, week)
+    pairs are pre-distinct'd so a user's event volume never inflates the
+    join; the cohort side is one MIN per user. Both shuffles key on
+    user_id (co-partitioned input reuses one exchange); counts are exact
+    integers so the oracle comparison is rounding-free."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("c").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("c")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice), 2)::DOUBLE AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the general form CUBE/ROLLUP specialize —
+    `tpch_rollup` and `orders_cube_status_priority` cover those): four
+    explicit aggregation grains in ONE pass. Catalyst plans this as a
+    single Expand + hash aggregate — one shuffle total, where a UNION ALL
+    of four groupBys would scan the fact table four times. NULL grain
+    markers are COALESCEd to 'ALL' in both engines so the hash compare is
+    label-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    """
+    WITH b AS (SELECT doc_id, n_chars // 20 AS blk, substr(text, 1, 60) AS pfx
+               FROM documents)
+    SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+           levenshtein(a.pfx, bb.pfx)::BIGINT AS edit_dist
+    FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+    WHERE levenshtein(a.pfx, bb.pfx) <= 20
+    ORDER BY edit_dist ASC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup with length blocking (the fuzzy-match tier
+    between exact-hash and shingle dedup: catches small in-place edits
+    that shift every shingle). Candidate pairs come ONLY from same
+    length-block buckets — the O(n^2) Levenshtein never sees the cross
+    product, just length-compatible docs (a pair differing by > block
+    width in length cannot be a near-dup anyway) — and runs on 60-char
+    prefixes, so per-pair cost is bounded. At 100 TB add a second
+    blocking key (e.g. the first shingle's minhash band) to cap bucket
+    sizes; the join shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 20).cast("bigint").alias("blk"),
+        F.substring("text", 1, 60).alias("pfx"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"), "blk", F.col("pfx").alias("pfx_a")
+    )
+    bb = b.select(
+        F.col("doc_id").alias("doc_b"), "blk", F.col("pfx").alias("pfx_b")
+    )
+    pairs = (
+        a.join(bb, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+    return topk(
+        pairs, "edit_dist", 20, higher_is_better=False, tie_cols=["doc_a", "doc_b"]
+    )
