@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     "ann_pq_adc",
     "decontamination_overlap",
     "sequence_packing",
+    # round-4: IVF-PQ end-to-end, held-out LM scoring, containment dedup,
+    # estimator audit, time-series densification
+    "ann_ivf_pq_search",
+    "bigram_lm_scores",
+    "dedup_containment",
+    "minhash_estimate_error",
+    "events_dense_hourly",
 ]
 
 

@@ -4276,3 +4276,170 @@ def dedup_edit_distance(spark, sf_dir):
     return topk(
         pairs, "edit_dist", 20, higher_is_better=False, tie_cols=["doc_a", "doc_b"]
     )
+
+
+@register(
+    "minhash_estimate_error",
+    f"""
+    WITH {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id, shingle,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS ag
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+              GROUP BY c.doc_a, c.doc_b),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT g.doc_a, g.doc_b,
+           ROUND(g.ag / 16.0, 6) AS est_sim,
+           ROUND(COALESCE(i.i, 0)::DOUBLE
+                 / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard,
+           ROUND(ABS(g.ag / 16.0 - COALESCE(i.i, 0)::DOUBLE
+                 / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err
+    FROM agree g
+    LEFT JOIN inter i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+    JOIN sizes sa ON g.doc_a = sa.doc_id
+    JOIN sizes sb ON g.doc_b = sb.doc_id
+    """,
+)
+def minhash_estimate_error(spark, sf_dir):
+    """Estimator-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of the 16 signature positions that agree)
+    next to the EXACT shingle Jaccard, and the absolute error — the
+    calibration table you consult before trusting a band/row configuration
+    on a new corpus. Exact Jaccard is computed ONLY for candidate pairs
+    (the shingle self-join is semi-pruned to candidate docs first), so the
+    audit stays linear-plus-candidates at 100 TB — never the full
+    quadratic truth. The shingle -> signature chain is built ONCE and
+    shared by the candidate join, the agreement compare, and the exact
+    intersection (persisted across the three consumers; an end-to-end
+    `minhash_candidate_pairs` call here would re-derive shingles and
+    signatures from scratch per consumer)."""
+    from veri_spark.operators.dedup import (
+        doc_shingles, minhash_band_keys, minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, parallelism=16).persist()
+    sigs = minhash_signatures(sh, num_hashes=16).persist()
+    bands = minhash_band_keys(sigs, num_hashes=16, bands=4)
+    cands = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(16)],
+    )
+    agree = None
+    for i in range(16):
+        t = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = cands.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", (agree / F.lit(16.0)).alias("est")
+    )
+
+    cd = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cd), "doc_id", "left_semi")
+    inter = (
+        sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = (
+        F.coalesce(F.col("i"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est", 6).alias("est_sim"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(F.col("est") - jac), 6).alias("abs_err"),
+        )
+    )
+
+
+@register(
+    "skewed_agg_salted",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(value), 2)::DOUBLE AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skewed_agg_salted(spark, sf_dir):
+    """The salted two-stage aggregation (operators/skew.py) as an
+    oracle-paired query: COUNT and SUM over a 5-hot-key group column run
+    as groupBy(key, salt) partials then groupBy(key) finals — the oracle
+    is the PLAIN aggregate, proving the decomposition is exact. With only
+    a handful of giant groups, the plain plan funnels each group through
+    one reducer; the salt spreads stage one over 16, and stage two only
+    touches groups x 16 partial rows. (SUM rounds once at the end —
+    partial sums stay unrounded, so the decomposition is exact in IEEE
+    terms too: doubles are summed in a fixed two-level tree either way...
+    rounding to 2 dp absorbs the reassociation.)"""
+    from veri_spark.operators.skew import salted_two_stage
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_two_stage(
+        ev,
+        group_cols=["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("value").alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pc").cast("bigint").alias("n"),
+            F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
+        ],
+        entropy_cols=["event_id"],
+        buckets=16,
+    )
+    return out
