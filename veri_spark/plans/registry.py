@@ -4443,3 +4443,141 @@ def skewed_agg_salted(spark, sf_dir):
         buckets=16,
     )
     return out
+
+
+@register(
+    "knn_radius_search",
+    f"""
+    SELECT vec_id,
+           ROUND(list_distance(embedding::DOUBLE[], {_Q0}), 6) AS score
+    FROM embeddings
+    WHERE list_distance(embedding::DOUBLE[], {_Q0}) < 1.5
+    ORDER BY score ASC, vec_id ASC
+    """,
+)
+def knn_radius_search(spark, sf_dir):
+    """Radius (range) search: every vector within euclidean distance 1.5
+    of the query — the fixed-threshold companion of top-k (dedup sweeps
+    and density estimates want 'all within r', not 'best k'). Map-only
+    like the KNN scans: scan -> score expression -> pushable filter; no
+    shuffle at all until the output sort, and the sort is bounded by the
+    radius selectivity. At 100 TB pair it with the IVF probe (triangle
+    inequality prunes any bucket whose centroid is farther than
+    r + bucket radius)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    d = V.euclidean_distance(F.col("embedding"), q)
+    return (
+        emb.select("vec_id", F.round(d, 6).alias("score"), d.alias("__d"))
+        .filter(F.col("__d") < 1.5)
+        .drop("__d")
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    )
+
+
+@register(
+    "ann_ivf_recall_audit",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], q.qvec) ASC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+      ) WHERE rn <= 10
+    ),
+    cents AS {_DD_CENTROIDS},
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(c.cvec, q.qvec) ASC, c.centroid_id ASC) AS pr
+        FROM qs q CROSS JOIN cents c
+      ) WHERE pr <= 2
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], q.qvec) ASC,
+                          e.vec_id ASC) AS rn
+        FROM probes p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN qs q ON q.query_id = p.query_id
+      ) WHERE rn <= 10
+    )
+    SELECT x.query_id,
+           SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           ROUND(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6)
+             AS recall_at_10
+    FROM exact x
+    LEFT JOIN approx ap ON ap.query_id = x.query_id AND ap.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """,
+)
+def ann_ivf_recall_audit(spark, sf_dir):
+    """ANN estimator audit (the IVF companion of
+    `minhash_estimate_error`): recall@10 of the IVF probe path against
+    exact brute force, per query — the number you check before widening
+    or narrowing nprobe on a new corpus. Exact side is the map-only
+    brute-force top-10; approximate side probes 2 of 8 centroid buckets;
+    recall is a left join + conditional count, all on the 30-row top-k
+    frames. At 100 TB run it on a sampled query log — the audit cost is
+    queries x corpus-scan, the same as serving those queries twice."""
+    from veri_spark.operators.similarity import (
+        ivf_assign, ivf_probe_candidates, take_centroids,
+    )
+    from veri_spark.operators.topk import topk_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    qs = [(vid, _query_vector(spark, sf_dir, vid)) for vid in (0, 1, 2)]
+
+    def top10(df, vid, qvec):
+        d = V.euclidean_distance(F.col("embedding"), qvec)
+        return df.select(
+            F.lit(vid).alias("query_id"), "vec_id", d.alias("score")
+        ).transform(
+            lambda x: topk_per_group(
+                x, ["query_id"], "score", 10,
+                higher_is_better=False, tie_cols=["vec_id"], rank_col="rn",
+            )
+        ).select("query_id", "vec_id")
+
+    exact = None
+    approx = None
+    for vid, qvec in qs:
+        e = top10(emb, vid, qvec)
+        a = top10(ivf_probe_candidates(assigned, cents, qvec, nprobe=2), vid, qvec)
+        exact = e if exact is None else exact.unionByName(e)
+        approx = a if approx is None else approx.unionByName(a)
+
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return (
+        exact.join(
+            approx.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            hit.cast("bigint").alias("n_hit"),
+            F.round(hit / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+    )
