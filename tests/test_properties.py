@@ -80,3 +80,113 @@ def test_dot_truncates_to_min_length(spark, a, b):
     bv = np.array(b[:n], dtype=np.float64)
     got = _eval(spark, dot_product, a, b)
     assert math.isclose(got, float(av @ bv), rel_tol=1e-5, abs_tol=1e-4)
+
+
+# -- round-4 helper properties ------------------------------------------------
+
+pair_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=0, max_value=1000),  # ts offset (seconds)
+        st.integers(min_value=-50, max_value=50),  # payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(lrows=pair_rows, rrows=pair_rows)
+def test_asof_forward_matches_naive(spark, lrows, rrows):
+    """forward as-of == naive per-row 'earliest right with ts >= left ts on
+    the same key' on arbitrary small frames (including duplicate
+    timestamps and absent keys)."""
+    from datetime import datetime, timedelta
+
+    from veri_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, str(k), t0 + timedelta(seconds=s)) for i, (k, s, _) in enumerate(lrows)],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(str(k), t0 + timedelta(seconds=s), float(v)) for (k, s, v) in rrows],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: r["asof_ts"]
+        for r in asof_join(
+            left, right, on=["k"], payload_cols=["v"], direction="forward"
+        ).collect()
+    }
+    for i, (k, s, _) in enumerate(lrows):
+        lt = t0 + timedelta(seconds=s)
+        later = [
+            t0 + timedelta(seconds=rs)
+            for (rk, rs, _) in rrows
+            if rk == k and rs >= s
+        ]
+        assert got[i] == (min(later) if later else None), (i, k, s)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "hot"]), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_salted_two_stage_equals_plain(spark, rows):
+    """salted_two_stage(count+sum) == plain groupBy for any data/skew."""
+    from veri_spark.operators.skew import salted_two_stage
+
+    df = spark.createDataFrame(
+        [(k, i, float(v)) for i, (k, v) in enumerate(rows)],
+        "k string, id bigint, v double",
+    )
+    salted = salted_two_stage(
+        df,
+        group_cols=["k"],
+        partial_aggs=[F.count(F.lit(1)).alias("pc"), F.sum("v").alias("ps")],
+        final_aggs=[
+            F.sum("pc").cast("bigint").alias("n"),
+            F.round(F.sum("ps"), 6).alias("s"),
+        ],
+        entropy_cols=["id"],
+        buckets=4,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("v"), 6).alias("s"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=30), min_size=2, max_size=8
+    )
+)
+def test_containment_bounds_jaccard(spark, texts):
+    """For every candidate pair: 0 <= jaccard <= containment <= 1 (the
+    containment denominator min(|A|,|B|) never exceeds the union)."""
+    from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    sh = doc_shingles(df, with_size=True)
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh).collect()
+    }
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in jaccard_pairs(sh, measure="containment").collect()
+    }
+    assert set(jac) == set(cont)
+    for pair, j in jac.items():
+        assert 0.0 <= j <= cont[pair] <= 1.0, (pair, j, cont[pair])

@@ -335,3 +335,27 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for so in p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_ensure_event_time_normalizes_all_source_types(spark):
+    """ensure_event_time must yield TIMESTAMP (watermark-compatible) and
+    the same instant for bigint-nanos, TIMESTAMP_NTZ, and TIMESTAMP
+    inputs — the three ways environments read the events parquet."""
+    from datetime import datetime
+
+    from veri_spark.streaming.windows import ensure_event_time
+
+    inst = datetime(2024, 3, 1, 12, 30, 45, 123456)
+    nanos = int(inst.timestamp() * 1_000_000) * 1000  # exact us in ns
+
+    cases = [
+        spark.createDataFrame([(nanos,)], "ts bigint"),
+        spark.createDataFrame([(inst,)], "ts timestamp_ntz"),
+        spark.createDataFrame([(inst,)], "ts timestamp"),
+    ]
+    vals = []
+    for df in cases:
+        out = ensure_event_time(df)
+        assert dict(out.dtypes)["ts"] == "timestamp", df.dtypes
+        vals.append(out.first()["ts"])
+    assert vals[0] == vals[1] == vals[2] == inst
