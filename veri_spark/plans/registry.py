@@ -4581,3 +4581,139 @@ def ann_ivf_recall_audit(spark, sf_dir):
             F.round(hit / F.lit(10.0), 6).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    SELECT lang,
+           CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+                     / len(ws) >= 0.04
+                THEN 'en' ELSE 'other' END AS guess_lang,
+           COUNT(*)::BIGINT AS n_docs
+    FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def lang_confusion_matrix(spark, sf_dir):
+    """Label-vs-classifier confusion matrix: the recorded ``lang`` column
+    crossed with the stopword language-ID guess (`lang_id_heuristic`'s
+    prediction) — the cross-lingual-contamination audit you run before
+    trusting EITHER signal to route documents. One partial-aggregated
+    groupBy over a pure-expression classifier; integer counts so the
+    oracle compare is rounding-free."""
+    from veri_spark.functions.text import en_stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = en_stopword_ratio("text")
+    return (
+        docs.select(
+            "lang",
+            F.when(ratio >= 0.04, "en").otherwise("other").alias("guess_lang"),
+        )
+        .groupBy("lang", "guess_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_cluster_sizes",
+    """
+    WITH fp AS (SELECT md5(text) AS f, COUNT(*)::BIGINT AS sz
+                FROM documents GROUP BY md5(text))
+    SELECT sz AS cluster_size, COUNT(*)::BIGINT AS n_clusters,
+           (sz * COUNT(*))::BIGINT AS n_docs
+    FROM fp GROUP BY sz
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram: how many exact-duplicate clusters
+    exist at each size and how much document mass they hold — the table
+    that tells you whether dedup will reclaim 1% or 40% of the corpus
+    BEFORE you pay for the rewrite. Two partial-aggregated groupBys, the
+    second over at most |distinct sizes| rows; only md5 fingerprints ever
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.groupBy(F.md5(F.col("text")).alias("f")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return fp.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "quality_percentile_gate",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             LEAST(1.0, len(ws) / 64.0) * (len(list_distinct(ws))::DOUBLE / len(ws))
+               AS quality
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+    ),
+    r AS (SELECT doc_id, source,
+                 percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality ASC, doc_id ASC) AS pr
+          FROM q)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN pr >= 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM r GROUP BY source
+    """,
+)
+def quality_percentile_gate(spark, sf_dir):
+    """Rank-based quality gate: keep each source's top 75% by quality
+    score — a PERCENTILE cutoff instead of a fixed threshold, so every
+    shard contributes the same fraction regardless of its score
+    distribution (fixed thresholds starve low-scoring-but-useful shards).
+    percent_rank with a deterministic doc_id tie-break is identical across
+    engines — no float-threshold boundary risk. Window partitions by
+    source, so at 100 TB each shard ranks independently in parallel."""
+    from veri_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    r = q.withColumn("pr", F.percent_rank().over(w))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pr") >= 0.25, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len(ws))::BIGINT AS n_tokens,
+           ROUND(SUM(length(text))::DOUBLE / SUM(len(ws)), 6) AS chars_per_token
+    FROM (SELECT lang, text, string_split(text, ' ') AS ws FROM documents)
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: characters consumed per produced
+    token — the compression-rate table that decides whether a tokenizer
+    (here the whitespace baseline) under-serves a language (high
+    chars/token = more fragments per word at train time). Ratio of two
+    exact integer sums, rounded once — summation-order-proof. One
+    partial-aggregated groupBy."""
+    from veri_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.length("text").alias("nc"), F.size(tokens("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("nt"), 6
+            ).alias("chars_per_token"),
+        )
+    )
