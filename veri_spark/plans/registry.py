@@ -4717,3 +4717,274 @@ def tokenizer_fertility(spark, sf_dir):
             ).alias("chars_per_token"),
         )
     )
+
+
+@register(
+    "asof_nearest_view",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         b AS (SELECT p.event_id, MAX(v.ts) AS ts FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.ts <= p.ts GROUP BY p.event_id),
+         f AS (SELECT p.event_id, MIN(v.ts) AS ts FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.ts >= p.ts GROUP BY p.event_id),
+         n AS (SELECT p.event_id, p.ts AS pts,
+                      CASE WHEN b.ts IS NULL THEN f.ts
+                           WHEN f.ts IS NULL THEN b.ts
+                           WHEN epoch(f.ts) - epoch(p.ts)
+                                < epoch(p.ts) - epoch(b.ts) THEN f.ts
+                           ELSE b.ts END AS nts
+               FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT event_id, nts AS nearest_view_ts,
+           ROUND(ABS(epoch(nts) - epoch(pts)), 6) AS gap_sec
+    FROM n
+    """,
+)
+def asof_nearest_view(spark, sf_dir):
+    """NEAREST-direction as-of join: each purchase annotated with the
+    user's temporally closest view in EITHER direction (ties -> the
+    preceding one, pandas merge_asof(direction='nearest') semantics).
+    Exercises asof_join(direction='nearest'), which evaluates both the
+    latest-preceding and earliest-following candidates as two frames of
+    ONE window over one shuffle — the oracle's two range-join aggregates
+    are the formulation that explodes at scale, the operator is the one
+    that doesn't."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(
+        purchases, views, on=["user_id"], direction="nearest", prefix="nearest_"
+    )
+    gap = F.abs(
+        F.col("nearest_ts").cast("timestamp").cast("double")
+        - F.col("ts").cast("timestamp").cast("double")
+    )
+    return out.select(
+        "event_id",
+        F.col("nearest_ts").alias("nearest_view_ts"),
+        F.round(gap, 6).alias("gap_sec"),
+    )
+
+
+@register(
+    "event_type_drift_psi",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         dt AS (SELECT day, SUM(n) AS tn FROM d GROUP BY day),
+         g AS (SELECT event_type, SUM(n) AS gn FROM d GROUP BY event_type),
+         gt AS (SELECT SUM(gn) AS tg FROM g)
+    SELECT d.day, ROUND(SUM((d.n::DOUBLE / dt.tn - g.gn::DOUBLE / gt.tg)
+                            * ln((d.n::DOUBLE / dt.tn)
+                                 / (g.gn::DOUBLE / gt.tg))), 6) AS psi
+    FROM d JOIN dt USING (day) JOIN g USING (event_type), gt
+    GROUP BY d.day
+    """,
+)
+def event_type_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor: per-day Population Stability Index of
+    the event-type mix against the whole-corpus mix — the standing check a
+    training pipeline runs to catch a collection bug shifting the data mix
+    before it poisons a training run. Terms exist only for (day, type)
+    pairs actually observed (no epsilon smoothing), identically in both
+    engines. Plan: one partial-aggregated groupBy over the raw events
+    produces |days|x|types| rows; everything after operates on that tiny
+    aggregate — day totals and global mix are re-aggregations of it,
+    broadcast back. At 100 TB only the first groupBy touches the data."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    d = d.persist()
+    dt = d.groupBy("day").agg(F.sum("n").alias("tn"))
+    g = d.groupBy("event_type").agg(F.sum("n").alias("gn"))
+    gt = g.agg(F.sum("gn").alias("tg"))
+    p = F.col("n").cast("double") / F.col("tn")
+    q = F.col("gn").cast("double") / F.col("tg")
+    return (
+        d.join(F.broadcast(dt), "day")
+        .join(F.broadcast(g), "event_type")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("day")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
+@register(
+    "distinct_estimate_kmv",
+    """
+    WITH fp AS (SELECT DISTINCT md5(text) AS f FROM documents),
+         h AS (SELECT CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) AS hv
+               FROM fp),
+         k AS (SELECT hv FROM h ORDER BY hv LIMIT 128),
+         a AS (SELECT COUNT(*) AS kk, MAX(hv) AS mx FROM k),
+         ex AS (SELECT COUNT(*) AS n_exact FROM fp)
+    SELECT ex.n_exact::BIGINT AS n_exact,
+           ROUND(CASE WHEN a.kk < 128 THEN a.kk::DOUBLE
+                 ELSE (a.kk - 1) * 1152921504606846976.0 / a.mx END, 2)
+             AS kmv_estimate,
+           ROUND(ABS(CASE WHEN a.kk < 128 THEN a.kk::DOUBLE
+                     ELSE (a.kk - 1) * 1152921504606846976.0 / a.mx END
+                     - ex.n_exact) / ex.n_exact, 6) AS rel_err
+    FROM a, ex
+    """,
+)
+def distinct_estimate_kmv(spark, sf_dir):
+    """K-minimum-values distinct-count sketch audited against the exact
+    answer: estimate the number of UNIQUE documents (the "how much will
+    exact dedup shrink this" question) from the 128 smallest portable
+    hash values — (k-1)/u_(k) with u the hash normalized to [0,1), exact
+    count when fewer than k uniques exist. The estimator needs only k
+    longs per partition (TakeOrdered partial top-k, no full shuffle of
+    fingerprints); the exact side is the full distinct the sketch
+    replaces at 100 TB — both computed here precisely to report the
+    sketch's realized error. (k-1)*2^60 is integer-exact in a double and
+    IEEE division is deterministic, so both engines produce the identical
+    estimate bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("f")).distinct()
+    fp = fp.persist()
+    h = fp.select(
+        F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long").alias("hv")
+    )
+    k = h.orderBy(F.col("hv").asc()).limit(128)
+    a = k.agg(F.count(F.lit(1)).alias("kk"), F.max("hv").alias("mx"))
+    ex = fp.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(F.col("kk") < 128, F.col("kk").cast("double")).otherwise(
+        (F.col("kk") - 1) * F.lit(1152921504606846976.0) / F.col("mx")
+    )
+    return (
+        a.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6)
+              .alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "bigram_pmi_top",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tok AS (SELECT unnest(ws) AS t FROM w),
+         uni AS (SELECT t, COUNT(*)::BIGINT AS c FROM tok GROUP BY t),
+         nt AS (SELECT COUNT(*)::BIGINT AS n FROM tok),
+         big AS (SELECT unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+                 FROM w),
+         bc AS (SELECT bg, COUNT(*)::BIGINT AS cab FROM big GROUP BY bg),
+         nb AS (SELECT COUNT(*)::BIGINT AS m FROM big),
+         scored AS (
+           SELECT string_split(bc.bg, ' ')[1] AS a,
+                  string_split(bc.bg, ' ')[2] AS b, bc.cab,
+                  FLOOR(1000000 * ln(bc.cab::DOUBLE * nt.n * nt.n
+                        / (nb.m::DOUBLE * ua.c * ub.c)) + 0.5)::BIGINT
+                    AS pmi_micro
+           FROM bc
+           JOIN uni ua ON string_split(bc.bg, ' ')[1] = ua.t
+           JOIN uni ub ON string_split(bc.bg, ' ')[2] = ub.t, nt, nb
+           WHERE bc.cab >= 5)
+    SELECT a, b, cab AS n_pair, pmi_micro
+    FROM scored
+    ORDER BY pmi_micro DESC, a ASC, b ASC LIMIT 20
+    """,
+)
+def bigram_pmi_top(spark, sf_dir):
+    """Top-20 word pairs by pointwise mutual information — the collocation
+    detector (named entities, idioms, boilerplate phrases) every corpus
+    analysis runs. PMI = ln(P(ab) / (P(a)P(b))) with P(ab) over the bigram
+    stream and P(a) over the token stream; integer micro-nat rounding
+    BEFORE the ranking makes the order-by key exact across engines. Plan:
+    one explode yields both streams; unigram counts join back onto bigram
+    counts keyed on word — vocabulary-sized, so at 100 TB the unigram side
+    broadcasts (vocab << corpus) and only bigram counting shuffles. The
+    cab >= 5 floor drops the hapax-pair noise PMI is notorious for."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    w = w.persist()
+    tok = w.select(F.explode("ws").alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nt = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    big = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg")
+    )
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    nb = big.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    parts = F.split(F.col("bg"), " ")
+    scored = (
+        bc.filter(F.col("cab") >= 5)
+        .select(parts.getItem(0).alias("a"), parts.getItem(1).alias("b"), "cab")
+        .join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("c", "ca")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("c", "cb")), "b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a", "b", F.col("cab").alias("n_pair"),
+            F.floor(
+                1000000
+                * F.log(
+                    F.col("cab").cast("double") * F.col("n") * F.col("n")
+                    / (F.col("m").cast("double") * F.col("ca") * F.col("cb"))
+                )
+                + 0.5
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_micro").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(20)
+    )
+
+
+@register(
+    "hapax_ratio_by_source",
+    """
+    WITH tc AS (SELECT source, t, COUNT(*)::BIGINT AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                GROUP BY source, t)
+    SELECT source,
+           SUM(c)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS n_distinct,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS hapax_share
+    FROM tc GROUP BY source
+    """,
+)
+def hapax_ratio_by_source(spark, sf_dir):
+    """Per-shard hapax legomena ratio: the share of a source's vocabulary
+    seen exactly once — high hapax share flags OCR noise, random-string
+    spam, or genuinely diverse text; near-zero flags templated/duplicated
+    content. Two stacked partial-aggregated groupBys: (source, token)
+    counts, then per-source rollup of counts-of-counts — the shuffle
+    carries one row per distinct (shard, term), never the token stream."""
+    from veri_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias("hapax_share"),
+    )
