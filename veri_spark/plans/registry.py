@@ -4988,3 +4988,243 @@ def hapax_ratio_by_source(spark, sf_dir):
         hapax.cast("bigint").alias("n_hapax"),
         F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias("hapax_share"),
     )
+
+
+@register(
+    "doc_chunk_stats",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id,
+                      unnest(list_transform(range(0, (len(ws)-1)//24 + 1),
+                             i -> {'chunk_idx': i,
+                                   'chunk': ws[i*24+1 : i*24+32]})) AS u
+               FROM w)
+    SELECT doc_id, u.chunk_idx AS chunk_idx,
+           len(u.chunk)::BIGINT AS n_tokens,
+           md5(array_to_string(u.chunk, ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def doc_chunk_stats(spark, sf_dir):
+    """Sliding-window document chunking: 32-token chunks at stride 24
+    (8-token overlap) — the segmentation step that turns raw documents
+    into training sequences with context continuity across boundaries.
+    Chunk starts are 0,24,48,... while they land inside the document, so
+    a doc with n tokens yields floor((n-1)/24)+1 chunks, the tail chunk
+    short. Per-chunk fingerprints enable chunk-grain dedup downstream.
+    Map-only: sequence+explode inside the row, no shuffle at all — the
+    100 TB plan is embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    c = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(ws)-1)/24) AS INT)),"
+                " i -> struct(i AS chunk_idx,"
+                "             slice(ws, i*24 + 1, 32) AS chunk))"
+            )
+        ).alias("u"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("u.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("u.chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("u.chunk"))).alias("chunk_fp"),
+    )
+
+
+@register(
+    "chunk_dedup_summary",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id,
+                      unnest(list_transform(range(0, (len(ws)-1)//24 + 1),
+                             i -> md5(array_to_string(ws[i*24+1 : i*24+32],
+                                                      ' ')))) AS fp
+               FROM w),
+         g AS (SELECT fp, COUNT(*)::BIGINT AS n,
+                      COUNT(DISTINCT doc_id)::BIGINT AS nd
+               FROM c GROUP BY fp)
+    SELECT COUNT(*)::BIGINT AS n_unique_chunks,
+           SUM(n)::BIGINT AS n_chunks,
+           SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_cross_doc_chunks,
+           ROUND(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE
+                 / SUM(n), 6) AS dup_rate
+    FROM g
+    """,
+)
+def chunk_dedup_summary(spark, sf_dir):
+    """Chunk-grain deduplication audit: after 32/24 sliding-window
+    chunking (same scheme as `doc_chunk_stats`), how many chunks are
+    byte-identical repeats, and how many distinct chunks recur across
+    DIFFERENT documents (boilerplate detection at paragraph granularity —
+    doc-level dedup misses these). Only 32-char fingerprints shuffle; the
+    groupBy is partial-aggregated and the final rollup is one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    c = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(ws)-1)/24) AS INT)),"
+                " i -> md5(concat_ws(' ', slice(ws, i*24 + 1, 32))))"
+            )
+        ).alias("fp"),
+    )
+    g = c.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("doc_id").cast("bigint").alias("nd"),
+    )
+    dup = F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+        F.sum("n").cast("bigint").alias("n_chunks"),
+        dup.cast("bigint").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint")
+          .alias("n_cross_doc_chunks"),
+        F.round(dup.cast("double") / F.sum("n"), 6).alias("dup_rate"),
+    )
+
+
+@register(
+    "zipf_slope",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         c AS (SELECT t, COUNT(*)::BIGINT AS c FROM tok GROUP BY t),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rnk
+               FROM c),
+         top AS (SELECT * FROM r WHERE rnk <= 100)
+    SELECT COUNT(*)::BIGINT AS n_terms,
+           ROUND(regr_slope(ln(c::DOUBLE), ln(rnk::DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(ln(c::DOUBLE), ln(rnk::DOUBLE)), 6)
+             AS intercept
+    FROM top
+    """,
+)
+def zipf_slope(spark, sf_dir):
+    """Zipf's-law fit: OLS slope of log-frequency on log-rank over the
+    top 100 terms. Natural text sits near slope -1; templated or
+    machine-generated corpora deviate sharply, so the slope is a one-
+    number corpus-health check. The ranking window is GLOBAL but runs on
+    the vocabulary aggregate, not the corpus — vocab << corpus at any
+    scale, and only the top 100 rows feed the regression. Deterministic
+    rank tie-break on the term string."""
+    from veri_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    top = c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 100)
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 6).alias("slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("intercept"),
+    )
+
+
+@register(
+    "label_centroid_distances",
+    """
+    WITH ce AS (SELECT label, pos, ROUND(AVG(v), 6) AS av
+                FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding)::DOUBLE AS v
+                      FROM embeddings)
+                GROUP BY label, pos),
+         ca AS (SELECT label, list(av ORDER BY pos) AS c FROM ce
+                GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(sqrt(list_sum(list_transform(range(1, len(a.c) + 1),
+                 i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])))), 6) AS l2_dist
+    FROM ca a JOIN ca b ON a.label < b.label
+    """,
+)
+def label_centroid_distances(spark, sf_dir):
+    """Inter-class separation matrix: pairwise L2 distance between
+    per-label embedding centroids — the embedding-space confusion
+    diagnostic (near-identical centroids predict label confusion; an
+    outlier centroid flags a poisoned or misdefined class). Centroid
+    components round to 6dp BEFORE the distance so both engines measure
+    identical vectors. The heavy pass is one partial-aggregated
+    (label, dim) mean; the |labels|^2/2 cross join runs on a broadcast
+    handful of rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ce = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+    )
+    ca = ce.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("c")
+    )
+    a = ca.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = ca.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(F.sqrt(d2), 6).alias("l2_dist"))
+    )
+
+
+@register(
+    "weighted_sample_es",
+    """
+    WITH s AS (SELECT lang, doc_id, n_chars,
+                      CAST('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15)
+                           AS BIGINT) / 1152921504606846976.0 AS u
+               FROM documents),
+         k AS (SELECT lang, doc_id, n_chars,
+                      FLOOR(1000000000 * ln(u) / n_chars + 0.5)::BIGINT
+                        AS key_nano
+               FROM s),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                         ORDER BY key_nano DESC, doc_id ASC) AS rnk
+               FROM k)
+    SELECT lang, doc_id, n_chars, key_nano FROM r WHERE rnk <= 10
+    """,
+)
+def weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis): per
+    language, the 10 docs with the largest u^(1/w) sort key, w = doc
+    length — longer docs proportionally likelier, yet the draw is a
+    single distributed top-k, no sequential sampling state. u comes from
+    the portable seeded hash, so the sample is reproducible across
+    engines and reruns; ranking on the equivalent integer key
+    floor(1e9*ln(u)/w) sidesteps cross-engine pow/ulp drift. Per-group
+    window top-k = WindowGroupLimit partial pushdown, no global sort."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = portable_hash64(F.col("doc_id").cast("string"), seed=7) / F.lit(
+        1152921504606846976.0
+    )
+    k = docs.select(
+        "lang", "doc_id", "n_chars",
+        F.floor(1000000000 * F.log(u) / F.col("n_chars") + 0.5)
+         .cast("bigint").alias("key_nano"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("key_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        k.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .drop("rnk")
+    )
