@@ -5228,3 +5228,170 @@ def weighted_sample_es(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .drop("rnk")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           unnest(range(0, greatest(n_chars * 100, 1), 1000))::BIGINT
+             AS frame_ts_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing end-to-end: text bytes stand in for
+    encoded video (no codecs in this container) with a synthetic duration
+    of 100 ms per character; multimodal/binary.frame_sample explodes each
+    media row into one row per sampled timestamp through the Arrow-batched
+    mapInPandas path. The oracle regenerates the sampling grid
+    arithmetically — it verifies the explosion shape (ids x offsets)
+    exactly; per-frame feature determinism is covered by unit tests. The
+    plan is map-only: no shuffle, media bytes never leave the stage."""
+    from veri_spark.multimodal.binary import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample(media, every_ms=1000, id_col="doc_id")
+    return frames.select("doc_id", "frame_ts_ms")
+
+
+@register(
+    "pca_power_iteration_step",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+         s AS (SELECT x, list_sum(x) / 8.0 AS sc FROM e),
+         comp AS (SELECT pos, SUM(sc * v) AS c
+                  FROM (SELECT sc, generate_subscripts(x, 1) AS pos,
+                               unnest(x) AS v
+                        FROM s)
+                  GROUP BY pos),
+         n AS (SELECT sqrt(SUM(c * c)) AS nrm FROM comp)
+    SELECT pos - 1 AS dim, ROUND(c / nrm, 6) AS v1
+    FROM comp, n
+    """,
+)
+def pca_power_iteration_step(spark, sf_dir):
+    """One power-iteration step toward the corpus's top principal
+    direction: v1 = normalize(X'X v0) with the deterministic uniform seed
+    v0 = 1/8 (unit for 64 dims) — the building block of distributed PCA /
+    spectral embedding-drift checks, expressed Spark-first. Per row only
+    the scalar x.v0 is computed in-line; the (dim, partial-sum) groupBy
+    shuffles 64 partials per task regardless of corpus size, and the
+    normalizer is a one-row broadcast. Full PCA = this step iterated with
+    the previous v as the next literal seed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    s = e.select(
+        "x",
+        (F.aggregate("x", F.lit(0.0), lambda a, b: a + b) / 8.0).alias("sc"),
+    )
+    comp = (
+        s.select("sc", F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("sc") * F.col("v")).alias("c"))
+    )
+    n = comp.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    return comp.crossJoin(F.broadcast(n)).select(
+        F.col("pos").alias("dim"),
+        F.round(F.col("c") / F.col("nrm"), 6).alias("v1"),
+    )
+
+
+@register(
+    "user_decay_scores",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+         t AS (SELECT user_id,
+                      FLOOR(1000000 * exp(-(epoch(mx.m) - epoch(ts)) / 86400.0)
+                            + 0.5)::BIGINT AS w
+               FROM events, mx)
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           SUM(w)::BIGINT AS decay_micro
+    FROM t GROUP BY user_id
+    ORDER BY decay_micro DESC, user_id ASC LIMIT 20
+    """,
+)
+def user_decay_scores(spark, sf_dir):
+    """Recency-weighted activity score: each event contributes
+    exp(-age/1d) relative to the corpus's newest event, the standard
+    time-decay weighting for freshness-aware ranking and retention
+    scoring. Each term is rounded to integer micro-units BEFORE the sum,
+    so the aggregate is summation-order-proof across engines. The max
+    timestamp is a one-row broadcast; scoring is map-side; one
+    partial-aggregated groupBy then a bounded top-20."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age = F.col("m").cast("timestamp").cast("double") - F.col("ts").cast(
+        "timestamp"
+    ).cast("double")
+    t = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(1000000 * F.exp(-age / 86400.0) + 0.5).cast("bigint").alias("w"),
+    )
+    scored = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("w").cast("bigint").alias("decay_micro"),
+    )
+    return scored.orderBy(
+        F.col("decay_micro").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+@register(
+    "value_moments_by_type",
+    """
+    WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(value) AS s1,
+                      SUM(value * value) AS s2,
+                      SUM(value * value * value) AS s3,
+                      SUM(value * value * value * value) AS s4
+               FROM events GROUP BY event_type)
+    SELECT event_type, n::BIGINT AS n_events,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) ** 3)
+                 / (s2 / n - (s1 / n) * (s1 / n)) ** 1.5, 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) ** 2 * (s2 / n) - 3 * (s1 / n) ** 4)
+                 / (s2 / n - (s1 / n) * (s1 / n)) ** 2 - 3, 6)
+             AS kurtosis_excess
+    FROM s
+    """,
+)
+def value_moments_by_type(spark, sf_dir):
+    """Higher-moment distribution profile per event type: mean, population
+    std, skewness, and excess kurtosis derived from raw power sums — the
+    value-distribution fingerprint drift monitors compare across data
+    snapshots. Built from SUM(value^k) rather than the engines' skewness()
+    / kurtosis() builtins, whose sample-vs-population conventions differ
+    between engines; power sums make both sides compute the same formula.
+    One partial-aggregated groupBy carries four doubles per type."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * F.pow(m, 3)) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * F.pow(m, 2) * (s2 / n) - 3 * F.pow(m, 4)
+    ) / F.pow(var, 2) - 3
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )
