@@ -101,11 +101,14 @@ def bpe_token_count(text: Column | str) -> Column:
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Character n-grams of the lowercased text (language-ID / script
     profiling signal). Pure array expression — no explode, no shuffle;
-    empty array for texts shorter than ``n``."""
+    empty array for texts shorter than ``n``.
+
+    Implemented as ONE overlapping-window regex pass
+    (``(?=(.{n})).`` lookahead capture at each position): the naive
+    ``transform(sequence(...), i -> substr(lower(t), i, n))`` inlines
+    ``lower(t)`` into the lambda, re-lowercasing the whole string per
+    n-gram — O(len^2) per document, measured ~9x slower at sf0.1."""
     c = F.col(text) if isinstance(text, str) else text
-    t = F.lower(c)
-    ln = F.length(t)
-    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
-        F.array().cast("array<int>")
+    return F.regexp_extract_all(
+        F.lower(c), F.lit(f"(?s)(?=(.{{{int(n)}}}))."), 1
     )
-    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
