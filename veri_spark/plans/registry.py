@@ -5395,3 +5395,221 @@ def value_moments_by_type(spark, sf_dir):
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "source_overlap_jaccard",
+    """
+    WITH ss AS (SELECT DISTINCT source,
+                       unnest(list_transform(
+                         range(1, greatest(len(ws) - 1, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                         AS shingle
+                FROM (SELECT source, string_split(text, ' ') AS ws
+                      FROM documents)),
+         sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+         inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                          COUNT(*) AS c
+                   FROM ss a JOIN ss b
+                     ON a.shingle = b.shingle AND a.source < b.source
+                   GROUP BY 1, 2)
+    SELECT source_a, source_b, c::BIGINT AS n_common,
+           ROUND(c::DOUBLE / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sz na ON source_a = na.source
+    JOIN sz nb ON source_b = nb.source
+    ORDER BY jaccard DESC, source_a ASC, source_b ASC LIMIT 20
+    """,
+)
+def source_overlap_jaccard(spark, sf_dir):
+    """Shard-level content overlap: Jaccard similarity between SOURCES
+    over their distinct 3-word shingle sets — the "are these two crawls
+    the same site" question answered at container grain, where doc-grain
+    dedup would drown in pairs. The self-join output is bounded by
+    |sources|^2 per shingle (containers, not documents), so the quadratic
+    hazard of doc-grain shingle joins does not apply; sizes are a
+    |sources|-row broadcast. Top-20 by similarity with deterministic
+    tie-break."""
+    from veri_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ss = (
+        docs.select("source", tokens("text").alias("__toks"))
+        .select("source", F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"))
+        .distinct()
+    )
+    ss = ss.persist()
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.col("jaccard").desc(), F.col("source_a").asc(), F.col("source_b").asc()
+    ).limit(20)
+
+
+@register(
+    "jaccard_threshold_sweep",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    capped AS (SELECT s.doc_id, s.shingle FROM sh s
+               JOIN (SELECT shingle FROM sh
+                     GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 64) keep
+                 ON s.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM capped a JOIN capped b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY doc_a, doc_b),
+    j AS (SELECT c::DOUBLE / (sa.n + sb.n - c) AS jac
+          FROM common
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id)
+    SELECT FLOOR(LEAST(jac, 0.999999) * 10)::BIGINT AS bucket_decile,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM j GROUP BY 1
+    """,
+)
+def jaccard_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold calibration: the full histogram of candidate-pair
+    Jaccard similarities in 0.1-wide deciles — the curve you read to pick
+    a near-dup cutoff BEFORE committing a 100 TB dedup pass to it (the
+    elbow between the noise mass at low similarity and the duplicate mass
+    near 1.0). Same capped single-join plan as `dedup_ngram_jaccard`
+    (stop-shingle cap bounds every join bucket), but aggregated to ~10
+    rows instead of ranked pairs. jac = 1.0 folds into the top decile."""
+    from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs, parallelism=16), max_doc_freq=64)
+    bucket = F.floor(F.least(F.col("jaccard"), F.lit(0.999999)) * 10).cast("bigint")
+    return pairs.groupBy(bucket.alias("bucket_decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+@register(
+    "mixture_temperature_shares",
+    """
+    WITH c AS (SELECT lang, SUM(len(string_split(text, ' ')))::BIGINT
+                 AS n_tokens
+               FROM documents GROUP BY lang),
+         t AS (SELECT SUM(n_tokens)::DOUBLE AS tot FROM c),
+         p AS (SELECT lang, n_tokens, n_tokens / tot AS raw_share,
+                      (n_tokens / tot) ^ 0.7 AS w
+               FROM c, t),
+         z AS (SELECT SUM(w) AS zz FROM p)
+    SELECT lang, n_tokens,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(w / zz, 6) AS temp_share,
+           ROUND((w / zz) / raw_share, 6) AS sample_factor
+    FROM p, z
+    """,
+)
+def mixture_temperature_shares(spark, sf_dir):
+    """Temperature-scaled data-mixture allocation: per-language token
+    shares flattened with alpha = 0.7 (share^alpha renormalized), the
+    standard multilingual rebalancing that upsamples tail languages
+    without letting any head language dominate. sample_factor is the
+    per-doc sampling multiplier a downstream hash-threshold sampler
+    applies. One token-counting groupBy touches the corpus; the share
+    table is |langs| rows with two one-row broadcast totals."""
+    from veri_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    c = c.persist()
+    t = c.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang", "n_tokens",
+        (F.col("n_tokens") / F.col("tot")).alias("raw_share"),
+        F.pow(F.col("n_tokens") / F.col("tot"), 0.7).alias("w"),
+    )
+    p = p.persist()
+    z = p.agg(F.sum("w").alias("zz"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang", "n_tokens",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("w") / F.col("zz"), 6).alias("temp_share"),
+        F.round((F.col("w") / F.col("zz")) / F.col("raw_share"), 6)
+          .alias("sample_factor"),
+    )
+
+
+@register(
+    "split_leakage_check",
+    """
+    WITH f AS (SELECT doc_id, doc_id % 10 = 0 AS is_val, md5(text) AS fp
+               FROM documents),
+         g AS (SELECT fp,
+                      SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS nv,
+                      SUM(CASE WHEN is_val THEN 0 ELSE 1 END) AS nt
+               FROM f GROUP BY fp)
+    SELECT COUNT(*)::BIGINT AS n_fingerprints,
+           SUM(nv)::BIGINT AS n_val_docs,
+           SUM(CASE WHEN nv > 0 AND nt > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_leaked_fps,
+           SUM(CASE WHEN nv > 0 AND nt > 0 THEN nv ELSE 0 END)::BIGINT
+             AS n_leaked_val_docs,
+           ROUND(SUM(CASE WHEN nv > 0 AND nt > 0 THEN nv ELSE 0 END)::DOUBLE
+                 / SUM(nv), 6) AS leak_rate
+    FROM g
+    """,
+)
+def split_leakage_check(spark, sf_dir):
+    """Train/validation leakage audit: with the standard doc_id % 10
+    holdout, how many held-out documents share an exact fingerprint with
+    a training document — the contamination number that inflates eval
+    scores if unchecked (the within-corpus sibling of the external
+    benchmark `decontamination_overlap`). One fingerprint groupBy carrying
+    two small counters; the verdict is a one-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        (F.col("doc_id") % 10 == 0).alias("is_val"), F.md5("text").alias("fp")
+    )
+    g = f.groupBy("fp").agg(
+        F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("is_val"), 0).otherwise(1)).alias("nt"),
+    )
+    leaked = F.col("nv") > 0
+    both = leaked & (F.col("nt") > 0)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum("nv").cast("bigint").alias("n_val_docs"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_leaked_fps"),
+        F.sum(F.when(both, F.col("nv")).otherwise(0)).cast("bigint")
+          .alias("n_leaked_val_docs"),
+        F.round(
+            F.sum(F.when(both, F.col("nv")).otherwise(0)).cast("double")
+            / F.sum("nv"), 6
+        ).alias("leak_rate"),
+    )
