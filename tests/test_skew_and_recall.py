@@ -277,3 +277,31 @@ def test_pq_train_rejects_indivisible_dim(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=7)
+
+
+def test_knn_join_within_cell(spark):
+    """knn_join: neighbors are exact WITHIN a cell, never cross cells."""
+    from veri_spark.operators.similarity import knn_join
+
+    # two well-separated clusters; centroids = first row of each
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 0.0]),
+        (10, [100.0, 100.0]), (11, [101.0, 100.0]), (12, [100.0, 103.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    out = knn_join(df, cents, k=2)
+    got = {
+        (r["src"], r["rank"]): (r["dst"], round(r["dist"], 6))
+        for r in out.collect()
+    }
+    # src 0: nearest is 1 (d=1), then 2 (d=2) — 3 (d=3) cut by k=2
+    assert got[(0, 1)] == (1, 1.0) and got[(0, 2)] == (2, 2.0)
+    # cluster B never appears as a neighbor of cluster A
+    assert all(dst >= 10 for (s, _), (dst, _) in got.items() if s >= 10)
+    assert all(dst < 10 for (s, _), (dst, _) in got.items() if s < 10)
+    # a 3-member cell yields exactly 2 neighbors per source
+    assert sum(1 for (s, _) in got if s == 10) == 2

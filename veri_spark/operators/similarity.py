@@ -98,6 +98,56 @@ def take_centroids(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN JOIN: for EVERY vector, its k nearest neighbors
+    among vectors sharing the same IVF cell — the all-rows primitive
+    behind embedding-graph construction, near-dup clustering seeds, and
+    label propagation (vs ``ivf_search``, which answers ONE query).
+
+    Plan: one map-only centroid assignment (centroids are plan literals),
+    then a self-equi-join on ``centroid_id`` and a per-source window
+    top-k (WindowGroupLimit pushes the rank filter into the sort). Cost
+    is sum(bucket^2) — bounded by (n/c)^2 * c for c balanced cells, so
+    scaling to 100 TB means growing the centroid count with the corpus
+    (keeping expected bucket size constant), not growing buckets.
+    Neighbors in other cells are missed (standard IVF recall trade);
+    multi-probe assignment is the recall lever.
+
+    Returns (src, dst, rank, dist): rank 1..k by ascending euclidean
+    distance, ties on the neighbor id.
+    """
+    assigned = ivf_assign(df, centroids, id_col=id_col, vector_col=vector_col)
+    a = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("src"),
+        F.col(vector_col).alias("__va"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("dst"),
+        F.col(vector_col).alias("__vb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("dist", euclidean_distance(F.col("__va"), F.col("__vb")))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "rank", "dist")
+    )
+
+
 def ivf_search(
     df: DataFrame,
     centroids: DataFrame,

@@ -5613,3 +5613,48 @@ def split_leakage_check(spark, sf_dir):
             / F.sum("nv"), 6
         ).alias("leak_rate"),
     )
+
+
+@register(
+    "knn_join_ivf",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS x, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), assigned AS (SELECT vec_id, x, centroid_id FROM r WHERE rn = 1),
+    pr AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_distance(a.x, b.x) AS dist
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+    ), rk AS (
+      SELECT src, dst, dist,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist ASC, dst ASC) AS rank
+      FROM pr
+    )
+    SELECT src, dst, rank::BIGINT AS rank, ROUND(dist, 6) AS dist
+    FROM rk WHERE rank <= 3
+    """,
+)
+def knn_join_ivf(spark, sf_dir):
+    """Approximate kNN JOIN over the whole corpus: every vector's 3
+    nearest neighbors within its IVF cell (operators/similarity.knn_join)
+    — the embedding-graph builder. One map-only literal-centroid
+    assignment, a self-equi-join on centroid_id (cost sum(cell^2), cells
+    kept constant-size by scaling the centroid count), per-source window
+    top-k with WindowGroupLimit pushdown."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(emb, take_centroids(emb, 8), k=3)
+    return out.select(
+        "src", "dst", F.col("rank").cast("bigint").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
