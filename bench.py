@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "dedup_containment",
     "minhash_estimate_error",
     "events_dense_hourly",
+    # round-4: corpus-graph kNN join, chunk-grain dedup, PMI collocations,
+    # shard-overlap, nearest as-of
+    "knn_join_ivf",
+    "chunk_dedup_summary",
+    "bigram_pmi_top",
+    "source_overlap_jaccard",
+    "asof_nearest_view",
 ]
 
 
