@@ -98,12 +98,46 @@ def take_centroids(
     )
 
 
+def ivf_assign_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Multi-probe assignment: one output row per (vector, cell) for the
+    vector's ``nprobe`` nearest centroids — the recall lever for blocked
+    similarity ops (a vector near a cell boundary gets looked up in the
+    neighboring cell too). Same literal-centroid, map-only plan as
+    ``ivf_assign``; the explode multiplies rows by nprobe, nothing
+    shuffles."""
+    cents = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    candidates = [
+        F.struct(
+            euclidean_distance(
+                F.col(vector_col), [float(x) for x in r[centroid_vec_col]]
+            ).alias("d"),
+            F.lit(r[centroid_id_col]).alias("cid"),
+        )
+        for r in cents
+    ]
+    probes = F.slice(F.array_sort(F.array(*candidates)), 1, nprobe)
+    return (
+        df.withColumn("__probe", F.explode(probes))
+        .withColumn(centroid_id_col, F.col("__probe.cid"))
+        .drop("__probe")
+    )
+
+
 def knn_join(
     df: DataFrame,
     centroids: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate kNN JOIN: for EVERY vector, its k nearest neighbors
     among vectors sharing the same IVF cell — the all-rows primitive
@@ -117,13 +151,23 @@ def knn_join(
     scaling to 100 TB means growing the centroid count with the corpus
     (keeping expected bucket size constant), not growing buckets.
     Neighbors in other cells are missed (standard IVF recall trade);
-    multi-probe assignment is the recall lever.
+    ``nprobe > 1`` is the recall lever: the SOURCE side probes its nprobe
+    nearest cells (ivf_assign_multi) while each neighbor stays in its one
+    home cell, so every (src, dst) pair still matches at most once and
+    only the probe side fans out.
 
     Returns (src, dst, rank, dist): rank 1..k by ascending euclidean
     distance, ties on the neighbor id.
     """
     assigned = ivf_assign(df, centroids, id_col=id_col, vector_col=vector_col)
-    a = assigned.select(
+    probed = (
+        assigned
+        if nprobe <= 1
+        else ivf_assign_multi(
+            df, centroids, nprobe=nprobe, id_col=id_col, vector_col=vector_col
+        )
+    )
+    a = probed.select(
         "centroid_id",
         F.col(id_col).alias("src"),
         F.col(vector_col).alias("__va"),

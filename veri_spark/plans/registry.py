@@ -5658,3 +5658,154 @@ def knn_join_ivf(spark, sf_dir):
         "src", "dst", F.col("rank").cast("bigint").alias("rank"),
         F.round("dist", 6).alias("dist"),
     )
+
+
+@register(
+    "knn_join_multiprobe",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS x, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), home AS (SELECT vec_id, x, centroid_id FROM r WHERE rn = 1),
+    probe AS (SELECT vec_id, x, centroid_id FROM r WHERE rn <= 2),
+    pr AS (
+      SELECT p.vec_id AS src, h.vec_id AS dst,
+             list_distance(p.x, h.x) AS dist
+      FROM probe p JOIN home h
+        ON p.centroid_id = h.centroid_id AND p.vec_id != h.vec_id
+    ), rk AS (
+      SELECT src, dst, dist,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist ASC, dst ASC) AS rank
+      FROM pr
+    )
+    SELECT src, dst, rank::BIGINT AS rank, ROUND(dist, 6) AS dist
+    FROM rk WHERE rank <= 3
+    """,
+)
+def knn_join_multiprobe(spark, sf_dir):
+    """kNN join with nprobe=2: each source vector is looked up in its TWO
+    nearest cells while neighbors stay in their home cell — recovering
+    the boundary-straddling neighbors single-cell blocking misses, at 2x
+    candidate cost on the probe side only (each (src, dst) pair still
+    joins at most once because a neighbor has exactly one home cell).
+    Compare with `knn_join_ivf` (nprobe=1) to read the recall-vs-cost
+    trade directly."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(emb, take_centroids(emb, 8), k=3, nprobe=2)
+    return out.select(
+        "src", "dst", F.col("rank").cast("bigint").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1),
+         w AS (SELECT hr, n,
+                      SUM(n) OVER f AS s1, SUM(n * n) OVER f AS s2,
+                      COUNT(*) OVER f AS c
+               FROM h
+               WINDOW f AS (ORDER BY hr
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT hr, n,
+           ROUND((n - s1::DOUBLE / c)
+                 / sqrt(s2::DOUBLE / c - (s1::DOUBLE / c) ^ 2), 4) AS z
+    FROM w
+    WHERE c = 24
+      AND abs((n - s1::DOUBLE / c)
+              / sqrt(s2::DOUBLE / c - (s1::DOUBLE / c) ^ 2)) >= 2.0
+    ORDER BY hr ASC
+    """,
+)
+def events_hourly_anomaly(spark, sf_dir):
+    """Volume-anomaly detector: hours whose event count deviates >= 2
+    sigma from the trailing 24-hour window — the collection-outage /
+    bot-spike alarm a data pipeline runs on every ingest partition. Mean
+    and variance come from INTEGER rolling sums (SUM n, SUM n^2 over the
+    frame), so the z-score is bit-identical across engines — no
+    incremental-stddev drift. One groupBy to hourly grain, then a window
+    over the tiny hourly series."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    f = Window.orderBy("hr").rowsBetween(-24, -1)
+    w = h.select(
+        "hr", "n",
+        F.sum("n").over(f).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(f).alias("s2"),
+        F.count(F.lit(1)).over(f).alias("c"),
+    )
+    mu = F.col("s1").cast("double") / F.col("c")
+    z = (F.col("n") - mu) / F.sqrt(
+        F.col("s2").cast("double") / F.col("c") - mu * mu
+    )
+    return (
+        w.filter(F.col("c") == 24)
+        .withColumn("z", z)
+        .filter(F.abs("z") >= 2.0)
+        .select("hr", "n", F.round("z", 4).alias("z"))
+        .orderBy(F.col("hr").asc())
+    )
+
+
+@register(
+    "embedding_outliers",
+    """
+    WITH ce AS (SELECT label, pos, ROUND(AVG(v), 6) AS av
+                FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding)::DOUBLE AS v
+                      FROM embeddings)
+                GROUP BY label, pos),
+         ca AS (SELECT label, list(av ORDER BY pos) AS c FROM ce
+                GROUP BY label),
+         d AS (SELECT e.vec_id, e.label,
+                      ROUND(list_distance(e.embedding::DOUBLE[], ca.c), 6)
+                        AS dist
+               FROM embeddings e JOIN ca ON e.label = ca.label)
+    SELECT vec_id, label, dist FROM d
+    ORDER BY dist DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Mislabeled-point mining: the 10 vectors farthest from their own
+    label's centroid — the triage list label-noise cleanup starts from
+    (companion of `embedding_margin`, which compares same- vs cross-label
+    NEIGHBOR distances; this compares against the class mean). Centroids
+    round to 6dp before the distance so both engines measure identical
+    vectors; the centroid table is a |labels|-row broadcast and the scan
+    stays map-only into a bounded top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ce = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+    )
+    ca = ce.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("c")
+    )
+    from veri_spark.functions.vector import euclidean_distance
+
+    d = emb.join(F.broadcast(ca), "label").select(
+        "vec_id", "label",
+        F.round(
+            euclidean_distance(F.col("embedding").cast("array<double>"), F.col("c")), 6
+        ).alias("dist"),
+    )
+    return d.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(10)
