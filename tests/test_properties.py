@@ -190,3 +190,62 @@ def test_containment_bounds_jaccard(spark, texts):
     assert set(jac) == set(cont)
     for pair, j in jac.items():
         assert 0.0 <= j <= cont[pair] <= 1.0, (pair, j, cont[pair])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=80
+    )
+)
+def test_chunking_covers_every_token(spark, toks):
+    """32/24 sliding-window chunking (the doc_chunk_stats scheme): chunk
+    starts at 0,24,48,... must cover every token index, the tail chunk may
+    be short, and stride-aligned reassembly reproduces the token stream."""
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    c = df.selectExpr(
+        "explode(transform(sequence(0, CAST(floor((size(split(text, ' '))-1)/24) AS INT)),"
+        " i -> struct(i AS idx, slice(split(text, ' '), i*24 + 1, 32) AS chunk))) AS u"
+    ).select("u.idx", "u.chunk")
+    rows = sorted((r["idx"], r["chunk"]) for r in c.collect())
+    n = len(toks)
+    assert len(rows) == (n - 1) // 24 + 1
+    # every chunk is non-empty, at most 32 tokens, and matches the source slice
+    for idx, chunk in rows:
+        start = idx * 24
+        assert 1 <= len(chunk) <= 32
+        assert chunk == toks[start : start + 32]
+    # stride-aligned reassembly: first 24 tokens of each chunk, then the tail
+    rebuilt = []
+    for idx, chunk in rows:
+        rebuilt.extend(chunk[:24] if idx < rows[-1][0] else chunk)
+    assert rebuilt == toks
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=2, max_value=6))
+def test_multiprobe_first_probe_is_home_cell(spark, nprobe):
+    """ivf_assign_multi's nearest probe must equal ivf_assign's single
+    assignment for every vector, and probes must be distinct cells."""
+    from veri_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_multi,
+        take_centroids,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11), float((i * 5 + d) % 13)])
+            for i in range(40) for d in [0]]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = take_centroids(df, 4)
+    home = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    multi = ivf_assign_multi(df, cents, nprobe=min(nprobe, 4))
+    probes: dict[int, list[int]] = {}
+    for r in multi.collect():
+        probes.setdefault(r["vec_id"], []).append(r["centroid_id"])
+    for vid, cells in probes.items():
+        assert len(cells) == min(nprobe, 4)
+        assert len(set(cells)) == len(cells)  # distinct cells
+    # the home cell is among the probes for every vector (it is the nearest)
+    for vid, h in home.items():
+        assert h in probes[vid]

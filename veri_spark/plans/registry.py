@@ -5809,3 +5809,88 @@ def embedding_outliers(spark, sf_dir):
         ).alias("dist"),
     )
     return d.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "knn_join_recall_audit",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS x, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), home AS (SELECT vec_id, x, centroid_id FROM r WHERE rn = 1),
+    probe2 AS (SELECT vec_id, x, centroid_id FROM r WHERE rn <= 2),
+    exact AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_distance(a.x, b.x) ASC, b.vec_id ASC) AS rk
+        FROM home a JOIN home b ON a.vec_id != b.vec_id)
+      WHERE rk <= 3
+    ),
+    ap1 AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, h.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_distance(a.x, h.x) ASC, h.vec_id ASC) AS rk
+        FROM home a JOIN home h
+          ON a.centroid_id = h.centroid_id AND a.vec_id != h.vec_id)
+      WHERE rk <= 3
+    ),
+    ap2 AS (
+      SELECT src, dst FROM (
+        SELECT p.vec_id AS src, h.vec_id AS dst,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_distance(p.x, h.x) ASC, h.vec_id ASC) AS rk
+        FROM probe2 p JOIN home h
+          ON p.centroid_id = h.centroid_id AND p.vec_id != h.vec_id)
+      WHERE rk <= 3
+    )
+    SELECT (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
+           ROUND((SELECT COUNT(*) FROM exact e JOIN ap1 USING (src, dst))::DOUBLE
+                 / (SELECT COUNT(*) FROM exact), 6) AS recall_nprobe1,
+           ROUND((SELECT COUNT(*) FROM exact e JOIN ap2 USING (src, dst))::DOUBLE
+                 / (SELECT COUNT(*) FROM exact), 6) AS recall_nprobe2
+    """,
+)
+def knn_join_recall_audit(spark, sf_dir):
+    """Recall audit for the blocked kNN join: single-probe and two-probe
+    neighbor sets scored against exact brute-force 3-NN — the number you
+    read before trusting `knn_join_ivf` output for graph building. The
+    brute-force side is quadratic BY DESIGN (it is the audit, run on a
+    bounded sample at scale — the same discipline as
+    `ann_ivf_recall_audit`); the audited joins use the production cell-
+    blocked plan."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+    a = e.select(F.col("vec_id").alias("src"), F.col("x").alias("xa"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("x").alias("xb"))
+    from veri_spark.functions.vector import euclidean_distance
+
+    w = Window.partitionBy("src").orderBy(
+        euclidean_distance(F.col("xa"), F.col("xb")).asc(), F.col("dst").asc()
+    )
+    exact = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    exact = exact.persist()
+    ap1 = knn_join(emb, cents, k=3, nprobe=1).select("src", "dst")
+    ap2 = knn_join(emb, cents, k=3, nprobe=2).select("src", "dst")
+    n_exact = exact.count()
+    hit1 = exact.join(ap1, ["src", "dst"]).count()
+    hit2 = exact.join(ap2, ["src", "dst"]).count()
+    return spark.createDataFrame(
+        [(n_exact, round(hit1 / n_exact, 6), round(hit2 / n_exact, 6))],
+        "n_exact bigint, recall_nprobe1 double, recall_nprobe2 double",
+    )
