@@ -5894,3 +5894,60 @@ def knn_join_recall_audit(spark, sf_dir):
         [(n_exact, round(hit1 / n_exact, 6), round(hit2 / n_exact, 6))],
         "n_exact bigint, recall_nprobe1 double, recall_nprobe2 double",
     )
+
+
+@register(
+    "cross_source_neardup_rate",
+    f"""
+    WITH {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM pairs
+    JOIN src sa ON doc_a = sa.doc_id
+    JOIN src sb ON doc_b = sb.doc_id
+    WHERE sa.source != sb.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_neardup_rate(spark, sf_dir):
+    """Cross-shard NEAR-duplicate pressure: MinHash-LSH candidate pairs
+    whose members live in DIFFERENT sources, counted per source pair —
+    `source_overlap_jaccard` asks "do these shards share exact shingles";
+    this asks "do they share whole near-duplicate documents" (syndication
+    / mirror detection), reusing the production banding plan
+    (minhash_candidate_pairs) plus two joins against the tiny
+    (doc_id, source) projection. At 100 TB the doc->source map rides the
+    banded join's existing keys — only ids and 32-char band keys
+    shuffle."""
+    from veri_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4, parallelism=16)
+    src = docs.select("doc_id", "source")
+    out = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        out.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
