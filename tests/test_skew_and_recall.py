@@ -305,3 +305,39 @@ def test_knn_join_within_cell(spark):
     assert all(dst < 10 for (s, _), (dst, _) in got.items() if s < 10)
     # a 3-member cell yields exactly 2 neighbors per source
     assert sum(1 for (s, _) in got if s == 10) == 2
+
+
+def test_kmeans_train_converges_on_separated_clusters(spark):
+    """kmeans_train: on two well-separated blobs the centroids land on the
+    blob means and early-stop fires before the iteration budget."""
+    from veri_spark.operators.similarity import kmeans_train
+
+    rows = [(i, [float(i % 5), 0.0]) for i in range(10)]            # blob A
+    rows += [(100 + i, [100.0 + i % 5, 50.0]) for i in range(10)]   # blob B
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in kmeans_train(df, k=2, iters=10).collect()
+    }
+    assert len(cents) == 2
+    got = sorted(cents.values())
+    assert got[0] == pytest.approx([2.0, 0.0])     # mean of 0..4 repeated
+    assert got[1] == pytest.approx([102.0, 50.0])
+
+
+def test_kmeans_train_keeps_empty_cluster_seed(spark):
+    """A cluster that captures no vectors keeps its seed centroid."""
+    from veri_spark.operators.similarity import kmeans_train
+
+    # seeds are the 2 lowest-id vectors; vec 1 is strictly closer to vec 0's
+    # seed than to its own for every point, starving cluster 1 immediately
+    rows = [(0, [0.0, 0.0]), (1, [1000.0, 1000.0]),
+            (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in kmeans_train(df, k=2, iters=3).collect()
+    }
+    # cluster 1 holds only its seed vector, so it stays put
+    assert cents[1] == pytest.approx([1000.0, 1000.0])
+    assert cents[0] == pytest.approx([1.0 / 3, 1.0 / 3])

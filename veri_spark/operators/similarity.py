@@ -241,6 +241,76 @@ def ivf_probe_candidates(
     return assigned.filter(F.col("centroid_id").isin(probe_ids))
 
 
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    tol: float = 1e-6,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means, Spark-first: deterministic seed (``take_centroids``
+    = k lowest-id vectors), then per iteration one map-only literal-
+    centroid assignment + one (cluster, dim) partial-aggregated mean.
+
+    Each iteration collects exactly k x dim floats to the driver (the new
+    centroids — plan literals for the next assignment), so the corpus is
+    scanned ``iters`` times but NEVER shuffled on the vector id; the only
+    shuffle is the k*dim-partial mean. Stops early when no centroid moves
+    more than ``tol`` (euclidean). ``round_decimals`` rounds centroid
+    components after each update — pinning the trajectory for cross-engine
+    replay (the oracle-parity discipline; leave None in production).
+
+    Returns the final centroids as a DataFrame (centroid_id, centroid_vec)
+    — feed it to ``ivf_assign`` / ``knn_join`` / ``refresh_index``.
+    """
+    import math
+
+    spark = df.sparkSession
+    cents = [
+        (r["centroid_id"], [float(x) for x in r["centroid_vec"]])
+        for r in take_centroids(df, k, id_col=id_col, vector_col=vector_col).collect()
+    ]
+    src = df.select(
+        F.col(id_col), F.col(vector_col).cast("array<double>").alias("__x")
+    )
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            cents, "centroid_id bigint, centroid_vec array<double>"
+        )
+        assigned = ivf_assign(src, cent_df, id_col=id_col, vector_col="__x")
+        new_rows = (
+            assigned.select("centroid_id", F.posexplode("__x").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("av"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "av"))),
+                    lambda s: s["av"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        updated = dict(cents)
+        for r in new_rows:
+            vec = [float(x) for x in r["c"]]
+            if round_decimals is not None:
+                vec = [round(x, round_decimals) for x in vec]
+            updated[r["centroid_id"]] = vec
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, updated[cid])))
+            for cid, old in cents
+        )
+        cents = sorted(updated.items())
+        if shift <= tol:
+            break
+    return spark.createDataFrame(
+        cents, "centroid_id bigint, centroid_vec array<double>"
+    )
+
+
 def ivf_search_assigned(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -5951,3 +5951,74 @@ def cross_source_neardup_rate(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "kmeans_step_inertia",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < 8),
+         d1 AS (SELECT e.vec_id, e.x, c.centroid_id,
+                       list_distance(e.x, c.cvec) AS dist
+                FROM e CROSS JOIN c0 c),
+         a1 AS (SELECT vec_id, x, centroid_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+                  FROM d1) WHERE rn = 1),
+         m AS (SELECT centroid_id, pos, ROUND(AVG(v), 6) AS av
+               FROM (SELECT centroid_id, generate_subscripts(x, 1) AS pos,
+                            unnest(x) AS v
+                     FROM a1)
+               GROUP BY centroid_id, pos),
+         c1 AS (SELECT centroid_id, list(av ORDER BY pos) AS c FROM m
+                GROUP BY centroid_id),
+         cf AS (SELECT c0.centroid_id, COALESCE(c1.c, c0.cvec) AS cvec
+                FROM c0 LEFT JOIN c1 USING (centroid_id)),
+         d2 AS (SELECT e.vec_id, e.x, c.centroid_id, c.cvec,
+                       list_distance(e.x, c.cvec) AS dist
+                FROM e CROSS JOIN cf c),
+         a2 AS (SELECT vec_id, x, centroid_id, cvec FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+                  FROM d2) WHERE rn = 1)
+    SELECT centroid_id, COUNT(*)::BIGINT AS n_assigned,
+           SUM(FLOOR(1000000 * list_sum(list_transform(range(1, len(x) + 1),
+                 i -> (x[i] - cvec[i]) * (x[i] - cvec[i]))) + 0.5)::BIGINT
+               )::BIGINT AS inertia_micro
+    FROM a2 GROUP BY centroid_id
+    """,
+)
+def kmeans_step_inertia(spark, sf_dir):
+    """One full Lloyd iteration (operators/similarity.kmeans_train,
+    iters=1, centroids rounded to 6dp for cross-engine replay) followed by
+    re-assignment and per-cluster inertia — distributed k-means as Spark
+    expresses it: each iteration is a map-only literal-centroid assignment
+    plus a (cluster, dim) partial-aggregated mean, collecting only k x dim
+    floats to the driver between iterations; the corpus never shuffles on
+    the vector id. Inertia terms round to integer micro-units BEFORE the
+    sum (order-proof). Empty clusters keep their seed centroid, matching
+    the oracle's COALESCE."""
+    from veri_spark.functions.vector import euclidean_distance  # noqa: F401
+    from veri_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=1, tol=0.0, round_decimals=6)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    assigned = ivf_assign(e, cents, id_col="vec_id", vector_col="x")
+    joined = assigned.join(
+        F.broadcast(cents.withColumnRenamed("centroid_vec", "cvec")),
+        "centroid_id",
+    )
+    d2 = F.aggregate(
+        F.zip_with("x", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    micro = F.floor(1000000 * d2 + 0.5).cast("bigint")
+    return joined.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum(micro).cast("bigint").alias("inertia_micro"),
+    )
