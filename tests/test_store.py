@@ -591,3 +591,33 @@ def test_pq_index_stale_after_stream_insert(spark, store, tmp_path):
         n_centroids=4, nprobe=4,
     ).collect()
     assert got2[0]["label"] == "fresh"
+
+
+def test_refresh_index_kmeans_refined(spark, store):
+    """refresh_index(kmeans_iters=...) trains the IVF centroids with Lloyd
+    iterations before assignment: two tight blobs must land in different
+    cells (balanced index), and approximate search still self-matches."""
+    import random
+
+    rng = random.Random(4)
+    rows = [([rng.gauss(0.0, 0.05) for _ in range(8)], "g", f"a{i}", 1)
+            for i in range(20)]
+    rows += [([5.0 + rng.gauss(0.0, 0.05) for _ in range(8)], "g", f"b{i}", 1)
+             for i in range(20)]
+    store.insert("km", _batch(spark, rows), no_target=True)
+    store.refresh_index("km", n_centroids=2, kmeans_iters=3)
+    assigned, cents, _ = store._indexed("km")
+    cells = {
+        r["label"]: r["centroid_id"]
+        for r in assigned.select("label", "centroid_id").collect()
+    }
+    a_cells = {c for l, c in cells.items() if l.startswith("a")}
+    b_cells = {c for l, c in cells.items() if l.startswith("b")}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+    q = rows[25][0]
+    got = store.search(
+        "km", [q], SearchConfig(score_func="AnnoyVectorDistance", limit=2),
+        nprobe=1,
+    ).collect()
+    assert got[0]["label"] == "b5"
+    assert got[0]["score"] < 1e-6

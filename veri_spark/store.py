@@ -696,6 +696,7 @@ class FeatureStore:
         vector_col: str = "feature",
         pq_m: int | None = None,
         pq_k: int = 16,
+        kmeans_iters: int = 0,
     ) -> int:
         """The reference's Process pass (data/newsync.go:93-227): rebuild the
         ANN index from the live table and hot-swap it atomically. Here the
@@ -708,10 +709,32 @@ class FeatureStore:
         ADC-prunes the probed candidates on codes before exact-scoring the
         survivors — at 100 TB the float vectors stay column-pruned out of
         the candidate scan entirely. Requires a uniform vector dim
-        divisible by ``pq_m``. Returns the number of indexed rows."""
+        divisible by ``pq_m``.
+
+        ``kmeans_iters > 0`` refines the deterministic seed centroids with
+        that many Lloyd iterations (operators/similarity.kmeans_train)
+        before assignment: balanced cells mean bounded per-cell probe cost
+        — the difference between "some cell holds half the corpus" and
+        uniform pruning at scale. Each iteration costs one extra corpus
+        scan, no extra shuffle. Returns the number of indexed rows."""
         df = self._read(name)
         df = df.withColumn("__row_id", F.xxhash64(*df.columns))
-        cents = take_centroids(df, n_centroids, id_col="__row_id", vector_col=vector_col)
+        if kmeans_iters > 0:
+            from veri_spark.operators.similarity import kmeans_train
+
+            cents = kmeans_train(
+                df, k=n_centroids, iters=kmeans_iters,
+                id_col="__row_id", vector_col=vector_col,
+            ).withColumnRenamed("centroid_vec", "__cv")
+            # match take_centroids' column contract (centroid_id, centroid_vec)
+            cents = cents.select(
+                "centroid_id",
+                F.col("__cv").cast("array<float>").alias("centroid_vec"),
+            )
+        else:
+            cents = take_centroids(
+                df, n_centroids, id_col="__row_id", vector_col=vector_col
+            )
         assigned = ivf_assign(df, cents, id_col="__row_id", vector_col=vector_col)
         books = None
         if pq_m is not None:
