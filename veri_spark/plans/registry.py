@@ -6022,3 +6022,83 @@ def kmeans_step_inertia(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.sum(micro).cast("bigint").alias("inertia_micro"),
     )
+
+
+@register(
+    "ivf_balance_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < 8),
+         d1 AS (SELECT e.vec_id, e.x, c.centroid_id,
+                       list_distance(e.x, c.cvec) AS dist
+                FROM e CROSS JOIN c0 c),
+         a1 AS (SELECT vec_id, x, centroid_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+                  FROM d1) WHERE rn = 1),
+         m AS (SELECT centroid_id, pos, ROUND(AVG(v), 6) AS av
+               FROM (SELECT centroid_id, generate_subscripts(x, 1) AS pos,
+                            unnest(x) AS v
+                     FROM a1)
+               GROUP BY centroid_id, pos),
+         c1 AS (SELECT centroid_id, list(av ORDER BY pos) AS c FROM m
+                GROUP BY centroid_id),
+         cf AS (SELECT c0.centroid_id, COALESCE(c1.c, c0.cvec) AS cvec
+                FROM c0 LEFT JOIN c1 USING (centroid_id)),
+         d2 AS (SELECT e.vec_id, c.centroid_id,
+                       list_distance(e.x, c.cvec) AS dist
+                FROM e CROSS JOIN cf c),
+         a2 AS (SELECT vec_id, centroid_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+                  FROM d2) WHERE rn = 1),
+         s AS (SELECT centroid_id, COUNT(*)::BIGINT AS n_seed FROM a1
+               GROUP BY centroid_id),
+         t AS (SELECT centroid_id, COUNT(*)::BIGINT AS n_trained FROM a2
+               GROUP BY centroid_id)
+    SELECT c0.centroid_id,
+           COALESCE(s.n_seed, 0)::BIGINT AS n_seed,
+           COALESCE(t.n_trained, 0)::BIGINT AS n_trained
+    FROM c0
+    LEFT JOIN s USING (centroid_id)
+    LEFT JOIN t USING (centroid_id)
+    """,
+)
+def ivf_balance_audit(spark, sf_dir):
+    """Cell-balance before/after one Lloyd refinement: per-cell population
+    under raw seed centroids vs kmeans_train(iters=1) centroids — the
+    audit that justifies `refresh_index(kmeans_iters=...)`: probe cost is
+    bounded by the LARGEST cell, and seeds sampled from the first k rows
+    routinely leave one cell holding half the corpus. Both assignments are
+    map-only literal plans; the comparison is two tiny groupBys."""
+    from veri_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train,
+        take_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+    seed = take_centroids(e, 8, id_col="vec_id", vector_col="x")
+    trained = kmeans_train(emb, k=8, iters=1, tol=0.0, round_decimals=6)
+    s = (
+        ivf_assign(e, seed, id_col="vec_id", vector_col="x")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seed"))
+    )
+    t = (
+        ivf_assign(e, trained, id_col="vec_id", vector_col="x")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trained"))
+    )
+    ids = seed.select("centroid_id")
+    return (
+        ids.join(s, "centroid_id", "left")
+        .join(t, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_seed", F.lit(0)).cast("bigint").alias("n_seed"),
+            F.coalesce("n_trained", F.lit(0)).cast("bigint").alias("n_trained"),
+        )
+    )
