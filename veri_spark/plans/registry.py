@@ -6102,3 +6102,147 @@ def ivf_balance_audit(spark, sf_dir):
             F.coalesce("n_trained", F.lit(0)).cast("bigint").alias("n_trained"),
         )
     )
+
+
+@register(
+    "copurchase_top_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*)::BIGINT AS n_orders
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+    SELECT part_a, part_b, n_orders FROM pr
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def copurchase_top_pairs(spark, sf_dir):
+    """Market-basket pair mining: the 20 part pairs most often bought in
+    the same order — association-rule support counting as a self-join on
+    the order key. The join fan-out is bounded by (parts per order)^2 — a
+    BASKET-sized quadratic, not a corpus-sized one — and the distinct
+    projection first drops duplicate (order, part) lines so multi-line
+    parts don't inflate support. One shuffle on the order key, one
+    partial-aggregated pair count, bounded top-k."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return pr.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+@register(
+    "training_set_assembly",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         lastc AS (SELECT p.event_id, MAX(c.ts) AS ts
+                   FROM p LEFT JOIN c ON p.user_id = c.user_id
+                                     AND c.ts <= p.ts
+                   GROUP BY p.event_id),
+         lastc_v AS (SELECT l.event_id, l.ts,
+                            MAX(c.value) AS feat_click_value
+                     FROM lastc l
+                     LEFT JOIN p ON l.event_id = p.event_id
+                     LEFT JOIN c ON c.user_id = p.user_id AND c.ts = l.ts
+                     GROUP BY l.event_id, l.ts),
+         nviews AS (SELECT p.event_id, COUNT(v.ts)::BIGINT AS feat_views_1h
+                    FROM p LEFT JOIN v
+                      ON p.user_id = v.user_id
+                     AND v.ts <= p.ts
+                     AND v.ts > p.ts - INTERVAL 1 HOUR
+                    GROUP BY p.event_id)
+    SELECT p.event_id, p.user_id,
+           ROUND(p.value, 6) AS label_value,
+           lv.ts AS feat_click_ts,
+           ROUND(lv.feat_click_value, 6) AS feat_click_value,
+           nv.feat_views_1h
+    FROM p
+    JOIN lastc_v lv USING (event_id)
+    JOIN nviews nv USING (event_id)
+    """,
+)
+def training_set_assembly(spark, sf_dir):
+    """Point-in-time-correct training-set assembly, the feature-store
+    serving pattern end-to-end: purchases are the label stream; each row
+    is annotated with (a) the user's latest click value as of the label
+    time (as-of join — no future leakage by construction) and (b) a
+    bounded 1-hour view count (interval join). The engine side composes
+    asof_join + a windowed count in TWO single-shuffle passes on user_id;
+    the oracle's range-join formulations are the quadratic plans these
+    operators replace. Tie rule: equal-timestamp clicks resolve to the
+    greatest (value) payload, mirrored in the oracle via MAX(value) at
+    the matched timestamp."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    feat = asof_join(
+        p, c, on=["user_id"], payload_cols=["value"], prefix="feat_click_"
+    )
+    joined = feat.join(v, "user_id", "left").withColumn(
+        "__in_1h",
+        F.when(
+            (F.col("vts") <= F.col("ts"))
+            & (F.col("vts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            1,
+        ).otherwise(0),
+    )
+    out = joined.groupBy(
+        "event_id", "user_id", "value", "feat_click_ts", "feat_click_value"
+    ).agg(F.sum("__in_1h").cast("bigint").alias("feat_views_1h"))
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("label_value"),
+        "feat_click_ts",
+        F.round("feat_click_value", 6).alias("feat_click_value"),
+        "feat_views_1h",
+    )
+
+
+@register(
+    "events_weekday_profile",
+    """
+    SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+           COUNT(*)::BIGINT AS n,
+           ROUND(COUNT(*)::DOUBLE
+                 / (SELECT COUNT(*) FROM events), 6) AS share
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_weekday_profile(spark, sf_dir):
+    """Seasonality fingerprint: event share by (weekday, hour) — the
+    168-cell traffic profile drift monitors and capacity planners both
+    read. One partial-aggregated groupBy; the denominator is a one-row
+    broadcast. DuckDB's dayofweek is 0=Sunday; Spark's dayofweek is
+    1=Sunday, so the Spark side shifts by one to match."""
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).alias("t"))
+    g = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow", "hr", "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
