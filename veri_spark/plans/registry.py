@@ -6246,3 +6246,369 @@ def events_weekday_profile(spark, sf_dir):
         "dow", "hr", "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 1: graph centrality, MMR diversity re-ranking, truncated-
+# embedding retrieval audit, rate limiting, run-length sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "pagerank_step",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+    contrib AS (
+      SELECT e.dst AS l_partkey, SUM(1.0 / d.outdeg) AS z
+      FROM edges e JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT l_partkey, ROUND(0.15 + 0.85 * z, 6) AS pagerank
+    FROM contrib
+    ORDER BY pagerank DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def pagerank_step(spark, sf_dir):
+    """One damped PageRank iteration (d=0.85, uniform r0=1) over the
+    co-purchase part graph — graph centrality on the same basket edges
+    `copurchase_top_pairs` mines for support. The edge build is the
+    bounded basket-quadratic self-join (distinct (order, part) first);
+    degrees and contributions are two partial-aggregated shuffles on the
+    part key; no adjacency ever sits on the driver, so further iterations
+    at 100 TB are the same two shuffles re-keyed on an already
+    co-partitioned edge set. Output: top-20 parts by rank-after-one-step.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    contrib = (
+        edges.join(deg, "src")
+        .groupBy(F.col("dst").alias("l_partkey"))
+        .agg(F.sum(F.lit(1.0) / F.col("outdeg")).alias("z"))
+    )
+    out = contrib.select(
+        "l_partkey", F.round(F.lit(0.15) + F.lit(0.85) * F.col("z"), 6).alias("pagerank")
+    )
+    return out.orderBy(F.col("pagerank").desc(), F.col("l_partkey").asc()).limit(20)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Half-away-from-zero rounding, matching Spark's F.round and DuckDB's
+    ROUND (Python's built-in round is half-even and would diverge exactly
+    at .5 boundaries)."""
+    s = 10.0 ** n
+    v = abs(x) * s
+    import math
+
+    return math.copysign(math.floor(v + 0.5) / s, x)
+
+
+@register(
+    "mmr_rerank",
+    f"""
+    WITH cands AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(embedding::DOUBLE[], {_Q0}), 9) AS rel
+      FROM embeddings ORDER BY rel DESC, vec_id ASC LIMIT 12
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 9) AS sim
+      FROM cands a JOIN cands b ON a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sym AS (SELECT ia, ib, sim FROM pairs
+            UNION ALL SELECT ib, ia, sim FROM pairs),
+    s1 AS (SELECT vec_id, ROUND(0.7 * rel, 6) AS mmr
+           FROM cands ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    r2 AS (SELECT c.vec_id, c.rel, MAX(s.sim) AS ms FROM cands c
+           JOIN sym s ON s.ia = c.vec_id
+                     AND s.ib IN (SELECT vec_id FROM s1)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+           GROUP BY 1, 2),
+    s2 AS (SELECT vec_id, ROUND(0.7 * rel - 0.3 * ms, 6) AS mmr
+           FROM r2 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+    r3 AS (SELECT c.vec_id, c.rel, MAX(s.sim) AS ms FROM cands c
+           JOIN sym s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel2)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+           GROUP BY 1, 2),
+    s3 AS (SELECT vec_id, ROUND(0.7 * rel - 0.3 * ms, 6) AS mmr
+           FROM r3 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+    r4 AS (SELECT c.vec_id, c.rel, MAX(s.sim) AS ms FROM cands c
+           JOIN sym s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel3)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+           GROUP BY 1, 2),
+    s4 AS (SELECT vec_id, ROUND(0.7 * rel - 0.3 * ms, 6) AS mmr
+           FROM r4 ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+    r5 AS (SELECT c.vec_id, c.rel, MAX(s.sim) AS ms FROM cands c
+           JOIN sym s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel4)
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+           GROUP BY 1, 2),
+    s5 AS (SELECT vec_id, ROUND(0.7 * rel - 0.3 * ms, 6) AS mmr
+           FROM r5 ORDER BY mmr DESC, vec_id ASC LIMIT 1)
+    SELECT 1::BIGINT AS selection_rank, vec_id::BIGINT AS vec_id, mmr FROM s1
+    UNION ALL SELECT 2, vec_id, mmr FROM s2
+    UNION ALL SELECT 3, vec_id, mmr FROM s3
+    UNION ALL SELECT 4, vec_id, mmr FROM s4
+    UNION ALL SELECT 5, vec_id, mmr FROM s5
+    """,
+)
+def mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein, SIGIR 1998) — the RAG retrieval pattern the reference's
+    context re-scoring (K12, data/search.go:379-427) gestures at:
+    greedily pick k=5 of the top-12 cosine candidates maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-picked.
+
+    Scale shape: candidate generation is the distributed bounded top-k
+    over the full corpus (the 100 TB part); the greedy selection runs on
+    the driver over a PROVABLY BOUNDED set (12 candidates, 66 pairwise
+    sims — same justification as the collected k-means centroids and PQ
+    codebooks). Relevances come from the distributed scan; pairwise sims
+    are numpy float64 on the collected vectors (bit-identical math to the
+    oracle's DOUBLE[] cosine up to the 1e-9 rounding applied in both).
+    The oracle unrolls the same greedy as five chained argmax CTEs."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    qn = np.array(q, dtype="float64")
+    dot = F.aggregate(
+        F.zip_with("embedding", F.lit(q).cast("array<double>"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    rel = F.round(dot / (nrm * F.lit(float(np.linalg.norm(qn)))), 9)
+    cands = (
+        emb.select("vec_id", rel.alias("rel"), "embedding")
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(12)
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in cands}
+    rels = {r["vec_id"]: float(r["rel"]) for r in cands}
+    sims = {}
+    ids = [r["vec_id"] for r in cands]
+    for i in ids:
+        for j in ids:
+            if i < j:
+                vi, vj = vecs[i], vecs[j]
+                s = _round_half_up(
+                    float(vi @ vj) / (float(np.linalg.norm(vi)) * float(np.linalg.norm(vj))),
+                    9,
+                )
+                sims[(i, j)] = sims[(j, i)] = s
+    picked: list[tuple[int, int, float]] = []
+    remaining = set(ids)
+    first = max(remaining, key=lambda v: (rels[v], -v))
+    picked.append((1, first, _round_half_up(0.7 * rels[first], 6)))
+    remaining.discard(first)
+    for rank in range(2, 6):
+        best, best_score = None, None
+        for c in sorted(remaining):
+            ms = max(sims[(c, p)] for _, p, _ in picked)
+            score = _round_half_up(0.7 * rels[c] - 0.3 * ms, 6)
+            if best is None or score > best_score:
+                best, best_score = c, score
+        picked.append((rank, best, best_score))
+        remaining.discard(best)
+    return spark.createDataFrame(
+        picked, "selection_rank bigint, vec_id bigint, mmr double"
+    )
+
+
+@register(
+    "matryoshka_recall",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.query_id, e.vec_id,
+            list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS fs,
+            list_cosine_similarity(
+              (e.embedding::DOUBLE[])[1:32], q.qv[1:32]) AS ts
+          FROM embeddings e, q),
+    r AS (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY fs DESC, vec_id ASC) AS rf,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY ts DESC, vec_id ASC) AS rt
+          FROM s)
+    SELECT query_id,
+           ROUND(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                 / 10.0, 3) AS recall_at_10
+    FROM r GROUP BY query_id
+    """,
+)
+def matryoshka_recall(spark, sf_dir):
+    """Matryoshka-style truncation audit (Kusupati et al., NeurIPS 2022):
+    recall@10 of cosine retrieval using only the FIRST 32 of 64 embedding
+    dims versus full-dimension retrieval, per query — the measurement that
+    decides whether a cheaper truncated index is safe to serve. Five query
+    vectors broadcast against the corpus (map-side fan-out, no shuffle for
+    scoring); both rankings share one exchange on query_id; overlap is
+    rows inside both top-10s. At 100 TB the full ranking would come from
+    the IVF path — the audit shape (two rankings, one window key) holds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(
+            F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        nb = F.sqrt(
+            F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        return dot / (na * nb)
+
+    s = e.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        cos(F.col("ev"), F.col("qv")).alias("fs"),
+        cos(F.slice("ev", 1, 32), F.slice("qv", 1, 32)).alias("ts"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("fs").desc(), F.col("vec_id").asc())
+    wt = Window.partitionBy("query_id").orderBy(F.col("ts").desc(), F.col("vec_id").asc())
+    r = s.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return r.groupBy("query_id").agg(
+        F.round(
+            F.sum(F.when((F.col("rf") <= 10) & (F.col("rt") <= 10), 1).otherwise(0))
+            / F.lit(10.0),
+            3,
+        ).alias("recall_at_10")
+    )
+
+
+@register(
+    "event_rate_limit",
+    """
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+    SELECT event_type, COUNT(*)::BIGINT AS total,
+           SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)::BIGINT AS kept,
+           SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END)::BIGINT AS dropped
+    FROM r GROUP BY event_type
+    """,
+)
+def event_rate_limit(spark, sf_dir):
+    """Per-user token-bucket rate limiting, batch form: keep the first 3
+    events per (user, clock-hour), report kept/dropped per type — the
+    ingest-throttling / abuse-damping primitive a serving layer needs in
+    front of a 100 TB event store. One shuffle on (user_id, hour) for the
+    row_number (high-cardinality composite key, so no skew hot-spot even
+    for a heavy user — their traffic splits across hours), one partial
+    agg on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    r = ev.select("event_type", F.row_number().over(w).alias("rn"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).cast("bigint").alias("kept"),
+        F.sum(F.when(F.col("rn") > 3, 1).otherwise(0)).cast("bigint").alias("dropped"),
+    )
+
+
+@register(
+    "event_run_lengths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rt
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, rn - rt AS grp,
+             COUNT(*)::BIGINT AS run_len, MIN(ts) AS run_start
+      FROM o GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, run_len, run_start
+    FROM runs
+    ORDER BY run_len DESC, user_id ASC, run_start ASC, event_type ASC
+    LIMIT 20
+    """,
+)
+def event_run_lengths(spark, sf_dir):
+    """Gaps-and-islands run-length encoding: the 20 longest streaks of a
+    user emitting the same event_type consecutively — behavioral-loop
+    detection (bot bursts, rage-clicks) expressed as the classic
+    rn - rn_per_type group constant. Both row_numbers partition on
+    user_id (the second adds event_type), so the heavy sort happens once
+    per key family; the run aggregation is partial-combined; top-k is
+    bounded with a total deterministic tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    return (
+        runs.select("user_id", "event_type", "run_len", "run_start")
+        .orderBy(
+            F.col("run_len").desc(),
+            F.col("user_id").asc(),
+            F.col("run_start").asc(),
+            F.col("event_type").asc(),
+        )
+        .limit(20)
+    )
