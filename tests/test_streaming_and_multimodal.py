@@ -359,3 +359,54 @@ def test_ensure_event_time_normalizes_all_source_types(spark):
         assert dict(out.dtypes)["ts"] == "timestamp", df.dtypes
         vals.append(out.first()["ts"])
     assert vals[0] == vals[1] == vals[2] == inst
+
+
+def test_streaming_heavy_hitters_guarantee(spark):
+    """Misra-Gries streaming sketch: after the stream drains, every key
+    whose true per-shard frequency exceeds N_shard/(capacity+1) must be
+    tracked, and every estimate must be a lower bound within N_shard/(cap+1)
+    of the true count (the MG error guarantee)."""
+    from veri_spark.streaming.stateful import heavy_hitter_sketch
+    from veri_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    capacity = 8
+    shards = 4
+    stream = stream_events(spark, SF_DIR)
+    sketch = heavy_hitter_sketch(
+        stream, key_col="user_id", shards=shards, capacity=capacity
+    )
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName("hh_sketch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["shard"], r["key"]): r["est_count"]
+        for r in spark.table("hh_sketch").collect()
+    }
+    truth = {
+        (r["shard"], r["key"]): r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select(
+            (F.abs(F.hash("user_id")) % shards).cast("int").alias("shard"),
+            F.col("user_id").cast("bigint").alias("key"),
+        )
+        .groupBy("shard", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shard_n = {}
+    for (s, _), n in truth.items():
+        shard_n[s] = shard_n.get(s, 0) + n
+    for (s, k), n in truth.items():
+        bound = shard_n[s] / (capacity + 1)
+        if n > bound:
+            assert (s, k) in got, f"guaranteed heavy hitter {(s, k)} missing"
+    for (s, k), est in got.items():
+        true_n = truth.get((s, k), 0)
+        assert est <= true_n, "MG estimate must be a lower bound"
+        assert true_n - est <= shard_n[s] / (capacity + 1) + 1e-9

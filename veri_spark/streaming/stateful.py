@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -72,6 +73,98 @@ def running_group_stats(
         _fold_group,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries summaries with bounded state
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = "shard int, key bigint, est_count bigint"
+HH_STATE_SCHEMA = "keys array<bigint>, counts array<bigint>"
+
+
+def _mg_update(summary: dict[int, int], key: int, inc: int, capacity: int) -> None:
+    """Misra-Gries counter update: increment if tracked, insert if room,
+    else decrement every counter (dropping zeros). Estimate error is
+    bounded by N/(capacity+1) over the shard's stream length N."""
+    if key in summary:
+        summary[key] += inc
+        return
+    while inc > 0:
+        if len(summary) < capacity:
+            summary[key] = inc
+            return
+        # decrement all by the largest step that empties at least one slot
+        step = min(min(summary.values()), inc)
+        inc -= step
+        for k in list(summary):
+            summary[k] -= step
+            if summary[k] == 0:
+                del summary[k]
+
+
+def _fold_heavy_hitters_factory(capacity: int):
+    def fold(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            keys, counts = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary = {}
+        for pdf in pdfs:
+            # one MG update per DISTINCT key with its batch count: same
+            # result as per-row updates, but the Python loop is over the
+            # batch's distinct keys, not its rows
+            vc = pdf["key"].value_counts()
+            for k, c in vc.items():
+                _mg_update(summary, int(k), int(c), capacity)
+        items = sorted(summary.items())
+        state.update(([k for k, _ in items], [c for _, c in items]))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(items),
+                "key": [k for k, _ in items],
+                "est_count": [c for _, c in items],
+            }
+        )
+
+    return fold
+
+
+def heavy_hitter_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    shards: int = 16,
+    capacity: int = 8,
+) -> DataFrame:
+    """Approximate streaming top-k: per-shard Misra-Gries summaries over a
+    key column, with state bounded at ``shards * capacity`` counters no
+    matter the stream length — the streaming counterpart of the exact
+    batch ``heavy_hitters_share`` registry query.
+
+    Scale shape: keys hash into ``shards`` state groups, so the state
+    store holds a few KB total and the shuffle key is the shard id (fixed
+    fan-in, no per-user state explosion). Every key with true frequency
+    > N_shard/(capacity+1) is guaranteed tracked (Misra & Gries 1982);
+    a downstream batch merge of the per-shard summaries (they are
+    disjoint by construction — a key lives in exactly one shard) gives
+    corpus-level heavy hitters with the same bound. The reference keeps
+    exact per-dataset counts in its maintenance loop (data/data.go:145-168);
+    this is the bounded-memory form that survives an unbounded stream."""
+    src = events.select(
+        (F.abs(F.hash(F.col(key_col))) % shards).cast("int").alias("shard"),
+        F.col(key_col).cast("bigint").alias("key"),
+    )
+    return src.groupBy("shard").applyInPandasWithState(
+        _fold_heavy_hitters_factory(capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
