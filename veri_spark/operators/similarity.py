@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from veri_spark.functions.hashing import portable_hash64_py
-from veri_spark.functions.vector import euclidean_distance
+from veri_spark.functions.vector import euclidean_distance, euclidean_distance_fixed
 from veri_spark.operators.topk import topk
 
 
@@ -54,10 +54,17 @@ def ivf_assign(
     """
     cents = centroids.select(centroid_id_col, centroid_vec_col).collect()
     if len(cents) <= inline_threshold:
+        # unrolled scalar kernels only when the TOTAL term count fits one
+        # generated method: k centroids x dim terms beyond ~128 trips
+        # janino's 64KB method limit and the whole projection falls back to
+        # interpreted eval — slower than the compact aggregate kernel
+        unroll = bool(cents) and len(cents) * len(cents[0][centroid_vec_col]) <= 128
         candidates = [
             F.struct(
                 euclidean_distance(
-                    F.col(vector_col), [float(x) for x in r[centroid_vec_col]]
+                    F.col(vector_col),
+                    [float(x) for x in r[centroid_vec_col]],
+                    unroll=unroll,
                 ).alias("d"),
                 F.lit(r[centroid_id_col]).alias("cid"),
             )
@@ -114,10 +121,14 @@ def ivf_assign_multi(
     ``ivf_assign``; the explode multiplies rows by nprobe, nothing
     shuffles."""
     cents = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    # same janino-size gate as ivf_assign
+    unroll = bool(cents) and len(cents) * len(cents[0][centroid_vec_col]) <= 128
     candidates = [
         F.struct(
             euclidean_distance(
-                F.col(vector_col), [float(x) for x in r[centroid_vec_col]]
+                F.col(vector_col),
+                [float(x) for x in r[centroid_vec_col]],
+                unroll=unroll,
             ).alias("d"),
             F.lit(r[centroid_id_col]).alias("cid"),
         )
@@ -177,10 +188,18 @@ def knn_join(
         F.col(id_col).alias("dst"),
         F.col(vector_col).alias("__vb"),
     )
+    # the corpus dimension is known from the (already driver-sized) centroid
+    # set, so the pair loop uses the unrolled fixed-dim codegen kernel —
+    # this inner product over sum(cell^2) pairs is the query's entire cost
+    first = centroids.select(F.size("centroid_vec").alias("d")).first()
+    dim = int(first["d"]) if first else 0
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("src") != F.col("dst"))
-        .withColumn("dist", euclidean_distance(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "dist",
+            euclidean_distance_fixed(F.col("__va"), F.col("__vb"), dim),
+        )
     )
     w = Window.partitionBy("src").orderBy(
         F.col("dist").asc(), F.col("dst").asc()

@@ -5873,10 +5873,13 @@ def knn_join_recall_audit(spark, sf_dir):
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
     a = e.select(F.col("vec_id").alias("src"), F.col("x").alias("xa"))
     b = e.select(F.col("vec_id").alias("dst"), F.col("x").alias("xb"))
-    from veri_spark.functions.vector import euclidean_distance
+    from veri_spark.functions.vector import euclidean_distance_fixed
 
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
     w = Window.partitionBy("src").orderBy(
-        euclidean_distance(F.col("xa"), F.col("xb")).asc(), F.col("dst").asc()
+        euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim).asc(),
+        F.col("dst").asc(),
     )
     exact = (
         a.join(b, F.col("src") != F.col("dst"))
