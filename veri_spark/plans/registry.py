@@ -6615,3 +6615,263 @@ def event_run_lengths(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: behavioral modeling, sparse similarity, feature audits
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events),
+    t AS (SELECT event_type AS cur, nxt FROM o WHERE nxt IS NOT NULL),
+    c AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n FROM t GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS tn FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           ROUND(c.n / tot.tn, 6) AS p
+    FROM c JOIN tot USING (cur)
+    ORDER BY cur ASC, nxt ASC
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | current_type) — the behavioral model behind next-action
+    prediction and funnel-drop analysis. One shuffle on user_id for the
+    lead() ordering, then a |types|^2-row aggregate (partial-combined);
+    the denominator join is a broadcast of a |types|-row table. At 100 TB
+    the per-user sort is the only real cost and rides a single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("tn"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select("cur", "nxt", "n", F.round(F.col("n") / F.col("tn"), 6).alias("p"))
+        .orderBy(F.col("cur").asc(), F.col("nxt").asc())
+    )
+
+
+@register(
+    "user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(n) AS tn FROM c GROUP BY user_id),
+    h AS (
+      SELECT c.user_id,
+             -SUM((c.n / t.tn) * ln(c.n / t.tn) / ln(2)) AS ent,
+             MAX(t.tn) AS n_events
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id)
+    SELECT user_id, ROUND(ent, 6) AS entropy_bits,
+           n_events::BIGINT AS n_events
+    FROM h
+    ORDER BY entropy_bits DESC, user_id ASC LIMIT 25
+    """,
+)
+def user_entropy(spark, sf_dir):
+    """Behavioral diversity score: Shannon entropy (bits) of each user's
+    event-type distribution, top-25 most-diverse users — bot/power-user
+    triage reads this (uniform behavior = high entropy, single-action
+    automation = 0). Two partial-aggregated shuffles on user_id (the
+    second reuses the first's partitioning) and a bounded top-k. The
+    -sum(p ln p) terms are accumulated per (user,type) BEFORE the group
+    sum, so the entropy is an order-insensitive aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tn"))
+    h = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (-F.sum((F.col("n") / F.col("tn")) * F.log(F.col("n") / F.col("tn")) / F.log(F.lit(2.0)))).alias("ent"),
+            F.max("tn").alias("n_events"),
+        )
+    )
+    return (
+        h.select(
+            "user_id",
+            F.round("ent", 6).alias("entropy_bits"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("entropy_bits").desc(), F.col("user_id").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "tfidf_doc_similarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+           FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((SELECT n FROM nd) / df.df) AS wt
+      FROM tf JOIN df USING (term)
+      WHERE df.df <= 0.5 * (SELECT n FROM nd)),
+    nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nn FROM w GROUP BY doc_id),
+    pp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt * b.wt) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sim AS (
+      SELECT pp.doc_a, pp.doc_b,
+             pp.dot / (na.nn * nb.nn) AS cos
+      FROM pp JOIN nrm na ON na.doc_id = pp.doc_a
+              JOIN nrm nb ON nb.doc_id = pp.doc_b)
+    SELECT doc_a, doc_b, ROUND(cos, 6) AS cosine
+    FROM sim
+    ORDER BY cosine DESC, doc_a ASC, doc_b ASC LIMIT 15
+    """,
+)
+def tfidf_doc_similarity(spark, sf_dir):
+    """Sparse lexical document similarity: TF-IDF weighted cosine via a
+    TERM-level self-join — the bag-of-words complement of the embedding
+    near-dup path (no vectors needed). Ubiquitous terms (df > 50% of
+    docs) are dropped BEFORE the pair join: they contribute negligible
+    IDF weight but quadratic join fan-out — the same stop-shingle
+    discipline as the Jaccard dedup cap. Partial products aggregate
+    per (doc_a, doc_b) in one shuffle; norms broadcast. The dot is a sum
+    of products accumulated per term — order-insensitive at the 6dp
+    rounding grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").cast("double").alias("n"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= 0.5 * F.col("n"))
+        .select(
+            "doc_id", "term", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt")
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nn"))
+    pp = (
+        w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
+        .join(
+            w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")),
+            "term",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sim = (
+        pp.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
+    return sim.orderBy(
+        F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(15)
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+    SELECT pos::BIGINT - 1 AS dim,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(STDDEV_POP(v), 6) AS std_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM e GROUP BY pos ORDER BY dim ASC
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std/min/max over the
+    corpus): the calibration table the int8 scalar quantizer and any
+    whitening step read, and the first place dead or exploding dimensions
+    show up. posexplode + one partial-aggregated groupBy on (dim) — 64
+    groups, so the reduce side is trivial at any corpus size. Population
+    stddev via the explicit E[x^2]-E[x]^2 form DuckDB's STDDEV_POP also
+    computes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        e.groupBy(F.col("pos").cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("v"), 6).alias("std_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy(F.col("dim").asc())
+    )
+
+
+@register(
+    "length_ntile_stats",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+      FROM documents),
+    b AS (SELECT source, n_toks,
+                 ntile(10) OVER (PARTITION BY source
+                                 ORDER BY n_toks ASC, doc_id ASC) AS decile
+          FROM t)
+    SELECT source, decile::BIGINT AS decile,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_toks)::BIGINT AS tokens,
+           ROUND(AVG(n_toks), 6) AS mean_toks
+    FROM b GROUP BY source, decile
+    ORDER BY source ASC, decile ASC
+    """,
+)
+def length_ntile_stats(spark, sf_dir):
+    """Equal-mass length curriculum bins: token-count deciles PER SOURCE
+    (ntile over the per-source length ordering) with doc and token mass
+    per bin — the table a curriculum schedule (short->long) or a packing
+    planner reads. The ntile sorts within each source shard only (one
+    exchange on source); a GLOBAL ntile would be a total sort and is
+    exactly what this query avoids at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_toks").asc(), F.col("doc_id").asc())
+    b = t.select("source", "n_toks", F.ntile(10).over(w).alias("decile"))
+    return (
+        b.groupBy("source", F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+            F.round(F.avg("n_toks"), 6).alias("mean_toks"),
+        )
+        .orderBy(F.col("source").asc(), F.col("decile").asc())
+    )
