@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "bigram_pmi_top",
     "source_overlap_jaccard",
     "asof_nearest_view",
+    # round-4: graph centrality, sparse lexical similarity, MMR re-rank
+    "pagerank_step",
+    "tfidf_doc_similarity",
+    "mmr_rerank",
 ]
 
 

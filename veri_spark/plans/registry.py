@@ -6765,6 +6765,9 @@ def tfidf_doc_similarity(spark, sf_dir):
         .select(
             "doc_id", "term", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt")
         )
+        # three consumers (norms + both pair sides): persist so the
+        # tokenize->tf->idf chain runs once, not three times
+        .persist()
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nn"))
     pp = (
