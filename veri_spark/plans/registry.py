@@ -6878,3 +6878,193 @@ def length_ntile_stats(spark, sf_dir):
         )
         .orderBy(F.col("source").asc(), F.col("decile").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 3: corpus novelty, association-rule lift, changepoint scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "trigram_novelty",
+    """
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tri
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    first_seen AS (SELECT tri, MIN(doc_id) AS first_doc FROM g GROUP BY tri),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*)::BIGINT AS n_tri,
+             SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel
+      FROM g JOIN first_seen f ON g.tri = f.tri
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_tri, n_novel,
+           ROUND(n_novel::DOUBLE / n_tri, 6) AS novelty
+    FROM per_doc
+    ORDER BY novelty ASC, doc_id ASC LIMIT 25
+    """,
+)
+def trigram_novelty(spark, sf_dir):
+    """Corpus-diversity contribution: per document, the fraction of its
+    DISTINCT word trigrams whose first occurrence (by ingestion order =
+    doc_id) is in that document — the marginal-novelty signal dedup-aware
+    acquisition pipelines rank new crawls by; the 25 LEAST novel docs
+    shown are rehash candidates. One shingle explode shared by both sides,
+    a trigram-grain groupBy for first-occurrence, and a join back on the
+    trigram — shuffle keys are 3-gram strings, partial-aggregated; no
+    quadratic pair join anywhere."""
+    from veri_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = doc_shingles(docs, k=3, parallelism=16).select(
+        "doc_id", F.col("shingle").alias("tri")
+    )
+    first_seen = g.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first_seen, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_tri", "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_tri"), 6).alias("novelty"),
+        )
+        .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "copurchase_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM li),
+    supp AS (SELECT l_partkey, COUNT(*)::DOUBLE AS n FROM li GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*)::DOUBLE AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT part_a, part_b, n_ab::BIGINT AS n_ab,
+           ROUND(n_ab / sa.n, 6) AS confidence_a_b,
+           ROUND(n_ab * (SELECT n_orders FROM n) / (sa.n * sb.n), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def copurchase_lift(spark, sf_dir):
+    """Association-rule strength for basket pairs: confidence(A->B) and
+    lift relative to independence — the metrics that separate genuinely
+    associated parts from merely popular ones (raw support, which
+    `copurchase_top_pairs` ranks by, conflates the two). The support >= 2
+    floor prunes the pair tail BEFORE the metric joins; per-part supports
+    broadcast; the basket self-join is the same bounded quadratic as the
+    support miner."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("na"), 6).alias("confidence_a_b"),
+            F.round(F.col("n_ab") * F.col("n_orders") / (F.col("na") * F.col("nb")), 6).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+@register(
+    "events_cusum_scan",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, AVG(n) AS mu FROM h GROUP BY event_type),
+    d AS (
+      SELECT h.event_type, h.hr, h.n - m.mu AS dev,
+             SUM(h.n - m.mu) OVER (PARTITION BY h.event_type
+                                   ORDER BY h.hr ASC) AS cusum
+      FROM h JOIN m USING (event_type)),
+    x AS (
+      SELECT event_type, hr, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, hr ASC) AS rk
+      FROM d)
+    SELECT event_type, hr AS peak_hour, ROUND(cusum, 6) AS peak_cusum
+    FROM x WHERE rk = 1
+    ORDER BY event_type ASC
+    """,
+)
+def events_cusum_scan(spark, sf_dir):
+    """CUSUM changepoint scan per event type: cumulative deviation of
+    hourly counts from the type mean; the hour where |CUSUM| peaks is the
+    most likely level-shift point (Page 1954) — the batch form of a
+    drift alarm (companion of `events_hourly_anomaly`, which flags
+    single-hour z-score spikes; CUSUM finds sustained shifts). Hourly
+    pre-aggregation happens FIRST, so the windowed cumulative sum runs
+    over |types| x |hours| rows, not raw events; one exchange on
+    event_type serves both the window and the argmax."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = h.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hr").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = h.join(F.broadcast(m), "event_type").select(
+        "event_type", "hr",
+        F.sum(F.col("n") - F.col("mu")).over(wcum).alias("cusum"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("hr").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("peak_hour"),
+            F.round("cusum", 6).alias("peak_cusum"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
