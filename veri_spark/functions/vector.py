@@ -313,3 +313,19 @@ def make_pandas_score_fn(fn: Callable) -> Callable[..., Column]:
         return scorer(vec_col, query)
 
     return builder
+
+
+def dot_product_fixed(a, b, dim: int) -> Column:
+    """Column-column dot product with a statically-known dimension: the
+    unrolled codegen kernel for pair loops that pre-hoist norms (blocked
+    embedding near-dup). Per-term coalesce = min-length truncation, same
+    left fold order as ``aggregate(zip_with(...))`` — bit-identical on
+    uniform-dimension corpora. The caller must pass dim >= the corpus
+    dimension (longer rows would silently truncate at dim)."""
+    ar, br = _raw_col(a), _raw_col(b)
+    if not (0 < dim <= _UNROLL_MAX):
+        return _dot_general(ar, br)
+    total = F.lit(0.0)
+    for i in range(dim):
+        total = total + F.coalesce(_elem(ar, i) * _elem(br, i), F.lit(0.0))
+    return total
