@@ -7068,3 +7068,271 @@ def events_cusum_scan(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 4: weighted quantiles, leakage-safe splits, hard-example
+# mining, session conversion
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_length_quantiles",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source
+                               ORDER BY n_toks ASC, doc_id ASC) AS cum,
+             SUM(n_toks) OVER (PARTITION BY source) AS tot
+      FROM t)
+    SELECT source,
+           MIN(CASE WHEN cum >= 0.5 * tot THEN n_toks END)::BIGINT AS wp50,
+           MIN(CASE WHEN cum >= 0.9 * tot THEN n_toks END)::BIGINT AS wp90,
+           MAX(tot)::BIGINT AS total_tokens
+    FROM c GROUP BY source
+    """,
+)
+def weighted_length_quantiles(spark, sf_dir):
+    """TOKEN-MASS-weighted length quantiles per source: the doc length at
+    which 50% / 90% of the source's tokens sit in docs that long or
+    shorter — the packing/curriculum planner's quantity (the unweighted
+    doc-count quantiles in `events_value_quantiles`-style queries answer a
+    different question: half the DOCS vs half the TOKENS). One window
+    partition per source (cumulative sum rides a single exchange); the
+    final min-over-flagged rows is a partial-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_toks").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    c = t.select(
+        "source", "n_toks",
+        F.sum("n_toks").over(wcum).alias("cum"),
+        F.sum("n_toks").over(wtot).alias("tot"),
+    )
+    return c.groupBy("source").agg(
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("tot"), F.col("n_toks"))).cast("bigint").alias("wp50"),
+        F.min(F.when(F.col("cum") >= 0.9 * F.col("tot"), F.col("n_toks"))).cast("bigint").alias("wp90"),
+        F.max("tot").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "fingerprint_split_assign",
+    """
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(lower(trim(text))) AS fp,
+             CAST('0x' || substr(md5(md5(lower(trim(text)))), 1, 15) AS BIGINT)
+               % 10 AS bucket
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, fp,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      FROM f),
+    leak AS (
+      SELECT COUNT(*)::BIGINT AS n_leaked FROM (
+        SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT split) > 1))
+    SELECT split, source,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT fp)::BIGINT AS n_fingerprints,
+           (SELECT n_leaked FROM leak) AS n_leaked_fingerprints
+    FROM s GROUP BY split, source
+    ORDER BY split ASC, source ASC
+    """,
+)
+def fingerprint_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: the split key is the md5 of
+    the NORMALIZED TEXT, not the doc id — so byte-identical duplicates
+    land in the same split by construction and the audit column
+    `n_leaked_fingerprints` is structurally 0 (split by doc_id, the naive
+    choice, leaks every cross-split duplicate into eval). One map pass
+    assigns; counts are partial-aggregated; the leak audit groups by the
+    32-char fingerprint only. The md5-of-md5 bucket matches the repo's
+    portable-hash convention so both engines bucket identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    bucket = (
+        F.conv(F.substring(F.md5(fp), 1, 15), 16, 10).cast("bigint") % 10
+    )
+    s = docs.select(
+        "doc_id", "source", fp.alias("fp"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leak = (
+        s.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    )
+    g = s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+    )
+    return (
+        g.crossJoin(F.broadcast(leak))
+        .select(
+            "split", "source", "n_docs", "n_fingerprints",
+            F.col("n_leaked").alias("n_leaked_fingerprints"),
+        )
+        .orderBy(F.col("split").asc(), F.col("source").asc())
+    )
+
+
+@register(
+    "hard_example_mining",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.label, e.x, c.centroid_id,
+             list_distance(e.x, c.cvec) AS dist
+      FROM e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, label, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), a AS (SELECT vec_id, label, x, centroid_id FROM r WHERE rn = 1),
+    pos AS (
+      SELECT p.vec_id, MIN(list_distance(p.x, q.x)) AS pos_dist
+      FROM e p JOIN e q ON p.label = q.label AND p.vec_id != q.vec_id
+      GROUP BY p.vec_id),
+    neg AS (
+      SELECT p.vec_id, MIN(list_distance(p.x, q.x)) AS neg_dist
+      FROM a p JOIN a q
+        ON p.centroid_id = q.centroid_id AND p.label != q.label
+      GROUP BY p.vec_id)
+    SELECT pos.vec_id,
+           ROUND(pos_dist, 6) AS pos_dist,
+           ROUND(neg_dist, 6) AS neg_dist,
+           ROUND(neg_dist - pos_dist, 6) AS margin
+    FROM pos JOIN neg USING (vec_id)
+    ORDER BY margin ASC, vec_id ASC LIMIT 20
+    """,
+)
+def hard_example_mining(spark, sf_dir):
+    """Triplet-mining worklist: the 20 anchors with the smallest
+    (nearest-cross-label - nearest-same-label) margin — the hard examples
+    a contrastive trainer oversamples (per-anchor grain; `embedding_margin`
+    reports the same quantity for 10 fixed probes). BOTH pair searches are
+    blocked: positives within the LABEL block (bounded by class size),
+    hardest negatives within the anchor's IVF CELL (the ANN-bucket
+    approximation hard-negative miners use at scale — cross-label
+    neighbors outside the cell are missed, the standard recall trade).
+    No unblocked corpus self-join anywhere."""
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+    from veri_spark.functions.vector import euclidean_distance_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
+    dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
+    pos = (
+        e.select("label", F.col("vec_id").alias("va"), F.col("x").alias("xa"))
+        .join(e.select("label", F.col("vec_id").alias("vb"), F.col("x").alias("xb")), "label")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min(dist).alias("pos_dist"))
+    )
+    neg = (
+        a.select("centroid_id", F.col("label").alias("la"), F.col("vec_id").alias("va"), F.col("x").alias("xa"))
+        .join(
+            a.select("centroid_id", F.col("label").alias("lb"), F.col("vec_id").alias("vb"), F.col("x").alias("xb")),
+            "centroid_id",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min(dist).alias("neg_dist"))
+    )
+    return (
+        pos.join(neg, "vec_id")
+        .select(
+            "vec_id",
+            F.round("pos_dist", 6).alias("pos_dist"),
+            F.round("neg_dist", 6).alias("neg_dist"),
+            F.round(F.col("neg_dist") - F.col("pos_dist"), 6).alias("margin"),
+        )
+        .orderBy(F.col("margin").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "session_conversion",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM s GROUP BY user_id, sid)
+    SELECT hour(session_start)::BIGINT AS start_hour,
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+                    THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+           ROUND(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS conversion_rate
+    FROM agg GROUP BY 1 ORDER BY start_hour ASC
+    """,
+)
+def session_conversion(spark, sf_dir):
+    """View-to-purchase conversion at SESSION grain by start hour: a
+    session (30-min inactivity gap, same definition `events_sessionize`
+    proves against the gaps-and-islands oracle) converts when it contains
+    a purchase at-or-after its first view. Spark side uses the native
+    session_window aggregation — per-session conditional mins/maxes in ONE
+    user_id exchange — against the oracle's lag/cumsum islands
+    formulation; identical session boundaries, independently derived."""
+    from veri_spark.streaming.windows import ensure_event_time
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+    )
+    conv = F.when(
+        F.col("first_view").isNotNull()
+        & (F.col("last_purchase") >= F.col("first_view")),
+        1,
+    ).otherwise(0)
+    return (
+        agg.groupBy(F.hour("session_start").cast("bigint").alias("start_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(conv).cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum(conv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("start_hour").asc())
+    )
