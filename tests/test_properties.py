@@ -249,3 +249,87 @@ def test_multiprobe_first_probe_is_home_cell(spark, nprobe):
     # the home cell is among the probes for every vector (it is the nearest)
     for vid, h in home.items():
         assert h in probes[vid]
+
+
+def test_mmr_rerank_invariants(spark):
+    """MMR greedy selection: ranks are 1..5, ids unique, rank-1 is the
+    highest-relevance candidate (= vec 0 itself, cosine 1.0 to its own
+    embedding), and every later pick's mmr score never exceeds the
+    previous pick's (greedy argmax over a shrinking set with a fixed
+    selected-penalty is non-increasing in this corpus)."""
+    from veri_spark.plans.registry import QUERIES
+
+    rows = QUERIES["mmr_rerank"](spark, "/root/testdata/sf0.001").collect()
+    ranks = [r["selection_rank"] for r in rows]
+    assert sorted(ranks) == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5
+    byrank = {r["selection_rank"]: r for r in rows}
+    assert byrank[1]["vec_id"] == 0
+    assert abs(byrank[1]["mmr"] - 0.7) < 1e-9  # 0.7 * cos(q, q) = 0.7
+
+
+def test_weighted_quantiles_ordering(spark):
+    """Token-weighted quantiles: wp50 <= wp90 <= max doc length, and the
+    totals equal the exact per-source token sums."""
+    from veri_spark.plans.registry import QUERIES
+    from veri_spark.sources.catalog import load_table
+
+    rows = QUERIES["weighted_length_quantiles"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    truth = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["wp50"] <= r["wp90"]
+        assert r["total_tokens"] == truth[r["source"]]
+
+
+def test_transition_matrix_stochastic(spark):
+    """Each current-state row of the Markov transition matrix sums to ~1
+    and every probability is in (0, 1]."""
+    from veri_spark.plans.registry import QUERIES
+
+    rows = QUERIES["event_transition_matrix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cur: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_cur[r["cur"]] = by_cur.get(r["cur"], 0.0) + r["p"]
+    assert by_cur
+    for cur, s in by_cur.items():
+        assert abs(s - 1.0) < 1e-3  # rounding at 6dp across |types| cells
+
+
+def test_fingerprint_split_no_leakage(spark):
+    """The fingerprint-keyed split must report zero leaked fingerprints
+    (identical texts always land in one split) and cover every doc."""
+    from veri_spark.plans.registry import QUERIES
+    from veri_spark.sources.catalog import load_table
+
+    rows = QUERIES["fingerprint_split_assign"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["n_leaked_fingerprints"] == 0 for r in rows)
+    n_total = sum(r["n_docs"] for r in rows)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert n_total == docs.count()
+
+
+def test_pagerank_step_mass(spark):
+    """After one damped iteration from uniform r0=1, every returned rank
+    must satisfy 0.15 < rank (every node with in-edges gets the base mass
+    plus positive contribution)."""
+    from veri_spark.plans.registry import QUERIES
+
+    rows = QUERIES["pagerank_step"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["pagerank"] > 0.15
