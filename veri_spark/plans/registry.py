@@ -7336,3 +7336,173 @@ def session_conversion(spark, sf_dir):
         )
         .orderBy(F.col("start_hour").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 5: BM25 retrieval, multimodal byte dedup, clickstream paths
+# ---------------------------------------------------------------------------
+
+@register(
+    "bm25_ranking",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS len FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(len) AS avglen,
+                     (SELECT COUNT(*) FROM documents)::DOUBLE AS n
+              FROM dl),
+    q AS (SELECT unnest(['spark', 'table', 'query']) AS term),
+    tf AS (SELECT t.doc_id, t.term, COUNT(*)::DOUBLE AS tf
+           FROM tok t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df
+           FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    """,
+)
+def bm25_ranking(spark, sf_dir):
+    """BM25 retrieval scoring (Robertson-Sparck Jones; k1=1.2, b=0.75) for
+    a fixed 3-term query — the lexical ranker a RAG stack runs beside the
+    embedding KNN path (`tfidf_doc_similarity` compares documents to each
+    other; this ranks documents against a QUERY). The query-term semi-join
+    prunes the token stream to matching postings BEFORE any aggregation;
+    doc lengths aggregate once; N/avglen and the per-term IDFs are
+    broadcast scalars. At 100 TB this is the posting-list scan shape: cost
+    scales with matching postings, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(F.avg("len").alias("avglen")).crossJoin(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    q = spark.createDataFrame([("spark",), ("table",), ("query",)], "term string")
+    tf = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    sc = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * F.col("tf") * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen")))
+            ).alias("score")
+        )
+    )
+    return (
+        sc.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "multimodal_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id, source, md5(text) AS payload_md5,
+             strlen(text)::BIGINT AS n_bytes
+      FROM documents),
+    k AS (SELECT source, payload_md5, MIN(n_bytes) AS n_bytes,
+                 COUNT(*)::BIGINT AS n_copies
+          FROM m GROUP BY source, payload_md5)
+    SELECT source,
+           SUM(n_copies)::BIGINT AS n_payloads,
+           COUNT(*)::BIGINT AS n_unique,
+           SUM(n_copies * n_bytes)::BIGINT AS bytes_total,
+           SUM(n_bytes)::BIGINT AS bytes_unique,
+           ROUND(1.0 - SUM(n_bytes)::DOUBLE / SUM(n_copies * n_bytes), 6)
+             AS savings_ratio
+    FROM k GROUP BY source ORDER BY source ASC
+    """,
+)
+def multimodal_dedup(spark, sf_dir):
+    """Content-hash dedup accounting for binary media payloads (text bytes
+    stand in for encoded media, same convention as
+    `multimodal_decode_features`): per source, payload count vs unique
+    md5 count and the byte savings content-addressed storage would
+    realize — the FIRST pass a 100 TB image/audio ingest runs, before any
+    decode. Only 32-char digests and byte counts shuffle; payload bytes
+    never leave the scan (the md5 is computed map-side on the binary
+    column). Copies within a hash keep MIN(n_bytes) — identical bytes,
+    stated once."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id", "source",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("payload_md5"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+    k = m.groupBy("source", "payload_md5").agg(
+        F.min("n_bytes").alias("n_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("bigint").alias("n_payloads"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.col("n_copies") * F.col("n_bytes")).cast("bigint").alias("bytes_total"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_unique"),
+            F.round(
+                1.0 - F.sum("n_bytes").cast("double")
+                / F.sum(F.col("n_copies") * F.col("n_bytes")),
+                6,
+            ).alias("savings_ratio"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS b,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS c
+      FROM events)
+    SELECT a, b, c, COUNT(*)::BIGINT AS n
+    FROM o WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a ASC, b ASC, c ASC LIMIT 15
+    """,
+)
+def event_path_trigrams(spark, sf_dir):
+    """Top 3-step behavioral paths across user streams — the clickstream
+    pattern-mining grain one up from `event_transition_matrix`'s bigram
+    probabilities (paths expose the funnel orderings a first-order chain
+    cannot). Both lead() offsets ride ONE user_id exchange and one sort;
+    the path aggregate is |types|^3-bounded and partial-combined."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        o.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc(), F.col("c").asc())
+        .limit(15)
+    )
