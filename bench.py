@@ -68,10 +68,13 @@ BENCH_QUERIES = [
     "bigram_pmi_top",
     "source_overlap_jaccard",
     "asof_nearest_view",
-    # round-4: graph centrality, sparse lexical similarity, MMR re-rank
+    # round-4: graph centrality, sparse lexical similarity, MMR re-rank,
+    # BM25 retrieval, blocked triplet mining
     "pagerank_step",
     "tfidf_doc_similarity",
     "mmr_rerank",
+    "bm25_ranking",
+    "hard_example_mining",
 ]
 
 
