@@ -410,3 +410,59 @@ def test_streaming_heavy_hitters_guarantee(spark):
         true_n = truth.get((s, k), 0)
         assert est <= true_n, "MG estimate must be a lower bound"
         assert true_n - est <= shard_n[s] / (capacity + 1) + 1e-9
+
+
+def _protobuf_available() -> bool:
+    # the stateful-v2 Python worker speaks protobuf to the JVM
+    # (pyspark/sql/streaming/proto/StateMessage_pb2); without the
+    # google.protobuf package the driver worker crashes at init
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf, absent in this sandbox",
+)
+def test_first_seen_dedup_stateful_v2(spark):
+    """transformWithStateInPandas (stateful v2, RocksDB store): one
+    emission per distinct key with its first timestamp; duplicate counts
+    add up to the stream total."""
+    import pyspark.sql.functions as F
+    from veri_spark.sources.catalog import load_table
+    from veri_spark.streaming.stateful import first_seen_dedup
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, SF_DIR)
+        out = first_seen_dedup(stream, key_col="user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fsd")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.table("fsd").collect()
+        emitted = [r for r in rows if r["first_ts"] is not None]
+        ev = load_table(spark, SF_DIR, "events")
+        n_users = ev.select("user_id").distinct().count()
+        n_events = ev.count()
+        assert len(emitted) == n_users
+        assert len({r["key"] for r in emitted}) == n_users
+        total = sum(r["n_dups_batch"] for r in rows) + len(emitted)
+        assert total == n_events
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
