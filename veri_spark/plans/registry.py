@@ -7506,3 +7506,139 @@ def event_path_trigrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc(), F.col("c").asc())
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 6: whitening audit, repeat purchases
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_whitening_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    s AS (SELECT pos, AVG(v) AS mu,
+                 CASE WHEN STDDEV_POP(v) = 0 THEN 1.0 ELSE STDDEV_POP(v) END AS sd
+          FROM e GROUP BY pos),
+    raw_m AS (SELECT vec_id, MAX(abs(v)) AS m FROM e GROUP BY vec_id),
+    raw_err AS (
+      SELECT e.vec_id,
+             AVG(abs(e.v - round(e.v / (rm.m / 127.0)) * (rm.m / 127.0))
+                 / rm.m) AS rel_err
+      FROM e JOIN raw_m rm USING (vec_id) WHERE rm.m > 0
+      GROUP BY e.vec_id),
+    wh AS (
+      SELECT e.vec_id, e.pos, (e.v - s.mu) / s.sd AS w
+      FROM e JOIN s USING (pos)),
+    wh_m AS (SELECT vec_id, MAX(abs(w)) AS m FROM wh GROUP BY vec_id),
+    wh_err AS (
+      SELECT wh.vec_id,
+             AVG(abs(wh.w - round(wh.w / (wm.m / 127.0)) * (wm.m / 127.0))
+                 / wm.m) AS rel_err
+      FROM wh JOIN wh_m wm USING (vec_id) WHERE wm.m > 0
+      GROUP BY wh.vec_id)
+    SELECT ROUND(AVG(r.rel_err), 6) AS raw_rel_err,
+           ROUND(AVG(w.rel_err), 6) AS whitened_rel_err,
+           ROUND(AVG(w.rel_err) / AVG(r.rel_err), 6) AS err_ratio
+    FROM raw_err r JOIN wh_err w USING (vec_id)
+    """,
+)
+def embedding_whitening_audit(spark, sf_dir):
+    """Does per-dimension standardization help int8 quantization? Average
+    per-vector relative reconstruction error (|x - dequant(quant(x))| /
+    max|x|, symmetric per-vector scale, 127 levels) for RAW versus
+    WHITENED ((x-mu)/sd per dim) embeddings, and their ratio — the
+    one-number audit run before deciding the store's quantized tier
+    should whiten at ingest (reads `embedding_dim_stats`' moments; ratio
+    < 1 means whitening spreads mass across dims and quantizes better).
+    Two posexplode aggregations and per-vector groupBys; the 64-row dim
+    stats broadcast back — corpus passes stay map-shaped."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    s = e.groupBy("pos").agg(
+        F.avg("v").alias("mu"),
+        F.when(F.stddev_pop("v") == 0, F.lit(1.0))
+        .otherwise(F.stddev_pop("v"))
+        .alias("sd"),
+    )
+
+    def rel_err(df, col):
+        m = df.groupBy("vec_id").agg(F.max(F.abs(F.col(col))).alias("m"))
+        j = df.join(m, "vec_id").filter(F.col("m") > 0)
+        step = F.col("m") / 127.0
+        err = F.abs(F.col(col) - F.round(F.col(col) / step) * step) / F.col("m")
+        return j.groupBy("vec_id").agg(F.avg(err).alias("rel_err"))
+
+    raw = rel_err(e, "v")
+    wh = rel_err(
+        e.join(F.broadcast(s), "pos").select(
+            "vec_id", "pos", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("w")
+        ),
+        "w",
+    )
+    return (
+        raw.select(F.col("vec_id"), F.col("rel_err").alias("r"))
+        .join(wh.select(F.col("vec_id"), F.col("rel_err").alias("w")), "vec_id")
+        .agg(
+            F.round(F.avg("r"), 6).alias("raw_rel_err"),
+            F.round(F.avg("w"), 6).alias("whitened_rel_err"),
+            F.round(F.avg("w") / F.avg("r"), 6).alias("err_ratio"),
+        )
+    )
+
+
+@register(
+    "repeat_purchase_rate",
+    """
+    WITH ol AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS part,
+             o.o_orderdate AS od, o.o_orderkey AS ok
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, 3, 4),
+    r AS (
+      SELECT cust, part, ok,
+             row_number() OVER (PARTITION BY cust, part
+                                ORDER BY od ASC, ok ASC) AS nth
+      FROM ol)
+    SELECT COUNT(*)::BIGINT AS n_cust_part_orders,
+           SUM(CASE WHEN nth > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
+           ROUND(SUM(CASE WHEN nth > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS repeat_rate
+    FROM r
+    """,
+)
+def repeat_purchase_rate(spark, sf_dir):
+    """Repeat-purchase rate: of all (customer, part, order) line
+    occurrences, the share where the customer had ALREADY ordered that
+    part in an earlier order — the retention/loyalty analog of
+    `copurchase_*`'s association mining. One orders-lineitem equi-join
+    (orders side projected to 3 columns), distinct to order grain, then a
+    single window over (cust, part) — the high-cardinality composite key
+    spreads evenly, no skew hot-spot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part")
+    )
+    ol = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("cust", "part", "od", F.col("o_orderkey").alias("ok"))
+        .distinct()
+    )
+    w = Window.partitionBy("cust", "part").orderBy(F.col("od").asc(), F.col("ok").asc())
+    r = ol.select(F.row_number().over(w).alias("nth"))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust_part_orders"),
+        F.sum(F.when(F.col("nth") > 1, 1).otherwise(0)).cast("bigint").alias("n_repeat"),
+        F.round(
+            F.sum(F.when(F.col("nth") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("repeat_rate"),
+    )
