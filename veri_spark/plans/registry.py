@@ -7642,3 +7642,142 @@ def repeat_purchase_rate(spark, sf_dir):
             6,
         ).alias("repeat_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 7: windowed top-k, concentration (Gini), independence audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "windowed_topk_users",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, user_id, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT hr, user_id, n,
+             row_number() OVER (PARTITION BY hr
+                                ORDER BY n DESC, user_id ASC) AS rk
+      FROM h)
+    SELECT hr, user_id, n, rk
+    FROM r WHERE rk <= 3
+    ORDER BY hr ASC, rk ASC
+    """,
+)
+def windowed_topk_users(spark, sf_dir):
+    """Top-3 most active users per clock hour — the windowed grouped
+    top-k every ops dashboard renders (the event-stream analog of the
+    vector path's `knn_grouped_topk`). Hourly pre-aggregation first, so
+    the rank window runs over (hour, user) aggregates, not raw events;
+    WindowGroupLimit pushes rk<=3 into the sort. One exchange keyed by
+    hour for the window after the partial-combined count."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("hr").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hr", "user_id", "n", "rk")
+        .orderBy(F.col("hr").asc(), F.col("rk").asc())
+    )
+
+
+@register(
+    "customer_spend_gini",
+    """
+    WITH s AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend ASC, o_custkey ASC) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(spend) OVER () AS tot
+      FROM s)
+    SELECT ROUND(SUM((2.0 * i - n - 1) * spend) / (MAX(n) * MAX(tot)), 6) AS gini,
+           MAX(n)::BIGINT AS n_customers,
+           ROUND(MAX(tot), 2) AS total_spend
+    FROM r
+    """,
+)
+def customer_spend_gini(spark, sf_dir):
+    """Revenue-concentration Gini coefficient over per-customer spend
+    (sum((2i-n-1)x_i) / (n*sum x) on the ascending-sorted series) — the
+    whale-dependence number that decides mixture caps and rate limits
+    the same way the corpus-side `heavy_hitters_share` does for traffic.
+    The per-customer aggregate is partial-combined; the GLOBAL rank sort
+    runs over the customer aggregate (|customers| rows, not |orders|) —
+    the one place a total sort is the honest cost, on the smallest frame
+    that can carry it."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    wr = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy()
+    r = s.select(
+        "spend",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("spend").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("spend"))
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("tot"), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "lang_source_chi2",
+    """
+    WITH c AS (
+      SELECT lang, source, COUNT(*)::DOUBLE AS n
+      FROM documents GROUP BY lang, source),
+    m AS (SELECT SUM(n) AS tot FROM c),
+    lm AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY lang),
+    sm AS (SELECT source, SUM(n) AS ns FROM c GROUP BY source),
+    x AS (
+      SELECT c.lang, c.source, c.n,
+             lm.nl * sm.ns / m.tot AS expected
+      FROM c JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN m)
+    SELECT ROUND(SUM((n - expected) * (n - expected) / expected), 6) AS chi2,
+           COUNT(*)::BIGINT AS n_cells,
+           ROUND(MAX(expected), 6) AS max_expected
+    FROM x
+    """,
+)
+def lang_source_chi2(spark, sf_dir):
+    """Chi-square independence statistic for the lang x source
+    contingency table — the corpus-balance audit that flags a shard
+    whose language mix diverges from the corpus mix (the formal version
+    of eyeballing `lang_confusion_matrix`). One groupBy over documents
+    builds the table; marginals re-aggregate the |langs| x |sources|
+    cells and broadcast back. The statistic is a sum of per-cell terms:
+    order-insensitive at the rounding grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    m = c.agg(F.sum("n").alias("tot"))
+    lm = c.groupBy("lang").agg(F.sum("n").alias("nl"))
+    sm = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    x = (
+        c.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n", (F.col("nl") * F.col("ns") / F.col("tot")).alias("expected")
+        )
+    )
+    return x.agg(
+        F.round(
+            F.sum((F.col("n") - F.col("expected")) ** 2 / F.col("expected")), 6
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.max("expected"), 6).alias("max_expected"),
+    )
