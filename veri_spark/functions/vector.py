@@ -228,9 +228,11 @@ def _cosine_general(a, b) -> Column:
     return F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0))
 
 
-def angular_distance(a, b) -> Column:
+def angular_distance(a, b, unroll: bool = False) -> Column:
     """AngularDistance = 1 - acos(cosine_similarity)/pi; in [0,1], higher=closer."""
-    return F.lit(1.0) - F.acos(cosine_similarity(a, b)) / F.lit(3.141592653589793)
+    return F.lit(1.0) - F.acos(cosine_similarity(a, b, unroll=unroll)) / F.lit(
+        3.141592653589793
+    )
 
 
 # name -> (builder, higher_is_better default)

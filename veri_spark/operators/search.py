@@ -57,10 +57,28 @@ class SearchConfig:
     # "" = the reference's hardcoded One() formula (sum if higher-is-better,
     # else sum/n^2); also: "sum", "mean", "best", "sum_over_n2".
     group_score_func: str = ""
+    # Opt-in unrolled codegen score kernel for literal-query scans. Pays
+    # ~1s of plan/codegen compile per query, so it only wins when the scan
+    # is large enough to amortize it (the 100 TB deployment, not the sf0.1
+    # bench) — see SCALING.md "Codegen discipline". Ignored by custom
+    # registered score functions that take no ``unroll`` kwarg, and by
+    # column-vs-column scoring (multi-query), where the fast path cannot
+    # apply.
+    codegen_unroll: bool = False
 
     def resolve(self):
         builder, default_hib = score_fn(self.score_func)
         hib = default_hib if self.higher_is_better is None else self.higher_is_better
+        if self.codegen_unroll:
+            import inspect
+
+            try:
+                has_kwarg = "unroll" in inspect.signature(builder).parameters
+            except (TypeError, ValueError):
+                has_kwarg = False
+            if has_kwarg:
+                orig = builder
+                builder = lambda a, b: orig(a, b, unroll=True)  # noqa: E731
         return builder, hib
 
 
