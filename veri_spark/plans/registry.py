@@ -7781,3 +7781,225 @@ def lang_source_chi2(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.round(F.max("expected"), 6).alias("max_expected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 8: simhash calibration, containment matrix, correlation
+# ---------------------------------------------------------------------------
+
+@register(
+    "simhash_precision_audit",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+    bsum AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+             GROUP BY doc_id, bit),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
+            FROM bsum GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS v
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                    bit_count(xor(a.simhash, c.simhash))::INT AS hamming
+             FROM bands a JOIN bands c
+               ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+             WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
+    sz AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::DOUBLE AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT c.hamming,
+                 ROUND(COALESCE(i.i, 0)
+                       / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jac
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sz sa ON sa.doc_id = c.doc_a
+          JOIN sz sb ON sb.doc_id = c.doc_b)
+    SELECT hamming, COUNT(*)::BIGINT AS n_pairs,
+           ROUND(AVG(jac), 6) AS mean_jaccard,
+           SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_precise
+    FROM j GROUP BY hamming ORDER BY hamming ASC
+    """,
+)
+def simhash_precision_audit(spark, sf_dir):
+    """Precision calibration for the SimHash near-dup detector: for every
+    byte-banded candidate pair within Hamming distance 3, the TRUE
+    trigram Jaccard — bucketed by Hamming distance with pair counts, mean
+    Jaccard, and the >=0.5-precision count. The MinHash estimator has
+    `minhash_estimate_error`; this is the same discipline for the SimHash
+    tier, and together they decide which detector's threshold to trust on
+    a new corpus. Exact Jaccard is computed ONLY for candidate docs
+    (semi-pruned shingle join), so the audit cost scales with candidates,
+    not the corpus."""
+    from veri_spark.operators.dedup import doc_shingles, simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = simhash_hamming_pairs(docs, max_hamming=3, parallelism=16).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).persist()
+    cd = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = doc_shingles(docs, parallelism=16).join(
+        F.broadcast(cd), "doc_id", "left_semi"
+    ).persist()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    j = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "hamming",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0.0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0.0))),
+                6,
+            ).alias("jac"),
+        )
+    )
+    return (
+        j.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jac"), 6).alias("mean_jaccard"),
+            F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_precise"),
+        )
+        .orderBy(F.col("hamming").asc())
+    )
+
+
+@register(
+    "source_containment_matrix",
+    """
+    WITH ss AS (SELECT DISTINCT source,
+                       unnest(list_transform(
+                         range(1, greatest(len(ws) - 1, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                         AS shingle
+                FROM (SELECT source, string_split(text, ' ') AS ws
+                      FROM documents)),
+         sz AS (SELECT source, COUNT(*)::DOUBLE AS n FROM ss GROUP BY source),
+         inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                          COUNT(*)::DOUBLE AS c
+                   FROM ss a JOIN ss b
+                     ON a.shingle = b.shingle AND a.source != b.source
+                   GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           ROUND(inter.c / sz.n, 6) AS containment
+    FROM inter JOIN sz ON sz.source = inter.source_a
+    ORDER BY containment DESC, source_a ASC, source_b ASC LIMIT 15
+    """,
+)
+def source_containment_matrix(spark, sf_dir):
+    """DIRECTED shard containment: what fraction of source A's distinct
+    trigrams also appear in source B — the asymmetric complement of
+    `source_overlap_jaccard` (Jaccard says "similar"; containment says
+    "A is inside B", which is what decides WHICH shard to drop when a
+    crawl subsumes another). Same container-grain bound: the shingle
+    join fan-out is |sources|^2 per shingle, sizes broadcast."""
+    from veri_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ss = (
+        docs.select("source", tokens("text").alias("__toks"))
+        .select("source", F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    inter = (
+        ss.select(F.col("source").alias("source_a"), "shingle")
+        .join(ss.select(F.col("source").alias("source_b"), "shingle"), "shingle")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), "n")), "source_a"
+        )
+        .select(
+            "source_a", "source_b",
+            F.round(F.col("c") / F.col("n"), 6).alias("containment"),
+        )
+        .orderBy(
+            F.col("containment").desc(), F.col("source_a").asc(), F.col("source_b").asc()
+        )
+        .limit(15)
+    )
+
+
+@register(
+    "length_quality_correlation",
+    """
+    WITH q AS (
+      SELECT len(ws)::DOUBLE AS x,
+             LEAST(1.0, len(ws) / 64.0)
+               * (len(list_distinct(ws))::DOUBLE / len(ws)) AS y
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+    s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM q)
+    SELECT ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS pearson_r,
+           n::BIGINT AS n_docs
+    FROM s
+    """,
+)
+def length_quality_correlation(spark, sf_dir):
+    """Pearson correlation between document length (tokens) and the
+    length-times-lexical-diversity quality score — the confounder check a
+    quality-gate designer runs first (if r is high, a quality filter is
+    secretly a length filter, and `quality_percentile_gate`'s per-source
+    ranking matters more than the raw score). Computed from power sums
+    (one map-side pass, one 6-number reduce), the same order-proof
+    discipline as `value_moments_by_type`."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    x = F.size(ws).cast("double")
+    y = F.least(F.lit(1.0), F.size(ws) / 64.0) * (
+        F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    )
+    q = docs.select(x.alias("x"), y.alias("y"))
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+        F.col("n").cast("bigint").alias("n_docs"),
+    )
