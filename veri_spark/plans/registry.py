@@ -8003,3 +8003,42 @@ def length_quality_correlation(spark, sf_dir):
         ).alias("pearson_r"),
         F.col("n").cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "asof_click_bounded",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE THEN c.ts END
+             AS feat_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE
+                THEN ROUND(c.value, 6) END AS feat_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_bounded(spark, sf_dir):
+    """Bounded-staleness as-of join: each purchase annotated with the
+    user's most recent click only if it is at most 15 minutes old — the
+    `merge_asof(tolerance=...)` semantic a serving-time feature contract
+    demands (a stale feature is WORSE than a null one; `asof_last_click`
+    is the unbounded form). Same single-shuffle union plan; the tolerance
+    is a post-fill predicate, not a join-condition range — the oracle
+    states it as the equivalent ASOF-then-void formulation."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], payload_cols=["value"],
+        prefix="feat_", tolerance_seconds=900,
+    )
+    return joined.select(
+        "purchase_id", "user_id",
+        F.col("feat_ts"),
+        F.round("feat_value", 6).alias("feat_value"),
+    )
