@@ -8042,3 +8042,77 @@ def asof_click_bounded(spark, sf_dir):
         F.col("feat_ts"),
         F.round("feat_value", 6).alias("feat_value"),
     )
+
+
+@register(
+    "vocab_drift_psi",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    top AS (
+      SELECT term FROM tok GROUP BY term
+      ORDER BY COUNT(*) DESC, term ASC LIMIT 50),
+    c AS (
+      SELECT t.source, t.term, COUNT(*)::DOUBLE AS n
+      FROM tok t JOIN top USING (term)
+      GROUP BY t.source, t.term),
+    tot AS (SELECT source, SUM(n) AS tn FROM c GROUP BY source),
+    p AS (
+      SELECT c.source, c.term, c.n / tot.tn AS p
+      FROM c JOIN tot USING (source)),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM((a.p - b.p) * ln(a.p / b.p)) AS psi
+      FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, ROUND(psi, 6) AS psi
+    FROM pairs
+    ORDER BY psi DESC, source_a ASC, source_b ASC LIMIT 15
+    """,
+)
+def vocab_drift_psi(spark, sf_dir):
+    """Population-stability index between SOURCES over their shared top-50
+    vocabulary — the text-side corpus-shift monitor (the event-stream
+    analog is `event_type_drift_psi`; this one answers "does crawl B's
+    language look like crawl A's" before mixing them). The top-K
+    vocabulary is a bounded TakeOrdered; per-source term distributions
+    join only on those K terms, so the pair fan-out is |sources|^2 x K —
+    container grain, never corpus-quadratic. Restricting both sides to
+    the SHARED top vocabulary keeps every p > 0, so the PSI log terms
+    are total (no epsilon smoothing needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .orderBy(F.col("nt").desc(), F.col("term").asc())
+        .limit(50)
+        .select("term")
+    )
+    c = (
+        tok.join(F.broadcast(top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = c.groupBy("source").agg(F.sum("n").alias("tn"))
+    p = c.join(F.broadcast(tot), "source").select(
+        "source", "term", (F.col("n") / F.col("tn")).alias("p")
+    )
+    pairs = (
+        p.select(F.col("source").alias("source_a"), "term", F.col("p").alias("pa"))
+        .join(
+            p.select(F.col("source").alias("source_b"), "term", F.col("p").alias("pb")),
+            "term",
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))).alias("psi")
+        )
+    )
+    return (
+        pairs.select("source_a", "source_b", F.round("psi", 6).alias("psi"))
+        .orderBy(F.col("psi").desc(), F.col("source_a").asc(), F.col("source_b").asc())
+        .limit(15)
+    )
