@@ -8116,3 +8116,146 @@ def vocab_drift_psi(spark, sf_dir):
         .orderBy(F.col("psi").desc(), F.col("source_a").asc(), F.col("source_b").asc())
         .limit(15)
     )
+
+
+@register(
+    "dedup_tiered_pipeline",
+    f"""
+    WITH d AS (SELECT doc_id, text, md5(lower(trim(text))) AS fp FROM documents),
+    k1 AS (SELECT fp, MIN(doc_id) AS keeper FROM d GROUP BY fp),
+    s1 AS (SELECT d.doc_id, d.text FROM d JOIN k1 USING (fp)
+           WHERE d.doc_id = k1.keeper),
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1),
+    h2 AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+    bsum AS (SELECT doc_id, bit,
+                    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h2 CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+             GROUP BY doc_id, bit),
+    sig2 AS (SELECT doc_id,
+                    SUM(CASE WHEN s >= 0 THEN (1::BIGINT << bit)
+                        ELSE 0::BIGINT END)::BIGINT AS simhash
+             FROM bsum GROUP BY doc_id),
+    bands2 AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS v
+               FROM sig2 CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              FROM bands2 a JOIN bands2 c
+                ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+              WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
+    drop2 AS (SELECT DISTINCT doc_b AS doc_id FROM cand2),
+    s2 AS (SELECT doc_id, text FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2)),
+    seeds(seed, a, b) AS (VALUES {{_SEEDS}}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                        % 2147483647 AS h31
+               FROM sh),
+    sig3 AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+             FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands3 AS (SELECT doc_id, seed // 4 AS band,
+                      string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+               FROM sig3 GROUP BY doc_id, seed // 4),
+    cand3 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands3 a JOIN bands3 b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*)::BIGINT AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+              JOIN cand3 c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+              GROUP BY 1, 2),
+    drop3 AS (SELECT DISTINCT i.doc_b AS doc_id
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.doc_a
+              JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE 3 * i.i >= sa.n + sb.n),
+    n0 AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+    n1 AS (SELECT COUNT(*)::BIGINT AS n FROM s1),
+    n2 AS (SELECT COUNT(*)::BIGINT AS n FROM s2),
+    n3 AS (SELECT (SELECT n FROM n2)
+                  - (SELECT COUNT(*) FROM drop3)::BIGINT AS n)
+    SELECT 1::BIGINT AS tier, (SELECT n FROM n0) AS n_in,
+           (SELECT n FROM n0) - (SELECT n FROM n1) AS n_dropped,
+           (SELECT n FROM n1) AS n_out
+    UNION ALL
+    SELECT 2, (SELECT n FROM n1),
+           (SELECT n FROM n1) - (SELECT n FROM n2), (SELECT n FROM n2)
+    UNION ALL
+    SELECT 3, (SELECT n FROM n2),
+           (SELECT n FROM n2) - (SELECT n FROM n3), (SELECT n FROM n3)
+    """.replace("{_SEEDS}", _minhash_seed_values()),
+)
+def dedup_tiered_pipeline(spark, sf_dir):
+    """The COMPOSED production dedup pipeline, tier yields end-to-end:
+    exact fingerprint (md5 of normalized text, keep lowest doc_id) ->
+    SimHash byte-banding at Hamming<=3 -> MinHash-banded candidates
+    verified at trigram Jaccard >= 0.5 (stated as the INTEGER condition
+    3i >= |A|+|B|, so the threshold has no float boundary in either
+    engine). Each tier sees only the previous tier's survivors — the
+    ordering cheap-to-expensive is the point: the exact tier deletes for
+    the cost of a hash groupBy, the banded tiers only pay on what
+    remains. Drop rule per tier: a doc with a (verified) pair to a
+    smaller surviving id is dropped (greedy keep-first, one pass —
+    identical rule both engines). Output: (tier, n_in, n_dropped, n_out).
+    """
+    from veri_spark.operators.dedup import (
+        doc_shingles, minhash_candidate_pairs, simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", F.md5(F.lower(F.trim("text"))).alias("fp"))
+    k1 = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    s1 = (
+        d.join(k1, "fp")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+        .persist()
+    )
+    n0 = docs.count()
+    n1 = s1.count()
+    drop2 = (
+        simhash_hamming_pairs(s1, max_hamming=3, parallelism=16)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(drop2, "doc_id", "left_anti").persist()
+    n2 = s2.count()
+    cand3 = minhash_candidate_pairs(s2, num_hashes=16, bands=4, parallelism=16)
+    sh = doc_shingles(s2, parallelism=16).persist()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand3, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    drop3 = (
+        inter.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .filter(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select("doc_b")
+        .distinct()
+    )
+    n3 = n2 - drop3.count()
+    return spark.createDataFrame(
+        [
+            (1, n0, n0 - n1, n1),
+            (2, n1, n1 - n2, n2),
+            (3, n2, n2 - n3, n3),
+        ],
+        "tier bigint, n_in bigint, n_dropped bigint, n_out bigint",
+    )
