@@ -8259,3 +8259,84 @@ def dedup_tiered_pipeline(spark, sf_dir):
         ],
         "tier bigint, n_in bigint, n_dropped bigint, n_out bigint",
     )
+
+
+@register(
+    "knn_graph_hubness",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS x, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), assigned AS (SELECT vec_id, x, centroid_id FROM r WHERE rn = 1),
+    pr AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_distance(a.x, b.x) AS dist
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+    ), rk AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist ASC, dst ASC) AS rank
+      FROM pr
+    ), edges AS (SELECT src, dst FROM rk WHERE rank <= 3),
+    indeg AS (
+      SELECT a.vec_id, COALESCE(g.deg, 0) AS deg
+      FROM assigned a
+      LEFT JOIN (SELECT dst, COUNT(*) AS deg FROM edges GROUP BY dst) g
+        ON g.dst = a.vec_id),
+    b AS (SELECT CASE WHEN deg = 0 THEN '0'
+                      WHEN deg <= 2 THEN '1-2'
+                      WHEN deg <= 5 THEN '3-5'
+                      ELSE '6+' END AS bucket,
+                 deg
+          FROM indeg)
+    SELECT bucket, COUNT(*)::BIGINT AS n_nodes,
+           ROUND(AVG(deg), 6) AS mean_indeg
+    FROM b GROUP BY bucket ORDER BY bucket ASC
+    """,
+)
+def knn_graph_hubness(spark, sf_dir):
+    """Hubness diagnostic for the kNN graph: the in-degree distribution of
+    `knn_join_ivf`'s 3-NN edges (how many nodes nobody points at, how many
+    are hubs) — high-dimensional ANN graphs concentrate in-degree on hub
+    points, which silently skews graph-walk retrieval and label
+    propagation; this is the audit that detects it. One extra groupBy on
+    dst over the kNN join's bounded edge set; orphans come from a
+    left anti-style count against the full node list."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_join(emb, take_centroids(emb, 8), k=3).select("src", "dst")
+    indeg = (
+        emb.select("vec_id")
+        .join(
+            edges.groupBy(F.col("dst").alias("vec_id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+    )
+    b = indeg.select(
+        F.when(F.col("deg") == 0, "0")
+        .when(F.col("deg") <= 2, "1-2")
+        .when(F.col("deg") <= 5, "3-5")
+        .otherwise("6+")
+        .alias("bucket"),
+        "deg",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(F.avg("deg"), 6).alias("mean_indeg"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )
