@@ -8340,3 +8340,189 @@ def knn_graph_hubness(spark, sf_dir):
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 9: coverage curve, attribution, isotropy
+# ---------------------------------------------------------------------------
+
+@register(
+    "trigram_coverage_curve",
+    """
+    WITH g AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+    c AS (SELECT tri, COUNT(*)::DOUBLE AS n FROM g GROUP BY tri),
+    r AS (SELECT n,
+                 row_number() OVER (ORDER BY n DESC, tri ASC) AS rk,
+                 SUM(n) OVER () AS tot
+          FROM c),
+    k AS (SELECT unnest([10, 100, 1000]) AS topk)
+    SELECT k.topk::BIGINT AS topk,
+           ROUND(SUM(CASE WHEN r.rk <= k.topk THEN r.n ELSE 0 END)
+                 / MAX(r.tot), 6) AS coverage
+    FROM r CROSS JOIN k
+    GROUP BY k.topk ORDER BY topk ASC
+    """,
+)
+def trigram_coverage_curve(spark, sf_dir):
+    """Burstiness / compressibility curve: the fraction of all trigram
+    OCCURRENCES covered by the top-10/100/1000 distinct trigrams — high
+    coverage at small k means a templated, boilerplate-heavy corpus
+    (`zipf_slope` fits the same phenomenon's exponent; this reads off the
+    operational quantity dedup and dictionary-compression planning use).
+    One corpus explode + trigram groupBy; the rank window runs over the
+    VOCABULARY aggregate, and the three curve points reuse one ranked
+    frame."""
+    from veri_spark.operators.dedup import doc_shingles  # noqa: F401 (grain note)
+
+    docs = load_table(spark, sf_dir, "documents")
+    from veri_spark.functions.text import tokens, word_shingles
+
+    g = docs.select(tokens("text").alias("__toks")).select(
+        F.explode(word_shingles(F.col("__toks"), 3)).alias("tri")
+    )
+    c = g.groupBy("tri").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("tri").asc())
+    wall = Window.partitionBy()
+    r = c.select(
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "topk bigint")
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("topk")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("topk"), F.col("n")).otherwise(0.0))
+                / F.max("tot"),
+                6,
+            ).alias("coverage")
+        )
+        .orderBy(F.col("topk").asc())
+    )
+
+
+@register(
+    "session_first_touch",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS t0,
+             arg_min(event_type, ts || '|' || lpad(event_id::VARCHAR, 12, '0')) AS first_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM s GROUP BY user_id, sid)
+    SELECT first_type,
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(converted)::BIGINT AS n_converted,
+           ROUND(SUM(converted)::DOUBLE / COUNT(*), 6) AS conversion_rate
+    FROM agg GROUP BY first_type ORDER BY first_type ASC
+    """,
+)
+def session_first_touch(spark, sf_dir):
+    """First-touch attribution at session grain: sessions bucketed by
+    their FIRST event type, with purchase-conversion rate per bucket —
+    which entry action starts the sessions that convert
+    (`session_conversion` slices the same sessions by start hour; this
+    slices by entry action). The first-type argmin and the converted
+    flag ride the same per-session aggregate; the deterministic
+    first-event rule is (ts, event_id) lexicographic in BOTH engines."""
+    from veri_spark.streaming.windows import ensure_event_time
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min_by(
+                "event_type",
+                F.concat(
+                    F.col("ts").cast("string"),
+                    F.lit("|"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"),
+                ),
+            ).alias("first_type"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return (
+        agg.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("first_type").asc())
+    )
+
+
+@register(
+    "embedding_isotropy",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    n AS (SELECT COUNT(*)::BIGINT AS cnt FROM e),
+    p AS (
+      SELECT a.vec_id,
+             list_cosine_similarity(a.x, b.x) AS cos
+      FROM e a JOIN e b
+        ON b.vec_id = (a.vec_id + 7919) % (SELECT cnt FROM n)
+       AND a.vec_id != b.vec_id)
+    SELECT ROUND(AVG(cos), 6) AS mean_cos,
+           ROUND(STDDEV_POP(cos), 6) AS std_cos,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM p
+    """,
+)
+def embedding_isotropy(spark, sf_dir):
+    """Isotropy probe (Ethayarajh 2019's anisotropy measure, deterministic
+    form): mean cosine between each vector and a fixed pseudo-random
+    partner (vec_id + 7919 mod N — a full-cycle pairing since 7919 is
+    prime, so every vector appears exactly once on each side; no RNG, so
+    both engines pair identically). Mean cosine near 0 = isotropic
+    embedding space; large positive = the common-direction anisotropy
+    that quietly inflates every cosine similarity the engine serves. One
+    self equi-join on the derived key — a 1:1 join, not a pair explosion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+    cnt = e.count()
+    a = e.select(F.col("vec_id"), F.col("x").alias("xa"),
+                 ((F.col("vec_id") + 7919) % cnt).alias("pk"))
+    b = e.select(F.col("vec_id").alias("pk"), F.col("x").alias("xb"))
+
+    def cos(u, v):
+        dot = F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
+        nu = F.sqrt(F.aggregate(F.transform(u, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t))
+        nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t))
+        return dot / (nu * nv)
+
+    p = (
+        a.join(b, "pk")
+        .filter(F.col("vec_id") != F.col("pk"))
+        .select(cos(F.col("xa"), F.col("xb")).alias("cos"))
+    )
+    return p.agg(
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.round(F.stddev_pop("cos"), 6).alias("std_cos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
