@@ -466,3 +466,48 @@ def test_first_seen_dedup_stateful_v2(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ensure_event_time_all_source_types(spark):
+    """ensure_event_time must normalize every ts physical type the events
+    parquet can read as — bigint nanos, TIMESTAMP_NTZ, TIMESTAMP — to a
+    watermark-compatible TIMESTAMP holding the same instant."""
+    from datetime import datetime
+
+    from veri_spark.streaming.windows import ensure_event_time
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    nanos = spark.createDataFrame([(base_us * 1000,)], "ts bigint")
+    ntz = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0),)], "ts timestamp_ntz"
+    )
+    tstz = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0),)], "ts timestamp"
+    )
+    for df in (nanos, ntz, tstz):
+        out = ensure_event_time(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        got = out.first()["ts"]
+        assert got == datetime(2024, 1, 1, 0, 0, 0), df.dtypes
+        # and withWatermark must accept it (the original failure mode)
+        out.withWatermark("ts", "1 hour")
+
+
+def test_misra_gries_update_multistep_decrement():
+    """_mg_update with a batch increment larger than the current minimum
+    must drain across multiple decrement rounds and keep counters exact
+    under the MG invariant (sum of decrements equal across all keys)."""
+    from veri_spark.streaming.stateful import _mg_update
+
+    s = {1: 3, 2: 1}
+    # capacity 2, insert key 3 with weight 5: round 1 decrements by 1
+    # (evicting key 2), then key 3 inserts with the remaining 4
+    _mg_update(s, 3, 5, capacity=2)
+    assert s == {1: 2, 3: 4}
+    # tracked-key fast path
+    _mg_update(s, 1, 7, capacity=2)
+    assert s == {1: 9, 3: 4}
+    # full decrement that exactly drains the increment: nothing inserted
+    s2 = {1: 5, 2: 5}
+    _mg_update(s2, 9, 5, capacity=2)
+    assert s2 == {}
