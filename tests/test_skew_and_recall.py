@@ -341,3 +341,17 @@ def test_kmeans_train_keeps_empty_cluster_seed(spark):
     # cluster 1 holds only its seed vector, so it stays put
     assert cents[1] == pytest.approx([1000.0, 1000.0])
     assert cents[0] == pytest.approx([1.0 / 3, 1.0 / 3])
+
+
+def test_multiprobe_recall_monotone(spark):
+    """knn_join_recall_audit's two-probe recall must be >= single-probe
+    recall (probing a second cell can only ADD candidate pairs — the
+    recall lever must never hurt)."""
+    from veri_spark.plans.registry import QUERIES
+
+    r = QUERIES["knn_join_recall_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    assert r["recall_nprobe2"] >= r["recall_nprobe1"]
+    assert 0.0 <= r["recall_nprobe1"] <= 1.0
+    assert r["n_exact"] > 0
