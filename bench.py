@@ -111,19 +111,23 @@ def main() -> None:
         spread[name] = [min(runs), max(runs)]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "calib_sec": calib,
-                "sf": sf,
-            }
-        )
-    )
+    # ONE compact line for the driver (BENCH_r04 was lost to a null parse:
+    # the per-query spread grew the line past the driver's tail-capture
+    # window). Medians only on stdout; spread + calibration go to a side
+    # file the judge can read from the repo.
+    compact = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail = dict(compact, spread=spread, calib_sec=calib)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -392,7 +392,7 @@ def test_streaming_heavy_hitters_guarantee(spark):
         (r["shard"], r["key"]): r["n"]
         for r in load_table(spark, SF_DIR, "events")
         .select(
-            (F.abs(F.hash("user_id")) % shards).cast("int").alias("shard"),
+            F.pmod(F.hash("user_id"), F.lit(shards)).cast("int").alias("shard"),
             F.col("user_id").cast("bigint").alias("key"),
         )
         .groupBy("shard", "key")

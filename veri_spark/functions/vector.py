@@ -87,7 +87,14 @@ def _unrolled_terms(a: Column, q: list, combine) -> Column:
     which is what dropping those terms computes. No fallback kernel is
     embedded — duplicating the interpreted general kernel inside every
     branch (e.g. 8x in the literal-centroid assignment) was measured to
-    blow the expression tree up ~8x in runtime."""
+    blow the expression tree up ~8x in runtime.
+
+    PARITY CAVEAT: the per-term coalesce cannot distinguish an in-bounds
+    NULL element from an out-of-bounds miss, so a NULL element contributes
+    0 here while the general zip_with/aggregate kernel propagates it to a
+    NULL score. Arrays must be null-element-free for unroll parity (true
+    for every parquet embedding column in this engine; enforced nowhere
+    else — callers with nullable elements must use unroll=False)."""
     total = F.lit(0.0)
     for i, x in enumerate(q):
         total = total + F.coalesce(
@@ -135,9 +142,12 @@ def euclidean_distance_fixed(a, b, dim: int) -> Column:
     an unrolled scalar add-chain that whole-stage codegen compiles, for the
     pair-heavy inner loops (kNN join, blocked near-dup) where BOTH sides
     are columns and the interpreted zip_with/aggregate kernel dominates
-    runtime (~6x measured on 500k pairs). Rows of any other length fall
-    back to the general truncating kernel — same fold order, bit-identical
-    results."""
+    runtime (~6x measured on 500k pairs). Rows SHORTER than ``dim`` are
+    handled exactly (per-term coalesce = min-length truncation, same fold
+    order as the general kernel, bit-identical); rows LONGER than ``dim``
+    are silently truncated at ``dim`` — there is no runtime length
+    fallback, so callers must pass dim >= the corpus max dimension
+    (knn_join derives it from max(size(vector_col)))."""
     if not (0 < dim <= _UNROLL_MAX):
         return _euclidean_general(a, b)
     ar, br = _raw_col(a), _raw_col(b)

@@ -188,11 +188,13 @@ def knn_join(
         F.col(id_col).alias("dst"),
         F.col(vector_col).alias("__vb"),
     )
-    # the corpus dimension is known from the (already driver-sized) centroid
-    # set, so the pair loop uses the unrolled fixed-dim codegen kernel —
-    # this inner product over sum(cell^2) pairs is the query's entire cost
-    first = centroids.select(F.size("centroid_vec").alias("d")).first()
-    dim = int(first["d"]) if first else 0
+    # the unrolled fixed-dim kernel only handles rows SHORTER than dim
+    # (coalesce-to-0 truncation); a corpus vector LONGER than dim would be
+    # silently truncated. So dim comes from the corpus column's max size
+    # (one map-only partial-agg scan), not from a centroid row whose
+    # dimension could be narrower than the data's.
+    first = df.select(F.max(F.size(vector_col)).alias("d")).first()
+    dim = int(first["d"]) if first and first["d"] is not None else 0
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("src") != F.col("dst"))

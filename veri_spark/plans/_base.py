@@ -1,0 +1,210 @@
+"""Shared registry state and helpers for the plans.* domain modules.
+
+``QUERIES`` / ``ORACLES`` are the single registration target; every
+domain module registers into them via ``@register`` at import time
+(``plans.registry`` imports all domain modules and re-exports the
+dicts, so the public surface is unchanged by the split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from veri_spark.functions import vector as V
+from veri_spark.operators import search as S
+from veri_spark.operators import stats as ST
+from veri_spark.operators.topk import (
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table
+
+from typing import Callable
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — the second "
+                "registration would silently shadow the first (last-wins)"
+            )
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — the second "
+                "registration would silently shadow the first (last-wins)"
+            )
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vid).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+
+# SQL fragment helpers (DuckDB dialect). Vectors are cast to DOUBLE[] so the
+# oracle computes in the same precision as the Spark expressions.
+_Q0 = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+
+def _dd_l1(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, least(len({a}), len({b})) + 1),"
+        f" i -> abs({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# KNN core (reference K1, K3, K4 — data/search.go:347-377, data/util.go)
+# ---------------------------------------------------------------------------
+
+def _knn(spark, sf_dir, score_func, hib=None, k=10):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cfg = S.SearchConfig(score_func=score_func, higher_is_better=hib, limit=k)
+    out = S.search(emb, q, cfg, vector_col="embedding", id_cols=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+
+_DD_CENTROID_DIST = """
+    c AS (SELECT pos, AVG(v) AS av
+          FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS v FROM embeddings)
+          GROUP BY pos),
+    x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS v FROM embeddings),
+    d AS (SELECT x.vec_id, sqrt(SUM((x.v - c.av) * (x.v - c.av))) AS dist
+          FROM x JOIN c USING (pos) GROUP BY x.vec_id)
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star extensions over the documents table)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments mirroring functions/text.py exactly.
+_DD_TOKS = "(SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)"
+
+_DD_SHINGLES = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+"""
+
+
+
+def _minhash_seed_values() -> str:
+    """VALUES clause of the affine MinHash coefficients, mirroring
+    operators.dedup.minhash_coefficients exactly."""
+    from veri_spark.operators.dedup import minhash_coefficients
+
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coefficients(16))
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF + hyperplane LSH (ANN scale paths; exact KNN above
+# is the baseline — reference K2's Annoy index maps here, SURVEY.md 2.3)
+# ---------------------------------------------------------------------------
+
+_DD_CENTROIDS = "(SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8)"
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 (round 2): TPC-H join/agg breadth — q7/q10/q13/q14/q17/q19/q22
+# shapes adapted to the available columns. Money aggregates follow the
+# deterministic cross-engine pattern: the per-row revenue product is exactly
+# <= 4 decimal digits (2dp price x 2dp discount), so casting it to
+# DECIMAL(18,4) BEFORE the sum makes the aggregate exact and summation-order-
+# insensitive in both engines; final outputs are rounded on the exact
+# decimal, then cast to DOUBLE so the schemas match.
+# ---------------------------------------------------------------------------
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+
+def _rev_dec():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 8 (round 3): training-data pipeline operators — benchmark
+# decontamination, sequence packing, TF-IDF salience, keyword density,
+# deterministic mixture sampling, cross-source boilerplate.
+# ---------------------------------------------------------------------------
+
+_DD_SPLIT_SHINGLES = """
+    ws_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    shl AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len(ws) - 1, 1)),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+            FROM ws_t),
+    train_sh AS (SELECT DISTINCT unnest(shs) AS shingle FROM shl WHERE doc_id % 10 <> 0),
+    eval_sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle
+                FROM shl WHERE doc_id % 10 = 0)
+"""
+
+
+
+# Deterministic PQ codebooks for the oracle pair: entry c of subspace j is
+# row c's j-th subvector (the same first-rows convention as _DD_CENTROIDS).
+# Production PQ trains KMeans codebooks (pq_train); the scoring math being
+# checked here — argmin encode + ADC lookup — is identical either way.
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 16
+
+
+def _dd_subdist(a: str, b: str, j: str = "j") -> str:
+    """DuckDB fragment: squared euclidean distance between the ``j``-th
+    8-wide subvectors of two DOUBLE[] columns (1-based list indexing)."""
+    d = f"({a}[{j}*8+t] - {b}[{j}*8+t])"
+    return f"list_sum(list_transform(range(1, 9), t -> {d} * {d}))"
+
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Half-away-from-zero rounding, matching Spark's F.round and DuckDB's
+    ROUND (Python's built-in round is half-even and would diverge exactly
+    at .5 boundaries)."""
+    s = 10.0 ** n
+    v = abs(x) * s
+    import math
+
+    return math.copysign(math.floor(v + 0.5) / s, x)

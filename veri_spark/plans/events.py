@@ -1,0 +1,1371 @@
+"""Event-stream batch analytics: windows, sessions, as-of joins, behavior audits.
+
+Split from the original single-module registry (round-5 hygiene);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+@register(
+    "events_json_filter",
+    """
+    SELECT event_id, user_id, ROUND(value, 6) AS value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL AND event_type = 'click'
+    ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+)
+def events_json_filter(spark, sf_dir):
+    """F1/F2: JSON path-existence filtering (data/search.go:88-109) + top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    filtered = S.json_path_filter(ev, "props", ["k"]).filter(
+        F.col("event_type") == "click"
+    )
+    out = topk(filtered, "value", 20, higher_is_better=True, tie_cols=["event_id"])
+    return out.select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (streaming-capable: the same
+    expression runs under readStream + withWatermark; see
+    veri_spark/streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: sessionization, distribution stats, rollup, sampling, windows —
+# relational/streaming extensions (SURVEY.md sections 2.5/2.6 north star)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o)
+    SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM f GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — the batch form
+    of streaming/windows.session_window_agg; the oracle is the classic
+    gaps-and-islands formulation."""
+    from veri_spark.streaming.windows import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_window_agg(ev, gap="30 minutes", group_cols=("user_id",))
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+
+@register(
+    "events_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(MEDIAN(value), 6) AS median_value,
+           ROUND(STDDEV_SAMP(value), 6) AS stddev_value,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_stats(spark, sf_dir):
+    """Distribution statistics per group: exact median, sample stddev,
+    distinct cardinality (approx_count_distinct is the at-scale variant;
+    exact here for the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH b AS (
+      SELECT date_trunc('minute', ts)
+               - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE AS ws,
+             event_type, value
+      FROM events
+    ), u AS (
+      SELECT ws, event_type, value FROM b
+      UNION ALL
+      SELECT ws - INTERVAL 30 MINUTE AS ws, event_type, value FROM b
+    )
+    SELECT ws AS window_start, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM u GROUP BY ws, event_type
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding event-time window (1 h length, 30 min slide): each event lands
+    in two overlapping windows. Streaming-capable via the same expression
+    (veri_spark/streaming/windows.sliding_window_agg); the oracle is the
+    union-of-shifted-buckets identity."""
+    from veri_spark.streaming.windows import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    win = sliding_window_agg(ev, window_length="1 hour", slide="30 minutes")
+    return win.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+
+@register(
+    "asof_last_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.ts AS last_click_ts,
+           ROUND(c.value, 6) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click(spark, sf_dir):
+    """Point-in-time as-of join: each purchase annotated with the user's most
+    recent click at or before it. Single-shuffle union formulation
+    (operators/asof.py) — no range-join row explosion."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], payload_cols=["value"], prefix="last_click_"
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "last_click_ts",
+        F.round("last_click_value", 6).alias("last_click_value"),
+    )
+
+
+
+@register(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark, sf_dir):
+    """Exact linear-interpolated quantiles per group (percentile_approx with
+    tuned accuracy is the 100 TB variant; exact here for the oracle — both
+    use the same interpolation rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+
+@register(
+    "events_interarrival",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s)::BIGINT AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS avg_gap_s,
+           ROUND(MAX(gap_s), 6) AS max_gap_s
+    FROM d GROUP BY user_id
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gaps via lag(): general ordered-window surface
+    (the window and the groupBy share the user_id partitioning, so the agg
+    reuses the window's shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # NTZ -> TIMESTAMP -> double seconds (session tz pinned UTC, same instant)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gaps = ev.withColumn("gap_s", sec - F.lag(sec).over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+    )
+
+
+
+@register(
+    "events_props_extract",
+    """
+    SELECT event_type,
+           COUNT(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           ROUND(MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_extract(spark, sf_dir):
+    """JSON VALUE extraction (beyond F1/F2's existence checks): pull a
+    numeric field out of the props document and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.max(k), 6).alias("max_k"),
+    )
+
+
+
+@register(
+    "events_pivot_by_type",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_by_type(spark, sf_dir):
+    """Pivot to wide format: per-user event counts, one column per type.
+    The explicit value list keeps it a single-pass aggregation (no extra
+    distinct-values job) — required practice at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+
+@register(
+    "events_rolling_hour_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+    FROM events
+    WHERE user_id < 5
+    """,
+)
+def events_rolling_hour_sum(spark, sf_dir):
+    """Time-RANGE window: per-user sum over the trailing hour (rangeBetween
+    on epoch seconds — every event in the window, not a fixed row count)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum"),
+    )
+
+
+
+@register(
+    "events_session_bounds",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS last_event,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def events_session_bounds(spark, sf_dir):
+    """first_value / last_value over an unbounded frame: each user's first
+    and last event id plus their event count (one row per user via
+    DISTINCT; the window and distinct share the user_id partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+
+@register(
+    "interval_join_clicks",
+    """
+    WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p_id, COUNT(*)::BIGINT AS n_clicks
+    FROM p JOIN c ON p.user_id = c.user_id
+               AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY p_id
+    """,
+)
+def interval_join_clicks(spark, sf_dir):
+    """Event-time interval join (clicks within the hour before each
+    purchase, per user) through the SAME ``interval_join`` helper the
+    streaming path uses — one code path for both executions, which is the
+    point: the bounded interval + watermark make streaming state evictable
+    (O(rate x window) per key), and on batch frames the identical predicate
+    is a plain range join. Aggregated to per-purchase click counts.
+    Scale: the join shuffles both sides by user_id once; the time bound
+    keeps per-key fanout to one hour of events."""
+    from veri_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    j = interval_join(p, c, on="user_id", lower="-1 hours", upper="0 seconds")
+    return j.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+
+@register(
+    "event_funnel_steps",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+           (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+           (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel
+    """,
+)
+def event_funnel_steps(spark, sf_dir):
+    """Ordered three-step funnel (view -> later click -> later purchase),
+    counted by users reaching each stage. Each stage is a per-user MIN
+    aggregate joined to the next stage's filtered events — three shuffles,
+    all keyed on user_id so a co-partitioned events table reuses one
+    exchange; per-user state is a single timestamp, never an event list
+    (the sessionize-then-sort formulation would sort every user's full
+    history)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .select("user_id")
+        .distinct()
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+
+@register(
+    "asof_next_error",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id, MIN(e.ts) AS next_error_ts
+    FROM p LEFT JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def asof_next_error(spark, sf_dir):
+    """FORWARD as-of join (time-to-next-event): each purchase annotated
+    with the user's next error at-or-after it. Exercises
+    asof_join(direction='forward') — the same single-shuffle union plan as
+    the backward form (each side shuffles once on user_id, O(1) window
+    state), where the naive left join + groupBy-min oracle formulation
+    materializes every (purchase, later-error) pair."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(
+        purchases, errors, on=["user_id"], direction="forward", prefix="next_"
+    )
+    return out.select("event_id", F.col("next_ts").alias("next_error_ts"))
+
+
+
+@register(
+    "events_dense_hourly",
+    """
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                           date_trunc('hour', MAX(ts)) AS t1 FROM events),
+    spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2)
+    SELECT s.h AS window_start, t.event_type,
+           COALESCE(a.n, 0)::BIGINT AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+)
+def events_dense_hourly(spark, sf_dir):
+    """Time-series densification (gap filling): every (hour, event_type)
+    cell over the observed span, zero-filled where no events landed — the
+    sparse->dense step before any rolling-window model sees the series.
+    The hour spine is GENERATED (sequence + explode from a one-row
+    min/max aggregate), never scanned: spine size is time-span x types,
+    independent of event volume, so at 100 TB the dense frame is still
+    tiny and the only corpus-sized work is the one hourly pre-aggregation
+    the left join probes into."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["window_start", "event_type"], "left")
+        .select(
+            "window_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH wk AS (SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::TIMESTAMP AS w FROM events),
+    cohort AS (SELECT user_id, MIN(w) AS c FROM wk GROUP BY user_id)
+    SELECT cohort.c AS cohort_week,
+           (date_diff('day', cohort.c, wk.w) / 7)::BIGINT AS week_offset,
+           COUNT(*)::BIGINT AS n_active
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active week, and
+    for each later week-offset how many of that cohort were active — the
+    engagement table every growth dashboard is built on. (user, week)
+    pairs are pre-distinct'd so a user's event volume never inflates the
+    join; the cohort side is one MIN per user. Both shuffles key on
+    user_id (co-partitioned input reuses one exchange); counts are exact
+    integers so the oracle comparison is rounding-free."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("c").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("c")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
+
+@register(
+    "asof_nearest_view",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         b AS (SELECT p.event_id, MAX(v.ts) AS ts FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.ts <= p.ts GROUP BY p.event_id),
+         f AS (SELECT p.event_id, MIN(v.ts) AS ts FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.ts >= p.ts GROUP BY p.event_id),
+         n AS (SELECT p.event_id, p.ts AS pts,
+                      CASE WHEN b.ts IS NULL THEN f.ts
+                           WHEN f.ts IS NULL THEN b.ts
+                           WHEN epoch(f.ts) - epoch(p.ts)
+                                < epoch(p.ts) - epoch(b.ts) THEN f.ts
+                           ELSE b.ts END AS nts
+               FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT event_id, nts AS nearest_view_ts,
+           ROUND(ABS(epoch(nts) - epoch(pts)), 6) AS gap_sec
+    FROM n
+    """,
+)
+def asof_nearest_view(spark, sf_dir):
+    """NEAREST-direction as-of join: each purchase annotated with the
+    user's temporally closest view in EITHER direction (ties -> the
+    preceding one, pandas merge_asof(direction='nearest') semantics).
+    Exercises asof_join(direction='nearest'), which evaluates both the
+    latest-preceding and earliest-following candidates as two frames of
+    ONE window over one shuffle — the oracle's two range-join aggregates
+    are the formulation that explodes at scale, the operator is the one
+    that doesn't."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(
+        purchases, views, on=["user_id"], direction="nearest", prefix="nearest_"
+    )
+    gap = F.abs(
+        F.col("nearest_ts").cast("timestamp").cast("double")
+        - F.col("ts").cast("timestamp").cast("double")
+    )
+    return out.select(
+        "event_id",
+        F.col("nearest_ts").alias("nearest_view_ts"),
+        F.round(gap, 6).alias("gap_sec"),
+    )
+
+
+
+@register(
+    "event_type_drift_psi",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         dt AS (SELECT day, SUM(n) AS tn FROM d GROUP BY day),
+         g AS (SELECT event_type, SUM(n) AS gn FROM d GROUP BY event_type),
+         gt AS (SELECT SUM(gn) AS tg FROM g)
+    SELECT d.day, ROUND(SUM((d.n::DOUBLE / dt.tn - g.gn::DOUBLE / gt.tg)
+                            * ln((d.n::DOUBLE / dt.tn)
+                                 / (g.gn::DOUBLE / gt.tg))), 6) AS psi
+    FROM d JOIN dt USING (day) JOIN g USING (event_type), gt
+    GROUP BY d.day
+    """,
+)
+def event_type_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor: per-day Population Stability Index of
+    the event-type mix against the whole-corpus mix — the standing check a
+    training pipeline runs to catch a collection bug shifting the data mix
+    before it poisons a training run. Terms exist only for (day, type)
+    pairs actually observed (no epsilon smoothing), identically in both
+    engines. Plan: one partial-aggregated groupBy over the raw events
+    produces |days|x|types| rows; everything after operates on that tiny
+    aggregate — day totals and global mix are re-aggregations of it,
+    broadcast back. At 100 TB only the first groupBy touches the data."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    d = d.persist()
+    dt = d.groupBy("day").agg(F.sum("n").alias("tn"))
+    g = d.groupBy("event_type").agg(F.sum("n").alias("gn"))
+    gt = g.agg(F.sum("gn").alias("tg"))
+    p = F.col("n").cast("double") / F.col("tn")
+    q = F.col("gn").cast("double") / F.col("tg")
+    return (
+        d.join(F.broadcast(dt), "day")
+        .join(F.broadcast(g), "event_type")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("day")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
+
+@register(
+    "user_decay_scores",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+         t AS (SELECT user_id,
+                      FLOOR(1000000 * exp(-(epoch(mx.m) - epoch(ts)) / 86400.0)
+                            + 0.5)::BIGINT AS w
+               FROM events, mx)
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           SUM(w)::BIGINT AS decay_micro
+    FROM t GROUP BY user_id
+    ORDER BY decay_micro DESC, user_id ASC LIMIT 20
+    """,
+)
+def user_decay_scores(spark, sf_dir):
+    """Recency-weighted activity score: each event contributes
+    exp(-age/1d) relative to the corpus's newest event, the standard
+    time-decay weighting for freshness-aware ranking and retention
+    scoring. Each term is rounded to integer micro-units BEFORE the sum,
+    so the aggregate is summation-order-proof across engines. The max
+    timestamp is a one-row broadcast; scoring is map-side; one
+    partial-aggregated groupBy then a bounded top-20."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age = F.col("m").cast("timestamp").cast("double") - F.col("ts").cast(
+        "timestamp"
+    ).cast("double")
+    t = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(1000000 * F.exp(-age / 86400.0) + 0.5).cast("bigint").alias("w"),
+    )
+    scored = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("w").cast("bigint").alias("decay_micro"),
+    )
+    return scored.orderBy(
+        F.col("decay_micro").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+
+@register(
+    "value_moments_by_type",
+    """
+    WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(value) AS s1,
+                      SUM(value * value) AS s2,
+                      SUM(value * value * value) AS s3,
+                      SUM(value * value * value * value) AS s4
+               FROM events GROUP BY event_type)
+    SELECT event_type, n::BIGINT AS n_events,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) ** 3)
+                 / (s2 / n - (s1 / n) * (s1 / n)) ** 1.5, 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) ** 2 * (s2 / n) - 3 * (s1 / n) ** 4)
+                 / (s2 / n - (s1 / n) * (s1 / n)) ** 2 - 3, 6)
+             AS kurtosis_excess
+    FROM s
+    """,
+)
+def value_moments_by_type(spark, sf_dir):
+    """Higher-moment distribution profile per event type: mean, population
+    std, skewness, and excess kurtosis derived from raw power sums — the
+    value-distribution fingerprint drift monitors compare across data
+    snapshots. Built from SUM(value^k) rather than the engines' skewness()
+    / kurtosis() builtins, whose sample-vs-population conventions differ
+    between engines; power sums make both sides compute the same formula.
+    One partial-aggregated groupBy carries four doubles per type."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * F.pow(m, 3)) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * F.pow(m, 2) * (s2 / n) - 3 * F.pow(m, 4)
+    ) / F.pow(var, 2) - 3
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )
+
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1),
+         w AS (SELECT hr, n,
+                      SUM(n) OVER f AS s1, SUM(n * n) OVER f AS s2,
+                      COUNT(*) OVER f AS c
+               FROM h
+               WINDOW f AS (ORDER BY hr
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT hr, n,
+           ROUND((n - s1::DOUBLE / c)
+                 / sqrt(s2::DOUBLE / c - (s1::DOUBLE / c) ^ 2), 4) AS z
+    FROM w
+    WHERE c = 24
+      AND abs((n - s1::DOUBLE / c)
+              / sqrt(s2::DOUBLE / c - (s1::DOUBLE / c) ^ 2)) >= 2.0
+    ORDER BY hr ASC
+    """,
+)
+def events_hourly_anomaly(spark, sf_dir):
+    """Volume-anomaly detector: hours whose event count deviates >= 2
+    sigma from the trailing 24-hour window — the collection-outage /
+    bot-spike alarm a data pipeline runs on every ingest partition. Mean
+    and variance come from INTEGER rolling sums (SUM n, SUM n^2 over the
+    frame), so the z-score is bit-identical across engines — no
+    incremental-stddev drift. One groupBy to hourly grain, then a window
+    over the tiny hourly series."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    f = Window.orderBy("hr").rowsBetween(-24, -1)
+    w = h.select(
+        "hr", "n",
+        F.sum("n").over(f).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(f).alias("s2"),
+        F.count(F.lit(1)).over(f).alias("c"),
+    )
+    mu = F.col("s1").cast("double") / F.col("c")
+    z = (F.col("n") - mu) / F.sqrt(
+        F.col("s2").cast("double") / F.col("c") - mu * mu
+    )
+    return (
+        w.filter(F.col("c") == 24)
+        .withColumn("z", z)
+        .filter(F.abs("z") >= 2.0)
+        .select("hr", "n", F.round("z", 4).alias("z"))
+        .orderBy(F.col("hr").asc())
+    )
+
+
+
+@register(
+    "events_weekday_profile",
+    """
+    SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+           COUNT(*)::BIGINT AS n,
+           ROUND(COUNT(*)::DOUBLE
+                 / (SELECT COUNT(*) FROM events), 6) AS share
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_weekday_profile(spark, sf_dir):
+    """Seasonality fingerprint: event share by (weekday, hour) — the
+    168-cell traffic profile drift monitors and capacity planners both
+    read. One partial-aggregated groupBy; the denominator is a one-row
+    broadcast. DuckDB's dayofweek is 0=Sunday; Spark's dayofweek is
+    1=Sunday, so the Spark side shifts by one to match."""
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).alias("t"))
+    g = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow", "hr", "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
+
+
+
+@register(
+    "event_rate_limit",
+    """
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+    SELECT event_type, COUNT(*)::BIGINT AS total,
+           SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)::BIGINT AS kept,
+           SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END)::BIGINT AS dropped
+    FROM r GROUP BY event_type
+    """,
+)
+def event_rate_limit(spark, sf_dir):
+    """Per-user token-bucket rate limiting, batch form: keep the first 3
+    events per (user, clock-hour), report kept/dropped per type — the
+    ingest-throttling / abuse-damping primitive a serving layer needs in
+    front of a 100 TB event store. One shuffle on (user_id, hour) for the
+    row_number (high-cardinality composite key, so no skew hot-spot even
+    for a heavy user — their traffic splits across hours), one partial
+    agg on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    r = ev.select("event_type", F.row_number().over(w).alias("rn"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).cast("bigint").alias("kept"),
+        F.sum(F.when(F.col("rn") > 3, 1).otherwise(0)).cast("bigint").alias("dropped"),
+    )
+
+
+
+@register(
+    "event_run_lengths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rt
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, rn - rt AS grp,
+             COUNT(*)::BIGINT AS run_len, MIN(ts) AS run_start
+      FROM o GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, run_len, run_start
+    FROM runs
+    ORDER BY run_len DESC, user_id ASC, run_start ASC, event_type ASC
+    LIMIT 20
+    """,
+)
+def event_run_lengths(spark, sf_dir):
+    """Gaps-and-islands run-length encoding: the 20 longest streaks of a
+    user emitting the same event_type consecutively — behavioral-loop
+    detection (bot bursts, rage-clicks) expressed as the classic
+    rn - rn_per_type group constant. Both row_numbers partition on
+    user_id (the second adds event_type), so the heavy sort happens once
+    per key family; the run aggregation is partial-combined; top-k is
+    bounded with a total deterministic tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    return (
+        runs.select("user_id", "event_type", "run_len", "run_start")
+        .orderBy(
+            F.col("run_len").desc(),
+            F.col("user_id").asc(),
+            F.col("run_start").asc(),
+            F.col("event_type").asc(),
+        )
+        .limit(20)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: behavioral modeling, sparse similarity, feature audits
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events),
+    t AS (SELECT event_type AS cur, nxt FROM o WHERE nxt IS NOT NULL),
+    c AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n FROM t GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS tn FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           ROUND(c.n / tot.tn, 6) AS p
+    FROM c JOIN tot USING (cur)
+    ORDER BY cur ASC, nxt ASC
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | current_type) — the behavioral model behind next-action
+    prediction and funnel-drop analysis. One shuffle on user_id for the
+    lead() ordering, then a |types|^2-row aggregate (partial-combined);
+    the denominator join is a broadcast of a |types|-row table. At 100 TB
+    the per-user sort is the only real cost and rides a single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("tn"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select("cur", "nxt", "n", F.round(F.col("n") / F.col("tn"), 6).alias("p"))
+        .orderBy(F.col("cur").asc(), F.col("nxt").asc())
+    )
+
+
+
+@register(
+    "user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(n) AS tn FROM c GROUP BY user_id),
+    h AS (
+      SELECT c.user_id,
+             -SUM((c.n / t.tn) * ln(c.n / t.tn) / ln(2)) AS ent,
+             MAX(t.tn) AS n_events
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id)
+    SELECT user_id, ROUND(ent, 6) AS entropy_bits,
+           n_events::BIGINT AS n_events
+    FROM h
+    ORDER BY entropy_bits DESC, user_id ASC LIMIT 25
+    """,
+)
+def user_entropy(spark, sf_dir):
+    """Behavioral diversity score: Shannon entropy (bits) of each user's
+    event-type distribution, top-25 most-diverse users — bot/power-user
+    triage reads this (uniform behavior = high entropy, single-action
+    automation = 0). Two partial-aggregated shuffles on user_id (the
+    second reuses the first's partitioning) and a bounded top-k. The
+    -sum(p ln p) terms are accumulated per (user,type) BEFORE the group
+    sum, so the entropy is an order-insensitive aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tn"))
+    h = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (-F.sum((F.col("n") / F.col("tn")) * F.log(F.col("n") / F.col("tn")) / F.log(F.lit(2.0)))).alias("ent"),
+            F.max("tn").alias("n_events"),
+        )
+    )
+    return (
+        h.select(
+            "user_id",
+            F.round("ent", 6).alias("entropy_bits"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("entropy_bits").desc(), F.col("user_id").asc())
+        .limit(25)
+    )
+
+
+
+@register(
+    "events_cusum_scan",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, AVG(n) AS mu FROM h GROUP BY event_type),
+    d AS (
+      SELECT h.event_type, h.hr, h.n - m.mu AS dev,
+             SUM(h.n - m.mu) OVER (PARTITION BY h.event_type
+                                   ORDER BY h.hr ASC) AS cusum
+      FROM h JOIN m USING (event_type)),
+    x AS (
+      SELECT event_type, hr, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, hr ASC) AS rk
+      FROM d)
+    SELECT event_type, hr AS peak_hour, ROUND(cusum, 6) AS peak_cusum
+    FROM x WHERE rk = 1
+    ORDER BY event_type ASC
+    """,
+)
+def events_cusum_scan(spark, sf_dir):
+    """CUSUM changepoint scan per event type: cumulative deviation of
+    hourly counts from the type mean; the hour where |CUSUM| peaks is the
+    most likely level-shift point (Page 1954) — the batch form of a
+    drift alarm (companion of `events_hourly_anomaly`, which flags
+    single-hour z-score spikes; CUSUM finds sustained shifts). Hourly
+    pre-aggregation happens FIRST, so the windowed cumulative sum runs
+    over |types| x |hours| rows, not raw events; one exchange on
+    event_type serves both the window and the argmax."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = h.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hr").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = h.join(F.broadcast(m), "event_type").select(
+        "event_type", "hr",
+        F.sum(F.col("n") - F.col("mu")).over(wcum).alias("cusum"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("hr").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("peak_hour"),
+            F.round("cusum", 6).alias("peak_cusum"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+
+@register(
+    "session_conversion",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM s GROUP BY user_id, sid)
+    SELECT hour(session_start)::BIGINT AS start_hour,
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+                    THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+           ROUND(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS conversion_rate
+    FROM agg GROUP BY 1 ORDER BY start_hour ASC
+    """,
+)
+def session_conversion(spark, sf_dir):
+    """View-to-purchase conversion at SESSION grain by start hour: a
+    session (30-min inactivity gap, same definition `events_sessionize`
+    proves against the gaps-and-islands oracle) converts when it contains
+    a purchase at-or-after its first view. Spark side uses the native
+    session_window aggregation — per-session conditional mins/maxes in ONE
+    user_id exchange — against the oracle's lag/cumsum islands
+    formulation; identical session boundaries, independently derived."""
+    from veri_spark.streaming.windows import ensure_event_time
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+    )
+    conv = F.when(
+        F.col("first_view").isNotNull()
+        & (F.col("last_purchase") >= F.col("first_view")),
+        1,
+    ).otherwise(0)
+    return (
+        agg.groupBy(F.hour("session_start").cast("bigint").alias("start_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(conv).cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum(conv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("start_hour").asc())
+    )
+
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS b,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS c
+      FROM events)
+    SELECT a, b, c, COUNT(*)::BIGINT AS n
+    FROM o WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a ASC, b ASC, c ASC LIMIT 15
+    """,
+)
+def event_path_trigrams(spark, sf_dir):
+    """Top 3-step behavioral paths across user streams — the clickstream
+    pattern-mining grain one up from `event_transition_matrix`'s bigram
+    probabilities (paths expose the funnel orderings a first-order chain
+    cannot). Both lead() offsets ride ONE user_id exchange and one sort;
+    the path aggregate is |types|^3-bounded and partial-combined."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        o.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc(), F.col("c").asc())
+        .limit(15)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 7: windowed top-k, concentration (Gini), independence audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "windowed_topk_users",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, user_id, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT hr, user_id, n,
+             row_number() OVER (PARTITION BY hr
+                                ORDER BY n DESC, user_id ASC) AS rk
+      FROM h)
+    SELECT hr, user_id, n, rk
+    FROM r WHERE rk <= 3
+    ORDER BY hr ASC, rk ASC
+    """,
+)
+def windowed_topk_users(spark, sf_dir):
+    """Top-3 most active users per clock hour — the windowed grouped
+    top-k every ops dashboard renders (the event-stream analog of the
+    vector path's `knn_grouped_topk`). Hourly pre-aggregation first, so
+    the rank window runs over (hour, user) aggregates, not raw events;
+    WindowGroupLimit pushes rk<=3 into the sort. One exchange keyed by
+    hour for the window after the partial-combined count."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("hr").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hr", "user_id", "n", "rk")
+        .orderBy(F.col("hr").asc(), F.col("rk").asc())
+    )
+
+
+
+@register(
+    "asof_click_bounded",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE THEN c.ts END
+             AS feat_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE
+                THEN ROUND(c.value, 6) END AS feat_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_bounded(spark, sf_dir):
+    """Bounded-staleness as-of join: each purchase annotated with the
+    user's most recent click only if it is at most 15 minutes old — the
+    `merge_asof(tolerance=...)` semantic a serving-time feature contract
+    demands (a stale feature is WORSE than a null one; `asof_last_click`
+    is the unbounded form). Same single-shuffle union plan; the tolerance
+    is a post-fill predicate, not a join-condition range — the oracle
+    states it as the equivalent ASOF-then-void formulation."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], payload_cols=["value"],
+        prefix="feat_", tolerance_seconds=900,
+    )
+    return joined.select(
+        "purchase_id", "user_id",
+        F.col("feat_ts"),
+        F.round("feat_value", 6).alias("feat_value"),
+    )
+
+
+
+@register(
+    "session_first_touch",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS t0,
+             arg_min(event_type, ts || '|' || lpad(event_id::VARCHAR, 12, '0')) AS first_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM s GROUP BY user_id, sid)
+    SELECT first_type,
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(converted)::BIGINT AS n_converted,
+           ROUND(SUM(converted)::DOUBLE / COUNT(*), 6) AS conversion_rate
+    FROM agg GROUP BY first_type ORDER BY first_type ASC
+    """,
+)
+def session_first_touch(spark, sf_dir):
+    """First-touch attribution at session grain: sessions bucketed by
+    their FIRST event type, with purchase-conversion rate per bucket —
+    which entry action starts the sessions that convert
+    (`session_conversion` slices the same sessions by start hour; this
+    slices by entry action). The first-type argmin and the converted
+    flag ride the same per-session aggregate; the deterministic
+    first-event rule is (ts, event_id) lexicographic in BOTH engines."""
+    from veri_spark.streaming.windows import ensure_event_time
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min_by(
+                "event_type",
+                F.concat(
+                    F.col("ts").cast("string"),
+                    F.lit("|"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"),
+                ),
+            ).alias("first_type"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return (
+        agg.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("first_type").asc())
+    )

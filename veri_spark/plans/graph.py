@@ -1,0 +1,215 @@
+"""Graph / co-occurrence analytics: PageRank, co-purchase lift.
+
+Split from the original single-module registry (round-5 hygiene);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+@register(
+    "copurchase_top_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*)::BIGINT AS n_orders
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+    SELECT part_a, part_b, n_orders FROM pr
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def copurchase_top_pairs(spark, sf_dir):
+    """Market-basket pair mining: the 20 part pairs most often bought in
+    the same order — association-rule support counting as a self-join on
+    the order key. The join fan-out is bounded by (parts per order)^2 — a
+    BASKET-sized quadratic, not a corpus-sized one — and the distinct
+    projection first drops duplicate (order, part) lines so multi-line
+    parts don't inflate support. One shuffle on the order key, one
+    partial-aggregated pair count, bounded top-k."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return pr.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 1: graph centrality, MMR diversity re-ranking, truncated-
+# embedding retrieval audit, rate limiting, run-length sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "pagerank_step",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+    contrib AS (
+      SELECT e.dst AS l_partkey, SUM(1.0 / d.outdeg) AS z
+      FROM edges e JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT l_partkey, ROUND(0.15 + 0.85 * z, 6) AS pagerank
+    FROM contrib
+    ORDER BY pagerank DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def pagerank_step(spark, sf_dir):
+    """One damped PageRank iteration (d=0.85, uniform r0=1) over the
+    co-purchase part graph — graph centrality on the same basket edges
+    `copurchase_top_pairs` mines for support. The edge build is the
+    bounded basket-quadratic self-join (distinct (order, part) first);
+    degrees and contributions are two partial-aggregated shuffles on the
+    part key; no adjacency ever sits on the driver, so further iterations
+    at 100 TB are the same two shuffles re-keyed on an already
+    co-partitioned edge set. Output: top-20 parts by rank-after-one-step.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    contrib = (
+        edges.join(deg, "src")
+        .groupBy(F.col("dst").alias("l_partkey"))
+        .agg(F.sum(F.lit(1.0) / F.col("outdeg")).alias("z"))
+    )
+    out = contrib.select(
+        "l_partkey", F.round(F.lit(0.15) + F.lit(0.85) * F.col("z"), 6).alias("pagerank")
+    )
+    return out.orderBy(F.col("pagerank").desc(), F.col("l_partkey").asc()).limit(20)
+
+
+
+@register(
+    "copurchase_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM li),
+    supp AS (SELECT l_partkey, COUNT(*)::DOUBLE AS n FROM li GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*)::DOUBLE AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT part_a, part_b, n_ab::BIGINT AS n_ab,
+           ROUND(n_ab / sa.n, 6) AS confidence_a_b,
+           ROUND(n_ab * (SELECT n_orders FROM n) / (sa.n * sb.n), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def copurchase_lift(spark, sf_dir):
+    """Association-rule strength for basket pairs: confidence(A->B) and
+    lift relative to independence — the metrics that separate genuinely
+    associated parts from merely popular ones (raw support, which
+    `copurchase_top_pairs` ranks by, conflates the two). The support >= 2
+    floor prunes the pair tail BEFORE the metric joins; per-part supports
+    broadcast; the basket self-join is the same bounded quadratic as the
+    support miner."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("na"), 6).alias("confidence_a_b"),
+            F.round(F.col("n_ab") * F.col("n_orders") / (F.col("na") * F.col("nb")), 6).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)

@@ -1,0 +1,620 @@
+"""Training-data pipeline assembly: sampling, mixtures, packing, sketch estimators, skew tools.
+
+Split from the original single-module registry (round-5 hygiene);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+@register(
+    "sample_hash_deterministic",
+    """
+    SELECT COUNT(*)::BIGINT AS n_sampled, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST('0x' || substr(md5(event_id::VARCHAR), 1, 15) AS BIGINT) % 10 = 0
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Reproducible ~10% sample by key hash (the deterministic analog of
+    df.sample / the reference's probabilistic peer sampling, ST4). Hash-mod
+    sampling survives reruns and joins, unlike RNG sampling."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.filter(portable_hash64(F.col("event_id").cast("string")) % 10 == 0)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+
+@register(
+    "docs_prep_pipeline",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    t AS (
+      SELECT doc_id, source, text, ws,
+             len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+               / len(ws) AS en_ratio,
+             LEAST(1.0, len(ws) / 64.0) * (len(list_distinct(ws)) / len(ws)) AS quality,
+             len(ws) AS n_tokens
+      FROM tok
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT t.*, row_number() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id ASC) AS rn
+        FROM t
+      ) WHERE rn = 1 AND en_ratio >= 0.04 AND quality >= 0.2
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM kept GROUP BY source
+    """,
+)
+def docs_prep_pipeline(spark, sf_dir):
+    """The composed training-data-prep pipeline over documents: exact dedup
+    (keep lowest doc_id per normalized text) -> language gate (English
+    stopword ratio) -> quality gate -> per-source corpus accounting. One
+    declarative plan: the dedup window and the final groupBy are the only
+    shuffles; every filter sits below them."""
+    from veri_spark.functions.text import (
+        en_stopword_ratio,
+        quality_score as q_score,
+        token_count,
+    )
+    from veri_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(
+        docs, F.md5(F.lower(F.trim(F.col("text")))), id_col="doc_id"
+    )
+    gated = deduped.withColumn("en_ratio", en_stopword_ratio("text")).withColumn(
+        "quality", q_score("text")
+    ).filter((F.col("en_ratio") >= 0.04) & (F.col("quality") >= 0.2))
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+
+@register(
+    "sample_stratified_by_type",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             CAST('0x' || substr(md5(event_id::VARCHAR), 1, 15) AS BIGINT) % 100 AS bucket
+      FROM events
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_sampled, ROUND(SUM(value), 2) AS sum_value
+    FROM h
+    WHERE (event_type = 'error' AND bucket < 50)
+       OR (event_type <> 'error' AND bucket < 10)
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_by_type(spark, sf_dir):
+    """Stratified deterministic sampling (df.sampleBy's reproducible
+    analog): rare strata keep a higher rate (50% errors vs 10% rest) via
+    per-key hash-mod thresholds — rerun-stable and join-stable, unlike RNG
+    sampling."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = portable_hash64(F.col("event_id").cast("string")) % 100
+    rate = F.when(F.col("event_type") == "error", F.lit(50)).otherwise(F.lit(10))
+    return (
+        ev.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens + 1) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t)
+    SELECT doc_id, source, n_tokens, (cum_before // 1024)::BIGINT AS chunk_id
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training (companion of `sequence_packing`, which
+    buckets by START offset at a 512 budget and reports per-bin mass —
+    different assignment rule, budget, and output grain): greedy assignment of documents to
+    fixed token-budget chunks (1024 tokens, +1 separator per doc) within
+    each source shard, in deterministic doc_id order — the operator that
+    turns a document table into packed training sequences. One window
+    shuffle on the shard key; chunk_id = floor(preceding-tokens / budget).
+    At 100 TB the shard key (source/file) bounds each window partition to
+    one shard — no global ordering is ever materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    from veri_spark.functions.text import tokens as toks_fn
+
+    t = docs.select(
+        "doc_id", "source", F.size(toks_fn("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("n_tokens") + 1).over(w), F.lit(0))
+    )
+    return c.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.col("cum_before") / 1024).cast("bigint").alias("chunk_id"),
+    )
+
+
+
+@register(
+    "mixture_weighted_sample",
+    """
+    WITH s AS (
+      SELECT lang, doc_id,
+             CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 20 END AS pct,
+             CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 AS slot
+      FROM documents
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_total,
+           SUM(CASE WHEN slot < pct THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM s GROUP BY lang
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: per-language keep rates (en
+    100%, de 50%, rest 20%) applied by portable key-hash threshold — the
+    reproducible form of the temperature/weighted sampling every training
+    mix uses. Hash-threshold sampling survives reruns, joins, and
+    incremental reprocessing (same doc always lands the same way), unlike
+    RNG sampling. Map-only until one tiny groupBy on lang."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(20)
+    )
+    slot = portable_hash64(F.col("doc_id").cast("string")) % 100
+    s = docs.select("lang", pct.alias("pct"), slot.alias("slot"))
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("slot") < F.col("pct"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks AS cum_before
+      FROM t
+    )
+    SELECT source, FLOOR(cum_before / 512)::BIGINT AS bin,
+           COUNT(*)::BIGINT AS n_docs, SUM(n_toks)::BIGINT AS n_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (companion of `pack_sequences`,
+    which assigns whole docs greedily at a 1024 budget and emits per-chunk
+    rows — different assignment rule, budget, and grain): docs are laid end-to-end in
+    deterministic (doc_id) order within each source shard and assigned to
+    the 512-token training window where they START. Per (source, bin):
+    docs packed and token mass. Packing PARTITIONS BY SOURCE — the window
+    is per-shard, so at 100 TB each shard packs independently in parallel
+    (a single global ORDER BY would serialize the sort); real pipelines
+    pack per input shard for exactly this reason."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(toks_fn("text")).cast("bigint").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_toks").over(w) - F.col("n_toks"))
+    return (
+        c.select("source", F.floor(F.col("cum_before") / 512).cast("bigint").alias("bin"), "n_toks")
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+
+
+
+@register(
+    "heavy_hitters_share",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         tot AS (SELECT SUM(n) AS t FROM c)
+    SELECT user_id, n::BIGINT AS n_events, ROUND(n::DOUBLE / t, 6) AS share
+    FROM c, tot ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def heavy_hitters_share(spark, sf_dir):
+    """Skew diagnostic: the 10 heaviest keys and their share of all events
+    — the query you run BEFORE sizing a salt factor or enabling AQE skew
+    join on a key. Partial-aggregated groupBy, one-row broadcast total,
+    bounded top-k; the full key histogram never leaves the executors."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    scored = c.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
+    return topk(scored, "n_events", 10, higher_is_better=True, tie_cols=["user_id"])
+
+
+
+@register(
+    "mixture_reweight_factors",
+    """
+    WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(n_docs) AS t, COUNT(*) AS k FROM c)
+    SELECT lang, n_docs,
+           ROUND(n_docs::DOUBLE / t, 6) AS actual_share,
+           ROUND((1.0 / k) / (n_docs::DOUBLE / t), 6) AS weight
+    FROM c, tot
+    """,
+)
+def mixture_reweight_factors(spark, sf_dir):
+    """Data-mixture reweighting: per-language sampling weight that moves
+    the corpus to a UNIFORM target mix (weight = target_share /
+    actual_share — the multiplier a sampler applies per shard when
+    composing a training mixture). One partial-aggregated groupBy plus a
+    one-row broadcast total; the weights table is dimension-sized and
+    feeds a broadcast join in the sampling pass (`mixture_weighted_sample`
+    is that consumer shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").alias("t"), F.count(F.lit(1)).alias("k"))
+    share = F.col("n_docs").cast("double") / F.col("t")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("actual_share"),
+        F.round((1.0 / F.col("k")) / share, 6).alias("weight"),
+    )
+
+
+
+@register(
+    "skewed_agg_salted",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(value), 2)::DOUBLE AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skewed_agg_salted(spark, sf_dir):
+    """The salted two-stage aggregation (operators/skew.py) as an
+    oracle-paired query: COUNT and SUM over a 5-hot-key group column run
+    as groupBy(key, salt) partials then groupBy(key) finals — the oracle
+    is the PLAIN aggregate, proving the decomposition is exact. With only
+    a handful of giant groups, the plain plan funnels each group through
+    one reducer; the salt spreads stage one over 16, and stage two only
+    touches groups x 16 partial rows. (SUM rounds once at the end —
+    partial sums stay unrounded, so the decomposition is exact in IEEE
+    terms too: doubles are summed in a fixed two-level tree either way...
+    rounding to 2 dp absorbs the reassociation.)"""
+    from veri_spark.operators.skew import salted_two_stage
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_two_stage(
+        ev,
+        group_cols=["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("value").alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pc").cast("bigint").alias("n"),
+            F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
+        ],
+        entropy_cols=["event_id"],
+        buckets=16,
+    )
+    return out
+
+
+
+@register(
+    "distinct_estimate_kmv",
+    """
+    WITH fp AS (SELECT DISTINCT md5(text) AS f FROM documents),
+         h AS (SELECT CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) AS hv
+               FROM fp),
+         k AS (SELECT hv FROM h ORDER BY hv LIMIT 128),
+         a AS (SELECT COUNT(*) AS kk, MAX(hv) AS mx FROM k),
+         ex AS (SELECT COUNT(*) AS n_exact FROM fp)
+    SELECT ex.n_exact::BIGINT AS n_exact,
+           ROUND(CASE WHEN a.kk < 128 THEN a.kk::DOUBLE
+                 ELSE (a.kk - 1) * 1152921504606846976.0 / a.mx END, 2)
+             AS kmv_estimate,
+           ROUND(ABS(CASE WHEN a.kk < 128 THEN a.kk::DOUBLE
+                     ELSE (a.kk - 1) * 1152921504606846976.0 / a.mx END
+                     - ex.n_exact) / ex.n_exact, 6) AS rel_err
+    FROM a, ex
+    """,
+)
+def distinct_estimate_kmv(spark, sf_dir):
+    """K-minimum-values distinct-count sketch audited against the exact
+    answer: estimate the number of UNIQUE documents (the "how much will
+    exact dedup shrink this" question) from the 128 smallest portable
+    hash values — (k-1)/u_(k) with u the hash normalized to [0,1), exact
+    count when fewer than k uniques exist. The estimator needs only k
+    longs per partition (TakeOrdered partial top-k, no full shuffle of
+    fingerprints); the exact side is the full distinct the sketch
+    replaces at 100 TB — both computed here precisely to report the
+    sketch's realized error. (k-1)*2^60 is integer-exact in a double and
+    IEEE division is deterministic, so both engines produce the identical
+    estimate bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("f")).distinct()
+    fp = fp.persist()
+    h = fp.select(
+        F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long").alias("hv")
+    )
+    k = h.orderBy(F.col("hv").asc()).limit(128)
+    a = k.agg(F.count(F.lit(1)).alias("kk"), F.max("hv").alias("mx"))
+    ex = fp.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(F.col("kk") < 128, F.col("kk").cast("double")).otherwise(
+        (F.col("kk") - 1) * F.lit(1152921504606846976.0) / F.col("mx")
+    )
+    return (
+        a.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6)
+              .alias("rel_err"),
+        )
+    )
+
+
+
+@register(
+    "weighted_sample_es",
+    """
+    WITH s AS (SELECT lang, doc_id, n_chars,
+                      CAST('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15)
+                           AS BIGINT) / 1152921504606846976.0 AS u
+               FROM documents),
+         k AS (SELECT lang, doc_id, n_chars,
+                      FLOOR(1000000000 * ln(u) / n_chars + 0.5)::BIGINT
+                        AS key_nano
+               FROM s),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                         ORDER BY key_nano DESC, doc_id ASC) AS rnk
+               FROM k)
+    SELECT lang, doc_id, n_chars, key_nano FROM r WHERE rnk <= 10
+    """,
+)
+def weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis): per
+    language, the 10 docs with the largest u^(1/w) sort key, w = doc
+    length — longer docs proportionally likelier, yet the draw is a
+    single distributed top-k, no sequential sampling state. u comes from
+    the portable seeded hash, so the sample is reproducible across
+    engines and reruns; ranking on the equivalent integer key
+    floor(1e9*ln(u)/w) sidesteps cross-engine pow/ulp drift. Per-group
+    window top-k = WindowGroupLimit partial pushdown, no global sort."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = portable_hash64(F.col("doc_id").cast("string"), seed=7) / F.lit(
+        1152921504606846976.0
+    )
+    k = docs.select(
+        "lang", "doc_id", "n_chars",
+        F.floor(1000000000 * F.log(u) / F.col("n_chars") + 0.5)
+         .cast("bigint").alias("key_nano"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("key_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        k.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .drop("rnk")
+    )
+
+
+
+@register(
+    "mixture_temperature_shares",
+    """
+    WITH c AS (SELECT lang, SUM(len(string_split(text, ' ')))::BIGINT
+                 AS n_tokens
+               FROM documents GROUP BY lang),
+         t AS (SELECT SUM(n_tokens)::DOUBLE AS tot FROM c),
+         p AS (SELECT lang, n_tokens, n_tokens / tot AS raw_share,
+                      (n_tokens / tot) ^ 0.7 AS w
+               FROM c, t),
+         z AS (SELECT SUM(w) AS zz FROM p)
+    SELECT lang, n_tokens,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(w / zz, 6) AS temp_share,
+           ROUND((w / zz) / raw_share, 6) AS sample_factor
+    FROM p, z
+    """,
+)
+def mixture_temperature_shares(spark, sf_dir):
+    """Temperature-scaled data-mixture allocation: per-language token
+    shares flattened with alpha = 0.7 (share^alpha renormalized), the
+    standard multilingual rebalancing that upsamples tail languages
+    without letting any head language dominate. sample_factor is the
+    per-doc sampling multiplier a downstream hash-threshold sampler
+    applies. One token-counting groupBy touches the corpus; the share
+    table is |langs| rows with two one-row broadcast totals."""
+    from veri_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    c = c.persist()
+    t = c.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang", "n_tokens",
+        (F.col("n_tokens") / F.col("tot")).alias("raw_share"),
+        F.pow(F.col("n_tokens") / F.col("tot"), 0.7).alias("w"),
+    )
+    p = p.persist()
+    z = p.agg(F.sum("w").alias("zz"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang", "n_tokens",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("w") / F.col("zz"), 6).alias("temp_share"),
+        F.round((F.col("w") / F.col("zz")) / F.col("raw_share"), 6)
+          .alias("sample_factor"),
+    )
+
+
+
+@register(
+    "training_set_assembly",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         lastc AS (SELECT p.event_id, MAX(c.ts) AS ts
+                   FROM p LEFT JOIN c ON p.user_id = c.user_id
+                                     AND c.ts <= p.ts
+                   GROUP BY p.event_id),
+         lastc_v AS (SELECT l.event_id, l.ts,
+                            MAX(c.value) AS feat_click_value
+                     FROM lastc l
+                     LEFT JOIN p ON l.event_id = p.event_id
+                     LEFT JOIN c ON c.user_id = p.user_id AND c.ts = l.ts
+                     GROUP BY l.event_id, l.ts),
+         nviews AS (SELECT p.event_id, COUNT(v.ts)::BIGINT AS feat_views_1h
+                    FROM p LEFT JOIN v
+                      ON p.user_id = v.user_id
+                     AND v.ts <= p.ts
+                     AND v.ts > p.ts - INTERVAL 1 HOUR
+                    GROUP BY p.event_id)
+    SELECT p.event_id, p.user_id,
+           ROUND(p.value, 6) AS label_value,
+           lv.ts AS feat_click_ts,
+           ROUND(lv.feat_click_value, 6) AS feat_click_value,
+           nv.feat_views_1h
+    FROM p
+    JOIN lastc_v lv USING (event_id)
+    JOIN nviews nv USING (event_id)
+    """,
+)
+def training_set_assembly(spark, sf_dir):
+    """Point-in-time-correct training-set assembly, the feature-store
+    serving pattern end-to-end: purchases are the label stream; each row
+    is annotated with (a) the user's latest click value as of the label
+    time (as-of join — no future leakage by construction) and (b) a
+    bounded 1-hour view count (interval join). The engine side composes
+    asof_join + a windowed count in TWO single-shuffle passes on user_id;
+    the oracle's range-join formulations are the quadratic plans these
+    operators replace. Tie rule: equal-timestamp clicks resolve to the
+    greatest (value) payload, mirrored in the oracle via MAX(value) at
+    the matched timestamp."""
+    from veri_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    feat = asof_join(
+        p, c, on=["user_id"], payload_cols=["value"], prefix="feat_click_"
+    )
+    joined = feat.join(v, "user_id", "left").withColumn(
+        "__in_1h",
+        F.when(
+            (F.col("vts") <= F.col("ts"))
+            & (F.col("vts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            1,
+        ).otherwise(0),
+    )
+    out = joined.groupBy(
+        "event_id", "user_id", "value", "feat_click_ts", "feat_click_value"
+    ).agg(F.sum("__in_1h").cast("bigint").alias("feat_views_1h"))
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("label_value"),
+        "feat_click_ts",
+        F.round("feat_click_value", 6).alias("feat_click_value"),
+        "feat_views_1h",
+    )

@@ -1,0 +1,173 @@
+"""Store mutations (upsert/TTL/delete) and multimodal binary-column queries.
+
+Split from the original single-module registry (round-5 hygiene);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+@register(
+    "upsert_latest_version",
+    """
+    SELECT user_id, event_id, event_type, ROUND(value, 6) AS value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def upsert_latest_version(spark, sf_dir):
+    """S1/S2 upsert semantics: latest version per key wins
+    (data/newsync.go:43-59) — row_number over (key ORDER BY version DESC)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+
+@register(
+    "ttl_expiry_filter",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n_live
+    FROM events
+    WHERE epoch_us(ts) + value * 86400 * 1000000
+          > epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+    GROUP BY event_type
+    """,
+)
+def ttl_expiry_filter(spark, sf_dir):
+    """F3/ST2: TTL predicate — expire_at = ts + value days; keep live rows
+    (data/newsync.go:78-80). Pure epoch arithmetic, pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    # double arithmetic on both engines (a bigint cast would truncate in
+    # Spark but round in DuckDB)
+    expire_us = F.unix_micros(F.col("ts").cast("timestamp")) + (
+        F.col("value") * 86400 * 1000000
+    )
+    cutoff = F.unix_micros(F.expr("TIMESTAMP '2024-02-15 00:00:00'"))
+    return (
+        ev.filter(expire_us > cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+
+
+
+@register(
+    "delete_anti_join",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n_remaining
+    FROM events WHERE user_id NOT IN (1, 2, 3)
+    GROUP BY event_type
+    """,
+)
+def delete_anti_join(spark, sf_dir):
+    """S3: delete-by-key as a broadcast anti-join (data/delete.go:8-10)."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.sparkSession.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    remaining = ev.join(F.broadcast(keys), "user_id", "left_anti")
+    return remaining.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_remaining"))
+
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           CAST('0x' || substr(md5(text), 1, 2) AS INT) AS f0
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text bytes stand in for encoded media
+    (the container has no image/audio codecs); the Arrow-batched mapInPandas
+    decode (multimodal/binary.decode_features) derives the deterministic-fake
+    feature, whose first component is the payload md5's first byte — which
+    the oracle recomputes in SQL. The schema/batching/column-pruning shape is
+    the real production path."""
+    from veri_spark.multimodal.binary import decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
+    feats = decode_features(media, id_col="doc_id", media_col="media")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0"),
+    )
+
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           unnest(range(0, greatest(n_chars * 100, 1), 1000))::BIGINT
+             AS frame_ts_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing end-to-end: text bytes stand in for
+    encoded video (no codecs in this container) with a synthetic duration
+    of 100 ms per character; multimodal/binary.frame_sample explodes each
+    media row into one row per sampled timestamp through the Arrow-batched
+    mapInPandas path. The oracle regenerates the sampling grid
+    arithmetically — it verifies the explosion shape (ids x offsets)
+    exactly; per-frame feature determinism is covered by unit tests. The
+    plan is map-only: no shuffle, media bytes never leave the stage."""
+    from veri_spark.multimodal.binary import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample(media, every_ms=1000, id_col="doc_id")
+    return frames.select("doc_id", "frame_ts_ms")

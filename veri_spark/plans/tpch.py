@@ -1,0 +1,1544 @@
+"""TPC-H-shaped analytical queries plus customer/supplier/order audits.
+
+Split from the original single-module registry (round-5 hygiene);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (native Spark ops over the TPC-H-ish tables; the
+# reference has no SQL — these demonstrate the engine's general analytics
+# capabilities per SURVEY.md section 2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan-heavy grouped aggregation with
+    full partial-aggregation (map-side combine) before the 4-group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+
+@register(
+    "tpch_q3_top_revenue",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3-style join + grouped agg + top-k. Only the customer dim is
+    broadcast (genuinely small); the orders-filtered build side is
+    fact-derived (~20% of orders), so its join with lineitem is left to
+    AQE — at sf0.01 AQE converts it to broadcast at runtime, at 100x it
+    stays a shuffle join instead of OOMing on a forced multi-GB broadcast."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bld_orders = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("o_orderkey").alias("bld_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(bld_orders, F.col("l_orderkey") == F.col("bld_orderkey"))
+    agg = joined.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return topk(agg, "revenue", 10, higher_is_better=True, tie_cols=["o_orderkey"])
+
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark, sf_dir):
+    """Per-group top-k on a relational table (same WindowGroupLimit plan as
+    the KNN grouped collector)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o, ["o_custkey"], "o_totalprice", 3, higher_is_better=True,
+        tie_cols=["o_orderkey"], rank_col="rnk",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"
+    )
+
+
+
+@register(
+    "tpch_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def tpch_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (subtotal + grand-total rows) — the
+    grouping-sets surface Spark provides natively (SURVEY.md section 2.4).
+    NULL rollup keys are coalesced to 'ALL' so the result is sortable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+
+@register(
+    "lineitem_running_total",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def lineitem_running_total(spark, sf_dir):
+    """Running-total window (ordered frame) — general window-function
+    surface beyond rank/top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_total"),
+    )
+
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with constant-size dims broadcast.
+    nation x region (filtered to one region) is broadcast so the big
+    fact-side joins shuffle only on their keys; the date filter sits on
+    orders before any join so it reaches the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    dims = (
+        load_table(spark, sf_dir, "nation")
+        .join(load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + agg — every predicate reaches the
+    parquet scan (PushedFilters), zero shuffles beyond the final partial/
+    final agg pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+
+@register(
+    "tpch_q18_big_spenders",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(o_totalprice), 2) AS total_spent,
+           COUNT(*)::BIGINT AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    HAVING COUNT(*) >= 12
+    ORDER BY total_spent DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q18_big_spenders(spark, sf_dir):
+    """TPC-H Q18 shape: join + grouped agg + HAVING + deterministic top-k.
+    The agg groups on the join key, so AQE coalesces the two shuffles; the
+    HAVING is a post-agg filter (cheap); the LIMIT is TakeOrdered
+    (partial+final, never a full sort)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        ords.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+
+@register(
+    "tpch_q14_promo_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate share over a fact-dim join;
+    part is the build side (broadcast at small SF, shuffled hash beyond).
+    Distinct from `tpch_q14_promo_effect`: different month, broadcast-hinted
+    build side, and 2-dp output — that entry lets AQE choose the join and
+    rounds to 6 dp; both are kept to pin both planner disciplines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: set ops, semi/anti joins, JSON extraction, OR predicates, CUBE
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+    )
+    ORDER BY c_custkey ASC
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti join (the S3 delete shape used as a query): customers with no
+    order in 1996Q1. left_anti shuffles only the join keys; the date filter
+    pushes to the orders scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_custkey")
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+
+@register(
+    "repeat_buyers_both_years",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ORDER BY o_custkey ASC
+    """,
+)
+def repeat_buyers_both_years(spark, sf_dir):
+    """Set operation (INTERSECT): customers active in both years. Spark
+    plans intersect as a distinct + semi join on the hashed key."""
+    ords = load_table(spark, sf_dir, "orders")
+    y96 = ords.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = ords.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97).orderBy("o_custkey")
+
+
+
+@register(
+    "lineitem_or_predicates",
+    """
+    SELECT COUNT(*)::BIGINT AS n, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE (l_quantity < 5 AND l_discount > 0.08)
+       OR (l_quantity > 45 AND l_returnflag = 'R')
+       OR (l_tax = 0.0 AND l_linestatus = 'F')
+    """,
+)
+def lineitem_or_predicates(spark, sf_dir):
+    """Q19-style disjunctive predicate: the whole OR tree stays in the scan
+    filter (no join, no shuffle before the final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("l_quantity") < 5) & (F.col("l_discount") > 0.08))
+        | ((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        | ((F.col("l_tax") == 0.0) & (F.col("l_linestatus") == "F"))
+    )
+    return li.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+
+@register(
+    "orders_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations), NULL keys coalesced so the
+    result is sortable."""
+    ords = load_table(spark, sf_dir, "orders")
+    return (
+        ords.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+
+@register(
+    "tpch_q4_late_orders",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS as a left-semi join — each order contributes
+    once no matter how many late lines it has, and the semi join carries
+    only the join keys through the shuffle."""
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+
+@register(
+    "customer_spend_quartiles",
+    """
+    WITH s AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spent
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, ROUND(spent, 2) AS spent,
+           ntile(4) OVER (ORDER BY spent DESC, o_custkey ASC) AS quartile
+    FROM s
+    """,
+)
+def customer_spend_quartiles(spark, sf_dir):
+    """NTILE bucketing: customers ranked into spend quartiles (global
+    ordered window over the pre-aggregated per-customer totals — the window
+    input is |customers| rows, never raw orders)."""
+    ords = load_table(spark, sf_dir, "orders")
+    spend = ords.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spent"))
+    w = Window.orderBy(F.col("spent").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        F.round("spent", 2).alias("spent"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+
+@register(
+    "supplier_rank_in_nation",
+    """
+    SELECT n_name, s_name, ROUND(s_acctbal, 2) AS acctbal,
+           dense_rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    QUALIFY rnk <= 3
+    """,
+)
+def supplier_rank_in_nation(spark, sf_dir):
+    """dense_rank per group with a QUALIFY-style filter (top 3 suppliers by
+    balance per nation; broadcast nation)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+
+@register(
+    "customers_above_nation_avg",
+    """
+    WITH nat_avg AS (
+      SELECT c_nationkey,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_nationkey, COUNT(*)::BIGINT AS n_above,
+           FLOOR(MAX(c.c_acctbal - a.avg_bal) * 100 + 0.5) / 100 AS max_excess
+    FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    GROUP BY c.c_nationkey
+    """,
+)
+def customers_above_nation_avg(spark, sf_dir):
+    """Correlated-aggregate pattern (customers richer than their nation's
+    average): de-correlated into a grouped aggregate + self-join — what
+    Catalyst's subquery decorrelation produces, written directly. The tiny
+    per-nation aggregate broadcasts back onto the fact side.
+
+    Cross-engine determinism: the average is computed as an EXACT decimal
+    sum divided in double (float summation order varies with partitioning,
+    and Spark's round() string-reprs the double while DuckDB rounds in
+    binary — at an exact .xx5 boundary they disagree), and the 2-decimal
+    rounding is the floor(x*100+0.5) formulation, which is pure IEEE double
+    arithmetic and therefore bit-identical in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    nat_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nat_avg), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            (
+                F.floor(F.max(F.col("c_acctbal") - F.col("avg_bal")) * 100 + 0.5) / 100
+            ).alias("max_excess"),
+        )
+    )
+
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate)::INT AS l_year,
+           ROUND(SUM({_REV_DEC}), 2)::DOUBLE AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue between two trading nations by year. Nation
+    (25 rows) broadcasts onto supplier and customer; the nation-name filter
+    then prunes both dims BEFORE they join the fact tables, so the big
+    lineitem-orders join only carries the two nations' rows. No broadcast
+    hint on supplier or customer — both scale linearly with the data
+    (TPC-H: sf x 10k suppliers), so the planner/AQE must pick the strategy
+    from observed sizes; only the 25-row nation table is hinted."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    nat = sf("nation")
+    supp = (
+        sf("supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_13", "NATION_19"))
+    )
+    cust = (
+        sf("customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_13", "NATION_19"))
+    )
+    li = sf("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate", _rev_dec().alias("rev"))
+    ords = sf("orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM({_REV_DEC}), 2)::DOUBLE AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by returned-lineitem revenue in a
+    quarter. The returnflag + date predicates push to the scans; the
+    order-date filter prunes orders before the fact-fact join; nation
+    broadcasts; final top-20 is a bounded TakeOrdered, never a global sort."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    ords = sf("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = sf("lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev_dec().alias("rev")
+    )
+    agg = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sf("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sf("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+    out = topk(agg, "revenue", 20, higher_is_better=True, tie_cols=["c_custkey"])
+    return out.select("c_custkey", "c_name", "n_name", "revenue")
+
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts (customers
+    with zero orders included via the left outer join; the non-equi priority
+    condition rides the join, not a post-filter). Two-level aggregate: the
+    second groupBy input is |customers| rows, and the distribution itself is
+    at most a few hundred rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+
+@register(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT FLOOR(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC} ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                   / SUM({_REV_DEC})::DOUBLE * 1000000 + 0.5) / 1000000 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month (companion of
+    `tpch_q14_promo_share`, which broadcast-hints the build side and rounds
+    to 2 dp — same TPC-H question, deliberately different planner
+    discipline and rounding grain). The date filter
+    prunes lineitem at the scan; part joins on the key WITHOUT a broadcast
+    hint — part scales with the data (unlike nation/region) so the planner/
+    AQE must pick the strategy from observed sizes. Both sums are exact
+    decimals; the ratio is taken in double on the exact numerators, and the
+    6-decimal rounding uses the floor(x*1e6+0.5) formulation — pure IEEE
+    double arithmetic, bit-identical across engines (Spark's round() would
+    HALF_UP the double's string repr while DuckDB rounds the binary
+    value)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).select("l_partkey", _rev_dec().alias("rev"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    ratio = (
+        100.0
+        * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)).cast("double")
+        / F.sum("rev").cast("double")
+    )
+    return j.agg(
+        (F.floor(ratio * 1000000 + 0.5) / 1000000).alias("promo_revenue_pct")
+    )
+
+
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    WITH pavg AS (
+      SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_lim
+    """,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of one
+    brand. The correlated scalar subquery (per-part average quantity) is
+    de-correlated into a grouped aggregate joined back on the part key — one
+    shuffle each side, co-partitioned join. l_quantity is integer-valued so
+    the double AVG is an exact-integer sum divided by a count: deterministic
+    under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    j = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+    )
+    yearly = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0
+    return j.agg((F.floor(yearly * 100 + 0.5) / 100).alias("avg_yearly"))
+
+
+
+@register(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT ROUND(SUM({_REV_DEC}), 2)::DOUBLE AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate across both
+    join sides. The per-side conjuncts that CAN prune independently do
+    (Catalyst derives p_brand IN (...) and l_quantity BETWEEN 1 AND 30 as
+    scan-level filters from the OR); the residual disjunction evaluates
+    after the join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_dec().alias("rev")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue")
+    )
+
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    """
+    WITH avg_pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*)::BIGINT AS numcust,
+           ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS totacctbal
+    FROM customer, avg_pos
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no urgent orders, by nation
+    (the synthetic generator gives every customer at least one order, so
+    the anti-join correlates on the priority-filtered subset to stay
+    non-empty). The global scalar (average positive balance) is computed as
+    an exact decimal sum and cross-joined as a literal-sized frame; NOT
+    EXISTS is a left-anti join whose build side carries only o_custkey
+    through the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(ords, rich["c_custkey"] == ords["o_custkey"], "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(dec), 2).cast("double").alias("totacctbal"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 (round 3): remaining TPC-H join shapes expressible on this star
+# schema. The testdata has no partsupp table and lineitem carries no
+# shipmode/commitdate/receiptdate, so q8/q9/q16/q20/q21 are implemented as
+# faithful SHAPE adaptations: same join graph, same decorrelation problem,
+# measures built from the columns that exist. Revenue stays decimal-exact
+# (summation-order-insensitive), ratio rounding stays floor(x*10^k+0.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    WITH base AS (
+      SELECT year(o_orderdate)::INT AS o_year,
+             {_REV_DEC} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           FLOOR(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                 / SUM(volume)::DOUBLE * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_7's share of supplier
+    revenue in the ASIA customer market, by order year. Seven-table join:
+    nation/region broadcast (constant-size dims); customer joins orders
+    BEFORE the fact join so the region filter prunes the customer side
+    early; supplier joins the fact on its key with no hint (scales with
+    data, AQE decides). Share numerator/denominator are exact decimals;
+    ratio rounded with the engine-portable floor formulation.
+
+    Reference parity: TPC-H Q8 minus the part filter (no partsupp/p_type
+    restriction reaches this schema's lineitem rows)."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    nat = sf("nation")
+    asia_nations = (
+        nat.join(
+            F.broadcast(sf("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust = (
+        sf("customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nk"))
+        .select("c_custkey")
+    )
+    ords = sf("orders").select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    supp = (
+        sf("supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = sf("lineitem").select("l_orderkey", "l_suppkey", _rev_dec().alias("volume"))
+    base = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)).cast("double")
+        / F.sum("volume").cast("double")
+    )
+    return base.groupBy("o_year").agg(
+        (F.floor(share * 1000000 + 0.5) / 1000000).alias("mkt_share")
+    )
+
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    """
+    WITH p AS (
+      SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, o_year, ROUND(SUM(amount), 2)::DOUBLE AS sum_profit
+    FROM p GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by supplier nation and year).
+    The cost term uses p_retailprice (the schema has no partsupp, so
+    ps_supplycost is modeled as half the retail price — same join graph,
+    same measure structure: revenue minus quantity-scaled cost). The p_name
+    filter prunes part BEFORE the fact join (semi-join push); nation
+    broadcasts; part/supplier/orders join the fact on their keys with AQE
+    choosing strategies. The per-row amount is cast to exact decimal before
+    the sum: 2dp*2dp and 2dp*int terms stay within 4dp, so the aggregate is
+    summation-order-insensitive."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    part = sf("part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = sf("supplier").select("s_suppkey", "s_nationkey")
+    nat = sf("nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    ords = sf("orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = sf("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    base = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return base.groupBy("nation", "o_year").agg(
+        F.round(F.sum(amount.alias("amount")), 2).cast("double").alias("sum_profit")
+    )
+
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV_DEC}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2)::DOUBLE AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue — the view + scalar-max
+    subquery). Decorrelated Spark-first: the per-supplier revenue aggregate
+    is computed once, its global max reduces to ONE row, and the filter is
+    a broadcast join against that single-row frame — never a global
+    single-partition window over all suppliers (which is the scale trap at
+    sf x 10k supplier rows). Exact-decimal revenue makes 'equals max'
+    well-defined; ties all surface, ordered by key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_dec()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop("__mx")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%33%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part class): distinct
+    suppliers per (brand, type, size), excluding one brand and a
+    name-matched supplier blocklist (the complaints NOT IN — here a
+    broadcast anti-join, the scale-correct form of NOT IN when the subquery
+    side is provably small). lineitem stands in for partsupp as the
+    part-supplier bridge. The part predicates push to its scan and prune
+    the fact join via the key join; count_distinct shuffles once on the
+    group key with partial aggregation."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    part = sf("part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = sf("supplier").filter(F.col("s_name").like("%33%")).select("s_suppkey")
+    li = sf("lineitem").select("l_partkey", "l_suppkey")
+    base = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return base.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey HAVING SUM(l_quantity) > 100
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested semi-join: suppliers with excess shipments
+    of a part class in a year — availqty stands in as a shipped-quantity
+    threshold since the schema has no partsupp). Inner block: part-name
+    filter prunes part, key-joins the date-pruned fact, one grouped HAVING.
+    Outer: LEFT SEMI join — supplier rows stream past the (small) qualifying
+    keyset; no row multiplication, no distinct needed."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    part = sf("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = sf("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualifying = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = sf("supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+
+@register(
+    "tpch_q21_sole_blame",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_r
+      FROM l GROUP BY l_orderkey
+    ),
+    blamed AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM l JOIN per_order USING (l_orderkey)
+      WHERE l.l_returnflag = 'R' AND n_supp > 1 AND n_supp_r = 1
+    )
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+)
+def tpch_q21_sole_blame(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers solely at fault in multi-supplier
+    orders): the reference's EXISTS / NOT EXISTS pair over sibling
+    lineitems is DECORRELATED into one per-order aggregate — n_supp > 1
+    encodes the EXISTS (another supplier participated), n_supp_r = 1
+    encodes the NOT EXISTS (no OTHER supplier also failed; returnflag 'R'
+    stands in for the receipt-after-commit predicate absent from this
+    schema). One shuffle on l_orderkey serves the aggregate AND the
+    join back — versus the reference's two correlated self-join probes.
+    Final top-20 is a bounded TakeOrdered."""
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    ords = sf("orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l = (
+        sf("lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    blamed = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = sf("supplier").select("s_suppkey", "s_name")
+    agg = (
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    out = topk(agg, "numwait", 20, higher_is_better=True, tie_cols=["s_name"])
+    return out.select("s_name", "numwait")
+
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 (round 3): TPC-H q2/q11 shapes (adapted — no partsupp table, so
+# lineitem's (l_partkey, l_suppkey) pairs serve as the supply relation),
+# the stream-grade interval join run on batch frames, and two more
+# training-pipeline ops (unigram LM quality proxy, dedup winner selection).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+      SELECT sp.partkey, sp.suppkey, sp.cost, s_name, n_name
+      FROM supply sp
+      JOIN supplier ON s_suppkey = sp.suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY partkey
+                                   ORDER BY cost ASC, suppkey ASC) AS rn
+      FROM eur
+    )
+    SELECT p_partkey, p_name, s_name, n_name, cost::DOUBLE AS cost
+    FROM best JOIN part ON p_partkey = partkey
+    WHERE rn = 1 AND p_size <= 15
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part), decorrelated: the
+    correlated MIN subquery becomes a per-part window rank over the supply
+    relation, rn = 1 keeps the winner (cost asc, suppkey asc — fully
+    deterministic; cost is an exact DECIMAL min, no float ties). Adapted to
+    this schema: lineitem's (l_partkey, l_suppkey) pairs ARE the supply
+    relation (no partsupp table). Scale shape: one groupBy over lineitem
+    (partial aggs), nation/region broadcast and prune supplier BEFORE the
+    supply join; the window partitions by partkey — millions of independent
+    partitions, no global sort. part joins last, filtered, on the already-
+    thinned winners. Reference: this is the search-and-reduce shape of
+    SURVEY §2 K9/K10 applied to relational data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    eur_supp = (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eur = supply.join(eur_supp, F.col("suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("partkey").orderBy(
+        F.col("cost").asc(), F.col("suppkey").asc()
+    )
+    best = eur.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(
+            part.filter(F.col("p_size") <= 15),
+            F.col("p_partkey") == F.col("partkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.col("cost").cast("double").alias("cost"))
+    )
+
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH sn AS (
+      SELECT s_suppkey, n_name FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+    ), chosen AS (SELECT MIN(n_name) AS nm FROM sn),
+    sup_nat AS (SELECT s_suppkey FROM sn, chosen WHERE n_name = nm),
+    val AS (
+      SELECT l_partkey AS partkey, SUM({_REV_DEC}) AS value
+      FROM lineitem JOIN sup_nat ON s_suppkey = l_suppkey
+      GROUP BY 1
+    ), tot AS (SELECT SUM(value) AS total, COUNT(*) AS n, MAX(value) AS mx FROM val)
+    SELECT partkey, ROUND(value, 2)::DOUBLE AS value
+    FROM val, tot WHERE value::DOUBLE > total::DOUBLE / n * 1.25 OR value = mx
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose supply value within one nation exceeds
+    a fraction of that nation's total. The scalar subquery (global total)
+    is a one-row aggregate cross-joined back as a broadcast — Catalyst's
+    own decorrelation, written directly; never a driver-side collect, so
+    the plan is a single job at any scale. Value sums are exact
+    DECIMAL(18,4) (summation-order-proof across engines); the threshold
+    compare happens in double on both sides identically. Per-part groupBy
+    carries only the one nation's lineitems (the supplier semi-join prunes
+    first — nation is a broadcast).
+
+    Two SF-invariance guards keep the smoke contract (non-empty at
+    sf0.001) without changing semantics where data is dense:
+
+    - The nation is chosen from the data (min ``n_name`` among nations
+      that actually have suppliers) instead of a hard-coded literal — at
+      sf0.001 only 10 of 25 nations have a supplier. Still a one-row
+      broadcast aggregate, never a driver collect.
+    - The ``value = mx`` disjunct emits the max-value part(s) even when
+      every part falls under the 1.25x-mean threshold (possible at tiny
+      SF). Where the threshold already selects rows, the max row is among
+      them and the result is unchanged.
+
+    Both mirrored exactly in the DuckDB oracle; no window, no global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    sn = supp.join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", "n_name")
+    chosen = sn.agg(F.min("n_name").alias("nm"))
+    sup_nat = (
+        sn.crossJoin(F.broadcast(chosen))
+        .filter(F.col("n_name") == F.col("nm"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(sup_nat, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev_dec()).alias("value"))
+    )
+    tot = val.agg(
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            (
+                F.col("value").cast("double")
+                > F.col("total").cast("double") / F.col("n") * 1.25
+            )
+            | (F.col("value") == F.col("mx"))
+        )
+        .select(
+            "partkey",
+            (F.floor(F.col("value") * 100 + F.lit("0.5").cast("decimal(2,1)")) / 100)
+            .cast("double").alias("value"),
+        )
+    )
+
+
+
+@register(
+    "tpch_q12_priority_counts",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts; this schema's
+    l_returnflag stands in for l_shipmode): fact-fact join with conditional
+    counts. The shipdate year filter pushes to the lineitem scan; the join
+    shuffles both sides on the order key ONCE (orders scales with lineitem
+    so no broadcast hint — AQE picks the strategy); the conditional sums are
+    partial-aggregated map-side to 3 groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+
+@register(
+    "orders_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice), 2)::DOUBLE AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the general form CUBE/ROLLUP specialize —
+    `tpch_rollup` and `orders_cube_status_priority` cover those): four
+    explicit aggregation grains in ONE pass. Catalyst plans this as a
+    single Expand + hash aggregate — one shuffle total, where a UNION ALL
+    of four groupBys would scan the fact table four times. NULL grain
+    markers are COALESCEd to 'ALL' in both engines so the hash compare is
+    label-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+
+@register(
+    "repeat_purchase_rate",
+    """
+    WITH ol AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS part,
+             o.o_orderdate AS od, o.o_orderkey AS ok
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, 3, 4),
+    r AS (
+      SELECT cust, part, ok,
+             row_number() OVER (PARTITION BY cust, part
+                                ORDER BY od ASC, ok ASC) AS nth
+      FROM ol)
+    SELECT COUNT(*)::BIGINT AS n_cust_part_orders,
+           SUM(CASE WHEN nth > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
+           ROUND(SUM(CASE WHEN nth > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS repeat_rate
+    FROM r
+    """,
+)
+def repeat_purchase_rate(spark, sf_dir):
+    """Repeat-purchase rate: of all (customer, part, order) line
+    occurrences, the share where the customer had ALREADY ordered that
+    part in an earlier order — the retention/loyalty analog of
+    `copurchase_*`'s association mining. One orders-lineitem equi-join
+    (orders side projected to 3 columns), distinct to order grain, then a
+    single window over (cust, part) — the high-cardinality composite key
+    spreads evenly, no skew hot-spot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part")
+    )
+    ol = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("cust", "part", "od", F.col("o_orderkey").alias("ok"))
+        .distinct()
+    )
+    w = Window.partitionBy("cust", "part").orderBy(F.col("od").asc(), F.col("ok").asc())
+    r = ol.select(F.row_number().over(w).alias("nth"))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust_part_orders"),
+        F.sum(F.when(F.col("nth") > 1, 1).otherwise(0)).cast("bigint").alias("n_repeat"),
+        F.round(
+            F.sum(F.when(F.col("nth") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("repeat_rate"),
+    )
+
+
+
+@register(
+    "customer_spend_gini",
+    """
+    WITH s AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend ASC, o_custkey ASC) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(spend) OVER () AS tot
+      FROM s)
+    SELECT ROUND(SUM((2.0 * i - n - 1) * spend) / (MAX(n) * MAX(tot)), 6) AS gini,
+           MAX(n)::BIGINT AS n_customers,
+           ROUND(MAX(tot), 2) AS total_spend
+    FROM r
+    """,
+)
+def customer_spend_gini(spark, sf_dir):
+    """Revenue-concentration Gini coefficient over per-customer spend
+    (sum((2i-n-1)x_i) / (n*sum x) on the ascending-sorted series) — the
+    whale-dependence number that decides mixture caps and rate limits
+    the same way the corpus-side `heavy_hitters_share` does for traffic.
+    The per-customer aggregate is partial-combined; the GLOBAL rank sort
+    runs over the customer aggregate (|customers| rows, not |orders|) —
+    the one place a total sort is the honest cost, on the smallest frame
+    that can carry it."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    wr = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy()
+    r = s.select(
+        "spend",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("spend").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("spend"))
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("tot"), 2).alias("total_spend"),
+    )

@@ -1,0 +1,612 @@
+"""Embedding-column statistics, quantization, and dataset info (A1-A4).
+
+Split from the original single-module registry (round-5 hygiene);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Statistics (reference A1-A4 — DataInfo, data/newsync.go:137-167)
+# ---------------------------------------------------------------------------
+
+@register(
+    "data_info_centroid",
+    """
+    SELECT pos - 1 AS pos, ROUND(AVG(v), 6) AS avg_val
+    FROM (SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v
+          FROM embeddings)
+    GROUP BY pos ORDER BY pos
+    """,
+)
+def data_info_centroid(spark, sf_dir):
+    """A2: centroid = elementwise mean of the vector column (data/util.go:15-26)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ST.centroid_df(emb, "embedding").select(
+        "pos", F.round("avg_val", 6).alias("avg_val")
+    )
+
+
+
+@register(
+    "data_info_summary",
+    f"""
+    WITH {_DD_CENTROID_DIST}
+    SELECT COUNT(*)::BIGINT AS n, ROUND(MAX(dist), 6) AS max_dist FROM d
+    """,
+)
+def data_info_summary(spark, sf_dir):
+    """A1+A3: row count and exact max distance from centroid (two-pass;
+    the reference approximates with the previous pass's centroid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    center = ST.centroid(emb, "embedding")
+    dists = ST.with_centroid_distance(emb, center, "embedding")
+    return dists.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.max("dist"), 6).alias("max_dist")
+    )
+
+
+
+@register(
+    "dist_histogram",
+    f"""
+    WITH {_DD_CENTROID_DIST},
+    m AS (SELECT MAX(dist) AS maxd, COUNT(*) AS total FROM d)
+    SELECT LEAST(GREATEST(CAST(FLOOR(d.dist / m.maxd * 64) AS INT), 0), 63) AS bucket,
+           COUNT(*)::BIGINT AS cnt,
+           ROUND(COUNT(*) / ANY_VALUE(m.total), 6) AS freq
+    FROM d, m
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def dist_histogram(spark, sf_dir):
+    """A4: 64-bin histogram of distance-to-centroid, frequencies normalized
+    by N (data/newsync.go:158-167)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    center = ST.centroid(emb, "embedding")
+    dists = ST.with_centroid_distance(emb, center, "embedding")
+    max_dist = dists.agg(F.max("dist")).collect()[0][0]
+    hist = ST.histogram_df(dists, max_dist)
+    return hist.select("bucket", "cnt", F.round("freq", 6).alias("freq"))
+
+
+
+@register(
+    "embeddings_label_centroids",
+    """
+    SELECT label, pos - 1 AS pos, ROUND(AVG(v), 6) AS avg_v
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS v
+          FROM embeddings)
+    WHERE pos <= 8
+    GROUP BY label, pos
+    """,
+)
+def embeddings_label_centroids(spark, sf_dir):
+    """Per-group centroid (the reference's per-dataset Avg, data/util.go:
+    15-26, generalized to groupBy): posexplode + per-(label, pos) mean in
+    long format. Map-side partial agg shrinks the shuffle to
+    |labels| x dim partials per task, never the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    ).filter(F.col("pos") < 8)
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("avg_v")
+    )
+
+
+
+@register(
+    "embedding_quantize_error",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_transform(embedding::DOUBLE[],
+                            x -> LEAST(GREATEST(round(x * 127.0), -127.0), 127.0) / 127.0) AS deq
+      FROM embeddings
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           ROUND(MAX(list_max(list_transform(range(1, len(e) + 1),
+                                             i -> abs(e[i] - deq[i])))), 6) AS max_abs_err,
+           ROUND(AVG(list_sum(list_transform(range(1, len(e) + 1),
+                                             i -> abs(e[i] - deq[i]))) / len(e)), 6) AS mean_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_error(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (the 4x storage /
+    bandwidth lever for vector corpora at 100 TB): symmetric scale 127,
+    clamp, dequantize, and report reconstruction error — all native array
+    expressions, map-only until the final tiny agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    deq = F.transform(
+        e,
+        lambda x: F.least(F.greatest(F.round(x * 127.0), F.lit(-127.0)), F.lit(127.0))
+        / 127.0,
+    )
+    err = F.zip_with(e, deq, lambda a, b: F.abs(a - b))
+    return emb.select(
+        F.array_max(err).alias("__mx"),
+        (F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.size(e)).alias("__mn"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("__mx"), 6).alias("max_abs_err"),
+        F.round(F.avg("__mn"), 6).alias("mean_abs_err"),
+    )
+
+
+
+@register(
+    "embedding_quantize_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+               FROM embeddings),
+    qv AS (SELECT vec_id, mx,
+                  list_transform(e, x -> floor(x * (127.0 / mx) + 0.5)) AS q
+           FROM v),
+    q0 AS (SELECT q AS qz, mx AS mx0 FROM qv WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * qz[i]))
+                   * (mx * mx0) / 16129.0 AS score
+          FROM qv CROSS JOIN q0)
+    SELECT vec_id, ROUND(score, 6) AS score
+    FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_quantize_topk(spark, sf_dir):
+    """Int8-quantized dot-product top-k: 4x smaller vectors, integer dot
+    (exact), de-scaled to float space. The quantizer uses floor(x*s+0.5) —
+    pure IEEE arithmetic, so Spark and the oracle quantize identically
+    (operators/similarity.quantize_int8 / quantized_dot_scores)."""
+    from veri_spark.operators.similarity import quantized_dot_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    scored = quantized_dot_scores(emb, q)
+    out = topk(scored, "score", 10, higher_is_better=True, tie_cols=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+
+@register(
+    "embedding_group_centroid",
+    """
+    WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    x AS (SELECT vec_id, label, i, e[i] AS v
+          FROM ev CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx),
+    c AS (SELECT label, i, AVG(v) AS m FROM x GROUP BY label, i),
+    d AS (SELECT vec_id, x.label AS label, SQRT(SUM((v - m) * (v - m))) AS dist
+          FROM x JOIN c ON x.label = c.label AND x.i = c.i
+          GROUP BY vec_id, x.label)
+    SELECT label, vec_id, ROUND(dist, 6) AS dist, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rnk
+          FROM d)
+    WHERE rnk <= 3
+    """,
+)
+def embedding_group_centroid(spark, sf_dir):
+    """Per-label centroid outliers (label-noise / contamination audit): the
+    3 members farthest from their group centroid. Posexplode -> per-dim
+    partial-agg mean -> rejoin -> bounded per-group top-k; state is
+    |labels| x dim, nothing quadratic
+    (operators/similarity.group_centroid_outliers)."""
+    from veri_spark.operators.similarity import group_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = group_centroid_outliers(emb, per_group=3)
+    return out.select("label", "vec_id", F.round("dist", 6).alias("dist"), "rnk")
+
+
+
+@register(
+    "embedding_margin",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 10)
+    SELECT q_id,
+           ROUND(MIN(CASE WHEN e.label = q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END), 6) AS same_dist,
+           ROUND(MIN(CASE WHEN e.label != q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END), 6) AS diff_dist,
+           ROUND(MIN(CASE WHEN e.label != q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END)
+               - MIN(CASE WHEN e.label = q.ql
+                 THEN list_distance(e.embedding::DOUBLE[], q.qe) END), 6) AS margin
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.q_id
+    GROUP BY q_id
+    """,
+)
+def embedding_margin(spark, sf_dir):
+    """Metric-learning margin audit (contrastive-pair mining diagnostic):
+    for each of 10 probe vectors, the distance to its nearest SAME-label
+    neighbor vs its nearest DIFFERENT-label neighbor, and the margin
+    between them — the per-anchor quantity triplet mining thresholds on.
+    Plan: the 10 probes are a broadcast, distances are map-side over one
+    corpus scan, and the conditional-min groupBy reduces to 10 rows —
+    at 100 TB this is one pass, no corpus self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    d = V.euclidean_distance(F.col("embedding"), F.col("qe"))
+    same = F.min(F.when(F.col("label") == F.col("ql"), d))
+    diff = F.min(F.when(F.col("label") != F.col("ql"), d))
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(
+            F.round(same, 6).alias("same_dist"),
+            F.round(diff, 6).alias("diff_dist"),
+            F.round(diff - same, 6).alias("margin"),
+        )
+    )
+
+
+
+@register(
+    "label_centroid_distances",
+    """
+    WITH ce AS (SELECT label, pos, ROUND(AVG(v), 6) AS av
+                FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding)::DOUBLE AS v
+                      FROM embeddings)
+                GROUP BY label, pos),
+         ca AS (SELECT label, list(av ORDER BY pos) AS c FROM ce
+                GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(sqrt(list_sum(list_transform(range(1, len(a.c) + 1),
+                 i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])))), 6) AS l2_dist
+    FROM ca a JOIN ca b ON a.label < b.label
+    """,
+)
+def label_centroid_distances(spark, sf_dir):
+    """Inter-class separation matrix: pairwise L2 distance between
+    per-label embedding centroids — the embedding-space confusion
+    diagnostic (near-identical centroids predict label confusion; an
+    outlier centroid flags a poisoned or misdefined class). Centroid
+    components round to 6dp BEFORE the distance so both engines measure
+    identical vectors. The heavy pass is one partial-aggregated
+    (label, dim) mean; the |labels|^2/2 cross join runs on a broadcast
+    handful of rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ce = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+    )
+    ca = ce.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("c")
+    )
+    a = ca.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = ca.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(F.sqrt(d2), 6).alias("l2_dist"))
+    )
+
+
+
+@register(
+    "pca_power_iteration_step",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+         s AS (SELECT x, list_sum(x) / 8.0 AS sc FROM e),
+         comp AS (SELECT pos, SUM(sc * v) AS c
+                  FROM (SELECT sc, generate_subscripts(x, 1) AS pos,
+                               unnest(x) AS v
+                        FROM s)
+                  GROUP BY pos),
+         n AS (SELECT sqrt(SUM(c * c)) AS nrm FROM comp)
+    SELECT pos - 1 AS dim, ROUND(c / nrm, 6) AS v1
+    FROM comp, n
+    """,
+)
+def pca_power_iteration_step(spark, sf_dir):
+    """One power-iteration step toward the corpus's top principal
+    direction: v1 = normalize(X'X v0) with the deterministic uniform seed
+    v0 = 1/8 (unit for 64 dims) — the building block of distributed PCA /
+    spectral embedding-drift checks, expressed Spark-first. Per row only
+    the scalar x.v0 is computed in-line; the (dim, partial-sum) groupBy
+    shuffles 64 partials per task regardless of corpus size, and the
+    normalizer is a one-row broadcast. Full PCA = this step iterated with
+    the previous v as the next literal seed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    s = e.select(
+        "x",
+        (F.aggregate("x", F.lit(0.0), lambda a, b: a + b) / 8.0).alias("sc"),
+    )
+    comp = (
+        s.select("sc", F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("sc") * F.col("v")).alias("c"))
+    )
+    n = comp.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    return comp.crossJoin(F.broadcast(n)).select(
+        F.col("pos").alias("dim"),
+        F.round(F.col("c") / F.col("nrm"), 6).alias("v1"),
+    )
+
+
+
+@register(
+    "embedding_outliers",
+    """
+    WITH ce AS (SELECT label, pos, ROUND(AVG(v), 6) AS av
+                FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding)::DOUBLE AS v
+                      FROM embeddings)
+                GROUP BY label, pos),
+         ca AS (SELECT label, list(av ORDER BY pos) AS c FROM ce
+                GROUP BY label),
+         d AS (SELECT e.vec_id, e.label,
+                      ROUND(list_distance(e.embedding::DOUBLE[], ca.c), 6)
+                        AS dist
+               FROM embeddings e JOIN ca ON e.label = ca.label)
+    SELECT vec_id, label, dist FROM d
+    ORDER BY dist DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Mislabeled-point mining: the 10 vectors farthest from their own
+    label's centroid — the triage list label-noise cleanup starts from
+    (companion of `embedding_margin`, which compares same- vs cross-label
+    NEIGHBOR distances; this compares against the class mean). Centroids
+    round to 6dp before the distance so both engines measure identical
+    vectors; the centroid table is a |labels|-row broadcast and the scan
+    stays map-only into a bounded top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ce = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("av"))
+    )
+    ca = ce.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("c")
+    )
+    from veri_spark.functions.vector import euclidean_distance
+
+    d = emb.join(F.broadcast(ca), "label").select(
+        "vec_id", "label",
+        F.round(
+            euclidean_distance(F.col("embedding").cast("array<double>"), F.col("c")), 6
+        ).alias("dist"),
+    )
+    return d.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(10)
+
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+    SELECT pos::BIGINT - 1 AS dim,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(STDDEV_POP(v), 6) AS std_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM e GROUP BY pos ORDER BY dim ASC
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std/min/max over the
+    corpus): the calibration table the int8 scalar quantizer and any
+    whitening step read, and the first place dead or exploding dimensions
+    show up. posexplode + one partial-aggregated groupBy on (dim) — 64
+    groups, so the reduce side is trivial at any corpus size. Population
+    stddev via the explicit E[x^2]-E[x]^2 form DuckDB's STDDEV_POP also
+    computes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        e.groupBy(F.col("pos").cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("v"), 6).alias("std_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy(F.col("dim").asc())
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 6: whitening audit, repeat purchases
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_whitening_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    s AS (SELECT pos, AVG(v) AS mu,
+                 CASE WHEN STDDEV_POP(v) = 0 THEN 1.0 ELSE STDDEV_POP(v) END AS sd
+          FROM e GROUP BY pos),
+    raw_m AS (SELECT vec_id, MAX(abs(v)) AS m FROM e GROUP BY vec_id),
+    raw_err AS (
+      SELECT e.vec_id,
+             AVG(abs(e.v - round(e.v / (rm.m / 127.0)) * (rm.m / 127.0))
+                 / rm.m) AS rel_err
+      FROM e JOIN raw_m rm USING (vec_id) WHERE rm.m > 0
+      GROUP BY e.vec_id),
+    wh AS (
+      SELECT e.vec_id, e.pos, (e.v - s.mu) / s.sd AS w
+      FROM e JOIN s USING (pos)),
+    wh_m AS (SELECT vec_id, MAX(abs(w)) AS m FROM wh GROUP BY vec_id),
+    wh_err AS (
+      SELECT wh.vec_id,
+             AVG(abs(wh.w - round(wh.w / (wm.m / 127.0)) * (wm.m / 127.0))
+                 / wm.m) AS rel_err
+      FROM wh JOIN wh_m wm USING (vec_id) WHERE wm.m > 0
+      GROUP BY wh.vec_id)
+    SELECT ROUND(AVG(r.rel_err), 6) AS raw_rel_err,
+           ROUND(AVG(w.rel_err), 6) AS whitened_rel_err,
+           ROUND(AVG(w.rel_err) / AVG(r.rel_err), 6) AS err_ratio
+    FROM raw_err r JOIN wh_err w USING (vec_id)
+    """,
+)
+def embedding_whitening_audit(spark, sf_dir):
+    """Does per-dimension standardization help int8 quantization? Average
+    per-vector relative reconstruction error (|x - dequant(quant(x))| /
+    max|x|, symmetric per-vector scale, 127 levels) for RAW versus
+    WHITENED ((x-mu)/sd per dim) embeddings, and their ratio — the
+    one-number audit run before deciding the store's quantized tier
+    should whiten at ingest (reads `embedding_dim_stats`' moments; ratio
+    < 1 means whitening spreads mass across dims and quantizes better).
+    Two posexplode aggregations and per-vector groupBys; the 64-row dim
+    stats broadcast back — corpus passes stay map-shaped."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    s = e.groupBy("pos").agg(
+        F.avg("v").alias("mu"),
+        F.when(F.stddev_pop("v") == 0, F.lit(1.0))
+        .otherwise(F.stddev_pop("v"))
+        .alias("sd"),
+    )
+
+    def rel_err(df, col):
+        m = df.groupBy("vec_id").agg(F.max(F.abs(F.col(col))).alias("m"))
+        j = df.join(m, "vec_id").filter(F.col("m") > 0)
+        step = F.col("m") / 127.0
+        err = F.abs(F.col(col) - F.round(F.col(col) / step) * step) / F.col("m")
+        return j.groupBy("vec_id").agg(F.avg(err).alias("rel_err"))
+
+    raw = rel_err(e, "v")
+    wh = rel_err(
+        e.join(F.broadcast(s), "pos").select(
+            "vec_id", "pos", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("w")
+        ),
+        "w",
+    )
+    return (
+        raw.select(F.col("vec_id"), F.col("rel_err").alias("r"))
+        .join(wh.select(F.col("vec_id"), F.col("rel_err").alias("w")), "vec_id")
+        .agg(
+            F.round(F.avg("r"), 6).alias("raw_rel_err"),
+            F.round(F.avg("w"), 6).alias("whitened_rel_err"),
+            F.round(F.avg("w") / F.avg("r"), 6).alias("err_ratio"),
+        )
+    )
+
+
+
+@register(
+    "embedding_isotropy",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    n AS (SELECT COUNT(*)::BIGINT AS cnt FROM e),
+    p AS (
+      SELECT a.vec_id,
+             list_cosine_similarity(a.x, b.x) AS cos
+      FROM e a JOIN e b
+        ON b.vec_id = (a.vec_id + 7919) % (SELECT cnt FROM n)
+       AND a.vec_id != b.vec_id)
+    SELECT ROUND(AVG(cos), 6) AS mean_cos,
+           ROUND(STDDEV_POP(cos), 6) AS std_cos,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM p
+    """,
+)
+def embedding_isotropy(spark, sf_dir):
+    """Isotropy probe (Ethayarajh 2019's anisotropy measure, deterministic
+    form): mean cosine between each vector and a fixed pseudo-random
+    partner (vec_id + 7919 mod N — a full-cycle pairing since 7919 is
+    prime, so every vector appears exactly once on each side; no RNG, so
+    both engines pair identically). Mean cosine near 0 = isotropic
+    embedding space; large positive = the common-direction anisotropy
+    that quietly inflates every cosine similarity the engine serves. One
+    self equi-join on the derived key — a 1:1 join, not a pair explosion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+    cnt = e.count()
+    a = e.select(F.col("vec_id"), F.col("x").alias("xa"),
+                 ((F.col("vec_id") + 7919) % cnt).alias("pk"))
+    b = e.select(F.col("vec_id").alias("pk"), F.col("x").alias("xb"))
+
+    def cos(u, v):
+        dot = F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
+        nu = F.sqrt(F.aggregate(F.transform(u, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t))
+        nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t))
+        return dot / (nu * nv)
+
+    p = (
+        a.join(b, "pk")
+        .filter(F.col("vec_id") != F.col("pk"))
+        .select(cos(F.col("xa"), F.col("xb")).alias("cos"))
+    )
+    return p.agg(
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.round(F.stddev_pop("cos"), 6).alias("std_cos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )

@@ -157,8 +157,10 @@ def heavy_hitter_sketch(
     corpus-level heavy hitters with the same bound. The reference keeps
     exact per-dataset counts in its maintenance loop (data/data.go:145-168);
     this is the bounded-memory form that survives an unbounded stream."""
+    # pmod, not abs(hash) % n: F.hash can return Integer.MIN_VALUE whose
+    # abs overflows negative, which would emit an out-of-range shard id
     src = events.select(
-        (F.abs(F.hash(F.col(key_col))) % shards).cast("int").alias("shard"),
+        F.pmod(F.hash(F.col(key_col)), F.lit(shards)).cast("int").alias("shard"),
         F.col(key_col).cast("bigint").alias("key"),
     )
     return src.groupBy("shard").applyInPandasWithState(
@@ -200,8 +202,14 @@ def _build_first_seen_processor(ttl_ms: int):
             first_ts = None
             for pdf in rows:
                 n += len(pdf)
-                if len(pdf) and first_ts is None:
-                    first_ts = pdf["ts"].iloc[0]
+                if len(pdf):
+                    # first-occurrence-wins means MIN ts over every row of
+                    # the key's batch — the post-shuffle pandas batch order
+                    # is arbitrary, so iloc[0] would be nondeterministic
+                    batch_min = pdf["ts"].min()
+                    first_ts = (
+                        batch_min if first_ts is None else min(first_ts, batch_min)
+                    )
             if self._seen.exists():
                 # duplicate-only batch for an already-emitted key
                 yield pd.DataFrame(
@@ -243,9 +251,11 @@ def first_seen_dedup(
     EXPERIMENTAL in this sandbox: the stateful-v2 Python worker requires
     ``google.protobuf`` (pyspark/sql/streaming/proto/StateMessage_pb2),
     which cannot be installed here — the end-to-end test is skipif-gated
-    on the import (same policy as the Delta MERGE branch). The v1
-    operators above (``running_group_stats``, ``heavy_hitter_sketch``)
-    are the executed-and-asserted stateful paths."""
+    on the import (same policy as the Delta MERGE branch), so this path is
+    UNVERIFIED end-to-end in this sandbox (timeMode/TTL wiring is
+    code-reviewed only). The v1 operators above (``running_group_stats``,
+    ``heavy_hitter_sketch``) are the executed-and-asserted stateful
+    paths."""
     src = events.select(
         F.col(key_col).cast("bigint").alias("key"), F.col("ts")
     )
@@ -253,5 +263,8 @@ def first_seen_dedup(
         statefulProcessor=_build_first_seen_processor(ttl_hours * 3600 * 1000),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        # ValueState TTL is only legal under processing-time semantics:
+        # timeMode="None" + ttlDurationMs raises
+        # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL at runtime
+        timeMode="ProcessingTime",
     )
