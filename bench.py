@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "bm25_ranking",
     "hard_example_mining",
+    # round-5: converged PageRank loop, real image-header decode,
+    # Misra-Gries merge audit
+    "pagerank_converged",
+    "multimodal_image_dims",
+    "heavy_hitters_merge",
 ]
 
 

@@ -428,7 +428,13 @@ def test_delta_merge_roundtrip(spark, tmp_path):
     from veri_spark.store import delta_available
 
     if not delta_available():
-        pytest.skip("delta-spark not installed")
+        pytest.skip(
+            "delta-spark not installed and package installs are disallowed "
+            "in this sandbox; the pin this Spark (4.1.x) needs is "
+            "delta-spark>=4.0 (io.delta:delta-spark_2.13:4.x on the "
+            "classpath). Un-skips automatically wherever that package is "
+            "present."
+        )
     store = FeatureStore(spark, str(tmp_path / "delta_ds"), use_delta=True)
     rows = [
         ([0.1, 0.2, 0.3], "g", "a", 0),

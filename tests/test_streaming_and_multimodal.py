@@ -511,3 +511,86 @@ def test_misra_gries_update_multistep_decrement():
     s2 = {1: 5, 2: 5}
     _mg_update(s2, 9, 5, capacity=2)
     assert s2 == {}
+
+
+# -- Real image-header decode (pure stdlib, no PIL) --------------------------
+
+def _png(w, h, depth=8):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, 6, 0, 0, 0])
+    )
+
+
+def _jpeg(w, h, precision=8, extra_segments=1):
+    out = b"\xff\xd8"
+    for i in range(extra_segments):  # APP0-style skippable segments
+        payload = bytes(14 + i)
+        out += b"\xff\xe0" + (2 + len(payload)).to_bytes(2, "big") + payload
+    return (
+        out
+        + b"\xff\xc0" + (17).to_bytes(2, "big")
+        + bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03"
+    )
+
+
+def _gif(w, h, version=b"89a"):
+    return b"GIF" + version + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x91\x00\x00"
+
+
+def test_parse_image_header_formats():
+    from veri_spark.multimodal.binary import parse_image_header
+
+    assert parse_image_header(_png(640, 480)) == ("png", 640, 480, 8)
+    assert parse_image_header(_png(1, 70000, depth=16)) == ("png", 1, 70000, 16)
+    assert parse_image_header(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080, 8)
+    # marker scan must skip MULTIPLE segments to reach SOF
+    assert parse_image_header(_jpeg(33, 44, extra_segments=3)) == ("jpeg", 33, 44, 8)
+    # SOF2 (progressive) carries dimensions too
+    prog = _jpeg(12, 34).replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_image_header(prog) == ("jpeg", 12, 34, 8)
+    # standalone RST/TEM markers and FF padding must not desync the scan
+    padded = b"\xff\xd8" + b"\xff\x01" + b"\xff\xff" + _jpeg(5, 6)[2:]
+    assert parse_image_header(padded) == ("jpeg", 5, 6, 8)
+    assert parse_image_header(_gif(320, 200)) == ("gif", 320, 200, 8)
+    assert parse_image_header(_gif(7, 9, version=b"87a")) == ("gif", 7, 9, 8)
+
+
+def test_parse_image_header_rejects_garbage():
+    from veri_spark.multimodal.binary import parse_image_header
+
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"plain text bytes") is None
+    assert parse_image_header(_png(10, 10)[:20]) is None  # truncated IHDR
+    # PNG signature but wrong first chunk type
+    bad = bytearray(_png(10, 10)); bad[12:16] = b"IDAT"
+    assert parse_image_header(bytes(bad)) is None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x10") is None  # truncated JPEG
+    assert parse_image_header(b"\xff\xd8\x00\x99") is None  # desynced marker
+    # DHT (C4) must be skipped as a plain segment, not parsed as SOF
+    dht_only = b"\xff\xd8" + b"\xff\xc4\x00\x04\x00\x00"
+    assert parse_image_header(dht_only) is None
+    assert parse_image_header(b"GIF89a\x01") is None  # truncated GIF
+
+
+def test_image_dims_distributed(spark):
+    """The mapInPandas path: mixed formats + an unparseable row in one
+    DataFrame; NULLs for the bad row, exact dims for the rest."""
+    from veri_spark.multimodal.binary import image_dims
+
+    rows = [
+        (0, _png(100, 50)),
+        (1, _jpeg(640, 480)),
+        (2, _gif(16, 16)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r for r in image_dims(df).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("png", 100, 50)
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 16, 16)
+    assert got[3]["format"] is None and got[3]["width"] is None

@@ -1,11 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-Real decode (PIL/ffmpeg/torchaudio) is NOT available in this environment, so
-the decoder is stubbed: ``decode_stub`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it derives a reproducible feature
-vector from the bytes' md5. Everything around the stub — the schema, the
-Arrow-batched ``mapInPandas`` shape, the batch iteration, partition sizing —
-is the real production plumbing and is tested.
+Two decode tiers:
+
+- **Header metadata decode is REAL**: ``parse_image_header`` is a pure-stdlib
+  parser for PNG (IHDR), JPEG (SOF0/1/2 marker scan), and GIF (logical
+  screen descriptor) that extracts (format, width, height, bit_depth) from
+  the encoded bytes — no PIL required. ``image_dims`` runs it over the
+  binary column via Arrow-batched ``mapInPandas``.
+- **Pixel/signal decode is stubbed**: full raster/audio decode needs
+  PIL/ffmpeg/torchaudio, which are not in this environment, so
+  ``decode_stub`` raises ``NotImplementedError`` unless
+  ``deterministic_fake=True`` (reproducible md5-derived pseudo-feature).
+  Everything around the stub — the schema, the Arrow-batched shape, the
+  batch iteration, partition sizing — is the real production plumbing and
+  is tested.
 
 Scale notes: media bytes are the widest column in the table, so
 - feature extraction projects (id, media) only — column pruning keeps the
@@ -48,6 +56,109 @@ MEDIA_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 8
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF0..SOF15 carry frame dimensions, except DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(
+    data: bytes | None,
+) -> tuple[str, int, int, int] | None:
+    """REAL pure-stdlib image-header decode: (format, width, height,
+    bit_depth) from the encoded bytes, or None if unrecognized/truncated.
+
+    - PNG: 8-byte signature, then the IHDR chunk (always first, RFC 2083
+      §4.1.1) — width/height are 4-byte big-endian at offsets 16/20, bit
+      depth at 24.
+    - JPEG: marker scan from SOI; segments are skipped by their 2-byte
+      big-endian length until a SOF marker, whose payload is
+      precision(1) height(2 BE) width(2 BE) (ITU T.81 §B.2.2). Handles
+      standalone markers (RSTn/TEM) and padding FF bytes.
+    - GIF: 6-byte version signature, then the logical screen descriptor's
+      LITTLE-endian width/height (GIF89a spec §18).
+
+    The reference ships real native media compute (annoyindex/annoylib.h
+    does its own SIMD distance kernels); this is the analogous
+    no-external-deps decode for the metadata tier — full raster decode
+    stays behind ``decode_stub``.
+    """
+    if not data:
+        return None
+    if data[:8] == _PNG_SIG:
+        if len(data) >= 25 and data[12:16] == b"IHDR":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return ("png", w, h, data[24])
+        return None
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        n = len(data)
+        while i + 1 < n:
+            if data[i] != 0xFF:
+                return None  # desynced: not a marker where one must be
+            marker = data[i + 1]
+            if marker == 0xFF:  # padding fill byte before a marker
+                i += 1
+                continue
+            # standalone markers carry no length field
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                precision = data[i + 4]
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return ("jpeg", w, h, precision)
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) >= 10:
+            w = int.from_bytes(data[6:8], "little")
+            h = int.from_bytes(data[8:10], "little")
+            return ("gif", w, h, 8)
+        return None
+    return None
+
+
+def image_dims(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Arrow-batched REAL header decode over a binary column: one row per
+    input with (id, format STRING, width, height, bit_depth) — NULLs for
+    unparseable bytes. Projects (id, media) before mapInPandas so the scan
+    prunes every other column; the media bytes never leave the map task."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("format", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("bit_depth", IntegerType(), True),
+        ]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": [p[1] if p else None for p in parsed],
+                    "height": [p[2] if p else None for p in parsed],
+                    "bit_depth": [p[3] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(parse, out_schema)
 
 
 def decode_stub(data: bytes, deterministic_fake: bool = False) -> list[float]:

@@ -213,3 +213,86 @@ def copurchase_lift(spark, sf_dir):
     return out.orderBy(
         F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     ).limit(20)
+
+
+
+@register(
+    "pagerank_converged",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+    we AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+           FROM edges e JOIN deg d ON e.src = d.src),
+    r0 AS (SELECT DISTINCT src AS v, 1.0::DOUBLE AS r FROM edges),
+    r1 AS (SELECT we.dst AS v, 0.15 + 0.85 * SUM(p.r * we.w) AS r
+           FROM we JOIN r0 p ON p.v = we.src GROUP BY we.dst),
+    r2 AS (SELECT we.dst AS v, 0.15 + 0.85 * SUM(p.r * we.w) AS r
+           FROM we JOIN r1 p ON p.v = we.src GROUP BY we.dst),
+    r3 AS (SELECT we.dst AS v, 0.15 + 0.85 * SUM(p.r * we.w) AS r
+           FROM we JOIN r2 p ON p.v = we.src GROUP BY we.dst),
+    r4 AS (SELECT we.dst AS v, 0.15 + 0.85 * SUM(p.r * we.w) AS r
+           FROM we JOIN r3 p ON p.v = we.src GROUP BY we.dst),
+    r5 AS (SELECT we.dst AS v, 0.15 + 0.85 * SUM(p.r * we.w) AS r
+           FROM we JOIN r4 p ON p.v = we.src GROUP BY we.dst)
+    SELECT v AS l_partkey, ROUND(r, 6) AS pagerank
+    FROM r5 ORDER BY pagerank DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def pagerank_converged(spark, sf_dir):
+    """Iterated damped PageRank (d=0.85, r0=1, FIVE fixed iterations — a
+    fixed count so the oracle is a deterministic chain of CTEs, the same
+    convention as `kmeans_step_inertia`) over the co-purchase part graph
+    `pagerank_step` advances once. The normalized edge set (src, dst,
+    1/outdeg) is built ONCE and persisted — each iteration is then exactly
+    one join + one partial-aggregated shuffle on the part key, re-using
+    the cached co-partitioned edges; `localCheckpoint` at iteration 3
+    truncates the growing lineage (the connected-components loop's
+    pattern, operators/dedup.py:403-445). Per-iteration cost at 100 TB is
+    |edges| shuffled once — the loop adds iterations, not joins. The
+    basket graph is symmetric, so every node has outdeg >= 1 and there is
+    no dangling-mass term; round to 6dp at the END only (intermediate
+    ranks stay full-precision double in both engines)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    we = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    ranks = we.select(F.col("src").alias("v")).distinct().select(
+        "v", F.lit(1.0).alias("r")
+    )
+    for it in range(5):
+        ranks = (
+            we.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.lit(0.15) + F.lit(0.85) * F.sum(F.col("r") * F.col("w"))).alias("r"))
+        )
+        if it == 2:
+            ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select("v", F.round("r", 6).alias("pagerank"))
+        .withColumnRenamed("v", "l_partkey")
+        .orderBy(F.col("pagerank").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )

