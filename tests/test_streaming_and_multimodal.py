@@ -594,3 +594,39 @@ def test_image_dims_distributed(spark):
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 640, 480)
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 16, 16)
     assert got[3]["format"] is None and got[3]["width"] is None
+
+
+def test_streaming_windowed_distinct_sketch(spark):
+    """HyperLogLog++ inside a streaming windowed aggregation: approximate
+    distinct users per 12h tumbling window under readStream must equal
+    the identical batch aggregation exactly (the sketch is deterministic
+    for fixed inputs), and each estimate must land within 3*rsd of the
+    exact distinct count — the mergeable-sketch property that lets a
+    100 TB stream keep constant per-window state."""
+    rsd = 0.05
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def windowed_distinct(df):
+        return (
+            df.groupBy(F.window("ts", "12 hours").alias("w"))
+            .agg(F.approx_count_distinct("user_id", rsd).alias("apx_users"))
+            .select(F.col("w.start").alias("ws"), "apx_users")
+        )
+
+    batch = {r["ws"]: r["apx_users"] for r in windowed_distinct(ev).collect()}
+    got = run_stream_to_memory(
+        windowed_distinct(stream_events(spark, SF_DIR)), "t_hll_win", timeout_s=120
+    )
+    streamed = {r["ws"]: r["apx_users"] for r in got.collect()}
+    assert streamed == batch and len(streamed) > 0
+    exact = {
+        r["ws"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "12 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    for ws, apx in streamed.items():
+        assert abs(apx - exact[ws]) <= 3 * rsd * exact[ws] + 1

@@ -1369,3 +1369,76 @@ def session_first_touch(spark, sf_dir):
         )
         .orderBy(F.col("first_type").asc())
     )
+
+
+
+@register(
+    "value_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      WHERE e.value IS NOT NULL
+    ), mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(ANY_VALUE(m.med), 6) AS median_value,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           SUM(CASE WHEN ABS(d.value - m.med) > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type ASC
+    """,
+)
+def value_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: per event type, median + MAD (median
+    absolute deviation) and the count of values beyond the 3-sigma-
+    equivalent robust fence (1.4826*MAD ≈ sigma for normal data) — the
+    outlier rule that, unlike mean/std z-scores, is not itself dragged by
+    the outliers it hunts (`events_hourly_anomaly` / `value_moments_by_type`
+    are the moment-based complements). Two interpolated-median passes
+    (both engines use the R-7 quantile) with the 5-row median/MAD tables
+    broadcast back between them; shuffles only on the low-cardinality
+    type key. At 100 TB the exact medians would swap for the
+    `approx_quantile_audit` GK sketch — the fence shape is unchanged."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )

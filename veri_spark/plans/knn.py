@@ -1468,3 +1468,116 @@ def knn_graph_hubness(spark, sf_dir):
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+
+@register(
+    "ann_ivf_rerank",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cd AS (SELECT c.centroid_id, list_distance(c.cvec, q.qe) AS qd
+           FROM {_DD_CENTROIDS} c, q),
+    probe AS (SELECT centroid_id FROM cd ORDER BY qd ASC, centroid_id ASC LIMIT 2),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), assigned AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    cand AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id),
+    cb AS (SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id < {_PQ_K}),
+    subd AS (
+      SELECT r.vec_id, j.j, cb.c, {_dd_subdist('r.e', 'cb.e', 'j.j')} AS d
+      FROM (SELECT e.vec_id, e.embedding::DOUBLE[] AS e
+            FROM embeddings e JOIN cand USING (vec_id)) r
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+      CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM subd) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT enc.vec_id, SUM({_dd_subdist('q.qe', 'cb.e', 'enc.j')}) AS adc
+      FROM enc JOIN cb ON enc.c = cb.c CROSS JOIN q
+      GROUP BY enc.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id, adc FROM (
+        SELECT vec_id, adc,
+               row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS arn
+        FROM adc) WHERE arn <= 50
+    ),
+    exact AS (
+      SELECT s.vec_id, s.adc,
+             list_distance(e.embedding::DOUBLE[], q.qe) AS ed
+      FROM shortlist s JOIN embeddings e USING (vec_id) CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(ed, 6) AS score, ROUND(adc, 6) AS adc_score, rnk
+    FROM (SELECT vec_id, ed, adc,
+                 row_number() OVER (ORDER BY ed ASC, vec_id ASC) AS rnk
+          FROM exact)
+    WHERE rnk <= 10
+    """,
+)
+def ann_ivf_rerank(spark, sf_dir):
+    """Two-stage serving retrieval — the production ANN pattern the other
+    ann_* entries compose into: stage 1 retrieves a 50-candidate
+    shortlist with IVF-PQ (probe 2 of 8 cells, ADC on m-byte codes — the
+    cheap, compressed, recall-oriented stage), stage 2 re-ranks ONLY the
+    shortlist with exact full-precision euclidean distance (the
+    precision-oriented stage that erases PQ quantization error from the
+    final ordering). Per final answer both scores are emitted so the
+    quantization gap is observable.
+
+    Scale shape: stage 1 is the map-only IVF-PQ plan (codebooks/LUT as
+    literals, partition-pruned probe, bounded top-50); stage 2 joins the
+    50-row shortlist back to the corpus BROADCAST — the full-vector fetch
+    touches only probed partitions map-side, then a 50-row sort. The
+    expensive exact math runs on 50 rows, not the corpus, no matter the
+    corpus size."""
+    from veri_spark.operators.similarity import (
+        ivf_assign, ivf_pq_search, take_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    head = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in head}
+    books = [
+        [by_id[c][j * _PQ_SUB : (j + 1) * _PQ_SUB] for c in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+    q = _query_vector(spark, sf_dir, 0)
+    shortlist = ivf_pq_search(assigned, cents, q, books, n=50, nprobe=2).select(
+        "vec_id", F.col("score").alias("adc")
+    )
+    exact = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "adc",
+            V.euclidean_distance(F.col("embedding"), q).alias("ed"),
+        )
+    )
+    w = Window.orderBy(F.col("ed").asc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "vec_id",
+            F.round("ed", 6).alias("score"),
+            F.round("adc", 6).alias("adc_score"),
+            "rnk",
+        )
+    )

@@ -723,3 +723,240 @@ def heavy_hitters_merge(spark, sf_dir):
         "underest_within_bound boolean",
     )
     return out.orderBy(F.col("shard").asc())
+
+
+
+@register(
+    "approx_quantile_audit",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+           -- the GK-sketch rank guarantee (Greenwald-Khanna 2001, the
+           -- algorithm behind Spark's percentile_approx): the returned
+           -- value's rank is within n/accuracy of the target rank. The
+           -- oracle asserts the guarantee holds; a sketch bug on the
+           -- Spark side surfaces as FALSE -> hash mismatch.
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def approx_quantile_audit(spark, sf_dir):
+    """Mergeable-quantile-sketch audit: per event type, run the
+    Greenwald-Khanna sketch (``percentile_approx``, accuracy=100 — the
+    one-pass mergeable summary a 100 TB pipeline uses instead of exact
+    sort-based quantiles) NEXT TO the exact interpolated percentiles, and
+    assert the sketch's rank guarantee: rank(approx_p) must lie within
+    n/accuracy of p*n. The audit columns are order-invariant (the same
+    engine-independence trick as `heavy_hitters_merge`): exact quantiles
+    match DuckDB's quantile_cont (both are the R-7 linear interpolation),
+    and the guarantee booleans must come out TRUE from a correct sketch.
+
+    Scale shape: the sketch is a partial-aggregable one-pass summary
+    (constant state per group — this is WHY it exists); the rank check
+    joins the 5-row approx result back broadcast, so the only shuffles
+    are two partial aggs on the low-cardinality type key."""
+    acc = 100
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(acc)).alias("apx"),
+        F.expr("percentile(value, array(0.5D, 0.9D))").alias("exact"),
+    )
+    apx = agg.select(
+        "event_type",
+        "n",
+        F.element_at("apx", 1).alias("a50"),
+        F.element_at("apx", 2).alias("a90"),
+        F.round(F.element_at("exact", 1), 6).alias("p50_exact"),
+        F.round(F.element_at("exact", 2), 6).alias("p90_exact"),
+    )
+    ranks = (
+        ev.join(F.broadcast(apx.select("event_type", "a50", "a90")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("value") <= F.col("a90"), 1).otherwise(0)).alias("r90"),
+        )
+    )
+
+    def ok(r, p):
+        eps = 1.0 / acc
+        lo = F.floor((F.lit(p) - eps) * F.col("n"))
+        hi = F.ceil((F.lit(p) + eps) * F.col("n"))
+        return (F.col(r) >= lo) & (F.col(r) <= hi)
+
+    return (
+        apx.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p50_exact",
+            "p90_exact",
+            ok("r50", 0.5).alias("p50_within_bound"),
+            ok("r90", 0.9).alias("p90_within_bound"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+
+@register(
+    "hll_distinct_audit",
+    """
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT text)::BIGINT AS exact_distinct,
+           -- HLL++ with rsd=0.05: the estimate is deterministic for fixed
+           -- data and must land within 3*rsd of truth (the oracle asserts
+           -- the accuracy contract; a broken sketch -> FALSE -> mismatch)
+           TRUE AS approx_within_3rsd
+    FROM documents
+    GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def hll_distinct_audit(spark, sf_dir):
+    """Distinct-count-sketch audit: per source shard, HyperLogLog++
+    (``approx_count_distinct``, rsd=0.05 — the mergeable constant-state
+    summary that replaces COUNT(DISTINCT)'s full shuffle at 100 TB) next
+    to the exact distinct count, asserting the estimate lands within
+    3*rsd of truth. Complements `distinct_estimate_kmv` (KMV bottom-k):
+    same audit discipline, the production sketch. The exact count is the
+    audit's cost — at real scale you'd run the audit on a sampled shard
+    and serve the sketch; both aggregates partial-combine on the shard
+    key (one shuffle)."""
+    rsd = 0.05
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").cast("bigint").alias("exact_distinct"),
+            F.approx_count_distinct("text", rsd).alias("apx"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "exact_distinct",
+            (
+                F.abs(F.col("apx") - F.col("exact_distinct"))
+                <= 3 * rsd * F.col("exact_distinct")
+            ).alias("approx_within_3rsd"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT event_type,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-02-01 00:00:00'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_base,
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-02-01 00:00:00'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+           COUNT(*)::BIGINT AS n_merged,
+           ROUND(SUM(value), 4) AS sum_merged,
+           ROUND(MIN(value), 6) AS min_merged,
+           ROUND(MAX(value), 6) AS max_merged,
+           -- merging yesterday's partials with today's delta MUST equal
+           -- the full recompute (count/min/max exactly; the sum within
+           -- float-reassociation tolerance) — the invariant incremental
+           -- view maintenance rests on
+           TRUE AS merge_equals_full
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental-view-maintenance shape: per-type (count, sum, min,
+    max) partial aggregates computed SEPARATELY over the base window
+    (ts < 2024-02-01) and the delta (ts >= cutoff), merged by the
+    partial-combine rules (sum of counts/sums, min of mins, max of
+    maxes), then audited against a one-pass full recompute. This is the
+    pattern that lets a 100 TB daily pipeline aggregate yesterday's
+    stored partials + today's delta without rescanning history — valid
+    precisely because these aggregates are commutative monoids, which the
+    merge_equals_full column asserts (count/min/max exact; sum within
+    1e-9 relative, floats reassociate across the split). Both partials
+    and the recompute partial-combine map-side; three aggs + one join on
+    a 5-value key."""
+    cutoff = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff)).select(
+        "event_type", F.col("n").alias("n_base"), "s", "mn", "mx"
+    )
+    delta = partial(ev.filter(F.col("ts") >= cutoff)).select(
+        "event_type", F.col("n").alias("n_delta"), "s", "mn", "mx"
+    )
+    merged = (
+        base.select("event_type", F.col("n_base").alias("n"), "s", "mn", "mx")
+        .unionByName(delta.select("event_type", F.col("n_delta").alias("n"), "s", "mn", "mx"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_merged"),
+            F.sum("s").alias("s_merged"),
+            F.min("mn").alias("mn_merged"),
+            F.max("mx").alias("mx_merged"),
+        )
+    )
+    full = partial(ev).select(
+        "event_type",
+        F.col("n").alias("n_full"),
+        F.col("s").alias("s_full"),
+        F.col("mn").alias("mn_full"),
+        F.col("mx").alias("mx_full"),
+    )
+    counts = base.select("event_type", "n_base").join(
+        delta.select("event_type", "n_delta"), "event_type", "full"
+    ).select(
+        "event_type",
+        F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
+    )
+    return (
+        merged.join(full, "event_type")
+        .join(counts, "event_type")
+        .select(
+            "event_type",
+            "n_base",
+            "n_delta",
+            F.col("n_merged").cast("bigint").alias("n_merged"),
+            F.round("s_merged", 4).alias("sum_merged"),
+            F.round("mn_merged", 6).alias("min_merged"),
+            F.round("mx_merged", 6).alias("max_merged"),
+            (
+                (F.col("n_merged") == F.col("n_full"))
+                & (F.col("mn_merged") == F.col("mn_full"))
+                & (F.col("mx_merged") == F.col("mx_full"))
+                & (
+                    F.abs(F.col("s_merged") - F.col("s_full"))
+                    <= 1e-9 * F.greatest(F.abs(F.col("s_full")), F.lit(1.0))
+                )
+            ).alias("merge_equals_full"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
