@@ -76,10 +76,11 @@ BENCH_QUERIES = [
     "bm25_ranking",
     "hard_example_mining",
     # round-5: converged PageRank loop, real image-header decode,
-    # Misra-Gries merge audit
+    # Misra-Gries merge audit, two-stage IVF-PQ + exact re-rank
     "pagerank_converged",
     "multimodal_image_dims",
     "heavy_hitters_merge",
+    "ann_ivf_rerank",
 ]
 
 

@@ -1442,3 +1442,89 @@ def value_mad_outliers(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+
+@register(
+    "events_watermark_lateness",
+    """
+    WITH o AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN epoch_us(hwm) - epoch_us(ts) > 3600000000::BIGINT
+                    THEN 1 ELSE 0 END)::BIGINT AS n_late_1h,
+           ROUND(MAX(epoch_us(hwm) - epoch_us(ts)) / 1000000.0, 6)
+             AS max_lateness_sec
+    FROM o
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def events_watermark_lateness(spark, sf_dir):
+    """Watermark-tuning audit: for each event, its lateness against the
+    running high-watermark (max event-time seen so far in arrival order,
+    proxied by event_id) — then per type, how many events a 1-hour
+    watermark would drop and the worst lateness observed. This is the
+    batch measurement that decides `withWatermark` bounds for the
+    streaming operators (too tight silently drops data; too loose bloats
+    state).
+
+    Scale shape: the naive form is a GLOBAL ordered running max — a
+    single-partition sort, the classic prefix-scan scale trap. Here it
+    decomposes bucket-wise (the distributed prefix-scan): a per-bucket
+    running max (window PARTITIONED by bucket — parallel), per-bucket
+    maxima (one tiny row per 1000 events), an exclusive prefix max over
+    that small bucket table (single partition of n/1000 rows), broadcast
+    back, and greatest() of the two. Identical result, no global row
+    sort; the oracle computes the same quantity with the naive global
+    window, which DuckDB handles fine at audit scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("event_id") / 1000).alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ev.withColumn("run_max", F.max("ts").over(wb))
+    bmax = ev.groupBy("bucket").agg(F.max("ts").alias("bmax"))
+    wprev = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bmax.select(
+        "bucket", F.max("bmax").over(wprev).alias("prev_max")
+    )
+    late = (
+        within.join(F.broadcast(prefix), "bucket")
+        .select(
+            "event_type",
+            (
+                (
+                    F.unix_micros(F.greatest(F.col("run_max"), F.coalesce(F.col("prev_max"), F.col("run_max"))))
+                    - F.unix_micros(F.col("ts"))
+                )
+                / 1000000.0
+            ).alias("lateness_sec"),
+        )
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("lateness_sec") > 3600, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_1h"),
+            F.round(F.max("lateness_sec"), 6).alias("max_lateness_sec"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )

@@ -610,3 +610,85 @@ def embedding_isotropy(spark, sf_dir):
         F.round(F.stddev_pop("cos"), 6).alias("std_cos"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     )
+
+
+
+@register(
+    "pca_power_converged",
+    """
+    WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      unnest(embedding)::DOUBLE AS v
+               FROM embeddings),
+    s1 AS (SELECT vec_id, SUM(v) / 8.0 AS sc FROM x GROUP BY vec_id),
+    c1 AS (SELECT x.pos, SUM(s1.sc * x.v) AS c
+           FROM x JOIN s1 USING (vec_id) GROUP BY x.pos),
+    n1 AS (SELECT SQRT(SUM(c * c)) AS nrm FROM c1),
+    v1 AS (SELECT pos, c / (SELECT nrm FROM n1) AS v FROM c1),
+    s2 AS (SELECT x.vec_id, SUM(x.v * v1.v) AS sc
+           FROM x JOIN v1 USING (pos) GROUP BY x.vec_id),
+    c2 AS (SELECT x.pos, SUM(s2.sc * x.v) AS c
+           FROM x JOIN s2 USING (vec_id) GROUP BY x.pos),
+    n2 AS (SELECT SQRT(SUM(c * c)) AS nrm FROM c2),
+    v2 AS (SELECT pos, c / (SELECT nrm FROM n2) AS v FROM c2),
+    s3 AS (SELECT x.vec_id, SUM(x.v * v2.v) AS sc
+           FROM x JOIN v2 USING (pos) GROUP BY x.vec_id),
+    c3 AS (SELECT x.pos, SUM(s3.sc * x.v) AS c
+           FROM x JOIN s3 USING (vec_id) GROUP BY x.pos),
+    n3 AS (SELECT SQRT(SUM(c * c)) AS nrm FROM c3)
+    SELECT c3.pos - 1 AS dim,
+           ROUND(c3.c / (SELECT nrm FROM n3), 6) AS v3,
+           ROUND((SELECT nrm FROM n3), 6) AS eigval
+    FROM c3 ORDER BY dim ASC
+    """,
+)
+def pca_power_converged(spark, sf_dir):
+    """Iterated power method for the corpus's top principal direction —
+    THREE fixed X'(Xv) passes from the uniform seed (fixed count for a
+    deterministic chained-CTE oracle, the `pagerank_converged`
+    convention), with the Rayleigh-quotient eigenvalue estimate
+    ||X'X v2|| riding along (v2 is unit, so the norm of the last
+    un-normalized iterate IS the top-eigenvalue estimate). Extends the
+    single-step `pca_power_iteration_step` to the actual loop a
+    spectral-drift monitor runs.
+
+    Scale shape: the d x d covariance is NEVER materialized — each pass
+    is the two matrix-free products: a per-row scalar x·v (map-only; v
+    enters as 64 plan literals, collected between passes under the same
+    bounded-set justification as the IVF centroids), then a (dim,
+    partial-sum) groupBy shuffling 64 partials per task regardless of
+    corpus size. Normalizers are one-row broadcasts. Three passes = three
+    bounded shuffles, zero driver-side matrices."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    dim = 64
+    v = [1.0 / 8.0] * dim  # uniform unit seed (1/sqrt(64))
+
+    def one_pass(vlit):
+        sc = e.select(
+            "x", V.dot_product(F.col("x"), vlit).alias("sc")
+        )
+        return (
+            sc.select("sc", F.posexplode("x").alias("pos", "xv"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("sc") * F.col("xv")).alias("c"))
+        )
+
+    for _ in range(2):  # first two passes collect the 64-float iterate
+        rows = one_pass(v).collect()
+        c = [0.0] * dim
+        for r in rows:
+            c[int(r["pos"])] = float(r["c"])
+        nrm = sum(t * t for t in c) ** 0.5
+        v = [t / nrm for t in c]
+
+    comp = one_pass(v)  # final pass stays distributed end-to-end
+    n = comp.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    return (
+        comp.crossJoin(F.broadcast(n))
+        .select(
+            F.col("pos").alias("dim"),
+            F.round(F.col("c") / F.col("nrm"), 6).alias("v3"),
+            F.round(F.col("nrm"), 6).alias("eigval"),
+        )
+        .orderBy(F.col("dim").asc())
+    )
