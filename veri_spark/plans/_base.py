@@ -43,23 +43,6 @@ def register(name: str, oracle: str | None = None):
 
 
 
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn):
-        if name in QUERIES:
-            raise ValueError(
-                f"duplicate query registration: {name!r} — the second "
-                "registration would silently shadow the first (last-wins)"
-            )
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-
 def _query_vector(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vid).select("embedding").first()

@@ -1528,3 +1528,103 @@ def events_watermark_lateness(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 1 (cont.): Count-Min sketch audit — the mergeable
+# frequency sketch complementing the Misra-Gries heavy-hitter path.
+# ---------------------------------------------------------------------------
+
+@register(
+    "countmin_audit",
+    """
+    WITH h AS (
+      SELECT * FROM (VALUES
+        (0, 1103515245::BIGINT, 12345::BIGINT),
+        (1, 1299709::BIGINT,    15485863::BIGINT),
+        (2, 7919::BIGINT,       50::BIGINT),
+        (3, 104729::BIGINT,     1299721::BIGINT)) AS t(depth, a, b)
+    ),
+    exact AS (SELECT user_id, COUNT(*)::BIGINT AS exact_n
+              FROM events GROUP BY user_id),
+    cells AS (
+      SELECT h.depth,
+             ((h.a * e.user_id + h.b) % 2147483647) % 32 AS col,
+             SUM(e.exact_n)::BIGINT AS cell_n
+      FROM exact e CROSS JOIN h
+      GROUP BY 1, 2
+    ),
+    top AS (SELECT user_id, exact_n FROM exact
+            ORDER BY exact_n DESC, user_id ASC LIMIT 10),
+    est AS (
+      SELECT t.user_id, t.exact_n, MIN(c.cell_n)::BIGINT AS cm_est
+      FROM top t
+      CROSS JOIN h
+      JOIN cells c
+        ON c.depth = h.depth
+       AND c.col = ((h.a * t.user_id + h.b) % 2147483647) % 32
+      GROUP BY t.user_id, t.exact_n
+    )
+    SELECT user_id, exact_n, cm_est, (cm_est - exact_n)::BIGINT AS overestimate
+    FROM est ORDER BY exact_n DESC, user_id ASC
+    """,
+)
+def countmin_audit(spark, sf_dir):
+    """Count-Min sketch (depth 4 x width 32, fixed affine hashes mod the
+    Mersenne prime 2^31-1) built distributively over the events stream,
+    then audited against exact counts for the 10 heaviest users: the
+    sketch's one-sided guarantee (cm_est >= exact, overestimate bounded
+    by eps*N with prob 1-delta) made measurable. The sketch is 128 cells
+    REGARDLESS of stream length — each executor pre-aggregates its
+    partition's (depth, col) increments map-side and the merge is a
+    cell-wise SUM, which is exactly how you'd maintain it under
+    Structured Streaming or across 1000 shards at 100 TB (the mergeable
+    counterpart to the Misra-Gries summaries in
+    streaming/stateful.py:100-172; heavy_hitters_merge audits those).
+    Point estimates are a broadcast join of the 10 probe keys against
+    the 128-row cell table, min over depths. All-integer arithmetic —
+    no FP in the hashes or counts, so the oracle matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    hashes = [
+        (0, 1103515245, 12345),
+        (1, 1299709, 15485863),
+        (2, 7919, 50),
+        (3, 104729, 1299721),
+    ]
+    p = F.lit(2147483647)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    exact = exact.persist()
+    # explode each key into its 4 (depth, col) cells map-side, then one
+    # partial-aggregated shuffle down to <=128 cells
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                ((F.lit(a) * F.col("user_id") + F.lit(b)) % p % 32).alias("col"),
+            )
+            for d, a, b in hashes
+        ]
+    )
+    cells = (
+        exact.select(F.explode(cell_structs).alias("c"), "exact_n")
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.col").alias("col"))
+        .agg(F.sum("exact_n").cast("bigint").alias("cell_n"))
+    )
+    top = (
+        exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(10)
+        .select("user_id", "exact_n", F.explode(cell_structs).alias("c"))
+        .select("user_id", "exact_n", F.col("c.depth").alias("depth"), F.col("c.col").alias("col"))
+    )
+    est = (
+        top.join(cells, ["depth", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").cast("bigint").alias("cm_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.col("exact_n").desc(), F.col("user_id").asc())

@@ -296,3 +296,186 @@ def pagerank_converged(spark, sf_dir):
         .orderBy(F.col("pagerank").desc(), F.col("l_partkey").asc())
         .limit(20)
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 1: graph-structure audits on the co-purchase graph —
+# triangle census / clustering coefficient, common-neighbor similarity.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_census",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+    wedge AS (SELECT SUM(d * (d - 1) / 2)::BIGINT AS n_wedges FROM deg),
+    tri AS (
+      SELECT COUNT(*)::BIGINT AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM edges) AS n_edges,
+           w.n_wedges,
+           t.n_triangles,
+           ROUND(3.0 * t.n_triangles / w.n_wedges, 6) AS global_clustering
+    FROM wedge w CROSS JOIN tri t
+    """,
+)
+def graph_triangle_census(spark, sf_dir):
+    """Triangle census of the co-purchase part graph: edge count, wedge
+    count (sum of C(deg,2)), triangle count, and the global clustering
+    coefficient 3T/W — the structural audit that tells you whether a
+    behavioral graph is clustered enough for community detection or
+    label propagation to be meaningful. Triangles are counted once each
+    via the degree-free ORIENTED wedge join (all edges stored u<v; a
+    wedge a<b<c closes iff (a,c) is an edge), the standard distributed
+    formulation: two shuffle joins on edge endpoints, no adjacency on
+    the driver. The wedge-join fan-out is sum_b deg<(b)*deg>(b) — at
+    100 TB you'd additionally orient by (degree, id) instead of raw id,
+    which provably minimizes that sum (the MPC triangle-counting trick);
+    id-orientation keeps the oracle SQL exactly mirrorable here."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(closing, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+    common AS (
+      SELECT x.u AS u, y.u AS v, COUNT(*)::BIGINT AS n_common
+      FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.u, c.v, c.n_common,
+             c.n_common::DOUBLE / (du.d + dv.d - c.n_common) AS jac
+      FROM common c
+      JOIN deg du ON du.u = c.u
+      JOIN deg dv ON dv.u = c.v
+    )
+    SELECT u AS part_a, v AS part_b, n_common,
+           ROUND(jac, 6) AS jaccard
+    FROM j
+    ORDER BY jac DESC, n_common DESC, u ASC, v ASC
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link-prediction scoring on the co-purchase graph: the 20 part pairs
+    with the highest neighborhood-Jaccard (|N(u) ∩ N(v)| / |N(u) ∪ N(v)|)
+    — 'parts bought alongside the same other parts', the
+    collaborative-filtering item-item similarity. Common-neighbor counts
+    come from the wedge join (und ⋈ und on the shared endpoint, u<v),
+    the same shuffle shape as the triangle census; union sizes derive
+    from degrees without a second pass (|A∪B| = dA + dB - |A∩B|), so the
+    only data movement is one wedge join plus two broadcast-sized degree
+    joins. Ordering is on the UNROUNDED ratio of integers (bit-identical
+    across engines) with a full (n_common, u, v) tie-break, so the
+    LIMIT boundary is deterministic. At 100 TB: cap or sample
+    super-node neighborhoods before the wedge join (the same hub
+    mitigation the kNN-graph hubness audit measures)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x = und.select(F.col("u").alias("cu"), F.col("v").alias("w"))
+    y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    common = (
+        x.join(y, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    j = (
+        common.join(deg.select(F.col("u").alias("cu"), F.col("d").alias("du")), "cu")
+        .join(deg.select(F.col("u").alias("cv"), F.col("d").alias("dv")), "cv")
+        .select(
+            F.col("cu").alias("part_a"),
+            F.col("cv").alias("part_b"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+    return (
+        j.orderBy(
+            F.col("jac").desc(),
+            F.col("n_common").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+        .select(
+            "part_a", "part_b", "n_common", F.round("jac", 6).alias("jaccard")
+        )
+    )
