@@ -1628,3 +1628,77 @@ def countmin_audit(spark, sf_dir):
         "cm_est",
         (F.col("cm_est") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     ).orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+
+
+@register(
+    "hourly_autocorr",
+    """
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                           date_trunc('hour', MAX(ts)) AS t1 FROM events),
+    spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*)::DOUBLE AS n
+               FROM events GROUP BY 1),
+    c AS (SELECT s.h, COALESCE(a.n, 0.0) AS n
+          FROM spine s LEFT JOIN actual a ON a.h = s.h),
+    l1 AS (SELECT corr(a.n, b.n) AS r, COUNT(*)::BIGINT AS np
+           FROM c a JOIN c b ON a.h = b.h + INTERVAL 1 HOUR),
+    l24 AS (SELECT corr(a.n, b.n) AS r, COUNT(*)::BIGINT AS np
+            FROM c a JOIN c b ON a.h = b.h + INTERVAL 24 HOUR)
+    SELECT l1.np AS n_pairs_lag1, ROUND(l1.r, 6) AS autocorr_lag1,
+           l24.np AS n_pairs_lag24, ROUND(l24.r, 6) AS autocorr_lag24
+    FROM l1 CROSS JOIN l24
+    """,
+)
+def hourly_autocorr(spark, sf_dir):
+    """Seasonality detection on the event stream: Pearson autocorrelation
+    of the zero-filled hourly count series at lag 1 (short-term
+    persistence) and lag 24 (daily cycle) — the two numbers that decide
+    whether a forecasting model needs a seasonal term and whether the
+    anomaly detector (`events_hourly_anomaly`) should baseline on
+    hour-of-day. The hourly series is a generated spine left-joined to
+    one pre-aggregated hourly count (`events_dense_hourly`'s shape), so
+    the series length is time-span-sized, not event-volume-sized; the
+    lagged pairs are equi-joins on shifted hours over that tiny series.
+    At 100 TB only the single hourly pre-aggregation touches the raw
+    stream."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    c = (
+        spine.join(actual, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0.0)).alias("n"))
+        .persist()
+    )
+
+    def lag_corr(hours):
+        a = c.select(F.col("h").alias("ha"), F.col("n").alias("na"))
+        b = c.select(
+            (F.col("h") + F.expr(f"INTERVAL {hours} HOUR")).alias("ha"),
+            F.col("n").alias("nb"),
+        )
+        return a.join(b, "ha").agg(
+            F.corr("na", "nb").alias("r"), F.count(F.lit(1)).cast("bigint").alias("np")
+        )
+
+    l1 = lag_corr(1)
+    l24 = lag_corr(24)
+    return (
+        l1.select(F.col("np").alias("n_pairs_lag1"), F.round("r", 6).alias("autocorr_lag1"))
+        .crossJoin(
+            F.broadcast(
+                l24.select(
+                    F.col("np").alias("n_pairs_lag24"),
+                    F.round("r", 6).alias("autocorr_lag24"),
+                )
+            )
+        )
+    )

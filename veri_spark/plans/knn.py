@@ -1581,3 +1581,113 @@ def ann_ivf_rerank(spark, sf_dir):
             "rnk",
         )
     )
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.label, e.x, c.centroid_id,
+             list_distance(e.x, c.cvec) AS dist
+      FROM e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, label, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), a AS (SELECT vec_id, label, x, centroid_id FROM r WHERE rn = 1),
+    pr AS (
+      SELECT ev.vec_id, ev.label AS true_label, tr.label AS nbr_label,
+             row_number() OVER (PARTITION BY ev.vec_id
+                                ORDER BY list_distance(ev.x, tr.x) ASC,
+                                         tr.vec_id ASC) AS rank
+      FROM a ev JOIN a tr
+        ON ev.centroid_id = tr.centroid_id AND tr.vec_id % 10 != 0
+      WHERE ev.vec_id % 10 = 0
+    ),
+    votes AS (
+      SELECT vec_id, true_label, nbr_label, COUNT(*)::BIGINT AS nv
+      FROM pr WHERE rank <= 5 GROUP BY 1, 2, 3
+    ),
+    win AS (
+      SELECT vec_id, true_label, nbr_label AS pred_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY nv DESC, nbr_label ASC) AS wr
+      FROM votes
+    )
+    SELECT true_label AS label, COUNT(*)::BIGINT AS n_eval,
+           SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS accuracy
+    FROM win WHERE wr = 1
+    GROUP BY true_label
+    ORDER BY true_label ASC
+    """,
+)
+def knn_label_accuracy(spark, sf_dir):
+    """Embedding-quality eval as a kNN classifier: hold out every 10th
+    vector, predict its label by majority vote of its 5 nearest
+    same-IVF-cell training neighbors, report per-label accuracy — the
+    label-consistency probe that tells you whether an embedding space is
+    good enough to drive label propagation / auto-labeling, without
+    training anything. The neighbor search is the same LABEL-FREE
+    IVF-cell-blocked join as `knn_join_ivf` (map-only literal-centroid
+    assignment, one equi-join on centroid_id, WindowGroupLimit top-5);
+    majority voting is two bounded window ranks. Eval points whose cell
+    has no training rows drop out (the documented IVF recall trade).
+    Vote ties break on the smaller label — deterministic in both
+    engines."""
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+    from veri_spark.functions.vector import euclidean_distance_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
+    ev = a.filter(F.col("vec_id") % 10 == 0).select(
+        "centroid_id",
+        F.col("vec_id").alias("eval_id"),
+        F.col("label").alias("true_label"),
+        F.col("x").alias("xa"),
+    )
+    tr = a.filter(F.col("vec_id") % 10 != 0).select(
+        "centroid_id",
+        F.col("vec_id").alias("train_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("x").alias("xb"),
+    )
+    dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
+    w = Window.partitionBy("eval_id").orderBy(dist.asc(), F.col("train_id").asc())
+    pr = (
+        ev.join(tr, "centroid_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    votes = pr.groupBy("eval_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    ww = Window.partitionBy("eval_id").orderBy(
+        F.col("nv").desc(), F.col("nbr_label").asc()
+    )
+    win = (
+        votes.withColumn("wr", F.row_number().over(ww))
+        .filter(F.col("wr") == 1)
+        .select("true_label", F.col("nbr_label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        win.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.round(
+                F.sum(correct).cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+        .orderBy(F.col("label").asc())
+    )

@@ -1487,3 +1487,116 @@ def trigram_coverage_curve(spark, sf_dir):
         )
         .orderBy(F.col("topk").asc())
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 2: skip-gram co-occurrence mining, per-doc token entropy.
+# ---------------------------------------------------------------------------
+
+@register(
+    "skipgram_pairs_top",
+    """
+    WITH ws_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pairs AS (
+      SELECT unnest(list_concat(
+               list_transform(range(1, len(ws)),     i -> [ws[i], ws[i + 1]]),
+               list_transform(range(1, len(ws) - 1), i -> [ws[i], ws[i + 2]])
+             )) AS pr
+      FROM ws_t
+    )
+    SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*)::BIGINT AS n
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY n DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def skipgram_pairs_top(spark, sf_dir):
+    """Skip-gram co-occurrence mining (window 2, ordered): the 20 most
+    frequent (w_i, w_j) pairs with j-i <= 2 — the positive-pair
+    generation step of word2vec-style embedding training, and the raw
+    counts behind PMI-based collocation scoring (`bigram_pmi_top` covers
+    the gap-1 subset). Pairs are built by ZIPPING each token array with
+    its own 1- and 2-shifted slices — map-only array expressions, no
+    positional self-join, so the fan-out is exactly 2 pairs per token
+    and the only shuffle is the final partial-aggregated pair count.
+    At 100 TB that map-side combine is what makes this viable: the pair
+    stream never materializes unaggregated off-executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    n2 = F.greatest(F.size(ws) - 2, F.lit(0))
+    mk = lambda gap, n: F.zip_with(
+        F.slice(ws, 1, n),
+        F.slice(ws, 1 + gap, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = docs.select(
+        F.explode(F.concat(mk(1, n1), mk(2, n2))).alias("pr")
+    )
+    return (
+        pairs.groupBy(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "token_entropy_by_source",
+    """
+    WITH c AS (
+      SELECT doc_id, w, COUNT(*)::DOUBLE AS n
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ),
+    t AS (SELECT doc_id, SUM(n) AS tn FROM c GROUP BY doc_id),
+    h AS (
+      SELECT c.doc_id, -SUM((c.n / t.tn) * ln(c.n / t.tn) / ln(2)) AS ent
+      FROM c JOIN t USING (doc_id) GROUP BY c.doc_id
+    )
+    SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(h.ent), 6) AS avg_entropy_bits,
+           ROUND(MIN(h.ent), 6) AS min_entropy_bits,
+           ROUND(MAX(h.ent), 6) AS max_entropy_bits
+    FROM h JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source ASC
+    """,
+)
+def token_entropy_by_source(spark, sf_dir):
+    """Per-document token-distribution Shannon entropy, profiled by
+    source: low word-entropy docs are boilerplate / keyword-stuffed /
+    machine-generated text (the degenerate repetition that poisons LM
+    training), so the per-source entropy band is the quality gate's
+    calibration input (`quality_repetition` flags the extreme tail;
+    this measures the whole distribution). Two partial-aggregated
+    shuffles — (doc, token) counts, then per-doc entropy via
+    -sum(p log2 p) — and a per-source rollup whose output is
+    source-cardinality-sized. Token counts ride the aggregation keys;
+    no token list ever leaves the executor unaggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    t = c.groupBy("doc_id").agg(F.sum("n").alias("tn"))
+    p = F.col("n") / F.col("tn")
+    h = (
+        c.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias("ent"))
+    )
+    return (
+        h.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ent"), 6).alias("avg_entropy_bits"),
+            F.round(F.min("ent"), 6).alias("min_entropy_bits"),
+            F.round(F.max("ent"), 6).alias("max_entropy_bits"),
+        )
+        .orderBy(F.col("source").asc())
+    )

@@ -1615,3 +1615,56 @@ def fk_integrity_audit(spark, sf_dir):
         .unionByName(edge("lineitem->supplier", li, "l_suppkey", sp, "s_suppkey", True))
     )
     return out.orderBy(F.col("relationship").asc())
+
+
+@register(
+    "supplier_ship_gap_stats",
+    """
+    WITH g AS (
+      SELECT l_suppkey,
+             date_diff('day',
+               lag(l_shipdate) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber),
+               l_shipdate) AS gap
+      FROM lineitem
+    )
+    SELECT l_suppkey, COUNT(*)::BIGINT AS n_ship,
+           COUNT(gap)::BIGINT AS n_gaps,
+           ROUND(AVG(gap), 6) AS avg_gap_days,
+           MAX(gap)::BIGINT AS max_gap_days
+    FROM g
+    GROUP BY l_suppkey
+    ORDER BY avg_gap_days DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+)
+def supplier_ship_gap_stats(spark, sf_dir):
+    """Supply-cadence profiling: per-supplier gaps between consecutive
+    ship dates (lag window over the supplier's shipment history), ranked
+    by mean gap — the idle-supplier detector, and the window-function
+    shape (partitioned lag + per-key rollup) every retention/cadence
+    metric reuses. One shuffle on l_suppkey serves both the window sort
+    and the aggregation (Spark keeps the partitioning); gaps between
+    equal-keyed rows are order-insensitive as a multiset, and the
+    deterministic (shipdate, orderkey, linenumber) sort plus integer-sum
+    averages make the double compare and the LIMIT boundary
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    g = li.select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.lag("l_shipdate").over(w)).alias("gap"),
+    )
+    return (
+        g.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ship"),
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy(F.col("avg_gap_days").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )

@@ -918,3 +918,66 @@ def random_projection_distortion(spark, sf_dir):
         F.round(F.avg("ratio"), 6).alias("mean_ratio"),
         F.round(F.max("ratio"), 6).alias("max_ratio"),
     )
+
+
+@register(
+    "quantize_recall_audit",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+               FROM embeddings),
+    qv AS (SELECT vec_id, mx,
+                  list_transform(e, x -> floor(x * (127.0 / mx) + 0.5)) AS q
+           FROM v),
+    q0 AS (SELECT q AS qz, mx AS mx0 FROM qv WHERE vec_id = 0),
+    qs AS (SELECT vec_id,
+                  list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * qz[i]))
+                    * (mx * mx0) / 16129.0 AS score
+           FROM qv CROSS JOIN q0),
+    qtop AS (SELECT vec_id FROM qs ORDER BY score DESC, vec_id ASC LIMIT 10),
+    e0 AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    es AS (SELECT vec_id,
+                  list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * qe[i]))
+                    AS score
+           FROM v CROSS JOIN e0),
+    etop AS (SELECT vec_id FROM es ORDER BY score DESC, vec_id ASC LIMIT 10)
+    SELECT 10::INTEGER AS k,
+           COUNT(*)::BIGINT AS n_overlap,
+           ROUND(COUNT(*)::DOUBLE / 10, 6) AS recall
+    FROM qtop JOIN etop USING (vec_id)
+    """,
+)
+def quantize_recall_audit(spark, sf_dir):
+    """Recall@10 of int8-quantized dot-product retrieval against the exact
+    float scan — the acceptance test you run before switching a serving
+    path to the 4x-cheaper quantized column (`embedding_quantize_topk`
+    produces the ranking; this certifies it). Both top-10s are bounded
+    TakeOrdereds over map-only scoring passes; the overlap is a
+    10-row-by-10-row join. At 100 TB you'd run this over a fixed probe
+    panel instead of one query — the per-probe cost is unchanged:
+    2 map-only scans + 2 bounded top-ks."""
+    from veri_spark.operators.similarity import quantized_dot_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    qtop = (
+        quantized_dot_scores(emb, q)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    x = F.col("embedding").cast("array<double>")
+    etop = (
+        emb.select("vec_id", V.dot_product(x, q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        qtop.join(etop, "vec_id")
+        .agg(
+            F.lit(10).alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+            F.round(F.count(F.lit(1)).cast("double") / 10, 6).alias("recall"),
+        )
+    )
