@@ -1702,3 +1702,144 @@ def hourly_autocorr(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "markov_prediction_accuracy",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events),
+    t AS (SELECT user_id, cur, nxt FROM o WHERE nxt IS NOT NULL),
+    trc AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n
+            FROM t WHERE user_id % 2 = 0 GROUP BY cur, nxt),
+    pred AS (
+      SELECT cur, nxt AS predicted_next,
+             row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt ASC) AS r
+      FROM trc),
+    p AS (SELECT cur, predicted_next FROM pred WHERE r = 1),
+    ev AS (SELECT cur, nxt FROM t WHERE user_id % 2 = 1)
+    SELECT ev.cur, p.predicted_next,
+           COUNT(*)::BIGINT AS n_eval,
+           SUM(CASE WHEN ev.nxt = p.predicted_next THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           ROUND(SUM(CASE WHEN ev.nxt = p.predicted_next THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS accuracy
+    FROM ev JOIN p USING (cur)
+    GROUP BY ev.cur, p.predicted_next
+    ORDER BY ev.cur ASC
+    """,
+)
+def markov_prediction_accuracy(spark, sf_dir):
+    """Next-event prediction eval for the first-order Markov model
+    (`event_transition_matrix` is the model; this is its scorecard):
+    train the argmax-next-type predictor on even user_ids, measure hit
+    rate on odd users' transitions, per current type. The user-hash
+    train/eval split keeps each user's event chain intact (splitting
+    within a chain would fabricate transitions); transitions are one
+    lead() window per side of the same shuffle, the model is a
+    |types|^2 aggregate, and scoring is a broadcast join of the
+    |types|-row predictor against pre-aggregated eval transitions.
+    Prediction ties break on the lexicographically smaller type —
+    deterministic in both engines. Eval transitions whose current type
+    never occurs in training drop out (inner join, documented)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trc = (
+        t.filter(F.col("user_id") % 2 == 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wr = Window.partitionBy("cur").orderBy(F.col("n").desc(), F.col("nxt").asc())
+    p = (
+        trc.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    evl = t.filter(F.col("user_id") % 2 == 1).select("cur", "nxt")
+    hit = F.when(F.col("nxt") == F.col("predicted_next"), 1).otherwise(0)
+    return (
+        evl.join(F.broadcast(p), "cur")
+        .groupBy("cur", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_hit"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy(F.col("cur").asc())
+    )
+
+
+@register(
+    "user_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('second', MAX(ts), ANY_VALUE(mx.now)) AS rec_sec,
+             COUNT(*)::BIGINT AS freq,
+             SUM(value) AS mon
+      FROM events CROSS JOIN mx
+      GROUP BY user_id),
+    s AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY rec_sec ASC, user_id ASC) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+             ntile(5) OVER (ORDER BY mon DESC, user_id ASC) AS m_score
+      FROM u)
+    SELECT r_score, f_score, m_score, COUNT(*)::BIGINT AS n_users
+    FROM s
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def user_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles) of the
+    user base — the classic behavioral cohorting that drives retention
+    targeting, here as the segment-size matrix. Per-user metrics are one
+    partial-aggregated shuffle over the stream; quintile scores are
+    three ntile windows over the USER table (already N/|users| smaller
+    than the stream), with (metric, user_id) total orders so bucket
+    boundaries are deterministic; the output is the <=125-row segment
+    census. At 100 TB the global ntile sort is the only single-ordering
+    step and it runs on users, not events — if even that is too hot,
+    swap ntile for approx-quantile boundaries (the
+    `events_value_quantiles` sketch) at the cost of exactness."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (F.unix_timestamp(F.max("now")) - F.unix_timestamp(F.max("ts"))).alias(
+                "rec_sec"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("value").alias("mon"),
+        )
+    )
+    s = u.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_sec").asc(), F.col("user_id").asc()))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon").desc(), F.col("user_id").asc()))
+        .alias("m_score"),
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

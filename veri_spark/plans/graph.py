@@ -479,3 +479,51 @@ def graph_common_neighbors(spark, sf_dir):
             "part_a", "part_b", "n_common", F.round("jac", 6).alias("jaccard")
         )
     )
+
+
+@register(
+    "copurchase_top_triples",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           c.l_partkey AS part_c, COUNT(*)::BIGINT AS n_orders
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN li c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC, part_c ASC
+    LIMIT 10
+    """,
+)
+def copurchase_top_triples(spark, sf_dir):
+    """Frequent-itemset mining one level up from `copurchase_top_pairs`:
+    the 10 part TRIPLES most often bought in one order (the 3-itemset
+    support counts an Apriori pass would produce). The two self-joins
+    both key on l_orderkey, so after the first shuffle the second join
+    is co-partitioned — the fan-out is C(basket,3), bounded by basket
+    size cubed, never corpus-sized. At 100 TB you'd pre-filter parts to
+    the frequent 2-itemset survivors first (the Apriori pruning — here
+    the support floor is the LIMIT) and cap pathological basket sizes;
+    both leave this plan shape unchanged."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    c = li.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    tr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(c, "l_orderkey")
+        .filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return tr.orderBy(
+        F.col("n_orders").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+        F.col("part_c").asc(),
+    ).limit(10)

@@ -1668,3 +1668,64 @@ def supplier_ship_gap_stats(spark, sf_dir):
         .orderBy(F.col("avg_gap_days").desc(), F.col("l_suppkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "order_total_consistency",
+    """
+    WITH ls AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(20,6))) AS line_total
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, ls.line_total
+      FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey)
+    SELECT COUNT(*)::BIGINT AS n_orders,
+           SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_no_lineitems,
+           SUM(CASE WHEN line_total IS NOT NULL
+                     AND abs(CAST(o_totalprice AS DECIMAL(20,6)) - line_total)
+                         > 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+           CAST(MAX(CASE WHEN line_total IS NULL THEN NULL
+                    ELSE abs(CAST(o_totalprice AS DECIMAL(20,6)) - line_total)
+                    END) AS DOUBLE) AS max_abs_diff
+    FROM j
+    """,
+)
+def order_total_consistency(spark, sf_dir):
+    """Cross-table value reconciliation: does o_totalprice equal the sum
+    of its lines' extendedprice*(1-disc)*(1+tax)? The denormalization
+    audit every warehouse runs after ingest/CDC replay — `fk_integrity_audit`
+    checks key reachability, this checks the MONEY. The per-line product
+    has <= 6 decimal digits (2dp x 2dp x 2dp), so summing in
+    DECIMAL(20,6) is exact and order-insensitive — the mismatch count
+    can never flap on shuffle nondeterminism. One partial-aggregated
+    shuffle on l_orderkey plus the orders join (AQE picks broadcast vs
+    sort-merge by side size); output is a single audit row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_total = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(20,6)")
+    ls = li.groupBy("l_orderkey").agg(F.sum(line_total).alias("line_total"))
+    j = orders.join(
+        ls, orders["o_orderkey"] == ls["l_orderkey"], "left"
+    ).select(
+        F.col("o_totalprice").cast("decimal(20,6)").alias("ot"), "line_total"
+    )
+    diff = F.abs(F.col("ot") - F.col("line_total"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("line_total").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_lineitems"),
+        F.sum(
+            F.when(F.col("line_total").isNotNull() & (diff > 0.01), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.max(diff).cast("double").alias("max_abs_diff"),
+    )
