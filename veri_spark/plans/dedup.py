@@ -1435,3 +1435,69 @@ def dedup_tiered_pipeline(spark, sf_dir):
         ],
         "tier bigint, n_in bigint, n_dropped bigint, n_out bigint",
     )
+
+
+@register(
+    "minhash_bucket_skew",
+    f"""
+    WITH {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    buckets AS (SELECT band, band_key, COUNT(*)::BIGINT AS sz
+                FROM bands GROUP BY band, band_key)
+    SELECT band::INTEGER AS band,
+           COUNT(*)::BIGINT AS n_buckets,
+           SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_collision_buckets,
+           MAX(sz)::BIGINT AS max_bucket,
+           SUM(sz * (sz - 1) / 2)::BIGINT AS candidate_pairs
+    FROM buckets
+    GROUP BY band
+    ORDER BY band ASC
+    """,
+)
+def minhash_bucket_skew(spark, sf_dir):
+    """LSH bucket-skew audit: per band, the bucket-size distribution of
+    the MinHash band keys — n_buckets, colliding buckets, the largest
+    bucket, and the implied candidate-pair fan-out (sum of C(size,2)).
+    This is the number that decides whether `dedup_minhash_lsh`'s
+    bucket join is safe at 100 TB: candidate_pairs IS the join's output
+    size, and max_bucket is the straggler. A boilerplate-heavy corpus
+    drives one bucket to millions of docs and the join quadratic —
+    this audit catches it BEFORE the join runs (run it first, then cap
+    or salt the offending buckets; `skewed_agg_salted` is the
+    mitigation pattern). Cost: the same signature+banding pipeline as
+    the dedup itself, then two tiny rollups — no pair join at all."""
+    from veri_spark.operators.dedup import (
+        doc_shingles,
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh)
+    bk = minhash_band_keys(sigs)
+    buckets = bk.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        buckets.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_collision_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy(F.col("band").asc())
+    )

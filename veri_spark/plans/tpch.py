@@ -1729,3 +1729,85 @@ def order_total_consistency(spark, sf_dir):
         .alias("n_mismatch"),
         F.max(diff).cast("double").alias("max_abs_diff"),
     )
+
+
+@register(
+    "orders_backlog_series",
+    """
+    WITH o AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate)::DATE AS start_m,
+             date_trunc('month', MAX(l.l_shipdate))::DATE AS end_m
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    bounds AS (SELECT MIN(start_m) AS lo, MAX(end_m) AS hi FROM o),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS m
+              FROM bounds),
+    opened AS (SELECT start_m AS m, COUNT(*)::BIGINT AS n FROM o GROUP BY 1),
+    closed AS (SELECT end_m AS m, COUNT(*)::BIGINT AS n FROM o GROUP BY 1),
+    d AS (
+      SELECT s.m,
+             COALESCE(op.n, 0) AS n_opened,
+             COALESCE(cl.n, 0) AS n_closed
+      FROM spine s
+      LEFT JOIN opened op ON op.m = s.m
+      LEFT JOIN closed cl ON cl.m = s.m)
+    SELECT m AS month, n_opened, n_closed,
+           (SUM(n_opened - n_closed) OVER (ORDER BY m ASC))::BIGINT AS backlog
+    FROM d
+    ORDER BY m ASC
+    """,
+)
+def orders_backlog_series(spark, sf_dir):
+    """Open-order backlog over time via the distributed sweep-line: each
+    order contributes +1 at its order month and -1 at its last ship
+    month, and the running prefix sum of net deltas over the month spine
+    is the number of in-flight orders — the interval-counting shape
+    behind concurrency, occupancy, and WIP metrics (counting interval
+    overlaps WITHOUT a point-in-interval join, which would be
+    months x orders). The corpus-sized work is one groupBy(o_orderkey)
+    for last-ship and two month-grain aggregates; the prefix sum runs
+    on the month spine (span-sized, tiny), same single-ordering
+    justification as `lineitem_running_total`. Backlog at month m
+    counts orders still open THROUGH m (closure takes effect the month
+    after the last shipment; this schema carries no receiptdate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_receipt"))
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("start_m"),
+            F.date_trunc("month", F.col("last_receipt")).cast("date").alias("end_m"),
+        )
+        .persist()
+    )
+    bounds = o.agg(F.min("start_m").alias("lo"), F.max("end_m").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("m")
+    )
+    opened = o.groupBy(F.col("start_m").alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_op")
+    )
+    closed = o.groupBy(F.col("end_m").alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cl")
+    )
+    d = (
+        spine.join(opened, "m", "left")
+        .join(closed, "m", "left")
+        .select(
+            "m",
+            F.coalesce(F.col("n_op"), F.lit(0)).alias("n_opened"),
+            F.coalesce(F.col("n_cl"), F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy(F.col("m").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("m").alias("month"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias("backlog"),
+    ).orderBy(F.col("month").asc())
