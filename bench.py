@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     "multimodal_image_dims",
     "heavy_hitters_merge",
     "ann_ivf_rerank",
+    # round-5 batch 2: graph-structure wedge joins, packed binary Hamming
+    # retrieval, sketch audit, skip-gram mining, IVF-blocked kNN classify
+    "graph_triangle_census",
+    "embedding_binary_hamming",
+    "countmin_audit",
+    "skipgram_pairs_top",
+    "knn_label_accuracy",
 ]
 
 

@@ -62,6 +62,13 @@ def test_no_cartesian_products_in_headline_queries(spark):
         "knn_join_ivf",
         "tpch_q3_top_revenue",
         "upsert_latest_version",
+        # round-5 quadratic-risk shapes: wedge joins, itemset self-joins,
+        # IVF-blocked classification, LSH bucket accounting
+        "graph_triangle_census",
+        "graph_common_neighbors",
+        "copurchase_top_triples",
+        "knn_label_accuracy",
+        "minhash_bucket_skew",
     ):
         c = plan_counts(QUERIES[q](spark, SF_DIR))
         assert c["cartesian"] == 0, q

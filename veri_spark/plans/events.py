@@ -1843,3 +1843,154 @@ def user_rfm_segments(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "session_survival_curve",
+    """
+    WITH o AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    s AS (SELECT user_id, ts, event_id,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS sess
+          FROM f),
+    ln AS (SELECT user_id, sess, COUNT(*)::BIGINT AS len
+           FROM s GROUP BY user_id, sess),
+    tot AS (SELECT COUNT(*)::DOUBLE AS n FROM ln),
+    k AS (SELECT unnest(range(1, 11)) AS k)
+    SELECT k.k::INTEGER AS k,
+           SUM(CASE WHEN ln.len >= k.k THEN 1 ELSE 0 END)::BIGINT AS n_surviving,
+           ROUND(SUM(CASE WHEN ln.len >= k.k THEN 1 ELSE 0 END)
+                 / ANY_VALUE(tot.n), 6) AS survival
+    FROM ln CROSS JOIN k CROSS JOIN tot
+    GROUP BY k.k
+    ORDER BY k.k ASC
+    """,
+)
+def session_survival_curve(spark, sf_dir):
+    """Session-depth survival curve: P(session reaches >= k events) for
+    k = 1..10 — the engagement-depth distribution product teams read
+    before deciding where a funnel loses people, and the
+    discrete-survival shape (one minus the CDF) any duration analysis
+    uses. Sessions are the same 30-minute-gap islands as
+    `events_sessionize` (lag + running flag-sum on one user-keyed
+    shuffle); session lengths are one aggregate; the curve is a
+    broadcast of 10 thresholds against the session-length table with
+    the count riding the threshold key — the events stream is read
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts is TIMESTAMP_NTZ from the nanos parquet — no direct long cast;
+    # unix_timestamp() handles both timestamp flavors identically here
+    gap_sec = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("prev"))
+    new_s = F.when(F.col("prev").isNull() | (gap_sec >= 1800), 1).otherwise(0)
+    s = (
+        ev.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev"))
+        .select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .select(
+            "user_id",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sess"),
+        )
+    )
+    ln = s.groupBy("user_id", "sess").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    tot = ln.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    surv = F.sum(F.when(F.col("len") >= F.col("k"), 1).otherwise(0))
+    return (
+        ln.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            surv.cast("bigint").alias("n_surviving"),
+            F.round(surv / F.max("n"), 6).alias("survival"),
+        )
+        .orderBy(F.col("k").asc())
+    )
+
+
+@register(
+    "hourly_ewma_residuals",
+    """
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                           date_trunc('hour', MAX(ts)) AS t1 FROM events),
+    spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*)::DOUBLE AS n
+               FROM events GROUP BY 1),
+    c AS (SELECT s.h, COALESCE(a.n, 0.0) AS n
+          FROM spine s LEFT JOIN actual a ON a.h = s.h),
+    sm AS (
+      SELECT cur.h, cur.n,
+             SUM(hist.n * power(0.8, date_diff('hour', hist.h, cur.h)))
+               / SUM(power(0.8, date_diff('hour', hist.h, cur.h))) AS ewma
+      FROM c cur JOIN c hist
+        ON hist.h <= cur.h AND hist.h > cur.h - INTERVAL 24 HOUR
+      GROUP BY cur.h, cur.n)
+    SELECT h AS hour, n::BIGINT AS n_events,
+           ROUND(ewma, 6) AS ewma,
+           ROUND(abs(n - ewma), 6) AS abs_residual
+    FROM sm
+    ORDER BY abs(n - ewma) DESC, h ASC
+    LIMIT 10
+    """,
+)
+def hourly_ewma_residuals(spark, sf_dir):
+    """Trend-adjusted burst detection: the 10 hours whose event count
+    deviates most from a 24-hour truncated-kernel EWMA (decay 0.8/hour,
+    weights renormalized over the window) — the smoother that tracks
+    slow drift so residuals isolate genuine bursts, where a plain
+    rolling mean would lag spikes into its own baseline. The recursive
+    EWMA is deliberately TRUNCATED to a 24h kernel so it becomes a
+    bounded range self-join on the generated hourly spine (span-sized,
+    not event-sized) — the recursion-free formulation a distributed
+    engine can actually run; weights are exact powers, summed in
+    deterministic per-group hash-agg order over <= 24 terms. The events
+    stream contributes one hourly pre-aggregation; everything else is
+    spine-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    c = (
+        spine.join(actual, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0.0)).alias("n"))
+        .persist()
+    )
+    cur = c.select(F.col("h").alias("ch"), F.col("n").alias("cn"))
+    hist = c.select(F.col("h").alias("hh"), F.col("n").alias("hn"))
+    lag_h = (F.col("ch").cast("long") - F.col("hh").cast("long")) / 3600
+    wgt = F.pow(F.lit(0.8), lag_h)
+    sm = (
+        cur.join(
+            hist,
+            (F.col("hh") <= F.col("ch"))
+            & (F.col("hh") > F.col("ch") - F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy(F.col("ch").alias("hour"), F.col("cn").alias("n"))
+        .agg((F.sum(F.col("hn") * wgt) / F.sum(wgt)).alias("ewma"))
+    )
+    return (
+        sm.orderBy(F.abs(F.col("n") - F.col("ewma")).desc(), F.col("hour").asc())
+        .limit(10)
+        .select(
+            "hour",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("ewma", 6).alias("ewma"),
+            F.round(F.abs(F.col("n") - F.col("ewma")), 6).alias("abs_residual"),
+        )
+    )
