@@ -1501,3 +1501,111 @@ def minhash_bucket_skew(spark, sf_dir):
         )
         .orderBy(F.col("band").asc())
     )
+
+
+@register(
+    "weighted_jaccard_rescore",
+    f"""
+    WITH {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id, shingle,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM sh),
+    idf AS (SELECT shingle,
+                   CAST(round(ln(ANY_VALUE(nd.n) / COUNT(*)) * 1000000)
+                        AS BIGINT) AS w
+            FROM sh CROSS JOIN nd GROUP BY shingle),
+    dw AS (SELECT sh.doc_id, SUM(idf.w)::BIGINT AS tw
+           FROM sh JOIN idf USING (shingle) GROUP BY sh.doc_id),
+    iw AS (SELECT c.doc_a, c.doc_b, SUM(idf.w)::BIGINT AS w
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           JOIN idf ON idf.shingle = a.shingle
+           GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.w::DOUBLE / (da.tw + db.tw - i.w), 6) AS weighted_jaccard
+    FROM iw i
+    JOIN dw da ON da.doc_id = i.doc_a
+    JOIN dw db ON db.doc_id = i.doc_b
+    ORDER BY i.w::DOUBLE / (da.tw + db.tw - i.w) DESC, i.doc_a ASC, i.doc_b ASC
+    LIMIT 20
+    """,
+)
+def weighted_jaccard_rescore(spark, sf_dir):
+    """IDF-weighted Jaccard re-scoring of the LSH candidate pairs: plain
+    Jaccard counts a boilerplate shingle ('click here to subscribe') the
+    same as a distinctive one, so near-dup rankings on web-scale corpora
+    are dominated by template noise — weighting each shingle by
+    ln(N/df) makes the score content-driven (min/max weighted Jaccard
+    degenerates to intersection-IDF-mass over union-IDF-mass when both
+    docs carry the same global weight). IDF is quantized to INTEGER
+    micro-nats before summing (the `unigram_logprob_scores` trick), so
+    every sum is order-insensitive integer arithmetic and the ranking
+    is bit-deterministic across engines. Candidates come from the same
+    banded signature chain as `dedup_minhash_lsh`; the exact
+    intersection join touches only candidate docs. At 100 TB the df
+    table doubles as the stop-shingle cap (`cap_stop_shingles`) —
+    ultra-common shingles get near-zero weight here, solving the same
+    skew problem by weighting instead of dropping."""
+    from veri_spark.operators.dedup import doc_shingles, minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    cand = minhash_candidate_pairs(docs).persist()
+    nd = sh.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    idf = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "shingle",
+            F.round(F.log(F.col("n") / F.col("df")) * 1000000)
+            .cast("bigint")
+            .alias("w"),
+        )
+    ).persist()
+    dw = (
+        sh.join(idf, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("tw"))
+    )
+    shw = sh.join(idf, "shingle")
+    iw = (
+        shw.select(F.col("doc_id").alias("doc_a"), "shingle", "w")
+        .join(
+            shw.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").cast("bigint").alias("iw"))
+    )
+    j = (
+        iw.join(dw.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta")), "doc_a")
+        .join(dw.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("iw").cast("double")
+                / (F.col("ta") + F.col("tb") - F.col("iw"))
+            ).alias("wj"),
+        )
+    )
+    return (
+        j.orderBy(F.col("wj").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+        .select("doc_a", "doc_b", F.round("wj", 6).alias("weighted_jaccard"))
+    )

@@ -1691,3 +1691,99 @@ def knn_label_accuracy(spark, sf_dir):
         )
         .orderBy(F.col("label").asc())
     )
+
+
+@register(
+    "label_noise_candidates",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.label, e.x, c.centroid_id,
+             list_distance(e.x, c.cvec) AS dist
+      FROM e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, label, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), a AS (SELECT vec_id, label, x, centroid_id FROM r WHERE rn = 1),
+    pr AS (
+      SELECT p.vec_id, p.label, q.label AS nbr_label,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_distance(p.x, q.x) ASC,
+                                         q.vec_id ASC) AS rank
+      FROM a p JOIN a q
+        ON p.centroid_id = q.centroid_id AND p.vec_id != q.vec_id
+    ),
+    agg AS (
+      SELECT vec_id, ANY_VALUE(label) AS label,
+             SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)::BIGINT
+               AS n_agree,
+             COUNT(*)::BIGINT AS n_nbrs
+      FROM pr WHERE rank <= 5 GROUP BY vec_id
+    )
+    SELECT vec_id, label, n_agree, n_nbrs,
+           ROUND(n_agree::DOUBLE / n_nbrs, 6) AS agreement
+    FROM agg
+    ORDER BY n_agree::DOUBLE / n_nbrs ASC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def label_noise_candidates(spark, sf_dir):
+    """Noisy-label mining (confident-learning style): the 20 vectors whose
+    5 nearest same-cell neighbors agree LEAST with their own label — the
+    re-annotation worklist you generate before training on a labeled
+    corpus, and the per-example complement of `knn_label_accuracy`'s
+    aggregate score. Neighbor search is the IVF-cell-blocked self-join
+    (map-only literal-centroid assign, one equi-join on centroid_id,
+    bounded top-5 per vector via WindowGroupLimit); agreement is one
+    aggregate over the bounded neighbor set. Ordering is on the
+    UNROUNDED integer ratio with a vec_id tie-break, so the worklist
+    boundary is deterministic. Vectors alone in their cell drop out
+    (no neighbors — the IVF trade, same as the classifier eval)."""
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+    from veri_spark.functions.vector import euclidean_distance_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
+    p = a.select(
+        "centroid_id",
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("x").alias("xa"),
+    )
+    q = a.select(
+        "centroid_id",
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("nbr_label"),
+        F.col("x").alias("xb"),
+    )
+    dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
+    w = Window.partitionBy("pid").orderBy(dist.asc(), F.col("qid").asc())
+    pr = (
+        p.join(q, "centroid_id")
+        .filter(F.col("pid") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    agree = F.sum(
+        F.when(F.col("nbr_label") == F.col("plabel"), 1).otherwise(0)
+    ).cast("bigint")
+    agg = pr.groupBy(F.col("pid").alias("vec_id")).agg(
+        F.max("plabel").alias("label"),
+        agree.alias("n_agree"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nbrs"),
+    )
+    ratio = F.col("n_agree").cast("double") / F.col("n_nbrs")
+    return (
+        agg.orderBy(ratio.asc(), F.col("vec_id").asc())
+        .limit(20)
+        .select(
+            "vec_id", "label", "n_agree", "n_nbrs", F.round(ratio, 6).alias("agreement")
+        )
+    )
