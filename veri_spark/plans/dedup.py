@@ -1609,3 +1609,56 @@ def weighted_jaccard_rescore(spark, sf_dir):
         .limit(20)
         .select("doc_a", "doc_b", F.round("wj", 6).alias("weighted_jaccard"))
     )
+
+
+@register(
+    "simhash_bit_balance",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+    b AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+          GROUP BY doc_id, bit),
+    sh AS (SELECT doc_id, bit, CASE WHEN s >= 0 THEN 1 ELSE 0 END AS v FROM b),
+    per_bit AS (
+      SELECT bit, AVG(v) AS ones_frac FROM sh GROUP BY bit)
+    SELECT COUNT(*)::BIGINT AS n_bits,
+           ROUND(MIN(ones_frac), 6) AS min_ones_frac,
+           ROUND(MAX(ones_frac), 6) AS max_ones_frac,
+           ROUND(MAX(abs(ones_frac - 0.5)), 6) AS max_imbalance,
+           SUM(CASE WHEN abs(ones_frac - 0.5) > 0.1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_skewed_bits
+    FROM per_bit
+    """,
+)
+def simhash_bit_balance(spark, sf_dir):
+    """Sketch-health audit for SimHash: the ones-fraction of each of the
+    32 signature bits across the corpus. A healthy SimHash has every bit
+    near 0.5 — a skewed bit (ones_frac far from 0.5) carries almost no
+    discriminating information, which silently widens Hamming-ball
+    candidate sets and degrades `dedup_simhash_hamming`'s precision
+    (corpus-wide token-frequency structure, e.g. boilerplate that every
+    doc shares, is exactly what skews bits). Same signature pipeline as
+    `dedup_simhash` (two partial-aggregated shuffles), then a 32-row
+    bit rollup — the audit adds nothing corpus-sized. n_skewed_bits > 0
+    is the signal to re-seed the token hash or strip boilerplate before
+    trusting SimHash blocking at 100 TB."""
+    from veri_spark.operators.dedup import simhash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash32(docs)
+    bits = sh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), F.col("simhash")
+    ).select(
+        "bit",
+        F.expr("CAST(shiftright(simhash, bit) & 1 AS DOUBLE)").alias("v"),
+    )
+    per_bit = bits.groupBy("bit").agg(F.avg("v").alias("ones_frac"))
+    imb = F.abs(F.col("ones_frac") - 0.5)
+    return per_bit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bits"),
+        F.round(F.min("ones_frac"), 6).alias("min_ones_frac"),
+        F.round(F.max("ones_frac"), 6).alias("max_ones_frac"),
+        F.round(F.max(imb), 6).alias("max_imbalance"),
+        F.sum(F.when(imb > 0.1, 1).otherwise(0)).cast("bigint").alias("n_skewed_bits"),
+    )

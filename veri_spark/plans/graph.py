@@ -527,3 +527,61 @@ def copurchase_top_triples(spark, sf_dir):
         F.col("part_b").asc(),
         F.col("part_c").asc(),
     ).limit(10)
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::DOUBLE AS d FROM und GROUP BY u)
+    SELECT COUNT(*)::BIGINT AS n_edge_ends,
+           ROUND(corr(du.d, dv.d), 6) AS assortativity
+    FROM und e
+    JOIN deg du ON du.u = e.u
+    JOIN deg dv ON dv.u = e.v
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge ends —
+    positive means popular parts co-sell with popular parts (hub-hub
+    cores that make sampling and partitioning skew-prone), negative
+    means hub-and-spoke. With the triangle census and the hubness
+    audit this completes the structural triad you check before running
+    graph algorithms at scale. Degrees are one aggregate; the
+    correlation is two broadcast-sized degree joins against the edge
+    list and a single partial-aggregated corr — no wedge join at all,
+    so this is the cheapest of the three structure audits."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("d")).persist()
+    j = (
+        und.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edge_ends"),
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    )

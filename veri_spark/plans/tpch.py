@@ -1811,3 +1811,58 @@ def orders_backlog_series(spark, sf_dir):
         "n_closed",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias("backlog"),
     ).orderBy(F.col("month").asc())
+
+
+@register(
+    "part_supplier_hhi",
+    """
+    WITH s AS (
+      SELECT l_partkey, l_suppkey, COUNT(*)::DOUBLE AS n
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    t AS (SELECT l_partkey, SUM(n) AS tn, COUNT(*)::BIGINT AS n_suppliers
+          FROM s GROUP BY l_partkey),
+    h AS (
+      SELECT s.l_partkey, ANY_VALUE(t.n_suppliers) AS n_suppliers,
+             SUM((s.n / t.tn) * (s.n / t.tn)) AS hhi
+      FROM s JOIN t USING (l_partkey)
+      GROUP BY s.l_partkey)
+    SELECT l_partkey, n_suppliers, ROUND(hhi, 6) AS hhi
+    FROM h
+    WHERE n_suppliers >= 2
+    ORDER BY hhi DESC, l_partkey ASC
+    LIMIT 20
+    """,
+)
+def part_supplier_hhi(spark, sf_dir):
+    """Supply-concentration audit: the Herfindahl-Hirschman index of each
+    part's supplier mix (sum of squared shipment shares), ranked to
+    surface the multi-sourced parts that are EFFECTIVELY single-sourced
+    — the supply-chain risk metric, and the same concentration shape as
+    `customer_spend_gini` on a different axis. Two partial-aggregated
+    shuffles on the part key (per-(part,supplier) counts, then per-part
+    totals + HHI); shares are ratios of integer counts so the doubles
+    are bit-identical across engines and the LIMIT boundary is
+    deterministic with the part-key tie-break. Single-supplier parts are
+    excluded (HHI trivially 1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = s.groupBy("l_partkey").agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).cast("bigint").alias("n_suppliers")
+    )
+    share = F.col("n") / F.col("tn")
+    h = (
+        s.join(t, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.sum(share * share).alias("hhi"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    return (
+        h.orderBy(F.col("hhi").desc(), F.col("l_partkey").asc())
+        .limit(20)
+        .select("l_partkey", "n_suppliers", F.round("hhi", 6).alias("hhi"))
+    )
