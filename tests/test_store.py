@@ -627,3 +627,67 @@ def test_refresh_index_kmeans_refined(spark, store):
     ).collect()
     assert got[0]["label"] == "b5"
     assert got[0]["score"] < 1e-6
+
+
+# -- K15 query-UUID recursion guard + K16 timeout budget ---------------------
+
+def test_uuid_guard_first_call_executes_repeat_returns_empty(spark, store_ds):
+    """K15 (node/nodeservice.go:118-135): first submission with a UUID
+    returns results; a repeat of the same UUID inside the TTL answers
+    EMPTY with the SAME schema (the reference's empty response that
+    breaks peer recursion). A different UUID is unaffected."""
+    store, name = store_ds
+    q = [[0.1, 0.2, 0.3]]
+    first = store.search(name, q, SearchConfig(limit=2), query_uuid="u-1")
+    rows = first.collect()
+    assert [r["label"] for r in rows] == ["a", "b"]
+
+    repeat = store.search(name, q, SearchConfig(limit=2), query_uuid="u-1")
+    assert repeat.collect() == []
+    assert repeat.schema == first.schema
+
+    other = store.search(name, q, SearchConfig(limit=2), query_uuid="u-2")
+    assert [r["label"] for r in other.collect()] == ["a", "b"]
+
+
+def test_uuid_guard_expires_after_ttl(spark, store_ds):
+    """Entries leave the guard after uuid_ttl_seconds, like the
+    reference's QueryUUIDCache expiry — the same UUID works again."""
+    store, name = store_ds
+    q = [[0.1, 0.2, 0.3]]
+    store.search(name, q, SearchConfig(limit=1), query_uuid="exp-1",
+                 uuid_ttl_seconds=0.0).collect()
+    # ttl 0: the entry is already expired at the next call
+    again = store.search(name, q, SearchConfig(limit=1), query_uuid="exp-1",
+                         uuid_ttl_seconds=0.0)
+    assert [r["label"] for r in again.collect()] == ["a"]
+
+
+def test_uuid_guard_without_uuid_is_inert(spark, store_ds):
+    """No UUID -> no guard state, repeated identical searches all answer."""
+    store, name = store_ds
+    q = [[0.1, 0.2, 0.3]]
+    for _ in range(2):
+        assert store.search(name, q, SearchConfig(limit=1)).collect() != []
+    assert store._seen_query_uuids == {}
+
+
+def test_search_with_timeout_completes_within_budget(spark, store_ds):
+    """K16 happy path: a generous budget returns the same rows as a plain
+    collect."""
+    store, name = store_ds
+    rows = store.search_with_timeout(
+        name, [[0.1, 0.2, 0.3]], timeout_ms=120_000, config=SearchConfig(limit=2)
+    )
+    assert [r["label"] for r in rows] == ["a", "b"]
+
+
+def test_collect_with_timeout_cancels_and_raises(spark):
+    """K16 deadline path: a job that cannot finish inside the budget is
+    cancelled (job group interrupt) and SearchTimeout raises. Uses a
+    deliberately heavy aggregate so the 150 ms budget is unreachable."""
+    from veri_spark.store import SearchTimeout, collect_with_timeout
+
+    heavy = spark.range(5_000_000_000).selectExpr("sum(id * 2 + 1) AS s")
+    with pytest.raises(SearchTimeout):
+        collect_with_timeout(heavy, timeout_ms=150)

@@ -110,6 +110,9 @@ class FeatureStore:
         self.spark = prepare_session(spark)
         self.root = root.rstrip("/")
         self.use_delta = delta_available() if use_delta is None else use_delta
+        # K15 recursion guard: seen query UUIDs -> first-seen monotonic time
+        # (the analog of QueryUUIDCache, node/nodeservice.go:120-135)
+        self._seen_query_uuids: dict[str, float] = {}
         os.makedirs(self.root, exist_ok=True)
 
     # -- catalog ----------------------------------------------------------
@@ -557,6 +560,8 @@ class FeatureStore:
         nprobe: int = 2,
         n_centroids: int = 16,
         cache_seconds: int | None = None,
+        query_uuid: str | None = None,
+        uuid_ttl_seconds: float = 600.0,
     ) -> DataFrame:
         """SearchStream (section 3.1): single- or multi-query KNN with the
         full aggregation pipeline. ``Annoy*`` score functions take the
@@ -567,8 +572,36 @@ class FeatureStore:
         normalized (dataset, queries, config) triple, mirroring
         data/search.go:151-158's query-key + config-minus-uuid, PLUS the
         dataset's mutation stamp — any insert/delete/expire bumps the stamp,
-        so a cached result is never served across a write."""
+        so a cached result is never served across a write.
+
+        ``query_uuid`` is the K15 recursion guard (node/nodeservice.go:
+        118-135): the reference assigns each query a UUID at the first hop
+        and any node that sees the UUID again answers EMPTY, breaking
+        infinite peer recursion. Spark's DAG is acyclic so the loop cannot
+        happen inside one plan — the analog here makes RE-SUBMISSION
+        idempotent: the first call with a UUID executes, any repeat within
+        ``uuid_ttl_seconds`` returns the same plan LIMIT 0 (schema-stable
+        empty, exactly the reference's empty response). Entries expire
+        after the TTL like the reference's cache."""
         config = config or SearchConfig()
+        duplicate_uuid = False
+        if query_uuid is not None:
+            import time as _time
+
+            now = _time.monotonic()
+            self._seen_query_uuids = {
+                u: t
+                for u, t in self._seen_query_uuids.items()
+                if now - t < uuid_ttl_seconds
+            }
+            if query_uuid in self._seen_query_uuids:
+                duplicate_uuid = True
+            else:
+                self._seen_query_uuids[query_uuid] = now
+
+        def _guard(df: DataFrame) -> DataFrame:
+            return df.limit(0) if duplicate_uuid else df
+
         cache_key = None
         if cache_seconds:
             import hashlib
@@ -584,41 +617,62 @@ class FeatureStore:
                 cache_key = hashlib.sha256(payload.encode()).hexdigest()[:32]
                 hit = self._cached_result(cache_key, cache_seconds)
                 if hit is not None:
-                    return hit
+                    return _guard(hit)
 
         def _finish(df: DataFrame) -> DataFrame:
             return self._store_result(cache_key, df) if cache_key else df
 
         corpus = self._read(name)
         if isinstance(query_vectors, DataFrame):
-            return multi_search(
+            return _guard(multi_search(
                 corpus, query_vectors, config,
                 context_vectors=context_vectors,
                 prioritize_context=prioritize_context,
-            )
+            ))
         if len(query_vectors) == 1:
             q = list(query_vectors[0])
             if is_approximate(config.score_func):
-                return _finish(self._approx_search(
+                return _guard(_finish(self._approx_search(
                     name, corpus, q, config, nprobe, n_centroids,
                     context_vectors=context_vectors,
                     prioritize_context=prioritize_context,
-                ))
-            return _finish(aggregated_search(
+                )))
+            return _guard(_finish(aggregated_search(
                 corpus, q, config,
                 context_vectors=context_vectors,
                 prioritize_context=prioritize_context,
                 key_cols=["label"],
-            ))
+            )))
         queries = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
             "query_id int, query_vector array<float>",
         )
-        return _finish(multi_search(
+        return _guard(_finish(multi_search(
             corpus, queries, config,
             context_vectors=context_vectors,
             prioritize_context=prioritize_context,
-        ))
+        )))
+
+    def search_with_timeout(
+        self,
+        name: str,
+        query_vectors,
+        timeout_ms: int,
+        config: SearchConfig | None = None,
+        **kwargs,
+    ) -> list:
+        """K16 timeout budget (data/search.go:162-165, 219-222): execute the
+        search under a hard deadline. The reference treats the deadline as a
+        PRECISION knob — the merge loop returns whatever peers answered in
+        time. Spark actions are all-or-nothing (a partial shuffle is not
+        consumable), so the honest analog is fail-fast: the job group is
+        cancelled at the deadline and ``SearchTimeout`` raises — the caller
+        degrades explicitly (retry with a cheaper config / the ``Annoy*``
+        approximate path) instead of silently receiving a worse answer.
+        The reference's 0.9x per-hop budget decay has no analog: Spark owns
+        intra-query scheduling. Returns collected rows on success."""
+        df = self.search(name, query_vectors, config, **kwargs)
+        return collect_with_timeout(df, timeout_ms)
 
     def _approx_search(
         self,
@@ -823,3 +877,47 @@ class FeatureStore:
         from veri_spark.operators.search import ttl_filter
 
         return ttl_filter(self._read(name))
+
+
+class SearchTimeout(TimeoutError):
+    """Raised by collect_with_timeout when the deadline passes before the
+    action completes (K16 analog; the triggering job group is cancelled
+    before this raises, so no orphan stages keep burning the cluster)."""
+
+
+def collect_with_timeout(df: DataFrame, timeout_ms: int):
+    """Run ``df.collect()`` under a hard deadline (K16, data/search.go:
+    162-165). The action runs in a worker thread inside its own Spark job
+    group with ``interruptOnCancel``; if the deadline passes first, the
+    group is cancelled (killing its running stages cluster-wide) and
+    ``SearchTimeout`` raises. PySpark's pinned-thread mode keeps the job
+    group thread-local, so concurrent searches cancel independently."""
+    import threading
+    import uuid as _uuid
+
+    sc = df.sparkSession.sparkContext
+    gid = f"search-deadline-{_uuid.uuid4().hex[:12]}"
+    out: list = []
+    err: list = []
+
+    def _run() -> None:
+        try:
+            sc.setJobGroup(gid, "search with timeout budget (K16)",
+                           interruptOnCancel=True)
+            out.append(df.collect())
+        except BaseException as exc:  # noqa: BLE001 — surfaced to caller
+            err.append(exc)
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout_ms / 1000.0)
+    if t.is_alive():
+        sc.cancelJobGroup(gid)
+        t.join(10.0)
+        raise SearchTimeout(
+            f"search exceeded its {timeout_ms} ms budget; job group {gid} "
+            "cancelled"
+        )
+    if err:
+        raise err[0]
+    return out[0]
