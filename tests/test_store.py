@@ -691,3 +691,52 @@ def test_collect_with_timeout_cancels_and_raises(spark):
     heavy = spark.range(5_000_000_000).selectExpr("sum(id * 2 + 1) AS s")
     with pytest.raises(SearchTimeout):
         collect_with_timeout(heavy, timeout_ms=150)
+
+
+# -- A5 statistical identity + A6 bucket rebalance quotas --------------------
+
+def test_statistical_identity_same_and_drifted(spark, store_ds):
+    """A5 (data/data.go:183): a dataset is identical to its own snapshot
+    (score 0); inserting far-away vectors breaks identity."""
+    from veri_spark.operators.stats import statistical_identity
+
+    store, name = store_ds
+    base = store.data_info(name)
+    same, score, _ = statistical_identity(base, base)
+    assert same and score == 0.0
+
+    far = [([9.0, 9.0, 9.0], "z", f"far{i}", 0) for i in range(4)]
+    store.insert(name, _batch(spark, far))
+    drifted = store.data_info(name)
+    same2, score2, thr2 = statistical_identity(base, drifted)
+    assert not same2 and score2 > thr2
+
+
+def test_index_refresh_needed_damps_on_unchanged(spark, store_ds):
+    """A5-as-maintenance-damping: no writes -> refresh skipped; a
+    distribution-shifting insert -> refresh needed."""
+    store, name = store_ds
+    base = store.data_info(name)
+    assert store.index_refresh_needed(name, base) is False
+    store.insert(name, _batch(spark, [([8.0, 8.0, 8.0], "z", "shift", 0)]))
+    assert store.index_refresh_needed(name, base) is True
+
+
+def test_bucket_rebalance_plan_quota_formula(spark, store):
+    """A6 (data/data.go:170-195): only over-mean buckets get a quota,
+    quota == min((n - mean)//2 + 1, cap), never exceeding cap."""
+    rows = [([float(i), float(i % 3), 0.5], "g", f"k{i}", 0) for i in range(40)]
+    store.insert("reb", _batch(spark, rows))
+    cfg = store.get_config("reb")
+    plan = store.bucket_rebalance_plan("reb", cap=5).collect()
+    total = sum(r["n"] for r in plan)
+    mean = total / cfg.n_buckets
+    import math
+
+    for r in plan:
+        if r["n"] > mean:
+            expect = min(math.floor((r["n"] - mean) / 2) + 1, 5)
+            assert r["transfer_quota"] == expect, r
+        else:
+            assert r["transfer_quota"] == 0, r
+    assert all(r["transfer_quota"] <= 5 for r in plan)

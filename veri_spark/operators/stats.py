@@ -81,3 +81,34 @@ def histogram_df(
     counts = dists.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
     total = dists.count()
     return counts.withColumn("freq", F.col("cnt") / F.lit(float(total)))
+
+
+def statistical_identity(
+    info_a: dict, info_b: dict, rel_tol: float = 0.01
+) -> tuple[bool, float, float]:
+    """A5 statistical-identity test (data/data.go:183): two datasets are
+    "close enough" when euclidean(avgA, avgB) + euclidean(histA, histB)
+    <= rel_tol * maxDistance. The reference uses it to damp peer
+    rebalancing; here it damps MAINTENANCE — index_refresh_needed skips
+    an IVF/stats rebuild when the corpus hasn't statistically drifted
+    (same decision, different actuator; Spark owns data placement so the
+    peer-sync use has no analog). maxDistance is the max of the two
+    sides' observed max distances (symmetric — neither side is the
+    privileged 'local' peer here). Returns (identical, drift_score,
+    threshold); degenerate empty stats compare equal only to each other.
+    """
+    import math
+
+    avg_a, avg_b = info_a.get("avg") or [], info_b.get("avg") or []
+    n = min(len(avg_a), len(avg_b))
+    d_avg = math.sqrt(sum((avg_a[i] - avg_b[i]) ** 2 for i in range(n)))
+    h_a, h_b = info_a.get("hist") or [], info_b.get("hist") or []
+    m = min(len(h_a), len(h_b))
+    d_hist = math.sqrt(sum((h_a[i] - h_b[i]) ** 2 for i in range(m)))
+    max_dist = max(
+        float(info_a.get("max_distance") or 0.0),
+        float(info_b.get("max_distance") or 0.0),
+    )
+    score = d_avg + d_hist
+    threshold = rel_tol * max_dist
+    return score <= threshold, score, threshold

@@ -872,6 +872,61 @@ class FeatureStore:
         """GetDataInfo (proto:100-114): N, centroid, max distance, histogram."""
         return ST.data_info(self._read(name))
 
+    # -- A5/A6: stats-damped maintenance + bucket rebalance quotas ---------
+    def index_refresh_needed(
+        self, name: str, baseline_info: dict, rel_tol: float = 0.01
+    ) -> bool:
+        """A5 re-aimed at maintenance (data/data.go:183): the reference
+        damps peer REBALANCING when two datasets test statistically
+        identical; Spark owns data placement, so the same test damps the
+        background INDEX/STATS refresh instead — callers snapshot
+        ``data_info`` when they build an index and skip the rebuild while
+        the live stats still pass the identity test (centroid drift +
+        histogram drift <= rel_tol * maxDistance). Cheap: one stats pass,
+        no index work, no full compare of the data itself."""
+        identical, _, _ = ST.statistical_identity(
+            self.data_info(name), baseline_info, rel_tol
+        )
+        return not identical
+
+    def bucket_rebalance_plan(self, name: str, cap: int = 1000) -> DataFrame:
+        """A6 DataSourceDiffMap (data/data.go:170-195) re-aimed at the
+        bucket layout: the reference plans per-peer transfer quotas
+        ``min((localN - peerN)/2 + 1, cap)``; here the 'peers' are the
+        dataset's hash buckets and the counterparty is the mean bucket
+        (hash bucketing keeps buckets statistically alike — A5 holds by
+        construction — so only COUNT imbalance matters; real skew appears
+        when upstream keys are non-uniform). Returns one row per
+        over-mean bucket with the reference's damped quota — the worklist
+        ``compact`` (or a targeted bucket rewrite) would execute. One
+        partition-pruned count aggregate; nothing is moved here."""
+        cfg = self.get_config(name)
+        counts = (
+            self._read_keyed(name)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        total = counts.agg(
+            F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nb")
+        )
+        mean = F.col("tot").cast("double") / F.lit(cfg.n_buckets)
+        quota = F.least(
+            (F.floor((F.col("n") - mean) / 2) + 1).cast("bigint"),
+            F.lit(int(cap)).cast("bigint"),
+        )
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .select(
+                "bucket",
+                "n",
+                F.round(mean, 2).alias("mean_n"),
+                F.when(F.col("n") > mean, quota)
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("transfer_quota"),
+            )
+            .orderBy(F.col("transfer_quota").desc(), F.col("bucket").asc())
+        )
+
     def export(self, name: str) -> DataFrame:
         """DataStream: the full live table (TTL-filtered)."""
         from veri_spark.operators.search import ttl_filter
