@@ -1866,3 +1866,61 @@ def part_supplier_hhi(spark, sf_dir):
         .limit(20)
         .select("l_partkey", "n_suppliers", F.round("hhi", 6).alias("hhi"))
     )
+
+
+@register(
+    "orders_fill_sla",
+    """
+    WITH o AS (
+      SELECT o.o_orderkey, o.o_orderdate, MAX(l.l_shipdate) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    b AS (
+      SELECT CASE WHEN date_diff('day', o_orderdate, last_ship) <= 30 THEN '0-30'
+                  WHEN date_diff('day', o_orderdate, last_ship) <= 60 THEN '31-60'
+                  WHEN date_diff('day', o_orderdate, last_ship) <= 90 THEN '61-90'
+                  ELSE '90+' END AS sla_bucket
+      FROM o),
+    t AS (SELECT COUNT(*)::DOUBLE AS n FROM b)
+    SELECT sla_bucket, COUNT(*)::BIGINT AS n_orders,
+           ROUND(COUNT(*) / ANY_VALUE(t.n), 6) AS frac
+    FROM b CROSS JOIN t
+    GROUP BY sla_bucket
+    ORDER BY sla_bucket ASC
+    """,
+)
+def orders_fill_sla(spark, sf_dir):
+    """Fulfillment-SLA attainment: orders bucketed by days from order to
+    LAST shipment (the whole order is only as fast as its slowest line)
+    — the service-level histogram every ops dashboard opens with, and
+    the complement of `orders_backlog_series`' time axis: backlog says
+    how many are open, this says how long closing took. One
+    partial-aggregated shuffle on the order key for last-ship, a
+    map-only bucket expression, and a 4-row rollup with the total
+    riding a broadcast one-row aggregate. All-integer day arithmetic —
+    bucket edges cannot flap across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    days = F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+    b = o.select(
+        F.when(days <= 30, "0-30")
+        .when(days <= 60, "31-60")
+        .when(days <= 90, "61-90")
+        .otherwise("90+")
+        .alias("sla_bucket")
+    )
+    t = b.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("sla_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.count(F.lit(1)) / F.max("n"), 6).alias("frac"),
+        )
+        .orderBy(F.col("sla_bucket").asc())
+    )

@@ -981,3 +981,78 @@ def quantize_recall_audit(spark, sf_dir):
             F.round(F.count(F.lit(1)).cast("double") / 10, 6).alias("recall"),
         )
     )
+
+
+@register(
+    "pq_subspace_error",
+    f"""
+    WITH cb AS (SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e
+                FROM embeddings WHERE vec_id < {_PQ_K}),
+    subd AS (
+      SELECT r.vec_id, j.j, cb.c, {_dd_subdist('r.e', 'cb.e', 'j.j')} AS d
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) r
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+      CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, c ASC) AS rn
+        FROM subd) WHERE rn = 1
+    )
+    SELECT j::INTEGER AS subspace,
+           ROUND(AVG(d), 6) AS mean_sq_err,
+           ROUND(MAX(d), 6) AS max_sq_err
+    FROM enc GROUP BY j ORDER BY j ASC
+    """,
+)
+def pq_subspace_error(spark, sf_dir):
+    """PQ quantization-error breakdown BY SUBSPACE: the mean/max squared
+    reconstruction error of each of the 8 codebooks — the diagnostic
+    that tells you WHICH dimensions a product quantizer is butchering
+    (a hot subspace wants more centroids, an OPQ-style rotation, or a
+    different dim split; `embedding_quantize_error` gives only the
+    scalar-quantizer aggregate). Encode is the sanctioned Arrow
+    pandas_udf pass (map-only, the codes are what a 100 TB corpus
+    persists); reconstruction error re-derives the chosen entry from
+    the code via literal codebook lookup — 8 tiny zip_with sums, no
+    re-scoring of all 16 candidates — and one 8-row rollup ends the
+    plan. Deterministic first-rows codebooks, same convention as
+    `ann_pq_adc`, so the oracle rebuilds them exactly."""
+    from veri_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = (
+        emb.filter(F.col("vec_id") < _PQ_K).select("vec_id", "embedding").collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in head}
+    books = [
+        [by_id[c][j * _PQ_SUB : (j + 1) * _PQ_SUB] for c in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+    enc = pq_encode(emb.select("vec_id", "embedding"), books)
+    x = F.col("embedding").cast("array<double>")
+    per = []
+    for j in range(_PQ_M):
+        bl = F.array(
+            *[F.array(*[F.lit(float(v)) for v in books[j][c]]) for c in range(_PQ_K)]
+        )
+        entry = F.element_at(bl, F.element_at(F.col("pq_code"), j + 1) + 1)
+        sub = F.slice(x, j * _PQ_SUB + 1, _PQ_SUB)
+        err = F.aggregate(
+            F.zip_with(sub, entry, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        per.append(F.struct(F.lit(j).alias("subspace"), err.alias("d")))
+    long = enc.select(F.explode(F.array(*per)).alias("s")).select(
+        F.col("s.subspace").alias("subspace"), F.col("s.d").alias("d")
+    )
+    return (
+        long.groupBy("subspace")
+        .agg(
+            F.round(F.avg("d"), 6).alias("mean_sq_err"),
+            F.round(F.max("d"), 6).alias("max_sq_err"),
+        )
+        .orderBy(F.col("subspace").asc())
+    )

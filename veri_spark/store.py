@@ -906,9 +906,7 @@ class FeatureStore:
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         )
-        total = counts.agg(
-            F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nb")
-        )
+        total = counts.agg(F.sum("n").alias("tot"))
         mean = F.col("tot").cast("double") / F.lit(cfg.n_buckets)
         quota = F.least(
             (F.floor((F.col("n") - mean) / 2) + 1).cast("bigint"),
