@@ -342,7 +342,13 @@ def graph_triangle_census(spark, sf_dir):
     the driver. The wedge-join fan-out is sum_b deg<(b)*deg>(b) — at
     100 TB you'd additionally orient by (degree, id) instead of raw id,
     which provably minimizes that sum (the MPC triangle-counting trick);
-    id-orientation keeps the oracle SQL exactly mirrorable here."""
+    id-orientation keeps the oracle SQL exactly mirrorable here. The
+    wedge intermediate is inherently ~m^1.5 rows (tens of millions at
+    sf0.1 — this is the one deliberately super-linear audit in the
+    registry); for continuous monitoring at 100 TB run it on a
+    DOULION-style p-sampled edge set (keep each edge w.p. p, scale
+    triangles by 1/p^3, unbiased) and reserve the exact census for
+    offline runs."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
