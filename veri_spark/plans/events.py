@@ -1886,10 +1886,14 @@ def session_survival_curve(spark, sf_dir):
     once."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # ts is TIMESTAMP_NTZ from the nanos parquet — no direct long cast;
-    # unix_timestamp() handles both timestamp flavors identically here
-    gap_sec = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("prev"))
-    new_s = F.when(F.col("prev").isNull() | (gap_sec >= 1800), 1).otherwise(0)
+    # full-precision gap compare: NTZ subtraction yields a day-time
+    # interval, compared against the literal — unix_timestamp() TRUNCATES
+    # sub-second parts and split one 1799.x-s gap differently at sf0.1
+    new_s = F.when(
+        F.col("prev").isNull()
+        | ((F.col("ts") - F.col("prev")) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
     s = (
         ev.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev"))
         .select("user_id", "ts", "event_id", new_s.alias("new_s"))
