@@ -146,8 +146,16 @@ def main():
         import json
         import os
 
+        # name by SF so the sf0.1 sweep never clobbers the sf0.01 artifact
+        # (CORRECTNESS_local.json stays the gate-scale sf0.01 name)
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        fname = (
+            "CORRECTNESS_local.json"
+            if tag == "sf0.01"
+            else f"CORRECTNESS_local_{tag}.json"
+        )
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "CORRECTNESS_local.json")
+                           fname)
         with open(out, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {out} ({len(report)} queries)")
