@@ -1662,3 +1662,82 @@ def simhash_bit_balance(spark, sf_dir):
         F.round(F.max(imb), 6).alias("max_imbalance"),
         F.sum(F.when(imb > 0.1, 1).otherwise(0)).cast("bigint").alias("n_skewed_bits"),
     )
+
+
+@register(
+    "semantic_dedup_threshold_sweep",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             LEAST(GREATEST(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]),
+                            -1.0), 1.0) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id),
+    n AS (SELECT COUNT(*)::DOUBLE AS total FROM embeddings),
+    t AS (SELECT unnest([0.8, 0.9, 0.95, 0.99]) AS thr),
+    hits AS (
+      SELECT t.thr, p.id_a, p.id_b FROM p JOIN t ON p.cos >= t.thr),
+    docs AS (
+      SELECT thr, COUNT(DISTINCT v)::BIGINT AS n_docs
+      FROM (SELECT thr, id_a AS v FROM hits
+            UNION ALL SELECT thr, id_b AS v FROM hits)
+      GROUP BY thr),
+    pairs AS (SELECT thr, COUNT(*)::BIGINT AS n_pairs FROM hits GROUP BY thr)
+    SELECT t.thr AS threshold,
+           COALESCE(pairs.n_pairs, 0)::BIGINT AS n_pairs,
+           COALESCE(docs.n_docs, 0)::BIGINT AS n_docs,
+           ROUND(COALESCE(docs.n_docs, 0) / ANY_VALUE(n.total), 6) AS frac_docs
+    FROM t
+    LEFT JOIN pairs ON pairs.thr = t.thr
+    LEFT JOIN docs ON docs.thr = t.thr
+    CROSS JOIN n
+    GROUP BY t.thr, pairs.n_pairs, docs.n_docs
+    ORDER BY t.thr ASC
+    """,
+)
+def semantic_dedup_threshold_sweep(spark, sf_dir):
+    """Threshold calibration for EMBEDDING near-dup removal: pair and
+    affected-document counts at cosine 0.8/0.9/0.95/0.99 — the vector
+    counterpart of `jaccard_threshold_sweep`, and the curve you read
+    before committing a semantic-dedup cutoff (too low deletes
+    paraphrases a trainer needs; too high keeps true dups). Pairs come
+    from the label-blocked self-join `dedup_embedding_cosine` uses
+    (at 100 TB the block becomes an LSH/IVF bucket — same plan, other
+    key); the sweep is a 4-row broadcast against the scored pairs, so
+    the pair join runs ONCE for all thresholds. Affected-doc counts
+    de-duplicate ids through a union before the distinct — exact, not
+    estimated. Cosines are the hoisted-norm form, bit-identical to the
+    oracle, so threshold boundaries cannot flap."""
+    from veri_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb).select("id_a", "id_b", "cos").persist()
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    thr = spark.createDataFrame(
+        [(0.8,), (0.9,), (0.95,), (0.99,)], "thr double"
+    )
+    hits = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("cos") >= F.col("thr")
+    )
+    docs = (
+        hits.select("thr", F.col("id_a").alias("v"))
+        .union(hits.select("thr", F.col("id_b").alias("v")))
+        .groupBy("thr")
+        .agg(F.countDistinct("v").cast("bigint").alias("n_docs"))
+    )
+    np = hits.groupBy("thr").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        thr.join(np, "thr", "left")
+        .join(docs, "thr", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("thr").alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.coalesce(F.col("n_docs"), F.lit(0)) / F.col("total"), 6
+            ).alias("frac_docs"),
+        )
+        .orderBy(F.col("threshold").asc())
+    )

@@ -1998,3 +1998,71 @@ def hourly_ewma_residuals(spark, sf_dir):
             F.round(F.abs(F.col("n") - F.col("ewma")), 6).alias("abs_residual"),
         )
     )
+
+
+@register(
+    "event_type_cooccurrence_lift",
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT COUNT(DISTINCT user_id)::DOUBLE AS n FROM events),
+    s AS (SELECT event_type, COUNT(*)::DOUBLE AS n FROM u GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*)::BIGINT AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(p.n_both * ANY_VALUE(nu.n) / (sa.n * sb.n), 6) AS lift
+    FROM p
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+    CROSS JOIN nu
+    GROUP BY p.type_a, p.type_b, p.n_both, sa.n, sb.n
+    ORDER BY p.type_a ASC, p.type_b ASC
+    """,
+)
+def event_type_cooccurrence_lift(spark, sf_dir):
+    """User-grain behavior co-occurrence: for each unordered pair of event
+    types, how many users exhibit BOTH, and the lift against
+    independence — the segmentation signal `event_transition_matrix`
+    cannot give (transitions are adjacent and ordered; this is
+    whole-history and unordered, e.g. 'users who ever purchase also
+    ever error?'). The self-join is on user_id over the DISTINCT
+    (user, type) projection, so fan-out is bounded by |types|^2 per
+    user — the basket-quadratic shape of `copurchase_top_pairs` with
+    users as baskets; supports broadcast. Output is the full
+    |types|-choose-2 matrix, deterministic integer counts and
+    ratio-of-integers lift."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct().persist()
+    nu = ev.agg(F.countDistinct("user_id").cast("double").alias("n"))
+    s = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        p.join(
+            F.broadcast(s.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(s.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") * F.col("n") / (F.col("na") * F.col("nb")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.col("type_a").asc(), F.col("type_b").asc())
+    )

@@ -1924,3 +1924,48 @@ def orders_fill_sla(spark, sf_dir):
         )
         .orderBy(F.col("sla_bucket").asc())
     )
+
+
+@register(
+    "basket_size_histogram",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    b AS (SELECT l_orderkey, COUNT(*)::BIGINT AS basket FROM li GROUP BY l_orderkey),
+    t AS (SELECT COUNT(*)::DOUBLE AS n FROM b)
+    SELECT basket, COUNT(*)::BIGINT AS n_orders,
+           ROUND(COUNT(*) / ANY_VALUE(t.n), 6) AS frac,
+           (COUNT(*) * basket * (basket - 1) / 2)::BIGINT AS pair_fanout
+    FROM b CROSS JOIN t
+    GROUP BY basket
+    ORDER BY basket ASC
+    """,
+)
+def basket_size_histogram(spark, sf_dir):
+    """Basket-size distribution of the order->part bipartite graph, with
+    the PAIR FAN-OUT each size class contributes (n_orders * C(size,2))
+    — the exact cost model for every basket-quadratic self-join in this
+    engine (`copurchase_top_pairs`/`_lift`/`_top_triples`, the
+    PageRank edge build): sum(pair_fanout) IS the wedge row count those
+    joins materialize, so this histogram is what you check before
+    running them at 100 TB and where a basket-size cap's savings are
+    read off directly. One distinct projection, two partial-aggregated
+    rollups, integer arithmetic throughout."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("bigint").alias("basket"))
+    t = b.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("basket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.count(F.lit(1)) / F.max("n"), 6).alias("frac"),
+            (F.count(F.lit(1)) * F.col("basket") * (F.col("basket") - 1) / 2)
+            .cast("bigint")
+            .alias("pair_fanout"),
+        )
+        .orderBy(F.col("basket").asc())
+    )

@@ -1056,3 +1056,85 @@ def pq_subspace_error(spark, sf_dir):
         )
         .orderBy(F.col("subspace").asc())
     )
+
+
+@register(
+    "ivf_nprobe_cost_curve",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cr AS (
+      SELECT c.centroid_id,
+             row_number() OVER (
+               ORDER BY list_distance((SELECT qe FROM q), c.cvec) ASC,
+                        c.centroid_id ASC) AS cell_rank
+      FROM {_DD_CENTROIDS} c),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c),
+    a AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist ASC, centroid_id ASC) AS rn
+        FROM d) WHERE rn = 1),
+    sz AS (SELECT centroid_id, COUNT(*)::BIGINT AS n FROM a GROUP BY centroid_id),
+    n AS (SELECT COUNT(*)::DOUBLE AS total FROM embeddings),
+    probes AS (SELECT unnest(range(1, 5)) AS nprobe)
+    SELECT p.nprobe::INTEGER AS nprobe,
+           SUM(COALESCE(sz.n, 0))::BIGINT AS n_candidates,
+           ROUND(SUM(COALESCE(sz.n, 0)) / ANY_VALUE(n.total), 6) AS scan_frac
+    FROM probes p
+    JOIN cr ON cr.cell_rank <= p.nprobe
+    LEFT JOIN sz ON sz.centroid_id = cr.centroid_id
+    CROSS JOIN n
+    GROUP BY p.nprobe
+    ORDER BY p.nprobe ASC
+    """,
+)
+def ivf_nprobe_cost_curve(spark, sf_dir):
+    """The COST side of the IVF recall/cost trade: rows scanned (and the
+    fraction of the corpus) for nprobe = 1..4 on the standard probe —
+    read next to `ann_ivf_recall_audit` (recall@10 per config) it gives
+    the full operating curve a serving team picks nprobe from. Cell
+    sizes are one partial-aggregated rollup of the map-only literal-
+    centroid assignment; the query's cell ranking is an 8-row window;
+    the curve is a broadcast of 4 probe levels against 8 cell sizes —
+    NOTHING here re-scans the corpus per probe level, which is the
+    point: the audit costs one assignment pass regardless of how many
+    nprobe settings it prices. `ivf_balance_audit` is the same cell-size
+    table read for skew; this prices the probe."""
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cents = take_centroids(emb, 8).collect()
+
+    def d2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)) ** 0.5
+
+    ranked = sorted(
+        (d2(q, r["centroid_vec"]), int(r["centroid_id"])) for r in cents
+    )
+    rank_of = {cid: i + 1 for i, (_, cid) in enumerate(ranked)}
+    a = ivf_assign(emb, take_centroids(emb, 8))
+    sz = a.groupBy("centroid_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rank_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in rank_of.items() for x in kv]
+        ),
+        F.col("centroid_id").cast("int"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    probes = spark.range(1, 5).select(F.col("id").cast("int").alias("nprobe"))
+    return (
+        sz.withColumn("cell_rank", rank_expr)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("nprobe")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_candidates"),
+            F.round(F.sum("n") / F.max("total"), 6).alias("scan_frac"),
+        )
+        .orderBy(F.col("nprobe").asc())
+    )
