@@ -1675,7 +1675,7 @@ def simhash_bit_balance(spark, sf_dir):
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id),
     n AS (SELECT COUNT(*)::DOUBLE AS total FROM embeddings),
-    t AS (SELECT unnest([0.8, 0.9, 0.95, 0.99]) AS thr),
+    t AS (SELECT unnest([0.8, 0.9, 0.95, 0.99]::DOUBLE[]) AS thr),
     hits AS (
       SELECT t.thr, p.id_a, p.id_b FROM p JOIN t ON p.cos >= t.thr),
     docs AS (
