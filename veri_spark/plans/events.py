@@ -2066,3 +2066,45 @@ def event_type_cooccurrence_lift(spark, sf_dir):
         )
         .orderBy(F.col("type_a").asc(), F.col("type_b").asc())
     )
+
+
+@register(
+    "windowed_distinct_audit",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, user_id FROM events),
+    ex AS (SELECT hour, COUNT(DISTINCT user_id)::BIGINT AS exact_u
+           FROM h GROUP BY hour)
+    SELECT COUNT(*)::BIGINT AS n_windows,
+           MIN(exact_u)::BIGINT AS min_distinct,
+           MAX(exact_u)::BIGINT AS max_distinct,
+           SUM(exact_u)::BIGINT AS sum_distinct
+    FROM ex
+    """,
+)
+def windowed_distinct_audit(spark, sf_dir):
+    """Per-window distinct-user audit: exact distinct counts per hour
+    (summary row), run NEXT TO the approx_count_distinct path that the
+    streaming windowed-distinct sketch uses — the test suite asserts the
+    HLL estimate's rsd contract per window against these exact counts
+    (tests/test_streaming_and_multimodal.py::
+    test_streaming_windowed_distinct_sketch; `hll_distinct_audit` does
+    the corpus-global version). Exact per-window distinct is ONE
+    shuffle on (hour, user) with map-side partial dedup; the sum of
+    per-window distincts also bounds the streaming sketch's state. The
+    oracle checks the exact side; the approximate side's contract stays
+    pytest-asserted because DuckDB's approx_count_distinct is a
+    different HLL implementation (cross-engine estimate equality is not
+    a meaningful target — the CONTRACT is)."""
+    ev = load_table(spark, sf_dir, "events")
+    ex = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id")
+        .groupBy("hour")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_u"))
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.min("exact_u").cast("bigint").alias("min_distinct"),
+        F.max("exact_u").cast("bigint").alias("max_distinct"),
+        F.sum("exact_u").cast("bigint").alias("sum_distinct"),
+    )

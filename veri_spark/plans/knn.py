@@ -1787,3 +1787,124 @@ def label_noise_candidates(spark, sf_dir):
             "vec_id", "label", "n_agree", "n_nbrs", F.round(ratio, 6).alias("agreement")
         )
     )
+
+
+@register(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cosr AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                 embedding::DOUBLE[], (SELECT qe FROM q)), -1.0), 1.0) DESC,
+               vec_id ASC) AS r
+      FROM embeddings),
+    dotr AS (
+      SELECT e.vec_id,
+             row_number() OVER (
+               ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> (e.embedding::DOUBLE[])[i] * q.qe[i])) DESC,
+               e.vec_id ASC) AS r
+      FROM embeddings e CROSS JOIN q),
+    fused AS (
+      SELECT COALESCE(c.vec_id, d.vec_id) AS vec_id,
+             1.0 / (60 + COALESCE(c.r, 1000000))
+             + 1.0 / (60 + COALESCE(d.r, 1000000)) AS rrf
+      FROM (SELECT * FROM cosr WHERE r <= 50) c
+      FULL OUTER JOIN (SELECT * FROM dotr WHERE r <= 50) d
+        ON c.vec_id = d.vec_id)
+    SELECT vec_id, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval rank fusion: Reciprocal Rank Fusion (k=60) of two
+    retrievers' top-50 lists — cosine (direction) and raw dot product
+    (direction x magnitude) — the standard way serving stacks combine
+    lexical+dense or multi-metric rankings WITHOUT score calibration
+    (RRF needs only ranks, so incomparable score scales fuse cleanly;
+    Cormack et al., SIGIR 2009). Each ranking is a map-only scoring
+    pass + bounded top-50; fusion is a full-outer join of two 50-row
+    lists with absent-rank contribution pinned by a large sentinel
+    (1/(60+1e6) ~ 0 but EXACT in both engines, so the fused doubles are
+    bit-identical — no epsilon games). At 100 TB each leg is whatever
+    index serves it (IVF-PQ, BM25 postings); fusion cost never grows
+    past the shortlists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    x = F.col("embedding").cast("array<double>")
+
+    def shortlist(score, name):
+        w = Window.orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+        return (
+            emb.select("vec_id", score.alias("__s"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 50)
+            .select("vec_id", F.col("r").alias(name))
+        )
+
+    cosr = shortlist(V.cosine_similarity(x, q), "rc")
+    dotr = shortlist(V.dot_product(x, q), "rd")
+    sentinel = F.lit(1000000)
+    fused = (
+        cosr.join(dotr, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            (
+                1.0 / (60 + F.coalesce(F.col("rc"), sentinel))
+                + 1.0 / (60 + F.coalesce(F.col("rd"), sentinel))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("rrf", 6).alias("rrf_score"))
+    )
+
+
+@register(
+    "knn_diversity_capped",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             LEAST(GREATEST(list_cosine_similarity(
+               embedding::DOUBLE[], (SELECT qe FROM q)), -1.0), 1.0) AS cos
+      FROM embeddings),
+    r AS (
+      SELECT vec_id, label, cos,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos DESC, vec_id ASC) AS lr
+      FROM s)
+    SELECT vec_id, label, ROUND(cos, 6) AS score
+    FROM r WHERE lr <= 2
+    ORDER BY cos DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_diversity_capped(spark, sf_dir):
+    """Constrained top-k serving: the 10 best cosine matches with AT MOST
+    2 results per label — the category-diversity cap every marketplace/
+    news retrieval layer applies (MMR optimizes pairwise diversity at
+    higher cost, `mmr_rerank`; a hard per-group cap is the cheap
+    production default). One map-only scoring pass; the per-label cap
+    is a WindowGroupLimit (rank <= 2 per label — Spark prunes to the
+    top 2 per label BEFORE the final TakeOrdered, no global sort of
+    the corpus); then the bounded global top-10. Same two-level top-k
+    shape as `knn_grouped_topk` with the global limit applied AFTER
+    the group cap instead of per group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    x = F.col("embedding").cast("array<double>")
+    s = emb.select("vec_id", "label", V.cosine_similarity(x, q).alias("cos"))
+    w = Window.partitionBy("label").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    capped = s.withColumn("lr", F.row_number().over(w)).filter(F.col("lr") <= 2)
+    return (
+        capped.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("cos", 6).alias("score"))
+    )
