@@ -2108,3 +2108,77 @@ def windowed_distinct_audit(spark, sf_dir):
         F.max("exact_u").cast("bigint").alias("max_distinct"),
         F.sum("exact_u").cast("bigint").alias("sum_distinct"),
     )
+
+
+@register(
+    "cohort_spend_ltv",
+    """
+    WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                FROM events GROUP BY user_id),
+    cs AS (SELECT cohort, COUNT(*)::DOUBLE AS cohort_users FROM fw GROUP BY cohort),
+    act AS (
+      SELECT fw.cohort,
+             CAST(date_diff('week', fw.cohort, date_trunc('week', e.ts)) AS INTEGER)
+               AS offset_w,
+             SUM(e.value) AS spend
+      FROM events e JOIN fw ON fw.user_id = e.user_id
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, offset_w,
+             SUM(spend) OVER (PARTITION BY cohort ORDER BY offset_w ASC) AS cum_spend
+      FROM act)
+    SELECT c.cohort::DATE AS cohort_week, c.offset_w,
+           ROUND(c.cum_spend / cs.cohort_users, 2) AS ltv_per_user
+    FROM cum c JOIN cs ON cs.cohort = c.cohort
+    WHERE c.offset_w <= 8
+    ORDER BY cohort_week ASC, offset_w ASC
+    """,
+)
+def cohort_spend_ltv(spark, sf_dir):
+    """Cohort LTV triangle: cumulative value per user by first-active week
+    and weeks-since — the MONETARY companion of `user_retention_cohorts`
+    (that one counts who comes back; this measures what they're worth,
+    which is what acquisition-spend decisions actually read). First-week
+    assignment is one MIN per user; per-(cohort, offset) spend is one
+    partial-aggregated rollup of the cohort-joined stream; the
+    cumulative sum runs on the cohort x offset triangle (span-sized,
+    tiny). Output truncated to offsets 0..8 for a stable triangle;
+    per-user normalization divides by the FULL cohort size, so the
+    curve reads as expected-LTV, not survivor-LTV."""
+    ev = load_table(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    cs = fw.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("cohort_users")
+    )
+    act = (
+        ev.join(fw, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+                )
+            )
+            .cast("int")
+            .alias("offset_w"),
+        )
+        .agg(F.sum("value").alias("spend"))
+    )
+    w = Window.partitionBy("cohort").orderBy(F.col("offset_w").asc())
+    cum = act.select(
+        "cohort", "offset_w", F.sum("spend").over(w).alias("cum_spend")
+    )
+    return (
+        cum.join(F.broadcast(cs), "cohort")
+        .filter(F.col("offset_w") <= 8)
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            "offset_w",
+            F.round(F.col("cum_spend") / F.col("cohort_users"), 2).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy(F.col("cohort_week").asc(), F.col("offset_w").asc())
+    )

@@ -1138,3 +1138,64 @@ def ivf_nprobe_cost_curve(spark, sf_dir):
         )
         .orderBy(F.col("nprobe").asc())
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                       vec_id % 2 AS half
+                FROM embeddings),
+    x AS (SELECT label, half, generate_subscripts(e, 1) AS pos,
+                 unnest(e) AS v
+          FROM ev),
+    c AS (SELECT label, half, pos, AVG(v) AS av
+          FROM x GROUP BY label, half, pos),
+    d AS (
+      SELECT a.label,
+             sqrt(SUM((a.av - b.av) * (a.av - b.av))) AS shift
+      FROM c a JOIN c b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1
+      GROUP BY a.label)
+    SELECT label, ROUND(shift, 6) AS centroid_shift
+    FROM d ORDER BY label ASC
+    """,
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: the L2 shift between each
+    label's centroid computed on two halves of the corpus (vec_id parity
+    as the batch proxy — in production the halves are yesterday's and
+    today's ingest). A label whose centroid moves is the signal to
+    re-train PQ codebooks / re-seed IVF centroids for that region
+    BEFORE recall quietly degrades — this is the embedding-space
+    counterpart of `vocab_drift_psi`. Per-(label, half, dim) means are
+    one partial-aggregated posexplode rollup (|labels| x 2 x dim partial
+    rows per task, never the vectors); the shift is a join of two tiny
+    centroid tables. Same identity-test family as A5
+    (stats.statistical_identity) at per-label grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    c = x.groupBy("label", "half", "pos").agg(F.avg("v").alias("av"))
+    a = c.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("av").alias("av_a")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("av").alias("av_b")
+    )
+    d = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("av_a") - F.col("av_b")) * (F.col("av_a") - F.col("av_b")))
+            ).alias("shift")
+        )
+    )
+    return d.select("label", F.round("shift", 6).alias("centroid_shift")).orderBy(
+        F.col("label").asc()
+    )
