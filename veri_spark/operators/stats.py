@@ -99,6 +99,18 @@ def statistical_identity(
     """
     import math
 
+    # degenerate guard: an empty dataset has zero-length avg/hist, so the
+    # drift sums vacuously collapse to 0 — without this, empty would test
+    # "identical" to anything. One side empty + other populated => drifted.
+    n_a = int(info_a.get("n") or 0)
+    n_b = int(info_b.get("n") or 0)
+    if (n_a == 0) != (n_b == 0):
+        max_dist = max(
+            float(info_a.get("max_distance") or 0.0),
+            float(info_b.get("max_distance") or 0.0),
+        )
+        return False, math.inf, rel_tol * max_dist
+
     avg_a, avg_b = info_a.get("avg") or [], info_b.get("avg") or []
     n = min(len(avg_a), len(avg_b))
     d_avg = math.sqrt(sum((avg_a[i] - avg_b[i]) ** 2 for i in range(n)))
