@@ -8,10 +8,11 @@ order-insensitive value comparison. Usage:
 
 A full (un-filtered) run also writes ``CORRECTNESS_local.json`` at the repo
 root in the driver gate's schema — one row per registry query with
-rows/schema/hash match booleans. The driver's own CORRECTNESS_r* artifact
-has been pinned to the round-1 query list for three rounds running, so this
-file is the standing, diffable correctness signal for every query the gate
-does not cover (round-3 verdict item 3).
+rows/schema/hash match booleans. Since round 5 the driver samples a rotating
+50-query subset, so ANY registry query can be drawn — this full-sweep
+artifact (regenerated at both SFs each round) is what keeps every query
+strict-green between samples. The float compare is bit-exact (repr), at
+least as strict as the driver's value hash (round-5 verdict task 2).
 """
 
 from __future__ import annotations
@@ -35,8 +36,13 @@ TABLES = (
 
 def normalize(v):
     if isinstance(v, float):
-        # final guard for cross-engine fp noise beyond the query-side rounding
-        return round(v, 4)
+        # DRIVER-STRENGTH compare (round-5 verdict task 2): repr() is the
+        # shortest round-trip representation, so two doubles match iff they
+        # are bit-identical (it also distinguishes -0.0 from 0.0 and makes
+        # NaN compare equal to NaN). The old round(v, 4) normalization was
+        # looser than the driver's value-hash and masked a 6th-decimal
+        # ROUND(AVG(double)) flip for a full round.
+        return repr(v)
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):

@@ -247,29 +247,37 @@ def events_value_quantiles(spark, sf_dir):
     """
     WITH d AS (
       SELECT user_id,
-             epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+             epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
     )
     SELECT user_id,
-           COUNT(gap_s)::BIGINT AS n_gaps,
-           ROUND(AVG(gap_s), 6) AS avg_gap_s,
-           ROUND(MAX(gap_s), 6) AS max_gap_s
+           COUNT(gap_us)::BIGINT AS n_gaps,
+           ROUND(SUM(gap_us) / COUNT(gap_us) / 1e6, 6) AS avg_gap_s,
+           ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s
     FROM d GROUP BY user_id
     """,
 )
 def events_interarrival(spark, sf_dir):
     """Per-user inter-arrival gaps via lag(): general ordered-window surface
     (the window and the groupBy share the user_id partitioning, so the agg
-    reuses the window's shuffle)."""
+    reuses the window's shuffle).
+
+    Determinism: the gaps are exact integer microseconds, so both engines
+    aggregate SUM(gap_us) as BIGINT — order-insensitive — and derive the
+    rounded seconds from ONE identical integer pair (sum, n). The earlier
+    ROUND(AVG(double)) form flipped the 6th decimal between engines when the
+    true mean sat within half an ulp of the rounding boundary (round-5 red
+    driver row)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # NTZ -> TIMESTAMP -> double seconds (session tz pinned UTC, same instant)
-    sec = F.col("ts").cast("timestamp").cast("double")
-    gaps = ev.withColumn("gap_s", sec - F.lag(sec).over(w))
+    # NTZ -> TIMESTAMP (session tz pinned UTC, same instant) -> exact BIGINT us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn("gap_us", us - F.lag(us).over(w))
     return gaps.groupBy("user_id").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
-        F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("gap_us") / F.lit(1e6), 6).alias("avg_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
     )
 
 
@@ -734,10 +742,12 @@ def user_decay_scores(spark, sf_dir):
 @register(
     "value_moments_by_type",
     """
-    WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(value) AS s1,
-                      SUM(value * value) AS s2,
-                      SUM(value * value * value) AS s3,
-                      SUM(value * value * value * value) AS s4
+    WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n,
+                      SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS s1,
+                      SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2,
+                      SUM(CAST(value * value * value AS DECIMAL(38,6)))::DOUBLE AS s3,
+                      SUM(CAST(value * value * value * value
+                               AS DECIMAL(38,8)))::DOUBLE AS s4
                FROM events GROUP BY event_type)
     SELECT event_type, n::BIGINT AS n_events,
            ROUND(s1 / n, 6) AS mean,
@@ -763,10 +773,14 @@ def value_moments_by_type(spark, sf_dir):
     v = F.col("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
-        F.sum(v * v * v).alias("s3"),
-        F.sum(v * v * v * v).alias("s4"),
+        # per-row powers cast to decimal (a deterministic rounding of the
+        # identical double in both engines) so the SUMS are exact and
+        # order-insensitive; the moment formulas below then run on
+        # bit-identical inputs (round-6 determinism sweep)
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,8)")).cast("double").alias("s4"),
     )
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     m = s1 / n
@@ -2120,7 +2134,7 @@ def windowed_distinct_audit(spark, sf_dir):
       SELECT fw.cohort,
              CAST(date_diff('week', fw.cohort, date_trunc('week', e.ts)) AS INTEGER)
                AS offset_w,
-             SUM(e.value) AS spend
+             SUM(CAST(e.value AS DECIMAL(18,2))) AS spend
       FROM events e JOIN fw ON fw.user_id = e.user_id
       GROUP BY 1, 2),
     cum AS (
@@ -2128,7 +2142,7 @@ def windowed_distinct_audit(spark, sf_dir):
              SUM(spend) OVER (PARTITION BY cohort ORDER BY offset_w ASC) AS cum_spend
       FROM act)
     SELECT c.cohort::DATE AS cohort_week, c.offset_w,
-           ROUND(c.cum_spend / cs.cohort_users, 2) AS ltv_per_user
+           ROUND(c.cum_spend::DOUBLE / cs.cohort_users, 2) AS ltv_per_user
     FROM cum c JOIN cs ON cs.cohort = c.cohort
     WHERE c.offset_w <= 8
     ORDER BY cohort_week ASC, offset_w ASC
@@ -2164,11 +2178,15 @@ def cohort_spend_ltv(spark, sf_dir):
             .cast("int")
             .alias("offset_w"),
         )
-        .agg(F.sum("value").alias("spend"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"))
     )
     w = Window.partitionBy("cohort").orderBy(F.col("offset_w").asc())
     cum = act.select(
-        "cohort", "offset_w", F.sum("spend").over(w).alias("cum_spend")
+        "cohort",
+        "offset_w",
+        # decimal cumulative sum is exact; the single double division below
+        # is then identical in both engines (round-6 determinism sweep)
+        F.sum("spend").over(w).cast("double").alias("cum_spend"),
     )
     return (
         cum.join(F.broadcast(cs), "cohort")

@@ -591,3 +591,211 @@ def graph_degree_assortativity(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_edge_ends"),
         F.round(F.corr("du", "dv"), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: proving the wedge-join mitigations (DOULION sampling + degree
+# orientation) with measured numbers instead of docstring claims
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_doulion",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    se AS (
+      SELECT u, v FROM edges
+      WHERE CAST('0x' || substr(md5(u::VARCHAR || '_' || v::VARCHAR), 1, 15)
+                 AS BIGINT) % 2 = 0
+    ),
+    tri AS (
+      SELECT COUNT(*)::BIGINT AS t
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    stri AS (
+      SELECT COUNT(*)::BIGINT AS t
+      FROM se e1
+      JOIN se e2 ON e1.v = e2.u
+      JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM edges) AS n_edges,
+           (SELECT COUNT(*)::BIGINT FROM se) AS n_edges_sampled,
+           t.t AS n_triangles_exact,
+           (s.t * 8)::BIGINT AS n_triangles_est,
+           ROUND((s.t * 8 - t.t) / t.t, 6) AS rel_err
+    FROM tri t CROSS JOIN stri s
+    """,
+)
+def graph_triangle_doulion(spark, sf_dir):
+    """DOULION triangle estimate (Tsourakakis et al., KDD'09) on the
+    co-purchase graph, audited against the exact census: keep each edge
+    with probability p = 1/2 via a DETERMINISTIC portable hash of the edge
+    key (so both engines and any rerun sample the identical subgraph),
+    count triangles on the sampled graph with the same oriented wedge
+    join, and scale by 1/p^3 = 8 — an unbiased estimator. The wedge-join
+    intermediate shrinks by ~p^2 = 4x and the triangle probe input by 2x,
+    which is exactly the mitigation graph_triangle_census's docstring
+    promises for continuous 100 TB monitoring; this query MEASURES the
+    price (realized relative error vs the exact count — the
+    minhash_estimate_error audit pattern). All outputs are integer counts
+    except rel_err, which is ONE division of two identical BIGINTs."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    ekey = F.concat(
+        F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
+    )
+    sampled = edges.filter(portable_hash64(ekey) % 2 == 0).persist()
+
+    def _tri_count(es: DataFrame) -> DataFrame:
+        e1 = es.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = es.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        closing = es.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        return (
+            e1.join(e2, "b")
+            .join(closing, ["a", "c"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        )
+
+    tri = _tri_count(edges)
+    stri = _tri_count(sampled).select(F.col("t").alias("st"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_se = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled")
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(n_se))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(stri))
+        .select(
+            "n_edges",
+            "n_edges_sampled",
+            F.col("t").alias("n_triangles_exact"),
+            (F.col("st") * 8).cast("bigint").alias("n_triangles_est"),
+            F.round((F.col("st") * 8 - F.col("t")) / F.col("t"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+@register(
+    "graph_orientation_fanout",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+    oid AS (SELECT u AS x, COUNT(*)::BIGINT AS outd FROM edges GROUP BY u),
+    odeg AS (
+      SELECT n.u AS x, COUNT(*)::BIGINT AS outd
+      FROM und n
+      JOIN deg dx ON dx.u = n.u
+      JOIN deg dy ON dy.u = n.v
+      WHERE dy.d > dx.d OR (dy.d = dx.d AND n.v > n.u)
+      GROUP BY n.u
+    ),
+    s AS (
+      SELECT (SELECT COUNT(*)::BIGINT FROM edges) AS n_edges,
+             (SELECT SUM(outd * (outd - 1) / 2)::BIGINT FROM oid)
+               AS wedge_fanout_id,
+             (SELECT SUM(outd * (outd - 1) / 2)::BIGINT FROM odeg)
+               AS wedge_fanout_degree
+    )
+    SELECT n_edges, wedge_fanout_id, wedge_fanout_degree,
+           ROUND(wedge_fanout_degree / wedge_fanout_id, 6) AS reduction_ratio
+    FROM s
+    """,
+)
+def graph_orientation_fanout(spark, sf_dir):
+    """Measures the wedge-join fan-out under both edge orientations — the
+    number of candidate wedges the triangle join must materialize, i.e.
+    sum_x C(outdeg(x), 2) for the 'forward' algorithm. Orientation by raw
+    id (what graph_triangle_census uses, so its oracle mirrors exactly)
+    vs orientation by (degree, id) — the classic trick that bounds
+    out-degree by O(sqrt(m)) and provably minimizes the wedge
+    intermediate (Chiba-Nishizeki / MPC triangle counting). The census
+    docstring CLAIMS degree orientation is the 100 TB mitigation; this
+    query measures the realized reduction ratio on the actual graph so
+    the claim ships with a number. Integer wedge sums in both engines
+    (outd*(outd-1) is even, so /2 is exact); the ratio is one division
+    of identical BIGINTs."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    und = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+
+    def _fanout(out_degrees: DataFrame, alias: str) -> DataFrame:
+        return out_degrees.agg(
+            F.sum(F.col("outd") * (F.col("outd") - 1) / 2)
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    oid = edges.groupBy(F.col("u").alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outd")
+    )
+    odeg = (
+        und.join(deg.select(F.col("u"), F.col("d").alias("dx")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dy")), "v"
+        )
+        .filter(
+            (F.col("dy") > F.col("dx"))
+            | ((F.col("dy") == F.col("dx")) & (F.col("v") > F.col("u")))
+        )
+        .groupBy(F.col("u").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("outd"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(_fanout(oid, "wedge_fanout_id")))
+        .crossJoin(F.broadcast(_fanout(odeg, "wedge_fanout_degree")))
+        .select(
+            "n_edges",
+            "wedge_fanout_id",
+            "wedge_fanout_degree",
+            F.round(
+                F.col("wedge_fanout_degree") / F.col("wedge_fanout_id"), 6
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -56,11 +56,15 @@ from veri_spark.plans._base import (  # noqa: F401
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
+                 / COUNT(*), 6) AS avg_price,
+           ROUND(SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE
+                 / COUNT(*), 6) AS avg_disc,
            COUNT(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,19 +73,38 @@ from veri_spark.plans._base import (  # noqa: F401
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: scan-heavy grouped aggregation with
-    full partial-aggregation (map-side combine) before the 4-group shuffle."""
+    full partial-aggregation (map-side combine) before the 4-group shuffle.
+
+    Determinism (round-6 sweep): the disc-price/charge sums and the money
+    averages are DECIMAL-exact — per-row products cast to decimal (a
+    deterministic per-row rounding, identical in both engines), summed
+    order-insensitively, and averages derived as ONE division of the exact
+    decimal sum by the count. sum_qty / avg_qty stay plain doubles: the
+    quantities are integer-valued, so their double sums are exact in any
+    order. This removes the ROUND(AVG(double), 6) boundary-straddle class
+    that flipped events_interarrival in round 5."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
+        .cast("double").alias("sum_disc_price"),
+        F.round(
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2
+        ).cast("double").alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / n, 6
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+            / n, 6
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 

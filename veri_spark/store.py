@@ -589,15 +589,18 @@ class FeatureStore:
             import time as _time
 
             now = _time.monotonic()
+            # each entry carries its own expiry deadline (set from the TTL in
+            # force at registration) so a later call with a SHORT ttl cannot
+            # evict entries registered under a longer one
             self._seen_query_uuids = {
-                u: t
-                for u, t in self._seen_query_uuids.items()
-                if now - t < uuid_ttl_seconds
+                u: deadline
+                for u, deadline in self._seen_query_uuids.items()
+                if now < deadline
             }
             if query_uuid in self._seen_query_uuids:
                 duplicate_uuid = True
             else:
-                self._seen_query_uuids[query_uuid] = now
+                self._seen_query_uuids[query_uuid] = now + uuid_ttl_seconds
 
         def _guard(df: DataFrame) -> DataFrame:
             return df.limit(0) if duplicate_uuid else df
@@ -620,7 +623,12 @@ class FeatureStore:
                     return _guard(hit)
 
         def _finish(df: DataFrame) -> DataFrame:
-            return self._store_result(cache_key, df) if cache_key else df
+            # a duplicate UUID answers empty WITHOUT doing the work — storing
+            # into the result cache would eagerly execute the full search job
+            # the guard exists to avoid
+            if duplicate_uuid or not cache_key:
+                return df
+            return self._store_result(cache_key, df)
 
         corpus = self._read(name)
         if isinstance(query_vectors, DataFrame):
@@ -945,11 +953,26 @@ def collect_with_timeout(df: DataFrame, timeout_ms: int):
     group is cancelled (killing its running stages cluster-wide) and
     ``SearchTimeout`` raises. PySpark's pinned-thread mode keeps the job
     group thread-local, so concurrent searches cancel independently."""
+    import os
     import threading
     import uuid as _uuid
+    import warnings
 
     sc = df.sparkSession.sparkContext
     gid = f"search-deadline-{_uuid.uuid4().hex[:12]}"
+    # job-group cancellation is only precise when pinned-thread mode maps
+    # this Python thread onto its own JVM thread; without it setJobGroup in
+    # the worker may bind to a shared JVM thread and cancelJobGroup becomes
+    # a no-op — fall back to cancelAllJobs (coarse but actually stops work)
+    pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() != "false"
+    if not pinned:
+        warnings.warn(
+            "PYSPARK_PIN_THREAD is disabled: job-group cancel is unreliable; "
+            "falling back to cancelAllJobs on timeout (cancels EVERY job on "
+            "this context)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out: list = []
     err: list = []
 
@@ -965,7 +988,10 @@ def collect_with_timeout(df: DataFrame, timeout_ms: int):
     t.start()
     t.join(timeout_ms / 1000.0)
     if t.is_alive():
-        sc.cancelJobGroup(gid)
+        if pinned:
+            sc.cancelJobGroup(gid)
+        else:
+            sc.cancelAllJobs()
         t.join(10.0)
         raise SearchTimeout(
             f"search exceeded its {timeout_ms} ms budget; job group {gid} "
@@ -973,4 +999,9 @@ def collect_with_timeout(df: DataFrame, timeout_ms: int):
         )
     if err:
         raise err[0]
+    if not out:
+        raise SearchTimeout(
+            f"search worker thread for job group {gid} exited without a "
+            "result or an exception (thread died unexpectedly)"
+        )
     return out[0]
