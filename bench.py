@@ -83,15 +83,31 @@ BENCH_QUERIES = [
     "ann_ivf_rerank",
     # round-5 batch 2: graph-structure audit, packed binary Hamming
     # retrieval, sketch audit, skip-gram mining, IVF-blocked kNN classify.
-    # (graph_triangle_census is deliberately NOT benched: an exact census
-    # is inherently m^1.5 wedge work — ~25 s at sf0.1 — and would dominate
-    # the suite; the assortativity audit covers the graph path cheaply.)
     "graph_degree_assortativity",
     "embedding_binary_hamming",
     "countmin_audit",
     "skipgram_pairs_top",
     "knn_label_accuracy",
+    # round-6 (verdict task 4): the deliberately super-linear wedge-join
+    # audits are now TRACKED instead of excluded — their runtime is exactly
+    # what most needs a number — plus the DOULION sampled estimate and the
+    # orientation fan-out audit that price their mitigations, and the two
+    # most expensive un-benched round-5 queries.
+    "graph_triangle_census",
+    "graph_common_neighbors",
+    "graph_triangle_doulion",
+    "graph_orientation_fanout",
+    "label_noise_candidates",
+    "semantic_dedup_threshold_sweep",
 ]
+
+# m^1.5 offline audits (18-42 s each at sf0.1): one timed run instead of
+# median-of-3 keeps the bench under ~3 min while still recording them.
+SINGLE_RUN = {
+    "graph_triangle_census",
+    "graph_common_neighbors",
+    "graph_triangle_doulion",
+}
 
 
 def main() -> None:
@@ -119,11 +135,11 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         runs = []
-        for _ in range(3):
+        for _ in range(1 if name in SINGLE_RUN else 3):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).collect()
             runs.append(round(time.time() - t0, 3))
-        timings[name] = sorted(runs)[1]
+        timings[name] = sorted(runs)[len(runs) // 2]
         spread[name] = [min(runs), max(runs)]
 
     total = round(sum(timings.values()), 3)
@@ -131,14 +147,16 @@ def main() -> None:
     # the per-query spread grew the line past the driver's tail-capture
     # window). Medians only on stdout; spread + calibration go to a side
     # file the judge can read from the repo.
+    # stdout values at 2dp: the driver captures only the LAST 2000 chars of
+    # stdout, and 60 queries at full precision leave little margin
     compact = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
-    detail = dict(compact, spread=spread, calib_sec=calib)
+    detail = dict(compact, queries=timings, spread=spread, calib_sec=calib)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_local.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -1741,3 +1741,90 @@ def semantic_dedup_threshold_sweep(spark, sf_dir):
         )
         .orderBy(F.col("threshold").asc())
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    """
+    WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 16) AS k,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    o AS (SELECT doc_id, toks,
+                 lead(doc_id, 1) OVER w AS n1_id, lead(toks, 1) OVER w AS n1_toks,
+                 lead(doc_id, 2) OVER w AS n2_id, lead(toks, 2) OVER w AS n2_toks
+          FROM t WINDOW w AS (ORDER BY k ASC, doc_id ASC)),
+    pairs AS (
+      SELECT doc_id AS doc_a, n1_id AS doc_b, toks AS ta, n1_toks AS tb
+      FROM o WHERE n1_id IS NOT NULL
+      UNION ALL
+      SELECT doc_id, n2_id, toks, n2_toks FROM o WHERE n2_id IS NOT NULL),
+    j AS (SELECT doc_a, doc_b,
+                 len(list_intersect(ta, tb))::BIGINT AS inter,
+                 len(list_distinct(list_concat(ta, tb)))::BIGINT AS uni
+          FROM pairs)
+    SELECT doc_a, doc_b, inter, uni, ROUND(inter / uni, 6) AS jaccard
+    FROM j WHERE inter / uni >= 0.4
+    ORDER BY doc_a ASC, doc_b ASC
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution blocking (Hernandez-Stolfo):
+    sort the corpus by a normalized blocking key (16-char lowercased text
+    prefix), slide a w=3 window down the sort order, and verify only the
+    pairs inside the window with exact token Jaccard — the classic
+    alternative to hash blocking (LSH) when near-dups share prefixes but
+    not shingle statistics. The window pairs come from lead() columns, so
+    there is NO self-join: one sort, w-1 lead projections, and a map-side
+    Jaccard on each candidate. The global sort is the method's defining
+    cost and exactly what Spark's range partitioner does at scale — at
+    100 TB this is a sortWithinPartitions after range partitioning on the
+    key, the same total order in distributed form (multi-pass SNM re-sorts
+    on a second key to catch prefix-divergent dups; that is just this
+    query with a different k). Jaccard is one division of identical
+    BIGINTs, thresholded on the unrounded ratio in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 16).alias("k"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    o = t.select(
+        "doc_id",
+        "toks",
+        F.lead("doc_id", 1).over(w).alias("n1_id"),
+        F.lead("toks", 1).over(w).alias("n1_toks"),
+        F.lead("doc_id", 2).over(w).alias("n2_id"),
+        F.lead("toks", 2).over(w).alias("n2_toks"),
+    )
+    pairs = (
+        o.filter(F.col("n1_id").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n1_id").alias("doc_b"),
+            F.col("toks").alias("ta"),
+            F.col("n1_toks").alias("tb"),
+        )
+        .unionByName(
+            o.filter(F.col("n2_id").isNotNull()).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n2_id").alias("doc_b"),
+                F.col("toks").alias("ta"),
+                F.col("n2_toks").alias("tb"),
+            )
+        )
+    )
+    j = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("bigint").alias("inter"),
+        F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("bigint").alias("uni"),
+    )
+    return (
+        j.filter(F.col("inter") / F.col("uni") >= 0.4)
+        .select(
+            "doc_a", "doc_b", "inter", "uni",
+            F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"),
+        )
+        .orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())
+    )

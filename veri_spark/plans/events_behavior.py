@@ -1,0 +1,949 @@
+"""User-behavior analytics: sessions, funnels, cohorts, RFM, LTV, Markov.
+
+Split from plans/events.py (round-6 hygiene, module kept under 2,500 lines);
+every (PySpark program, DuckDB oracle) pair is unchanged and
+registers into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators import search as S  # noqa: F401
+from veri_spark.operators import stats as ST  # noqa: F401
+from veri_spark.operators.topk import (  # noqa: F401
+    dedup_keep_best,
+    topk,
+    topk_per_group,
+)
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _DD_CENTROID_DIST,
+    _DD_SHINGLES,
+    _DD_SPLIT_SHINGLES,
+    _DD_TOKS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    _Q0,
+    _REV_DEC,
+    _dd_l1,
+    _dd_subdist,
+    _knn,
+    _minhash_seed_values,
+    _query_vector,
+    _rev_dec,
+    _round_half_up,
+    register,
+)
+
+
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o)
+    SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM f GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — the batch form
+    of streaming/windows.session_window_agg; the oracle is the classic
+    gaps-and-islands formulation."""
+    from veri_spark.streaming.windows import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_window_agg(ev, gap="30 minutes", group_cols=("user_id",))
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
+    "events_session_bounds",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS last_event,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def events_session_bounds(spark, sf_dir):
+    """first_value / last_value over an unbounded frame: each user's first
+    and last event id plus their event count (one row per user via
+    DISTINCT; the window and distinct share the user_id partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+@register(
+    "event_funnel_steps",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+           (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+           (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel
+    """,
+)
+def event_funnel_steps(spark, sf_dir):
+    """Ordered three-step funnel (view -> later click -> later purchase),
+    counted by users reaching each stage. Each stage is a per-user MIN
+    aggregate joined to the next stage's filtered events — three shuffles,
+    all keyed on user_id so a co-partitioned events table reuses one
+    exchange; per-user state is a single timestamp, never an event list
+    (the sessionize-then-sort formulation would sort every user's full
+    history)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .select("user_id")
+        .distinct()
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH wk AS (SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::TIMESTAMP AS w FROM events),
+    cohort AS (SELECT user_id, MIN(w) AS c FROM wk GROUP BY user_id)
+    SELECT cohort.c AS cohort_week,
+           (date_diff('day', cohort.c, wk.w) / 7)::BIGINT AS week_offset,
+           COUNT(*)::BIGINT AS n_active
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active week, and
+    for each later week-offset how many of that cohort were active — the
+    engagement table every growth dashboard is built on. (user, week)
+    pairs are pre-distinct'd so a user's event volume never inflates the
+    join; the cohort side is one MIN per user. Both shuffles key on
+    user_id (co-partitioned input reuses one exchange); counts are exact
+    integers so the oracle comparison is rounding-free."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("c").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("c")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
+@register(
+    "user_decay_scores",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+         t AS (SELECT user_id,
+                      FLOOR(1000000 * exp(-(epoch(mx.m) - epoch(ts)) / 86400.0)
+                            + 0.5)::BIGINT AS w
+               FROM events, mx)
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           SUM(w)::BIGINT AS decay_micro
+    FROM t GROUP BY user_id
+    ORDER BY decay_micro DESC, user_id ASC LIMIT 20
+    """,
+)
+def user_decay_scores(spark, sf_dir):
+    """Recency-weighted activity score: each event contributes
+    exp(-age/1d) relative to the corpus's newest event, the standard
+    time-decay weighting for freshness-aware ranking and retention
+    scoring. Each term is rounded to integer micro-units BEFORE the sum,
+    so the aggregate is summation-order-proof across engines. The max
+    timestamp is a one-row broadcast; scoring is map-side; one
+    partial-aggregated groupBy then a bounded top-20."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age = F.col("m").cast("timestamp").cast("double") - F.col("ts").cast(
+        "timestamp"
+    ).cast("double")
+    t = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(1000000 * F.exp(-age / 86400.0) + 0.5).cast("bigint").alias("w"),
+    )
+    scored = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("w").cast("bigint").alias("decay_micro"),
+    )
+    return scored.orderBy(
+        F.col("decay_micro").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+@register(
+    "event_rate_limit",
+    """
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+    SELECT event_type, COUNT(*)::BIGINT AS total,
+           SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)::BIGINT AS kept,
+           SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END)::BIGINT AS dropped
+    FROM r GROUP BY event_type
+    """,
+)
+def event_rate_limit(spark, sf_dir):
+    """Per-user token-bucket rate limiting, batch form: keep the first 3
+    events per (user, clock-hour), report kept/dropped per type — the
+    ingest-throttling / abuse-damping primitive a serving layer needs in
+    front of a 100 TB event store. One shuffle on (user_id, hour) for the
+    row_number (high-cardinality composite key, so no skew hot-spot even
+    for a heavy user — their traffic splits across hours), one partial
+    agg on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    r = ev.select("event_type", F.row_number().over(w).alias("rn"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).cast("bigint").alias("kept"),
+        F.sum(F.when(F.col("rn") > 3, 1).otherwise(0)).cast("bigint").alias("dropped"),
+    )
+
+
+@register(
+    "event_run_lengths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rt
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, rn - rt AS grp,
+             COUNT(*)::BIGINT AS run_len, MIN(ts) AS run_start
+      FROM o GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, run_len, run_start
+    FROM runs
+    ORDER BY run_len DESC, user_id ASC, run_start ASC, event_type ASC
+    LIMIT 20
+    """,
+)
+def event_run_lengths(spark, sf_dir):
+    """Gaps-and-islands run-length encoding: the 20 longest streaks of a
+    user emitting the same event_type consecutively — behavioral-loop
+    detection (bot bursts, rage-clicks) expressed as the classic
+    rn - rn_per_type group constant. Both row_numbers partition on
+    user_id (the second adds event_type), so the heavy sort happens once
+    per key family; the run aggregation is partial-combined; top-k is
+    bounded with a total deterministic tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    return (
+        runs.select("user_id", "event_type", "run_len", "run_start")
+        .orderBy(
+            F.col("run_len").desc(),
+            F.col("user_id").asc(),
+            F.col("run_start").asc(),
+            F.col("event_type").asc(),
+        )
+        .limit(20)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: behavioral modeling, sparse similarity, feature audits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events),
+    t AS (SELECT event_type AS cur, nxt FROM o WHERE nxt IS NOT NULL),
+    c AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n FROM t GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS tn FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           ROUND(c.n / tot.tn, 6) AS p
+    FROM c JOIN tot USING (cur)
+    ORDER BY cur ASC, nxt ASC
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | current_type) — the behavioral model behind next-action
+    prediction and funnel-drop analysis. One shuffle on user_id for the
+    lead() ordering, then a |types|^2-row aggregate (partial-combined);
+    the denominator join is a broadcast of a |types|-row table. At 100 TB
+    the per-user sort is the only real cost and rides a single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("tn"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select("cur", "nxt", "n", F.round(F.col("n") / F.col("tn"), 6).alias("p"))
+        .orderBy(F.col("cur").asc(), F.col("nxt").asc())
+    )
+
+
+@register(
+    "user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(n) AS tn FROM c GROUP BY user_id),
+    h AS (
+      SELECT c.user_id,
+             -SUM((c.n / t.tn) * ln(c.n / t.tn) / ln(2)) AS ent,
+             MAX(t.tn) AS n_events
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id)
+    SELECT user_id, ROUND(ent, 6) AS entropy_bits,
+           n_events::BIGINT AS n_events
+    FROM h
+    ORDER BY entropy_bits DESC, user_id ASC LIMIT 25
+    """,
+)
+def user_entropy(spark, sf_dir):
+    """Behavioral diversity score: Shannon entropy (bits) of each user's
+    event-type distribution, top-25 most-diverse users — bot/power-user
+    triage reads this (uniform behavior = high entropy, single-action
+    automation = 0). Two partial-aggregated shuffles on user_id (the
+    second reuses the first's partitioning) and a bounded top-k. The
+    -sum(p ln p) terms are accumulated per (user,type) BEFORE the group
+    sum, so the entropy is an order-insensitive aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tn"))
+    h = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (-F.sum((F.col("n") / F.col("tn")) * F.log(F.col("n") / F.col("tn")) / F.log(F.lit(2.0)))).alias("ent"),
+            F.max("tn").alias("n_events"),
+        )
+    )
+    return (
+        h.select(
+            "user_id",
+            F.round("ent", 6).alias("entropy_bits"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("entropy_bits").desc(), F.col("user_id").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "session_conversion",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM s GROUP BY user_id, sid)
+    SELECT hour(session_start)::BIGINT AS start_hour,
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+                    THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+           ROUND(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase >= first_view
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS conversion_rate
+    FROM agg GROUP BY 1 ORDER BY start_hour ASC
+    """,
+)
+def session_conversion(spark, sf_dir):
+    """View-to-purchase conversion at SESSION grain by start hour: a
+    session (30-min inactivity gap, same definition `events_sessionize`
+    proves against the gaps-and-islands oracle) converts when it contains
+    a purchase at-or-after its first view. Spark side uses the native
+    session_window aggregation — per-session conditional mins/maxes in ONE
+    user_id exchange — against the oracle's lag/cumsum islands
+    formulation; identical session boundaries, independently derived."""
+    from veri_spark.streaming.windows import ensure_event_time
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+    )
+    conv = F.when(
+        F.col("first_view").isNotNull()
+        & (F.col("last_purchase") >= F.col("first_view")),
+        1,
+    ).otherwise(0)
+    return (
+        agg.groupBy(F.hour("session_start").cast("bigint").alias("start_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(conv).cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum(conv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("start_hour").asc())
+    )
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS b,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS c
+      FROM events)
+    SELECT a, b, c, COUNT(*)::BIGINT AS n
+    FROM o WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a ASC, b ASC, c ASC LIMIT 15
+    """,
+)
+def event_path_trigrams(spark, sf_dir):
+    """Top 3-step behavioral paths across user streams — the clickstream
+    pattern-mining grain one up from `event_transition_matrix`'s bigram
+    probabilities (paths expose the funnel orderings a first-order chain
+    cannot). Both lead() offsets ride ONE user_id exchange and one sort;
+    the path aggregate is |types|^3-bounded and partial-combined."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        o.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc(), F.col("c").asc())
+        .limit(15)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 7: windowed top-k, concentration (Gini), independence audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_first_touch",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS t0,
+             arg_min(event_type, ts || '|' || lpad(event_id::VARCHAR, 12, '0')) AS first_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM s GROUP BY user_id, sid)
+    SELECT first_type,
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(converted)::BIGINT AS n_converted,
+           ROUND(SUM(converted)::DOUBLE / COUNT(*), 6) AS conversion_rate
+    FROM agg GROUP BY first_type ORDER BY first_type ASC
+    """,
+)
+def session_first_touch(spark, sf_dir):
+    """First-touch attribution at session grain: sessions bucketed by
+    their FIRST event type, with purchase-conversion rate per bucket —
+    which entry action starts the sessions that convert
+    (`session_conversion` slices the same sessions by start hour; this
+    slices by entry action). The first-type argmin and the converted
+    flag ride the same per-session aggregate; the deterministic
+    first-event rule is (ts, event_id) lexicographic in BOTH engines."""
+    from veri_spark.streaming.windows import ensure_event_time
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min_by(
+                "event_type",
+                F.concat(
+                    F.col("ts").cast("string"),
+                    F.lit("|"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"),
+                ),
+            ).alias("first_type"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return (
+        agg.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("first_type").asc())
+    )
+
+
+@register(
+    "markov_prediction_accuracy",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events),
+    t AS (SELECT user_id, cur, nxt FROM o WHERE nxt IS NOT NULL),
+    trc AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n
+            FROM t WHERE user_id % 2 = 0 GROUP BY cur, nxt),
+    pred AS (
+      SELECT cur, nxt AS predicted_next,
+             row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt ASC) AS r
+      FROM trc),
+    p AS (SELECT cur, predicted_next FROM pred WHERE r = 1),
+    ev AS (SELECT cur, nxt FROM t WHERE user_id % 2 = 1)
+    SELECT ev.cur, p.predicted_next,
+           COUNT(*)::BIGINT AS n_eval,
+           SUM(CASE WHEN ev.nxt = p.predicted_next THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           ROUND(SUM(CASE WHEN ev.nxt = p.predicted_next THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS accuracy
+    FROM ev JOIN p USING (cur)
+    GROUP BY ev.cur, p.predicted_next
+    ORDER BY ev.cur ASC
+    """,
+)
+def markov_prediction_accuracy(spark, sf_dir):
+    """Next-event prediction eval for the first-order Markov model
+    (`event_transition_matrix` is the model; this is its scorecard):
+    train the argmax-next-type predictor on even user_ids, measure hit
+    rate on odd users' transitions, per current type. The user-hash
+    train/eval split keeps each user's event chain intact (splitting
+    within a chain would fabricate transitions); transitions are one
+    lead() window per side of the same shuffle, the model is a
+    |types|^2 aggregate, and scoring is a broadcast join of the
+    |types|-row predictor against pre-aggregated eval transitions.
+    Prediction ties break on the lexicographically smaller type —
+    deterministic in both engines. Eval transitions whose current type
+    never occurs in training drop out (inner join, documented)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trc = (
+        t.filter(F.col("user_id") % 2 == 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wr = Window.partitionBy("cur").orderBy(F.col("n").desc(), F.col("nxt").asc())
+    p = (
+        trc.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    evl = t.filter(F.col("user_id") % 2 == 1).select("cur", "nxt")
+    hit = F.when(F.col("nxt") == F.col("predicted_next"), 1).otherwise(0)
+    return (
+        evl.join(F.broadcast(p), "cur")
+        .groupBy("cur", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_hit"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy(F.col("cur").asc())
+    )
+
+
+@register(
+    "user_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('second', MAX(ts), ANY_VALUE(mx.now)) AS rec_sec,
+             COUNT(*)::BIGINT AS freq,
+             SUM(value) AS mon
+      FROM events CROSS JOIN mx
+      GROUP BY user_id),
+    s AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY rec_sec ASC, user_id ASC) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+             ntile(5) OVER (ORDER BY mon DESC, user_id ASC) AS m_score
+      FROM u)
+    SELECT r_score, f_score, m_score, COUNT(*)::BIGINT AS n_users
+    FROM s
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def user_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles) of the
+    user base — the classic behavioral cohorting that drives retention
+    targeting, here as the segment-size matrix. Per-user metrics are one
+    partial-aggregated shuffle over the stream; quintile scores are
+    three ntile windows over the USER table (already N/|users| smaller
+    than the stream), with (metric, user_id) total orders so bucket
+    boundaries are deterministic; the output is the <=125-row segment
+    census. At 100 TB the global ntile sort is the only single-ordering
+    step and it runs on users, not events — if even that is too hot,
+    swap ntile for approx-quantile boundaries (the
+    `events_value_quantiles` sketch) at the cost of exactness."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (F.unix_timestamp(F.max("now")) - F.unix_timestamp(F.max("ts"))).alias(
+                "rec_sec"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("value").alias("mon"),
+        )
+    )
+    s = u.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_sec").asc(), F.col("user_id").asc()))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon").desc(), F.col("user_id").asc()))
+        .alias("m_score"),
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "session_survival_curve",
+    """
+    WITH o AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    s AS (SELECT user_id, ts, event_id,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS sess
+          FROM f),
+    ln AS (SELECT user_id, sess, COUNT(*)::BIGINT AS len
+           FROM s GROUP BY user_id, sess),
+    tot AS (SELECT COUNT(*)::DOUBLE AS n FROM ln),
+    k AS (SELECT unnest(range(1, 11)) AS k)
+    SELECT k.k::INTEGER AS k,
+           SUM(CASE WHEN ln.len >= k.k THEN 1 ELSE 0 END)::BIGINT AS n_surviving,
+           ROUND(SUM(CASE WHEN ln.len >= k.k THEN 1 ELSE 0 END)
+                 / ANY_VALUE(tot.n), 6) AS survival
+    FROM ln CROSS JOIN k CROSS JOIN tot
+    GROUP BY k.k
+    ORDER BY k.k ASC
+    """,
+)
+def session_survival_curve(spark, sf_dir):
+    """Session-depth survival curve: P(session reaches >= k events) for
+    k = 1..10 — the engagement-depth distribution product teams read
+    before deciding where a funnel loses people, and the
+    discrete-survival shape (one minus the CDF) any duration analysis
+    uses. Sessions are the same 30-minute-gap islands as
+    `events_sessionize` (lag + running flag-sum on one user-keyed
+    shuffle); session lengths are one aggregate; the curve is a
+    broadcast of 10 thresholds against the session-length table with
+    the count riding the threshold key — the events stream is read
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # full-precision gap compare: NTZ subtraction yields a day-time
+    # interval, compared against the literal — unix_timestamp() TRUNCATES
+    # sub-second parts and split one 1799.x-s gap differently at sf0.1
+    new_s = F.when(
+        F.col("prev").isNull()
+        | ((F.col("ts") - F.col("prev")) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    s = (
+        ev.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev"))
+        .select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .select(
+            "user_id",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sess"),
+        )
+    )
+    ln = s.groupBy("user_id", "sess").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    tot = ln.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    surv = F.sum(F.when(F.col("len") >= F.col("k"), 1).otherwise(0))
+    return (
+        ln.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            surv.cast("bigint").alias("n_surviving"),
+            F.round(surv / F.max("n"), 6).alias("survival"),
+        )
+        .orderBy(F.col("k").asc())
+    )
+
+
+@register(
+    "event_type_cooccurrence_lift",
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT COUNT(DISTINCT user_id)::DOUBLE AS n FROM events),
+    s AS (SELECT event_type, COUNT(*)::DOUBLE AS n FROM u GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*)::BIGINT AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(p.n_both * ANY_VALUE(nu.n) / (sa.n * sb.n), 6) AS lift
+    FROM p
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+    CROSS JOIN nu
+    GROUP BY p.type_a, p.type_b, p.n_both, sa.n, sb.n
+    ORDER BY p.type_a ASC, p.type_b ASC
+    """,
+)
+def event_type_cooccurrence_lift(spark, sf_dir):
+    """User-grain behavior co-occurrence: for each unordered pair of event
+    types, how many users exhibit BOTH, and the lift against
+    independence — the segmentation signal `event_transition_matrix`
+    cannot give (transitions are adjacent and ordered; this is
+    whole-history and unordered, e.g. 'users who ever purchase also
+    ever error?'). The self-join is on user_id over the DISTINCT
+    (user, type) projection, so fan-out is bounded by |types|^2 per
+    user — the basket-quadratic shape of `copurchase_top_pairs` with
+    users as baskets; supports broadcast. Output is the full
+    |types|-choose-2 matrix, deterministic integer counts and
+    ratio-of-integers lift."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct().persist()
+    nu = ev.agg(F.countDistinct("user_id").cast("double").alias("n"))
+    s = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        p.join(
+            F.broadcast(s.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(s.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") * F.col("n") / (F.col("na") * F.col("nb")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.col("type_a").asc(), F.col("type_b").asc())
+    )
+
+
+@register(
+    "cohort_spend_ltv",
+    """
+    WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                FROM events GROUP BY user_id),
+    cs AS (SELECT cohort, COUNT(*)::DOUBLE AS cohort_users FROM fw GROUP BY cohort),
+    act AS (
+      SELECT fw.cohort,
+             CAST(date_diff('week', fw.cohort, date_trunc('week', e.ts)) AS INTEGER)
+               AS offset_w,
+             SUM(CAST(e.value AS DECIMAL(18,2))) AS spend
+      FROM events e JOIN fw ON fw.user_id = e.user_id
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, offset_w,
+             SUM(spend) OVER (PARTITION BY cohort ORDER BY offset_w ASC) AS cum_spend
+      FROM act)
+    SELECT c.cohort::DATE AS cohort_week, c.offset_w,
+           ROUND(c.cum_spend::DOUBLE / cs.cohort_users, 2) AS ltv_per_user
+    FROM cum c JOIN cs ON cs.cohort = c.cohort
+    WHERE c.offset_w <= 8
+    ORDER BY cohort_week ASC, offset_w ASC
+    """,
+)
+def cohort_spend_ltv(spark, sf_dir):
+    """Cohort LTV triangle: cumulative value per user by first-active week
+    and weeks-since — the MONETARY companion of `user_retention_cohorts`
+    (that one counts who comes back; this measures what they're worth,
+    which is what acquisition-spend decisions actually read). First-week
+    assignment is one MIN per user; per-(cohort, offset) spend is one
+    partial-aggregated rollup of the cohort-joined stream; the
+    cumulative sum runs on the cohort x offset triangle (span-sized,
+    tiny). Output truncated to offsets 0..8 for a stable triangle;
+    per-user normalization divides by the FULL cohort size, so the
+    curve reads as expected-LTV, not survivor-LTV."""
+    ev = load_table(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    cs = fw.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("cohort_users")
+    )
+    act = (
+        ev.join(fw, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+                )
+            )
+            .cast("int")
+            .alias("offset_w"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = Window.partitionBy("cohort").orderBy(F.col("offset_w").asc())
+    cum = act.select(
+        "cohort",
+        "offset_w",
+        # decimal cumulative sum is exact; the single double division below
+        # is then identical in both engines (round-6 determinism sweep)
+        F.sum("spend").over(w).cast("double").alias("cum_spend"),
+    )
+    return (
+        cum.join(F.broadcast(cs), "cohort")
+        .filter(F.col("offset_w") <= 8)
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            "offset_w",
+            F.round(F.col("cum_spend") / F.col("cohort_users"), 2).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy(F.col("cohort_week").asc(), F.col("offset_w").asc())
+    )

@@ -25,6 +25,7 @@ from veri_spark.plans._base import (  # noqa: F401
 # deterministic duplicate detection)
 from veri_spark.plans import knn as _knn  # noqa: F401,E402
 from veri_spark.plans import events as _events  # noqa: F401,E402
+from veri_spark.plans import events_behavior as _events_behavior  # noqa: F401,E402
 from veri_spark.plans import vectors as _vectors  # noqa: F401,E402
 from veri_spark.plans import tpch as _tpch  # noqa: F401,E402
 from veri_spark.plans import store_queries as _store_queries  # noqa: F401,E402
