@@ -947,3 +947,83 @@ def cohort_spend_ltv(spark, sf_dir):
         )
         .orderBy(F.col("cohort_week").asc(), F.col("offset_w").asc())
     )
+
+
+@register(
+    "churn_labels_future_window",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week_start
+      FROM events),
+    mx AS (SELECT date_trunc('week', MAX(ts))::DATE AS max_week FROM events),
+    nx AS (
+      SELECT user_id, week_start,
+             lead(week_start) OVER (PARTITION BY user_id
+                                    ORDER BY week_start ASC) AS next_week
+      FROM wk),
+    lab AS (
+      SELECT n.user_id, n.week_start,
+             CASE WHEN n.next_week IS NULL
+                       OR date_diff('day', n.week_start, n.next_week) >= 21
+                  THEN 1 ELSE 0 END AS churned
+      FROM nx n CROSS JOIN mx
+      -- right-censor guard: the 14-day future window must close inside
+      -- the observation span, or the label is undefined, not negative
+      WHERE date_diff('day', n.week_start, mx.max_week) >= 21)
+    SELECT week_start,
+           COUNT(*)::BIGINT AS n_active_users,
+           SUM(churned)::BIGINT AS n_churned,
+           ROUND(SUM(churned) / COUNT(*), 6) AS churn_rate
+    FROM lab GROUP BY week_start ORDER BY week_start ASC
+    """,
+)
+def churn_labels_future_window(spark, sf_dir):
+    """Leakage-safe churn-label construction: for every (user, active
+    week), label churned iff the user has NO event in the 14 days after
+    the week ends — the future-window label every retention model trains
+    on, built at week granularity so one lead() over each user's distinct
+    active weeks decides it exactly (next activity >= week_start+21 days
+    ⟺ silent through week_end+14). The subtle correctness detail this
+    query exists to demonstrate is RIGHT-CENSORING: weeks whose future
+    window extends past the end of observed data are excluded, not
+    labeled negative — the classic silent bias in churn training sets.
+    One distinct pass, one user-partitioned window, integer day
+    arithmetic throughout; churn_rate is one division of identical
+    BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).distinct()
+    mx = ev.agg(
+        F.date_trunc("week", F.max("ts")).cast("date").alias("max_week")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("week_start").asc())
+    nx = wk.select(
+        "user_id",
+        "week_start",
+        F.lead("week_start").over(w).alias("next_week"),
+    )
+    lab = (
+        nx.crossJoin(F.broadcast(mx))
+        .filter(F.datediff(F.col("max_week"), F.col("week_start")) >= 21)
+        .select(
+            "week_start",
+            F.when(
+                F.col("next_week").isNull()
+                | (F.datediff(F.col("next_week"), F.col("week_start")) >= 21),
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    return (
+        lab.groupBy("week_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+            F.sum("churned").cast("bigint").alias("n_churned"),
+            F.round(F.sum("churned") / F.count(F.lit(1)), 6).alias("churn_rate"),
+        )
+        .orderBy(F.col("week_start").asc())
+    )

@@ -1589,3 +1589,218 @@ def zorder_multicol_audit(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: supervised feature-engineering ops — the transforms a training
+# pipeline runs between raw tables and the model (leakage-safe encodings,
+# hashed features, label construction, supervised binning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "target_encoding_loo",
+    """
+    WITH y AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    g AS (SELECT user_id, SUM(y)::BIGINT AS s, COUNT(*)::BIGINT AS n
+          FROM y GROUP BY user_id),
+    tot AS (SELECT SUM(s)::BIGINT AS p, SUM(n)::BIGINT AS nn FROM g),
+    enc AS (
+      SELECT y.y,
+             (g.s - y.y + 10.0 * t.p / t.nn) / (g.n - 1 + 10) AS e
+      FROM y JOIN g ON g.user_id = y.user_id CROSS JOIN tot t),
+    h AS (SELECT y, LEAST(CAST(FLOOR(e * 10) AS BIGINT), 9) AS bin FROM enc)
+    SELECT bin, 
+           SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg
+    FROM h GROUP BY bin ORDER BY bin ASC
+    """,
+)
+def target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing (m=10 toward
+    the global prior) of the user_id categorical against a purchase
+    target, audited as the encoded-value decile histogram split by true
+    label — the leakage check you run on any target-encoded feature: LOO
+    subtracts each row's own label from its group sum, so a clean
+    encoding shows separated but OVERLAPPING histograms (a per-row
+    leakage would separate them perfectly). Group sums are one shuffle
+    on the category key re-joined to the stream; the encoding itself is
+    integer sums plus one double expression computed identically in both
+    engines. At 100 TB this is exactly a broadcast-the-aggregates
+    pattern: |categories| << |rows|, so `g` broadcasts and encoding is
+    map-only."""
+    ev = load_table(spark, sf_dir, "events")
+    y = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = y.groupBy("user_id").agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = g.agg(
+        F.sum("s").cast("bigint").alias("p"),
+        F.sum("n").cast("bigint").alias("nn"),
+    )
+    enc = (
+        y.join(g, "user_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "y",
+            (
+                (F.col("s") - F.col("y") + 10.0 * F.col("p") / F.col("nn"))
+                / (F.col("n") - 1 + 10)
+            ).alias("e"),
+        )
+    )
+    h = enc.select(
+        "y",
+        F.least(F.floor(F.col("e") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias("bin"),
+    )
+    return (
+        h.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        )
+        .orderBy(F.col("bin").asc())
+    )
+
+
+@register(
+    "feature_hashing_collision_audit",
+    """
+    WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    widths AS (SELECT unnest([1024, 4096, 16384]) AS w),
+    b AS (
+      SELECT w.w AS width,
+             CAST('0x' || substr(md5(v.tok), 1, 15) AS BIGINT) % w.w AS bucket,
+             COUNT(*)::BIGINT AS toks
+      FROM v CROSS JOIN widths w
+      GROUP BY w.w, CAST('0x' || substr(md5(v.tok), 1, 15) AS BIGINT) % w.w)
+    SELECT width,
+           SUM(toks)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS buckets_used,
+           SUM(CASE WHEN toks > 1 THEN 1 ELSE 0 END)::BIGINT AS collision_buckets,
+           SUM(CASE WHEN toks > 1 THEN toks ELSE 0 END)::BIGINT AS tokens_colliding,
+           ROUND(SUM(CASE WHEN toks > 1 THEN toks ELSE 0 END)
+                 / SUM(toks), 6) AS collision_frac
+    FROM b GROUP BY width ORDER BY width ASC
+    """,
+)
+def feature_hashing_collision_audit(spark, sf_dir):
+    """Hashing-trick collision audit: the vocabulary hashed into 2^k
+    feature buckets at three widths, reporting how many buckets collide
+    and what fraction of tokens share a bucket — the measurement that
+    picks the feature width before training a hashed linear/embedding
+    model (Weinberger et al.'s feature hashing trades exactly this
+    collision rate for O(1) vocab memory). One distinct pass over tokens,
+    one grouped count per width (the widths ride a 3-row broadcast); the
+    portable md5 hash keeps bucket ids identical across engines. All
+    integer counts; collision_frac is one division of identical
+    BIGINTs."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    widths = spark.createDataFrame([(1024,), (4096,), (16384,)], "w int")
+    b = (
+        v.crossJoin(F.broadcast(widths))
+        .select(
+            F.col("w").alias("width"),
+            (portable_hash64(F.col("tok")) % F.col("w")).alias("bucket"),
+        )
+        .groupBy("width", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("toks"))
+    )
+    coll = F.sum(F.when(F.col("toks") > 1, F.col("toks")).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        b.groupBy("width")
+        .agg(
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+            F.sum(F.when(F.col("toks") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("collision_buckets"),
+            coll.alias("tokens_colliding"),
+            F.round(coll / F.sum("toks"), 6).alias("collision_frac"),
+        )
+        .orderBy(F.col("width").asc())
+    )
+
+
+@register(
+    "quantile_binning_woe",
+    """
+    WITH y AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    q AS (SELECT y, ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS bin
+          FROM y),
+    g AS (SELECT bin,
+                 SUM(y)::BIGINT AS n_pos,
+                 SUM(1 - y)::BIGINT AS n_neg
+          FROM q GROUP BY bin),
+    t AS (SELECT SUM(n_pos)::BIGINT AS p, SUM(n_neg)::BIGINT AS neg FROM g)
+    SELECT g.bin, g.n_pos, g.n_neg,
+           CAST(round(ln(((g.n_pos + 1) * t.neg)::DOUBLE
+                         / ((g.n_neg + 1) * t.p)) * 1e6) AS BIGINT)
+             AS woe_micro_nats
+    FROM g CROSS JOIN t ORDER BY g.bin ASC
+    """,
+)
+def quantile_binning_woe(spark, sf_dir):
+    """Supervised decile binning with weight-of-evidence scores: the
+    `value` feature cut into 10 equal-frequency bins (deterministic ntile
+    with a full tie-break order) and each bin scored
+    WoE = ln(P(bin|pos)/P(bin|neg)) with +1 smoothing — the classic
+    credit-scoring / GLM feature transform, and the per-bin evidence that
+    feeds information-value feature selection. The ntile is the only
+    global ordering (at 100 TB swap for approx-quantile cut points, the
+    audited GK path); everything downstream is integer counts, and the
+    WoE is quantized to integer micro-nats from a log of a ratio of
+    IDENTICAL integers — the registry's standard order-proof log
+    pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    y = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    q = y.select("y", F.ntile(10).over(w).alias("bin"))
+    g = q.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    t = g.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_neg").cast("bigint").alias("neg"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.log(
+                    ((F.col("n_pos") + 1) * F.col("neg")).cast("double")
+                    / ((F.col("n_neg") + 1) * F.col("p"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("woe_micro_nats"),
+        )
+        .orderBy(F.col("bin").asc())
+    )
