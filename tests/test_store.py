@@ -663,6 +663,38 @@ def test_uuid_guard_expires_after_ttl(spark, store_ds):
     assert [r["label"] for r in again.collect()] == ["a"]
 
 
+def test_uuid_guard_duplicate_skips_cache_store(spark, store_ds, monkeypatch):
+    """Advisor round-5 (store.py:622): a duplicate UUID with cache_seconds
+    set must NOT run _store_result — the guard exists to answer empty
+    WITHOUT paying the search job, and the cache-store path executes it
+    eagerly. Also covers per-entry TTL deadlines: an interleaved call with
+    a short TTL must not evict the long-TTL entry."""
+    store, name = store_ds
+    q = [[0.1, 0.2, 0.3]]
+    calls = []
+    orig = store._store_result
+
+    def counting(cache_key, df):
+        calls.append(cache_key)
+        return orig(cache_key, df)
+
+    monkeypatch.setattr(store, "_store_result", counting)
+    first = store.search(name, q, SearchConfig(limit=1), query_uuid="dup-1",
+                         cache_seconds=60)
+    first.collect()
+    n_after_first = len(calls)
+    assert n_after_first >= 1  # the first call does store
+
+    # an interleaved DIFFERENT uuid with ttl 0 must not evict dup-1
+    store.search(name, q, SearchConfig(limit=1), query_uuid="other",
+                 uuid_ttl_seconds=0.0).collect()
+
+    repeat = store.search(name, q, SearchConfig(limit=1), query_uuid="dup-1",
+                          cache_seconds=60)
+    assert repeat.collect() == []           # still guarded (not evicted)
+    assert len(calls) == n_after_first      # and nothing was re-stored
+
+
 def test_uuid_guard_without_uuid_is_inert(spark, store_ds):
     """No UUID -> no guard state, repeated identical searches all answer."""
     store, name = store_ds
