@@ -224,7 +224,8 @@ def events_value_quantiles(spark, sf_dir):
     )
     SELECT user_id,
            COUNT(gap_us)::BIGINT AS n_gaps,
-           ROUND(SUM(gap_us) / COUNT(gap_us) / 1e6, 6) AS avg_gap_s,
+           ((2 * SUM(gap_us) + COUNT(gap_us))
+            // (2 * COUNT(gap_us)))::BIGINT / 1000000.0 AS avg_gap_s,
            ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s
     FROM d GROUP BY user_id
     """,
@@ -235,20 +236,32 @@ def events_interarrival(spark, sf_dir):
     reuses the window's shuffle).
 
     Determinism: the gaps are exact integer microseconds, so both engines
-    aggregate SUM(gap_us) as BIGINT — order-insensitive — and derive the
-    rounded seconds from ONE identical integer pair (sum, n). The earlier
-    ROUND(AVG(double)) form flipped the 6th decimal between engines when the
-    true mean sat within half an ulp of the rounding boundary (round-5 red
-    driver row)."""
+    aggregate SUM(gap_us) as BIGINT — order-insensitive — and the 6-decimal
+    half-up rounding of the mean happens ENTIRELY in integer arithmetic:
+    round_half_up(sum/n) microseconds = (2*sum + n) div (2*n), then one
+    double division by 1e6 for display. ROUND(double, 6) is not enough here
+    — sum/n is a rational that can land EXACTLY on a 6th-decimal tie (it
+    did for one sf0.1 user), where Spark's BigDecimal HALF_UP of the double
+    and DuckDB's scaled-multiply round disagree. (Round-5 red driver row;
+    re-flagged at sf0.1 by the round-6 strict gate.)"""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # NTZ -> TIMESTAMP (session tz pinned UTC, same instant) -> exact BIGINT us
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = ev.withColumn("gap_us", us - F.lag(us).over(w))
-    return gaps.groupBy("user_id").agg(
+    agg = gaps.groupBy("user_id").agg(
         F.count("gap_us").alias("n_gaps"),
-        F.round(F.sum("gap_us") / F.count("gap_us") / F.lit(1e6), 6).alias("avg_gap_s"),
-        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+        F.sum("gap_us").alias("s"),
+        F.max("gap_us").alias("mx"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        (
+            F.expr("(2 * s + n_gaps) div (2 * n_gaps)").cast("bigint")
+            / F.lit(1000000.0)
+        ).alias("avg_gap_s"),
+        F.round(F.col("mx") / F.lit(1e6), 6).alias("max_gap_s"),
     )
 
 

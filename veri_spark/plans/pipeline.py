@@ -1673,8 +1673,10 @@ def target_encoding_loo(spark, sf_dir):
 @register(
     "feature_hashing_collision_audit",
     """
-    WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-               FROM documents),
+    WITH ws_t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    v AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS tok
+          FROM ws_t),
     widths AS (SELECT unnest([1024, 4096, 16384]) AS w),
     b AS (
       SELECT w.w AS width,
@@ -1693,9 +1695,9 @@ def target_encoding_loo(spark, sf_dir):
     """,
 )
 def feature_hashing_collision_audit(spark, sf_dir):
-    """Hashing-trick collision audit: the vocabulary hashed into 2^k
-    feature buckets at three widths, reporting how many buckets collide
-    and what fraction of tokens share a bucket — the measurement that
+    """Hashing-trick collision audit: the BIGRAM feature space hashed
+    into 2^k feature buckets at three widths, reporting how many buckets
+    collide and what fraction of features share one — the measurement that
     picks the feature width before training a hashed linear/embedding
     model (Weinberger et al.'s feature hashing trades exactly this
     collision rate for O(1) vocab memory). One distinct pass over tokens,
@@ -1706,9 +1708,11 @@ def feature_hashing_collision_audit(spark, sf_dir):
     from veri_spark.functions.hashing import portable_hash64
 
     docs = load_table(spark, sf_dir, "documents")
-    v = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).distinct()
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    v = docs.select(F.explode(bigrams).alias("tok")).distinct()
     widths = spark.createDataFrame([(1024,), (4096,), (16384,)], "w int")
     b = (
         v.crossJoin(F.broadcast(widths))

@@ -53,59 +53,92 @@ from veri_spark.plans._base import (  # noqa: F401
 @register(
     "tpch_q1_pricing_summary",
     """
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+             CAST(round(l_extendedprice * 1e6) AS BIGINT) AS price_u,
+             CAST(round(l_discount * 1e6) AS BIGINT) AS disc_u,
+             CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)
+               AS dp_u,
+             CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6)
+                  AS BIGINT) AS ch_u
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                     AS DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
+           ((2 * SUM(dp_u) + 10000) // 20000)::BIGINT / 100.0 AS sum_disc_price,
+           ((2 * SUM(ch_u) + 10000) // 20000)::BIGINT / 100.0 AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
-                 / COUNT(*), 6) AS avg_price,
-           ROUND(SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE
-                 / COUNT(*), 6) AS avg_disc,
+           ((2 * SUM(price_u) + COUNT(*)) // (2 * COUNT(*)))::BIGINT
+             / 1000000.0 AS avg_price,
+           ((2 * SUM(disc_u) + COUNT(*)) // (2 * COUNT(*)))::BIGINT
+             / 1000000.0 AS avg_disc,
            COUNT(*)::BIGINT AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+    FROM m GROUP BY l_returnflag, l_linestatus
     """,
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: scan-heavy grouped aggregation with
     full partial-aggregation (map-side combine) before the 4-group shuffle.
 
-    Determinism (round-6 sweep): the disc-price/charge sums and the money
-    averages are DECIMAL-exact — per-row products cast to decimal (a
-    deterministic per-row rounding, identical in both engines), summed
-    order-insensitively, and averages derived as ONE division of the exact
-    decimal sum by the count. sum_qty / avg_qty stay plain doubles: the
-    quantities are integer-valued, so their double sums are exact in any
-    order. This removes the ROUND(AVG(double), 6) boundary-straddle class
-    that flipped events_interarrival in round 5."""
+    Determinism (round-6 sweep): money quantities are 2-6 decimal by
+    construction, so each row quantizes to exact integer MICRO-UNITS
+    (round(x*1e6) of the identical double in both engines), the sums are
+    order-insensitive BIGINT adds that stay primitive inside whole-stage
+    codegen (warm-executes slightly FASTER than the plain double sums,
+    and well ahead of DECIMAL accumulators, measured), and every displayed
+    rounding is integer half-up arithmetic: round(S/1e4)=(2S+1e4) div 2e4
+    cents for the 2-dp sums, (2S+n) div 2n for the 6-dp averages — so a
+    mean landing EXACTLY on a rounding tie (the events_interarrival
+    failure class) still matches bit-for-bit. sum_qty/avg_qty stay plain
+    doubles: quantities are integer-valued, their double sums exact in any
+    order. Long micro-unit sums hold to ~8e7 rows per group at these
+    magnitudes; above that promote the accumulator to DECIMAL (the cap
+    rides the group, not the table)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
     )
+
+    def micro(c):
+        return F.round(c * 1e6).cast("bigint")
+
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    n = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    m = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        micro(F.col("l_extendedprice")).alias("price_u"),
+        micro(F.col("l_discount")).alias("disc_u"),
+        micro(disc_price).alias("dp_u"),
+        micro(disc_price * (1 + F.col("l_tax"))).alias("ch_u"),
+    )
+    agg = m.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
-        .cast("double").alias("sum_disc_price"),
-        F.round(
-            F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2
-        ).cast("double").alias("sum_charge"),
+        F.sum("dp_u").alias("s_dp"),
+        F.sum("ch_u").alias("s_ch"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / n, 6
-        ).alias("avg_price"),
-        F.round(
-            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
-            / n, 6
-        ).alias("avg_disc"),
+        F.sum("price_u").alias("s_price"),
+        F.sum("disc_u").alias("s_disc"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        (F.expr("(2 * s_dp + 10000) div 20000").cast("bigint") / F.lit(100.0))
+        .alias("sum_disc_price"),
+        (F.expr("(2 * s_ch + 10000) div 20000").cast("bigint") / F.lit(100.0))
+        .alias("sum_charge"),
+        "avg_qty",
+        (
+            F.expr("(2 * s_price + count_order) div (2 * count_order)")
+            .cast("bigint") / F.lit(1000000.0)
+        ).alias("avg_price"),
+        (
+            F.expr("(2 * s_disc + count_order) div (2 * count_order)")
+            .cast("bigint") / F.lit(1000000.0)
+        ).alias("avg_disc"),
+        F.col("count_order").cast("bigint").alias("count_order"),
     )
 
 
