@@ -1828,3 +1828,146 @@ def sorted_neighborhood_pairs(spark, sf_dir):
         )
         .orderBy(F.col("doc_a").asc(), F.col("doc_b").asc())
     )
+
+
+@register(
+    "lsh_param_planner",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    capped AS (SELECT s.doc_id, s.shingle FROM sh s
+               JOIN (SELECT shingle FROM sh
+                     GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 64) keep
+                 ON s.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM capped a JOIN capped b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY doc_a, doc_b),
+    j AS (SELECT c::DOUBLE / (sa.n + sb.n - c) AS jac
+          FROM common
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id),
+    q0 AS (SELECT jac, jac * jac AS t2 FROM j),
+    q1 AS (SELECT jac, t2, t2 * t2 AS t4 FROM q0),
+    q2 AS (SELECT jac, t2, t4, t4 * t4 AS t8 FROM q1),
+    qq AS (SELECT jac, 1 - jac AS m1, 1 - t2 AS m2, 1 - t4 AS m4,
+                  1 - t8 AS m8 FROM q2),
+    s1 AS (SELECT jac, m1 * m1 AS m1_2, m2 * m2 AS m2_2, m4 * m4 AS m4_2,
+                  m8 * m8 AS m8_2 FROM qq),
+    s2 AS (SELECT jac, m1_2 * m1_2 AS m1_4, m2_2 * m2_2 AS m2_4,
+                  m4_2 * m4_2 AS m4_4, m8_2 FROM s1),
+    s3 AS (SELECT jac, m1_4 * m1_4 AS m1_8, m2_4 * m2_4 AS m2_8, m4_4,
+                  m8_2 FROM s2),
+    s4 AS (SELECT jac, m1_8 * m1_8 AS m1_16, m2_8, m4_4, m8_2 FROM s3),
+    p AS (SELECT jac >= 0.7 AS good,
+                 CAST(round((1 - m1_16) * 1e6) AS BIGINT) AS p16_1,
+                 CAST(round((1 - m2_8) * 1e6) AS BIGINT) AS p8_2,
+                 CAST(round((1 - m4_4) * 1e6) AS BIGINT) AS p4_4,
+                 CAST(round((1 - m8_2) * 1e6) AS BIGINT) AS p2_8
+          FROM s4),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS n_pairs,
+             SUM(CASE WHEN good THEN 1 ELSE 0 END)::BIGINT AS n_good,
+             SUM(p16_1)::BIGINT AS s16_1,
+             SUM(CASE WHEN good THEN p16_1 ELSE 0 END)::BIGINT AS g16_1,
+             SUM(p8_2)::BIGINT AS s8_2,
+             SUM(CASE WHEN good THEN p8_2 ELSE 0 END)::BIGINT AS g8_2,
+             SUM(p4_4)::BIGINT AS s4_4,
+             SUM(CASE WHEN good THEN p4_4 ELSE 0 END)::BIGINT AS g4_4,
+             SUM(p2_8)::BIGINT AS s2_8,
+             SUM(CASE WHEN good THEN p2_8 ELSE 0 END)::BIGINT AS g2_8
+      FROM p)
+    SELECT * FROM (
+      SELECT 16 AS bands, 1 AS rows_per_band, n_pairs, n_good,
+             s16_1 / 1e6 AS expected_candidates, g16_1 / 1e6 AS expected_good
+      FROM agg
+      UNION ALL
+      SELECT 8, 2, n_pairs, n_good, s8_2 / 1e6, g8_2 / 1e6 FROM agg
+      UNION ALL
+      SELECT 4, 4, n_pairs, n_good, s4_4 / 1e6, g4_4 / 1e6 FROM agg
+      UNION ALL
+      SELECT 2, 8, n_pairs, n_good, s2_8 / 1e6, g2_8 / 1e6 FROM agg)
+    ORDER BY bands DESC
+    """,
+)
+def lsh_param_planner(spark, sf_dir):
+    """MinHash-LSH banding planner: for each (bands, rows) split of a
+    16-hash signature budget, the EXPECTED number of candidate pairs the
+    banded join would admit — computed from the measured pair-similarity
+    distribution, not the abstract s-curve: each observed pair
+    contributes its collision probability 1-(1-jac^r)^b. Read together,
+    expected_candidates (cost) and expected_good (recall mass at
+    jac >= 0.7) pick the banding scheme BEFORE a 100 TB signature build
+    commits to one — the decision `minhash_bucket_skew` and
+    `jaccard_threshold_sweep` inform but don't answer. The powers are
+    explicit squaring chains (identical association in both engines —
+    pow()/exp() are not cross-engine bit-stable, squaring chains are),
+    and each pair's probability quantizes to integer MICRO-UNITS before
+    the order-insensitive sum. Same capped single-join pair plan as the
+    sweep queries; everything after it is map-side arithmetic."""
+    from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs, parallelism=16), max_doc_freq=64)
+    j = pairs.select(F.col("jaccard").alias("jac"))
+    j = j.withColumn("t2", F.col("jac") * F.col("jac"))
+    j = j.withColumn("t4", F.col("t2") * F.col("t2"))
+    j = j.withColumn("t8", F.col("t4") * F.col("t4"))
+    for src, m in (("jac", "m1"), ("t2", "m2"), ("t4", "m4"), ("t8", "m8")):
+        j = j.withColumn(m, 1 - F.col(src))
+    j = j.withColumn("m1_2", F.col("m1") * F.col("m1"))
+    j = j.withColumn("m1_4", F.col("m1_2") * F.col("m1_2"))
+    j = j.withColumn("m1_8", F.col("m1_4") * F.col("m1_4"))
+    j = j.withColumn("m1_16", F.col("m1_8") * F.col("m1_8"))
+    j = j.withColumn("m2_2", F.col("m2") * F.col("m2"))
+    j = j.withColumn("m2_4", F.col("m2_2") * F.col("m2_2"))
+    j = j.withColumn("m2_8", F.col("m2_4") * F.col("m2_4"))
+    j = j.withColumn("m4_2", F.col("m4") * F.col("m4"))
+    j = j.withColumn("m4_4", F.col("m4_2") * F.col("m4_2"))
+    j = j.withColumn("m8_2", F.col("m8") * F.col("m8"))
+    micro = lambda c: F.round((1 - F.col(c)) * 1e6).cast("bigint")  # noqa: E731
+    p = j.select(
+        (F.col("jac") >= 0.7).alias("good"),
+        micro("m1_16").alias("p16_1"),
+        micro("m2_8").alias("p8_2"),
+        micro("m4_4").alias("p4_4"),
+        micro("m8_2").alias("p2_8"),
+    )
+    gsum = lambda c: F.sum(F.when(F.col("good"), F.col(c)).otherwise(0)).cast(  # noqa: E731
+        "bigint"
+    )
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("good"), 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum("p16_1").cast("bigint").alias("s16_1"),
+        gsum("p16_1").alias("g16_1"),
+        F.sum("p8_2").cast("bigint").alias("s8_2"),
+        gsum("p8_2").alias("g8_2"),
+        F.sum("p4_4").cast("bigint").alias("s4_4"),
+        gsum("p4_4").alias("g4_4"),
+        F.sum("p2_8").cast("bigint").alias("s2_8"),
+        gsum("p2_8").alias("g2_8"),
+    ).persist()
+    rows = None
+    for b, r, s, g in (
+        (16, 1, "s16_1", "g16_1"),
+        (8, 2, "s8_2", "g8_2"),
+        (4, 4, "s4_4", "g4_4"),
+        (2, 8, "s2_8", "g2_8"),
+    ):
+        one = agg.select(
+            F.lit(b).cast("int").alias("bands"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            "n_pairs",
+            "n_good",
+            (F.col(s) / F.lit(1e6)).alias("expected_candidates"),
+            (F.col(g) / F.lit(1e6)).alias("expected_good"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy(F.col("bands").desc())

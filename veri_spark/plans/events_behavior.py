@@ -1027,3 +1027,154 @@ def churn_labels_future_window(spark, sf_dir):
         )
         .orderBy(F.col("week_start").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: experimentation analytics — the A/B readout queries every
+# behavioral pipeline eventually feeds
+# ---------------------------------------------------------------------------
+
+@register(
+    "ab_test_srm_check",
+    """
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CAST('0x' || substr(md5('arm|' || user_id::VARCHAR), 1, 15)
+                  AS BIGINT) % 2 AS arm
+      FROM events),
+    c AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+          FROM arms)
+    SELECT n0, n1,
+           ROUND(((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1), 6) AS chi2,
+           ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1) > 3.841459 AS srm_flag
+    FROM c
+    """,
+)
+def ab_test_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check for a deterministic 50/50 user split:
+    the chi-square statistic against the designed ratio, the FIRST gate
+    any experiment readout runs — a randomization-infrastructure bug
+    (biased hash, crash-looping variant, bot filter applied to one arm)
+    shows up here before any metric is worth reading. For a two-cell
+    50/50 design the statistic collapses to (n0-n1)^2/(n0+n1) — ONE
+    division of identical BIGINTs — compared against the 95% critical
+    value for 1 df. The arm assignment is the same portable hash the
+    engine uses everywhere, so reruns and engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("arm|"), F.col("user_id").cast("string"))
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm")
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / (F.col("n0") + F.col("n1"))
+    return c.select(
+        "n0", "n1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+@register(
+    "ab_test_conversion_ztest",
+    """
+    WITH fe AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events),
+    arms AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5('arm|' || user_id::VARCHAR), 1, 15)
+                  AS BIGINT) % 2 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM fe WHERE rn = 1),
+    c AS (SELECT
+            SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+            SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+            SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+            SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c1
+          FROM arms),
+    z AS (SELECT n0, n1, c0, c1,
+                 (c1::DOUBLE / n1 - c0::DOUBLE / n0)
+                 / sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+                        * (1 - (c0 + c1)::DOUBLE / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) AS zval
+          FROM c)
+    SELECT n0, c0, n1, c1,
+           ROUND(c0::DOUBLE / n0, 6) AS rate0,
+           ROUND(c1::DOUBLE / n1, 6) AS rate1,
+           ROUND(zval, 6) AS z_score,
+           abs(zval) > 1.959964 AS significant
+    FROM z
+    """,
+)
+def ab_test_conversion_ztest(spark, sf_dir):
+    """Two-proportion z-test on user-level conversion between the two
+    hash-split arms — the canonical A/B readout. Under the null split the
+    z-score should be noise (|z| < 1.96 at 95%); the query exists as the
+    A/A-shaped harness an experimentation pipeline validates against
+    before real treatments flow through it. Per-user conversion is one
+    first-event window (the synthetic stream is dense enough that ANY
+    presence-based target saturates to 100%, degenerating the pooled
+    variance to zero — first-event share stays interior at every SF);
+    counts reduce to four BIGINTs; the pooled z is a fixed
+    sequence of double ops over those identical integers (sqrt is
+    IEEE-correctly-rounded, so both engines agree bit-for-bit, unlike
+    ln/pow). At 100 TB the readout is this same four-integer reduction —
+    experiment analysis is never the expensive part; the label and
+    exposure joins feeding it are."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm|"), F.col("user_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    fe = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    arms = fe.select(
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint").alias("c1"),
+    )
+    p = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    zval = (
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c0").cast("double") / F.col("n0")
+    ) / F.sqrt(p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return c.select(
+        "n0", "c0", "n1", "c1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("rate0"),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("rate1"),
+        F.round(zval, 6).alias("z_score"),
+        (F.abs(zval) > 1.959964).alias("significant"),
+    )
