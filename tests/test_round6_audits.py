@@ -139,3 +139,53 @@ def test_no_cartesian_products_in_round6_plans(spark):
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_ab_srm_chi2_nonnegative(rows):
+    [r] = rows("ab_test_srm_check")
+    assert r.n0 > 0 and r.n1 > 0
+    assert r.chi2 >= 0.0
+    assert r.srm_flag == (r.chi2 > 3.841459)
+
+
+def test_ab_ztest_rates_interior(rows):
+    [r] = rows("ab_test_conversion_ztest")
+    # first-event share must stay interior or the pooled variance
+    # degenerates — the exact failure mode the target choice avoids
+    assert 0 < r.c0 + r.c1 < r.n0 + r.n1
+    assert r.z_score == r.z_score  # not NaN
+    assert r.significant == (abs(r.z_score) > 1.959964 or
+                             abs(abs(r.z_score) - 1.959964) < 1e-6)
+
+
+def test_lsh_planner_permissiveness_monotone(rows):
+    out = sorted(rows("lsh_param_planner"), key=lambda r: -r.bands)
+    assert [(r.bands, r.rows_per_band) for r in out] == [
+        (16, 1), (8, 2), (4, 4), (2, 8)
+    ]
+    # for a fixed 16-hash budget, more bands of fewer rows is pointwise
+    # more permissive: expected candidate mass must decrease with r
+    cands = [r.expected_candidates for r in out]
+    assert cands == sorted(cands, reverse=True)
+    for r in out:
+        assert 0.0 <= r.expected_good <= r.expected_candidates <= r.n_pairs
+        assert r.expected_good <= r.n_good + 1e-9 or r.n_good == 0
+
+
+def test_kcore_peel_monotone_shrink(rows):
+    out = sorted(rows("graph_kcore_peel"), key=lambda r: r.iter)
+    assert [r.iter for r in out] == [0, 1, 2, 3]
+    assert out[0].k >= 1
+    for prev, cur in zip(out, out[1:]):
+        # peeling can only remove nodes and edges
+        assert cur.n_nodes <= prev.n_nodes
+        assert cur.n_edges <= prev.n_edges
+        assert cur.k == prev.k
+
+
+def test_bfs_hops_start_at_seed(rows):
+    out = sorted(rows("graph_bfs_hops"), key=lambda r: r.hop)
+    assert [r.hop for r in out] == [0, 1, 2, 3]
+    assert out[0].n_nodes == 1  # the seed
+    for r in out:
+        assert r.n_nodes >= 0

@@ -799,3 +799,203 @@ def graph_orientation_fanout(spark, sf_dir):
             ).alias("reduction_ratio"),
         )
     )
+
+
+@register(
+    "graph_kcore_peel",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und0 AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    kq AS MATERIALIZED (SELECT CEIL(quantile_cont(d, 0.5))::BIGINT AS k
+           FROM (SELECT COUNT(*)::BIGINT AS d FROM und0 GROUP BY u)),
+    keep1 AS MATERIALIZED (SELECT u FROM und0 CROSS JOIN kq
+              GROUP BY u, kq.k HAVING COUNT(*) >= kq.k),
+    und1 AS MATERIALIZED (SELECT e.u, e.v FROM und0 e
+             WHERE e.u IN (SELECT u FROM keep1)
+               AND e.v IN (SELECT u FROM keep1)),
+    keep2 AS MATERIALIZED (SELECT u FROM und1 CROSS JOIN kq
+              GROUP BY u, kq.k HAVING COUNT(*) >= kq.k),
+    und2 AS MATERIALIZED (SELECT e.u, e.v FROM und1 e
+             WHERE e.u IN (SELECT u FROM keep2)
+               AND e.v IN (SELECT u FROM keep2)),
+    keep3 AS MATERIALIZED (SELECT u FROM und2 CROSS JOIN kq
+              GROUP BY u, kq.k HAVING COUNT(*) >= kq.k),
+    und3 AS MATERIALIZED (SELECT e.u, e.v FROM und2 e
+             WHERE e.u IN (SELECT u FROM keep3)
+               AND e.v IN (SELECT u FROM keep3))
+    SELECT * FROM (
+      SELECT 0 AS iter, (SELECT COUNT(DISTINCT u) FROM und0)::BIGINT AS n_nodes,
+             (SELECT COUNT(*) FROM und0)::BIGINT // 2 AS n_edges,
+             (SELECT k FROM kq) AS k
+      UNION ALL
+      SELECT 1, (SELECT COUNT(DISTINCT u) FROM und1)::BIGINT,
+             (SELECT COUNT(*) FROM und1)::BIGINT // 2, (SELECT k FROM kq)
+      UNION ALL
+      SELECT 2, (SELECT COUNT(DISTINCT u) FROM und2)::BIGINT,
+             (SELECT COUNT(*) FROM und2)::BIGINT // 2, (SELECT k FROM kq)
+      UNION ALL
+      SELECT 3, (SELECT COUNT(DISTINCT u) FROM und3)::BIGINT,
+             (SELECT COUNT(*) FROM und3)::BIGINT // 2, (SELECT k FROM kq)
+    ) ORDER BY iter ASC
+    """,
+)
+def graph_kcore_peel(spark, sf_dir):
+    """k-core peeling trace (k = ceil of the median degree, so the
+    threshold rides the graph's own density across SFs): three peel
+    iterations — drop every node with fewer than k surviving neighbors,
+    restrict the edge set, repeat — reporting nodes/edges after each
+    round. The k-core is THE densest-region extractor run before
+    community detection or embedding training on behavioral graphs
+    (peeling also bounds the wedge joins: the census on the 2-core
+    skips every tree-like appendage). Each iteration is one grouped
+    degree count + one semi-join-style membership filter — the exact
+    shape distributed k-core takes at 100 TB, where you iterate until
+    n_dropped = 0 instead of a fixed 3 (the trace shows the shrink
+    rate; convergence is typically < 10 rounds on power-law graphs).
+    All outputs are integer counts; k comes from an exact interpolated
+    median of integer degrees (x.0 or x.5 -> identical ceil in both
+    engines)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    # eager lineage truncation (the pagerank_converged pattern): each peel
+    # level is read by three consumers (degree count, two membership
+    # filters, stats row) — materializing once per level keeps the union
+    # of per-level stats from re-deriving the whole chain per branch
+    und = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    kq = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .agg(F.ceil(F.percentile("d", F.lit(0.5))).cast("bigint").alias("k"))
+    ).localCheckpoint()
+
+    def _stats(u_df, it):
+        return (
+            u_df.agg(
+                F.count_distinct("u").cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            )
+            .crossJoin(F.broadcast(kq))
+            .select(F.lit(it).cast("int").alias("iter"), "n_nodes", "n_edges", "k")
+        )
+
+    out = _stats(und, 0)
+    cur = und
+    for it in (1, 2, 3):
+        keep = (
+            cur.crossJoin(F.broadcast(kq))
+            .groupBy("u", "k")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= F.col("k"))
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        out = out.unionByName(_stats(cur, it))
+    return out.orderBy(F.col("iter").asc())
+
+
+@register(
+    "graph_bfs_hops",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    seed AS MATERIALIZED (SELECT MIN(u) AS s FROM und),
+    d0 AS MATERIALIZED (SELECT s AS node FROM seed),
+    d1 AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM und e
+           JOIN d0 ON e.u = d0.node
+           WHERE e.v NOT IN (SELECT node FROM d0)),
+    d2 AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM und e
+           JOIN d1 ON e.u = d1.node
+           WHERE e.v NOT IN (SELECT node FROM d0)
+             AND e.v NOT IN (SELECT node FROM d1)),
+    d3 AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM und e
+           JOIN d2 ON e.u = d2.node
+           WHERE e.v NOT IN (SELECT node FROM d0)
+             AND e.v NOT IN (SELECT node FROM d1)
+             AND e.v NOT IN (SELECT node FROM d2))
+    SELECT * FROM (
+      SELECT 0 AS hop, (SELECT COUNT(*) FROM d0)::BIGINT AS n_nodes
+      UNION ALL SELECT 1, (SELECT COUNT(*) FROM d1)::BIGINT
+      UNION ALL SELECT 2, (SELECT COUNT(*) FROM d2)::BIGINT
+      UNION ALL SELECT 3, (SELECT COUNT(*) FROM d3)::BIGINT
+    ) ORDER BY hop ASC
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """BFS frontier expansion from the minimum-id seed part: exact node
+    counts at hops 0-3 of the co-purchase graph — the neighborhood-growth
+    curve that calibrates graph-sampling fan-outs (GraphSAGE-style
+    training reads exactly these frontiers) and detects small-world
+    collapse (hop 2 reaching most of the graph means 2-hop joins are
+    corpus-sized). Each hop is one equi-join of the frontier against the
+    adjacency plus anti-joins against all previous levels — the iterative
+    frontier shape Pregel/GraphX execute, here unrolled to a fixed 3 so
+    the oracle is a deterministic CTE chain; at 100 TB the frontier
+    DataFrame loops until empty with the visited set checkpointed per
+    level. All integer counts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    frontier = und.agg(F.min("u").alias("node")).localCheckpoint()
+    visited = frontier
+    counts = frontier.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
+        F.lit(0).cast("int").alias("hop"), "n_nodes"
+    )
+    for hop in (1, 2, 3):
+        frontier = (
+            und.join(
+                frontier.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(frontier).localCheckpoint()
+        counts = counts.unionByName(
+            frontier.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+            ).select(F.lit(hop).cast("int").alias("hop"), "n_nodes")
+        )
+    return counts.orderBy(F.col("hop").asc())
