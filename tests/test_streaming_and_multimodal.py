@@ -630,3 +630,62 @@ def test_streaming_windowed_distinct_sketch(spark):
     }
     for ws, apx in streamed.items():
         assert abs(apx - exact[ws]) <= 3 * rsd * exact[ws] + 1
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery (ST1's durability contract): a streaming
+    aggregation stopped after batch 1 and RESTARTED from the same
+    checkpoint location processes only the files that arrived while it
+    was down — no reprocessing (the batch-1 file is not double-counted)
+    and no loss (the batch-2 file is picked up). This is the property
+    that makes every maintenance loop in the engine safe to crash:
+    Structured Streaming's checkpoint owns offsets + state, the code
+    only owns the transformation."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    state_dir = str(tmp_path / "restart_state")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(indir / name))
+
+    def merge(batch_df, batch_id):
+        import os  # noqa: PLC0415
+
+        agg = batch_df.groupBy("k").agg(F.sum("v").alias("s"))
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            agg = prev.unionByName(agg).groupBy("k").agg(F.sum("s").alias("s"))
+        agg.write.mode("overwrite").parquet(state_dir + ".tmp")
+        out = batch_df.sparkSession.read.parquet(state_dir + ".tmp")
+        out.write.mode("overwrite").parquet(state_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(indir / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch([("a", 1), ("b", 2)], "batch1")
+    run_once()
+    first = {r["k"]: r["s"] for r in spark.read.parquet(state_dir).collect()}
+    assert first == {"a": 1, "b": 2}
+
+    # stream is stopped; new data arrives; restart from the SAME checkpoint
+    write_batch([("a", 10), ("c", 5)], "batch2")
+    run_once()
+    second = {r["k"]: r["s"] for r in spark.read.parquet(state_dir).collect()}
+    # batch1 NOT reprocessed (a would be 12 if it were), batch2 fully applied
+    assert second == {"a": 11, "b": 2, "c": 5}

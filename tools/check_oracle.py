@@ -66,6 +66,11 @@ def main():
     only = set(sys.argv[2:])
 
     con = duckdb.connect()
+    # spill outside the repo: an out-of-memory oracle otherwise writes its
+    # temp storage to ./.tmp inside the working tree (a runaway query once
+    # left 51 GB there and hung `git add`)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='20GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
