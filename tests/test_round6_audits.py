@@ -7,11 +7,7 @@ the DOULION sample is a subset), plus the no-cartesian plan guarantee the
 suite enforces everywhere else.
 """
 
-import sys
-
 import pytest
-
-sys.path.insert(0, "/root/repo")
 
 from veri_spark.plans.registry import QUERIES
 

@@ -1061,19 +1061,12 @@ def ab_test_srm_check(spark, sf_dir):
     division of identical BIGINTs — compared against the 95% critical
     value for 1 df. The arm assignment is the same portable hash the
     engine uses everywhere, so reruns and engines agree exactly."""
+    from veri_spark.functions.hashing import portable_hash64
+
     ev = load_table(spark, sf_dir, "events")
     arms = ev.select("user_id").distinct().select(
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit("arm|"), F.col("user_id").cast("string"))
-                    ),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long") % 2
-        ).alias("arm")
+        (portable_hash64(F.col("user_id").cast("string"), seed="arm") % 2)
+        .alias("arm")
     )
     c = arms.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
@@ -1138,16 +1131,10 @@ def ab_test_conversion_ztest(spark, sf_dir):
     ln/pow). At 100 TB the readout is this same four-integer reduction —
     experiment analysis is never the expensive part; the label and
     exposure joins feeding it are."""
+    from veri_spark.functions.hashing import portable_hash64
+
     ev = load_table(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("arm|"), F.col("user_id").cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long") % 2
-    )
+    arm = portable_hash64(F.col("user_id").cast("string"), seed="arm") % 2
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )

@@ -1708,9 +1708,14 @@ def feature_hashing_collision_audit(spark, sf_dir):
     from veri_spark.functions.hashing import portable_hash64
 
     docs = load_table(spark, sf_dir, "documents")
+    # guard the single-token edge: Spark's sequence(1, 0) is DESCENDING
+    # [1, 0] (not empty like DuckDB's range), which would fabricate NULL
+    # bigrams from out-of-range indices
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+        " ELSE array() END"
     )
     v = docs.select(F.explode(bigrams).alias("tok")).distinct()
     widths = spark.createDataFrame([(1024,), (4096,), (16384,)], "w int")

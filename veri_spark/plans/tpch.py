@@ -65,7 +65,8 @@ from veri_spark.plans._base import (  # noqa: F401
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ((2 * SUM(price_u) + 10000) // 20000)::BIGINT / 100.0
+             AS sum_base_price,
            ((2 * SUM(dp_u) + 10000) // 20000)::BIGINT / 100.0 AS sum_disc_price,
            ((2 * SUM(ch_u) + 10000) // 20000)::BIGINT / 100.0 AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
@@ -112,7 +113,6 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     )
     agg = m.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         F.sum("dp_u").alias("s_dp"),
         F.sum("ch_u").alias("s_ch"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -124,7 +124,10 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
-        "sum_base_price",
+        (
+            F.expr("(2 * s_price + 10000) div 20000").cast("bigint")
+            / F.lit(100.0)
+        ).alias("sum_base_price"),
         (F.expr("(2 * s_dp + 10000) div 20000").cast("bigint") / F.lit(100.0))
         .alias("sum_disc_price"),
         (F.expr("(2 * s_ch + 10000) div 20000").cast("bigint") / F.lit(100.0))

@@ -964,7 +964,11 @@ def collect_with_timeout(df: DataFrame, timeout_ms: int):
     # this Python thread onto its own JVM thread; without it setJobGroup in
     # the worker may bind to a shared JVM thread and cancelJobGroup becomes
     # a no-op — fall back to cancelAllJobs (coarse but actually stops work)
-    pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() != "false"
+    # PySpark enables pin-thread mode only when the env var lowercases to
+    # exactly "true" (pyspark/java_gateway.py) — mirror that test exactly,
+    # or values like "0"/"no" would take the job-group branch whose cancel
+    # is a no-op on an unpinned gateway
+    pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "true"
     if not pinned:
         warnings.warn(
             "PYSPARK_PIN_THREAD is disabled: job-group cancel is unreliable; "
