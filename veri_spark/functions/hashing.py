@@ -26,15 +26,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def portable_hash64(col: Column | str, seed: int | None = None) -> Column:
-    """60-bit portable hash of a string column (optionally seeded)."""
+def portable_hash64(col: Column | str, seed: int | str | None = None) -> Column:
+    """60-bit portable hash of a string column (optionally seeded).
+
+    ``seed`` may be an int or a short string tag (e.g. ``"arm"`` in the A/B
+    split) — anything whose f-string form is stable; it is prepended as
+    ``f"{seed}|"``.
+    """
     c = F.col(col) if isinstance(col, str) else col
     if seed is not None:
         c = F.concat(F.lit(f"{seed}|"), c)
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def portable_hash64_py(s: str, seed: int | None = None) -> int:
+def portable_hash64_py(s: str, seed: int | str | None = None) -> int:
     """Python mirror of :func:`portable_hash64` (for literal plane matrices)."""
     if seed is not None:
         s = f"{seed}|{s}"

@@ -946,13 +946,33 @@ class SearchTimeout(TimeoutError):
     before this raises, so no orphan stages keep burning the cluster)."""
 
 
-def collect_with_timeout(df: DataFrame, timeout_ms: int):
+class SearchWorkerDied(RuntimeError):
+    """Raised by collect_with_timeout when the worker thread exits without
+    producing either a result or an exception. Distinct from
+    ``SearchTimeout`` on purpose: callers that catch SearchTimeout to retry
+    with a larger budget must NOT misdiagnose a dead worker (no amount of
+    extra budget helps) as a deadline miss."""
+
+
+def collect_with_timeout(
+    df: DataFrame, timeout_ms: int, unpinned_fallback: str = "raise"
+):
     """Run ``df.collect()`` under a hard deadline (K16, data/search.go:
     162-165). The action runs in a worker thread inside its own Spark job
     group with ``interruptOnCancel``; if the deadline passes first, the
     group is cancelled (killing its running stages cluster-wide) and
     ``SearchTimeout`` raises. PySpark's pinned-thread mode keeps the job
-    group thread-local, so concurrent searches cancel independently."""
+    group thread-local, so concurrent searches cancel independently.
+
+    Without pinned-thread mode job-group cancellation is unreliable (the
+    worker's setJobGroup may bind to a shared JVM thread), and the only
+    cancel that actually stops work is ``cancelAllJobs`` — which also kills
+    every CONCURRENT caller's jobs on the shared SparkContext. Rather than
+    silently doing that at timeout time, an unpinned gateway now fails fast
+    BEFORE any work starts (``unpinned_fallback="raise"``, the default);
+    callers that own the whole context can opt into the coarse cancel with
+    ``unpinned_fallback="cancel_all"``.
+    """
     import os
     import threading
     import uuid as _uuid
@@ -960,16 +980,21 @@ def collect_with_timeout(df: DataFrame, timeout_ms: int):
 
     sc = df.sparkSession.sparkContext
     gid = f"search-deadline-{_uuid.uuid4().hex[:12]}"
-    # job-group cancellation is only precise when pinned-thread mode maps
-    # this Python thread onto its own JVM thread; without it setJobGroup in
-    # the worker may bind to a shared JVM thread and cancelJobGroup becomes
-    # a no-op — fall back to cancelAllJobs (coarse but actually stops work)
     # PySpark enables pin-thread mode only when the env var lowercases to
     # exactly "true" (pyspark/java_gateway.py) — mirror that test exactly,
     # or values like "0"/"no" would take the job-group branch whose cancel
     # is a no-op on an unpinned gateway
     pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "true"
     if not pinned:
+        if unpinned_fallback != "cancel_all":
+            raise RuntimeError(
+                "collect_with_timeout requires pinned-thread mode "
+                "(PYSPARK_PIN_THREAD=true) for precise job-group "
+                "cancellation; refusing the timeout budget up front rather "
+                "than cancelling ALL jobs on this SparkContext at deadline. "
+                "Pass unpinned_fallback='cancel_all' to opt into the coarse "
+                "cancel if this process owns the whole context."
+            )
         warnings.warn(
             "PYSPARK_PIN_THREAD is disabled: job-group cancel is unreliable; "
             "falling back to cancelAllJobs on timeout (cancels EVERY job on "
@@ -1004,8 +1029,9 @@ def collect_with_timeout(df: DataFrame, timeout_ms: int):
     if err:
         raise err[0]
     if not out:
-        raise SearchTimeout(
+        raise SearchWorkerDied(
             f"search worker thread for job group {gid} exited without a "
-            "result or an exception (thread died unexpectedly)"
+            "result or an exception (thread died unexpectedly; a larger "
+            "timeout budget will not help)"
         )
     return out[0]
