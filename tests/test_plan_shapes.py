@@ -74,6 +74,67 @@ def test_no_cartesian_products_in_headline_queries(spark):
         assert c["cartesian"] == 0, q
 
 
+def unpartitioned_window_specs(df):
+    """Window specs in the executed plan with NO partition columns — each
+    one forces Spark to move every input row to a single task (an
+    ``Exchange SinglePartition`` under the WindowExec)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = []
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        first = spec.split(",")[0]
+        # partitioned specs lead with bare partition columns (`__pid#12`);
+        # an unpartitioned spec's first argument is an ORDER clause
+        if " ASC" in first or " DESC" in first:
+            bad.append(spec[:80])
+    return bad
+
+
+def test_no_unpartitioned_windows_in_ranked_queries(spark):
+    """Round-7 (round-6 verdict task 2): the three queries that used a
+    global ``Window.orderBy`` — the whole-table-to-one-task shape — must
+    now plan ONLY partitioned windows via the distributed global rank
+    (operators/ranking.py). The tiny offset pass is an aggregate + self
+    join by construction, so ANY unpartitioned window spec here is a
+    regression."""
+    for q in (
+        "data_skipping_audit",
+        "zorder_multicol_audit",
+        "sorted_neighborhood_pairs",
+        "graph_common_neighbors_capped",
+    ):
+        assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
+
+
+def test_global_row_number_is_exact_and_distributed(spark):
+    """The distributed rank must be a gap-free permutation of 1..N under
+    the total order (the round-7 boundary-sampling bug produced max rank
+    59882 over 60000 rows when the two branches re-sampled range
+    boundaries independently — this pins the fix)."""
+    from veri_spark.operators.ranking import global_row_number
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    g = global_row_number(
+        li, [F.col("l_orderkey"), F.col("l_linenumber")], rn_col="rn"
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rn").alias("nd"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == stats["nd"] == stats["hi"]
+    assert stats["lo"] == 1
+    # rank agrees with the order: the row ranked 1 is the global minimum
+    first = g.filter(F.col("rn") == 1).collect()[0]
+    lo = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    assert (first["l_orderkey"], first["l_linenumber"]) == (
+        lo["l_orderkey"],
+        lo["l_linenumber"],
+    )
+
+
 def test_weighted_quantiles_single_exchange(spark):
     """Both window passes (cumsum + total) must share one source-keyed
     exchange."""

@@ -1773,52 +1773,38 @@ def sorted_neighborhood_pairs(spark, sf_dir):
     prefix), slide a w=3 window down the sort order, and verify only the
     pairs inside the window with exact token Jaccard — the classic
     alternative to hash blocking (LSH) when near-dups share prefixes but
-    not shingle statistics. The window pairs come from lead() columns, so
-    there is NO self-join: one sort, w-1 lead projections, and a map-side
-    Jaccard on each candidate. The global sort is the method's defining
-    cost and exactly what Spark's range partitioner does at scale — at
-    100 TB this is a sortWithinPartitions after range partitioning on the
-    key, the same total order in distributed form (multi-pass SNM re-sorts
-    on a second key to catch prefix-divergent dups; that is just this
-    query with a different k). Jaccard is one division of identical
-    BIGINTs, thresholded on the unrounded ratio in both engines."""
+    not shingle statistics.
+
+    Round-7: now the DISTRIBUTED form the round-6 docstring only
+    described. `sorted_neighborhood_candidates` (operators/ranking.py)
+    range-partitions on the blocking key, ranks within each range bucket,
+    reconstructs the global rank from a ~32-row offset aggregate, and
+    pairs each row with the next w-1 = 2 via shifted equi-joins on the
+    rank — NO unpartitioned window anywhere in the plan (asserted by
+    tests/test_plan_shapes.py), no single-task sort, no boundary case
+    (rank joins cross range-bucket edges by construction). Multi-pass SNM
+    re-sorts on a second key to catch prefix-divergent dups; that is this
+    query with a different k. Jaccard is one division of identical
+    BIGINTs, thresholded on the unrounded ratio in both engines; the
+    DuckDB oracle keeps the equivalent lead()-over-global-sort form."""
+    from veri_spark.operators.ranking import sorted_neighborhood_candidates
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         F.substring(F.lower(F.trim(F.col("text"))), 1, 16).alias("k"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
-    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
-    o = t.select(
-        "doc_id",
-        "toks",
-        F.lead("doc_id", 1).over(w).alias("n1_id"),
-        F.lead("toks", 1).over(w).alias("n1_toks"),
-        F.lead("doc_id", 2).over(w).alias("n2_id"),
-        F.lead("toks", 2).over(w).alias("n2_toks"),
-    )
-    pairs = (
-        o.filter(F.col("n1_id").isNotNull())
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("n1_id").alias("doc_b"),
-            F.col("toks").alias("ta"),
-            F.col("n1_toks").alias("tb"),
-        )
-        .unionByName(
-            o.filter(F.col("n2_id").isNotNull()).select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n2_id").alias("doc_b"),
-                F.col("toks").alias("ta"),
-                F.col("n2_toks").alias("tb"),
-            )
-        )
-    )
-    j = pairs.select(
-        "doc_a",
-        "doc_b",
-        F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("bigint").alias("inter"),
-        F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("bigint").alias("uni"),
+    cand = sorted_neighborhood_candidates(t, ["k", "doc_id"], window=3)
+    j = cand.select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+        .cast("bigint")
+        .alias("inter"),
+        F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+        .cast("bigint")
+        .alias("uni"),
     )
     return (
         j.filter(F.col("inter") / F.col("uni") >= 0.4)

@@ -1222,20 +1222,27 @@ def data_skipping_audit(spark, sf_dir):
     chunks whose [min,max] interval intersects the predicate, so the
     scanned-fraction ratio IS the realized I/O saving at 100 TB (a date-
     sorted layout scans ~1/7th of this 7-year table for a 1-year slice; the
-    ingest order scans nearly everything). Two global sorts build the
-    simulated layouts — acceptable for an audit; the production write path
-    is a range-partitioned sortWithinPartitions. Counts are integers; the
+    ingest order scans nearly everything). Round-7: the simulated layouts
+    are built with the DISTRIBUTED global rank (operators/ranking.py —
+    range partition + within-range row_number + tiny offset aggregate), so
+    there is NO unpartitioned window moving the table to one task
+    (asserted by tests/test_plan_shapes.py); chunk ids are identical
+    because the rank is the same total order. Counts are integers; the
     fractions are single divisions of identical BIGINTs."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from veri_spark.operators.ranking import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
     d1 = F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
     d2 = F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
 
     def _chunks(order_cols):
-        w = Window.orderBy(*order_cols)
+        g = global_row_number(li, order_cols, rn_col="__rn")
         return (
-            li.select(
+            g.select(
                 "l_shipdate",
-                ((F.row_number().over(w) - 1) / 2000).cast("bigint").alias("chunk"),
+                ((F.col("__rn") - 1) / 2000).cast("bigint").alias("chunk"),
             )
             .groupBy("chunk")
             .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
@@ -1535,24 +1542,41 @@ def zorder_multicol_audit(spark, sf_dir):
     keep the audit scale-free; everything is integer arithmetic except
     the two scan fractions — single divisions of identical BIGINTs. The
     Morton expression is a plain shift/mask chain, engine-portable and
-    whole-stage-codegen friendly."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wx = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    wy = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
-    b = li.select(
-        (F.ntile(256).over(wx) - 1).alias("xb"),
-        (F.ntile(256).over(wy) - 1).alias("yb"),
+    whole-stage-codegen friendly.
+
+    Round-7: all four formerly-global windows (two ntiles, two chunk
+    row_numbers) now run on the DISTRIBUTED global rank
+    (operators/ranking.py): ntile(256) is reconstructed bit-for-bit from
+    (rank, total count) with the SQL-standard bucket formula, and chunk
+    ids from the rank directly — no unpartitioned WindowExec in the plan
+    (asserted by tests/test_plan_shapes.py). Chunk-stat determinism under
+    sort-key ties is positional (see ranking.py docstring): tied rows are
+    value-identical, so every chunk's min/max envelope is unchanged by
+    which tied row takes which rank."""
+    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_partkey", "l_orderkey", "l_linenumber"
+    )
+    n1 = li.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    gx = global_row_number(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"], rn_col="__rx"
+    )
+    gxy = global_row_number(
+        gx, ["l_partkey", "l_orderkey", "l_linenumber"], rn_col="__ry"
+    )
+    b = gxy.crossJoin(F.broadcast(n1)).select(
+        (ntile_from_rank(F.col("__rx"), F.col("__n"), 256) - 1).alias("xb"),
+        (ntile_from_rank(F.col("__ry"), F.col("__n"), 256) - 1).alias("yb"),
     )
     m = b.select("xb", "yb", F.expr("((((xb >> 0) & 1) << 0) + (((yb >> 0) & 1) << 1)) + ((((xb >> 1) & 1) << 2) + (((yb >> 1) & 1) << 3)) + ((((xb >> 2) & 1) << 4) + (((yb >> 2) & 1) << 5)) + ((((xb >> 3) & 1) << 6) + (((yb >> 3) & 1) << 7)) + ((((xb >> 4) & 1) << 8) + (((yb >> 4) & 1) << 9)) + ((((xb >> 5) & 1) << 10) + (((yb >> 5) & 1) << 11)) + ((((xb >> 6) & 1) << 12) + (((yb >> 6) & 1) << 13)) + ((((xb >> 7) & 1) << 14) + (((yb >> 7) & 1) << 15))").alias("morton"))
 
     def _chunks(order_cols):
-        w = Window.orderBy(*order_cols)
+        g = global_row_number(m, order_cols, rn_col="__rn")
         return (
-            m.select(
+            g.select(
                 "xb", "yb",
-                ((F.row_number().over(w) - 1) / 2000)
-                .cast("bigint")
-                .alias("chunk"),
+                ((F.col("__rn") - 1) / 2000).cast("bigint").alias("chunk"),
             )
             .groupBy("chunk")
             .agg(
