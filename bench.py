@@ -99,14 +99,33 @@ BENCH_QUERIES = [
     "graph_orientation_fanout",
     "label_noise_candidates",
     "semantic_dedup_threshold_sweep",
+    # round-7 (verdict task 4): the round-6 iterative/expensive additions
+    # now tracked — checkpointed peel/BFS loops, the LSH banding planner,
+    # the Z-order layout audit — plus the round-7 work: the capped
+    # common-neighbors mitigation audit, the distributed-rank rewrites,
+    # and one representative of the K10 group-reduce family.
+    "graph_kcore_peel",
+    "graph_bfs_hops",
+    "lsh_param_planner",
+    "zorder_multicol_audit",
+    "data_skipping_audit",
+    "sorted_neighborhood_pairs",
+    "graph_common_neighbors_capped",
+    "knn_group_reduce_mean",
 ]
 
-# m^1.5 offline audits (18-42 s each at sf0.1): one timed run instead of
-# median-of-3 keeps the bench under ~3 min while still recording them.
+# m^1.5 offline audits and iterative multi-job loops (5-30 s each at
+# sf0.1): one timed run instead of median-of-3 keeps the bench under
+# ~4 min while still recording them.
 SINGLE_RUN = {
     "graph_triangle_census",
     "graph_common_neighbors",
     "graph_triangle_doulion",
+    "graph_common_neighbors_capped",
+    "graph_kcore_peel",
+    "graph_bfs_hops",
+    "lsh_param_planner",
+    "zorder_multicol_audit",
 }
 
 
@@ -134,6 +153,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
+        # free the previous query's persisted blocks (plan builders pin
+        # small reused intermediates) so 68 queries in one session don't
+        # accumulate storage memory; kept BETWEEN queries, not between the
+        # 3 timed runs, so medians stay comparable with earlier rounds
+        spark.catalog.clearCache()
         runs = []
         for _ in range(1 if name in SINGLE_RUN else 3):
             t0 = time.time()

@@ -264,6 +264,95 @@ def knn_dedup_best(spark, sf_dir):
 
 
 
+# -- K10 GroupScoreFuncName: the proto DECLARES a pluggable group-reduce
+# (veriservice.proto:35) that the reference never reads (its aggregator
+# hardcodes One() = sum | sum/n^2, data/aggregator.go:155-180). SURVEY
+# section 2.7 commits to implementing the DECLARED semantics: each reduce
+# below is one oracle-paired query through the same group_reduce operator
+# (operators/search.py), differing only in config.group_score_func. All
+# four share the plan shape of `knn_group_scored`: map-only scoring, one
+# partitioned-window top-3 per label, one 4-group aggregate, bounded
+# final top-5 — the group sums span exactly 3 doubles, so the 6-dp
+# rounded score is stable across engine fold orders (the knn_group_scored
+# precedent, green since round 1).
+
+def _dd_group_reduce_sql(score_expr: str) -> str:
+    return f"""
+    WITH s AS (
+      SELECT label, vec_id,
+             LEAST(GREATEST(list_cosine_similarity(embedding::DOUBLE[], {_Q0}), -1.0), 1.0) AS sc
+      FROM embeddings
+    ), r AS (
+      SELECT label, vec_id, sc,
+             row_number() OVER (PARTITION BY label ORDER BY sc DESC, vec_id ASC) AS rn
+      FROM s
+    ), l AS (SELECT * FROM r WHERE rn <= 3)
+    SELECT label, arg_min(vec_id, rn) AS vec_id,
+           ROUND({score_expr}, 6) AS group_score,
+           COUNT(*) AS group_size
+    FROM l GROUP BY label
+    ORDER BY {score_expr} DESC, label ASC LIMIT 5
+    """
+
+
+def _group_reduce_query(spark, sf_dir, func: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cfg = S.SearchConfig(
+        score_func="CosineSimilarity",
+        group_limit=3,
+        result_limit=5,
+        group_score_func=func,
+    )
+    scored = S.score_corpus(emb, q, cfg, vector_col="embedding")
+    out = S.group_reduce(scored, cfg, group_col="label", id_cols=["vec_id"])
+    return out.select(
+        "label",
+        "vec_id",
+        F.round("group_score", 6).alias("group_score"),
+        "group_size",
+    )
+
+
+@register("knn_group_reduce_sum", _dd_group_reduce_sql("SUM(sc)"))
+def knn_group_reduce_sum(spark, sf_dir):
+    """K10 GroupScoreFuncName='sum': group score = plain score sum (what
+    the reference's One() does for higher-is-better scores, here selected
+    EXPLICITLY through the declared knob)."""
+    return _group_reduce_query(spark, sf_dir, "sum")
+
+
+@register(
+    "knn_group_reduce_mean", _dd_group_reduce_sql("SUM(sc) / COUNT(*)")
+)
+def knn_group_reduce_mean(spark, sf_dir):
+    """K10 GroupScoreFuncName='mean': size-normalized group score — the
+    reduce that stops 3-member groups from outranking 1-member groups on
+    volume alone. SUM/COUNT in both engines (not AVG) so the division is
+    the same single operation."""
+    return _group_reduce_query(spark, sf_dir, "mean")
+
+
+@register("knn_group_reduce_best", _dd_group_reduce_sql("MAX(sc)"))
+def knn_group_reduce_best(spark, sf_dir):
+    """K10 GroupScoreFuncName='best': group score = the representative's
+    own score (max for higher-is-better) — rank groups purely by their
+    best member; order-insensitive, exact in any fold order."""
+    return _group_reduce_query(spark, sf_dir, "best")
+
+
+@register(
+    "knn_group_reduce_sum_n2",
+    _dd_group_reduce_sql("SUM(sc) / (COUNT(*) * COUNT(*))"),
+)
+def knn_group_reduce_sum_n2(spark, sf_dir):
+    """K10 GroupScoreFuncName='sum_over_n2': the reference One() formula
+    for lower-is-better scores, applied EXPLICITLY to a higher-is-better
+    score — a strong small-group preference (penalizes group mass
+    quadratically), selectable only through the declared knob."""
+    return _group_reduce_query(spark, sf_dir, "sum_over_n2")
+
+
 @register(
     "ann_ivf_assign",
     f"""
