@@ -725,6 +725,38 @@ def test_collect_with_timeout_cancels_and_raises(spark):
         collect_with_timeout(heavy, timeout_ms=150)
 
 
+def test_collect_with_timeout_refuses_unpinned_gateway(spark, monkeypatch):
+    """Round-7 advisor fix: on an unpinned gateway (PYSPARK_PIN_THREAD not
+    exactly 'true'), job-group cancel is unreliable and the only working
+    cancel kills EVERY job on the shared context — so the call must fail
+    fast BEFORE starting any work, unless the caller opts into the coarse
+    cancel explicitly."""
+    from veri_spark.store import collect_with_timeout
+
+    monkeypatch.setenv("PYSPARK_PIN_THREAD", "false")
+    df = spark.range(1).selectExpr("sum(id) AS s")
+    with pytest.raises(RuntimeError, match="pinned-thread"):
+        collect_with_timeout(df, timeout_ms=60_000)
+    # explicit opt-in still runs (happy path completes inside the budget,
+    # after the coarse-cancel warning)
+    with pytest.warns(RuntimeWarning, match="cancelAllJobs"):
+        rows = collect_with_timeout(
+            df, timeout_ms=60_000, unpinned_fallback="cancel_all"
+        )
+    assert rows[0]["s"] == 0
+
+
+def test_search_worker_died_is_distinct_from_timeout():
+    """Round-7 advisor fix: the thread-died-without-result case raises
+    SearchWorkerDied (a RuntimeError), NOT SearchTimeout — retry-with-
+    bigger-budget handlers must not misdiagnose a dead worker."""
+    from veri_spark.store import SearchTimeout, SearchWorkerDied
+
+    assert issubclass(SearchWorkerDied, RuntimeError)
+    assert not issubclass(SearchWorkerDied, SearchTimeout)
+    assert not issubclass(SearchTimeout, SearchWorkerDied)
+
+
 # -- A5 statistical identity + A6 bucket rebalance quotas --------------------
 
 def test_statistical_identity_same_and_drifted(spark, store_ds):

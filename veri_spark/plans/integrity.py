@@ -1,0 +1,539 @@
+"""Data-integrity and ingest-quality audits — the checks a warehouse runs
+BEFORE expensive downstream work trusts a new load: key uniqueness,
+domain/range rules, cross-table consistency, digit-distribution fraud
+screens, PII pattern scans, dedup survivorship accounting, and the
+broadcast-size planner that decides physical join strategy.
+
+Everything is counting: integer sums, single divisions for display
+ratios, and (where a math function would be engine-sensitive — log10 for
+Benford) Python-precomputed micro-unit literals injected into BOTH
+engines. First significant digits are extracted from exact integer CENTS
+rendered as strings (integer-to-string is exact everywhere), never from
+floating log10/power arithmetic.
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like every
+domain module.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import register  # noqa: F401
+
+
+@register(
+    "pk_uniqueness_audit",
+    """
+    SELECT * FROM (
+      SELECT 'customer' AS table_name, COUNT(*)::BIGINT AS n_rows,
+             COUNT(DISTINCT c_custkey)::BIGINT AS n_keys,
+             (COUNT(*) - COUNT(DISTINCT c_custkey))::BIGINT AS n_dup_rows
+      FROM customer
+      UNION ALL
+      SELECT 'documents', COUNT(*)::BIGINT, COUNT(DISTINCT doc_id)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT doc_id))::BIGINT FROM documents
+      UNION ALL
+      SELECT 'embeddings', COUNT(*)::BIGINT, COUNT(DISTINCT vec_id)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT vec_id))::BIGINT FROM embeddings
+      UNION ALL
+      SELECT 'events', COUNT(*)::BIGINT, COUNT(DISTINCT event_id)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT event_id))::BIGINT FROM events
+      UNION ALL
+      SELECT 'lineitem', COUNT(*)::BIGINT,
+             COUNT(DISTINCT l_orderkey * 16 + l_linenumber)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber))::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders', COUNT(*)::BIGINT, COUNT(DISTINCT o_orderkey)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT FROM orders
+      UNION ALL
+      SELECT 'part', COUNT(*)::BIGINT, COUNT(DISTINCT p_partkey)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT p_partkey))::BIGINT FROM part
+      UNION ALL
+      SELECT 'supplier', COUNT(*)::BIGINT, COUNT(DISTINCT s_suppkey)::BIGINT,
+             (COUNT(*) - COUNT(DISTINCT s_suppkey))::BIGINT FROM supplier
+    ) ORDER BY table_name ASC
+    """,
+)
+def pk_uniqueness_audit(spark, sf_dir):
+    """Primary-key uniqueness across every keyed table in the catalog:
+    rows vs distinct keys vs duplicate surplus — the first gate on any
+    load (a duplicated key silently double-counts every downstream join
+    and aggregate). Each table is ONE partial-aggregated count-distinct
+    pass (lineitem's composite key is packed into a single BIGINT,
+    l_linenumber < 16 by TPC-H spec, so the distinct runs on one
+    primitive column); the union is 8 one-row aggregates. At 100 TB the
+    per-table pass is exactly this shape with the distinct swapped for a
+    2-level exact count or an HLL gate (`hll_sketch_audit` prices that
+    trade)."""
+    tables = {
+        "customer": ("customer", F.col("c_custkey")),
+        "documents": ("documents", F.col("doc_id")),
+        "embeddings": ("embeddings", F.col("vec_id")),
+        "events": ("events", F.col("event_id")),
+        "lineitem": (
+            "lineitem",
+            F.col("l_orderkey") * 16 + F.col("l_linenumber"),
+        ),
+        "orders": ("orders", F.col("o_orderkey")),
+        "part": ("part", F.col("p_partkey")),
+        "supplier": ("supplier", F.col("s_suppkey")),
+    }
+    out = None
+    for name, (tbl, key) in tables.items():
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_keys"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") - F.col("n_keys")).cast("bigint").alias(
+                "n_dup_rows"
+            ),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy(F.col("table_name").asc())
+
+
+@register(
+    "value_domain_violations",
+    """
+    WITH v AS (
+      SELECT
+        SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+          ::BIGINT AS quantity_range,
+        SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+          ::BIGINT AS discount_range,
+        SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+          ::BIGINT AS tax_range,
+        SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+          ::BIGINT AS price_positive,
+        SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+          ::BIGINT AS returnflag_domain,
+        SUM(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+          ::BIGINT AS linestatus_domain,
+        SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00'
+                   OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                 THEN 1 ELSE 0 END)::BIGINT AS shipdate_window
+      FROM lineitem)
+    SELECT 'discount_range' AS rule, discount_range AS n_violations FROM v
+    UNION ALL SELECT 'linestatus_domain', linestatus_domain FROM v
+    UNION ALL SELECT 'price_positive', price_positive FROM v
+    UNION ALL SELECT 'quantity_range', quantity_range FROM v
+    UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM v
+    UNION ALL SELECT 'shipdate_window', shipdate_window FROM v
+    UNION ALL SELECT 'tax_range', tax_range FROM v
+    ORDER BY rule ASC
+    """,
+)
+def value_domain_violations(spark, sf_dir):
+    """Domain/range rule screen over the fact table — seven TPC-H
+    invariants (quantity 1..50, discount 0..0.10, tax 0..0.08, positive
+    price, returnflag/linestatus enums, shipdate inside the 7-year
+    window) counted in ONE scan: the rules are conditional sums inside a
+    single aggregate, then the 1-row result is unpivoted to rule rows.
+    This is the cheap always-on load gate — at 100 TB it rides the same
+    scan as ingest statistics; a rule catalog only widens the aggregate,
+    never adds a pass. All-zero counts on clean data are the point: the
+    audit proves the invariants, the query shape prices it."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    d1 = F.expr("TIMESTAMP_NTZ '1992-01-01 00:00:00'")
+    d2 = F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
+    agg = li.agg(
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "quantity_range"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "discount_range"
+        ),
+        cnt((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)).alias("tax_range"),
+        cnt(F.col("l_extendedprice") <= 0).alias("price_positive"),
+        cnt(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "returnflag_domain"
+        ),
+        cnt(~F.col("l_linestatus").isin("O", "F")).alias("linestatus_domain"),
+        cnt((F.col("l_shipdate") < d1) | (F.col("l_shipdate") >= d2)).alias(
+            "shipdate_window"
+        ),
+    )
+    return agg.selectExpr(
+        "stack(7, "
+        "'discount_range', discount_range, "
+        "'linestatus_domain', linestatus_domain, "
+        "'price_positive', price_positive, "
+        "'quantity_range', quantity_range, "
+        "'returnflag_domain', returnflag_domain, "
+        "'shipdate_window', shipdate_window, "
+        "'tax_range', tax_range) AS (rule, n_violations)"
+    ).orderBy(F.col("rule").asc())
+
+
+@register(
+    "ship_lag_integrity_audit",
+    """
+    WITH j AS (
+      SELECT datediff('day', o.o_orderdate, l.l_shipdate)::BIGINT AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           SUM(CASE WHEN lag_days < 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations,
+           MIN(lag_days)::BIGINT AS min_lag_days,
+           MAX(lag_days)::BIGINT AS max_lag_days,
+           CAST(round(1e6 * SUM(lag_days) / COUNT(*)) AS BIGINT)
+             AS mean_lag_micro_days
+    FROM j
+    """,
+)
+def ship_lag_integrity_audit(spark, sf_dir):
+    """Cross-table temporal consistency: every line item must ship AFTER
+    its order is placed (TPC-H generates ship lags of 1..121 days) — the
+    referential-integrity sibling of `fk_integrity_audit`, checking the
+    RELATIONSHIP'S semantics, not just key existence. One equi-join on
+    the order key (the natural co-partitioned join at scale) feeding one
+    aggregate of integer day lags; the mean is a micro-quantized single
+    division of BIGINTs. A nonzero violation count here means clock skew
+    or key reuse upstream — the class of bug that poisons every
+    time-windowed training label downstream (`churn_labels_future_window`
+    et al.)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("lag_days")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("lag_days") < 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.min("lag_days").cast("bigint").alias("min_lag_days"),
+        F.max("lag_days").cast("bigint").alias("max_lag_days"),
+        F.round(F.lit(1e6) * F.sum("lag_days") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_lag_micro_days"),
+    )
+
+
+# Benford expectation log10(1 + 1/d) in micro-units, precomputed in Python
+# and injected into BOTH engines (log10 is not guaranteed correctly rounded
+# across engines; a 1-ulp difference would flip a rounded literal)
+_BENFORD_MICRO = {d: round(1e6 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items())
+    + " END"
+)
+
+
+@register(
+    "benford_first_digit_audit",
+    f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders),
+    n AS (SELECT COUNT(*)::BIGINT AS total FROM c),
+    g AS (SELECT digit, COUNT(*)::BIGINT AS n_obs FROM c GROUP BY digit)
+    SELECT g.digit, g.n_obs,
+           CAST(round(1e6 * g.n_obs / n.total) AS BIGINT) AS obs_micro,
+           {_BENFORD_CASE.replace('digit', 'g.digit')} AS benford_micro
+    FROM g CROSS JOIN n
+    ORDER BY g.digit ASC
+    """,
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law screen on order totals: the first-significant-digit
+    distribution vs the log10(1+1/d) expectation — the classic
+    fabricated-data / unit-mixup detector for monetary columns (a
+    uniform first-digit profile on money is a red flag; TPC-H's
+    synthetic totals are a known non-Benford fixture, which the audit
+    shows rather than assumes). The digit comes from exact integer
+    CENTS rendered as a string — integer-to-string is exact in every
+    engine, where floor(log10(x)) arithmetic would be 1-ulp fragile at
+    powers of ten. Expectations are Python-precomputed micro literals;
+    observed shares are single micro-quantized divisions. One grouped
+    count over the table; 9-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    n = c.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    g = c.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    benford = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, m in _BENFORD_MICRO.items() for x in (d, m)]
+        ),
+        F.col("digit").cast("int"),
+    )
+    return (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.lit(1e6) * F.col("n_obs") / F.col("total"))
+            .cast("bigint")
+            .alias("obs_micro"),
+            benford.cast("bigint").alias("benford_micro"),
+        )
+        .orderBy(F.col("digit").asc())
+    )
+
+
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "integer_token": r"\b\d+\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone_us": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+@register(
+    "pii_pattern_scan",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS pattern,
+           SUM(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_docs_matched,
+           SUM(len(regexp_extract_all(text, '{pat}')))::BIGINT
+             AS n_matches_total
+    FROM documents
+    """
+        for name, pat in sorted(_PII_PATTERNS.items())
+    )
+    + "\nORDER BY pattern ASC",
+)
+def pii_pattern_scan(spark, sf_dir):
+    """PII/leak pattern scan over the training corpus: per pattern
+    (email, US phone, IPv4, plus a bare-integer control pattern that
+    SHOULD fire, proving the scan runs), the count of matching documents
+    and total matches — the redaction-pipeline pre-audit every
+    web-scraped corpus goes through before training. Patterns are kept
+    inside the RE2 ∩ Java-regex common dialect (character classes,
+    bounded repetition, \\b anchors) so both engines count identically.
+    One scan per pattern on the Spark side kept as one PASS total: the
+    counts are conditional sums in a single aggregate (regexp_count is
+    codegen'd JVM work, no Python). At 100 TB this is the scan you fuse
+    with quality scoring — same pass, one more column per pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for name, pat in sorted(_PII_PATTERNS.items()):
+        cnt = F.regexp_count(F.col("text"), F.lit(pat))
+        aggs.append(
+            F.sum(F.when(cnt > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__docs_{name}")
+        )
+        aggs.append(F.sum(cnt).cast("bigint").alias(f"__match_{name}"))
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __docs_{name}, __match_{name}"
+        for name in sorted(_PII_PATTERNS)
+    )
+    return one.selectExpr(
+        f"stack({len(_PII_PATTERNS)}, {stack_args})"
+        " AS (pattern, n_docs_matched, n_matches_total)"
+    ).orderBy(F.col("pattern").asc())
+
+
+@register(
+    "dedup_survivorship_by_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS th FROM documents),
+    g AS (
+      SELECT th, MIN(doc_id) AS survivor_id,
+             arg_min(source, doc_id) AS survivor_source,
+             COUNT(*)::BIGINT AS group_size
+      FROM h GROUP BY th)
+    SELECT survivor_source AS source,
+           COUNT(*)::BIGINT AS n_groups_won,
+           SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_groups_won,
+           SUM(group_size - 1)::BIGINT AS n_dups_absorbed
+    FROM g GROUP BY survivor_source
+    ORDER BY source ASC
+    """,
+)
+def dedup_survivorship_by_source(spark, sf_dir):
+    """Survivorship accounting for exact dedup: after hash-grouping
+    identical texts and keeping the min-doc_id canonical copy, which
+    SOURCE wins the canonical slot and how many duplicates it absorbs —
+    the attribution question behind every dedup policy fight ("dedup
+    deleted half of source X" usually means source Y won the survivor
+    slots, not that X was removed). Survivor selection is arg-min inside
+    the hash groupBy (min_by on Spark — no window, no second pass);
+    the rollup by winning source is a second tiny aggregate. The
+    keep-lowest-id rule is the deterministic tie-break production dedup
+    uses so reruns keep stable canonical ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5(F.col("text")).alias("th"))
+    g = h.groupBy("th").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.min_by(F.col("source"), F.col("doc_id")).alias("survivor_source"),
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+    )
+    return (
+        g.groupBy(F.col("survivor_source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups_won"),
+            F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups_won"),
+            F.sum(F.col("group_size") - 1)
+            .cast("bigint")
+            .alias("n_dups_absorbed"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+@register(
+    "char_encoding_profile",
+    """
+    WITH m AS (
+      SELECT source,
+             length(text)::BIGINT AS n_chars,
+             (length(text) - length(regexp_replace(text, '[^ -~]', '', 'g')))
+               ::BIGINT AS n_nonprintable
+      FROM documents)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS n_chars,
+           SUM(CASE WHEN n_nonprintable > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_nonprintable,
+           CAST(round(1e6 * SUM(n_nonprintable) / SUM(n_chars)) AS BIGINT)
+             AS nonprintable_micro
+    FROM m GROUP BY source ORDER BY source ASC
+    """,
+)
+def char_encoding_profile(spark, sf_dir):
+    """Character-encoding hygiene per source: documents and character
+    mass outside printable ASCII (space..tilde) — the cheap mojibake /
+    binary-contamination detector run before tokenizer training (a
+    source whose nonprintable ratio jumps between crawls usually changed
+    charset, not content). The count comes from length minus the length
+    after deleting the printable class — both engines count codepoints
+    identically on this corpus; the ratio is one micro-quantized
+    division of BIGINT sums. One scan, one grouped aggregate; at 100 TB
+    this fuses into the same pass as `pii_pattern_scan` and quality
+    scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    nonp = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[^ -~]", "")
+    )
+    m = docs.select(
+        "source",
+        F.length(F.col("text")).cast("bigint").alias("n_chars"),
+        nonp.cast("bigint").alias("n_nonprintable"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("n_nonprintable") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_nonprintable"),
+            F.round(
+                F.lit(1e6) * F.sum("n_nonprintable") / F.sum("n_chars")
+            )
+            .cast("bigint")
+            .alias("nonprintable_micro"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+# fixed in-memory widths for the broadcast estimate: 8 bytes per numeric /
+# timestamp column + measured varchar bytes + 16 bytes per-row object
+# overhead (UnsafeRow header + null bits, the ballpark Spark's own size
+# estimator uses)
+_BCAST_TABLES = {
+    "region": (["r_name"], 1),
+    "nation": (["n_name"], 2),
+    "supplier": (["s_name"], 3),
+    "customer": (["c_name", "c_mktsegment"], 3),
+    "part": (["p_name", "p_brand", "p_type"], 3),
+}
+
+
+@register(
+    "broadcast_threshold_planner",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name, COUNT(*)::BIGINT AS n_rows,
+           (COUNT(*) * {16 + 8 * nfix}
+            + SUM({' + '.join(f'strlen({c})' for c in strs)}))::BIGINT
+             AS est_bytes,
+           (COUNT(*) * {16 + 8 * nfix}
+            + SUM({' + '.join(f'strlen({c})' for c in strs)}))
+             < 10485760 AS broadcast_ok
+    FROM {tbl}
+    """
+        for tbl, (strs, nfix) in sorted(_BCAST_TABLES.items())
+    )
+    + "\nORDER BY table_name ASC",
+)
+def broadcast_threshold_planner(spark, sf_dir):
+    """Physical join-strategy planner: estimated in-memory size of each
+    dimension table (8 bytes per fixed-width column + measured varchar
+    bytes + 16-byte row overhead — the ballpark Spark's own statistics
+    use) against the 10 MB autoBroadcastJoinThreshold, deciding which
+    joins hash-broadcast and which must shuffle. This is the ONE cheap
+    pass you run before forcing broadcast() hints at 100 TB: region /
+    nation stay broadcastable at any SF (fixed cardinality), supplier /
+    customer / part grow linearly and flip to shuffle joins at known
+    scale points — the planner's est_bytes column IS that flip
+    predictor. Integer arithmetic end-to-end (byte counts, one boolean
+    compare per table); five one-row aggregates unioned."""
+    out = None
+    for tbl, (strs, nfix) in sorted(_BCAST_TABLES.items()):
+        df = load_table(spark, sf_dir, tbl)
+        size_expr = None
+        for c in strs:
+            e = F.octet_length(F.col(c))
+            size_expr = e if size_expr is None else size_expr + e
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(size_expr).cast("bigint").alias("__str_bytes"),
+        ).select(
+            F.lit(tbl).alias("table_name"),
+            "n_rows",
+            (F.col("n_rows") * (16 + 8 * nfix) + F.col("__str_bytes"))
+            .cast("bigint")
+            .alias("est_bytes"),
+            (
+                (F.col("n_rows") * (16 + 8 * nfix) + F.col("__str_bytes"))
+                < 10485760
+            ).alias("broadcast_ok"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy(F.col("table_name").asc())

@@ -1837,3 +1837,63 @@ def quantile_binning_woe(spark, sf_dir):
         )
         .orderBy(F.col("bin").asc())
     )
+
+
+@register(
+    "truncation_waste_sweep",
+    """
+    WITH t AS (
+      SELECT len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
+    caps AS (SELECT unnest([512, 1024, 2048, 4096]) AS cap),
+    s AS (
+      SELECT c.cap,
+             SUM(CASE WHEN t.n_toks > c.cap THEN 1 ELSE 0 END)::BIGINT
+               AS n_docs_truncated,
+             SUM(GREATEST(t.n_toks - c.cap, 0))::BIGINT AS tokens_lost,
+             SUM(t.n_toks)::BIGINT AS tokens_total
+      FROM caps c CROSS JOIN t
+      GROUP BY c.cap)
+    SELECT cap, n_docs_truncated, tokens_lost,
+           CAST(round(1e6 * tokens_lost / tokens_total) AS BIGINT)
+             AS frac_lost_micro
+    FROM s ORDER BY cap ASC
+    """,
+)
+def truncation_waste_sweep(spark, sf_dir):
+    """Context-length policy sweep: for caps 512/1024/2048/4096 tokens,
+    how many documents a hard-truncation policy cuts and what fraction
+    of the corpus token mass it discards — the number you weigh against
+    `sequence_packing`'s bin efficiency when choosing between truncate,
+    split, and pack for long documents (tokens_lost at the training cap
+    IS the data you paid to crawl and then threw away). The sweep is a
+    4-row broadcast against per-doc token counts, so pricing four
+    policies costs ONE tokenize pass (the `jaccard_threshold_sweep`
+    pattern); whitespace tokens via the shared functions.text.tokens
+    convention. Counts are integers; the lost fraction is one
+    micro-quantized division."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(toks_fn("text")).cast("bigint").alias("n_toks"))
+    caps = spark.createDataFrame([(512,), (1024,), (2048,), (4096,)], "cap int")
+    s = (
+        t.crossJoin(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.sum(F.when(F.col("n_toks") > F.col("cap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_truncated"),
+            F.sum(F.greatest(F.col("n_toks") - F.col("cap"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_lost"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+        )
+    )
+    return s.select(
+        "cap",
+        "n_docs_truncated",
+        "tokens_lost",
+        F.round(F.lit(1e6) * F.col("tokens_lost") / F.col("tokens_total"))
+        .cast("bigint")
+        .alias("frac_lost_micro"),
+    ).orderBy(F.col("cap").asc())

@@ -1,0 +1,352 @@
+"""Retrieval-quality metrics for the ANN serving path: nDCG, MRR,
+Spearman-footrule displacement, and the recall@k operating curve — the
+offline evaluation harness a serving team runs whenever the index build
+(centroids, nprobe, quantization) changes.
+
+All four queries share one experimental frame: the EXACT brute-force
+ranking (the map-only K1 scan, ranked per query) is ground truth; the
+APPROXIMATE ranking is the production IVF probe path (nprobe=2 of 8
+cells, the `ann_ivf_search` plan). Metrics compare the two rankings with
+INTEGER arithmetic wherever a sum crosses rows — log-discount weights are
+precomputed micro-unit literals (computed once in Python and injected
+into BOTH engines, because log2() is not guaranteed correctly rounded and
+a 1-ulp engine difference would flip a rounded metric), reciprocal ranks
+are single divisions of small integers, displacement is |int - int|.
+
+At 100 TB the frame is the same: run the exact scan for a SAMPLED query
+log (the audit costs queries × corpus-scan — identical to serving those
+queries twice), keep the metric joins on the tiny top-k frames.
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like every
+domain module.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions import vector as V  # noqa: F401
+from veri_spark.operators.topk import topk_per_group  # noqa: F401
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import (  # noqa: F401
+    _DD_CENTROIDS,
+    _query_vector,
+    register,
+)
+
+_QVIDS = (0, 1, 2)
+
+# micro-unit DCG discount weights 1/log2(r+1), precomputed ONCE here and
+# injected as literals into both engines (see module docstring)
+_NDCG_W = {r: round(1e6 / math.log2(r + 1)) for r in range(1, 21)}
+
+
+def _dd_ranked(k: int) -> str:
+    """Shared DuckDB frame: exact and IVF-approximate rankings (rank kept),
+    one row per (query_id, vec_id, rank), rank <= k."""
+    return f"""
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    exact AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], q.qvec) ASC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+      ) WHERE rn <= {k}
+    ),
+    cents AS {_DD_CENTROIDS},
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(c.cvec, q.qvec) ASC, c.centroid_id ASC)
+                 AS pr
+        FROM qs q CROSS JOIN cents c
+      ) WHERE pr <= 2
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    approx AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], q.qvec) ASC,
+                          e.vec_id ASC) AS rn
+        FROM probes p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN qs q ON q.query_id = p.query_id
+      ) WHERE rn <= {k}
+    )
+    """
+
+
+def _spark_ranked(spark, sf_dir, k: int):
+    """Spark twin of :func:`_dd_ranked`: (exact, approx) DataFrames with
+    columns (query_id, vec_id, rn), rn <= k. Exact is the map-only scan +
+    bounded per-query top-k; approx is the IVF probe path over the
+    literal-centroid assignment (partition pruning at scale)."""
+    from veri_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_candidates,
+        take_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+
+    def topk_ranked(df, vid, qvec):
+        d = V.euclidean_distance(F.col("embedding"), qvec)
+        scored = df.select(
+            F.lit(vid).alias("query_id"), "vec_id", d.alias("score")
+        )
+        return topk_per_group(
+            scored, ["query_id"], "score", k,
+            higher_is_better=False, tie_cols=["vec_id"], rank_col="rn",
+        ).select("query_id", "vec_id", "rn")
+
+    exact = approx = None
+    for vid in _QVIDS:
+        qvec = _query_vector(spark, sf_dir, vid)
+        e = topk_ranked(emb, vid, qvec)
+        a = topk_ranked(
+            ivf_probe_candidates(assigned, cents, qvec, nprobe=2), vid, qvec
+        )
+        exact = e if exact is None else exact.unionByName(e)
+        approx = a if approx is None else approx.unionByName(a)
+    return exact, approx
+
+
+_W_CASE = "CASE rn " + " ".join(
+    f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items() if r <= 10
+) + " END"
+_IDCG10 = sum(w for r, w in _NDCG_W.items() if r <= 10)
+
+
+@register(
+    "ann_ndcg_audit",
+    f"""
+    WITH {_dd_ranked(10)}
+    , dcg AS (
+      SELECT a.query_id,
+             SUM(CASE WHEN x.vec_id IS NOT NULL
+                      THEN {_W_CASE.replace('rn', 'a.rn')} ELSE 0 END)::BIGINT
+               AS dcg_micro
+      FROM approx a
+      LEFT JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+      GROUP BY a.query_id)
+    SELECT query_id, dcg_micro,
+           ROUND(dcg_micro / {_IDCG10}.0, 6) AS ndcg_at_10
+    FROM dcg ORDER BY query_id ASC
+    """,
+)
+def ann_ndcg_audit(spark, sf_dir):
+    """nDCG@10 of the IVF probe ranking against exact brute force with
+    binary relevance (membership in the exact top-10) — the
+    position-aware sibling of `ann_ivf_recall_audit`: recall says how
+    many of the true neighbors survive; nDCG says where the index PUT
+    them (a survivor demoted from rank 1 to rank 10 costs 71% of its
+    weight). Discounts 1/log2(r+1) are micro-unit integer LITERALS
+    shared by both engines, so DCG is an exact integer sum and nDCG one
+    division by the constant ideal DCG. Joins run on the 30-row top-k
+    frames; the corpus cost is the two rankings themselves."""
+    exact, approx = _spark_ranked(spark, sf_dir, 10)
+    w = F.element_at(
+        F.create_map(
+            *[F.lit(x) for r in range(1, 11) for x in (r, _NDCG_W[r])]
+        ),
+        F.col("rn").cast("int"),
+    )
+    dcg = (
+        approx.join(
+            exact.select("query_id", "vec_id", F.lit(1).alias("__rel")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("__rel").isNotNull(), w).otherwise(0))
+            .cast("bigint")
+            .alias("dcg_micro")
+        )
+    )
+    return dcg.select(
+        "query_id",
+        "dcg_micro",
+        F.round(F.col("dcg_micro") / F.lit(float(_IDCG10)), 6).alias(
+            "ndcg_at_10"
+        ),
+    ).orderBy(F.col("query_id").asc())
+
+
+@register(
+    "ann_mrr_audit",
+    f"""
+    WITH {_dd_ranked(10)}
+    , target AS (
+      SELECT query_id, vec_id FROM exact WHERE rn = 2),
+    rr AS (
+      SELECT t.query_id, t.vec_id AS target_vec_id,
+             COALESCE(a.rn, 0)::BIGINT AS approx_rank,
+             CASE WHEN a.rn IS NOT NULL
+                  THEN CAST(round(1e6 / a.rn) AS BIGINT)
+                  ELSE 0 END AS rr_micro
+      FROM target t
+      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id)
+    SELECT query_id, target_vec_id, approx_rank, rr_micro
+    FROM rr ORDER BY query_id ASC
+    """,
+)
+def ann_mrr_audit(spark, sf_dir):
+    """Reciprocal rank of the true nearest NON-SELF neighbor (exact rank
+    2 — rank 1 is the query vector itself at distance 0, which any index
+    trivially returns) inside the IVF probe ranking, per query: the
+    metric behind "did the index keep the one neighbor that matters".
+    approx_rank 0 = the true neighbor fell outside the probed cells —
+    the miss mode nprobe tuning fixes. Reciprocals are micro-quantized
+    single divisions of small integers (identical doubles in both
+    engines); no cross-row float sum anywhere."""
+    exact, approx = _spark_ranked(spark, sf_dir, 10)
+    target = exact.filter(F.col("rn") == 2).select(
+        "query_id", F.col("vec_id").alias("target_vec_id")
+    )
+    joined = target.join(
+        approx.select(
+            "query_id",
+            F.col("vec_id").alias("target_vec_id"),
+            F.col("rn").alias("__arn"),
+        ),
+        ["query_id", "target_vec_id"],
+        "left",
+    )
+    return joined.select(
+        "query_id",
+        "target_vec_id",
+        F.coalesce(F.col("__arn"), F.lit(0)).cast("bigint").alias(
+            "approx_rank"
+        ),
+        F.when(
+            F.col("__arn").isNotNull(),
+            F.round(F.lit(1e6) / F.col("__arn")).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rr_micro"),
+    ).orderBy(F.col("query_id").asc())
+
+
+@register(
+    "rank_footrule_audit",
+    f"""
+    WITH {_dd_ranked(20)}
+    SELECT x.query_id,
+           COUNT(*)::BIGINT AS n_common,
+           SUM(ABS(x.rn - a.rn))::BIGINT AS footrule,
+           CAST(round(1e6 * SUM(ABS(x.rn - a.rn)) / COUNT(*)) AS BIGINT)
+             AS mean_displacement_micro
+    FROM exact x
+    JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id ASC
+    """,
+)
+def rank_footrule_audit(spark, sf_dir):
+    """Spearman-footrule displacement between the exact and IVF top-20
+    rankings, per query: sum of |exact_rank - approx_rank| over the
+    items BOTH rankings retrieved, plus the overlap size. Footrule is
+    the tie-free rank-correlation statistic (unlike rho it needs no
+    variance normalization, so it stays pure integer arithmetic); small
+    footrule with large n_common = the index preserves ORDER, not just
+    membership — the property re-rankers rely on when they only re-score
+    the ANN shortlist. The mean displacement is one micro-quantized
+    division of two BIGINTs."""
+    exact, approx = _spark_ranked(spark, sf_dir, 20)
+    j = exact.join(
+        approx.select(
+            "query_id", "vec_id", F.col("rn").alias("__arn")
+        ),
+        ["query_id", "vec_id"],
+    )
+    disp = F.abs(F.col("rn") - F.col("__arn"))
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(disp).cast("bigint").alias("footrule"),
+            F.round(F.lit(1e6) * F.sum(disp) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_displacement_micro"),
+        )
+        .orderBy(F.col("query_id").asc())
+    )
+
+
+@register(
+    "recall_at_k_sweep",
+    f"""
+    WITH {_dd_ranked(20)}
+    , ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
+    hits AS (
+      SELECT k.k,
+             SUM(CASE WHEN x.rn <= k.k AND a.rn <= k.k THEN 1 ELSE 0 END)
+               ::BIGINT AS n_hits
+      FROM ks k
+      CROSS JOIN exact x
+      LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+      GROUP BY k.k)
+    SELECT k, n_hits, ROUND(n_hits / (3.0 * k), 6) AS recall_at_k
+    FROM hits ORDER BY k ASC
+    """,
+)
+def recall_at_k_sweep(spark, sf_dir):
+    """The recall@k OPERATING CURVE for the IVF probe path — k in
+    {1, 5, 10, 20} aggregated over the query set, from ONE pair of
+    rankings (the sweep is a 4-row broadcast against the joined top-20
+    frames, so pricing four k settings costs exactly one audit run; the
+    `ann_probe_tradeoff_curve` pattern applied to realized recall
+    instead of predicted scan cost). Read next to `ann_ivf_recall_audit`
+    (per-query recall@10): this is the aggregate curve that picks the
+    serving k. Hit counts are integers; recall is one division by the
+    literal 3k."""
+    exact, approx = _spark_ranked(spark, sf_dir, 20)
+    ks = exact.sparkSession.createDataFrame(
+        [(1,), (5,), (10,), (20,)], "k int"
+    )
+    j = exact.join(
+        approx.select("query_id", "vec_id", F.col("rn").alias("__arn")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    hit = F.when(
+        (F.col("rn") <= F.col("k")) & (F.col("__arn") <= F.col("k")), 1
+    ).otherwise(0)
+    return (
+        j.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(F.sum(hit).cast("bigint").alias("n_hits"))
+        .select(
+            "k",
+            "n_hits",
+            F.round(F.col("n_hits") / (3.0 * F.col("k")), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy(F.col("k").asc())
+    )

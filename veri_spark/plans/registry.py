@@ -33,3 +33,6 @@ from veri_spark.plans import text as _text  # noqa: F401,E402
 from veri_spark.plans import dedup as _dedup  # noqa: F401,E402
 from veri_spark.plans import pipeline as _pipeline  # noqa: F401,E402
 from veri_spark.plans import graph as _graph  # noqa: F401,E402
+from veri_spark.plans import ranking_metrics as _ranking_metrics  # noqa: F401,E402
+from veri_spark.plans import integrity as _integrity  # noqa: F401,E402
+from veri_spark.plans import temporal as _temporal  # noqa: F401,E402
