@@ -1165,3 +1165,198 @@ def ab_test_conversion_ztest(spark, sf_dir):
         F.round(zval, 6).alias("z_score"),
         (F.abs(zval) > 1.959964).alias("significant"),
     )
+
+
+@register(
+    "incremental_agg_merge_audit",
+    """
+    WITH m AS (
+      SELECT event_type, value,
+             CAST(round(value * 1e6) AS BIGINT) AS v_u,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
+      FROM events),
+    base AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(v_u)::BIGINT AS s,
+                    MIN(value) AS lo, MAX(value) AS hi
+             FROM m WHERE is_base GROUP BY event_type),
+    delta AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(v_u)::BIGINT AS s,
+                     MIN(value) AS lo, MAX(value) AS hi
+              FROM m WHERE NOT is_base GROUP BY event_type),
+    merged AS (
+      SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+             COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s,
+             LEAST(COALESCE(b.lo, d.lo), COALESCE(d.lo, b.lo)) AS lo,
+             GREATEST(COALESCE(b.hi, d.hi), COALESCE(d.hi, b.hi)) AS hi
+      FROM base b FULL OUTER JOIN delta d ON d.event_type = b.event_type),
+    full_agg AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(v_u)::BIGINT AS s,
+                        MIN(value) AS lo, MAX(value) AS hi
+                 FROM m GROUP BY event_type)
+    SELECT f.event_type, f.n AS n_full, g.n AS n_merged,
+           (f.n = g.n) AS count_match, (f.s = g.s) AS sum_match,
+           (f.lo = g.lo AND f.hi = g.hi) AS minmax_match
+    FROM full_agg f JOIN merged g ON g.event_type = f.event_type
+    ORDER BY f.event_type ASC
+    """,
+)
+def incremental_agg_merge_audit(spark, sf_dir):
+    """Incremental-view-maintenance audit: split the stream at a time
+    boundary into BASE and DELTA, aggregate each independently, merge the
+    partial states algebraically (count: +, sum: +, min/max: least/
+    greatest), and verify the merged state equals the full recompute —
+    the mergeability contract that makes per-partition partial
+    aggregation, streaming state stores, and backfill-then-increment
+    pipelines correct at all. Sums run on exact per-row micro-unit
+    BIGINTs so '+' is associative BY CONSTRUCTION (the double-sum version
+    of this audit would report false mismatches from fold order — which
+    is itself why production incremental sums quantize or use decimals).
+    At 100 TB the base state is yesterday's materialized aggregate; the
+    delta is today's partition — this query is that merge, run once per
+    type."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        "value",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_u"),
+        (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'")).alias(
+            "is_base"
+        ),
+    )
+
+    def part(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_u").cast("bigint").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+
+    base = part(m.filter(F.col("is_base")))
+    delta = part(m.filter(~F.col("is_base")))
+    b = base.select([F.col(c).alias(f"b_{c}") for c in base.columns])
+    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
+    merged = b.join(
+        d, F.col("b_event_type") == F.col("d_event_type"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b_event_type"), F.col("d_event_type")).alias(
+            "event_type"
+        ),
+        (
+            F.coalesce(F.col("b_n"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b_s"), F.lit(0))
+            + F.coalesce(F.col("d_s"), F.lit(0))
+        ).alias("s"),
+        F.least(
+            F.coalesce(F.col("b_lo"), F.col("d_lo")),
+            F.coalesce(F.col("d_lo"), F.col("b_lo")),
+        ).alias("lo"),
+        F.greatest(
+            F.coalesce(F.col("b_hi"), F.col("d_hi")),
+            F.coalesce(F.col("d_hi"), F.col("b_hi")),
+        ).alias("hi"),
+    )
+    full_agg = part(m)
+    g = merged.select([F.col(c).alias(f"g_{c}") for c in merged.columns])
+    return (
+        full_agg.join(
+            F.broadcast(g), F.col("event_type") == F.col("g_event_type")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_full"),
+            F.col("g_n").cast("bigint").alias("n_merged"),
+            (F.col("n") == F.col("g_n")).alias("count_match"),
+            (F.col("s") == F.col("g_s")).alias("sum_match"),
+            (
+                (F.col("lo") == F.col("g_lo")) & (F.col("hi") == F.col("g_hi"))
+            ).alias("minmax_match"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+@register(
+    "session_gap_sensitivity",
+    """
+    WITH o AS (
+      SELECT user_id,
+             epoch_us(ts::TIMESTAMP)
+               - lag(epoch_us(ts::TIMESTAMP))
+                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS gap_us
+      FROM events),
+    t AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users,
+                 COUNT(*)::BIGINT AS n_events FROM events),
+    gaps AS (SELECT gap_us FROM o WHERE gap_us IS NOT NULL),
+    ks AS (SELECT unnest([300, 1800, 7200]) AS gap_s),
+    s AS (
+      SELECT k.gap_s,
+             SUM(CASE WHEN g.gap_us > k.gap_s * 1000000::BIGINT
+                      THEN 1 ELSE 0 END)::BIGINT AS n_breaks
+      FROM ks k CROSS JOIN gaps g GROUP BY k.gap_s)
+    SELECT s.gap_s, (t.n_users + s.n_breaks)::BIGINT AS n_sessions,
+           CAST(round(1e6 * t.n_events / (t.n_users + s.n_breaks)) AS BIGINT)
+             AS events_per_session_micro
+    FROM s CROSS JOIN t
+    ORDER BY s.gap_s ASC
+    """,
+)
+def session_gap_sensitivity(spark, sf_dir):
+    """Sessionization-threshold sensitivity curve: the session count (and
+    mean events per session) a gap-based sessionizer produces at cutoffs
+    of 5 min / 30 min / 2 h — the calibration you read BEFORE committing
+    the gap every session-grain metric downstream inherits (conversion,
+    survival, first-touch all shift with it; a cutoff on a steep part of
+    this curve makes those metrics unstable). Sessions = users + gaps
+    exceeding the cutoff, so the whole sweep reuses ONE per-user lag pass
+    (window PARTITIONED by user — distributed) against a 3-row broadcast;
+    gaps are exact integer micros (the `events_interarrival` idiom);
+    the mean is one micro-quantized division."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select("gap_us")
+    )
+    t = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    ks = spark.createDataFrame([(300,), (1800,), (7200,)], "gap_s int")
+    s = (
+        gaps.crossJoin(F.broadcast(ks))
+        .groupBy("gap_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_us") > F.col("gap_s").cast("bigint") * 1000000,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_breaks")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "gap_s",
+            (F.col("n_users") + F.col("n_breaks"))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.round(
+                F.lit(1e6)
+                * F.col("n_events")
+                / (F.col("n_users") + F.col("n_breaks"))
+            )
+            .cast("bigint")
+            .alias("events_per_session_micro"),
+        )
+        .orderBy(F.col("gap_s").asc())
+    )

@@ -350,3 +350,66 @@ def recall_at_k_sweep(spark, sf_dir):
         )
         .orderBy(F.col("k").asc())
     )
+
+
+@register(
+    "cosine_dot_rank_divergence",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 0),
+    cosr AS (
+      SELECT vec_id, rn FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                            e.embedding::DOUBLE[], q.qe), -1.0), 1.0) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e, q) WHERE rn <= 10),
+    dotr AS (
+      SELECT vec_id, rn FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY list_inner_product(e.embedding::DOUBLE[], q.qe)
+                            DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e, q) WHERE rn <= 10)
+    SELECT (SELECT COUNT(*) FROM cosr JOIN dotr USING (vec_id))::BIGINT
+             AS n_common,
+           (SELECT COALESCE(SUM(ABS(c.rn - d.rn)), 0) FROM cosr c
+             JOIN dotr d ON d.vec_id = c.vec_id)::BIGINT AS footrule
+    """,
+)
+def cosine_dot_rank_divergence(spark, sf_dir):
+    """Norm-bias audit for the scoring shortcut: top-10 by clamped cosine
+    vs top-10 by raw inner product for the same query — overlap size and
+    footrule displacement over the common items. On a unit-normalized
+    corpus (`embedding_unit_norm_audit` proves this one is) the two
+    rankings must agree almost exactly, which LICENSES the cheaper
+    dot-product kernel in the serving path; on an unnormalized corpus
+    this query is the evidence that they diverge (dot favors long
+    vectors) and the clamp+normalize must stay. Both rankings are
+    map-only scans + bounded top-k; the comparison is a 10-row join,
+    pure integer output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cos = V.cosine_similarity(F.col("embedding"), q)
+    dot = V.dot_product(F.col("embedding"), q)
+
+    def top10(score):
+        w = Window.orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+        return (
+            emb.select("vec_id", score.alias("__s"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("vec_id", "rn")
+        )
+
+    c = top10(cos)
+    d = top10(dot).select("vec_id", F.col("rn").alias("__drn"))
+    j = c.join(d, "vec_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.coalesce(F.sum(F.abs(F.col("rn") - F.col("__drn"))), F.lit(0))
+        .cast("bigint")
+        .alias("footrule"),
+    )

@@ -1199,3 +1199,48 @@ def embedding_centroid_drift(spark, sf_dir):
     return d.select("label", F.round("shift", 6).alias("centroid_shift")).orderBy(
         F.col("label").asc()
     )
+
+
+@register(
+    "embedding_unit_norm_audit",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             CAST(round(1e9 * abs(
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            x -> x * x))) - 1.0))
+               AS BIGINT) AS dev_nano
+      FROM embeddings)
+    SELECT COUNT(*)::BIGINT AS n_vecs,
+           SUM(CASE WHEN dev_nano > 1000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_off_unit,
+           MAX(dev_nano)::BIGINT AS max_abs_dev_nano
+    FROM n
+    """,
+)
+def embedding_unit_norm_audit(spark, sf_dir):
+    """Unit-norm invariant check over the embedding corpus: every serving
+    shortcut that treats dot product as cosine (the `knn_dot` fast path,
+    IVF with inner-product scoring, Hamming sketches of signs) silently
+    assumes ||v|| = 1 — this audit PROVES it, reporting the count of
+    vectors whose norm deviates from 1 by more than 1e-6 and the worst
+    deviation in nano-units. The norm is the ascending-index fold both
+    engines share (bit-identical sum of squares) through IEEE sqrt;
+    deviations are quantized to integer NANOS per row before the compare
+    and max, so the threshold cannot flap on a last-ulp difference. One
+    map pass + one aggregate; at 100 TB this rides the ingest scan of
+    every embedding batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    dev = F.round(F.lit(1e9) * F.abs(F.sqrt(n2) - 1.0)).cast("bigint")
+    return emb.select(dev.alias("dev_nano")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("dev_nano") > 1000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_off_unit"),
+        F.max("dev_nano").cast("bigint").alias("max_abs_dev_nano"),
+    )
