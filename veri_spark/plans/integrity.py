@@ -537,3 +537,122 @@ def broadcast_threshold_planner(spark, sf_dir):
         )
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy(F.col("table_name").asc())
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS sz
+      FROM customer GROUP BY 1, 2),
+    t AS (SELECT SUM(sz)::BIGINT AS total FROM g),
+    ks AS (SELECT unnest([2, 5, 10]) AS k),
+    s AS (
+      SELECT ks.k,
+             SUM(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END)::BIGINT
+               AS n_violating_rows,
+             SUM(CASE WHEN g.sz < ks.k THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating_groups
+      FROM ks CROSS JOIN g GROUP BY ks.k)
+    SELECT s.k, s.n_violating_rows, s.n_violating_groups,
+           CAST(round(1e6 * s.n_violating_rows / t.total) AS BIGINT)
+             AS frac_rows_micro
+    FROM s CROSS JOIN t
+    ORDER BY s.k ASC
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity screen on the quasi-identifier pair (nation, market
+    segment): rows living in QI equivalence classes smaller than k for
+    k in {2, 5, 10} — the re-identification risk measure you compute
+    BEFORE releasing or training on 'de-identified' records (a row alone
+    in its QI class is one join away from a name). The class sizes are
+    ONE grouped count; the k sweep is a 3-row broadcast against the
+    class-size table (the threshold-sweep pattern), so pricing three
+    policies costs one pass. Pure integer counting with one
+    micro-quantized display division. At 100 TB the QI set widens and
+    the class count grows, but the shape is identical — and the fix
+    (generalize or suppress small classes) consumes exactly this
+    query's violating-group list."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    t = g.agg(F.sum("sz").cast("bigint").alias("total"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    s = (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_rows"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "k",
+            "n_violating_rows",
+            "n_violating_groups",
+            F.round(F.lit(1e6) * F.col("n_violating_rows") / F.col("total"))
+            .cast("bigint")
+            .alias("frac_rows_micro"),
+        )
+        .orderBy(F.col("k").asc())
+    )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sens
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*)::BIGINT AS sz,
+             COUNT(DISTINCT sens)::BIGINT AS l
+      FROM s GROUP BY 1, 2)
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           MIN(l)::BIGINT AS min_l,
+           SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS n_groups_l_lt_3,
+           SUM(CASE WHEN l < 3 THEN sz ELSE 0 END)::BIGINT AS n_rows_l_lt_3
+    FROM g
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity companion to `k_anonymity_audit`: a QI class can be
+    large (k-anonymous) yet still leak if every member shares the same
+    SENSITIVE value — here the account-balance band (1000-wide buckets)
+    as the sensitive attribute over the same (nation, segment) QI pair.
+    Reports the minimum distinct-sensitive count per class and the
+    classes/rows below l=3 (the homogeneity-attack exposure). One
+    grouped count-distinct per class + one tiny rollup — the same two-
+    aggregate shape at any scale; banding the sensitive value keeps the
+    distinct bounded and is itself the first generalization step a
+    release policy would take."""
+    c = load_table(spark, sf_dir, "customer")
+    s = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+    )
+    g = s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct("sens").cast("bigint").alias("l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_l_lt_3"),
+        F.sum(F.when(F.col("l") < 3, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_l_lt_3"),
+    )
