@@ -101,6 +101,12 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "zorder_multicol_audit",
         "sorted_neighborhood_pairs",
         "graph_common_neighbors_capped",
+        "cosine_dot_rank_divergence",
+        # literal-keyed top-k windows constant-fold their partition spec
+        # away and become global sorts — these now use topk/topk_with_rank
+        "ann_ndcg_audit",
+        "recall_at_k_sweep",
+        "ann_ivf_recall_audit",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

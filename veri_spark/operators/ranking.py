@@ -48,17 +48,23 @@ def global_row_number(
     ``order_cols`` without any unpartitioned window (see module docstring).
     """
     part = df.repartitionByRange(num_partitions, *order_cols)
-    # PERSIST before branching — load-bearing, not an optimization. The
-    # per-bucket counts and the ranked rows are two branches over this
-    # subtree; un-cached, each branch re-executes the range exchange, and
-    # RangePartitioner's boundary SAMPLING is seeded by the (fresh) RDD id,
-    # so the two executions can draw DIFFERENT range boundaries — the
-    # offsets then disagree with the local ranks and the global rank gets
-    # gaps/duplicates (observed: max rank 59882 over 60000 rows). One
-    # materialization pins one set of boundaries for both branches. At
-    # cluster scale this is the storage cost of any total-order ranking
-    # (a sort writes the same bytes); the cache is dropped by the harness
-    # between queries.
+    # MATERIALIZE (localCheckpoint) before branching — load-bearing, not an
+    # optimization. The per-bucket counts and the ranked rows are two
+    # branches over this subtree; un-materialized, each branch re-executes
+    # the range exchange, and RangePartitioner's boundary SAMPLING is
+    # seeded by the (fresh) RDD id, so the two executions can draw
+    # DIFFERENT range boundaries — the offsets then disagree with the
+    # local ranks and the global rank gets gaps/duplicates (observed: max
+    # rank 59882 over 60000 rows). localCheckpoint rather than persist():
+    # a plain cache can be dropped mid-query by an external
+    # spark.catalog.clearCache() (the harness releases caches BETWEEN
+    # queries, but a harness that builds several queries before collecting
+    # would clear this pin from under the first one) and Spark would then
+    # silently recompute with fresh boundaries; a checkpoint is not in the
+    # catalog cache, and losing its blocks FAILS the job instead of
+    # corrupting the rank. At cluster scale this is the storage cost of
+    # any total-order ranking (a sort writes the same bytes); the blocks
+    # are freed by the ContextCleaner when the DataFrame is unreferenced.
     local = (
         part.withColumn("__pid", F.spark_partition_id())
         .withColumn(
@@ -67,7 +73,7 @@ def global_row_number(
                 Window.partitionBy("__pid").orderBy(*order_cols)
             ),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     prior = counts.select(
@@ -120,7 +126,9 @@ def sorted_neighborhood_candidates(
 
     Scale: the only exchanges are the range partition inside the ranking
     and the two sides of the rank equi-join; the pair count is exactly
-    (w-1)·n - O(w²), never quadratic in any block size.
+    (w-1)·n - O(w²), never quadratic in any block size. ``window=1`` is a
+    well-defined degenerate case (each row alone in its window) and
+    returns an empty pair frame with the full output schema.
     """
     ranked = global_row_number(df, order_cols, num_partitions, rn_col="__grn")
     a = ranked.select(
@@ -131,10 +139,12 @@ def sorted_neighborhood_candidates(
         F.col("__grn").alias("__gb"),
         *[F.col(c).alias(f"{c}_b") for c in df.columns],
     )
-    shifted = None
+    shifted = a.select(
+        F.col("__ga").alias("__gb"), *[f"{c}_a" for c in df.columns]
+    ).limit(0)
     for delta in range(1, window):
         s = a.select((F.col("__ga") + delta).alias("__gb"), *[
             f"{c}_a" for c in df.columns
         ])
-        shifted = s if shifted is None else shifted.unionByName(s)
+        shifted = shifted.unionByName(s)
     return shifted.join(b, "__gb").drop("__gb")

@@ -72,6 +72,51 @@ def topk_per_group(
     return out.drop("__rn")
 
 
+def topk_with_rank(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    higher_is_better: bool = False,
+    tie_cols: list[str] | None = None,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Global bounded top-k WITH 1-based ranks, fully distributed.
+
+    The tempting shortcut — ``topk_per_group`` keyed on a literal — does
+    NOT work at scale: Catalyst constant-folds a foldable partition spec
+    away and the window becomes an unpartitioned global sort (every row to
+    one task). Instead: ``topk`` (TakeOrderedAndProject — per-partition
+    bounded heaps + driver merge), then ranks assigned INSIDE the k-row
+    frame by counting strictly-better rows via a broadcast self-join
+    (k × k, bounded by construction) — no window anywhere in the plan.
+
+    ``tie_cols`` must make the ordering total (they break score ties), or
+    equal rows would share a rank."""
+    ties = tie_cols or []
+    t = topk(df, score_col, k, higher_is_better, ties)
+    probe = F.broadcast(
+        t.select(
+            F.col(score_col).alias("__s2"),
+            *[F.col(c).alias(f"__t2_{c}") for c in ties],
+        )
+    )
+    better = (
+        F.col("__s2") > F.col(score_col)
+        if higher_is_better
+        else F.col("__s2") < F.col(score_col)
+    )
+    tie_eq = F.col("__s2") == F.col(score_col)
+    for c in ties:
+        better = better | (tie_eq & (F.col(f"__t2_{c}") < F.col(c)))
+        tie_eq = tie_eq & (F.col(f"__t2_{c}") == F.col(c))
+    out_cols = t.columns
+    return (
+        t.join(probe, better, "left")
+        .groupBy(*out_cols)
+        .agg((F.count(F.col("__s2")) + 1).cast("int").alias(rank_col))
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     key_cols: list[str],

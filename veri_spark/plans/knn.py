@@ -813,15 +813,16 @@ def ann_ivf_recall_audit(spark, sf_dir):
     qs = [(vid, _query_vector(spark, sf_dir, vid)) for vid in (0, 1, 2)]
 
     def top10(df, vid, qvec):
+        # plain distributed topk (TakeOrderedAndProject), NOT a window
+        # keyed on the literal query_id — Catalyst constant-folds a
+        # foldable partition spec away, turning that window into a
+        # single-partition global sort (round-7 review finding); ranks
+        # are not needed here, only membership
         d = V.euclidean_distance(F.col("embedding"), qvec)
-        return df.select(
-            F.lit(vid).alias("query_id"), "vec_id", d.alias("score")
-        ).transform(
-            lambda x: topk_per_group(
-                x, ["query_id"], "score", 10,
-                higher_is_better=False, tie_cols=["vec_id"], rank_col="rn",
-            )
-        ).select("query_id", "vec_id")
+        scored = df.select("vec_id", d.alias("score"))
+        return topk(
+            scored, "score", 10, higher_is_better=False, tie_cols=["vec_id"]
+        ).select(F.lit(vid).alias("query_id"), "vec_id")
 
     exact = None
     approx = None

@@ -50,7 +50,7 @@ def _dd_ranked(k: int) -> str:
     one row per (query_id, vec_id, rank), rank <= k."""
     return f"""
     qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           FROM embeddings WHERE vec_id IN {_QVIDS}),
     exact AS (
       SELECT query_id, vec_id, rn FROM (
         SELECT q.query_id, e.vec_id,
@@ -101,13 +101,17 @@ def _dd_ranked(k: int) -> str:
 def _spark_ranked(spark, sf_dir, k: int):
     """Spark twin of :func:`_dd_ranked`: (exact, approx) DataFrames with
     columns (query_id, vec_id, rn), rn <= k. Exact is the map-only scan +
-    bounded per-query top-k; approx is the IVF probe path over the
-    literal-centroid assignment (partition pruning at scale)."""
+    the distributed bounded top-k (`topk_with_rank`: TakeOrderedAndProject
+    + bounded in-frame rank count — a literal-keyed ranking window would
+    constant-fold its partition spec away and plan a single-partition
+    global sort); approx is the IVF probe path over the literal-centroid
+    assignment (partition pruning at scale)."""
     from veri_spark.operators.similarity import (
         ivf_assign,
         ivf_probe_candidates,
         take_centroids,
     )
+    from veri_spark.operators.topk import topk_with_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = take_centroids(emb, 8)
@@ -115,13 +119,14 @@ def _spark_ranked(spark, sf_dir, k: int):
 
     def topk_ranked(df, vid, qvec):
         d = V.euclidean_distance(F.col("embedding"), qvec)
-        scored = df.select(
-            F.lit(vid).alias("query_id"), "vec_id", d.alias("score")
-        )
-        return topk_per_group(
-            scored, ["query_id"], "score", k,
+        scored = df.select("vec_id", d.alias("score"))
+        ranked = topk_with_rank(
+            scored, "score", k,
             higher_is_better=False, tie_cols=["vec_id"], rank_col="rn",
-        ).select("query_id", "vec_id", "rn")
+        )
+        return ranked.select(
+            F.lit(vid).alias("query_id"), "vec_id", "rn"
+        )
 
     exact = approx = None
     for vid in _QVIDS:
@@ -311,7 +316,7 @@ def rank_footrule_audit(spark, sf_dir):
       CROSS JOIN exact x
       LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
       GROUP BY k.k)
-    SELECT k, n_hits, ROUND(n_hits / (3.0 * k), 6) AS recall_at_k
+    SELECT k, n_hits, ROUND(n_hits / ({len(_QVIDS)}.0 * k), 6) AS recall_at_k
     FROM hits ORDER BY k ASC
     """,
 )
@@ -324,7 +329,8 @@ def recall_at_k_sweep(spark, sf_dir):
     instead of predicted scan cost). Read next to `ann_ivf_recall_audit`
     (per-query recall@10): this is the aggregate curve that picks the
     serving k. Hit counts are integers; recall is one division by the
-    literal 3k."""
+    literal |Q|·k (|Q| = len(_QVIDS), interpolated into BOTH engines so
+    the query set has one source of truth)."""
     exact, approx = _spark_ranked(spark, sf_dir, 20)
     ks = exact.sparkSession.createDataFrame(
         [(1,), (5,), (10,), (20,)], "k int"
@@ -344,7 +350,7 @@ def recall_at_k_sweep(spark, sf_dir):
         .select(
             "k",
             "n_hits",
-            F.round(F.col("n_hits") / (3.0 * F.col("k")), 6).alias(
+            F.round(F.col("n_hits") / (float(len(_QVIDS)) * F.col("k")), 6).alias(
                 "recall_at_k"
             ),
         )
@@ -388,21 +394,27 @@ def cosine_dot_rank_divergence(spark, sf_dir):
     dot-product kernel in the serving path; on an unnormalized corpus
     this query is the evidence that they diverge (dot favors long
     vectors) and the clamp+normalize must stay. Both rankings are
-    map-only scans + bounded top-k; the comparison is a 10-row join,
-    pure integer output."""
+    map-only scans + the TRUE distributed bounded top-k (orderBy+limit →
+    TakeOrderedAndProject: per-partition heaps, driver merge — a
+    literal-keyed window would constant-fold its partition spec away and
+    plan the single-partition global sort this module elsewhere
+    eliminates); ranks are then assigned WITHOUT any window by counting
+    strictly-better rows inside the 10-row frame (a bounded broadcast
+    self-join — zero unpartitioned window specs, asserted by the
+    plan-shape test). The comparison is a 10-row join, pure integer
+    output."""
+    from veri_spark.operators.topk import topk_with_rank
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
     cos = V.cosine_similarity(F.col("embedding"), q)
     dot = V.dot_product(F.col("embedding"), q)
 
     def top10(score):
-        w = Window.orderBy(F.col("__s").desc(), F.col("vec_id").asc())
-        return (
-            emb.select("vec_id", score.alias("__s"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10)
-            .select("vec_id", "rn")
-        )
+        return topk_with_rank(
+            emb.select("vec_id", score.alias("__s")),
+            "__s", 10, higher_is_better=True, tie_cols=["vec_id"],
+        ).select("vec_id", "rn")
 
     c = top10(cos)
     d = top10(dot).select("vec_id", F.col("rn").alias("__drn"))

@@ -667,6 +667,7 @@ class FeatureStore:
         query_vectors,
         timeout_ms: int,
         config: SearchConfig | None = None,
+        unpinned_fallback: str = "raise",
         **kwargs,
     ) -> list:
         """K16 timeout budget (data/search.go:162-165, 219-222): execute the
@@ -678,9 +679,18 @@ class FeatureStore:
         degrades explicitly (retry with a cheaper config / the ``Annoy*``
         approximate path) instead of silently receiving a worse answer.
         The reference's 0.9x per-hop budget decay has no analog: Spark owns
-        intra-query scheduling. Returns collected rows on success."""
+        intra-query scheduling. Returns collected rows on success.
+
+        ``unpinned_fallback`` forwards to :func:`collect_with_timeout`: on
+        an unpinned gateway (PYSPARK_PIN_THREAD != "true") the default
+        refuses the budget up front; pass ``"cancel_all"`` to opt into the
+        coarse cancelAllJobs deadline when this process owns the whole
+        SparkContext — without this parameter the opt-in documented there
+        would be unreachable through the store API."""
         df = self.search(name, query_vectors, config, **kwargs)
-        return collect_with_timeout(df, timeout_ms)
+        return collect_with_timeout(
+            df, timeout_ms, unpinned_fallback=unpinned_fallback
+        )
 
     def _approx_search(
         self,
