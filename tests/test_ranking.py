@@ -23,6 +23,7 @@ from hypothesis import given, settings, strategies as st
 import pyspark.sql.functions as F
 
 from veri_spark.operators.ranking import (
+    global_prefix_agg,
     global_row_number,
     ntile_from_rank,
     sorted_neighborhood_candidates,
@@ -73,6 +74,47 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, buckets):
             expect.append((rank - 1) // (q + 1) + 1)
         else:
             expect.append(r + (rank - r * (q + 1) - 1) // max(q, 1) + 1)
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(ks=keys, p=parts, agg=st.sampled_from(["sum", "min", "max"]))
+def test_global_prefix_agg_matches_python_scan(spark, ks, p, agg):
+    # unique order keys (k, id) per the operator's tie contract; values are
+    # signed so min/max prefixes actually move around
+    rows = [(k, i, (k * 7 - 3 * i) % 11 - 5) for i, k in enumerate(ks)]
+    df = spark.createDataFrame(rows, "k int, id int, v int")
+    g = global_prefix_agg(
+        df, [F.col("k"), F.col("id")], "v", agg=agg, num_partitions=p
+    )
+    got = {(r["k"], r["id"]): r["cum"] for r in g.collect()}
+    fold = {"sum": lambda a, b: a + b, "min": min, "max": max}[agg]
+    expect, acc = {}, None
+    for k, i, v in sorted(rows):
+        acc = v if acc is None else fold(acc, v)
+        expect[(k, i)] = acc
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(ks=keys, p=parts)
+def test_global_prefix_agg_multi_column_single_pass(spark, ks, p):
+    rows = [(k, i, i % 3, (i * 5) % 7) for i, k in enumerate(ks)]
+    df = spark.createDataFrame(rows, "k int, id int, a int, b int")
+    g = global_prefix_agg(
+        df,
+        [F.col("k"), F.col("id")],
+        ["a", "b"],
+        agg="sum",
+        out_col=["ca", "cb"],
+        num_partitions=p,
+    )
+    got = {(r["k"], r["id"]): (r["ca"], r["cb"]) for r in g.collect()}
+    sa = sb = 0
+    expect = {}
+    for k, i, a, b in sorted(rows):
+        sa, sb = sa + a, sb + b
+        expect[(k, i)] = (sa, sb)
     assert got == expect
 
 

@@ -91,6 +91,86 @@ def global_row_number(
     )
 
 
+def global_prefix_agg(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str | Sequence[str],
+    agg: str = "sum",
+    out_col: str | Sequence[str] = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global RUNNING aggregate (cumulative ``sum`` / ``min`` / ``max`` of
+    ``value_col`` under the total order ``order_cols``, current row
+    included) without any unpartitioned window — the prefix-scan sibling of
+    :func:`global_row_number`, and the scale-safe replacement for
+    ``agg(x).over(Window.orderBy(...))``.
+
+    Same two-pass shape: range-partition on the order keys (bucket index =
+    range order), run the PARTITIONED running aggregate inside each bucket,
+    reduce each bucket to one total, fold the N ~32 totals into per-bucket
+    prefix offsets with a triangular self-join (no window), and combine the
+    local running value with the broadcast offset (``+`` for sum,
+    ``least``/``greatest`` for min/max, null-offset-safe for bucket 0).
+
+    Running aggregates are only well-defined up to tie order: rows equal
+    under ``order_cols`` receive arbitrary intra-tie prefix values (the
+    standard ``ROWS UNBOUNDED PRECEDING`` semantics). Callers needing
+    determinism must make the order keys unique — e.g. pre-aggregate to one
+    row per key (the KS-statistic CDF pattern) or append a tiebreaker id.
+
+    The ``localCheckpoint`` before branching is load-bearing, not an
+    optimization — see :func:`global_row_number` (RangePartitioner samples
+    boundaries seeded by the RDD id, so the totals branch and the rows
+    branch would otherwise re-partition DIFFERENTLY).
+
+    ``value_col``/``out_col`` may be parallel lists to scan several measures
+    in ONE pass (one range exchange serves every cumulative column — the
+    two-sample KS statistic scans both CDFs this way).
+    """
+    try:
+        agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[agg]
+    except KeyError:  # pragma: no cover - caller bug
+        raise ValueError(f"agg must be sum|min|max, got {agg!r}")
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):  # pragma: no cover - caller bug
+        raise ValueError("value_col and out_col lengths differ")
+    part = df.repartitionByRange(num_partitions, *order_cols)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__pid", F.spark_partition_id())
+    for i, v in enumerate(vcols):
+        local = local.withColumn(f"__lcum{i}", agg_fn(v).over(w))
+    local = local.localCheckpoint(eager=False)
+    totals = local.groupBy("__pid").agg(
+        *[agg_fn(v).alias(f"__t{i}") for i, v in enumerate(vcols)]
+    )
+    prior = totals.select(
+        F.col("__pid").alias("__p2"),
+        *[F.col(f"__t{i}").alias(f"__t2{i}") for i in range(len(vcols))],
+    )
+    offsets = (
+        totals.join(prior, F.col("__p2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(*[agg_fn(f"__t2{i}").alias(f"__off{i}") for i in range(len(vcols))])
+    )
+    joined = local.join(F.broadcast(offsets), "__pid")
+    drop = ["__pid"]
+    for i, oc in enumerate(ocols):
+        lcum, off = F.col(f"__lcum{i}"), F.col(f"__off{i}")
+        if agg == "sum":
+            combined = lcum + F.coalesce(off, F.lit(0))
+        else:
+            pick = F.least if agg == "min" else F.greatest
+            combined = F.when(off.isNull(), lcum).otherwise(pick(lcum, off))
+        joined = joined.withColumn(oc, combined)
+        drop += [f"__lcum{i}", f"__off{i}"]
+    return joined.drop(*drop)
+
+
 def ntile_from_rank(rn: Column, total: Column, buckets: int) -> Column:
     """SQL-standard ``ntile(buckets)`` computed from a global row number and
     the total row count (both BIGINT columns): the first ``total % buckets``

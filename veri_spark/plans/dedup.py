@@ -1957,3 +1957,77 @@ def lsh_param_planner(spark, sf_dir):
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows.orderBy(F.col("bands").desc())
+
+
+
+@register(
+    "dup_ngram_coverage",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+           FROM w),
+    dfreq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df
+              FROM sh GROUP BY shingle),
+    flag AS (SELECT s.doc_id,
+                    CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS dup
+             FROM sh s JOIN dfreq d USING (shingle)),
+    per AS (SELECT doc_id, COUNT(*)::BIGINT AS total,
+                   SUM(dup)::BIGINT AS covered
+            FROM flag GROUP BY doc_id)
+    SELECT LEAST((10 * covered) // total, 9)::INT AS coverage_decile,
+           COUNT(*)::BIGINT AS n_docs
+    FROM per GROUP BY 1 ORDER BY 1 ASC
+    """,
+)
+def dup_ngram_coverage(spark, sf_dir):
+    """Duplicate-substring coverage histogram (the Lee et al. 2022
+    "Deduplicating Training Data" readout, arXiv:2107.06499, at 3-token
+    grain): for every document, the fraction of its POSITIONAL 3-gram
+    slots whose shingle also occurs in at least one other document, bucketed
+    into coverage deciles. MinHash/SimHash answer "is this DOC a near-dup";
+    this answers "how much of each doc is boilerplate shared with the rest
+    of the corpus" — the metric that decides between dropping whole docs
+    and cutting repeated spans. Positional (non-distinct) shingles via the
+    shared `word_shingles` builder; document frequency from one distinct
+    (doc, shingle) aggregate; coverage = one equi-join back on the shingle
+    key (both sides partial-aggregated, keys ride the shuffle — no
+    all-pairs anything); the decile is INTEGER floor-division
+    (10*covered DIV total, clamped to 9 so full coverage lands in the top
+    bucket) so every row is exact. Docs under 3 tokens have no slots and
+    are excluded by construction in both engines. At 100 TB the shingle
+    key is hash-partitioned; hot boilerplate shingles are bounded by
+    doc-frequency counting (no per-pair blowup)."""
+    from veri_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("ws"))
+    sh = w.select(
+        "doc_id", F.explode(word_shingles(F.col("ws"), 3)).alias("shingle")
+    )
+    dfreq = (
+        sh.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.col("shingle").alias("sh2"), "df")
+    )
+    flag = sh.join(dfreq, F.col("shingle") == F.col("sh2")).select(
+        "doc_id", F.when(F.col("df") >= 2, 1).otherwise(0).alias("dup")
+    )
+    per = flag.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum("dup").cast("bigint").alias("covered"),
+    )
+    return (
+        per.select(
+            F.least(F.expr("(10 * covered) div total"), F.lit(9))
+            .cast("int")
+            .alias("coverage_decile")
+        )
+        .groupBy("coverage_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy(F.col("coverage_decile").asc())
+    )

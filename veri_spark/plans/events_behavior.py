@@ -1360,3 +1360,92 @@ def session_gap_sensitivity(spark, sf_dir):
         )
         .orderBy(F.col("gap_s").asc())
     )
+
+
+
+@register(
+    "ks_value_drift",
+    """
+    WITH ev AS (SELECT event_type, value FROM events
+                WHERE event_type IN ('click', 'view')),
+    c AS (SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS c1x,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                   AS c2x
+          FROM ev GROUP BY value),
+    cum AS (SELECT SUM(c1x) OVER (ORDER BY value ASC)::BIGINT AS c1,
+                   SUM(c2x) OVER (ORDER BY value ASC)::BIGINT AS c2
+            FROM c),
+    t AS (SELECT SUM(c1x)::BIGINT AS n1, SUM(c2x)::BIGINT AS n2 FROM c)
+    SELECT t.n1, t.n2,
+           MAX(ABS(cum.c1 * t.n2 - cum.c2 * t.n1))::BIGINT AS d_num,
+           (MAX(ABS(cum.c1 * t.n2 - cum.c2 * t.n1))::DOUBLE
+              / (t.n1::DOUBLE * t.n2::DOUBLE)) AS ks_stat,
+           (MAX(ABS(cum.c1 * t.n2 - cum.c2 * t.n1))::DOUBLE
+              / (t.n1::DOUBLE * t.n2::DOUBLE))
+             * sqrt((t.n1::DOUBLE * t.n2::DOUBLE)
+                    / (t.n1::DOUBLE + t.n2::DOUBLE)) AS ks_lambda
+    FROM cum CROSS JOIN t GROUP BY t.n1, t.n2
+    """,
+)
+def ks_value_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test between the `click` and
+    `view` value distributions: D = sup_x |F1(x) - F2(x)| plus the
+    sample-size-normalized lambda = D * sqrt(n1*n2/(n1+n2)) that feeds the
+    KS significance table — the distribution-level drift gate that PSI
+    (`event_type_drift_psi`) approximates with fixed bins; KS needs the
+    full CDFs, i.e. a global cumulative count over every distinct value.
+    That prefix scan is the scale problem this query exists to exercise:
+    both CDFs come from ONE `global_prefix_agg` pass (operators/ranking.py
+    — range-partition on value, partitioned running sums, 32-row offset
+    fold; no unpartitioned window anywhere), after a partial-aggregated
+    groupBy collapses the corpus to one row per distinct value. The
+    decision statistic is computed in INTEGER cross-multiplied form
+    max|c1*n2 - c2*n1| so the max is exact and order-insensitive; the two
+    doubles are single divisions plus one correctly-rounded sqrt — bit
+    deterministic in both engines. At 100 TB: distinct values ride the
+    range partitioner (no single-task sort), counts are BIGINT-safe to
+    2^31 rows per side."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    c = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2x"),
+    )
+    cum = global_prefix_agg(
+        c, [F.col("value").asc()], ["c1x", "c2x"], agg="sum",
+        out_col=["c1", "c2"],
+    )
+    t = c.agg(
+        F.sum("c1x").cast("bigint").alias("n1"),
+        F.sum("c2x").cast("bigint").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("d_num")
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (F.col("d_num").cast("double") / (n1d * n2d)).alias("ks_stat"),
+            (
+                (F.col("d_num").cast("double") / (n1d * n2d))
+                * F.sqrt((n1d * n2d) / (n1d + n2d))
+            ).alias("ks_lambda"),
+        )
+    )

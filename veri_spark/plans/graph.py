@@ -1173,3 +1173,92 @@ def graph_bfs_hops(spark, sf_dir):
             ).select(F.lit(hop).cast("int").alias("hop"), "n_nodes")
         )
     return counts.orderBy(F.col("hop").asc())
+
+
+
+def _cc_unrolled_oracle(rounds: int = 8) -> str:
+    """Min-label propagation unrolled to a fixed round count as MATERIALIZED
+    CTEs — the oracle for `graph_connected_components`. Each round is the
+    exact relational step the Spark operator iterates (label(v) <- least of
+    own label and the min neighbor label); `rounds` must be >= the max
+    eccentricity of any component's minimum-id node, which the Spark side
+    PROVES by running to an actual fixpoint (operators/dedup.py
+    connected_components raises if it fails to converge) — if the unroll
+    were too short the hash gate would catch the disagreement."""
+    parts = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    und AS MATERIALIZED (SELECT u, v FROM edges
+                         UNION ALL SELECT v, u FROM edges),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{k} AS MATERIALIZED (
+      SELECT n.node,
+             LEAST(n.label, COALESCE(MIN(l.label), n.label)) AS label
+      FROM l{k - 1} n
+      LEFT JOIN und e ON e.u = n.node
+      LEFT JOIN l{k - 1} l ON l.node = e.v
+      GROUP BY n.node, n.label)"""
+        )
+    parts.append(
+        f""",
+    comp AS (SELECT label, COUNT(*)::BIGINT AS csize
+             FROM l{rounds} GROUP BY label)
+    SELECT csize AS component_size, COUNT(*)::BIGINT AS n_components
+    FROM comp GROUP BY csize ORDER BY component_size DESC"""
+    )
+    return "".join(parts)
+
+
+@register("graph_connected_components", _cc_unrolled_oracle(8))
+def graph_connected_components(spark, sf_dir):
+    """Connected-component census of the co-purchase part graph: the
+    component-size histogram (size, how many components of that size) —
+    the global-structure readout behind every graph sample plan (a giant
+    component means neighborhood sampling sees the whole graph; many small
+    components mean per-component parallelism is free). Reuses the
+    fixpoint min-label-propagation operator that turns LSH candidate pairs
+    into duplicate clusters (operators/dedup.py connected_components —
+    dedup_minhash_clusters is the document-graph twin), here on the much
+    denser basket graph: every pass is one neighbor-min aggregation plus a
+    least() join on co-partitioned labels, checkpointed and unpersisted on
+    a rolling basis, converging in O(component diameter) passes and
+    RAISING if the iteration cap is hit rather than returning a wrong
+    census. The oracle unrolls the same propagation to 8 fixed rounds
+    (enough for this graph's diameter; the Spark fixpoint proof plus the
+    hash gate make a too-short unroll impossible to miss). All-integer
+    output at any scale."""
+    from veri_spark.operators.dedup import connected_components
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    labels = connected_components(
+        edges, src_col="u", dst_col="v", max_iterations=16, partitions=32
+    )
+    comp = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    return (
+        comp.groupBy(F.col("csize").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .orderBy(F.col("component_size").desc())
+    )

@@ -656,3 +656,110 @@ def l_diversity_audit(spark, sf_dir):
         .cast("bigint")
         .alias("n_rows_l_lt_3"),
     )
+
+
+# Fellegi-Sunter field weights, micro-nats. m/u are fixed model literals
+# (match probability given same entity / given different entities);
+# ln(m/u) and ln((1-m)/(1-u)) are precomputed in PYTHON and injected into
+# both engines as integers — ln() is not correctly-rounded-guaranteed, so
+# engine-side log would risk 1-ulp rank flips (the Benford/nDCG rule).
+#   field          m      u      agree_w     disagree_w
+#   n_chars equal  0.95   0.10   2251292     -2890372
+#   n_tokens equal 0.90   0.15   1791759     -2140066
+#   16-ch prefix   0.85   0.01   4442651     -1887070
+#   distinct toks  0.80   0.20   1386294     -1386294
+_FS_W = {
+    "len": (2251292, -2890372),
+    "ntok": (1791759, -2140066),
+    "pre16": (4442651, -1887070),
+    "utok": (1386294, -1386294),
+}
+
+
+@register(
+    "record_linkage_fs_top_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, source, lang, n_chars,
+                      n_chars // 10 AS blk,
+                      len(string_split(text, ' ')) AS ntok,
+                      len(list_distinct(string_split(text, ' '))) AS utok,
+                      substr(text, 1, 16) AS pre16
+               FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (CASE WHEN a.n_chars = b.n_chars
+                   THEN {_FS_W['len'][0]} ELSE {_FS_W['len'][1]} END
+            + CASE WHEN a.ntok = b.ntok
+                   THEN {_FS_W['ntok'][0]} ELSE {_FS_W['ntok'][1]} END
+            + CASE WHEN a.pre16 = b.pre16
+                   THEN {_FS_W['pre16'][0]} ELSE {_FS_W['pre16'][1]} END
+            + CASE WHEN a.utok = b.utok
+                   THEN {_FS_W['utok'][0]} ELSE {_FS_W['utok'][1]} END
+             )::BIGINT AS score_micro
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.blk = b.blk
+       AND a.doc_id < b.doc_id AND a.source <> b.source)
+    SELECT doc_a, doc_b, score_micro
+    FROM pairs
+    ORDER BY score_micro DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def record_linkage_fs_top_pairs(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (the 1969 model behind
+    every production entity-resolution engine): blocked candidate pairs
+    scored by the sum of per-field log-likelihood weights ln(m/u) on
+    agreement and ln((1-m)/(1-u)) on disagreement — here linking documents
+    ACROSS sources on four cheap deterministic comparators (exact length,
+    token count, 16-char prefix, distinct-token count), blocked on
+    (lang, length-decade) so the quadratic pair build is bounded per block
+    (never corpus-quadratic; at 100x, tighten the length block or add a
+    second blocking pass — the standard FS scaling lever). Weights are
+    Python-precomputed INTEGER micro-nats so the score sum is exact and
+    order-insensitive; top-20 with full-id tie-breaks. The near-dup twins
+    (`cross_source_duplicates`, `dedup_*`) detect copies by content hash;
+    FS ranks fuzzy entity matches by an explicit probability model."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.expr("n_chars div 10").alias("blk"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ntok"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("utok"),
+        F.substring("text", 1, 16).alias("pre16"),
+    )
+    a = d.select(*[F.col(c).alias(f"{c}_a") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"{c}_b") for c in d.columns])
+
+    def w(field, cond):
+        wa, wd = _FS_W[field]
+        return F.when(cond, F.lit(wa)).otherwise(F.lit(wd))
+
+    pairs = (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.col("source_a") != F.col("source_b")),
+        )
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            (
+                w("len", F.col("n_chars_a") == F.col("n_chars_b"))
+                + w("ntok", F.col("ntok_a") == F.col("ntok_b"))
+                + w("pre16", F.col("pre16_a") == F.col("pre16_b"))
+                + w("utok", F.col("utok_a") == F.col("utok_b"))
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("score_micro").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(20)

@@ -1600,3 +1600,72 @@ def token_entropy_by_source(spark, sf_dir):
         )
         .orderBy(F.col("source").asc())
     )
+
+
+
+@register(
+    "docs_pareto_front",
+    """
+    WITH d AS (SELECT doc_id,
+                      len(list_distinct(string_split(text, ' '))) AS u,
+                      n_chars
+               FROM documents),
+    lv AS (SELECT u, MIN(n_chars) AS mc FROM d GROUP BY u),
+    p AS (SELECT u, mc,
+                 MIN(mc) OVER (ORDER BY u DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm
+          FROM lv),
+    fr AS (SELECT u, mc FROM p WHERE pm IS NULL OR mc < pm)
+    SELECT d.doc_id, d.u AS n_distinct_tokens, d.n_chars
+    FROM d JOIN fr ON d.u = fr.u AND d.n_chars = fr.mc
+    ORDER BY n_distinct_tokens DESC, doc_id ASC
+    """,
+)
+def docs_pareto_front(spark, sf_dir):
+    """Pareto (skyline) front of the corpus on (distinct-token count MAX,
+    byte length MIN): the documents no other document dominates —
+    maximum lexical diversity per byte, the exemplar set a
+    quality-vs-cost curriculum samples from first. The naive skyline is
+    an all-pairs dominance test; the distributed form here exploits that
+    dominance on two criteria collapses to a 1-D prefix problem: group
+    the corpus to one row per distinct-token LEVEL (bounded by the
+    per-doc token domain, a few hundred levels — calendar-style
+    scale-free, not corpus-sized), take each level's min length, and keep
+    levels whose min undercuts the running min of every strictly-higher
+    level (rows-preceding window on the tiny level frame, the one place a
+    global ordering is legitimate); docs on the front are an equi-join
+    back on (level, min-length). Equal (u, len) twins are all
+    non-dominated (dominance needs one strict inequality) and all
+    returned. Only corpus-scale work: one tokenize+groupBy scan and one
+    semi-equi-join. All-integer output — exact at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("u"),
+        "n_chars",
+    )
+    lv = d.groupBy("u").agg(F.min("n_chars").alias("mc"))
+    w = (
+        Window.orderBy(F.col("u").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = (
+        lv.withColumn("pm", F.min("mc").over(w))
+        .filter(F.col("pm").isNull() | (F.col("mc") < F.col("pm")))
+        .select(F.col("u").alias("fu"), F.col("mc").alias("fmc"))
+    )
+    return (
+        d.join(
+            F.broadcast(fr),
+            (F.col("u") == F.col("fu")) & (F.col("n_chars") == F.col("fmc")),
+        )
+        .select(
+            "doc_id",
+            F.col("u").alias("n_distinct_tokens"),
+            "n_chars",
+        )
+        .orderBy(F.col("n_distinct_tokens").desc(), F.col("doc_id").asc())
+    )
