@@ -763,3 +763,75 @@ def record_linkage_fs_top_pairs(spark, sf_dir):
     return pairs.orderBy(
         F.col("score_micro").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(20)
+
+
+@register(
+    "mutual_information_lang_source",
+    """
+    WITH cell AS (SELECT lang, source, COUNT(*)::BIGINT AS nxy
+                  FROM documents GROUP BY lang, source),
+    mx AS (SELECT lang, SUM(nxy)::BIGINT AS nx FROM cell GROUP BY lang),
+    my AS (SELECT source, SUM(nxy)::BIGINT AS ny FROM cell GROUP BY source),
+    t AS (SELECT SUM(nxy)::BIGINT AS n FROM cell),
+    w AS (SELECT c.nxy,
+                 CAST(floor(1e6 * ln((c.nxy * t.n)::DOUBLE
+                                     / (mx.nx * my.ny)::DOUBLE) + 0.5)
+                      AS BIGINT) AS w_micro
+          FROM cell c JOIN mx USING (lang) JOIN my USING (source)
+          CROSS JOIN t)
+    SELECT t.n AS n_total,
+           COUNT(*)::BIGINT AS n_cells,
+           SUM(w.nxy * w.w_micro)::BIGINT AS mi_weighted_micro_nats,
+           (SUM(w.nxy * w.w_micro)::DOUBLE / (t.n::DOUBLE * 1e6)) AS mi_nats
+    FROM w CROSS JOIN t GROUP BY t.n
+    """,
+)
+def mutual_information_lang_source(spark, sf_dir):
+    """Mutual information between document language and source — the
+    information-theoretic dependence readout next to the chi-square test
+    (`lang_source_chi2`): MI = sum over cells of p(x,y) ln(p(x,y) /
+    (p(x)p(y))). Near zero, sources are language-balanced; high MI means
+    language is concentrated in specific sources and any per-source
+    sampling skews the language mixture. The contingency table is bounded
+    by the (lang x source) domain — a scale-free broadcast frame after one
+    partial-aggregated corpus scan. Determinism: each cell's log-ratio is
+    quantized to INTEGER micro-nats in-engine (floor(1e6*ln + 0.5), the
+    WoE/Zipf idiom — ln's argument is a ratio of exact integers, identical
+    in both engines), the MI numerator is an exact integer weighted sum,
+    and the nat-scale value is ONE division at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    mx = cell.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cell.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    t = cell.agg(F.sum("nxy").cast("bigint").alias("n"))
+    w = (
+        cell.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "nxy",
+            "n",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (F.col("nxy") * F.col("n")).cast("double")
+                    / (F.col("nx") * F.col("ny")).cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    return w.groupBy(F.col("n").alias("n_total")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col("nxy") * F.col("w_micro"))
+        .cast("bigint")
+        .alias("mi_weighted_micro_nats"),
+        (
+            F.sum(F.col("nxy") * F.col("w_micro")).cast("double")
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("mi_nats"),
+    )

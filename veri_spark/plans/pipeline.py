@@ -20,6 +20,8 @@ from veri_spark.operators.topk import (  # noqa: F401
 )
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
+from veri_spark.functions.hashing import dd_hash  # noqa: F401
+
 from veri_spark.plans._base import (  # noqa: F401
     _DD_CENTROIDS,
     _DD_CENTROID_DIST,
@@ -1897,3 +1899,89 @@ def truncation_waste_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("frac_lost_micro"),
     ).orderBy(F.col("cap").asc())
+
+
+
+@register(
+    "domain_affinity_hashdot",
+    f"""
+    WITH tok AS (SELECT doc_id, source,
+                        unnest(string_split(text, ' ')) AS tk
+                 FROM documents),
+    b AS (SELECT doc_id, source,
+                 {dd_hash('tk')} % 4096 AS bucket
+          FROM tok),
+    tgt AS (SELECT bucket, COUNT(*)::BIGINT AS tb
+            FROM b WHERE source = 'src0' GROUP BY bucket),
+    dv AS (SELECT doc_id, source, bucket, COUNT(*)::BIGINT AS cb
+           FROM b WHERE source <> 'src0' GROUP BY doc_id, source, bucket),
+    dotp AS (SELECT d.doc_id, d.source,
+                    SUM(d.cb)::BIGINT AS doc_total,
+                    SUM(d.cb * COALESCE(t.tb, 0))::BIGINT AS dot
+             FROM dv d LEFT JOIN tgt t USING (bucket)
+             GROUP BY d.doc_id, d.source)
+    SELECT doc_id, source,
+           ((1000000 * dot) // doc_total)::BIGINT AS affinity_micro
+    FROM dotp
+    ORDER BY affinity_micro DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def domain_affinity_hashdot(spark, sf_dir):
+    """Hashed-n-gram domain-affinity scoring (the deterministic core of
+    DSIR-style importance resampling, arXiv:2302.03169): every token is
+    hashed into 4096 buckets with the portable 60-bit hash, the TARGET
+    domain (source src0) is reduced to one bucket-count profile, and each
+    candidate document is scored by the dot product of its own bucket
+    counts against that profile, normalized per token — i.e. the mean
+    target-bucket mass under the doc's empirical token distribution, the
+    monotone integer-exact core of the DSIR log-ratio (the constant
+    target-total factor is dropped; it cannot change the ranking). Top-20
+    out-of-domain docs by affinity. Scale shape: the target profile is a
+    4096-row broadcast; each doc reduces map-side to its distinct buckets;
+    the score is an INTEGER dot + one integer floor-division — exact at
+    any scale, no log, no doubles anywhere."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tk"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(portable_hash64("tk"), F.lit(4096)).alias("bucket"),
+    )
+    tgt = (
+        b.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tb"))
+        .select(F.col("bucket").alias("tbucket"), "tb")
+    )
+    dv = (
+        b.filter(F.col("source") != "src0")
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    dotp = (
+        dv.join(F.broadcast(tgt), F.col("bucket") == F.col("tbucket"), "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cb").cast("bigint").alias("doc_total"),
+            F.sum(F.col("cb") * F.coalesce(F.col("tb"), F.lit(0)))
+            .cast("bigint")
+            .alias("dot"),
+        )
+    )
+    return (
+        dotp.select(
+            "doc_id",
+            "source",
+            F.expr("(1000000 * dot) div doc_total")
+            .cast("bigint")
+            .alias("affinity_micro"),
+        )
+        .orderBy(F.col("affinity_micro").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

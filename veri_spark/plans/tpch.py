@@ -2042,3 +2042,78 @@ def basket_size_histogram(spark, sf_dir):
         )
         .orderBy(F.col("basket").asc())
     )
+
+
+
+@register(
+    "parts_abc_pareto_classes",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_dmils
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(rev_dmils)::BIGINT AS total FROM pr),
+    c AS (SELECT l_partkey, rev_dmils,
+                 SUM(rev_dmils) OVER (ORDER BY rev_dmils DESC,
+                                      l_partkey ASC)::BIGINT AS cum
+          FROM pr),
+    cls AS (SELECT rev_dmils,
+                   CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                        WHEN cum * 20 <= total * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c CROSS JOIN t)
+    SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+           SUM(rev_dmils)::BIGINT AS class_rev_dmils,
+           CAST(round(1e6 * SUM(rev_dmils) / MAX(t2.total)) AS BIGINT)
+             AS rev_share_micro
+    FROM cls CROSS JOIN t t2
+    GROUP BY abc_class ORDER BY abc_class ASC
+    """,
+)
+def parts_abc_pareto_classes(spark, sf_dir):
+    """ABC / Pareto revenue classification of the part catalog: parts
+    ranked by lifetime revenue, class A = the head parts covering the
+    first 80% of cumulative revenue, B = the next 15%, C = the tail 5% —
+    the inventory-policy segmentation (and, for a training corpus, the
+    head/torso/tail split that decides mixture temperatures). The
+    corpus-scale step is a global RUNNING SUM over millions of parts in
+    revenue order — `global_prefix_agg` (range partition on the sort key,
+    partitioned running sums, 32-row offset fold; no single-task
+    WindowExec). Revenue is summed in exact DECIMAL then carried as
+    BIGINT deci-mills (4dp), class boundaries are INTEGER
+    cross-multiplied comparisons (cum*5 <= total*4), and the only double
+    is the final display share — one division per class row."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(_rev_dec()) * 10000).cast("bigint").alias("rev_dmils")
+    )
+    t = pr.agg(F.sum("rev_dmils").cast("bigint").alias("total"))
+    c = global_prefix_agg(
+        pr,
+        [F.col("rev_dmils").desc(), F.col("l_partkey").asc()],
+        "rev_dmils",
+        agg="sum",
+        out_col="cum",
+    )
+    cls = c.crossJoin(F.broadcast(t)).select(
+        "rev_dmils",
+        "total",
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_dmils").cast("bigint").alias("class_rev_dmils"),
+            F.round(F.lit(1e6) * F.sum("rev_dmils") / F.max("total"))
+            .cast("bigint")
+            .alias("rev_share_micro"),
+        )
+        .orderBy(F.col("abc_class").asc())
+    )
