@@ -112,6 +112,16 @@ BENCH_QUERIES = [
     "sorted_neighborhood_pairs",
     "graph_common_neighbors_capped",
     "knn_group_reduce_mean",
+    # round-7 batch 3: the prefix-scan operator's corpus-scale users (KS
+    # drift CDFs, ABC revenue cumsum), the duplicate-coverage shingle join,
+    # the co-purchase connected-components fixpoint loop, the blocked FS
+    # linkage join, and the hashed domain-affinity scan.
+    "ks_value_drift",
+    "parts_abc_pareto_classes",
+    "dup_ngram_coverage",
+    "graph_connected_components",
+    "record_linkage_fs_top_pairs",
+    "domain_affinity_hashdot",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -126,6 +136,7 @@ SINGLE_RUN = {
     "graph_bfs_hops",
     "lsh_param_planner",
     "zorder_multicol_audit",
+    "graph_connected_components",
 }
 
 
@@ -180,7 +191,20 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
-    detail = dict(compact, queries=timings, spread=spread, calib_sec=calib)
+    # the driver keeps only the LAST 2000 chars of output; if the growing
+    # query set pushes the line past that, shed the CHEAPEST queries from
+    # stdout (every number stays in BENCH_local.json) and say how many
+    while (
+        len(json.dumps(compact, separators=(",", ":"))) > 1900
+        and compact["queries"]
+    ):
+        cheapest = min(compact["queries"], key=lambda k: (timings[k], k))
+        del compact["queries"][cheapest]
+        compact["omitted"] = compact.get("omitted", 0) + 1
+    detail = dict(
+        {k: v for k, v in compact.items() if k != "omitted"},
+        queries=timings, spread=spread, calib_sec=calib,
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_local.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -1998,3 +1998,76 @@ def knn_diversity_capped(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", F.round("cos", 6).alias("score"))
     )
+
+
+
+@register(
+    "knn_reciprocal_pairs",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS x, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c
+    ), r AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, centroid_id ASC) AS rn
+      FROM d
+    ), assigned AS (SELECT vec_id, x, centroid_id FROM r WHERE rn = 1),
+    pr AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_distance(a.x, b.x) AS dist
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+    ), rk AS (
+      SELECT src, dst, dist,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist ASC, dst ASC) AS rank
+      FROM pr
+    ), e3 AS (SELECT src, dst, dist, rank FROM rk WHERE rank <= 3)
+    SELECT a.src, a.dst,
+           a.rank::BIGINT AS rank_ab, b.rank::BIGINT AS rank_ba,
+           ROUND(a.dist, 6) AS dist
+    FROM e3 a JOIN e3 b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    ORDER BY a.src ASC, a.dst ASC
+    """,
+)
+def knn_reciprocal_pairs(spark, sf_dir):
+    """Reciprocal (mutual) nearest-neighbor pairs: (a, b) such that b is in
+    a's top-3 AND a is in b's top-3 of the IVF-blocked kNN join — the
+    strictest, most precision-heavy link criterion in the retrieval
+    toolbox (RNN pairs seed agglomerative clustering and are the
+    high-confidence tier of embedding dedup, far stricter than a one-way
+    edge: hubs collect many in-edges but reciprocate few). Built entirely
+    from the existing kNN-join edge list (operators/similarity.knn_join):
+    one self-equi-join of the 3n-row edge set on the reversed (src, dst)
+    key — never the corpus — so the mutual filter costs one hash join on
+    an already-small frame at any scale. Both directions' ranks are
+    emitted; full-id ordering."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_join(emb, take_centroids(emb, 8), k=3).select(
+        "src", "dst", "rank", "dist"
+    )
+    rev = edges.select(
+        F.col("src").alias("r_dst"),
+        F.col("dst").alias("r_src"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        edges.join(
+            rev,
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.col("rank").cast("bigint").alias("rank_ab"),
+            F.col("rank_ba").cast("bigint").alias("rank_ba"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy(F.col("src").asc(), F.col("dst").asc())
+    )

@@ -1244,3 +1244,98 @@ def embedding_unit_norm_audit(spark, sf_dir):
         .alias("n_off_unit"),
         F.max("dev_nano").cast("bigint").alias("max_abs_dev_nano"),
     )
+
+
+
+@register(
+    "kmeans_pp_farthest_seeds",
+    """
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x
+                            FROM embeddings),
+    s0 AS (SELECT vec_id, x FROM e WHERE vec_id = 0),
+    d1 AS MATERIALIZED (
+      SELECT e.vec_id, list_distance(e.x, s0.x) AS md
+      FROM e CROSS JOIN s0 WHERE e.vec_id <> s0.vec_id),
+    p1 AS MATERIALIZED (SELECT vec_id, md FROM d1
+                        ORDER BY md DESC, vec_id ASC LIMIT 1),
+    seeds1 AS (SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM p1),
+    d2 AS MATERIALIZED (
+      SELECT e.vec_id, MIN(list_distance(e.x, s.x)) AS md
+      FROM e JOIN (SELECT e2.vec_id, e2.x FROM e e2
+                   JOIN seeds1 USING (vec_id)) s ON TRUE
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM seeds1)
+      GROUP BY e.vec_id),
+    p2 AS MATERIALIZED (SELECT vec_id, md FROM d2
+                        ORDER BY md DESC, vec_id ASC LIMIT 1),
+    seeds2 AS (SELECT vec_id FROM seeds1 UNION ALL SELECT vec_id FROM p2),
+    d3 AS MATERIALIZED (
+      SELECT e.vec_id, MIN(list_distance(e.x, s.x)) AS md
+      FROM e JOIN (SELECT e2.vec_id, e2.x FROM e e2
+                   JOIN seeds2 USING (vec_id)) s ON TRUE
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM seeds2)
+      GROUP BY e.vec_id),
+    p3 AS MATERIALIZED (SELECT vec_id, md FROM d3
+                        ORDER BY md DESC, vec_id ASC LIMIT 1)
+    SELECT * FROM (
+      SELECT 0 AS seed_rank, (SELECT vec_id FROM s0)::BIGINT AS vec_id,
+             0.0 AS sel_dist
+      UNION ALL SELECT 1, vec_id::BIGINT, ROUND(md, 6) FROM p1
+      UNION ALL SELECT 2, vec_id::BIGINT, ROUND(md, 6) FROM p2
+      UNION ALL SELECT 3, vec_id::BIGINT, ROUND(md, 6) FROM p3
+    ) ORDER BY seed_rank ASC
+    """,
+)
+def kmeans_pp_farthest_seeds(spark, sf_dir):
+    """Farthest-first traversal seeding (Gonzalez's 2-approximation for
+    k-center, and the deterministic max-min variant of k-means++ init):
+    starting from vector 0, repeatedly pick the vector whose distance to
+    its NEAREST already-chosen seed is largest (ties by id) — 4 seeds, 3
+    selection rounds. This is the codebook-initialization step upstream of
+    the IVF/PQ training the ANN family builds on (`kmeans_step_inertia` is
+    the Lloyd-iteration twin); max-min seeding needs no RNG, making it the
+    reproducible choice for a 100 TB corpus. Execution shape per round:
+    the chosen seeds are a k-row PLAN LITERAL frame (the codebook
+    convention), so each selection is ONE map-only scan computing
+    least(dist to each seed) followed by a bounded top-1 — no
+    corpus-corpus join, no unpartitioned window; the driver holds exactly
+    k rows. The selection argmax compares UNROUNDED doubles identical in
+    both engines (ascending-index fold parity) with full-id tie-breaks;
+    only the display distance is rounded."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed_rows = [(0, 0, 0.0)]
+    seed_ids = [0]
+    seed_vecs = [
+        [float(v) for v in emb.filter(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    ]
+    for rank in (1, 2, 3):
+        dists = [
+            V.euclidean_distance(F.col("embedding"), sv) for sv in seed_vecs
+        ]
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        cand = (
+            emb.filter(~F.col("vec_id").isin(seed_ids))
+            .select("vec_id", md.alias("md"))
+        )
+        top = topk(cand, "md", 1, higher_is_better=True, tie_cols=["vec_id"])
+        row = top.first()
+        seed_rows.append((rank, int(row["vec_id"]), float(row["md"])))
+        seed_ids.append(int(row["vec_id"]))
+        seed_vecs.append(
+            [
+                float(v)
+                for v in emb.filter(F.col("vec_id") == row["vec_id"])
+                .select("embedding")
+                .first()[0]
+            ]
+        )
+    out = spark.createDataFrame(
+        seed_rows, "seed_rank int, vec_id bigint, sel_dist double"
+    )
+    return out.select(
+        "seed_rank",
+        "vec_id",
+        F.round("sel_dist", 6).alias("sel_dist"),
+    ).orderBy(F.col("seed_rank").asc())
