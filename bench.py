@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "graph_connected_components",
     "record_linkage_fs_top_pairs",
     "domain_affinity_hashdot",
+    "knn_reciprocal_pairs",
+    "kmeans_pp_farthest_seeds",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -107,6 +107,11 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "ann_ndcg_audit",
         "recall_at_k_sweep",
         "ann_ivf_recall_audit",
+        # round-7 batch 3: the prefix-scan (global_prefix_agg) users — the
+        # KS CDFs and the ABC revenue cumsum are corpus-scale prefix sums
+        # and must never fall back to a global window
+        "ks_value_drift",
+        "parts_abc_pareto_classes",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

@@ -1,0 +1,123 @@
+"""Invariant tests for the round-7 batch-3 queries — semantic properties
+the DuckDB oracle parity cannot express (an oracle sharing a logic bug
+would still hash-match; these pin the MATH):
+
+- KS statistic is a valid sup-norm of two CDFs (bounds + exact totals).
+- The connected-component census conserves nodes and is consistent with
+  the edge set (no component can exceed the node count; sizes >= 2 only,
+  since isolated vertices never enter the edge list).
+- The Pareto front is PAIRWISE non-dominated (checked exhaustively on the
+  collected front) and every non-front doc is dominated by some front doc
+  at its token level.
+- Duplicate-ngram coverage conserves the eligible-doc count.
+- Reciprocal pairs are a symmetric subset of the kNN-join edge list.
+- Farthest-first selection distances are non-increasing (adding seeds can
+  only shrink any point's min-distance, so the running max-min shrinks).
+- FS linkage scores lie inside the [all-disagree, all-agree] weight sum.
+"""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from veri_spark.plans.registry import QUERIES
+from veri_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ks_bounds_and_totals(spark):
+    row = QUERIES["ks_value_drift"](spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    n1 = ev.filter(F.col("event_type") == "click").count()
+    n2 = ev.filter(F.col("event_type") == "view").count()
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["d_num"] <= n1 * n2
+    assert row["ks_lambda"] >= row["ks_stat"]  # sqrt(n1n2/(n1+n2)) >= 1 here
+
+
+def test_connected_components_conserve_nodes(spark):
+    hist = QUERIES["graph_connected_components"](spark, SF_DIR).collect()
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["component_size"] * r["n_components"] for r in hist) == n_nodes
+    assert all(r["component_size"] >= 2 for r in hist)
+
+
+def test_pareto_front_is_mutually_non_dominated(spark):
+    front = QUERIES["docs_pareto_front"](spark, SF_DIR).collect()
+    pts = [(r["n_distinct_tokens"], r["n_chars"]) for r in front]
+    for i, (u1, c1) in enumerate(pts):
+        for j, (u2, c2) in enumerate(pts):
+            if i == j:
+                continue
+            dominated = u2 >= u1 and c2 <= c1 and (u2 > u1 or c2 < c1)
+            assert not dominated, (pts[i], pts[j])
+    # completeness: the best (max-u) document is always on the front
+    docs = load_table(spark, SF_DIR, "documents")
+    u_max = docs.select(
+        F.size(F.array_distinct(F.split("text", " "))).alias("u")
+    ).agg(F.max("u")).collect()[0][0]
+    assert max(p[0] for p in pts) == u_max
+
+
+def test_dup_ngram_coverage_conserves_docs(spark):
+    hist = QUERIES["dup_ngram_coverage"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    eligible = docs.filter(
+        F.size(F.split("text", " ")) >= 3
+    ).count()
+    assert sum(r["n_docs"] for r in hist) == eligible
+    assert all(0 <= r["coverage_decile"] <= 9 for r in hist)
+
+
+def test_reciprocal_pairs_subset_and_symmetric(spark):
+    from veri_spark.operators.similarity import knn_join, take_centroids
+
+    pairs = QUERIES["knn_reciprocal_pairs"](spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    edges = {
+        (r["src"], r["dst"]): r["rank"]
+        for r in knn_join(emb, take_centroids(emb, 8), k=3).collect()
+    }
+    for r in pairs:
+        assert r["src"] < r["dst"]
+        assert edges[(r["src"], r["dst"])] == r["rank_ab"]
+        assert edges[(r["dst"], r["src"])] == r["rank_ba"]
+
+
+def test_farthest_first_distances_non_increasing(spark):
+    rows = QUERIES["kmeans_pp_farthest_seeds"](spark, SF_DIR).collect()
+    assert [r["seed_rank"] for r in rows] == [0, 1, 2, 3]
+    assert len({r["vec_id"] for r in rows}) == 4
+    d = [r["sel_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:]))
+
+
+def test_fs_scores_within_weight_envelope(spark):
+    from veri_spark.plans.integrity import _FS_W
+
+    rows = QUERIES["record_linkage_fs_top_pairs"](spark, SF_DIR).collect()
+    lo = sum(w[1] for w in _FS_W.values())
+    hi = sum(w[0] for w in _FS_W.values())
+    assert all(lo <= r["score_micro"] <= hi for r in rows)
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
