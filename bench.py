@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "domain_affinity_hashdot",
     "knn_reciprocal_pairs",
     "kmeans_pp_farthest_seeds",
+    "winnowing_shared_fingerprints",
+    "consistent_hash_ring_balance",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -2031,3 +2031,89 @@ def dup_ngram_coverage(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy(F.col("coverage_decile").asc())
     )
+
+
+
+@register(
+    "winnowing_shared_fingerprints",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform(
+                    range(1, greatest(len(ws) - 1, 1)),
+                    i -> CAST('0x' || substr(md5(
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         ), 1, 15) AS BIGINT)) AS h
+           FROM w),
+    fp AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(h) - 2, 1)),
+                    i -> list_min(list_slice(h, i, i + 3))))) AS f
+           FROM hs WHERE len(h) >= 4),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*)::BIGINT AS n_shared
+              FROM fp a JOIN fp b
+                ON a.f = b.f AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+)
+def winnowing_shared_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003 —
+    the MOSS local fingerprinting algorithm): hash every positional
+    3-token shingle, slide a window of 4 consecutive hashes, keep each
+    window's MINIMUM — the guarantee is that any shared run of >= 6 tokens
+    between two documents shares at least one selected fingerprint, at
+    ~1/4 the storage of full shingle sets, robust to position (unlike
+    chunk hashing) and to local edits (unlike whole-doc hashes). Top-20
+    document pairs by shared-fingerprint count. Execution: fingerprint
+    selection is MAP-ONLY array math per document (positional hashes and
+    window minima as `transform`/`slice` expressions — no explode until
+    the distinct fingerprints, no UDF); the pair count is the standard
+    banded-candidate equi-join on the fingerprint key, cost bounded by
+    per-fingerprint bucket sizes exactly like MinHash-LSH banding. Docs
+    shorter than 6 tokens (< 4 shingle hashes, no full window) are
+    excluded in both engines. All-integer output."""
+    from veri_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("ws"))
+    hs = w.select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col("ws"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("h"),
+    )
+    # windows of 4 over m hashes: exactly m-3 full windows (Spark sequence
+    # is INCLUSIVE where DuckDB range is exclusive — both must stop at the
+    # last FULL window or a truncated 3-hash tail window sneaks in)
+    n = F.size(F.col("h"))
+    idx = F.when(n >= 4, F.sequence(F.lit(1), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    fp = (
+        hs.filter(n >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx, lambda i: F.array_min(F.slice(F.col("h"), i, 4))
+                    )
+                )
+            ).alias("f"),
+        )
+    )
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    pairs = (
+        fp.join(b, (F.col("f") == F.col("fb")) & (F.col("doc_id") < F.col("doc_b")))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(20)

@@ -835,3 +835,101 @@ def mutual_information_lang_source(spark, sf_dir):
             / (F.col("n").cast("double") * F.lit(1e6))
         ).alias("mi_nats"),
     )
+
+
+def _ring_vnodes() -> list[tuple[int, str]]:
+    """The 8-node x 8-replica consistent-hash ring as (position, node)
+    literals, positions from the portable 60-bit hash of "n{j}#r{r}" —
+    Python-computed once so BOTH engines consume identical ring literals
+    (the shard-planner twin of the Benford/nDCG literal rule)."""
+    from veri_spark.functions.hashing import portable_hash64_py
+
+    return sorted(
+        (portable_hash64_py(f"n{j}#r{r}"), f"n{j}")
+        for j in range(8)
+        for r in range(8)
+    )
+
+
+def _ring_sql_values() -> str:
+    return ", ".join(f"({h}, '{n}')" for h, n in _ring_vnodes())
+
+
+def _ring_sql_list() -> str:
+    return "[" + ", ".join(str(h) for h, _ in _ring_vnodes()) + "]"
+
+
+@register(
+    "consistent_hash_ring_balance",
+    f"""
+    WITH ring(vh, node) AS (VALUES {_ring_sql_values()}),
+    keys AS (SELECT doc_id,
+                    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT)
+                      AS kh
+             FROM documents),
+    owner AS (SELECT doc_id,
+                     COALESCE(list_min(list_filter({_ring_sql_list()},
+                                                   v -> v >= kh)),
+                              {_ring_vnodes()[0][0]}) AS ovh
+              FROM keys),
+    loads AS (SELECT r.node, COUNT(*)::BIGINT AS n_keys
+              FROM owner o JOIN ring r ON o.ovh = r.vh
+              GROUP BY r.node),
+    t AS (SELECT SUM(n_keys)::BIGINT AS total FROM loads)
+    SELECT l.node, l.n_keys,
+           CAST(round(1e6 * 8 * l.n_keys / t.total) AS BIGINT)
+             AS load_index_micro
+    FROM loads l CROSS JOIN t
+    ORDER BY l.node ASC
+    """,
+)
+def consistent_hash_ring_balance(spark, sf_dir):
+    """Consistent-hashing placement balance audit: the document corpus
+    hashed onto an 8-node ring with 8 virtual nodes each (successor-vnode
+    ownership, wraparound to the ring minimum), reporting per-node key
+    count and a load index (1e6 = perfectly even). This is the PLACEMENT
+    MATH of the reference's peer-to-peer sharding (ST5/ST6 — the
+    replication/gossip machinery SURVEY 4.3 assigns to the cluster
+    manager in Spark): the ring itself is pure arithmetic worth keeping
+    — it prices how many vnodes an even shard layout needs BEFORE any
+    data moves, and it is the same successor-search every shuffle-free
+    router runs. Execution: the 64-entry ring rides as a PLAN LITERAL
+    (sorted array + 64-row VALUES map), ownership is a map-only
+    filter/min over the literal array per key — no join against the
+    corpus, one 64-row broadcast equi-join to name the owner, one
+    grouped count. The load index is a single micro-quantized division.
+    At 100 TB the ring grows with the cluster, not the data."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ring = _ring_vnodes()
+    docs = load_table(spark, sf_dir, "documents")
+    vh_arr = F.array(*[F.lit(h).cast("bigint") for h, _ in ring])
+    kh = portable_hash64(F.col("doc_id").cast("string"))
+    owner = docs.select(
+        F.coalesce(
+            F.array_min(F.filter(vh_arr, lambda v: v >= kh)),
+            F.lit(ring[0][0]).cast("bigint"),
+        ).alias("ovh")
+    )
+    ring_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(h, n) for h, n in ring], "vh bigint, node string"
+        )
+    )
+    loads = (
+        owner.join(ring_df, F.col("ovh") == F.col("vh"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )
+    t = loads.agg(F.sum("n_keys").cast("bigint").alias("total"))
+    return (
+        loads.crossJoin(F.broadcast(t))
+        .select(
+            "node",
+            "n_keys",
+            F.round(F.lit(1e6) * 8 * F.col("n_keys") / F.col("total"))
+            .cast("bigint")
+            .alias("load_index_micro"),
+        )
+        .orderBy(F.col("node").asc())
+    )
