@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "kmeans_pp_farthest_seeds",
     "winnowing_shared_fingerprints",
     "consistent_hash_ring_balance",
+    "neyman_allocation_plan",
+    "roaring_bitmap_sizing_audit",
+    "rendezvous_hash_balance",
+    "lang_simpson_diversity_by_source",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

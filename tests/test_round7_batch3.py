@@ -121,3 +121,46 @@ def test_fs_scores_within_weight_envelope(spark):
     assert all(lo <= r["score_micro"] <= hi for r in rows)
     scores = [r["score_micro"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    rows = QUERIES["neyman_allocation_plan"](spark, SF_DIR).collect()
+    assert sum(r["alloc_n"] for r in rows) == 1000
+    assert all(r["alloc_n"] >= 0 for r in rows)
+    # Neyman monotonicity: a stratum with strictly larger N_h * S_h weight
+    # never receives a smaller allocation than one with a smaller weight
+    # (Hamilton preserves quota order up to the +/-1 remainder seat)
+    by_w = sorted(rows, key=lambda r: r["weight_micro"])
+    for a, b in zip(by_w, by_w[1:]):
+        assert b["alloc_n"] >= a["alloc_n"] - 1
+
+
+def test_roaring_audit_dominates_and_conserves(spark):
+    rows = QUERIES["roaring_bitmap_sizing_audit"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_ids = docs.select("lang", "doc_id").distinct().count()
+    assert sum(r["n_ids"] for r in rows) == n_ids
+    for r in rows:
+        assert r["n_array"] + r["n_run"] + r["n_bitmap"] == r["n_containers"]
+        # the chosen container is the per-container minimum, so the total
+        # can never exceed the all-bitmap or the plain-list encodings
+        assert r["roaring_bytes"] <= 128 * r["n_containers"]
+        assert r["roaring_bytes"] <= r["plain_bytes"]
+
+
+def test_placement_audits_conserve_keys(spark):
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    for q in ("consistent_hash_ring_balance", "rendezvous_hash_balance"):
+        rows = QUERIES[q](spark, SF_DIR).collect()
+        assert sum(r["n_keys"] for r in rows) == n_docs, q
+        assert all(r["n_keys"] > 0 for r in rows), q
+
+
+def test_simpson_diversity_bounds(spark):
+    rows = QUERIES["lang_simpson_diversity_by_source"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r["gini_simpson_micro"] <= 1_000_000
+        assert r["n_langs"] >= 1
+        # one language only => zero diversity
+        if r["n_langs"] == 1:
+            assert r["gini_simpson_micro"] == 0

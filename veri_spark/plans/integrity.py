@@ -933,3 +933,192 @@ def consistent_hash_ring_balance(spark, sf_dir):
         )
         .orderBy(F.col("node").asc())
     )
+
+
+@register(
+    "roaring_bitmap_sizing_audit",
+    """
+    WITH m AS (SELECT DISTINCT lang, doc_id FROM documents),
+    mem AS (SELECT lang, doc_id // 1024 AS cont, doc_id % 1024 AS low
+            FROM m),
+    runs AS (SELECT a.lang, a.cont,
+                    COUNT(*)::BIGINT AS c,
+                    SUM(CASE WHEN b.low IS NULL THEN 1 ELSE 0 END)::BIGINT
+                      AS r
+             FROM mem a LEFT JOIN mem b
+               ON a.lang = b.lang AND a.cont = b.cont
+              AND b.low = a.low - 1
+             GROUP BY a.lang, a.cont),
+    sized AS (SELECT lang, c, r,
+                     2 * c AS arr_b, 128 AS bmp_b, 2 + 4 * r AS run_b,
+                     CASE WHEN 2 * c <= 128 AND 2 * c <= 2 + 4 * r
+                            THEN 'array'
+                          WHEN 2 + 4 * r <= 128 THEN 'run'
+                          ELSE 'bitmap' END AS ctype,
+                     LEAST(2 * c, 128, 2 + 4 * r) AS bytes
+              FROM runs)
+    SELECT lang,
+           SUM(c)::BIGINT AS n_ids,
+           COUNT(*)::BIGINT AS n_containers,
+           SUM(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END)::BIGINT
+             AS n_array,
+           SUM(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END)::BIGINT AS n_run,
+           SUM(CASE WHEN ctype = 'bitmap' THEN 1 ELSE 0 END)::BIGINT
+             AS n_bitmap,
+           SUM(bytes)::BIGINT AS roaring_bytes,
+           (8 * SUM(c))::BIGINT AS plain_bytes,
+           CAST(round(1e6 * SUM(bytes) / (8 * SUM(c))) AS BIGINT)
+             AS size_ratio_micro
+    FROM sized GROUP BY lang ORDER BY lang ASC
+    """,
+)
+def roaring_bitmap_sizing_audit(spark, sf_dir):
+    """Roaring-bitmap sizing audit for the lang -> doc_id posting sets —
+    the storage-planning decision behind every bitmap secondary index
+    (Roaring: Chambi et al. 2016): each 1024-wide id container is stored
+    as whichever of the three container types is smallest — a sorted
+    ARRAY (2 bytes/id), a fixed BITMAP (128 bytes here, width/8), or
+    RUN-LENGTH pairs (2 + 4*runs bytes) — and the audit reports the
+    realized container mix, total bytes, and the compression ratio vs a
+    plain 8-byte id list per posting set. (Containers are width-scaled
+    from Roaring's 65536 to 1024 so this SF's id space exercises the
+    array/bitmap break-even; the decision logic is the real one, with
+    deterministic array < run < bitmap tie preference.) Run counting is
+    one shifted self-equi-join on (set, container, low-1) — run starts
+    are members whose predecessor is absent — so everything is integer
+    counting on co-partitioned keys; no order-dependent scan at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("lang", "doc_id").distinct()
+    mem = m.select(
+        "lang",
+        F.expr("doc_id div 1024").alias("cont"),
+        (F.col("doc_id") % 1024).alias("low"),
+    )
+    prev = mem.select(
+        F.col("lang").alias("p_lang"),
+        F.col("cont").alias("p_cont"),
+        (F.col("low") + 1).alias("p_next"),
+    )
+    runs = (
+        mem.join(
+            prev,
+            (F.col("lang") == F.col("p_lang"))
+            & (F.col("cont") == F.col("p_cont"))
+            & (F.col("low") == F.col("p_next")),
+            "left",
+        )
+        .groupBy("lang", "cont")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("p_next").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    arr_b = 2 * F.col("c")
+    run_b = 2 + 4 * F.col("r")
+    sized = runs.select(
+        "lang",
+        "c",
+        F.when((arr_b <= 128) & (arr_b <= run_b), "array")
+        .when(run_b <= 128, "run")
+        .otherwise("bitmap")
+        .alias("ctype"),
+        F.least(arr_b, F.lit(128), run_b).alias("bytes"),
+    )
+    return (
+        sized.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n_containers"),
+            F.sum(F.when(F.col("ctype") == "array", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_array"),
+            F.sum(F.when(F.col("ctype") == "run", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_run"),
+            F.sum(F.when(F.col("ctype") == "bitmap", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bitmap"),
+            F.sum("bytes").cast("bigint").alias("roaring_bytes"),
+            (F.lit(8) * F.sum("c")).cast("bigint").alias("plain_bytes"),
+            F.round(F.lit(1e6) * F.sum("bytes") / (F.lit(8) * F.sum("c")))
+            .cast("bigint")
+            .alias("size_ratio_micro"),
+        )
+        .orderBy(F.col("lang").asc())
+    )
+
+
+def _hrw_sql_struct_list() -> str:
+    """DuckDB list-of-struct literal expression for the 8 rendezvous
+    weights of a document key (mirrors the Spark array-of-struct)."""
+    from veri_spark.functions.hashing import dd_hash
+
+    entries = ", ".join(
+        "{'h': " + dd_hash("doc_id::VARCHAR", seed=f"'n{j}'") + f", 'n': 'n{j}'}}".replace("}}", "}")
+        for j in range(8)
+    )
+    return "[" + entries + "]"
+
+
+@register(
+    "rendezvous_hash_balance",
+    f"""
+    WITH owner AS (
+      SELECT list_max({_hrw_sql_struct_list()}).n AS node
+      FROM documents),
+    loads AS (SELECT node, COUNT(*)::BIGINT AS n_keys
+              FROM owner GROUP BY node),
+    t AS (SELECT SUM(n_keys)::BIGINT AS total FROM loads)
+    SELECT l.node, l.n_keys,
+           CAST(round(1e6 * 8 * l.n_keys / t.total) AS BIGINT)
+             AS load_index_micro
+    FROM loads l CROSS JOIN t
+    ORDER BY l.node ASC
+    """,
+)
+def rendezvous_hash_balance(spark, sf_dir):
+    """Rendezvous (highest-random-weight, Thaler-Ravishankar 1998) hashing
+    balance audit — the OTHER shard-placement scheme next to the vnode
+    ring (`consistent_hash_ring_balance`): every key is owned by the node
+    with the highest seeded hash h(node|key), which needs NO ring state,
+    gives perfectly uniform expected load with no vnode tuning, at the
+    cost of k hash evaluations per key. Reading the two audits together
+    prices the ring's vnode count against HRW's per-key hash fan-out —
+    the actual placement decision a 100 TB shard router makes. Execution
+    is PURE MAP: the 8 weights per key are an array-of-structs max
+    (lexicographic (hash, node), so ties — ~2^-60 — break
+    deterministically by node name) folded entirely inside codegen; one
+    grouped count and a single micro-quantized division follow. Per-node
+    load index: 1e6 = perfectly even."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    weights = F.array(
+        *[
+            F.struct(
+                portable_hash64(key, seed=f"n{j}").alias("h"),
+                F.lit(f"n{j}").alias("n"),
+            )
+            for j in range(8)
+        ]
+    )
+    owner = docs.select(F.array_max(weights)["n"].alias("node"))
+    loads = owner.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    t = loads.agg(F.sum("n_keys").cast("bigint").alias("total"))
+    return (
+        loads.crossJoin(F.broadcast(t))
+        .select(
+            "node",
+            "n_keys",
+            F.round(F.lit(1e6) * 8 * F.col("n_keys") / F.col("total"))
+            .cast("bigint")
+            .alias("load_index_micro"),
+        )
+        .orderBy(F.col("node").asc())
+    )

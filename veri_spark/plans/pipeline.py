@@ -1985,3 +1985,99 @@ def domain_affinity_hashdot(spark, sf_dir):
         .orderBy(F.col("affinity_micro").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+
+@register(
+    "neyman_allocation_plan",
+    """
+    WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n,
+                      SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS s1,
+                      SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2
+               FROM events GROUP BY event_type),
+    w AS (SELECT event_type, n::BIGINT AS n_stratum,
+                 ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std,
+                 CAST(round(1e6 * n * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                      AS BIGINT) AS weight_micro
+          FROM s),
+    t AS (SELECT SUM(weight_micro)::BIGINT AS tw FROM w),
+    q AS (SELECT w.event_type, w.n_stratum, w.std, w.weight_micro,
+                 (1000 * w.weight_micro) // t.tw AS base_n,
+                 1000 * w.weight_micro - ((1000 * w.weight_micro) // t.tw)
+                   * t.tw AS rem
+          FROM w CROSS JOIN t),
+    l AS (SELECT (1000 - SUM(base_n))::BIGINT AS leftover FROM q),
+    r AS (SELECT q.*, row_number() OVER (ORDER BY q.rem DESC,
+                                         q.event_type ASC) AS rn
+          FROM q)
+    SELECT r.event_type, r.n_stratum, r.std, r.weight_micro,
+           (r.base_n + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc_n
+    FROM r CROSS JOIN l
+    ORDER BY r.event_type ASC
+    """,
+)
+def neyman_allocation_plan(spark, sf_dir):
+    """Neyman-optimal stratified sampling allocation (the survey-sampling
+    formula n_h proportional to N_h*S_h that minimizes estimator variance
+    for a fixed budget) with Hamilton largest-remainder apportionment to
+    make the per-stratum counts EXACT integers summing to the n=1000
+    budget — the plan a stratified evaluation-set sampler consumes
+    (`sample_stratified_by_type` draws at fixed rates; this computes the
+    variance-optimal rates first). Per-stratum std comes from exact
+    decimal power sums (the `value_moments_by_type` determinism idiom);
+    the weight is micro-quantized to an INTEGER so the apportionment —
+    integer floor-division quotas, integer remainders, top-L rounding by
+    (remainder, stratum) — is bit-exact in both engines. The only window
+    runs on the stratum frame, bounded by the event-type DOMAIN, not the
+    corpus (the calendar-grain exception). One corpus scan total."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    std = F.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    w = s.select(
+        "event_type",
+        n.cast("bigint").alias("n_stratum"),
+        F.round(std, 6).alias("std"),
+        F.round(F.lit(1e6) * n * std).cast("bigint").alias("weight_micro"),
+    )
+    t = w.agg(F.sum("weight_micro").cast("bigint").alias("tw"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_stratum",
+        "std",
+        "weight_micro",
+        F.expr("(1000 * weight_micro) div tw").alias("base_n"),
+        (
+            F.lit(1000) * F.col("weight_micro")
+            - F.expr("(1000 * weight_micro) div tw") * F.col("tw")
+        ).alias("rem"),
+    )
+    lo = q.agg((F.lit(1000) - F.sum("base_n")).cast("bigint").alias("leftover"))
+    r = q.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("event_type").asc())
+        ),
+    )
+    return (
+        r.crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            "n_stratum",
+            "std",
+            "weight_micro",
+            (
+                F.col("base_n")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )

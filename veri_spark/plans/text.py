@@ -1669,3 +1669,59 @@ def docs_pareto_front(spark, sf_dir):
         )
         .orderBy(F.col("n_distinct_tokens").desc(), F.col("doc_id").asc())
     )
+
+
+
+@register(
+    "lang_simpson_diversity_by_source",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n
+               FROM documents GROUP BY source, lang),
+    s AS (SELECT source,
+                 SUM(n)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_langs,
+                 SUM(n * (n - 1))::BIGINT AS pair_same
+          FROM c GROUP BY source)
+    SELECT source, n_docs, n_langs,
+           CAST(round(1e6 * (1 - pair_same::DOUBLE
+                             / (n_docs * (n_docs - 1))::DOUBLE)) AS BIGINT)
+             AS gini_simpson_micro
+    FROM s ORDER BY source ASC
+    """,
+)
+def lang_simpson_diversity_by_source(spark, sf_dir):
+    """Gini-Simpson language diversity per source: 1 - sum n_i(n_i-1) /
+    N(N-1) — the probability two documents drawn WITHOUT replacement from
+    a source differ in language (Simpson 1949; the Hunter-Gaston index in
+    its unbiased finite-sample form). The companion to the entropy-based
+    diversity readouts (`token_entropy_by_source`, `user_entropy`) that
+    needs NO logarithm at all: both the pair count and N(N-1) are exact
+    BIGINTs, so the index is ONE micro-quantized division per source —
+    the cheapest cross-engine-stable diversity metric available, and the
+    right one when a 1-ulp-sensitive gate matters more than bit-weighting.
+    One partial-aggregated scan to the (source, lang) grain, a second
+    tiny aggregate to the source grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("pair_same"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(
+            F.lit(1e6)
+            * (
+                1
+                - F.col("pair_same").cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("gini_simpson_micro"),
+    ).orderBy(F.col("source").asc())
