@@ -136,3 +136,48 @@ def test_snm_candidates_complete_across_boundaries(spark, ks, p, w):
         for j in range(i + 1, min(i + w, len(srt)))
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a Python union-find oracle (the operator behind
+# dedup_minhash_clusters AND graph_connected_components — round-7 batch 3).
+# Random sparse edge lists hit singleton-free invariants, multi-component
+# splits, chains (diameter stress inside the iteration cap), and cliques.
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edge_lists)
+def test_connected_components_match_union_find(spark, edges):
+    from veri_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(df, max_iterations=30).collect()
+    }
+    # Python union-find oracle with min-id representative
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
