@@ -98,6 +98,29 @@ def test_global_prefix_agg_matches_python_scan(spark, ks, p, agg):
 
 @settings(max_examples=6, deadline=None)
 @given(ks=keys, p=parts)
+def test_global_prefix_agg_sum_matches_window_on_nullable_values(spark, ks, p):
+    # every 3rd value NULL (and the whole leading run NULL when the list
+    # starts that way) — the running sum must be NULL only before the first
+    # non-null value, exactly like sum().over(Window.orderBy(...))
+    rows = [
+        (k, i, None if (i % 3 == 0) else (i % 7) - 3)
+        for i, k in enumerate(ks)
+    ]
+    df = spark.createDataFrame(rows, "k int, id int, v int")
+    g = global_prefix_agg(
+        df, [F.col("k"), F.col("id")], "v", agg="sum", num_partitions=p
+    )
+    got = {(r["k"], r["id"]): r["cum"] for r in g.collect()}
+    expect, acc = {}, None
+    for k, i, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        if v is not None:
+            acc = v if acc is None else acc + v
+        expect[(k, i)] = acc
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(ks=keys, p=parts)
 def test_global_prefix_agg_multi_column_single_pass(spark, ks, p):
     rows = [(k, i, i % 3, (i * 5) % 7) for i, k in enumerate(ks)]
     df = spark.createDataFrame(rows, "k int, id int, a int, b int")

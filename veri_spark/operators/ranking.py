@@ -162,7 +162,14 @@ def global_prefix_agg(
     for i, oc in enumerate(ocols):
         lcum, off = F.col(f"__lcum{i}"), F.col(f"__off{i}")
         if agg == "sum":
-            combined = lcum + F.coalesce(off, F.lit(0))
+            # match Window-sum NULL semantics: the running sum is NULL only
+            # while NO non-null value has been seen anywhere in the prefix;
+            # a bucket whose local prefix is all-NULL must still surface the
+            # prior buckets' offset (lcum + coalesce(off) alone would
+            # NULL-poison it)
+            combined = F.when(
+                lcum.isNull() & off.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(lcum, F.lit(0)) + F.coalesce(off, F.lit(0)))
         else:
             pick = F.least if agg == "min" else F.greatest
             combined = F.when(off.isNull(), lcum).otherwise(pick(lcum, off))

@@ -2034,16 +2034,17 @@ def dup_ngram_coverage(spark, sf_dir):
 
 
 
+from veri_spark.functions.hashing import dd_hash as _dd_hash
+
+
 @register(
     "winnowing_shared_fingerprints",
-    """
+    f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     hs AS (SELECT doc_id,
                   list_transform(
                     range(1, greatest(len(ws) - 1, 1)),
-                    i -> CAST('0x' || substr(md5(
-                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                         ), 1, 15) AS BIGINT)) AS h
+                    i -> {_dd_hash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}) AS h
            FROM w),
     fp AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
@@ -2075,6 +2076,7 @@ def winnowing_shared_fingerprints(spark, sf_dir):
     per-fingerprint bucket sizes exactly like MinHash-LSH banding. Docs
     shorter than 6 tokens (< 4 shingle hashes, no full window) are
     excluded in both engines. All-integer output."""
+    from veri_spark.functions.hashing import portable_hash64
     from veri_spark.functions.text import tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2082,10 +2084,7 @@ def winnowing_shared_fingerprints(spark, sf_dir):
     hs = w.select(
         "doc_id",
         F.transform(
-            word_shingles(F.col("ws"), 3),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                "long"
-            ),
+            word_shingles(F.col("ws"), 3), lambda s: portable_hash64(s)
         ).alias("h"),
     )
     # windows of 4 over m hashes: exactly m-3 full windows (Spark sequence

@@ -1412,6 +1412,8 @@ def ks_value_drift(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    # materialized once: the totals row and the CDF prefix pass both branch
+    # over this frame — without the checkpoint each re-scans the events table
     c = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("bigint")
@@ -1419,7 +1421,7 @@ def ks_value_drift(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("bigint")
         .alias("c2x"),
-    )
+    ).localCheckpoint(eager=False)
     cum = global_prefix_agg(
         c, [F.col("value").asc()], ["c1x", "c2x"], agg="sum",
         out_col=["c1", "c2"],

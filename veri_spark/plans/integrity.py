@@ -855,6 +855,15 @@ def _ring_sql_values() -> str:
     return ", ".join(f"({h}, '{n}')" for h, n in _ring_vnodes())
 
 
+def _dd_hash_ring(expr: str) -> str:
+    """Key-hash fragment for the ring oracle — the shared portable hash
+    (functions/hashing.dd_hash), single-sourced so the key hash can never
+    drift from the ring-position hashes built by portable_hash64_py."""
+    from veri_spark.functions.hashing import dd_hash
+
+    return dd_hash(expr)
+
+
 def _ring_sql_list() -> str:
     return "[" + ", ".join(str(h) for h, _ in _ring_vnodes()) + "]"
 
@@ -863,9 +872,7 @@ def _ring_sql_list() -> str:
     "consistent_hash_ring_balance",
     f"""
     WITH ring(vh, node) AS (VALUES {_ring_sql_values()}),
-    keys AS (SELECT doc_id,
-                    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT)
-                      AS kh
+    keys AS (SELECT doc_id, {_dd_hash_ring("doc_id::VARCHAR")} AS kh
              FROM documents),
     owner AS (SELECT doc_id,
                      COALESCE(list_min(list_filter({_ring_sql_list()},
@@ -1057,7 +1064,7 @@ def _hrw_sql_struct_list() -> str:
     from veri_spark.functions.hashing import dd_hash
 
     entries = ", ".join(
-        "{'h': " + dd_hash("doc_id::VARCHAR", seed=f"'n{j}'") + f", 'n': 'n{j}'}}".replace("}}", "}")
+        "{'h': %s, 'n': 'n%d'}" % (dd_hash("doc_id::VARCHAR", seed=f"'n{j}'"), j)
         for j in range(8)
     )
     return "[" + entries + "]"

@@ -1996,9 +1996,11 @@ def domain_affinity_hashdot(spark, sf_dir):
                       SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2
                FROM events GROUP BY event_type),
     w AS (SELECT event_type, n::BIGINT AS n_stratum,
-                 ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std,
-                 CAST(round(1e6 * n * sqrt(s2 / n - (s1 / n) * (s1 / n)))
-                      AS BIGINT) AS weight_micro
+                 ROUND(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6)
+                   AS std,
+                 GREATEST(CAST(round(1e6 * n
+                          * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)))
+                      AS BIGINT), 1) AS weight_micro
           FROM s),
     t AS (SELECT SUM(weight_micro)::BIGINT AS tw FROM w),
     q AS (SELECT w.event_type, w.n_stratum, w.std, w.weight_micro,
@@ -2039,12 +2041,19 @@ def neyman_allocation_plan(spark, sf_dir):
         F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    std = F.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    # greatest(var, 0): a constant-valued stratum can make the fp variance a
+    # tiny negative (sqrt -> NaN, and the engines disagree on NaN casts);
+    # the weight floor of 1 keeps the apportionment divisor positive even
+    # when EVERY stratum is constant (all-zero weights degrade to an even
+    # split instead of a divide-by-zero)
+    std = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
     w = s.select(
         "event_type",
         n.cast("bigint").alias("n_stratum"),
         F.round(std, 6).alias("std"),
-        F.round(F.lit(1e6) * n * std).cast("bigint").alias("weight_micro"),
+        F.greatest(
+            F.round(F.lit(1e6) * n * std).cast("bigint"), F.lit(1)
+        ).alias("weight_micro"),
     )
     t = w.agg(F.sum("weight_micro").cast("bigint").alias("tw"))
     q = w.crossJoin(F.broadcast(t)).select(

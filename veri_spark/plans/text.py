@@ -1683,9 +1683,11 @@ def docs_pareto_front(spark, sf_dir):
                  SUM(n * (n - 1))::BIGINT AS pair_same
           FROM c GROUP BY source)
     SELECT source, n_docs, n_langs,
-           CAST(round(1e6 * (1 - pair_same::DOUBLE
-                             / (n_docs * (n_docs - 1))::DOUBLE)) AS BIGINT)
-             AS gini_simpson_micro
+           CASE WHEN n_docs > 1
+                THEN CAST(round(1e6 * (1 - pair_same::DOUBLE
+                                  / (n_docs * (n_docs - 1))::DOUBLE))
+                          AS BIGINT)
+                ELSE 0 END AS gini_simpson_micro
     FROM s ORDER BY source ASC
     """,
 )
@@ -1714,14 +1716,20 @@ def lang_simpson_diversity_by_source(spark, sf_dir):
         "source",
         "n_docs",
         "n_langs",
-        F.round(
-            F.lit(1e6)
-            * (
-                1
-                - F.col("pair_same").cast("double")
-                / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
-            )
+        # a single-document source has zero diversity by definition — the
+        # unbiased estimator's N(N-1) denominator is 0/0 there, and the two
+        # engines disagree on NaN->BIGINT casts
+        F.when(
+            F.col("n_docs") > 1,
+            F.round(
+                F.lit(1e6)
+                * (
+                    1
+                    - F.col("pair_same").cast("double")
+                    / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
+                )
+            ).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(F.lit(0).cast("bigint"))
         .alias("gini_simpson_micro"),
     ).orderBy(F.col("source").asc())

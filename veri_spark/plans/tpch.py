@@ -2087,9 +2087,12 @@ def parts_abc_pareto_classes(spark, sf_dir):
     from veri_spark.operators.ranking import global_prefix_agg
 
     li = load_table(spark, sf_dir, "lineitem")
+    # materialize the per-part revenue once: the grand total and the prefix
+    # pass are two branches over this frame, and without the checkpoint each
+    # branch re-runs the full lineitem scan + aggregation
     pr = li.groupBy("l_partkey").agg(
         (F.sum(_rev_dec()) * 10000).cast("bigint").alias("rev_dmils")
-    )
+    ).localCheckpoint(eager=False)
     t = pr.agg(F.sum("rev_dmils").cast("bigint").alias("total"))
     c = global_prefix_agg(
         pr,

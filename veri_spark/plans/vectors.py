@@ -1315,22 +1315,17 @@ def kmeans_pp_farthest_seeds(spark, sf_dir):
             V.euclidean_distance(F.col("embedding"), sv) for sv in seed_vecs
         ]
         md = dists[0] if len(dists) == 1 else F.least(*dists)
+        # the chosen vector rides along in the top-1 row — no second
+        # fetch-by-id job per round
         cand = (
             emb.filter(~F.col("vec_id").isin(seed_ids))
-            .select("vec_id", md.alias("md"))
+            .select("vec_id", "embedding", md.alias("md"))
         )
         top = topk(cand, "md", 1, higher_is_better=True, tie_cols=["vec_id"])
         row = top.first()
         seed_rows.append((rank, int(row["vec_id"]), float(row["md"])))
         seed_ids.append(int(row["vec_id"]))
-        seed_vecs.append(
-            [
-                float(v)
-                for v in emb.filter(F.col("vec_id") == row["vec_id"])
-                .select("embedding")
-                .first()[0]
-            ]
-        )
+        seed_vecs.append([float(v) for v in row["embedding"]])
     out = spark.createDataFrame(
         seed_rows, "seed_rank int, vec_id bigint, sel_dist double"
     )
