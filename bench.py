@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "roaring_bitmap_sizing_audit",
     "rendezvous_hash_balance",
     "lang_simpson_diversity_by_source",
+    "poisson_bootstrap_ci",
+    "calibration_reliability_bins",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -164,3 +164,30 @@ def test_simpson_diversity_bounds(spark):
         # one language only => zero diversity
         if r["n_langs"] == 1:
             assert r["gini_simpson_micro"] == 0
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark):
+    row = QUERIES["poisson_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert row["n_replicates"] == 32
+    # a 90%-ish order-statistic band from Poisson(1) replicates must
+    # bracket the full-sample mean on any non-degenerate sample
+    assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
+    assert row["ci_lo"] < row["ci_hi"]
+
+
+def test_calibration_bins_conserve_docs_and_bounds(spark):
+    rows = QUERIES["calibration_reliability_bins"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.filter(F.size(F.split("text", " ")) > 0).count()
+    n_en = docs.filter(
+        (F.size(F.split("text", " ")) > 0) & (F.col("lang") == "en")
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["n_positive"] for r in rows) == n_en
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["emp_rate_micro"] <= 1_000_000
+        # the mean score of bin b lies inside the bin's [b/10, (b+1)/10)
+        # value range (micro-rounded at the edges)
+        assert r["bin"] * 100_000 - 1 <= r["mean_score_micro"]
+        assert r["mean_score_micro"] <= (r["bin"] + 1) * 100_000

@@ -1451,3 +1451,136 @@ def ks_value_drift(spark, sf_dir):
             ).alias("ks_lambda"),
         )
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 60-bit portable-hash domain —
+# Python-precomputed integer literals (the nDCG/Benford rule) so replicate
+# weights are INTEGER comparisons in both engines. P(w=k) for k=0..4 with
+# the tail mass on w=5.
+_POIS1_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+]
+
+
+def _dd_pois_w(h: str) -> str:
+    return (
+        f"(CASE WHEN {h} < {_POIS1_T[0]} THEN 0"
+        f" WHEN {h} < {_POIS1_T[1]} THEN 1"
+        f" WHEN {h} < {_POIS1_T[2]} THEN 2"
+        f" WHEN {h} < {_POIS1_T[3]} THEN 3"
+        f" WHEN {h} < {_POIS1_T[4]} THEN 4 ELSE 5 END)"
+    )
+
+
+@register(
+    "poisson_bootstrap_ci",
+    f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS r),
+    w AS (SELECT e.value, reps.r,
+                 {_dd_pois_w("CAST('0x' || substr(md5(reps.r || '|' || e.event_id::VARCHAR), 1, 15) AS BIGINT)")}
+                   AS w
+          FROM events e CROSS JOIN reps),
+    m AS (SELECT r,
+                 (SUM(w * CAST(value AS DECIMAL(18,2)))::DOUBLE
+                  / SUM(w)::DOUBLE) AS rep_mean
+          FROM w WHERE w > 0 GROUP BY r),
+    rk AS (SELECT rep_mean,
+                  row_number() OVER (ORDER BY rep_mean ASC) AS rn
+           FROM m),
+    full_m AS (SELECT (SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE
+                       / COUNT(*)::DOUBLE) AS mean_full FROM events)
+    SELECT 32::BIGINT AS n_replicates,
+           ROUND(f.mean_full, 6) AS mean_full,
+           ROUND(MAX(CASE WHEN rk.rn = 2 THEN rk.rep_mean END), 6) AS ci_lo,
+           ROUND(MAX(CASE WHEN rk.rn = 31 THEN rk.rep_mean END), 6) AS ci_hi
+    FROM rk CROSS JOIN full_m f GROUP BY f.mean_full
+    """,
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap confidence interval for the mean
+    event value (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): instead of resampling n rows WITH
+    replacement — impossible to coordinate across a cluster — each row
+    enters replicate r with weight w ~ Poisson(1), INDEPENDENTLY per
+    (row, replicate), which converges to the classical bootstrap and
+    needs only a map pass. Here the Poisson draw is DERANDOMIZED: w is
+    the seeded 60-bit portable hash of (replicate, event_id) cut by the
+    Poisson(1) CDF thresholds precomputed in Python as integer literals
+    — bit-reproducible in both engines, no RNG state anywhere. 32
+    replicates; CI = the 2nd/31st order statistics of the replicate
+    means (the ~[5th, 95th] percentile band). Each replicate mean sums
+    w*value in EXACT decimal with one double division; the rank pick is
+    a window over the 32-row replicate frame (bounded by the replicate
+    count, not the data). Scale shape: one 32x row-explode map pass +
+    one partial-aggregated groupBy — the entire uncertainty estimate
+    costs ~32 scans' worth of aggregation and zero shuffles beyond the
+    32-group reduce. (The seeded hash is built inline — the seed is a
+    COLUMN here, per (replicate, row) — but follows the exact
+    functions/hashing seeded form "seed|key".)"""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(h < _POIS1_T[0], 0)
+        .when(h < _POIS1_T[1], 1)
+        .when(h < _POIS1_T[2], 2)
+        .when(h < _POIS1_T[3], 3)
+        .when(h < _POIS1_T[4], 4)
+        .otherwise(5)
+    )
+    weighted = ev.select("event_id", "value", reps).select(
+        "value", "r", w.alias("w")
+    )
+    m = (
+        weighted.filter(F.col("w") > 0)
+        .groupBy("r")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                / F.sum("w").cast("double")
+            ).alias("rep_mean")
+        )
+    )
+    rk = m.select(
+        "rep_mean",
+        F.row_number().over(Window.orderBy(F.col("rep_mean").asc())).alias("rn"),
+    )
+    full_m = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_full")
+    )
+    return (
+        rk.crossJoin(F.broadcast(full_m))
+        .groupBy("mean_full")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("rep_mean"))).alias("lo"),
+            F.max(F.when(F.col("rn") == 31, F.col("rep_mean"))).alias("hi"),
+        )
+        .select(
+            F.lit(32).cast("bigint").alias("n_replicates"),
+            F.round("mean_full", 6).alias("mean_full"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+        )
+    )

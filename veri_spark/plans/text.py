@@ -1733,3 +1733,79 @@ def lang_simpson_diversity_by_source(spark, sf_dir):
         .otherwise(F.lit(0).cast("bigint"))
         .alias("gini_simpson_micro"),
     ).orderBy(F.col("source").asc())
+
+
+
+@register(
+    "calibration_reliability_bins",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                 len(list_filter(ws, w -> w IN
+                     ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS hits,
+                 len(ws) AS n
+          FROM t WHERE len(ws) > 0),
+    b AS (SELECT LEAST((10 * hits) // n, 9)::INT AS bin,
+                 pos,
+                 CAST(round(1e6 * hits / n) AS BIGINT) AS s_micro
+          FROM s)
+    SELECT bin,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(pos)::BIGINT AS n_positive,
+           CAST(round(SUM(s_micro)::DOUBLE / COUNT(*)) AS BIGINT)
+             AS mean_score_micro,
+           CAST(round(1e6 * SUM(pos) / COUNT(*)) AS BIGINT)
+             AS emp_rate_micro
+    FROM b GROUP BY bin ORDER BY bin ASC
+    """,
+)
+def calibration_reliability_bins(spark, sf_dir):
+    """Reliability diagram (calibration curve) for the stopword-ratio
+    language scorer used by `lang_id_heuristic`, treating the ratio as a
+    pseudo-probability that a document is English: documents bucketed
+    into 10 fixed-width score bins, each bin reporting its mean predicted
+    score against the EMPIRICAL rate of the outcome (lang = 'en') — the
+    per-bin gap is exactly what Expected Calibration Error integrates,
+    and the readout that says whether a threshold on this score means
+    what it claims. Binning is INTEGER floor-division of the exact
+    (hits, tokens) rational — no double ever decides a bin — and per-doc
+    scores are micro-quantized before summing so the bin means are
+    single half-up-rounded divisions of exact integers. One tokenize
+    scan, one 10-group aggregate; the curve's cost is the scan at any
+    scale."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("ws"))
+    s = t.filter(F.size("ws") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.size(
+            F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS))
+        ).alias("hits"),
+        F.size("ws").alias("n"),
+    )
+    b = s.select(
+        F.least(F.expr("(10 * hits) div n"), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "pos",
+        F.round(F.lit(1e6) * F.col("hits") / F.col("n"))
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_positive"),
+            F.round(F.sum("s_micro").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_score_micro"),
+            F.round(F.lit(1e6) * F.sum("pos") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("emp_rate_micro"),
+        )
+        .orderBy(F.col("bin").asc())
+    )
