@@ -147,6 +147,9 @@ SINGLE_RUN = {
     "lsh_param_planner",
     "zorder_multicol_audit",
     "graph_connected_components",
+    # 32x row-explode map+reduce: deterministic single-shape job, low
+    # variance — one timed run keeps the bench under the wall budget
+    "poisson_bootstrap_ci",
 }
 
 
