@@ -191,3 +191,40 @@ def test_calibration_bins_conserve_docs_and_bounds(spark):
         # value range (micro-rounded at the edges)
         assert r["bin"] * 100_000 - 1 <= r["mean_score_micro"]
         assert r["mean_score_micro"] <= (r["bin"] + 1) * 100_000
+
+
+def test_precomputed_literals_match_their_formulas():
+    """The Python-precomputed integer literals injected into BOTH engines
+    (the nDCG/Benford rule) are re-derived here from their defining
+    formulas — an edit to either side that forgets the other now fails a
+    5-ms test instead of a cross-engine hash gate."""
+    import math
+
+    from veri_spark.plans.events_behavior import _POIS1_T
+    from veri_spark.plans.integrity import _FS_W, _ring_vnodes
+    from veri_spark.functions.hashing import portable_hash64_py
+
+    cdf = 0.0
+    for k, t in enumerate(_POIS1_T):
+        cdf += math.exp(-1) / math.factorial(k)
+        assert t == math.floor(cdf * (1 << 60))
+
+    m_u = {
+        "len": (0.95, 0.10),
+        "ntok": (0.90, 0.15),
+        "pre16": (0.85, 0.01),
+        "utok": (0.80, 0.20),
+    }
+    for f, (m, u) in m_u.items():
+        wa, wd = _FS_W[f]
+        assert wa == round(math.log(m / u) * 1e6)
+        assert wd == round(math.log((1 - m) / (1 - u)) * 1e6)
+
+    ring = _ring_vnodes()
+    assert len(ring) == 64 and ring == sorted(ring)
+    expect = sorted(
+        (portable_hash64_py(f"n{j}#r{r}"), f"n{j}")
+        for j in range(8)
+        for r in range(8)
+    )
+    assert ring == expect
