@@ -18,6 +18,12 @@ from veri_spark.functions.hashing import portable_hash64
 # short — the heuristic is a ratio, not a classifier.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
+# The same list as a SQL IN-list literal, interpolated into every DuckDB
+# oracle that mirrors the stopword heuristic — single source of truth so an
+# edit to EN_STOPWORDS can never silently desynchronize an oracle (round-7
+# advisor finding).
+EN_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens. Single-space split to stay engine-portable; for

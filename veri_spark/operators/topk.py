@@ -90,8 +90,14 @@ def topk_with_rank(
     frame by counting strictly-better rows via a broadcast self-join
     (k × k, bounded by construction) — no window anywhere in the plan.
 
-    ``tie_cols`` must make the ordering total (they break score ties), or
-    equal rows would share a rank."""
+    ``(score_col, *tie_cols)`` must be a UNIQUE KEY of ``df`` — not merely
+    a tie-breaker (round-7 advisor finding). The rank below counts DISTINCT
+    strictly-better ``(score, ties)`` tuples, so duplicated key tuples can
+    never double-count into a wrong rank; but rows fully identical across
+    ALL columns still collapse in the groupBy (they are indistinguishable),
+    so only a unique key gives exact ``row_number`` semantics. With
+    duplicate key tuples the result degrades to ``rank()`` semantics
+    (ties share a rank) rather than silently miscounting."""
     ties = tie_cols or []
     t = topk(df, score_col, k, higher_is_better, ties)
     probe = F.broadcast(
@@ -110,10 +116,21 @@ def topk_with_rank(
         better = better | (tie_eq & (F.col(f"__t2_{c}") < F.col(c)))
         tie_eq = tie_eq & (F.col(f"__t2_{c}") == F.col(c))
     out_cols = t.columns
+    # countDistinct over a STRUCT of the probe key: the struct is non-null
+    # even when a tie FIELD is null, so no matched better-tuple is dropped,
+    # and distinctness makes the count immune to duplicated probe tuples.
+    # Left-join misses (rank-1 rows) must still count zero, so the struct is
+    # built only under the match witness __s2 IS NOT NULL (every matched row
+    # has a non-null __s2: both `better` branches compare __s2) — the
+    # otherwise-null WHEN is skipped by countDistinct.
+    probe_key = F.when(
+        F.col("__s2").isNotNull(),
+        F.struct(F.col("__s2"), *[F.col(f"__t2_{c}") for c in ties]),
+    )
     return (
         t.join(probe, better, "left")
         .groupBy(*out_cols)
-        .agg((F.count(F.col("__s2")) + 1).cast("int").alias(rank_col))
+        .agg((F.countDistinct(probe_key) + 1).cast("int").alias(rank_col))
     )
 
 

@@ -421,8 +421,12 @@ def _common_counts_packed(adj: DataFrame) -> DataFrame:
     unordered node pair (cu<cv), the shared neighbors. The (cu,cv) pair is
     packed into one BIGINT (shiftleft 32) for the ~|wedges|-row aggregate:
     one primitive grouping column instead of two halves the shuffle record
-    and keeps hash-agg key compares single-long (node ids < 2^32 holds to
-    sf1000 partkeys and beyond). Unpacks after the agg."""
+    and keeps hash-agg key compares single-long. Safe for the FULL
+    unsigned 32-bit id range (sf1000 partkeys are ~2e8, far inside it):
+    ids in [2^31, 2^32) set the packed sign bit, so the unpack uses the
+    LOGICAL shiftrightunsigned — an arithmetic shiftright would
+    sign-extend and return a negative cu (round-7 advisor finding).
+    Unpacks after the agg."""
     x = adj.select(F.col("u").alias("cu"), F.col("v").alias("w"))
     y = adj.select(F.col("u").alias("cv"), F.col("v").alias("w"))
     return (
@@ -432,7 +436,7 @@ def _common_counts_packed(adj: DataFrame) -> DataFrame:
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
         .select(
-            F.expr("shiftright(pk, 32)").alias("cu"),
+            F.expr("shiftrightunsigned(pk, 32)").alias("cu"),
             F.expr("pk & 4294967295").alias("cv"),
             "n_common",
         )

@@ -798,7 +798,15 @@ def mutual_information_lang_source(spark, sf_dir):
     quantized to INTEGER micro-nats in-engine (floor(1e6*ln + 0.5), the
     WoE/Zipf idiom — ln's argument is a ratio of exact integers, identical
     in both engines), the MI numerator is an exact integer weighted sum,
-    and the nat-scale value is ONE division at the end."""
+    and the nat-scale value is ONE division at the end.
+
+    Residual cross-engine risk (round-7 advisor, accepted as the existing
+    WoE/Zipf idiom): ln is not guaranteed correctly rounded, so a cell
+    whose 1e6*ln(ratio) lands within ~1 ulp of a .5 boundary could flip
+    w_micro between engines on future data. Unlike the Benford/nDCG
+    constants the argument here is data-dependent, so Python
+    precomputation cannot remove the boundary; a flip is a 1-micro-nat
+    wobble in one cell, caught by the hash gate rather than silent."""
     docs = load_table(spark, sf_dir, "documents")
     cell = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("nxy")

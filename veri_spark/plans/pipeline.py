@@ -22,6 +22,8 @@ from veri_spark.sources.catalog import load_table  # noqa: F401
 
 from veri_spark.functions.hashing import dd_hash  # noqa: F401
 
+from veri_spark.functions.text import EN_STOPWORDS_SQL  # noqa: F401
+
 from veri_spark.plans._base import (  # noqa: F401
     _DD_CENTROIDS,
     _DD_CENTROID_DIST,
@@ -77,7 +79,7 @@ def sample_hash_deterministic(spark, sf_dir):
     ),
     t AS (
       SELECT doc_id, source, text, ws,
-             len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+             len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::DOUBLE
                / len(ws) AS en_ratio,
              LEAST(1.0, len(ws) / 64.0) * (len(list_distinct(ws)) / len(ws)) AS quality,
              len(ws) AS n_tokens

@@ -20,6 +20,8 @@ from veri_spark.operators.topk import (  # noqa: F401
 )
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
+from veri_spark.functions.text import EN_STOPWORDS_SQL  # noqa: F401
+
 from veri_spark.plans._base import (  # noqa: F401
     _DD_CENTROIDS,
     _DD_CENTROID_DIST,
@@ -79,9 +81,9 @@ def text_stats(spark, sf_dir):
     "lang_id_heuristic",
     f"""
     SELECT doc_id,
-           ROUND(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+           ROUND(len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::DOUBLE
                  / len(ws), 6) AS en_ratio,
-           CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+           CASE WHEN len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::DOUBLE
                      / len(ws) >= 0.04
                 THEN 'en' ELSE 'other' END AS guess_lang
     FROM {_DD_TOKS}
@@ -596,7 +598,7 @@ def bigram_lm_scores(spark, sf_dir):
     "lang_confusion_matrix",
     f"""
     SELECT lang,
-           CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+           CASE WHEN len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::DOUBLE
                      / len(ws) >= 0.04
                 THEN 'en' ELSE 'other' END AS guess_lang,
            COUNT(*)::BIGINT AS n_docs
@@ -1738,13 +1740,13 @@ def lang_simpson_diversity_by_source(spark, sf_dir):
 
 @register(
     "calibration_reliability_bins",
-    """
+    f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
                FROM documents),
     s AS (SELECT doc_id,
                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
                  len(list_filter(ws, w -> w IN
-                     ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS hits,
+                     ({EN_STOPWORDS_SQL}))) AS hits,
                  len(ws) AS n
           FROM t WHERE len(ws) > 0),
     b AS (SELECT LEAST((10 * hits) // n, 9)::INT AS bin,
