@@ -112,6 +112,14 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         # and must never fall back to a global window
         "ks_value_drift",
         "parts_abc_pareto_classes",
+        # round-8 (round-7 verdict task 2): the last four queries that
+        # built on unpartitioned ntile/row_number/sum-over-() windows over
+        # frames that GROW with the data — now on global_row_number /
+        # ntile_from_rank / plain aggregates / bounded TakeOrdered heads
+        "user_rfm_segments",
+        "customer_spend_quartiles",
+        "customer_spend_gini",
+        "trigram_coverage_curve",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

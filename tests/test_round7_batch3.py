@@ -204,10 +204,12 @@ def test_precomputed_literals_match_their_formulas():
     from veri_spark.plans.integrity import _FS_W, _ring_vnodes
     from veri_spark.functions.hashing import portable_hash64_py
 
+    # round-8: thresholds scaled to the 28-bit (7-hex) slice domain so four
+    # independent fields fit one md5 digest (events_behavior.py rationale)
     cdf = 0.0
     for k, t in enumerate(_POIS1_T):
         cdf += math.exp(-1) / math.factorial(k)
-        assert t == math.floor(cdf * (1 << 60))
+        assert t == round(cdf * (1 << 28))
 
     m_u = {
         "len": (0.95, 0.10),
