@@ -1,0 +1,620 @@
+"""Statistical evaluation / model-quality operators: ranking AUC, Brier
+decomposition, Kaplan-Meier survival, QQ-vs-normal drift, Theil-Sen trend.
+
+These are the measurement half of a training-data pipeline: once the
+quality scorers, calibration bins and drift monitors exist (plans/text.py,
+plans/pipeline.py), someone has to answer "how good is the scorer as a
+RANKER" (AUC), "is its probability meaningful" (Brier/Murphy), "how long
+do users survive" (KM), "is the value distribution still normal-ish"
+(QQ), and "what is the robust trend" (Theil-Sen). None of these exist in
+the reference (it stores and retrieves vectors; veriservice.proto has no
+evaluation surface) — they are north-star extensions like SURVEY.md §7
+phase 6, built on the same determinism idioms the registry already uses:
+exact integer aggregates with ONE final division, in-engine micro-nat
+logs only over ratios of exact integers, and Python-precomputed literals
+for engine-sensitive constants (the probit grid here, like the nDCG
+discounts).
+
+Scale shapes: every query aggregates the corpus to a bounded frame FIRST
+(distinct score values, 10 calibration bins, <=31 lifetime days, a
+calendar-bounded day grid) and only then runs the ordered/pairwise step —
+prefix scans ride operators/ranking.py (no unpartitioned windows), and
+the only non-equi joins are triangular folds over calendar-bounded
+broadcast frames.
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like every
+domain module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions.text import EN_STOPWORDS_SQL  # noqa: F401
+from veri_spark.sources.catalog import load_table  # noqa: F401
+
+from veri_spark.plans._base import register  # noqa: F401
+
+
+def _doc_scores(spark, sf_dir):
+    """Shared per-doc (y, hits, n) frame for the scorer-evaluation pair:
+    y = 1 iff lang = 'en', hits = EN-stopword count, n = token count
+    (n > 0). The exact (hits, n) integer rational is the score — callers
+    derive doubles/micros from it so both engines quantize identically."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", tokens("text").alias("ws"))
+    return t.filter(F.size("ws") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+        .cast("bigint")
+        .alias("hits"),
+        F.size("ws").cast("bigint").alias("n"),
+    )
+
+
+_DD_DOC_SCORES = f"""
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::BIGINT
+               AS hits,
+             len(ws)::BIGINT AS n
+      FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) > 0"""
+
+
+@register(
+    "score_auc_mann_whitney",
+    f"""
+    WITH s AS ({_DD_DOC_SCORES}),
+    sc AS (SELECT y, hits::DOUBLE / n AS score FROM s),
+    g AS (SELECT score, SUM(y)::BIGINT AS pos, COUNT(*)::BIGINT AS cnt
+          FROM sc GROUP BY score),
+    p AS (SELECT score, pos, cnt,
+                 SUM(cnt) OVER (ORDER BY score ASC)::BIGINT AS cum_incl
+          FROM g),
+    t AS (SELECT SUM(pos)::BIGINT AS n_pos,
+                 SUM(cnt)::BIGINT AS n_tot,
+                 SUM(pos * (2 * (cum_incl - cnt) + cnt + 1))::BIGINT AS r2
+          FROM p)
+    SELECT n_pos,
+           (n_tot - n_pos)::BIGINT AS n_neg,
+           ROUND((r2 - n_pos * (n_pos + 1))::DOUBLE
+                 / (2.0 * n_pos * (n_tot - n_pos)), 6) AS auc
+    FROM t
+    """,
+)
+def score_auc_mann_whitney(spark, sf_dir):
+    """ROC AUC of the stopword-ratio language scorer as a RANKER of
+    lang='en', via the Mann-Whitney U identity (AUC = P(score_pos >
+    score_neg) + P(=)/2) — the threshold-free companion to
+    `calibration_reliability_bins`, and the metric that decides whether
+    a quality scorer can gate at ALL before anyone argues about the
+    threshold. Tie-correct midranks are computed WITHOUT a row-level
+    sort: rows collapse to the per-distinct-score (pos, cnt) aggregate
+    first, a distributed prefix scan (operators/ranking.global_prefix_agg
+    — range partition + ~32-row offset fold, no unpartitioned window)
+    orders the score DOMAIN, and the doubled midrank 2*cum_before +
+    cnt + 1 keeps every intermediate an exact BIGINT: AUC is ONE double
+    division of integers at the end, bit-identical in both engines. The
+    score domain (distinct (hits, n) rationals) is vocabulary-sized, not
+    corpus-sized; the corpus is touched by exactly one partial-aggregated
+    scan. U-statistic magnitudes stay under int64 to ~3e9 documents
+    (R2 <= n_pos * 2N)."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    s = _doc_scores(spark, sf_dir)
+    sc = s.select("y", (F.col("hits").cast("double") / F.col("n")).alias("score"))
+    g = sc.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    p = global_prefix_agg(
+        g, [F.col("score").asc()], "cnt", agg="sum", out_col="cum_incl"
+    )
+    t = p.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("cnt").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return t.select(
+        "n_pos",
+        (F.col("n_tot") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * (F.col("n_tot") - F.col("n_pos"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "brier_score_decomposition",
+    f"""
+    WITH s AS ({_DD_DOC_SCORES}),
+    b AS (SELECT y,
+                 CAST(round(1e6 * hits / n) AS BIGINT) AS s_micro,
+                 LEAST((10 * hits) // n, 9)::INT AS bin
+          FROM s),
+    tot AS (SELECT COUNT(*)::BIGINT AS nn, SUM(y)::BIGINT AS p,
+                   SUM(s_micro)::BIGINT AS ssum,
+                   SUM(s_micro * s_micro)::BIGINT AS ss2,
+                   SUM(s_micro * y)::BIGINT AS ssy
+            FROM b),
+    bins AS (SELECT bin, COUNT(*)::BIGINT AS n_b, SUM(y)::BIGINT AS p_b,
+                    SUM(s_micro)::BIGINT AS s_b
+             FROM b GROUP BY bin),
+    terms AS (
+      SELECT CAST(round(1e9 * (n_b * ((s_b::DOUBLE / (1e6 * n_b)
+                                  - p_b::DOUBLE / n_b)
+                                 * (s_b::DOUBLE / (1e6 * n_b)
+                                    - p_b::DOUBLE / n_b))
+                          / tot.nn)) AS BIGINT) AS rel_nano,
+             CAST(round(1e9 * (n_b * ((p_b::DOUBLE / n_b
+                                        - tot.p::DOUBLE / tot.nn)
+                                       * (p_b::DOUBLE / n_b
+                                          - tot.p::DOUBLE / tot.nn))
+                          / tot.nn)) AS BIGINT) AS res_nano
+      FROM bins CROSS JOIN tot)
+    SELECT tot.nn AS n_docs,
+           ROUND((tot.ss2 - 2e6 * tot.ssy + 1e12 * tot.p)
+                 / (1e12 * tot.nn), 6) AS brier,
+           ROUND((tot.p * (tot.nn - tot.p))::DOUBLE
+                 / (tot.nn * tot.nn), 6) AS uncertainty,
+           ROUND(SUM(res_nano) / 1e9, 6) AS resolution,
+           ROUND(SUM(rel_nano) / 1e9, 6) AS reliability
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.nn, tot.p, tot.ss2, tot.ssy
+    """,
+)
+def brier_score_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score for the stopword-ratio
+    pseudo-probability predicting lang='en': brier = uncertainty
+    - resolution + reliability over the same 10 fixed bins as
+    `calibration_reliability_bins` — reliability is the calibration gap
+    the bins DISPLAY, resolution is the discrimination the AUC measures,
+    so this one row ties the whole scorer-evaluation family together.
+    Determinism: per-doc scores are micro-quantized integers, so the
+    global Brier is three exact BIGINT sums (sum s^2, sum s*y, sum y)
+    combined in ONE double expression — no float accumulates across
+    rows in any order. The per-bin reliability/resolution terms are
+    doubles of exact per-bin integers, NANO-quantized per bin and then
+    integer-summed over the 10 bins, so the 10-term fold is
+    order-proof too (the identity holds to the ~1e-9 quantization).
+    sum(s_micro^2) stays under int64 to ~9e6 docs per the 1e12 scale —
+    at 100 TB switch that one accumulator to DECIMAL(38,0), plan shape
+    unchanged. One corpus scan, a 10-row bin aggregate, a one-row
+    output."""
+    b = _doc_scores(spark, sf_dir).select(
+        "y",
+        F.round(F.lit(1e6) * F.col("hits") / F.col("n"))
+        .cast("bigint")
+        .alias("s_micro"),
+        F.least(F.expr("(10 * hits) div n"), F.lit(9)).cast("int").alias("bin"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum("s_micro").cast("bigint").alias("ssum"),
+        F.sum(F.col("s_micro") * F.col("s_micro")).cast("bigint").alias("ss2"),
+        F.sum(F.col("s_micro") * F.col("y")).cast("bigint").alias("ssy"),
+    )
+    bins = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("p_b"),
+        F.sum("s_micro").cast("bigint").alias("s_b"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.lit(1e9)
+            * (
+                F.col("n_b")
+                * (
+                    (
+                        F.col("s_b").cast("double")
+                        / (F.lit(1e6) * F.col("n_b"))
+                        - F.col("p_b").cast("double") / F.col("n_b")
+                    )
+                    * (
+                        F.col("s_b").cast("double")
+                        / (F.lit(1e6) * F.col("n_b"))
+                        - F.col("p_b").cast("double") / F.col("n_b")
+                    )
+                )
+                / F.col("nn")
+            )
+        )
+        .cast("bigint")
+        .alias("rel_nano"),
+        F.round(
+            F.lit(1e9)
+            * (
+                F.col("n_b")
+                * (
+                    (
+                        F.col("p_b").cast("double") / F.col("n_b")
+                        - F.col("p").cast("double") / F.col("nn")
+                    )
+                    * (
+                        F.col("p_b").cast("double") / F.col("n_b")
+                        - F.col("p").cast("double") / F.col("nn")
+                    )
+                )
+                / F.col("nn")
+            )
+        )
+        .cast("bigint")
+        .alias("res_nano"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "p", "ss2", "ssy")
+        .agg(
+            F.sum("res_nano").alias("res_sum"),
+            F.sum("rel_nano").alias("rel_sum"),
+        )
+        .select(
+            F.col("nn").alias("n_docs"),
+            F.round(
+                (
+                    F.col("ss2")
+                    - F.lit(2e6) * F.col("ssy")
+                    + F.lit(1e12) * F.col("p")
+                )
+                / (F.lit(1e12) * F.col("nn")),
+                6,
+            ).alias("brier"),
+            F.round(
+                (F.col("p") * (F.col("nn") - F.col("p"))).cast("double")
+                / (F.col("nn") * F.col("nn")),
+                6,
+            ).alias("uncertainty"),
+            F.round(F.col("res_sum") / F.lit(1e9), 6).alias("resolution"),
+            F.round(F.col("rel_sum") / F.lit(1e9), 6).alias("reliability"),
+        )
+    )
+
+
+@register(
+    "kaplan_meier_time_to_purchase",
+    """
+    WITH u AS (SELECT user_id,
+                      MIN(epoch_us(ts::TIMESTAMP)) AS fu,
+                      MIN(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts::TIMESTAMP) END) AS pu,
+                      MAX(epoch_us(ts::TIMESTAMP)) AS lu
+               FROM events GROUP BY user_id),
+    uu AS (SELECT CASE WHEN pu IS NOT NULL
+                            AND (pu - fu) // 3600000000 < 48
+                       THEN (pu - fu) // 3600000000
+                       ELSE LEAST(48, (lu - fu) // 3600000000)
+                  END::BIGINT AS t,
+                  CASE WHEN pu IS NOT NULL
+                            AND (pu - fu) // 3600000000 < 48
+                       THEN 1 ELSE 0 END AS e
+           FROM u),
+    d AS (SELECT t, SUM(e)::BIGINT AS d_t, SUM(1 - e)::BIGINT AS c_t,
+                 COUNT(*)::BIGINT AS m_t
+          FROM uu GROUP BY t),
+    r AS (SELECT t, d_t, c_t,
+                 SUM(m_t) OVER (ORDER BY t DESC)::BIGINT AS n_t
+          FROM d),
+    k AS (SELECT t, d_t, c_t, n_t,
+                 CAST(FLOOR(1e6 * LN((n_t - d_t)::DOUBLE / n_t) + 0.5)
+                      AS BIGINT) AS step_micro
+          FROM r WHERE d_t > 0 AND n_t > d_t)
+    SELECT t AS t_hours, n_t AS n_at_risk, d_t AS n_events,
+           c_t AS n_censored_at,
+           CAST(round(1e6 * d_t / n_t) AS BIGINT) AS hazard_micro,
+           SUM(step_micro) OVER (ORDER BY t ASC)::BIGINT
+             AS log_surv_micro_nats
+    FROM k ORDER BY t_hours ASC
+    """,
+)
+def kaplan_meier_time_to_purchase(spark, sf_dir):
+    """Kaplan-Meier estimate of TIME TO FIRST PURCHASE (hours from a
+    user's first event), right-censored at a 48-hour horizon or at the
+    user's last observed event, whichever comes first — the standard
+    incomplete-observation correction a naive conversion-lag histogram
+    gets wrong (users who never purchased still carry information: they
+    survived AT LEAST as long as they were watched), and the curve
+    activation/conversion planning reads. Output: one row per event
+    time with the risk set, conversions, censored count, the discrete
+    hazard d/n, and the KM log-survival as EXACT INTEGER micro-nats
+    (sum of floor(1e6*ln((n-d)/n)+0.5) steps — ln of a ratio of exact
+    BIGINTs, the WoE/MI idiom; survival itself is exp(micro/1e6), left
+    to the reader because exp is not correctly-rounded-guaranteed
+    cross-engine). Hour arithmetic is exact integer MICROSECOND
+    division (the events_interarrival idiom — unix_micros/epoch_us,
+    never unix_timestamp's second truncation). Scale shape: the corpus
+    collapses to one row per user (one partial-aggregated shuffle),
+    then to one row per distinct event HOUR — bounded by the 48-hour
+    horizon, not the data — so the risk-set suffix sum and the
+    log-survival prefix sum are triangular folds over a
+    horizon-bounded broadcast frame; no window function touches
+    anything corpus-sized. Steps where the whole remaining risk set
+    converts (n_t = d_t, log S = -inf) are excluded deterministically
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("fu"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("pu"),
+        F.max(us).alias("lu"),
+    )
+    HOUR_US = 3600000000
+    h_p = F.expr(f"(pu - fu) div {HOUR_US}")
+    h_l = F.expr(f"(lu - fu) div {HOUR_US}")
+    converted = F.col("pu").isNotNull() & (h_p < 48)
+    uu = u.select(
+        F.when(converted, h_p)
+        .otherwise(F.least(F.lit(48).cast("bigint"), h_l))
+        .cast("bigint")
+        .alias("t"),
+        F.when(converted, 1).otherwise(0).alias("e"),
+    )
+    d = uu.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d_t"),
+        F.sum(1 - F.col("e")).cast("bigint").alias("c_t"),
+        F.count(F.lit(1)).cast("bigint").alias("m_t"),
+    )
+    # suffix risk set over the <=49-hour frame: triangular broadcast fold
+    # (deliberately not a window — the frame is horizon-bounded)
+    other = d.select(F.col("t").alias("t2"), F.col("m_t").alias("m2"))
+    r = (
+        d.join(F.broadcast(other), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d_t", "c_t")
+        .agg(F.sum("m2").cast("bigint").alias("n_t"))
+    )
+    k = r.filter((F.col("d_t") > 0) & (F.col("n_t") > F.col("d_t"))).select(
+        "t",
+        "d_t",
+        "c_t",
+        "n_t",
+        F.floor(
+            F.lit(1e6)
+            * F.log((F.col("n_t") - F.col("d_t")).cast("double") / F.col("n_t"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("step_micro"),
+    )
+    ks = k.select(F.col("t").alias("t3"), F.col("step_micro").alias("s3"))
+    out = (
+        k.join(F.broadcast(ks), F.col("t3") <= F.col("t"))
+        .groupBy("t", "n_t", "d_t", "c_t")
+        .agg(F.sum("s3").cast("bigint").alias("log_surv_micro_nats"))
+    )
+    return out.select(
+        F.col("t").alias("t_hours"),
+        F.col("n_t").alias("n_at_risk"),
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored_at"),
+        F.round(F.lit(1e6) * F.col("d_t") / F.col("n_t"))
+        .cast("bigint")
+        .alias("hazard_micro"),
+        "log_surv_micro_nats",
+    ).orderBy(F.col("t_hours").asc())
+
+
+# Probit (inverse standard-normal CDF) values for the QQ grid, micro-
+# quantized Python literals (the nDCG/Benford rule: engine math libraries
+# are not correctly-rounded-guaranteed, so z_p is NEVER computed in-engine).
+# Defining formula, pinned by tests/test_round8_eval.py: Acklam's rational
+# approximation (max abs error ~1.15e-9, three decimal orders inside the
+# 1e-6 grid), z_micro = round(probit(p) * 1e6).
+_QQ_GRID = [
+    (1, -2326348),
+    (5, -1644854),
+    (10, -1281552),
+    (25, -674490),
+    (50, 0),
+    (75, 674490),
+    (90, 1281552),
+    (95, 1644854),
+    (99, 2326348),
+]
+
+_QQ_PS_SQL = ", ".join(f"{p / 100.0!r}" for p, _ in _QQ_GRID)
+_QQ_ROWS_SQL = ", ".join(f"({i + 1}, {p}, {z})" for i, (p, z) in enumerate(_QQ_GRID))
+
+
+@register(
+    "value_qq_normal_audit",
+    f"""
+    WITH m AS (
+      SELECT COUNT(*)::BIGINT AS nn,
+             SUM(CAST(value AS DECIMAL(28,10)))::DOUBLE AS s1,
+             SUM(CAST(value * value AS DECIMAL(38,10)))::DOUBLE AS s2
+      FROM events),
+    q AS (SELECT quantile_cont(value, [{_QQ_PS_SQL}]::DOUBLE[]) AS qs FROM events),
+    e AS (SELECT unnest(q.qs) AS emp_q, generate_subscripts(q.qs, 1) AS i
+          FROM q),
+    g AS (SELECT * FROM (VALUES {_QQ_ROWS_SQL}) AS v(i, p_pct, z_theo_micro))
+    SELECT g.p_pct::INT AS p_pct,
+           g.z_theo_micro::BIGINT AS z_theo_micro,
+           ROUND(e.emp_q, 6) AS emp_q,
+           CAST(round(1e6 * (e.emp_q - m.s1 / m.nn)
+                      / sqrt(m.s2 / m.nn - (m.s1 / m.nn) * (m.s1 / m.nn)))
+                AS BIGINT) AS emp_z_micro
+    FROM e JOIN g ON g.i = e.i CROSS JOIN m
+    ORDER BY p_pct ASC
+    """,
+)
+def value_qq_normal_audit(spark, sf_dir):
+    """QQ-plot-against-normal audit of the event value distribution: the
+    empirical quantiles at 9 probability points vs the standard-normal
+    quantiles (probit literals), both standardized by the sample
+    mean/std — the distribution-shape drift monitor that catches what a
+    mean/variance check cannot (skew, heavy tails, truncation), read as
+    'emp_z_micro tracks z_theo_micro iff the data is normal'. Probit
+    values are Python-precomputed micro literals injected into BOTH
+    engines (the nDCG rule — never in-engine); mean/std come from EXACT
+    per-row decimal casts summed order-insensitively (the value_moments
+    idiom) with sqrt (IEEE-correctly-rounded) applied once; empirical
+    quantiles use the identical linear-interpolation rule in both
+    engines (the events_value_quantiles precedent). One corpus scan for
+    moments + one percentile aggregate; the 9-point grid is a literal
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    ps = [p / 100.0 for p, _ in _QQ_GRID]
+    q = ev.agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in ps])).alias("qs")
+    )
+    e = q.select(F.posexplode("qs").alias("pos", "emp_q"))
+    g = spark.createDataFrame(
+        [(i, p, z) for i, (p, z) in enumerate(_QQ_GRID)],
+        "pos int, p_pct int, z_theo_micro bigint",
+    )
+    mean = F.col("s1") / F.col("nn")
+    std = F.sqrt(F.col("s2") / F.col("nn") - mean * mean)
+    return (
+        e.join(F.broadcast(g), "pos")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_pct",
+            "z_theo_micro",
+            F.round("emp_q", 6).alias("emp_q"),
+            F.round(F.lit(1e6) * (F.col("emp_q") - mean) / std)
+            .cast("bigint")
+            .alias("emp_z_micro"),
+        )
+        .orderBy(F.col("p_pct").asc())
+    )
+
+
+@register(
+    "theil_sen_daily_trend",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+    d AS (SELECT date_diff('day', d0.day0, ts::DATE)::BIGINT AS x,
+                 COUNT(*)::BIGINT AS y
+          FROM events CROSS JOIN d0 GROUP BY 1),
+    pr AS (SELECT a.x AS xi, b.x AS xj,
+                  (b.y - a.y)::DOUBLE / (b.x - a.x) AS slope
+           FROM d a JOIN d b ON b.x > a.x),
+    np AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM pr),
+    rk AS (SELECT slope,
+                  row_number() OVER (ORDER BY slope ASC, xi ASC, xj ASC)
+                    AS rn
+           FROM pr),
+    med AS (SELECT 0.5 * (MAX(CASE WHEN rn = (np.n_pairs + 1) // 2
+                                   THEN slope END)
+                          + MAX(CASE WHEN rn = (np.n_pairs + 2) // 2
+                                     THEN slope END)) AS ts_slope,
+                   MAX(np.n_pairs) AS n_pairs
+            FROM rk CROSS JOIN np),
+    ols AS (SELECT COUNT(*)::BIGINT AS nd, SUM(x)::BIGINT AS sx,
+                   SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+                   SUM(x * x)::BIGINT AS sxx
+            FROM d)
+    SELECT ols.nd AS n_days, med.n_pairs,
+           ROUND(med.ts_slope, 6) AS theil_sen_slope,
+           ROUND((ols.nd * ols.sxy - ols.sx * ols.sy)::DOUBLE
+                 / (ols.nd * ols.sxx - ols.sx * ols.sx), 6) AS ols_slope
+    FROM med CROSS JOIN ols
+    """,
+)
+def theil_sen_daily_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily event volume — the median of all
+    pairwise slopes, the estimator that shrugs off the outlier days that
+    yank an OLS fit (reported alongside for the contrast). Scale shape:
+    the corpus collapses to the CALENDAR-bounded daily-count frame first
+    (one partial-aggregated scan), so the pairwise slope set is
+    days-choose-2 — bounded by the time range, never by data volume
+    (~6.6M pairs even for a 10-year window) — built as a broadcast
+    triangular join; the median comes from the distributed rank
+    (operators/ranking.global_row_number) with the standard
+    even/odd-count average of the two middle order statistics, never an
+    unpartitioned window. Determinism: slopes are single IEEE divisions
+    of exact integer (count, day) deltas, ordered with full (slope, i,
+    j) tie-breaks; the OLS slope is one double division of exact BIGINT
+    moment sums."""
+    from veri_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+    d = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("day0"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = d.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = d.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pr = a.join(F.broadcast(b), F.col("xj") > F.col("xi")).select(
+        "xi",
+        "xj",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi"))
+        ).alias("slope"),
+    )
+    np_ = pr.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    rk = global_row_number(
+        pr, [F.col("slope").asc(), F.col("xi").asc(), F.col("xj").asc()],
+        rn_col="rn",
+    )
+    med = (
+        rk.crossJoin(F.broadcast(np_))
+        .groupBy()
+        .agg(
+            (
+                F.lit(0.5)
+                * (
+                    F.max(
+                        F.when(
+                            F.col("rn")
+                            == F.floor((F.col("n_pairs") + 1) / 2),
+                            F.col("slope"),
+                        )
+                    )
+                    + F.max(
+                        F.when(
+                            F.col("rn")
+                            == F.floor((F.col("n_pairs") + 2) / 2),
+                            F.col("slope"),
+                        )
+                    )
+                )
+            ).alias("ts_slope"),
+            F.max("n_pairs").alias("n_pairs"),
+        )
+    )
+    ols = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        F.col("nd").alias("n_days"),
+        "n_pairs",
+        F.round("ts_slope", 6).alias("theil_sen_slope"),
+        F.round(
+            (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("ols_slope"),
+    )
