@@ -20,6 +20,8 @@ from veri_spark.operators.topk import (  # noqa: F401
 )
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
+from veri_spark.functions.text import EN_STOPWORDS_SQL  # noqa: F401
+
 from veri_spark.plans._base import (  # noqa: F401
     _DD_CENTROIDS,
     _DD_CENTROID_DIST,
@@ -2116,3 +2118,124 @@ def winnowing_shared_fingerprints(spark, sf_dir):
     return pairs.orderBy(
         F.col("n_shared").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(20)
+
+
+@register(
+    "spotsigs_neardup",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                 i -> CASE WHEN ws[i] IN ({EN_STOPWORDS_SQL})
+                      THEN ws[i] || ':' || ws[i + 1] || ':' || ws[i + 2]
+                      END),
+               x -> x IS NOT NULL))) AS sig
+      FROM d),
+    sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sigs FROM sg GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  COUNT(*)::BIGINT AS n_common
+           FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    j AS (SELECT pr.doc_a, pr.doc_b, pr.n_common,
+                 pr.n_common::DOUBLE
+                   / (za.n_sigs + zb.n_sigs - pr.n_common) AS jac
+          FROM pr
+          JOIN sz za ON za.doc_id = pr.doc_a
+          JOIN sz zb ON zb.doc_id = pr.doc_b)
+    SELECT doc_a, doc_b, n_common, ROUND(jac, 6) AS jaccard
+    FROM j
+    ORDER BY jac DESC, n_common DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def spotsigs_neardup(spark, sf_dir):
+    """SpotSigs near-duplicate detection (Theobald et al., SIGIR'08,
+    simplified): spot signatures are token chains ANCHORED AT STOPWORDS
+    (antecedent + its next two tokens) — natural-language text is dense
+    in stopwords while boilerplate/markup is not, so the signature set
+    concentrates on exactly the prose that matters for near-dup
+    semantics and skips navigation chrome for free, the property that
+    made SpotSigs the classic web-dedup alternative to uniform
+    shingling (`dedup_ngram_jaccard`). Signature extraction is one
+    in-codegen array transform (no explode until the distinct signature
+    set per doc); candidate pairs come from the signature inverted
+    index (equi-join on the signature — the same bounded-fanout shape
+    as every banded/blocked dedup here, never all-pairs); Jaccard uses
+    |A|+|B|-|A∩B| from per-doc signature counts, ranked on the
+    unrounded ratio of exact BIGINTs with full tie-breaks. The anchor
+    set is the single-sourced EN_STOPWORDS (interpolated into BOTH
+    engines). At 100 TB: add the SpotSigs length-partitioning bound
+    (|A∩B| <= min sizes => docs whose size ratio is under the
+    threshold can never pair) as a pre-filter on the size-keyed join —
+    plan shape unchanged."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ws")
+    )
+    n = F.size("ws")
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chain = F.transform(
+        idx,
+        lambda i: F.when(
+            F.get(F.col("ws"), i - 1).isin(*EN_STOPWORDS),
+            F.concat_ws(
+                ":",
+                F.get(F.col("ws"), i - 1),
+                F.get(F.col("ws"), i),
+                F.get(F.col("ws"), i + 1),
+            ),
+        ),
+    )
+    sg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(chain, lambda x: x.isNotNull()))
+        ).alias("sig"),
+    )
+    sz = sg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sigs"))
+    a = sg.select(F.col("doc_id").alias("doc_a"), "sig")
+    b = sg.select(F.col("doc_id").alias("doc_b"), "sig")
+    pr = (
+        a.join(b, "sig")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    j = (
+        pr.join(
+            F.broadcast(
+                sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sigs").alias("za"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sigs").alias("zb"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("za") + F.col("zb") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+    return (
+        j.orderBy(
+            F.col("jac").desc(),
+            F.col("n_common").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+        )
+        .limit(20)
+        .select("doc_a", "doc_b", "n_common", F.round("jac", 6).alias("jaccard"))
+    )

@@ -153,3 +153,124 @@ def wow_growth_rates(spark, sf_dir):
         .orderBy(F.col("week").desc())
         .limit(12)
     )
+
+
+@register(
+    "scd2_intervals_from_events",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             epoch_us(ts::TIMESTAMP) AS us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    f AS (SELECT user_id, event_type, us,
+                 CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM o),
+    s AS (SELECT user_id, event_type, us,
+                 SUM(chg) OVER (PARTITION BY user_id
+                                ORDER BY us, event_type
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM f),
+    runs AS (SELECT user_id, run_id,
+                    MAX(event_type) AS state,
+                    MIN(us)::BIGINT AS start_us,
+                    COUNT(*)::BIGINT AS n_events
+             FROM s GROUP BY user_id, run_id),
+    iv AS (SELECT state, start_us, n_events,
+                  lead(start_us) OVER (PARTITION BY user_id
+                                       ORDER BY run_id) AS end_us
+           FROM runs)
+    SELECT state AS event_type,
+           COUNT(*)::BIGINT AS n_intervals,
+           SUM(CASE WHEN end_us IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_current,
+           COUNT(end_us)::BIGINT AS n_closed,
+           SUM(n_events)::BIGINT AS n_events,
+           ((2 * SUM(end_us - start_us) + COUNT(end_us))
+            // (2 * COUNT(end_us)))::BIGINT / 1000000.0
+             AS mean_closed_duration_s,
+           ROUND(MAX(end_us - start_us) / 1e6, 6) AS max_closed_duration_s
+    FROM iv
+    GROUP BY state
+    ORDER BY event_type ASC
+    """,
+)
+def scd2_intervals_from_events(spark, sf_dir):
+    """Slowly-Changing-Dimension Type-2 reconstruction from an event log:
+    collapse each user's consecutive same-type runs into validity
+    intervals [state_start, next_state_start) with an OPEN (is-current)
+    last interval — the standard change-data-capture shape that turns an
+    append-only stream into the dimension table every as-of join
+    (operators/asof.py) probes, reported here as the per-state interval
+    census (how many validity rows SCD-2 materialization would write,
+    how many stay open, and how long closed states last). All three
+    window steps (lag for change detection, running sum for run ids,
+    lead for interval close) are PARTITIONED on user_id — one shuffle
+    total, reused by all three since they share the partitioning — and
+    the final census is a partial-aggregated state-grain reduce: the
+    exact shape SCD-2 building takes at 100 TB. Determinism: timestamps
+    as exact integer MICROSECONDS (unix_micros/epoch_us — the
+    events_interarrival idiom), mean closed duration as the half-up
+    integer division (2*sum+n) div 2n of exact BIGINTs, one division at
+    the end."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.lag("event_type").over(wo).alias("prev"),
+    )
+    f = o.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = f.select(
+        "user_id", "event_type", "us", F.sum("chg").over(wr).alias("run_id")
+    )
+    runs = s.groupBy("user_id", "run_id").agg(
+        F.max("event_type").alias("state"),
+        F.min("us").cast("bigint").alias("start_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    iv = runs.select(
+        "state",
+        "start_us",
+        "n_events",
+        F.lead("start_us").over(wl).alias("end_us"),
+    )
+    closed = F.col("end_us").isNotNull()
+    dur = F.col("end_us") - F.col("start_us")
+    return (
+        iv.groupBy(F.col("state").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.when(closed, 0).otherwise(1)).cast("bigint").alias("n_current"),
+            F.count("end_us").cast("bigint").alias("n_closed"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            (
+                F.expr(
+                    "(2 * sum(end_us - start_us) + count(end_us))"
+                    " div (2 * count(end_us))"
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("mean_closed_duration_s"),
+            F.round(F.max(dur) / F.lit(1e6), 6).alias("max_closed_duration_s"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )

@@ -1819,3 +1819,142 @@ def calibration_reliability_bins(spark, sf_dir):
         )
         .orderBy(F.col("bin").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: vocabulary-growth law fit (Heaps/Herdan) via the first-occurrence
+# trick — cumulative distinct counts WITHOUT re-scanning any prefix.
+# ---------------------------------------------------------------------------
+
+@register(
+    "heaps_law_fit",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    rk AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+                  ntile(16) OVER (ORDER BY doc_id ASC) AS bucket
+           FROM d),
+    tf AS (SELECT t.term, MIN(rk.bucket) AS b1
+           FROM (SELECT doc_id, unnest(ws) AS term FROM d) t
+           JOIN rk ON rk.doc_id = t.doc_id
+           GROUP BY t.term),
+    vb AS (SELECT b1 AS bucket, COUNT(*)::BIGINT AS v_new FROM tf GROUP BY b1),
+    nb AS (SELECT bucket, SUM(n_tokens)::BIGINT AS n_tok FROM rk GROUP BY bucket),
+    pts AS (SELECT nb.bucket AS k,
+                   SUM(nb.n_tok) OVER (ORDER BY nb.bucket ASC)::BIGINT AS nk,
+                   SUM(COALESCE(vb.v_new, 0))
+                     OVER (ORDER BY nb.bucket ASC)::BIGINT AS vk
+            FROM nb LEFT JOIN vb ON vb.bucket = nb.bucket),
+    xy AS (SELECT k,
+                  CAST(FLOOR(1e6 * LN(nk::DOUBLE) + 0.5) AS BIGINT) AS x,
+                  CAST(FLOOR(1e6 * LN(vk::DOUBLE) + 0.5) AS BIGINT) AS y,
+                  nk, vk
+           FROM pts),
+    fit AS (SELECT COUNT(*)::BIGINT AS kk, SUM(x)::BIGINT AS sx,
+                   SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+                   SUM(x * x)::BIGINT AS sxx,
+                   MAX(nk)::BIGINT AS total_tokens,
+                   MAX(vk)::BIGINT AS vocab_size
+            FROM xy)
+    SELECT kk AS n_checkpoints, total_tokens, vocab_size,
+           ROUND((kk * sxy - sx * sy)::DOUBLE
+                 / (kk * sxx - sx * sx), 6) AS heaps_beta,
+           CAST(round((sy - (kk * sxy - sx * sy)::DOUBLE
+                            / (kk * sxx - sx * sx) * sx) / kk)
+                AS BIGINT) AS heaps_lnk_micro
+    FROM fit
+    """,
+)
+def heaps_law_fit(spark, sf_dir):
+    """Heaps'/Herdan's law fit: vocabulary size V grows as K * N^beta with
+    corpus token count N — the growth exponent that sizes tokenizer
+    vocabularies, embedding tables, and dedup signature universes before
+    a corpus is scaled 100x (beta ~0.7 for natural text; lower means a
+    closed/templated vocabulary, the `trigram_coverage_curve` phenomenon
+    read as an exponent). The cumulative-distinct curve is computed with
+    the FIRST-OCCURRENCE trick — no prefix is ever re-scanned: docs are
+    ranked once into 16 ordered buckets (distributed rank +
+    ntile_from_rank, bit-equal to SQL ntile, no unpartitioned window),
+    every term records the MIN bucket where it first appears (one
+    grouped aggregate over the exploded corpus), and V_k/N_k fall out of
+    per-bucket counts prefix-folded over the 16-row checkpoint frame
+    (triangular join, not a window). The log-log OLS fit uses micro-nat
+    INTEGER coordinates (floor(1e6*ln+0.5) of exact BIGINTs — the
+    WoE/MI idiom), so the moment sums are exact and the slope is ONE
+    double division. At 100 TB every step is one partial-aggregated
+    shuffle; the checkpoint frame stays 16 rows at any scale."""
+    from veri_spark.functions.text import tokens
+    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ws")
+    )
+    base = docs.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens"))
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    rk = global_row_number(
+        base.crossJoin(F.broadcast(tot)), [F.col("doc_id").asc()], rn_col="__rn"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        ntile_from_rank(F.col("__rn"), F.col("__tot"), 16).alias("bucket"),
+    )
+    terms = docs.select("doc_id", F.explode("ws").alias("term"))
+    tf = (
+        terms.join(rk.select("doc_id", "bucket"), "doc_id")
+        .groupBy("term")
+        .agg(F.min("bucket").alias("b1"))
+    )
+    vb = tf.groupBy(F.col("b1").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_new")
+    )
+    nb = rk.groupBy("bucket").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tok")
+    )
+    cells = nb.join(vb, "bucket", "left").select(
+        "bucket", "n_tok", F.coalesce("v_new", F.lit(0)).alias("v_new")
+    )
+    # 16-row prefix fold (triangular broadcast join, deliberately no window)
+    other = cells.select(
+        F.col("bucket").alias("b2"),
+        F.col("n_tok").alias("n2"),
+        F.col("v_new").alias("v2"),
+    )
+    pts = (
+        cells.join(F.broadcast(other), F.col("b2") <= F.col("bucket"))
+        .groupBy(F.col("bucket").alias("k"))
+        .agg(
+            F.sum("n2").cast("bigint").alias("nk"),
+            F.sum("v2").cast("bigint").alias("vk"),
+        )
+    )
+    xy = pts.select(
+        "k",
+        "nk",
+        "vk",
+        F.floor(F.lit(1e6) * F.log(F.col("nk").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.lit(1e6) * F.log(F.col("vk").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.max("nk").cast("bigint").alias("total_tokens"),
+        F.max("vk").cast("bigint").alias("vocab_size"),
+    )
+    beta = (
+        F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return fit.select(
+        F.col("kk").alias("n_checkpoints"),
+        "total_tokens",
+        "vocab_size",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / F.col("kk"))
+        .cast("bigint")
+        .alias("heaps_lnk_micro"),
+    )
