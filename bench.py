@@ -140,6 +140,19 @@ BENCH_QUERIES = [
     "lang_simpson_diversity_by_source",
     "poisson_bootstrap_ci",
     "calibration_reliability_bins",
+    # round-8: the evaluation/statistics batch (AUC via distributed
+    # prefix-scan midranks, Murphy decomposition, KM survival, QQ grid,
+    # Theil-Sen pairwise median, Heaps first-occurrence fit, KMV set
+    # intersection, SpotSigs inverted-index dedup, SCD-2 intervals)
+    "score_auc_mann_whitney",
+    "brier_score_decomposition",
+    "kaplan_meier_time_to_purchase",
+    "value_qq_normal_audit",
+    "theil_sen_daily_trend",
+    "heaps_law_fit",
+    "kmv_intersection_estimate",
+    "spotsigs_neardup",
+    "scd2_intervals_from_events",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -158,6 +171,9 @@ SINGLE_RUN = {
     # 32x row-explode map+reduce: deterministic single-shape job, low
     # variance — one timed run keeps the bench under the wall budget
     "poisson_bootstrap_ci",
+    # round-8: the distributed-rank + exploded-corpus first-occurrence
+    # fit is the one multi-job entry of the evaluation batch
+    "heaps_law_fit",
 }
 
 

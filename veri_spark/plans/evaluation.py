@@ -148,7 +148,9 @@ def score_auc_mann_whitney(spark, sf_dir):
                    SUM(s_micro * y)::BIGINT AS ssy
             FROM b),
     bins AS (SELECT bin, COUNT(*)::BIGINT AS n_b, SUM(y)::BIGINT AS p_b,
-                    SUM(s_micro)::BIGINT AS s_b
+                    SUM(s_micro)::BIGINT AS s_b,
+                    SUM(s_micro * s_micro)::BIGINT AS s2_b,
+                    SUM(s_micro * y)::BIGINT AS sy_b
              FROM b GROUP BY bin),
     terms AS (
       SELECT CAST(round(1e9 * (n_b * ((s_b::DOUBLE / (1e6 * n_b)
@@ -160,7 +162,14 @@ def score_auc_mann_whitney(spark, sf_dir):
                                         - tot.p::DOUBLE / tot.nn)
                                        * (p_b::DOUBLE / n_b
                                           - tot.p::DOUBLE / tot.nn))
-                          / tot.nn)) AS BIGINT) AS res_nano
+                          / tot.nn)) AS BIGINT) AS res_nano,
+             CAST(round(1e9 * ((s2_b::DOUBLE / 1e12
+                                - (s_b::DOUBLE / 1e6)
+                                  * (s_b::DOUBLE / 1e6) / n_b)
+                          / tot.nn)) AS BIGINT) AS wbv_nano,
+             CAST(round(1e9 * ((sy_b::DOUBLE / 1e6
+                                - s_b::DOUBLE / 1e6 * p_b / n_b)
+                          / tot.nn)) AS BIGINT) AS wbc_nano
       FROM bins CROSS JOIN tot)
     SELECT tot.nn AS n_docs,
            ROUND((tot.ss2 - 2e6 * tot.ssy + 1e12 * tot.p)
@@ -168,7 +177,9 @@ def score_auc_mann_whitney(spark, sf_dir):
            ROUND((tot.p * (tot.nn - tot.p))::DOUBLE
                  / (tot.nn * tot.nn), 6) AS uncertainty,
            ROUND(SUM(res_nano) / 1e9, 6) AS resolution,
-           ROUND(SUM(rel_nano) / 1e9, 6) AS reliability
+           ROUND(SUM(rel_nano) / 1e9, 6) AS reliability,
+           ROUND(SUM(wbv_nano) / 1e9, 6) AS within_bin_var,
+           ROUND(SUM(wbc_nano) / 1e9, 6) AS within_bin_cov
     FROM terms CROSS JOIN tot
     GROUP BY tot.nn, tot.p, tot.ss2, tot.ssy
     """,
@@ -209,6 +220,8 @@ def brier_score_decomposition(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_b"),
         F.sum("y").cast("bigint").alias("p_b"),
         F.sum("s_micro").cast("bigint").alias("s_b"),
+        F.sum(F.col("s_micro") * F.col("s_micro")).cast("bigint").alias("s2_b"),
+        F.sum(F.col("s_micro") * F.col("y")).cast("bigint").alias("sy_b"),
     )
     terms = bins.crossJoin(F.broadcast(tot)).select(
         F.round(
@@ -251,6 +264,35 @@ def brier_score_decomposition(spark, sf_dir):
         )
         .cast("bigint")
         .alias("res_nano"),
+        F.round(
+            F.lit(1e9)
+            * (
+                (
+                    F.col("s2_b").cast("double") / F.lit(1e12)
+                    - (F.col("s_b").cast("double") / F.lit(1e6))
+                    * (F.col("s_b").cast("double") / F.lit(1e6))
+                    / F.col("n_b")
+                )
+                / F.col("nn")
+            )
+        )
+        .cast("bigint")
+        .alias("wbv_nano"),
+        F.round(
+            F.lit(1e9)
+            * (
+                (
+                    F.col("sy_b").cast("double") / F.lit(1e6)
+                    - F.col("s_b").cast("double")
+                    / F.lit(1e6)
+                    * F.col("p_b")
+                    / F.col("n_b")
+                )
+                / F.col("nn")
+            )
+        )
+        .cast("bigint")
+        .alias("wbc_nano"),
     )
     return (
         terms.crossJoin(F.broadcast(tot))
@@ -258,6 +300,8 @@ def brier_score_decomposition(spark, sf_dir):
         .agg(
             F.sum("res_nano").alias("res_sum"),
             F.sum("rel_nano").alias("rel_sum"),
+            F.sum("wbv_nano").alias("wbv_sum"),
+            F.sum("wbc_nano").alias("wbc_sum"),
         )
         .select(
             F.col("nn").alias("n_docs"),
@@ -277,6 +321,8 @@ def brier_score_decomposition(spark, sf_dir):
             ).alias("uncertainty"),
             F.round(F.col("res_sum") / F.lit(1e9), 6).alias("resolution"),
             F.round(F.col("rel_sum") / F.lit(1e9), 6).alias("reliability"),
+            F.round(F.col("wbv_sum") / F.lit(1e9), 6).alias("within_bin_var"),
+            F.round(F.col("wbc_sum") / F.lit(1e9), 6).alias("within_bin_cov"),
         )
     )
 
