@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "kmv_intersection_estimate",
     "spotsigs_neardup",
     "scd2_intervals_from_events",
+    "hourly_seasonal_naive_mase",
+    "markov_entropy_rate",
+    "orders_little_law_audit",
+    "user_lorenz_curve",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

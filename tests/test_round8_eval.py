@@ -176,3 +176,44 @@ def test_scd2_conserves_events(spark):
     assert sum(r["n_current"] for r in rows) == n_users
     for r in rows:
         assert r["n_intervals"] == r["n_closed"] + r["n_current"]
+
+
+def test_mase_internal_consistency(spark):
+    [r] = QUERIES["hourly_seasonal_naive_mase"](spark, SF_DIR).collect()
+    assert r["n_hours"] == r["n_naive"] + 1  # dense grid: one lag-1 pair/hour
+    assert r["n_seasonal"] == r["n_hours"] - 24
+    assert abs(
+        r["mase"]
+        - (r["sae_seasonal"] * r["n_naive"]) / (r["sae_naive"] * r["n_seasonal"])
+    ) < 1e-6
+
+
+def test_entropy_rate_bounds(spark):
+    [r] = QUERIES["markov_entropy_rate"](spark, SF_DIR).collect()
+    assert r["n_cells"] <= r["n_states"] * r["n_states"]
+    assert 0.0 <= r["entropy_rate_nats"] <= math.log(r["n_states"]) + 1e-6
+
+
+def test_little_law_holds_approximately(spark):
+    """The interior-window identity L ~ lambda * W; the synthetic ship
+    lags are long relative to the trim, so allow a generous band — the
+    query's value is REPORTING the ratio, not forcing it to 1."""
+    [r] = QUERIES["orders_little_law_audit"](spark, SF_DIR).collect()
+    assert r["window_days"] > 0 and r["n_orders_arrived"] > 0
+    assert 0.5 < r["little_ratio"] < 2.0
+    assert abs(
+        r["avg_backlog"]
+        - r["little_ratio"] * r["lambda_per_day"] * r["avg_wait_days"]
+    ) < 2e-2
+
+
+def test_lorenz_curve_shape(spark):
+    rows = QUERIES["user_lorenz_curve"](spark, SF_DIR).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cums = [r["cum_share_micro"] for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1_000_000) <= 10
+    # convexity holds per USER, not per decile (ntile remainders make the
+    # early deciles LARGER); check the per-user mean share instead
+    per_user = [r["share_micro"] / r["n_users"] for r in rows]
+    assert all(b >= a - 10 for a, b in zip(per_user, per_user[1:]))

@@ -664,3 +664,381 @@ def theil_sen_daily_trend(spark, sf_dir):
             6,
         ).alias("ols_slope"),
     )
+
+
+@register(
+    "hourly_seasonal_naive_mase",
+    """
+    WITH b AS (SELECT MIN(epoch_us(ts::TIMESTAMP)) AS us0 FROM events),
+    h AS (SELECT (epoch_us(ts::TIMESTAMP) - b.us0) // 3600000000 AS hr,
+                 COUNT(*)::BIGINT AS y
+          FROM events CROSS JOIN b GROUP BY 1),
+    mx AS (SELECT MAX(hr)::BIGINT AS maxh FROM h),
+    grid AS (SELECT unnest(range(0, mx.maxh + 1)) AS hr FROM mx),
+    g AS (SELECT grid.hr, COALESCE(h.y, 0)::BIGINT AS y
+          FROM grid LEFT JOIN h ON h.hr = grid.hr),
+    m AS (SELECT SUM(ABS(a.y - s.y))::BIGINT AS sae_seasonal,
+                 COUNT(*)::BIGINT AS n_seasonal
+          FROM g a JOIN g s ON s.hr = a.hr - 24),
+    n1 AS (SELECT SUM(ABS(a.y - p.y))::BIGINT AS sae_naive,
+                  COUNT(*)::BIGINT AS n_naive
+           FROM g a JOIN g p ON p.hr = a.hr - 1)
+    SELECT (SELECT maxh + 1 FROM mx)::BIGINT AS n_hours,
+           m.sae_seasonal, m.n_seasonal, n1.sae_naive, n1.n_naive,
+           ROUND(m.sae_seasonal::DOUBLE / m.n_seasonal, 6) AS mae_seasonal,
+           ROUND(n1.sae_naive::DOUBLE / n1.n_naive, 6) AS mae_naive,
+           ROUND((m.sae_seasonal * n1.n_naive)::DOUBLE
+                 / (n1.sae_naive * m.n_seasonal), 6) AS mase
+    FROM m CROSS JOIN n1
+    """,
+)
+def hourly_seasonal_naive_mase(spark, sf_dir):
+    """MASE (mean absolute scaled error, Hyndman-Koehler 2006) of the
+    SEASONAL-NAIVE forecast y_hat(t) = y(t-24h) on the dense hourly
+    event-count series, scaled by the one-step naive baseline — the
+    forecast-accuracy floor every demand model must beat, and the
+    scale-free number that says whether the series even HAS exploitable
+    daily seasonality (MASE < 1: the 24h lag beats persistence). The
+    hour grid is DENSE (missing hours count 0 — a forecast audit that
+    silently skips empty hours flatters itself), derived from exact
+    integer microsecond division off the global origin; both error sums
+    are exact BIGINTs of |int - int|, so the MASE is ONE cross-ratio
+    (sae_s * n_1) / (sae_1 * n_s) of four exact integers. Scale shape:
+    the corpus collapses to the calendar-bounded hourly frame in one
+    partial-aggregated scan; the lag joins are equi-joins on the tiny
+    grid, never windows over anything corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.min(us).alias("us0"))
+    h = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) - us0) div 3600000000"
+            ).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    mx = h.agg(F.max("hr").cast("bigint").alias("maxh"))
+    grid = mx.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("maxh"))).alias("hr")
+    )
+    g = grid.join(h, "hr", "left").select(
+        "hr", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    a = g.select(F.col("hr").alias("ha"), F.col("y").alias("ya"))
+
+    def lag_err(k: int, sae: str, cnt: str):
+        p = g.select((F.col("hr") + k).alias("ha"), F.col("y").alias("yp"))
+        return a.join(p, "ha").agg(
+            F.sum(F.abs(F.col("ya") - F.col("yp"))).cast("bigint").alias(sae),
+            F.count(F.lit(1)).cast("bigint").alias(cnt),
+        )
+
+    m = lag_err(24, "sae_seasonal", "n_seasonal")
+    n1 = lag_err(1, "sae_naive", "n_naive")
+    return (
+        mx.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            (F.col("maxh") + 1).cast("bigint").alias("n_hours"),
+            "sae_seasonal",
+            "n_seasonal",
+            "sae_naive",
+            "n_naive",
+            F.round(
+                F.col("sae_seasonal").cast("double") / F.col("n_seasonal"), 6
+            ).alias("mae_seasonal"),
+            F.round(F.col("sae_naive").cast("double") / F.col("n_naive"), 6).alias(
+                "mae_naive"
+            ),
+            F.round(
+                (F.col("sae_seasonal") * F.col("n_naive")).cast("double")
+                / (F.col("sae_naive") * F.col("n_seasonal")),
+                6,
+            ).alias("mase"),
+        )
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tr AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n_st
+           FROM o WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    rs AS (SELECT cur, SUM(n_st)::BIGINT AS n_s FROM tr GROUP BY cur),
+    tot AS (SELECT SUM(n_st)::BIGINT AS n, COUNT(*)::BIGINT AS n_cells
+            FROM tr),
+    w AS (SELECT tr.n_st,
+                 CAST(FLOOR(1e6 * LN(tr.n_st::DOUBLE / rs.n_s) + 0.5)
+                      AS BIGINT) AS w_micro
+          FROM tr JOIN rs ON rs.cur = tr.cur)
+    SELECT (SELECT COUNT(*) FROM rs)::BIGINT AS n_states,
+           tot.n AS n_transitions, tot.n_cells,
+           ROUND(-SUM(w.n_st * w.w_micro)::DOUBLE / (tot.n * 1e6), 6)
+             AS entropy_rate_nats
+    FROM w CROSS JOIN tot GROUP BY tot.n, tot.n_cells
+    """,
+)
+def markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the user-journey Markov chain: H = -sum_st
+    pi(s) P(t|s) ln P(t|s) with the empirical transition counts as the
+    chain — the single number that says how PREDICTABLE the next event
+    is (0 = deterministic funnels, ln(n_states) = uniform chaos), the
+    information-theoretic summary of the matrix `event_transition_matrix`
+    tabulates and the ceiling on `markov_prediction_accuracy`. With
+    pi taken as the empirical row mass, H reduces to
+    -(1/N) sum_st n_st * ln(n_st / n_s): each cell's log-ratio of exact
+    BIGINTs is micro-nat quantized in-engine (the WoE/MI idiom), the
+    weighted sum is an exact integer, and the rate is ONE division.
+    One user-partitioned lead (single shuffle), a (state x state)-
+    bounded cell aggregate — scale-free after the first reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wo).alias("nxt"),
+    )
+    tr = (
+        o.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+    )
+    rs = tr.groupBy("cur").agg(F.sum("n_st").cast("bigint").alias("n_s"))
+    tot = tr.agg(
+        F.sum("n_st").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    ns = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n_states"))
+    w = tr.join(F.broadcast(rs), "cur").select(
+        "n_st",
+        F.floor(
+            F.lit(1e6)
+            * F.log(F.col("n_st").cast("double") / F.col("n_s"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    s = w.agg(F.sum(F.col("n_st") * F.col("w_micro")).alias("ws"))
+    return (
+        ns.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_states",
+            F.col("n").alias("n_transitions"),
+            "n_cells",
+            F.round(
+                -F.col("ws").cast("double") / (F.col("n") * F.lit(1e6)), 6
+            ).alias("entropy_rate_nats"),
+        )
+    )
+
+
+@register(
+    "orders_little_law_audit",
+    """
+    WITH done AS (
+      SELECT o.o_orderkey, o.o_orderdate::DATE AS od,
+             MAX(l.l_shipdate)::DATE AS dd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    b AS (SELECT MIN(od) AS d0, MAX(dd) AS d1 FROM done),
+    days AS (SELECT date_diff('day', b.d0, done.od)::BIGINT AS ad,
+                    date_diff('day', b.d0, done.dd)::BIGINT AS cd,
+                    date_diff('day', b.d0, b.d1)::BIGINT AS dmax
+             FROM done CROSS JOIN b),
+    arr AS (SELECT ad AS d, COUNT(*)::BIGINT AS a FROM days GROUP BY ad),
+    dep AS (SELECT cd AS d, COUNT(*)::BIGINT AS c FROM days GROUP BY cd),
+    grid AS (SELECT unnest(range(0, (SELECT MAX(dmax) FROM days) + 1)) AS d),
+    cell AS (SELECT grid.d, COALESCE(arr.a, 0)::BIGINT AS a,
+                    COALESCE(dep.c, 0)::BIGINT AS c
+             FROM grid LEFT JOIN arr ON arr.d = grid.d
+                       LEFT JOIN dep ON dep.d = grid.d),
+    run AS (SELECT d,
+                   SUM(a) OVER (ORDER BY d ASC)::BIGINT AS cum_a,
+                   SUM(c) OVER (ORDER BY d ASC)::BIGINT AS cum_c
+            FROM cell),
+    win AS (SELECT 90::BIGINT AS t1,
+                   (SELECT MAX(dmax) FROM days) - 90 AS t2),
+    li AS (SELECT SUM(run.cum_a - run.cum_c)::BIGINT AS bl_sum,
+                  COUNT(*)::BIGINT AS n_days
+           FROM run CROSS JOIN win
+           WHERE run.d >= win.t1 AND run.d <= win.t2),
+    lam AS (SELECT COUNT(*)::BIGINT AS n_arr,
+                   SUM(days.cd - days.ad)::BIGINT AS w_sum
+            FROM days CROSS JOIN win
+            WHERE days.ad >= win.t1 AND days.ad <= win.t2)
+    SELECT li.n_days AS window_days, lam.n_arr AS n_orders_arrived,
+           ROUND(li.bl_sum::DOUBLE / li.n_days, 6) AS avg_backlog,
+           ROUND(lam.n_arr::DOUBLE / li.n_days, 6) AS lambda_per_day,
+           ROUND(lam.w_sum::DOUBLE / lam.n_arr, 6) AS avg_wait_days,
+           ROUND(li.bl_sum::DOUBLE / li.n_days
+                 / (lam.n_arr::DOUBLE / li.n_days
+                    * (lam.w_sum::DOUBLE / lam.n_arr)), 6) AS little_ratio
+    FROM li CROSS JOIN lam
+    """,
+)
+def orders_little_law_audit(spark, sf_dir):
+    """Little's law audit on the order pipeline: over an interior window
+    (edges trimmed by 90 days to damp boundary truncation), the
+    day-averaged open-order backlog L must approximate arrival rate
+    lambda times mean ship-lag W — the queueing identity that
+    validates ANY throughput/latency/backlog dashboard trio (a ratio
+    far from 1 means the three metrics are measured over inconsistent
+    populations, the classic observability bug). Backlog-by-day is the
+    prefix difference of the arrival and completion day-histograms —
+    a multi-measure distributed prefix scan
+    (operators/ranking.global_prefix_agg: ONE range exchange carries
+    both cumulative measures) over the calendar-bounded dense day grid;
+    every sum is an exact BIGINT (day indices from exact DATE
+    differences), and the three metrics plus the ratio are single
+    IEEE divisions at the end. The corpus is touched by one
+    orders-lineitem join + two day-grain reduces; everything after is
+    calendar-sized at any data scale."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    done = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("dd"))
+        .select(F.col("o_orderdate").cast("date").alias("od"),
+                F.col("dd").cast("date").alias("dd"))
+    )
+    b = done.agg(F.min("od").alias("d0"), F.max("dd").alias("d1"))
+    days = done.crossJoin(F.broadcast(b)).select(
+        F.datediff("od", "d0").cast("bigint").alias("ad"),
+        F.datediff("dd", "d0").cast("bigint").alias("cd"),
+        F.datediff("d1", "d0").cast("bigint").alias("dmax"),
+    )
+    dmax = days.agg(F.max("dmax").alias("dmax"))
+    arr = days.groupBy(F.col("ad").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    dep = days.groupBy(F.col("cd").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = dmax.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("dmax"))).alias("d")
+    )
+    cell = (
+        grid.join(arr, "d", "left")
+        .join(dep, "d", "left")
+        .select(
+            "d",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("a"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    run = global_prefix_agg(
+        cell, [F.col("d").asc()], ["a", "c"], agg="sum",
+        out_col=["cum_a", "cum_c"],
+    )
+    t2 = F.col("dmax") - 90
+    li = (
+        run.crossJoin(F.broadcast(dmax))
+        .filter((F.col("d") >= 90) & (F.col("d") <= t2))
+        .agg(
+            F.sum(F.col("cum_a") - F.col("cum_c")).cast("bigint").alias("bl_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    lam = (
+        days.filter((F.col("ad") >= 90) & (F.col("ad") <= F.col("dmax") - 90))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_arr"),
+            F.sum(F.col("cd") - F.col("ad")).cast("bigint").alias("w_sum"),
+        )
+    )
+    avg_bl = F.col("bl_sum").cast("double") / F.col("n_days")
+    lam_d = F.col("n_arr").cast("double") / F.col("n_days")
+    w_d = F.col("w_sum").cast("double") / F.col("n_arr")
+    return li.crossJoin(F.broadcast(lam)).select(
+        F.col("n_days").alias("window_days"),
+        F.col("n_arr").alias("n_orders_arrived"),
+        F.round(avg_bl, 6).alias("avg_backlog"),
+        F.round(lam_d, 6).alias("lambda_per_day"),
+        F.round(w_d, 6).alias("avg_wait_days"),
+        F.round(avg_bl / (lam_d * w_d), 6).alias("little_ratio"),
+    )
+
+
+@register(
+    "user_lorenz_curve",
+    """
+    WITH u AS (SELECT user_id, COUNT(*)::BIGINT AS n_ev
+               FROM events GROUP BY user_id),
+    r AS (SELECT n_ev,
+                 ntile(10) OVER (ORDER BY n_ev ASC, user_id ASC) AS decile
+          FROM u),
+    d AS (SELECT decile, COUNT(*)::BIGINT AS n_users,
+                 SUM(n_ev)::BIGINT AS ev
+          FROM r GROUP BY decile),
+    t AS (SELECT SUM(ev)::BIGINT AS tot FROM d),
+    c AS (SELECT d.decile, d.n_users, d.ev,
+                 SUM(d.ev) OVER (ORDER BY d.decile ASC)::BIGINT AS cum_ev
+          FROM d)
+    SELECT c.decile, c.n_users,
+           CAST(round(1e6 * c.ev / t.tot) AS BIGINT) AS share_micro,
+           CAST(round(1e6 * c.cum_ev / t.tot) AS BIGINT) AS cum_share_micro
+    FROM c CROSS JOIN t
+    ORDER BY c.decile ASC
+    """,
+)
+def user_lorenz_curve(spark, sf_dir):
+    """Lorenz curve of user activity concentration in deciles: each
+    activity decile's share of total events and the cumulative share —
+    the curve whose integral `customer_spend_gini` summarizes, read
+    directly when deciding rate limits, sampling caps, and whether the
+    'heavy hitter' mitigation list is ten users or ten thousand. Users
+    rank into deciles via the distributed global rank + ntile_from_rank
+    (bit-equal to SQL ntile over the (count, user_id) total order, no
+    unpartitioned window — |users| grows with the data); the 10-row
+    decile frame prefix-folds with a triangular broadcast join; shares
+    are micro-quantized single divisions of exact BIGINTs."""
+    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+    tot_u = u.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    r = global_row_number(
+        u.crossJoin(F.broadcast(tot_u)),
+        [F.col("n_ev").asc(), F.col("user_id").asc()],
+        rn_col="__rn",
+    ).select(
+        "n_ev", ntile_from_rank(F.col("__rn"), F.col("__tot"), 10).alias("decile")
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("ev"),
+    )
+    t = d.agg(F.sum("ev").cast("bigint").alias("tot"))
+    other = d.select(F.col("decile").alias("d2"), F.col("ev").alias("e2"))
+    c = (
+        d.join(F.broadcast(other), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_users", "ev")
+        .agg(F.sum("e2").cast("bigint").alias("cum_ev"))
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.lit(1e6) * F.col("ev") / F.col("tot"))
+            .cast("bigint")
+            .alias("share_micro"),
+            F.round(F.lit(1e6) * F.col("cum_ev") / F.col("tot"))
+            .cast("bigint")
+            .alias("cum_share_micro"),
+        )
+        .orderBy(F.col("decile").asc())
+    )
