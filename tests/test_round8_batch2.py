@@ -1,0 +1,211 @@
+"""Round-8 batch-2 invariants: Mann-Kendall, Kendall tau-b, Jensen-
+Shannon drift, resource-allocation link prediction, and MAP@10 —
+checked against brute-force Python oracles and their own mathematical
+identities on sf0.001, the cheap cross-check layer under the bit-exact
+DuckDB gate."""
+
+import math
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from veri_spark.plans.registry import QUERIES
+from veri_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _daily_counts(spark):
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("ts").cast("date").alias("d")
+    )
+    rows = ev.groupBy("d").count().collect()
+    days = sorted((r["d"], r["count"]) for r in rows)
+    return [y for _, y in days]
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """S, the tie-corrected variance numerator, and z all equal the
+    O(n^2) textbook computation on the daily-count series."""
+    [row] = QUERIES["mann_kendall_daily_trend"](spark, SF_DIR).collect()
+    ys = _daily_counts(spark)
+    n = len(ys)
+    assert row["n_days"] == n
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert row["s_stat"] == s
+    counts = defaultdict(int)
+    for y in ys:
+        counts[y] += 1
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in counts.values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    assert row["var_s_x18"] == var18
+    if s > 0:
+        z = (s - 1) / math.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    assert abs(row["z_mk"] - z) < 1e-6
+    assert row["trend_95"] in ("increasing", "decreasing", "no_trend")
+
+
+def test_z975_literal_matches_acklam():
+    """The 97.5% normal quantile literal re-derives from Acklam's
+    approximation (the literals-match-formulas discipline shared with
+    the QQ probit grid)."""
+    from veri_spark.plans.evaluation import _Z_975
+
+    # Acklam central-region coefficients (same as test_round8_eval.py)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    p = 0.975
+    q = p - 0.5
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = (((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]
+    z = q * num / (den * r + 1)
+    assert abs(_Z_975 - z) < 2e-9
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """tau-b and all pair counts equal the O(n^2) computation over the
+    same deterministic top-100 selection."""
+    [row] = QUERIES["kendall_tau_part_demand"](spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        d = r["l_shipdate"]
+        if d.year in (1996, 1997):
+            agg[r["l_partkey"]][d.year - 1996] += int(r["l_quantity"])
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:100]
+    xs = [v[0] for _, v in top]
+    ys = [v[1] for _, v in top]
+    n = len(top)
+    assert row["n_parts"] == n and row["n_pairs"] == n * (n - 1) // 2
+    c = d_ = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sgn = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            c += sgn > 0
+            d_ += sgn < 0
+            tx += xs[i] == xs[j]
+            ty += ys[i] == ys[j]
+    assert (row["concordant"], row["discordant"]) == (c, d_)
+    assert (row["ties_x"], row["ties_y"]) == (tx, ty)
+    n0 = n * (n - 1) // 2
+    tau = (c - d_) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(row["tau_b"] - tau) < 1e-6
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_js_divergence_identities(spark):
+    """Per-type terms are nonnegative (log-sum inequality), totals are
+    bounded by ln 2, and the micro terms match a Python recompute from
+    the exact counts within 1 micro-nat."""
+    rows = QUERIES["js_divergence_event_drift"](spark, SF_DIR).collect()
+    assert rows
+    ta = sum(r["early_n"] for r in rows)
+    tb = sum(r["late_n"] for r in rows)
+    total = 0
+    for r in rows:
+        assert r["js_term_micro"] >= 0
+        p, q = r["early_n"] / ta, r["late_n"] / tb
+        m = 0.5 * (p + q)
+        term = 0.5 * (
+            (p * math.log(p / m) if r["early_n"] else 0.0)
+            + (q * math.log(q / m) if r["late_n"] else 0.0)
+        )
+        assert abs(r["js_term_micro"] - round(1e6 * term)) <= 1
+        total += r["js_term_micro"]
+    # JSD (nats) = sum of per-type (p ln p/m + q ln q/m)/2 <= ln 2
+    assert total <= round(1e6 * math.log(2)) + len(rows)
+
+
+def test_resource_allocation_matches_bruteforce(spark):
+    """Top-20 RA scores equal a Python recompute of the capped wedge
+    frame: cap each neighborhood to its 128 lowest-(degree, id)
+    neighbors, then sum 1000000 // deg(w) over shared capped
+    neighbors."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    nbrs = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                nbrs[u].add(v)
+                nbrs[v].add(u)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    capped = {
+        u: set(sorted(vs, key=lambda v: (deg[v], v))[:128])
+        for u, vs in nbrs.items()
+    }
+    # invert: who keeps w in their capped list
+    keepers = defaultdict(list)
+    for u, vs in capped.items():
+        for w in vs:
+            keepers[w].append(u)
+    scores = defaultdict(lambda: [0, 0])  # (u,v) -> [n_common, ra_micro]
+    for w, us in keepers.items():
+        us = sorted(us)
+        for i, cu in enumerate(us):
+            for cv in us[i + 1:]:
+                scores[(cu, cv)][0] += 1
+                scores[(cu, cv)][1] += 1000000 // deg[w]
+    expect = sorted(
+        ((v[1], v[0], k[0], k[1]) for k, v in scores.items()),
+        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+    )[:20]
+    rows = QUERIES["graph_resource_allocation_capped"](
+        spark, SF_DIR
+    ).collect()
+    got = [
+        (r["ra_micro"], r["n_common"], r["part_a"], r["part_b"])
+        for r in rows
+    ]
+    assert got == expect
+
+
+def test_map_matches_python_ap(spark):
+    """AP@10 equals the per-query Python computation from the same
+    ranked frames, and a perfect ranking scores 1.0."""
+    from veri_spark.plans.ranking_metrics import _spark_ranked
+
+    exact, approx = _spark_ranked(spark, SF_DIR, 10)
+    ex = defaultdict(set)
+    for r in exact.collect():
+        ex[r["query_id"]].add(r["vec_id"])
+    ap_expect = {}
+    for qid in ex:
+        ranked = sorted(
+            (r["rn"], r["vec_id"])
+            for r in approx.collect()
+            if r["query_id"] == qid
+        )
+        hits = 0
+        ap_micro = 0
+        for rn, vid in ranked:
+            if vid in ex[qid]:
+                hits += 1
+                ap_micro += round(1e6 * hits / rn)
+        ap_expect[qid] = ap_micro
+    rows = QUERIES["ann_map_audit"](spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(ex)
+    for r in rows:
+        assert r["ap_micro_sum"] == ap_expect[r["query_id"]]
+        assert 0 <= r["ap_at_10"] <= 1.0
+        # rank 1 is the query vector itself in both rankings, so every
+        # query has at least one hit
+        assert r["n_hits"] >= 1

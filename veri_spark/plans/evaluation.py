@@ -1042,3 +1042,364 @@ def user_lorenz_curve(spark, sf_dir):
         )
         .orderBy(F.col("decile").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch 2: trend significance (Mann-Kendall), rank stability
+# (Kendall tau-b), and distribution drift (Jensen-Shannon divergence) —
+# the three standard monitors that sit NEXT to the estimators already
+# here: theil_sen gives the slope, mann_kendall says whether it is
+# significant; rank_footrule measures one displacement, tau-b summarizes
+# whole-ranking stability; PSI/KS flag drift, JSD bounds it symmetrically.
+# ---------------------------------------------------------------------------
+
+# Standard-normal 97.5th-percentile quantile, Python-precomputed (the
+# probit-literal rule above: never in-engine). Defining formula: Acklam
+# probit(0.975) = 1.959963984540054 (max abs err ~1.15e-9); pinned by
+# tests/test_round8_batch2.py against the same Acklam coefficients the
+# QQ grid test uses.
+_Z_975 = 1.959963984540054
+
+
+@register(
+    "mann_kendall_daily_trend",
+    f"""
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+    d AS (SELECT date_diff('day', d0.day0, ts::DATE)::BIGINT AS x,
+                 COUNT(*)::BIGINT AS y
+          FROM events CROSS JOIN d0 GROUP BY 1),
+    s AS (SELECT SUM(CASE WHEN b.y > a.y THEN 1
+                          WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s_stat
+          FROM d a JOIN d b ON b.x > a.x),
+    n AS (SELECT COUNT(*)::BIGINT AS nd FROM d),
+    ties AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+               AS tie18
+             FROM (SELECT COUNT(*)::BIGINT AS t FROM d GROUP BY y)
+             WHERE t > 1),
+    v AS (SELECT n.nd, s.s_stat,
+                 (n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tie18)::BIGINT
+                   AS var_s_x18
+          FROM n CROSS JOIN s CROSS JOIN ties),
+    z AS (SELECT nd, s_stat, var_s_x18,
+                 CASE WHEN s_stat > 0
+                      THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                      WHEN s_stat < 0
+                      THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                      ELSE 0.0 END AS zv
+          FROM v)
+    SELECT nd AS n_days, s_stat, var_s_x18,
+           ROUND(zv, 6) AS z_mk,
+           CASE WHEN zv > {_Z_975!r} THEN 'increasing'
+                WHEN zv < -{_Z_975!r} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend_95
+    FROM z
+    """,
+)
+def mann_kendall_daily_trend(spark, sf_dir):
+    """Mann-Kendall trend TEST on daily event volume — the significance
+    verdict for the slope `theil_sen_daily_trend` estimates (the two are
+    the standard pairing: Sen gives magnitude, MK gives the p-value
+    without assuming normal residuals). S counts concordant-minus-
+    discordant day pairs; Var(S) carries the exact tie correction
+    (n(n-1)(2n+5) - sum_t t(t-1)(2t+5))/18 over tied daily counts; the
+    z statistic applies the standard +/-1 continuity correction.
+
+    Scale shape: identical to Theil-Sen — the corpus collapses to the
+    CALENDAR-bounded daily-count frame first (one partial-aggregated
+    scan), so the pairwise sign sum is days-choose-2, bounded by the
+    time range, not data volume, built as one broadcast triangular join
+    that reduces to a single integer. Determinism: S, n, and the x18
+    variance numerator are exact BIGINTs; z is (bigint +/- 1) / sqrt
+    (bigint / 18.0) — two correctly-rounded IEEE ops identical in both
+    engines; the 95% verdict compares the UNROUNDED z against the
+    Python-precomputed Acklam literal (never an in-engine quantile)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+    d = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("day0"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = d.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = d.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    s = a.join(F.broadcast(b), F.col("xj") > F.col("xi")).agg(
+        F.sum(
+            F.when(F.col("yj") > F.col("yi"), 1)
+            .when(F.col("yj") < F.col("yi"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    ties = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    v = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "nd",
+            "s_stat",
+            (
+                F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+                - F.col("tie18")
+            )
+            .cast("bigint")
+            .alias("var_s_x18"),
+        )
+    )
+    zv = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s_x18") / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s_x18") / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("nd").alias("n_days"),
+        "s_stat",
+        "var_s_x18",
+        F.round(zv, 6).alias("z_mk"),
+        F.when(zv > F.lit(_Z_975), F.lit("increasing"))
+        .when(zv < F.lit(-_Z_975), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend_95"),
+    )
+
+
+@register(
+    "kendall_tau_part_demand",
+    """
+    WITH q AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1997-01-01'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT
+               AS q94,
+             SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                       AND l_shipdate < DATE '1998-01-01'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT
+               AS q95
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_partkey),
+    top AS (SELECT l_partkey, q94, q95 FROM q
+            ORDER BY q94 DESC, l_partkey ASC LIMIT 100),
+    pr AS (SELECT
+             SUM(CASE WHEN (a.q94 - b.q94) * (a.q95 - b.q95) > 0
+                      THEN 1 ELSE 0 END)::BIGINT AS c_pairs,
+             SUM(CASE WHEN (a.q94 - b.q94) * (a.q95 - b.q95) < 0
+                      THEN 1 ELSE 0 END)::BIGINT AS d_pairs,
+             SUM(CASE WHEN a.q94 = b.q94 THEN 1 ELSE 0 END)::BIGINT
+               AS ties_x,
+             SUM(CASE WHEN a.q95 = b.q95 THEN 1 ELSE 0 END)::BIGINT
+               AS ties_y,
+             COUNT(*)::BIGINT AS n_pairs
+           FROM top a JOIN top b ON a.l_partkey < b.l_partkey),
+    n AS (SELECT COUNT(*)::BIGINT AS np FROM top)
+    SELECT n.np AS n_parts, pr.n_pairs, pr.c_pairs AS concordant,
+           pr.d_pairs AS discordant, pr.ties_x, pr.ties_y,
+           ROUND((pr.c_pairs - pr.d_pairs)
+                 / sqrt(CAST((pr.n_pairs - pr.ties_x)
+                             * (pr.n_pairs - pr.ties_y) AS DOUBLE)), 6)
+             AS tau_b
+    FROM pr CROSS JOIN n
+    """,
+)
+def kendall_tau_part_demand(spark, sf_dir):
+    """Kendall tau-b rank stability of part demand across adjacent years
+    (1996 vs 1997 — full years of this corpus's 1995-2001 ship range):
+    did the parts that led year-1 shipments still lead in year-2? The
+    whole-ranking stability summary next to `rank_footrule_audit`'s
+    single-item displacement — a tau-b near 1 means the demand ranking
+    is durable (safe to cache last year's allocation); near 0 means
+    re-rank everything. Tau-b (not tau-a) because yearly quantity totals
+    tie heavily; the denominator sqrt((n0-n1)(n0-n2)) corrects for both
+    margins.
+
+    Scale shape: the corpus collapses to per-part BIGINT quantity totals
+    in one partial-aggregated scan with the shipdate filter pushed to
+    the parquet scan; the pairwise concordance join runs over the
+    BOUNDED top-100 frame (TakeOrdered selection on exact integer keys),
+    so the quadratic is 100-choose-2 regardless of data volume.
+    Determinism: quantities are integral doubles cast to BIGINT (exact),
+    C/D/tie counts are BIGINTs, tau is one division by sqrt of an exact
+    <2^53 product — correctly-rounded IEEE ops identical in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    y95 = F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")
+    q = li.groupBy("l_partkey").agg(
+        F.sum(F.when(~y95, F.col("l_quantity").cast("bigint")).otherwise(0))
+        .cast("bigint")
+        .alias("q94"),
+        F.sum(F.when(y95, F.col("l_quantity").cast("bigint")).otherwise(0))
+        .cast("bigint")
+        .alias("q95"),
+    )
+    top = q.orderBy(F.col("q94").desc(), F.col("l_partkey").asc()).limit(100)
+    a = top.select(
+        F.col("l_partkey").alias("ka"),
+        F.col("q94").alias("xa"),
+        F.col("q95").alias("ya"),
+    )
+    b = top.select(
+        F.col("l_partkey").alias("kb"),
+        F.col("q94").alias("xb"),
+        F.col("q95").alias("yb"),
+    )
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pr = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias("c_pairs"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias("d_pairs"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_x"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n = top.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    return pr.crossJoin(F.broadcast(n)).select(
+        F.col("np").alias("n_parts"),
+        "n_pairs",
+        F.col("c_pairs").alias("concordant"),
+        F.col("d_pairs").alias("discordant"),
+        "ties_x",
+        "ties_y",
+        F.round(
+            (F.col("c_pairs") - F.col("d_pairs"))
+            / F.sqrt(
+                (
+                    (F.col("n_pairs") - F.col("ties_x"))
+                    * (F.col("n_pairs") - F.col("ties_y"))
+                ).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "js_divergence_event_drift",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0,
+                       date_diff('day', MIN(ts::DATE), MAX(ts::DATE))::BIGINT
+                         AS span
+                FROM events),
+    e AS (SELECT event_type,
+                 CASE WHEN date_diff('day', d0.day0, ts::DATE) * 2 <= d0.span
+                      THEN 0 ELSE 1 END AS half
+          FROM events CROSS JOIN d0),
+    c AS (SELECT event_type,
+                 SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS a_n,
+                 SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS b_n
+          FROM e GROUP BY event_type),
+    t AS (SELECT SUM(a_n)::BIGINT AS ta, SUM(b_n)::BIGINT AS tb FROM c),
+    pq AS (SELECT c.event_type, c.a_n, c.b_n,
+                  c.a_n / (t.ta * 1.0) AS p,
+                  c.b_n / (t.tb * 1.0) AS q
+           FROM c CROSS JOIN t)
+    SELECT event_type, a_n AS early_n, b_n AS late_n,
+           CAST(FLOOR(1e6 * 0.5 * (
+                  CASE WHEN a_n > 0
+                       THEN p * ln(p / (0.5 * (p + q))) ELSE 0.0 END
+                + CASE WHEN b_n > 0
+                       THEN q * ln(q / (0.5 * (p + q))) ELSE 0.0 END)
+                + 0.5) AS BIGINT) AS js_term_micro
+    FROM pq ORDER BY event_type ASC
+    """,
+)
+def js_divergence_event_drift(spark, sf_dir):
+    """Jensen-Shannon divergence between the event-type mixes of the
+    early and late calendar halves — the SYMMETRIC, always-finite drift
+    metric next to `event_type_drift_psi` (PSI blows up on types absent
+    from one side; JSD's mixture denominator m=(p+q)/2 never does, and
+    its total is bounded by ln 2). Reported per type in micro-nats: the
+    per-type term p*ln(p/m)+q*ln(q/m) is >= 0 by the log-sum inequality,
+    so each row reads directly as that type's drift contribution and the
+    corpus JSD is the BIGINT column sum / 2e6.
+
+    Scale shape: one pass computes the calendar split bounds, one
+    partial-aggregated scan yields the per-(type, half) counts — the
+    frame entering the math is |event types| rows. Determinism: p, q, m
+    derive from exact BIGINT counts through correctly-rounded IEEE
+    divisions (identical in both engines); ln() is evaluated in-engine
+    on those identical doubles — the accepted WoE/Zipf/MI idiom, with
+    the same residual caveat (libm vs java.lang.Math could differ by an
+    ulp; a flip requires 1e6*term to land within ~1 ulp of a half-unit
+    boundary). The floor(x+0.5) round is half-up on the provably
+    nonnegative terms."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("day0"),
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("span"),
+    )
+    e = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.when(
+            F.datediff(F.col("ts").cast("date"), F.col("day0")) * 2
+            <= F.col("span"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    c = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_n"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_n"),
+    )
+    t = c.agg(
+        F.sum("a_n").cast("bigint").alias("ta"),
+        F.sum("b_n").cast("bigint").alias("tb"),
+    )
+    p = F.col("a_n") / (F.col("ta") * F.lit(1.0))
+    q = F.col("b_n") / (F.col("tb") * F.lit(1.0))
+    m = F.lit(0.5) * (p + q)
+    term = F.lit(1e6) * F.lit(0.5) * (
+        F.when(F.col("a_n") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("b_n") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("a_n").alias("early_n"),
+            F.col("b_n").alias("late_n"),
+            F.floor(term + F.lit(0.5)).cast("bigint").alias("js_term_micro"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )

@@ -850,21 +850,28 @@ def graph_orientation_fanout(spark, sf_dir):
     )
 
 
-def _capped_top20(spark, sf_dir, cap: int = 128):
-    """Shared capped-Jaccard pipeline: truncate every node's neighborhood
-    to its ``cap`` LOWEST-(degree, id) neighbors inside a PARTITIONED
-    window (no global sort anywhere), then the packed-key wedge join and
-    capped-degree Jaccard top-20. Returns (top20-with-unrounded-jac,
-    und, deg) so the audit query can reuse the same exact-side frames."""
-    edges, und, deg = _copurchase_graph(spark, sf_dir)
+def _capped_adjacency(und: DataFrame, deg: DataFrame, cap: int) -> DataFrame:
+    """Truncate every node's neighborhood to its ``cap`` LOWEST-(degree,
+    id) neighbors inside a PARTITIONED window (no global sort anywhere) —
+    the hub-dropping mitigation shared by the capped-Jaccard and
+    resource-allocation link predictors."""
     dv = F.broadcast(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")))
     w = Window.partitionBy("u").orderBy(F.col("dv").asc(), F.col("v").asc())
-    cund = (
+    return (
         und.join(dv, "v")
         .select("u", "v", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= cap)
         .select("u", "v")
     )
+
+
+def _capped_top20(spark, sf_dir, cap: int = 128):
+    """Shared capped-Jaccard pipeline: the ``_capped_adjacency``
+    truncation, then the packed-key wedge join and capped-degree Jaccard
+    top-20. Returns (top20-with-unrounded-jac, und, deg) so the audit
+    query can reuse the same exact-side frames."""
+    edges, und, deg = _copurchase_graph(spark, sf_dir)
+    cund = _capped_adjacency(und, deg, cap)
     capped_deg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("d"))
     ctop = _common_top20(_common_counts_packed(cund), capped_deg)
     return ctop, und, deg
@@ -1280,3 +1287,75 @@ def graph_connected_components(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
         .orderBy(F.col("component_size").desc())
     )
+
+
+@register(
+    "graph_resource_allocation_capped",
+    _CAPPED_PRELUDE_SQL
+    + """
+    , ra AS (
+      SELECT x.u AS cu, y.u AS cv, COUNT(*)::BIGINT AS n_common,
+             SUM(1000000 // d.d)::BIGINT AS ra_micro
+      FROM cund x JOIN cund y ON x.v = y.v AND x.u < y.u
+      JOIN deg d ON d.u = x.v
+      GROUP BY 1, 2)
+    SELECT cu AS part_a, cv AS part_b, n_common, ra_micro
+    FROM ra
+    ORDER BY ra_micro DESC, n_common DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def graph_resource_allocation_capped(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou-Lu-Zhang 2009) over the
+    capped co-purchase graph: score(u,v) = sum over shared neighbors w of
+    1/deg(w) — the index that beats raw common-neighbor counts and
+    Adamic-Adar on dense co-occurrence graphs precisely because a hub
+    shared by everyone contributes ~nothing (1/deg) while a rare shared
+    neighbor contributes a lot. The natural second ranker on the wedge
+    frame `graph_common_neighbors_capped` already builds: same d=128
+    lowest-(degree, id) truncation (`_capped_adjacency`), same packed-
+    BIGINT pair key, one extra broadcast degree attach BEFORE the wedge
+    join so the weight rides the wedge rows (never a post-agg re-join to
+    a wedge-scale frame).
+
+    Determinism: the weight is the INTEGER division 1000000 div deg(w)
+    (deg is the UNCAPPED exact degree — the estimator's discount should
+    see the true hubness, not the truncated one), so per-pair scores are
+    order-insensitive BIGINT sums — no float accumulates across rows;
+    ranking ties break on (n_common, part_a, part_b). Scale: fan-out per
+    shared neighbor w is |{u : w in capped N(u)}|^2, bounded by the cap
+    exactly as the capped-Jaccard query's is."""
+    edges, und, deg = _copurchase_graph(spark, sf_dir)
+    cund = _capped_adjacency(und, deg, 128)
+    wdeg = F.broadcast(
+        deg.select(F.col("u").alias("v"), F.col("d").alias("dw"))
+    )
+    x = cund.join(wdeg, "v").select(
+        F.col("u").alias("cu"), F.col("v").alias("w"), "dw"
+    )
+    y = cund.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    ra = (
+        x.join(y, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .select(
+            F.expr("shiftleft(cu, 32) + cv").alias("pk"),
+            F.expr("1000000 div dw").alias("rw"),
+        )
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("rw").cast("bigint").alias("ra_micro"),
+        )
+        .select(
+            F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
+            F.expr("pk & 4294967295").alias("part_b"),
+            "n_common",
+            "ra_micro",
+        )
+    )
+    return ra.orderBy(
+        F.col("ra_micro").desc(),
+        F.col("n_common").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ).limit(20)

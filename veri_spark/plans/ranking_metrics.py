@@ -425,3 +425,78 @@ def cosine_dot_rank_divergence(spark, sf_dir):
         .cast("bigint")
         .alias("footrule"),
     )
+
+
+@register(
+    "ann_map_audit",
+    f"""
+    WITH {_dd_ranked(10)}
+    , hits AS (
+      SELECT a.query_id, a.rn,
+             CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM approx a
+      LEFT JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id),
+    cum AS (
+      SELECT query_id, rn, rel,
+             SUM(rel) OVER (PARTITION BY query_id ORDER BY rn ASC)::BIGINT
+               AS cum_hits
+      FROM hits),
+    ap AS (
+      SELECT query_id,
+             SUM(rel)::BIGINT AS n_hits,
+             SUM(CASE WHEN rel = 1
+                      THEN CAST(round(1e6 * cum_hits / rn) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS ap_micro_sum
+      FROM cum GROUP BY query_id)
+    SELECT query_id, n_hits, ap_micro_sum,
+           ROUND(ap_micro_sum / 1e7, 6) AS ap_at_10
+    FROM ap ORDER BY query_id ASC
+    """,
+)
+def ann_map_audit(spark, sf_dir):
+    """Average precision @10 of the IVF probe ranking against exact brute
+    force — the metric between `ann_ivf_recall_audit` (position-blind)
+    and `ann_ndcg_audit` (fixed log discounts): AP integrates precision
+    at every HIT position, so it rewards packing the true neighbors at
+    the top with data-dependent weights rather than a fixed discount
+    table. AP = (1/R) * sum over hit ranks r of precision@r, R = 10.
+
+    Determinism: each precision term 1e6 * cum_hits / rn is one
+    correctly-rounded division of small exact integers, micro-quantized
+    PER TERM and integer-summed (order-insensitive); no value 1e6*c/r
+    with r <= 10 lands on a .5 boundary (r in {{2,4,5,8,10}} divide 1e6
+    exactly; r in {{3,6,7,9}} give thirds/sevenths/ninths), so the two
+    engines' round() agree exactly. The cumulative-hit window is
+    PARTITIONED per query over the <=10-row top-k frame; corpus cost is
+    the two rankings themselves (shared `_spark_ranked` harness)."""
+    exact, approx = _spark_ranked(spark, sf_dir, 10)
+    hits = approx.join(
+        exact.select("query_id", "vec_id", F.lit(1).alias("__rel")),
+        ["query_id", "vec_id"],
+        "left",
+    ).select(
+        "query_id",
+        "rn",
+        F.when(F.col("__rel").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rn").asc())
+    cum = hits.withColumn("cum_hits", F.sum("rel").over(w).cast("bigint"))
+    ap = cum.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_hits"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(F.lit(1e6) * F.col("cum_hits") / F.col("rn")).cast(
+                    "bigint"
+                ),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ap_micro_sum"),
+    )
+    return ap.select(
+        "query_id",
+        "n_hits",
+        "ap_micro_sum",
+        F.round(F.col("ap_micro_sum") / F.lit(1e7), 6).alias("ap_at_10"),
+    ).orderBy(F.col("query_id").asc())
