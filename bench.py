@@ -157,6 +157,19 @@ BENCH_QUERIES = [
     "markov_entropy_rate",
     "orders_little_law_audit",
     "user_lorenz_curve",
+    # round-8 batch 2: trend significance, rank stability, symmetric
+    # drift, the second capped link predictor (shares the session graph
+    # frames with the Jaccard one), and the AP retrieval metric
+    "mann_kendall_daily_trend",
+    "kendall_tau_part_demand",
+    "js_divergence_event_drift",
+    "graph_resource_allocation_capped",
+    "ann_map_audit",
+    # round-8 batch 3: sequential changepoint (integer PH recursion),
+    # family-wise-error control over segment tests, IVF geometry audit
+    "events_page_hinkley",
+    "holm_weekday_conversion_tests",
+    "ivf_silhouette_audit",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -178,6 +191,9 @@ SINGLE_RUN = {
     # round-8: the distributed-rank + exploded-corpus first-occurrence
     # fit is the one multi-job entry of the evaluation batch
     "heaps_law_fit",
+    # round-8 batch 2: the second capped wedge join — same m^1.5 offline
+    # class as its Jaccard sibling, shares the session edge frame
+    "graph_resource_allocation_capped",
 }
 
 

@@ -209,3 +209,96 @@ def test_map_matches_python_ap(spark):
         # rank 1 is the query vector itself in both rankings, so every
         # query has at least one hit
         assert r["n_hits"] >= 1
+
+
+def test_page_hinkley_matches_bruteforce(spark):
+    """Per-type PH gap equals the sequential Python recompute (running
+    mean, micro-quantized deviations, running min)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        counts[r["event_type"]][r["hr"]] += 1
+    # Python round() is half-EVEN; the engines round half-up/away on the
+    # positive running-mean term, so emulate with floor(x + 0.5) and
+    # allow a 2-micro slack for near-boundary shortest-repr rounding
+    # differences (the two ENGINES agree bit-exactly — the DuckDB gate
+    # checks that; this test checks the MATH, not the rounding mode).
+    expect = {}
+    for et, hrs in counts.items():
+        s = 0
+        m_t = 0
+        runmin = 0  # m_0 = 0 enters the min
+        gaps = {}
+        for t, hr in enumerate(sorted(hrs), start=1):
+            n = hrs[hr]
+            s += n
+            dev = 1000000 * n - math.floor(1e6 * s / t + 0.5)
+            m_t += dev
+            gaps[hr] = m_t - min(runmin, 0)
+            runmin = min(runmin, m_t)
+        expect[et] = (gaps, len(hrs))
+    rows = QUERIES["events_page_hinkley"](spark, SF_DIR).collect()
+    assert {r["event_type"] for r in rows} == set(expect)
+    for r in rows:
+        gaps, nh = expect[r["event_type"]]
+        peak = max(gaps.values())
+        assert abs(r["ph_gap_micro"] - peak) <= 2
+        assert gaps[r["peak_hour"]] >= peak - 2
+        assert r["n_hours"] == nh
+
+
+def test_holm_stepdown_semantics(spark):
+    """Ranks are a permutation, thresholds increase with rank (fewer
+    remaining tests -> stricter cutoff is for rank 1), and rejection is
+    PREFIX-closed: once a rank fails its threshold, no later rank is
+    rejected."""
+    from veri_spark.plans.events_behavior import _HOLM_Z
+
+    rows = QUERIES["holm_weekday_conversion_tests"](spark, SF_DIR).collect()
+    assert rows
+    m = len(rows)
+    assert sorted(r["holm_rank"] for r in rows) == list(range(1, m + 1))
+    by_rank = sorted(rows, key=lambda r: r["holm_rank"])
+    seen_fail = False
+    for r in by_rank:
+        k = m - r["holm_rank"] + 1
+        assert r["z_threshold_micro"] == round(_HOLM_Z[k] * 1e6)
+        hit = abs(r["z_score"]) >= _HOLM_Z[k] - 1e-6
+        if seen_fail:
+            assert not r["rejected"]
+        elif not hit:
+            # the rounded z may sit within 1e-6 of the cutoff; only a
+            # clear miss must terminate the rejection prefix
+            if abs(r["z_score"]) < _HOLM_Z[k] - 1e-6:
+                assert not r["rejected"]
+                seen_fail = True
+        assert r["n0"] + r["n1"] > 0
+
+
+def test_ivf_silhouette_matches_bruteforce(spark):
+    """Per-cluster mean/min silhouette equals the Python recompute from
+    raw embeddings and the first-8 centroid seed."""
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    cents = sorted(
+        ((r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb),
+    )[:8]
+
+    def dist(u, v):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(u, v)))
+
+    per = defaultdict(list)
+    for r in emb:
+        v = [float(x) for x in r["embedding"]]
+        ds = sorted((dist(v, cv), cid) for cid, cv in cents)
+        (d1, c1), (d2, _) = ds[0], ds[1]
+        s = (d2 - d1) / max(d1, d2) if max(d1, d2) > 0 else 0.0
+        per[c1].append(math.floor(1e6 * s + 0.5))
+    rows = QUERIES["ivf_silhouette_audit"](spark, SF_DIR).collect()
+    assert {r["centroid_id"] for r in rows} == set(per)
+    for r in rows:
+        ss = per[r["centroid_id"]]
+        assert r["n_vectors"] == len(ss)
+        assert r["min_sil_micro"] == min(ss)
+        assert abs(r["mean_sil_micro"] - sum(ss) / len(ss)) <= 0.5 + 1e-9

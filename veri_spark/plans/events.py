@@ -1345,3 +1345,115 @@ def events_burstiness(spark, sf_dir):
             6,
         ).alias("fano_factor"),
     )
+
+
+@register(
+    "events_page_hinkley",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    o AS (SELECT event_type, hr, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hr ASC) AS t,
+                 SUM(n) OVER (PARTITION BY event_type
+                              ORDER BY hr ASC)::BIGINT AS s
+          FROM h),
+    term AS (SELECT event_type, hr, t,
+                    1000000 * n - CAST(round(1e6 * s / t) AS BIGINT) AS dev
+             FROM o),
+    ph AS (SELECT event_type, hr, t,
+                  SUM(dev) OVER (PARTITION BY event_type
+                                 ORDER BY hr ASC)::BIGINT AS m_t
+           FROM term),
+    g AS (SELECT event_type, hr, t, m_t,
+                 m_t - LEAST(MIN(m_t) OVER (PARTITION BY event_type
+                                            ORDER BY hr ASC), 0)::BIGINT
+                   AS gap
+          FROM ph),
+    x AS (SELECT event_type, hr, gap, t,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY gap DESC, hr ASC) AS rk,
+                 MAX(t) OVER (PARTITION BY event_type) AS n_hours
+          FROM g)
+    SELECT event_type, hr AS peak_hour, gap AS ph_gap_micro, n_hours
+    FROM x WHERE rk = 1
+    ORDER BY event_type ASC
+    """,
+)
+def events_page_hinkley(spark, sf_dir):
+    """Page-Hinkley upward-shift detector per event type (Page 1954, the
+    sequential sibling of `events_cusum_scan`): m_t accumulates each
+    hour's deviation from the RUNNING mean (not the full-series mean
+    CUSUM uses — PH is computable online), and the alarm statistic is
+    m_t minus its running minimum; the hour where that gap peaks is
+    where a sustained rate increase is most evident. Reported in micro-
+    events so the whole recursion is exact BIGINT arithmetic: the only
+    float op is the one correctly-rounded division 1e6*S_t/t per hour
+    (micro-quantized immediately; any exact .5 is a dyadic rational both
+    engines represent and round identically), so the cumulative sums
+    and running minima are order-exact integers — no float accumulates
+    across rows in either engine.
+
+    Scale shape: hourly pre-aggregation first (one partial-aggregated
+    corpus scan); every window is PARTITIONED by event_type over the
+    calendar-bounded |types| x |hours| frame."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    word = Window.partitionBy("event_type").orderBy(F.col("hr").asc())
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.row_number().over(word).alias("t"),
+        F.sum("n").over(wcum).cast("bigint").alias("s"),
+    )
+    term = o.select(
+        "event_type",
+        "hr",
+        "t",
+        (
+            F.lit(1000000) * F.col("n")
+            - F.round(F.lit(1e6) * F.col("s") / F.col("t")).cast("bigint")
+        ).alias("dev"),
+    )
+    ph = term.select(
+        "event_type",
+        "hr",
+        "t",
+        F.sum("dev").over(wcum).cast("bigint").alias("m_t"),
+    )
+    g = ph.select(
+        "event_type",
+        "hr",
+        "t",
+        "m_t",
+        (
+            F.col("m_t")
+            - F.least(F.min("m_t").over(wcum).cast("bigint"), F.lit(0))
+        ).alias("gap"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.col("gap").desc(), F.col("hr").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    return (
+        g.select(
+            "event_type",
+            "hr",
+            "gap",
+            F.row_number().over(wrk).alias("rk"),
+            F.max("t").over(wall).alias("n_hours"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("peak_hour"),
+            F.col("gap").alias("ph_gap_micro"),
+            "n_hours",
+        )
+        .orderBy(F.col("event_type").asc())
+    )

@@ -1621,3 +1621,217 @@ def poisson_bootstrap_ci(spark, sf_dir):
             F.round("hi", 6).alias("ci_hi"),
         )
     )
+
+
+# Holm step-down thresholds: |z| cutoffs Phi^-1(1 - 0.025/k) for k tests
+# remaining, k = 1..7 (the weekday domain bound). Python-precomputed via
+# Acklam's probit (the QQ-grid / _Z_975 rule: quantiles are NEVER
+# computed in-engine); pinned to the defining formula by
+# tests/test_round8_batch2.py. Micro literals are round(z * 1e6).
+_HOLM_Z = {
+    1: 1.959963986120195,
+    2: 2.2414027264652865,
+    3: 2.3939798012415405,
+    4: 2.4977054769619746,
+    5: 2.5758293064439264,
+    6: 2.638257276348003,
+    7: 2.69010952983243,
+}
+_HOLM_SQL_ROWS = ", ".join(
+    f"({k}, {z!r}, {round(z * 1e6)})" for k, z in _HOLM_Z.items()
+)
+
+
+@register(
+    "holm_weekday_conversion_tests",
+    f"""
+    WITH fe AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events),
+    seg AS (
+      SELECT dayofweek(ts)::BIGINT AS dow,
+             CAST('0x' || substr(md5('arm|' || user_id::VARCHAR), 1, 15)
+                  AS BIGINT) % 2 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM fe WHERE rn = 1),
+    c AS (SELECT dow,
+            SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+            SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+            SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+            SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c1
+          FROM seg GROUP BY dow),
+    z AS (SELECT dow, n0, n1, c0, c1,
+            CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
+                   OR c0 + c1 = n0 + n1
+                 THEN 0.0
+                 ELSE (c1::DOUBLE / n1 - c0::DOUBLE / n0)
+                      / sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+                             * (1 - (c0 + c1)::DOUBLE / (n0 + n1))
+                             * (1.0 / n0 + 1.0 / n1)) END AS zval
+          FROM c),
+    m AS (SELECT COUNT(*)::BIGINT AS m FROM z),
+    r AS (SELECT a.dow, (1 + COUNT(b.dow))::BIGINT AS rnk
+          FROM z a LEFT JOIN z b
+            ON abs(b.zval) > abs(a.zval)
+            OR (abs(b.zval) = abs(a.zval) AND b.dow < a.dow)
+          GROUP BY a.dow),
+    thr AS (SELECT * FROM (VALUES {_HOLM_SQL_ROWS})
+            AS v(k, zthr, zthr_micro)),
+    rt AS (SELECT z.*, r.rnk, thr.zthr, thr.zthr_micro
+           FROM z JOIN r USING (dow) CROSS JOIN m
+           JOIN thr ON thr.k = m.m - r.rnk + 1),
+    hm AS (SELECT a.dow,
+                  MIN(CASE WHEN abs(b.zval) >= b.zthr
+                           THEN 1 ELSE 0 END)::BIGINT AS rej
+           FROM rt a JOIN rt b ON b.rnk <= a.rnk
+           GROUP BY a.dow)
+    SELECT rt.dow, rt.n0, rt.c0, rt.n1, rt.c1,
+           ROUND(rt.zval, 6) AS z_score,
+           rt.rnk AS holm_rank,
+           rt.zthr_micro::BIGINT AS z_threshold_micro,
+           hm.rej = 1 AS rejected
+    FROM rt JOIN hm USING (dow)
+    ORDER BY rt.rnk ASC
+    """,
+)
+def holm_weekday_conversion_tests(spark, sf_dir):
+    """Holm step-down multiple-testing control over the per-weekday A/A
+    conversion z-tests — the family-wise-error answer to 'we sliced the
+    experiment seven ways and Tuesday looks significant': tests are
+    ranked by |z|, test i faces the threshold for alpha/(m-i+1), and
+    rejection STOPS at the first failure (everything after is accepted
+    even above its own threshold — the step-down semantics naive
+    per-slice testing gets wrong). Under this null (hash-split arms)
+    every rejected flag should be false; a true flag is the harness
+    catching a broken segmentation join or hash.
+
+    Determinism + scale: per-user first-event conversion reduces the
+    corpus to <= 7 (n0, c0, n1, c1) BIGINT cells in one partitioned
+    window + one partial agg; z is the fixed sqrt/division sequence on
+    those integers (bit-identical cross-engine); thresholds are Acklam
+    probit LITERALS (never in-engine quantiles); the rank and the
+    sequential-stop fold are triangular broadcast self-joins over the
+    <= 7-row frame (the Lorenz prefix idiom — no unpartitioned window
+    anywhere)."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    fe = ev.select(
+        "user_id", "event_type", "ts", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    seg = fe.select(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        (portable_hash64(F.col("user_id").cast("string"), seed="arm") % 2)
+        .alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    c = seg.groupBy("dow").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    zval = (
+        F.when(
+            (F.col("n0") == 0)
+            | (F.col("n1") == 0)
+            | (F.col("c0") + F.col("c1") == 0)
+            | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")),
+            F.lit(0.0),
+        ).otherwise(
+            (
+                F.col("c1").cast("double") / F.col("n1")
+                - F.col("c0").cast("double") / F.col("n0")
+            )
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            )
+        )
+    )
+    z = c.withColumn("zval", zval)
+    m = z.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    zb = z.select(
+        F.col("dow").alias("dow_b"), F.col("zval").alias("zval_b")
+    )
+    r = (
+        z.join(
+            F.broadcast(zb),
+            (F.abs(F.col("zval_b")) > F.abs(F.col("zval")))
+            | (
+                (F.abs(F.col("zval_b")) == F.abs(F.col("zval")))
+                & (F.col("dow_b") < F.col("dow"))
+            ),
+            "left",
+        )
+        .groupBy("dow")
+        .agg((1 + F.count("dow_b")).cast("bigint").alias("rnk"))
+    )
+    thr_z = F.create_map(
+        *[F.lit(x) for k, v in _HOLM_Z.items() for x in (k, v)]
+    )
+    thr_mic = F.create_map(
+        *[F.lit(x) for k, v in _HOLM_Z.items() for x in (k, round(v * 1e6))]
+    )
+    rt = (
+        z.join(r, "dow")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "zthr",
+            F.element_at(thr_z, (F.col("m") - F.col("rnk") + 1).cast("int")),
+        )
+        .withColumn(
+            "zthr_micro",
+            F.element_at(
+                thr_mic, (F.col("m") - F.col("rnk") + 1).cast("int")
+            ),
+        )
+    )
+    rtb = rt.select(
+        F.col("rnk").alias("rnk_b"),
+        F.col("zval").alias("zb"),
+        F.col("zthr").alias("thrb"),
+    )
+    hm = (
+        rt.join(F.broadcast(rtb), F.col("rnk_b") <= F.col("rnk"))
+        .groupBy("dow")
+        .agg(
+            F.min(
+                F.when(F.abs(F.col("zb")) >= F.col("thrb"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rej")
+        )
+    )
+    return (
+        rt.join(hm, "dow")
+        .select(
+            "dow",
+            "n0",
+            "c0",
+            "n1",
+            "c1",
+            F.round("zval", 6).alias("z_score"),
+            F.col("rnk").alias("holm_rank"),
+            F.col("zthr_micro").cast("bigint").alias("z_threshold_micro"),
+            (F.col("rej") == 1).alias("rejected"),
+        )
+        .orderBy(F.col("holm_rank").asc())
+    )

@@ -366,8 +366,9 @@ def graph_triangle_census(spark, sf_dir):
 # its blocks FAILS the job instead of silently recomputing (the
 # operators/ranking.py rationale). Everything cached here is bounded by
 # construction — the distinct co-purchase edge list (~|parts| x avg-degree
-# rows: 1.2M at sf0.1) and one-row triangle counts — never a wedge-scale
-# intermediate.
+# rows: 1.2M at sf0.1), the capped adjacency (<= |nodes| x 128, never
+# larger than the edge frame it truncates), and one-row triangle counts —
+# never a wedge-scale intermediate.
 _SHARED: dict = {}
 
 
@@ -865,13 +866,29 @@ def _capped_adjacency(und: DataFrame, deg: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _capped_adjacency_shared(spark, sf_dir, cap: int = 128):
+    """Session-shared capped adjacency (see ``_SHARED``): the truncation
+    window sort over the both-direction edge frame runs ONCE per sweep
+    and serves every capped link predictor (Jaccard, resource
+    allocation). Bounded by construction: at most |nodes| x cap rows —
+    never larger than the undirected edge frame it truncates. Returns
+    (cund, und, deg)."""
+    edges, und, deg = _copurchase_graph(spark, sf_dir)
+    cund = _shared_frame(
+        spark,
+        sf_dir,
+        f"capped_adjacency_{cap}",
+        lambda: _capped_adjacency(und, deg, cap),
+    )
+    return cund, und, deg
+
+
 def _capped_top20(spark, sf_dir, cap: int = 128):
     """Shared capped-Jaccard pipeline: the ``_capped_adjacency``
     truncation, then the packed-key wedge join and capped-degree Jaccard
     top-20. Returns (top20-with-unrounded-jac, und, deg) so the audit
     query can reuse the same exact-side frames."""
-    edges, und, deg = _copurchase_graph(spark, sf_dir)
-    cund = _capped_adjacency(und, deg, cap)
+    cund, und, deg = _capped_adjacency_shared(spark, sf_dir, cap)
     capped_deg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("d"))
     ctop = _common_top20(_common_counts_packed(cund), capped_deg)
     return ctop, und, deg
@@ -1325,8 +1342,7 @@ def graph_resource_allocation_capped(spark, sf_dir):
     ranking ties break on (n_common, part_a, part_b). Scale: fan-out per
     shared neighbor w is |{u : w in capped N(u)}|^2, bounded by the cap
     exactly as the capped-Jaccard query's is."""
-    edges, und, deg = _copurchase_graph(spark, sf_dir)
-    cund = _capped_adjacency(und, deg, 128)
+    cund, und, deg = _capped_adjacency_shared(spark, sf_dir, 128)
     wdeg = F.broadcast(
         deg.select(F.col("u").alias("v"), F.col("d").alias("dw"))
     )

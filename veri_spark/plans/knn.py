@@ -2071,3 +2071,95 @@ def knn_reciprocal_pairs(spark, sf_dir):
         )
         .orderBy(F.col("src").asc(), F.col("dst").asc())
     )
+
+
+@register(
+    "ivf_silhouette_audit",
+    f"""
+    WITH d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+      FROM embeddings e CROSS JOIN {_DD_CENTROIDS} c),
+    r AS (SELECT vec_id, centroid_id, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, centroid_id ASC)
+                   AS rn
+          FROM d),
+    ab AS (SELECT a.vec_id, a.centroid_id, a.dist AS d1, b.dist AS d2
+           FROM r a JOIN r b ON a.vec_id = b.vec_id
+            AND a.rn = 1 AND b.rn = 2),
+    s AS (SELECT centroid_id,
+                 CAST(FLOOR(1e6 * CASE WHEN GREATEST(d1, d2) > 0
+                                       THEN (d2 - d1) / GREATEST(d1, d2)
+                                       ELSE 0.0 END + 0.5) AS BIGINT)
+                   AS s_micro
+          FROM ab)
+    SELECT centroid_id, COUNT(*)::BIGINT AS n_vectors,
+           CAST(round(SUM(s_micro) / (COUNT(*) * 1.0)) AS BIGINT)
+             AS mean_sil_micro,
+           MIN(s_micro)::BIGINT AS min_sil_micro
+    FROM s GROUP BY centroid_id ORDER BY centroid_id ASC
+    """,
+)
+def ivf_silhouette_audit(spark, sf_dir):
+    """Simplified-silhouette quality audit of the IVF partition: for
+    every vector, a = distance to its own centroid, b = distance to the
+    runner-up centroid, s = (b-a)/max(a,b) in [0,1] — the per-cluster
+    mean says how SEPARATED each inverted list is (mean near 0 = the
+    cell's vectors sit on the boundary and nprobe=1 recall will be poor
+    there; the per-cell floor `min_sil_micro` finds the worst-assigned
+    vector). The centroid-quality companion to `ivf_balance_audit`
+    (sizes) and `ann_ivf_recall_audit` (end-to-end recall): balance can
+    be perfect while separation is terrible, and recall audits cost a
+    full exact scan — this reads the geometry directly from one
+    map-only pass.
+
+    Scale + determinism: centroids fold into the plan as LITERALS (the
+    `ivf_assign` idiom), so the nearest/runner-up pair comes from one
+    array_sort over 8 in-row (distance, id) structs — map-only, ZERO
+    shuffles over the corpus, then one partial-aggregated groupBy on
+    the assigned cell. Distances are the same index-ordered
+    sum-of-squares + correctly-rounded sqrt in both engines (the K1
+    parity); s is micro-quantized per VECTOR (floor(x+0.5) on a
+    provably nonnegative value), so cell means are single divisions of
+    exact BIGINT sums."""
+    from veri_spark.operators.similarity import take_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = take_centroids(emb, 8).collect()
+    candidates = [
+        F.struct(
+            V.euclidean_distance(
+                F.col("embedding"), [float(x) for x in r["centroid_vec"]]
+            ).alias("d"),
+            F.lit(r["centroid_id"]).alias("cid"),
+        )
+        for r in cents
+    ]
+    arr = F.array_sort(F.array(*candidates))
+    d1 = arr[0].getField("d")
+    d2 = arr[1].getField("d")
+    s_micro = F.floor(
+        F.lit(1e6)
+        * F.when(
+            F.greatest(d1, d2) > 0, (d2 - d1) / F.greatest(d1, d2)
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5)
+    ).cast("bigint")
+    per = emb.select(
+        arr[0].getField("cid").alias("centroid_id"),
+        s_micro.alias("s_micro"),
+    )
+    return (
+        per.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum("s_micro") / (F.count(F.lit(1)) * F.lit(1.0))
+            )
+            .cast("bigint")
+            .alias("mean_sil_micro"),
+            F.min("s_micro").cast("bigint").alias("min_sil_micro"),
+        )
+        .orderBy(F.col("centroid_id").asc())
+    )
