@@ -170,6 +170,11 @@ BENCH_QUERIES = [
     "events_page_hinkley",
     "holm_weekday_conversion_tests",
     "ivf_silhouette_audit",
+    # round-8 batch 4: integrated-CDF drift (prefix-scan CvM), robust
+    # location drift, association significance on the basket pairs
+    "cvm_value_drift",
+    "value_trimmed_winsorized_drift",
+    "copurchase_lift_chi2",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -302,3 +302,107 @@ def test_ivf_silhouette_matches_bruteforce(spark):
         assert r["n_vectors"] == len(ss)
         assert r["min_sil_micro"] == min(ss)
         assert abs(r["mean_sil_micro"] - sum(ss) / len(ss)) <= 0.5 + 1e-9
+
+
+def test_cvm_matches_bruteforce(spark):
+    """CvM T equals the textbook midrank computation on the raw click /
+    view samples."""
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "value").collect()
+    xs = sorted(
+        (r["value"], r["event_type"]) for r in ev
+    )
+    n1 = sum(1 for _, t in xs if t == "click")
+    n2 = len(xs) - n1
+    # doubled midranks per observation (pooled and within-sample)
+    from itertools import groupby
+
+    u4a = u4b = 0
+    c_bef = a_bef = b_bef = 0
+    for _, grp in groupby(xs, key=lambda t: t[0]):
+        g = list(grp)
+        a = sum(1 for _, t in g if t == "click")
+        b = len(g) - a
+        da = 2 * b_bef + b
+        db = 2 * a_bef + a
+        u4a += a * da * da
+        u4b += b * db * db
+        c_bef += len(g)
+        a_bef += a
+        b_bef += b
+    u4 = n1 * u4a + n2 * u4b
+    nn = n1 + n2
+    t_expect = u4 / (4.0 * n1 * n2 * nn) - (4.0 * n1 * n2 - 1) / (6.0 * nn)
+    [row] = QUERIES["cvm_value_drift"](spark, SF_DIR).collect()
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["cvm_t"] - t_expect) < 1e-6
+    # under H0 the statistic concentrates near 1/6; sanity-bound it
+    assert -0.1 < row["cvm_t"] < 10.0
+
+
+def test_trimmed_winsorized_matches_bruteforce(spark):
+    """Per-half trimmed and winsorized means match a Python recompute
+    using the same linear-interpolation quantile rule."""
+    ev = load_table(spark, SF_DIR, "events").select("ts", "value").collect()
+    days = [r["ts"].date() for r in ev]
+    day0, span = min(days), (max(days) - min(days)).days
+    halves = defaultdict(list)
+    for r in ev:
+        h = 0 if (r["ts"].date() - day0).days * 2 <= span else 1
+        halves[h].append(r["value"])
+
+    def quantile(vs, p):
+        vs = sorted(vs)
+        idx = p * (len(vs) - 1)
+        lo = math.floor(idx)
+        frac = idx - lo
+        return vs[lo] if frac == 0 else vs[lo] + frac * (vs[lo + 1] - vs[lo])
+
+    rows = QUERIES["value_trimmed_winsorized_drift"](spark, SF_DIR).collect()
+    assert {r["half"] for r in rows} == set(halves)
+    for r in rows:
+        vs = halves[r["half"]]
+        q10, q90 = quantile(vs, 0.1), quantile(vs, 0.9)
+        kept = [v for v in vs if q10 <= v <= q90]
+        wins = [min(max(v, q10), q90) for v in vs]
+        assert r["n"] == len(vs) and r["n_kept"] == len(kept)
+        assert abs(r["trimmed_mean"] - sum(kept) / len(kept)) < 1e-5
+        assert abs(r["winsorized_mean"] - sum(wins) / len(wins)) < 1e-5
+        # winsorizing keeps clamped tails, so it sits no further from
+        # the body than the raw mean does
+        assert r["q10"] <= r["winsorized_mean"] <= r["q90"]
+
+
+def test_copurchase_chi2_matches_bruteforce(spark):
+    """Top-20 lift + chi2 equal the contingency-table recompute."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    nn = len(orders)
+    supp = defaultdict(int)
+    pair = defaultdict(int)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for p in ps:
+            supp[p] += 1
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                pair[(u, v)] += 1
+    rows = QUERIES["copurchase_lift_chi2"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        k = (r["part_a"], r["part_b"])
+        nab, na, nb = pair[k], supp[k[0]], supp[k[1]]
+        assert r["n_ab"] == nab and nab >= 2
+        lift = (nab * 1.0) * nn / ((na * 1.0) * nb)
+        det = nab * nn - na * nb
+        chi2 = (nn * 1.0) * det * det / (
+            (na * 1.0) * nb * (nn - na) * (nn - nb)
+        )
+        assert abs(r["lift"] - lift) < 1e-5
+        assert abs(r["chi2"] - chi2) < 1e-5
+        assert r["significant_95"] == (chi2 > 1.959963984540054 ** 2)

@@ -1403,3 +1403,99 @@ def js_divergence_event_drift(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+@register(
+    "value_trimmed_winsorized_drift",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0,
+                       date_diff('day', MIN(ts::DATE), MAX(ts::DATE))::BIGINT
+                         AS span
+                FROM events),
+    e AS (SELECT value,
+                 CASE WHEN date_diff('day', d0.day0, ts::DATE) * 2 <= d0.span
+                      THEN 0 ELSE 1 END AS half
+          FROM events CROSS JOIN d0),
+    q AS (SELECT half, quantile_cont(value, 0.1) AS q10,
+                 quantile_cont(value, 0.9) AS q90
+          FROM e GROUP BY half),
+    j AS (SELECT e.half, e.value, q.q10, q.q90 FROM e JOIN q USING (half))
+    SELECT half, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN value >= q10 AND value <= q90
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           ROUND(MAX(q10), 6) AS q10,
+           ROUND(MAX(q90), 6) AS q90,
+           ROUND(SUM(CASE WHEN value >= q10 AND value <= q90
+                          THEN CAST(value AS DECIMAL(28,10)) END)::DOUBLE
+                 / SUM(CASE WHEN value >= q10 AND value <= q90
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+           ROUND(SUM(CAST(LEAST(GREATEST(value, q10), q90)
+                          AS DECIMAL(28,10)))::DOUBLE
+                 / COUNT(*), 6) AS winsorized_mean
+    FROM j GROUP BY half ORDER BY half ASC
+    """,
+)
+def value_trimmed_winsorized_drift(spark, sf_dir):
+    """Robust location drift between the early and late calendar halves:
+    the 10%-two-sided TRIMMED mean (drop the tails) and WINSORIZED mean
+    (clamp the tails) of the event value per half — the robust sibling
+    of the raw `value_moments_by_type` means and the location complement
+    of `value_mad_outliers`' scale estimate: when the raw mean drifts
+    but the trimmed mean does not, the change is in the tails (new
+    outliers, a clipping bug), not the distribution's body.
+
+    Scale + determinism: one pass computes the calendar split, one exact
+    interpolated-quantile aggregate per half (the
+    `events_value_quantiles` idiom — percentile_approx is the 100 TB
+    swap-in), then one partial-aggregated scan with the 2-row quantile
+    frame broadcast; both means sum exact DECIMAL(28,10) casts
+    (order-insensitive, the value_moments idiom) with one double
+    division at the end. The clamp (LEAST/GREATEST) returns one of the
+    operand doubles bit-for-bit in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("day0"),
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("span"),
+    )
+    e = ev.crossJoin(F.broadcast(d0)).select(
+        "value",
+        F.when(
+            F.datediff(F.col("ts").cast("date"), F.col("day0")) * 2
+            <= F.col("span"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    q = e.groupBy("half").agg(
+        F.percentile("value", F.lit(0.1)).alias("q10"),
+        F.percentile("value", F.lit(0.9)).alias("q90"),
+    )
+    j = e.join(F.broadcast(q), "half")
+    kept = (F.col("value") >= F.col("q10")) & (F.col("value") <= F.col("q90"))
+    clamped = F.least(F.greatest(F.col("value"), F.col("q10")), F.col("q90"))
+    return (
+        j.groupBy("half")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.round(F.max("q10"), 6).alias("q10"),
+            F.round(F.max("q90"), 6).alias("q90"),
+            F.round(
+                F.sum(F.when(kept, F.col("value").cast("decimal(28,10)")))
+                .cast("double")
+                / F.sum(F.when(kept, 1).otherwise(0)),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(clamped.cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy(F.col("half").asc())
+    )

@@ -1835,3 +1835,130 @@ def holm_weekday_conversion_tests(spark, sf_dir):
         )
         .orderBy(F.col("holm_rank").asc())
     )
+
+
+@register(
+    "cvm_value_drift",
+    """
+    WITH ev AS (SELECT event_type, value FROM events
+                WHERE event_type IN ('click', 'view')),
+    g AS (SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS a,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                   AS b
+          FROM ev GROUP BY value),
+    p AS (SELECT a, b, a + b AS c,
+                 SUM(a + b) OVER (ORDER BY value ASC)::BIGINT AS cumc,
+                 SUM(a) OVER (ORDER BY value ASC)::BIGINT AS cuma
+          FROM g),
+    d AS (SELECT a, b,
+                 2 * ((cumc - c) - (cuma - a)) + b AS da,
+                 2 * (cuma - a) + a AS db
+          FROM p),
+    s AS (SELECT SUM(a)::BIGINT AS n1, SUM(b)::BIGINT AS n2,
+                 COUNT(*)::BIGINT AS n_values,
+                 SUM(CAST(a AS DECIMAL(38,0)) * da * da) AS sa,
+                 SUM(CAST(b AS DECIMAL(38,0)) * db * db) AS sb
+          FROM d),
+    u AS (SELECT n1, n2, n_values, n1 + n2 AS nn,
+                 (CAST(n1 AS DECIMAL(38,0)) * sa
+                  + CAST(n2 AS DECIMAL(38,0)) * sb)::DOUBLE AS u4
+          FROM s),
+    t AS (SELECT n1, n2, n_values,
+                 u4 / (4.0 * n1 * n2 * nn)
+                   - (4.0 * n1 * n2 - 1) / (6.0 * nn) AS tv
+          FROM u)
+    SELECT n1, n2, n_values,
+           ROUND(tv, 6) AS cvm_t,
+           CAST(round(1e6 * tv) AS BIGINT) AS t_micro
+    FROM t
+    """,
+)
+def cvm_value_drift(spark, sf_dir):
+    """Two-sample Cramer-von Mises drift test between the `click` and
+    `view` value distributions — the INTEGRATED companion of
+    `ks_value_drift` on the same pair: KS reads the single worst CDF gap
+    (sensitive to one local shift), CvM integrates the squared gap over
+    the whole distribution (sensitive to many small ones); under H0 its
+    expectation is 1/6 + 1/(6N). Uses Anderson's rank form U = n*sum_i
+    (r_i - i)^2 + m*sum_j (s_j - j)^2 with midranks for ties, folded to
+    a closed form per DISTINCT value: doubling every rank, all A-side
+    obs of a tied group share 2r-2i = 2*B_before + b_g and the B side
+    2*A_before + a_g, so the whole statistic needs only the two prefix
+    scans the KS query already runs.
+
+    Scale + determinism: the corpus collapses to per-distinct-value
+    (a, b) counts in one partial-aggregated scan; the CDF prefix rides
+    operators/ranking.global_prefix_agg (range partition + ~32-row
+    offset fold, no unpartitioned window); the squared-displacement
+    sums are per-row BIGINT products accumulated as exact DECIMAL(38,0)
+    (order-insensitive — the value_moments idiom; exact while
+    max_tie_group * 4N^2 < 2^63 per row and n*sum < 1e38, i.e. to
+    ~1e8-row samples); T is a fixed sequence of correctly-rounded
+    double ops on the decimal-cast integers, identical in both
+    engines."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    ).withColumn("c", F.col("a") + F.col("b"))
+    p = global_prefix_agg(
+        g,
+        [F.col("value").asc()],
+        ["c", "a"],
+        agg="sum",
+        out_col=["cumc", "cuma"],
+    )
+    d = p.select(
+        "a",
+        "b",
+        (
+            2 * ((F.col("cumc") - F.col("c")) - (F.col("cuma") - F.col("a")))
+            + F.col("b")
+        ).alias("da"),
+        (2 * (F.col("cuma") - F.col("a")) + F.col("a")).alias("db"),
+    )
+    s = d.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(
+            F.col("a").cast("decimal(38,0)") * F.col("da") * F.col("da")
+        ).alias("sa"),
+        F.sum(
+            F.col("b").cast("decimal(38,0)") * F.col("db") * F.col("db")
+        ).alias("sb"),
+    )
+    u = s.select(
+        "n1",
+        "n2",
+        "n_values",
+        (F.col("n1") + F.col("n2")).alias("nn"),
+        (
+            F.col("n1").cast("decimal(38,0)") * F.col("sa")
+            + F.col("n2").cast("decimal(38,0)") * F.col("sb")
+        )
+        .cast("double")
+        .alias("u4"),
+    )
+    tv = F.col("u4") / (
+        F.lit(4.0) * F.col("n1") * F.col("n2") * F.col("nn")
+    ) - (F.lit(4.0) * F.col("n1") * F.col("n2") - 1) / (
+        F.lit(6.0) * F.col("nn")
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "n_values",
+        F.round(tv, 6).alias("cvm_t"),
+        F.round(F.lit(1e6) * tv).cast("bigint").alias("t_micro"),
+    )

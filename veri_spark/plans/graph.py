@@ -1375,3 +1375,135 @@ def graph_resource_allocation_capped(spark, sf_dir):
         F.col("part_a").asc(),
         F.col("part_b").asc(),
     ).limit(20)
+
+
+# chi-square(1df) 95% critical value = (Acklam probit(0.975))^2 — the
+# squared normal quantile (plans/evaluation._Z_975 rule: engine-sensitive
+# constants are Python-precomputed literals, never in-engine quantiles)
+_CHI2_95 = 1.959963984540054 ** 2
+
+
+@register(
+    "copurchase_lift_chi2",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS nn FROM li),
+    supp AS (SELECT l_partkey, COUNT(*)::BIGINT AS s FROM li
+             GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*)::BIGINT AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    x AS (
+      SELECT p.part_a, p.part_b, p.n_ab, sa.s AS na, sb.s AS nb, n.nn,
+             p.n_ab * n.nn - sa.s * sb.s AS det
+      FROM pairs p
+      JOIN supp sa ON sa.l_partkey = p.part_a
+      JOIN supp sb ON sb.l_partkey = p.part_b
+      CROSS JOIN n),
+    y AS (
+      SELECT part_a, part_b, n_ab,
+             (n_ab * 1.0) * nn / ((na * 1.0) * nb) AS lift,
+             (nn * 1.0) * det * det
+               / ((na * 1.0) * nb * (nn - na) * (nn - nb)) AS chi2
+      FROM x)
+    SELECT part_a, part_b, n_ab,
+           ROUND(lift, 6) AS lift,
+           ROUND(chi2, 6) AS chi2,
+           chi2 > {_CHI2_95!r} AS significant_95
+    FROM y
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def copurchase_lift_chi2(spark, sf_dir):
+    """Independence TEST on the top-lift co-purchase pairs: the 2x2
+    chi-square (1 df) of order-level co-occurrence, the significance
+    companion of `copurchase_lift` — lift says HOW associated a pair
+    looks, chi2 says whether that association could be support-2 noise
+    (a pair bought together twice out of two tiny baskets can post a
+    huge lift and a chi2 of ~2). Uses the contingency identity
+    ad - bc = n_ab*N - n_a*n_b, so the determinant is ONE exact BIGINT
+    per pair (safe to N ~ 1.5e9 orders); chi2 and lift are fixed
+    sequences of correctly-rounded double ops over the exact integers,
+    written in the same association order in both engines; the 95% flag
+    compares the UNROUNDED chi2 against the Python-precomputed squared
+    Acklam quantile.
+
+    Scale shape: the same bounded basket-quadratic self-join every
+    copurchase query uses (distinct (order, part) first), one
+    partial-aggregated pair count, two node-count-sized support joins
+    (broadcast at scale), bounded top-20."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nn = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("nn")
+    )
+    supp = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    x = (
+        pairs.join(
+            F.broadcast(
+                supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("na"))
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("nb"))
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "det", F.col("n_ab") * F.col("nn") - F.col("na") * F.col("nb")
+        )
+    )
+    lift = (F.col("n_ab") * F.lit(1.0)) * F.col("nn") / (
+        (F.col("na") * F.lit(1.0)) * F.col("nb")
+    )
+    chi2 = (
+        (F.col("nn") * F.lit(1.0)) * F.col("det") * F.col("det")
+        / (
+            (F.col("na") * F.lit(1.0))
+            * F.col("nb")
+            * (F.col("nn") - F.col("na"))
+            * (F.col("nn") - F.col("nb"))
+        )
+    )
+    y = x.select(
+        "part_a", "part_b", "n_ab",
+        lift.alias("lift_raw"), chi2.alias("chi2_raw"),
+    )
+    return (
+        y.select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round("lift_raw", 6).alias("lift"),
+            F.round("chi2_raw", 6).alias("chi2"),
+            (F.col("chi2_raw") > F.lit(_CHI2_95)).alias("significant_95"),
+            F.col("lift_raw").alias("__lift"),
+        )
+        .orderBy(
+            F.col("__lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .drop("__lift")
+        .limit(20)
+    )
