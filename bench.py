@@ -175,6 +175,11 @@ BENCH_QUERIES = [
     "cvm_value_drift",
     "value_trimmed_winsorized_drift",
     "copurchase_lift_chi2",
+    # round-8 batch 5: storage-encoding sizing, CV-fold label balance,
+    # extreme-value tail index
+    "columnar_encoding_audit",
+    "kfold_label_balance_audit",
+    "doc_length_hill_tail",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

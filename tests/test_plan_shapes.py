@@ -120,6 +120,15 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "customer_spend_quartiles",
         "customer_spend_gini",
         "trigram_coverage_curve",
+        # round-8 batches 2-4: new ranking/prefix-scan users — the CvM
+        # CDF prefix rides global_prefix_agg, Mann-Kendall and Holm fold
+        # with broadcast triangular joins, the RA wedge join reuses the
+        # capped adjacency's partitioned truncation window
+        "cvm_value_drift",
+        "mann_kendall_daily_trend",
+        "holm_weekday_conversion_tests",
+        "graph_resource_allocation_capped",
+        "kendall_tau_part_demand",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

@@ -406,3 +406,94 @@ def test_copurchase_chi2_matches_bruteforce(spark):
         assert abs(r["lift"] - lift) < 1e-5
         assert abs(r["chi2"] - chi2) < 1e-5
         assert r["significant_95"] == (chi2 > 1.959963984540054 ** 2)
+
+
+def test_chi2_4df_literal_matches_wilson_hilferty():
+    """The chi-square(4df) 95% literal agrees with the Wilson-Hilferty
+    cube approximation chi2_p ~ df*(1 - 2/(9df) + z_p*sqrt(2/(9df)))^3
+    at the ONE-SIDED z_0.95 (the chi-square test rejects in the upper
+    tail; only at df=1 does the two-sided z_0.975 square into it), and
+    the exact df=4 closed form 1 - e^(-x/2)(1 + x/2) = 0.95 confirms it
+    to 6 decimals (the literals-match-formulas discipline)."""
+    from veri_spark.plans.integrity import _CHI2_95_4DF_MICRO
+
+    x = _CHI2_95_4DF_MICRO / 1e6
+    # exact chi-square(4) CDF: 1 - exp(-x/2) * (1 + x/2)
+    assert abs((1 - math.exp(-x / 2) * (1 + x / 2)) - 0.95) < 1e-6
+    z95 = 1.6448536269514722  # Acklam probit(0.95)
+    df = 4
+    wh = df * (1 - 2 / (9 * df) + z95 * math.sqrt(2 / (9 * df))) ** 3
+    assert abs(x - wh) < 0.05
+
+
+def test_kfold_balance_matches_bruteforce(spark):
+    """Fold cells and the micro chi-square match a Python recompute from
+    the portable hash."""
+    from veri_spark.functions.hashing import portable_hash64_py
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    cells = defaultdict(lambda: [0, 0])
+    for r in docs:
+        f = portable_hash64_py(str(r["doc_id"]), seed="fold") % 5
+        cells[f][0] += 1
+        cells[f][1] += r["lang"] == "en"
+    nn = sum(v[0] for v in cells.values())
+    kk = sum(v[1] for v in cells.values())
+    chi2_micro = 0
+    for n, k in cells.values():
+        e1 = n * 1.0 * kk / nn
+        e0 = n * 1.0 * (nn - kk) / nn
+        chi2_micro += round(
+            1e6 * ((k - e1) ** 2 / e1 + ((n - k) - e0) ** 2 / e0)
+        )
+    rows = QUERIES["kfold_label_balance_audit"](spark, SF_DIR).collect()
+    assert {r["fold"] for r in rows} == set(cells)
+    for r in rows:
+        n, k = cells[r["fold"]]
+        assert (r["n_docs"], r["n_en"]) == (n, k)
+        assert abs(r["chi2_micro"] - chi2_micro) <= len(cells)
+        # a pure hash split is an A/A test: balance must hold
+        assert r["balanced_95"]
+
+
+def test_encoding_audit_bit_math(spark):
+    """Index bits are exact ceil(log2(d)) and the ratio column follows
+    from the bit totals; the 3-value flag column must compress hard."""
+    rows = {r["col_name"]: r for r in
+            QUERIES["columnar_encoding_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == {"l_returnflag", "l_linestatus", "l_quantity",
+                         "l_partkey", "l_suppkey"}
+    for r in rows.values():
+        d = r["n_distinct"]
+        assert r["index_bits"] == (0 if d <= 1 else math.ceil(math.log2(d))
+                                   if d & (d - 1) else int(math.log2(d)))
+        assert r["dict_bits"] == r["n"] * r["index_bits"] + (
+            r["dict_bits"] - r["n"] * r["index_bits"])
+        assert r["dict_ratio_micro"] == round(
+            1e6 * r["dict_bits"] / r["plain_bits"])
+    # 1-char flags at <=3 distinct values: dictionary wins by >2x
+    assert rows["l_returnflag"]["dict_ratio_micro"] < 500_000
+    assert rows["l_linestatus"]["dict_ratio_micro"] < 500_000
+
+
+def test_hill_tail_matches_bruteforce(spark):
+    """Hill alpha equals the Python recompute over the same top-101
+    order statistics."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.octet_length("text").alias("len")
+    ).collect()
+    ls = sorted(
+        ((r["len"], r["doc_id"]) for r in docs if r["len"] > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:101]
+    x_tail = ls[100][0]
+    ssum = sum(
+        math.floor(1e6 * math.log(x * 1.0 / x_tail) + 0.5)
+        for x, _ in ls[:100]
+    )
+    [row] = QUERIES["doc_length_hill_tail"](spark, SF_DIR).collect()
+    assert row["k"] == 100 and row["x_tail"] == x_tail
+    assert abs(row["sum_log_micro"] - ssum) <= 2
+    assert row["hill_alpha"] > 0

@@ -1137,3 +1137,246 @@ def rendezvous_hash_balance(spark, sf_dir):
         )
         .orderBy(F.col("node").asc())
     )
+
+
+@register(
+    "columnar_encoding_audit",
+    """
+    WITH f AS (
+      SELECT 'l_returnflag' AS col_name, COUNT(*)::BIGINT AS n,
+             COUNT(DISTINCT l_returnflag)::BIGINT AS n_distinct,
+             SUM(strlen(l_returnflag))::BIGINT * 8 AS plain_bits,
+             (SELECT SUM(strlen(v))::BIGINT * 8 FROM
+               (SELECT DISTINCT l_returnflag AS v FROM lineitem))
+               AS dict_store_bits
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', COUNT(*)::BIGINT,
+             COUNT(DISTINCT l_linestatus)::BIGINT,
+             SUM(strlen(l_linestatus))::BIGINT * 8,
+             (SELECT SUM(strlen(v))::BIGINT * 8 FROM
+               (SELECT DISTINCT l_linestatus AS v FROM lineitem))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', COUNT(*)::BIGINT,
+             COUNT(DISTINCT CAST(l_quantity AS BIGINT))::BIGINT,
+             COUNT(*)::BIGINT * 64,
+             COUNT(DISTINCT CAST(l_quantity AS BIGINT))::BIGINT * 64
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', COUNT(*)::BIGINT,
+             COUNT(DISTINCT l_partkey)::BIGINT,
+             COUNT(*)::BIGINT * 64,
+             COUNT(DISTINCT l_partkey)::BIGINT * 64
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', COUNT(*)::BIGINT,
+             COUNT(DISTINCT l_suppkey)::BIGINT,
+             COUNT(*)::BIGINT * 64,
+             COUNT(DISTINCT l_suppkey)::BIGINT * 64
+      FROM lineitem),
+    b AS (SELECT col_name, n, n_distinct, plain_bits, dict_store_bits,
+                 CASE WHEN n_distinct <= 1 THEN 0
+                      ELSE LENGTH(BIN(n_distinct - 1)) END AS index_bits
+          FROM f),
+    d AS (SELECT col_name, n, n_distinct, index_bits, plain_bits,
+                 n * index_bits + dict_store_bits AS dict_bits
+          FROM b)
+    SELECT col_name, n, n_distinct, index_bits, plain_bits, dict_bits,
+           CAST(round(1e6 * dict_bits / plain_bits) AS BIGINT)
+             AS dict_ratio_micro
+    FROM d ORDER BY col_name ASC
+    """,
+)
+def columnar_encoding_audit(spark, sf_dir):
+    """Dictionary-encoding size audit for five lineitem columns — the
+    sizing math behind parquet's encoding choice, answered from the data
+    itself: a dictionary page stores each DISTINCT value once plus one
+    ceil(log2(d))-bit index per row, so the audit compares n*index_bits
+    + dict_store against the plain encoding (actual string bytes, or a
+    64-bit word for numerics). dict_ratio_micro < 1e6 means dictionary
+    wins (l_returnflag at 3 distinct values compresses ~40x; l_partkey
+    at ~n/30 distinct barely breaks even) — the same arithmetic the
+    `roaring_bitmap_sizing_audit` does for bitmap indexes, applied to
+    value encoding. Index width uses LENGTH(BIN(d-1)) — exact integer
+    bit math, never a float log2 that could mis-round at a power of
+    two.
+
+    Scale: five column-pruned partial-aggregated scans (one per audited
+    column — each scan reads ONLY its column; a single fused scan would
+    read all five), all reductions to one row each. Determinism: every
+    quantity is an exact BIGINT; the ratio is one micro-quantized
+    division."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def str_col(name):
+        vals = li.select(F.col(name).alias("v"))
+        agg = vals.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            (F.sum(F.octet_length("v")).cast("bigint") * 8).alias(
+                "plain_bits"
+            ),
+        )
+        dstore = (
+            vals.distinct()
+            .agg(
+                (F.sum(F.octet_length("v")).cast("bigint") * 8).alias(
+                    "dict_store_bits"
+                )
+            )
+        )
+        return agg.crossJoin(F.broadcast(dstore)).select(
+            F.lit(name).alias("col_name"),
+            "n",
+            "n_distinct",
+            "plain_bits",
+            "dict_store_bits",
+        )
+
+    def num_col(name, cast_bigint=False):
+        v = F.col(name).cast("bigint") if cast_bigint else F.col(name)
+        return li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(v).cast("bigint").alias("n_distinct"),
+        ).select(
+            F.lit(name).alias("col_name"),
+            "n",
+            "n_distinct",
+            (F.col("n") * 64).alias("plain_bits"),
+            (F.col("n_distinct") * 64).alias("dict_store_bits"),
+        )
+
+    f = (
+        str_col("l_returnflag")
+        .unionByName(str_col("l_linestatus"))
+        .unionByName(num_col("l_quantity", cast_bigint=True))
+        .unionByName(num_col("l_partkey"))
+        .unionByName(num_col("l_suppkey"))
+    )
+    b = f.withColumn(
+        "index_bits",
+        F.when(F.col("n_distinct") <= 1, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("n_distinct") - 1))
+        ).cast("bigint"),
+    )
+    d = b.withColumn(
+        "dict_bits",
+        F.col("n") * F.col("index_bits") + F.col("dict_store_bits"),
+    )
+    return d.select(
+        "col_name",
+        "n",
+        "n_distinct",
+        "index_bits",
+        "plain_bits",
+        "dict_bits",
+        F.round(F.lit(1e6) * F.col("dict_bits") / F.col("plain_bits"))
+        .cast("bigint")
+        .alias("dict_ratio_micro"),
+    ).orderBy(F.col("col_name").asc())
+
+
+# chi-square(4 df) 95% critical value in micro units. Standard table
+# constant (9.487729036781154); pinned within the Wilson-Hilferty
+# approximation's tolerance by tests/test_round8_batch2.py.
+_CHI2_95_4DF_MICRO = 9487729
+
+
+@register(
+    "kfold_label_balance_audit",
+    f"""
+    WITH f AS (
+      SELECT CAST('0x' || substr(md5('fold|' || doc_id::VARCHAR), 1, 15)
+                  AS BIGINT) % 5 AS fold,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    c AS (SELECT fold, COUNT(*)::BIGINT AS n_docs,
+                 SUM(y)::BIGINT AS n_en
+          FROM f GROUP BY fold),
+    t AS (SELECT SUM(n_docs)::BIGINT AS nn, SUM(n_en)::BIGINT AS kk
+          FROM c),
+    x AS (SELECT c.fold, c.n_docs, c.n_en, t.nn, t.kk,
+                 c.n_docs * 1.0 * t.kk / t.nn AS e1,
+                 c.n_docs * 1.0 * (t.nn - t.kk) / t.nn AS e0
+          FROM c CROSS JOIN t),
+    q AS (SELECT fold, n_docs, n_en,
+                 CAST(round(1e6 * ((n_en - e1) * (n_en - e1) / e1
+                      + ((n_docs - n_en) - e0) * ((n_docs - n_en) - e0)
+                        / e0)) AS BIGINT) AS contrib_micro
+          FROM x),
+    s AS (SELECT SUM(contrib_micro)::BIGINT AS chi2_micro FROM q)
+    SELECT q.fold, q.n_docs, q.n_en,
+           CAST(round(1e6 * q.n_en / q.n_docs) AS BIGINT) AS en_rate_micro,
+           q.contrib_micro, s.chi2_micro,
+           s.chi2_micro <= {_CHI2_95_4DF_MICRO} AS balanced_95
+    FROM q CROSS JOIN s
+    ORDER BY q.fold ASC
+    """,
+)
+def kfold_label_balance_audit(spark, sf_dir):
+    """Label-balance audit of a 5-fold cross-validation assignment: docs
+    hash into folds (the `fingerprint_split_assign` idiom — assignment
+    must be a pure function of the id, never random), and the 5x2
+    chi-square tests whether the en/non-en label mix differs across
+    folds more than chance allows (4 df, 95%). A hash split should ALWAYS
+    pass; a failure means the fold hash correlates with the label
+    pipeline (e.g. ids assigned by source, source correlated with
+    language) — the audit that catches stratification bugs before they
+    become noisy cross-validation variance.
+
+    Determinism + scale: one partial-aggregated scan to 5 (n, k) BIGINT
+    cells; expected counts and per-fold chi-square contributions are
+    fixed sequences of correctly-rounded double ops on those integers,
+    micro-quantized PER FOLD so the total is an order-insensitive
+    BIGINT sum (never a cross-row float accumulation); the 95% verdict
+    compares against the Python-precomputed chi-square(4) literal."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        (portable_hash64(F.col("doc_id").cast("string"), seed="fold") % 5)
+        .alias("fold"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    c = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_en"),
+    )
+    t = c.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("n_en").cast("bigint").alias("kk"),
+    )
+    x = c.crossJoin(F.broadcast(t))
+    e1 = F.col("n_docs") * F.lit(1.0) * F.col("kk") / F.col("nn")
+    e0 = (
+        F.col("n_docs") * F.lit(1.0) * (F.col("nn") - F.col("kk")) / F.col("nn")
+    )
+    contrib = F.round(
+        F.lit(1e6)
+        * (
+            (F.col("n_en") - e1) * (F.col("n_en") - e1) / e1
+            + ((F.col("n_docs") - F.col("n_en")) - e0)
+            * ((F.col("n_docs") - F.col("n_en")) - e0)
+            / e0
+        )
+    ).cast("bigint")
+    q = x.select("fold", "n_docs", "n_en", contrib.alias("contrib_micro"))
+    s = q.agg(F.sum("contrib_micro").cast("bigint").alias("chi2_micro"))
+    return (
+        q.crossJoin(F.broadcast(s))
+        .select(
+            "fold",
+            "n_docs",
+            "n_en",
+            F.round(F.lit(1e6) * F.col("n_en") / F.col("n_docs"))
+            .cast("bigint")
+            .alias("en_rate_micro"),
+            "contrib_micro",
+            "chi2_micro",
+            (F.col("chi2_micro") <= F.lit(_CHI2_95_4DF_MICRO)).alias(
+                "balanced_95"
+            ),
+        )
+        .orderBy(F.col("fold").asc())
+    )

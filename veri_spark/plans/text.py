@@ -1958,3 +1958,82 @@ def heaps_law_fit(spark, sf_dir):
         .cast("bigint")
         .alias("heaps_lnk_micro"),
     )
+
+
+@register(
+    "doc_length_hill_tail",
+    """
+    WITH L AS (SELECT doc_id, strlen(text)::BIGINT AS len
+               FROM documents WHERE strlen(text) > 0),
+    top AS (SELECT doc_id, len FROM L
+            ORDER BY len DESC, doc_id ASC LIMIT 101),
+    r AS (SELECT doc_id, len,
+                 row_number() OVER (ORDER BY len DESC, doc_id ASC) AS rn
+          FROM top),
+    xt AS (SELECT len AS x_tail FROM r WHERE rn = 101),
+    terms AS (SELECT CAST(FLOOR(1e6 * ln(r.len * 1.0 / xt.x_tail) + 0.5)
+                          AS BIGINT) AS t_micro
+              FROM r CROSS JOIN xt WHERE r.rn <= 100),
+    s AS (SELECT SUM(t_micro)::BIGINT AS sum_log_micro,
+                 COUNT(*)::BIGINT AS k
+          FROM terms)
+    SELECT s.k, xt.x_tail, s.sum_log_micro,
+           ROUND(s.k * 1e6 / s.sum_log_micro, 6) AS hill_alpha
+    FROM s CROSS JOIN xt
+    """,
+)
+def doc_length_hill_tail(spark, sf_dir):
+    """Hill tail-index estimate of the document-length distribution over
+    the top k=100 order statistics: alpha = k / sum_{i<=k} ln(x_(i) /
+    x_(k+1)) — the standard extreme-value answer to 'how heavy is the
+    long-document tail' (alpha ~ 1-2 = Pareto-heavy: truncation budgets
+    and packing bin sizes must plan for it; alpha > 3 = tail thin enough
+    to ignore). The tail-INDEX complement of `zipf_slope` (which fits
+    the rank-frequency law of tokens, not the size law of documents).
+
+    Scale + determinism: lengths are exact BIGINTs from one column-
+    pruned scan; the top-101 selection is a bounded TakeOrdered on
+    (len, doc_id) integer keys — the k+1-st statistic is the threshold,
+    so the whole estimator runs on a 101-row broadcast frame (the rank
+    window is rank<=101-filtered and bounded). Each log term ln(x_i /
+    x_tail) is evaluated on the identical correctly-rounded double
+    ratio of two BIGINTs in both engines (the WoE/Zipf in-engine-ln
+    idiom), micro-quantized PER TERM and integer-summed; alpha is one
+    final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    L = docs.select(
+        "doc_id", F.octet_length("text").cast("bigint").alias("len")
+    ).filter(F.col("len") > 0)
+    top = L.orderBy(F.col("len").desc(), F.col("doc_id").asc()).limit(101)
+    w = Window.orderBy(F.col("len").desc(), F.col("doc_id").asc())
+    r = top.select(
+        "len", F.row_number().over(w).alias("rn")
+    )
+    xt = r.filter(F.col("rn") == 101).select(
+        F.col("len").alias("x_tail")
+    )
+    terms = (
+        r.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(xt))
+        .select(
+            F.floor(
+                F.lit(1e6)
+                * F.log(F.col("len") * F.lit(1.0) / F.col("x_tail"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t_micro")
+        )
+    )
+    s = terms.agg(
+        F.sum("t_micro").cast("bigint").alias("sum_log_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return s.crossJoin(F.broadcast(xt)).select(
+        "k",
+        "x_tail",
+        "sum_log_micro",
+        F.round(
+            F.col("k") * F.lit(1e6) / F.col("sum_log_micro"), 6
+        ).alias("hill_alpha"),
+    )
