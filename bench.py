@@ -180,6 +180,11 @@ BENCH_QUERIES = [
     "columnar_encoding_audit",
     "kfold_label_balance_audit",
     "doc_length_hill_tail",
+    # round-8 batch 6: FDR control (the step-up contrast to Holm),
+    # classical trend/seasonal decomposition, SPC p-chart
+    "bh_weekday_conversion_fdr",
+    "daily_seasonal_decomposition",
+    "ship_late_p_chart",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

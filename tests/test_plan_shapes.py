@@ -129,6 +129,8 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "holm_weekday_conversion_tests",
         "graph_resource_allocation_capped",
         "kendall_tau_part_demand",
+        "bh_weekday_conversion_fdr",
+        "daily_seasonal_decomposition",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

@@ -497,3 +497,102 @@ def test_hill_tail_matches_bruteforce(spark):
     assert row["k"] == 100 and row["x_tail"] == x_tail
     assert abs(row["sum_log_micro"] - ssum) <= 2
     assert row["hill_alpha"] > 0
+
+
+def test_acklam_table_spot_values():
+    """The programmatic Acklam probit (now the single source of every
+    z / chi-square literal) reproduces independently hardcoded spot
+    values, including an upper-tail point (BH's strictest threshold
+    region uses the tail branch)."""
+    from veri_spark.plans.events_behavior import _acklam_probit, _BH_Z, _HOLM_Z
+
+    assert abs(_acklam_probit(0.975) - 1.959963984540054) < 2e-9
+    assert abs(_acklam_probit(0.95) - 1.6448536269514722) < 2e-9
+    assert abs(_acklam_probit(0.9964285714285714) - 2.6901095) < 2e-6
+    assert _HOLM_Z[1] == _acklam_probit(0.975)
+    # BH rank-m threshold equals the single-test threshold
+    for m in range(1, 8):
+        assert _BH_Z[(m, m)] == _acklam_probit(0.975)
+        # thresholds tighten as rank drops (fewer implied discoveries)
+        for i in range(1, m):
+            assert _BH_Z[(i, m)] > _BH_Z[(i + 1, m)]
+
+
+def test_bh_stepup_semantics_and_dominance(spark):
+    """BH rejections are the suffix-closed set up to max_rejected_rank,
+    and BH rejects a superset of Holm (step-up dominates step-down on
+    the same frame)."""
+    bh = QUERIES["bh_weekday_conversion_fdr"](spark, SF_DIR).collect()
+    holm = QUERIES["holm_weekday_conversion_tests"](spark, SF_DIR).collect()
+    assert {r["dow"] for r in bh} == {r["dow"] for r in holm}
+    i_max = bh[0]["max_rejected_rank"]
+    for r in bh:
+        assert r["rejected"] == (r["bh_rank"] <= i_max)
+    holm_rejected = {r["dow"] for r in holm if r["rejected"]}
+    bh_rejected = {r["dow"] for r in bh if r["rejected"]}
+    assert holm_rejected <= bh_rejected
+
+
+def test_seasonal_decomposition_matches_bruteforce(spark):
+    """Weekday seasonal indexes and the detrended R^2 match a Python
+    recompute of the +/-14-day moving-average decomposition."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("ts").cast("date").alias("d")
+    ).collect()
+    days = defaultdict(int)
+    for r in ev:
+        days[r["d"]] += 1
+    day0 = min(days)
+    xs = sorted((d - day0).days for d in days)
+    y = {(d - day0).days: n for d, n in days.items()}
+    dow = {(d - day0).days: (d.weekday() + 1) % 7 for d in days}
+    detr = {}
+    for x in xs:
+        win = [y[j] for j in xs if x - 14 <= j <= x + 14]
+        trend = math.floor(1e6 * sum(win) / len(win) + 0.5)
+        detr[x] = 1000000 * y[x] - trend
+    season = {}
+    for w in set(dow.values()):
+        vs = [detr[x] for x in xs if dow[x] == w]
+        season[w] = math.floor(sum(vs) / len(vs) + 0.5)
+    ssd = sum(v * v for v in detr.values())
+    ssr = sum((detr[x] - season[dow[x]]) ** 2 for x in xs)
+    rows = QUERIES["daily_seasonal_decomposition"](spark, SF_DIR).collect()
+    assert {r["dow"] for r in rows} == set(season)
+    for r in rows:
+        assert abs(r["season_micro"] - season[r["dow"]]) <= 2
+        assert abs(r["weekday_r2_micro"] - round(1e6 * (1 - ssr / ssd))) <= 10
+    # the weekly cycle on synthetic uniform data should NOT explain most
+    # of the variance, but R^2 must be a valid share
+    assert all(-1e6 <= r["weekday_r2_micro"] <= 1_000_000 for r in rows)
+
+
+def test_p_chart_matches_bruteforce(spark):
+    """Monthly cells, limits and flags match the Python recompute."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    od = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, SF_DIR, "orders").collect()
+    }
+    cells = defaultdict(lambda: [0, 0])
+    for r in li:
+        o = od[r["l_orderkey"]]
+        mon = o.date().replace(day=1)
+        cells[mon][0] += 1
+        cells[mon][1] += (r["l_shipdate"] - o).days > 90
+    nn = sum(v[0] for v in cells.values())
+    kk = sum(v[1] for v in cells.values())
+    pbar = kk * 1.0 / nn
+    rows = QUERIES["ship_late_p_chart"](spark, SF_DIR).collect()
+    assert {r["mon"] for r in rows} == set(cells)
+    for r in rows:
+        n, late = cells[r["mon"]]
+        assert (r["n"], r["n_late"]) == (n, late)
+        p = late * 1.0 / n
+        ucl = pbar + 3 * math.sqrt(pbar * (1 - pbar) / n)
+        lcl = max(pbar - 3 * math.sqrt(pbar * (1 - pbar) / n), 0.0)
+        assert abs(r["p_micro"] - round(1e6 * p)) <= 1
+        assert abs(r["ucl_micro"] - round(1e6 * ucl)) <= 1
+        assert r["out_of_control"] == (p > ucl or p < lcl)

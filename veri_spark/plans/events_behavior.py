@@ -1623,28 +1623,69 @@ def poisson_bootstrap_ci(spark, sf_dir):
     )
 
 
+def _acklam_probit(p: float) -> float:
+    """Acklam's rational approximation of the standard-normal quantile
+    (max abs error ~1.15e-9) — the SOURCE of every z/chi-square literal
+    injected into the engines (the QQ-grid rule: quantiles are NEVER
+    computed in-engine). Runs once at import to build literal tables;
+    pinned against independently hardcoded spot values by
+    tests/test_round8_batch2.py."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    dd = [7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00]
+    import math as _m
+
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = _m.sqrt(-2 * _m.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / ((((dd[0] * q + dd[1]) * q + dd[2]) * q
+                                + dd[3]) * q + 1)
+    if p > phigh:
+        q = _m.sqrt(-2 * _m.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / ((((dd[0] * q + dd[1]) * q + dd[2]) * q
+                                 + dd[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return q * (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+                * r + a[5]) / (((((b[0] * r + b[1]) * r + b[2]) * r
+                                 + b[3]) * r + b[4]) * r + 1)
+
+
 # Holm step-down thresholds: |z| cutoffs Phi^-1(1 - 0.025/k) for k tests
 # remaining, k = 1..7 (the weekday domain bound). Python-precomputed via
-# Acklam's probit (the QQ-grid / _Z_975 rule: quantiles are NEVER
-# computed in-engine); pinned to the defining formula by
+# Acklam's probit; pinned against independently hardcoded values by
 # tests/test_round8_batch2.py. Micro literals are round(z * 1e6).
-_HOLM_Z = {
-    1: 1.959963986120195,
-    2: 2.2414027264652865,
-    3: 2.3939798012415405,
-    4: 2.4977054769619746,
-    5: 2.5758293064439264,
-    6: 2.638257276348003,
-    7: 2.69010952983243,
-}
+_HOLM_Z = {k: _acklam_probit(1 - 0.025 / k) for k in range(1, 8)}
 _HOLM_SQL_ROWS = ", ".join(
     f"({k}, {z!r}, {round(z * 1e6)})" for k, z in _HOLM_Z.items()
 )
 
+# Benjamini-Hochberg step-up thresholds: |z| cutoff for the rank-i test
+# among m is Phi^-1(1 - q*i/(2m)) at FDR level q = 0.05, tabulated for
+# every (i, m) with 1 <= i <= m <= 7 (the weekday domain bound).
+_BH_Z = {
+    (i, m): _acklam_probit(1 - 0.05 * i / (2 * m))
+    for m in range(1, 8)
+    for i in range(1, m + 1)
+}
+_BH_SQL_ROWS = ", ".join(
+    f"({i}, {m}, {z!r}, {round(z * 1e6)})" for (i, m), z in _BH_Z.items()
+)
 
-@register(
-    "holm_weekday_conversion_tests",
-    f"""
+# Shared prelude: per-weekday A/A conversion cells and pooled z — the
+# experimental frame both multiple-testing procedures (Holm step-down,
+# BH step-up) rank and threshold.
+_WEEKDAY_Z_SQL = """
     WITH fe AS (
       SELECT user_id, event_type, ts,
              row_number() OVER (PARTITION BY user_id
@@ -1676,45 +1717,16 @@ _HOLM_SQL_ROWS = ", ".join(
           FROM z a LEFT JOIN z b
             ON abs(b.zval) > abs(a.zval)
             OR (abs(b.zval) = abs(a.zval) AND b.dow < a.dow)
-          GROUP BY a.dow),
-    thr AS (SELECT * FROM (VALUES {_HOLM_SQL_ROWS})
-            AS v(k, zthr, zthr_micro)),
-    rt AS (SELECT z.*, r.rnk, thr.zthr, thr.zthr_micro
-           FROM z JOIN r USING (dow) CROSS JOIN m
-           JOIN thr ON thr.k = m.m - r.rnk + 1),
-    hm AS (SELECT a.dow,
-                  MIN(CASE WHEN abs(b.zval) >= b.zthr
-                           THEN 1 ELSE 0 END)::BIGINT AS rej
-           FROM rt a JOIN rt b ON b.rnk <= a.rnk
-           GROUP BY a.dow)
-    SELECT rt.dow, rt.n0, rt.c0, rt.n1, rt.c1,
-           ROUND(rt.zval, 6) AS z_score,
-           rt.rnk AS holm_rank,
-           rt.zthr_micro::BIGINT AS z_threshold_micro,
-           hm.rej = 1 AS rejected
-    FROM rt JOIN hm USING (dow)
-    ORDER BY rt.rnk ASC
-    """,
-)
-def holm_weekday_conversion_tests(spark, sf_dir):
-    """Holm step-down multiple-testing control over the per-weekday A/A
-    conversion z-tests — the family-wise-error answer to 'we sliced the
-    experiment seven ways and Tuesday looks significant': tests are
-    ranked by |z|, test i faces the threshold for alpha/(m-i+1), and
-    rejection STOPS at the first failure (everything after is accepted
-    even above its own threshold — the step-down semantics naive
-    per-slice testing gets wrong). Under this null (hash-split arms)
-    every rejected flag should be false; a true flag is the harness
-    catching a broken segmentation join or hash.
+          GROUP BY a.dow)
+"""
 
-    Determinism + scale: per-user first-event conversion reduces the
-    corpus to <= 7 (n0, c0, n1, c1) BIGINT cells in one partitioned
-    window + one partial agg; z is the fixed sqrt/division sequence on
-    those integers (bit-identical cross-engine); thresholds are Acklam
-    probit LITERALS (never in-engine quantiles); the rank and the
-    sequential-stop fold are triangular broadcast self-joins over the
-    <= 7-row frame (the Lorenz prefix idiom — no unpartitioned window
-    anywhere)."""
+
+def _weekday_z_frame(spark, sf_dir):
+    """Spark twin of ``_WEEKDAY_Z_SQL``: the per-weekday A/A z-test frame
+    shared by the Holm and BH procedures. Returns (z, m, r): the <= 7-row
+    cell frame with the pooled z, its one-row count, and the |z|-desc
+    rank from a triangular broadcast self-join (no unpartitioned
+    window)."""
     from veri_spark.functions.hashing import portable_hash64
 
     ev = load_table(spark, sf_dir, "events")
@@ -1784,6 +1796,52 @@ def holm_weekday_conversion_tests(spark, sf_dir):
         .groupBy("dow")
         .agg((1 + F.count("dow_b")).cast("bigint").alias("rnk"))
     )
+    return z, m, r
+
+
+@register(
+    "holm_weekday_conversion_tests",
+    _WEEKDAY_Z_SQL
+    + f""",
+    thr AS (SELECT * FROM (VALUES {_HOLM_SQL_ROWS})
+            AS v(k, zthr, zthr_micro)),
+    rt AS (SELECT z.*, r.rnk, thr.zthr, thr.zthr_micro
+           FROM z JOIN r USING (dow) CROSS JOIN m
+           JOIN thr ON thr.k = m.m - r.rnk + 1),
+    hm AS (SELECT a.dow,
+                  MIN(CASE WHEN abs(b.zval) >= b.zthr
+                           THEN 1 ELSE 0 END)::BIGINT AS rej
+           FROM rt a JOIN rt b ON b.rnk <= a.rnk
+           GROUP BY a.dow)
+    SELECT rt.dow, rt.n0, rt.c0, rt.n1, rt.c1,
+           ROUND(rt.zval, 6) AS z_score,
+           rt.rnk AS holm_rank,
+           rt.zthr_micro::BIGINT AS z_threshold_micro,
+           hm.rej = 1 AS rejected
+    FROM rt JOIN hm USING (dow)
+    ORDER BY rt.rnk ASC
+    """,
+)
+def holm_weekday_conversion_tests(spark, sf_dir):
+    """Holm step-down multiple-testing control over the per-weekday A/A
+    conversion z-tests — the family-wise-error answer to 'we sliced the
+    experiment seven ways and Tuesday looks significant': tests are
+    ranked by |z|, test i faces the threshold for alpha/(m-i+1), and
+    rejection STOPS at the first failure (everything after is accepted
+    even above its own threshold — the step-down semantics naive
+    per-slice testing gets wrong). Under this null (hash-split arms)
+    every rejected flag should be false; a true flag is the harness
+    catching a broken segmentation join or hash.
+
+    Determinism + scale: per-user first-event conversion reduces the
+    corpus to <= 7 (n0, c0, n1, c1) BIGINT cells in one partitioned
+    window + one partial agg; z is the fixed sqrt/division sequence on
+    those integers (bit-identical cross-engine); thresholds are Acklam
+    probit LITERALS (never in-engine quantiles); the rank and the
+    sequential-stop fold are triangular broadcast self-joins over the
+    <= 7-row frame (the Lorenz prefix idiom — no unpartitioned window
+    anywhere)."""
+    z, m, r = _weekday_z_frame(spark, sf_dir)
     thr_z = F.create_map(
         *[F.lit(x) for k, v in _HOLM_Z.items() for x in (k, v)]
     )
@@ -1961,4 +2019,90 @@ def cvm_value_drift(spark, sf_dir):
         "n_values",
         F.round(tv, 6).alias("cvm_t"),
         F.round(F.lit(1e6) * tv).cast("bigint").alias("t_micro"),
+    )
+
+
+@register(
+    "bh_weekday_conversion_fdr",
+    _WEEKDAY_Z_SQL
+    + f""",
+    thr AS (SELECT * FROM (VALUES {_BH_SQL_ROWS})
+            AS v(i, mm, zthr, zthr_micro)),
+    rt AS (SELECT z.*, r.rnk, thr.zthr, thr.zthr_micro
+           FROM z JOIN r USING (dow) CROSS JOIN m
+           JOIN thr ON thr.i = r.rnk AND thr.mm = m.m),
+    istar AS (SELECT COALESCE(MAX(CASE WHEN abs(zval) >= zthr
+                                       THEN rnk END), 0)::BIGINT AS i_max
+              FROM rt)
+    SELECT rt.dow, ROUND(rt.zval, 6) AS z_score,
+           rt.rnk AS bh_rank,
+           rt.zthr_micro::BIGINT AS z_threshold_micro,
+           istar.i_max AS max_rejected_rank,
+           rt.rnk <= istar.i_max AS rejected
+    FROM rt CROSS JOIN istar
+    ORDER BY rt.rnk ASC
+    """,
+)
+def bh_weekday_conversion_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-UP false-discovery-rate control over the
+    same per-weekday A/A z-tests `holm_weekday_conversion_tests`
+    step-DOWNs: rank by |z|, find the LARGEST rank i whose test clears
+    its own threshold z(1 - q*i/(2m)), and reject everything at or
+    above that rank — including earlier tests that missed their own
+    stricter cutoffs (the step-up semantics that makes BH strictly more
+    powerful than Holm at the price of controlling FDR, not FWER — the
+    standard choice when a pipeline screens hundreds of segments and a
+    few false alarms are acceptable). Under this hash-split null both
+    procedures should reject nothing; running them side by side on the
+    same frame is the harness's power/strictness contrast.
+
+    Determinism + scale: shares the <= 7-cell z frame and triangular
+    rank fold with Holm (`_weekday_z_frame`); thresholds are the
+    Python-precomputed Acklam table over every (rank, m) pair; the
+    step-up cutoff is one MAX over the bounded frame, broadcast back."""
+    z, m, r = _weekday_z_frame(spark, sf_dir)
+    thr_z = F.create_map(
+        *[
+            F.lit(x)
+            for (i, mm), v in _BH_Z.items()
+            for x in (f"{i}|{mm}", v)
+        ]
+    )
+    thr_mic = F.create_map(
+        *[
+            F.lit(x)
+            for (i, mm), v in _BH_Z.items()
+            for x in (f"{i}|{mm}", round(v * 1e6))
+        ]
+    )
+    key = F.concat_ws(
+        "|", F.col("rnk").cast("string"), F.col("m").cast("string")
+    )
+    rt = (
+        z.join(r, "dow")
+        .crossJoin(F.broadcast(m))
+        .withColumn("zthr", F.element_at(thr_z, key))
+        .withColumn("zthr_micro", F.element_at(thr_mic, key))
+    )
+    istar = rt.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.abs(F.col("zval")) >= F.col("zthr"), F.col("rnk"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("i_max")
+    )
+    return (
+        rt.crossJoin(F.broadcast(istar))
+        .select(
+            "dow",
+            F.round("zval", 6).alias("z_score"),
+            F.col("rnk").alias("bh_rank"),
+            F.col("zthr_micro").cast("bigint").alias("z_threshold_micro"),
+            F.col("i_max").alias("max_rejected_rank"),
+            (F.col("rnk") <= F.col("i_max")).alias("rejected"),
+        )
+        .orderBy(F.col("bh_rank").asc())
     )

@@ -274,3 +274,201 @@ def scd2_intervals_from_events(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+@register(
+    "daily_seasonal_decomposition",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+    d AS (SELECT date_diff('day', d0.day0, ts::DATE)::BIGINT AS x,
+                 dayofweek(ts)::BIGINT AS dow,
+                 COUNT(*)::BIGINT AS y
+          FROM events CROSS JOIN d0 GROUP BY 1, 2),
+    tr AS (SELECT a.x, a.dow, a.y,
+                  CAST(round(1e6 * SUM(b.y) / COUNT(*)) AS BIGINT)
+                    AS trend_micro
+           FROM d a JOIN d b ON b.x BETWEEN a.x - 14 AND a.x + 14
+           GROUP BY a.x, a.dow, a.y),
+    de AS (SELECT x, dow, 1000000 * y - trend_micro AS detr
+           FROM tr),
+    se AS (SELECT dow, COUNT(*)::BIGINT AS n_days,
+                  CAST(round(SUM(detr) / (COUNT(*) * 1.0)) AS BIGINT)
+                    AS season_micro
+           FROM de GROUP BY dow),
+    r AS (SELECT de.dow, de.detr - se.season_micro AS resid
+          FROM de JOIN se USING (dow)),
+    v AS (SELECT (SELECT SUM(CAST(detr AS DECIMAL(38,0)) * detr)
+                  FROM de)::DOUBLE AS ssd,
+                 SUM(CAST(resid AS DECIMAL(38,0)) * resid)::DOUBLE AS ssr
+          FROM r)
+    SELECT se.dow, se.n_days, se.season_micro,
+           CAST(round(1e6 * (1 - v.ssr / v.ssd)) AS BIGINT)
+             AS weekday_r2_micro
+    FROM se CROSS JOIN v
+    ORDER BY se.dow ASC
+    """,
+)
+def daily_seasonal_decomposition(spark, sf_dir):
+    """Classical trend/seasonal decomposition of daily event volume: a
+    centered +/-14-day moving average is the trend, the per-weekday mean
+    of the detrended series is the seasonal index, and the variance the
+    weekday indexes explain of the detrended series (R^2) says whether
+    the weekly cycle is real — the decomposition behind
+    `hourly_seasonal_naive_mase`'s baseline choice and the
+    `events_weekday_profile` shares, as one self-consistent model.
+
+    Scale + determinism: the corpus collapses to the CALENDAR-bounded
+    (day, weekday, count) frame in one partial-aggregated scan; the
+    moving average is a banded triangular join over that bounded frame
+    (|days| x 29 rows, broadcast); trend/season values are
+    micro-quantized single divisions of exact BIGINTs, so the detrended
+    and residual series are INTEGER micro series; the variance ratio
+    sums their squares as exact DECIMAL(38,0) (order-insensitive) with
+    one double division at the end. Weekday numbering is the DuckDB
+    0=Sunday convention (Spark shifts by one — the
+    events_weekday_profile idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+    d = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("day0"))
+            .cast("bigint")
+            .alias("x"),
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    tr = (
+        d.join(
+            F.broadcast(b),
+            (F.col("xb") >= F.col("x") - 14) & (F.col("xb") <= F.col("x") + 14),
+        )
+        .groupBy("x", "dow", "y")
+        .agg(
+            F.round(F.lit(1e6) * F.sum("yb") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("trend_micro")
+        )
+    )
+    de = tr.select(
+        "x",
+        "dow",
+        (F.lit(1000000) * F.col("y") - F.col("trend_micro")).alias("detr"),
+    )
+    se = de.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sum("detr") / (F.count(F.lit(1)) * F.lit(1.0)))
+        .cast("bigint")
+        .alias("season_micro"),
+    )
+    r = de.join(se.select("dow", "season_micro"), "dow").select(
+        (F.col("detr") - F.col("season_micro")).alias("resid")
+    )
+    ssd = de.agg(
+        F.sum(F.col("detr").cast("decimal(38,0)") * F.col("detr"))
+        .cast("double")
+        .alias("ssd")
+    )
+    v = r.agg(
+        F.sum(F.col("resid").cast("decimal(38,0)") * F.col("resid"))
+        .cast("double")
+        .alias("ssr")
+    ).crossJoin(F.broadcast(ssd))
+    return (
+        se.crossJoin(F.broadcast(v))
+        .select(
+            "dow",
+            "n_days",
+            "season_micro",
+            F.round(F.lit(1e6) * (1 - F.col("ssr") / F.col("ssd")))
+            .cast("bigint")
+            .alias("weekday_r2_micro"),
+        )
+        .orderBy(F.col("dow").asc())
+    )
+
+
+@register(
+    "ship_late_p_chart",
+    """
+    WITH lag AS (
+      SELECT date_trunc('month', o.o_orderdate)::DATE AS mon,
+             CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    m AS (SELECT mon, COUNT(*)::BIGINT AS n,
+                 SUM(late)::BIGINT AS n_late
+          FROM lag GROUP BY mon),
+    t AS (SELECT SUM(n)::BIGINT AS nn, SUM(n_late)::BIGINT AS kk FROM m),
+    c AS (SELECT m.mon, m.n, m.n_late, t.kk * 1.0 / t.nn AS pbar,
+                 m.n_late * 1.0 / m.n AS p
+          FROM m CROSS JOIN t),
+    lim AS (SELECT mon, n, n_late, p, pbar,
+                   pbar + 3 * sqrt(pbar * (1 - pbar) / n) AS ucl,
+                   pbar - 3 * sqrt(pbar * (1 - pbar) / n) AS lcl
+            FROM c)
+    SELECT mon, n, n_late,
+           CAST(round(1e6 * p) AS BIGINT) AS p_micro,
+           CAST(round(1e6 * ucl) AS BIGINT) AS ucl_micro,
+           CAST(round(1e6 * GREATEST(lcl, 0.0)) AS BIGINT) AS lcl_micro,
+           (p > ucl OR p < GREATEST(lcl, 0.0)) AS out_of_control
+    FROM lim
+    ORDER BY mon ASC
+    """,
+)
+def ship_late_p_chart(spark, sf_dir):
+    """Shewhart p-chart on the monthly late-shipment proportion (ship lag
+    > 90 days after order): classic statistical process control with
+    3-sigma binomial limits around the pooled rate, flagging the months
+    whose lateness is a special cause, not noise — the CONTROL-limit
+    framing that `events_hourly_anomaly` (z-spikes) and
+    `events_page_hinkley` (sustained shifts) bracket from the event
+    side, applied to the fulfillment process. Months with small n get
+    WIDE limits automatically — the property that makes p-charts robust
+    to the partial first/last months.
+
+    Scale + determinism: one join + partial-aggregated scan reduces the
+    corpus to per-month (n, n_late) BIGINT cells (calendar-bounded);
+    rates and limits are fixed sequences of correctly-rounded double ops
+    (sqrt included) on those integers, identical in both engines; the
+    out-of-control flag compares the UNROUNDED rate against the
+    UNROUNDED limit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lag = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    m = lag.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("late").cast("bigint").alias("n_late"),
+    )
+    t = m.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_late").cast("bigint").alias("kk"),
+    )
+    c = m.crossJoin(F.broadcast(t))
+    pbar = F.col("kk") * F.lit(1.0) / F.col("nn")
+    p = F.col("n_late") * F.lit(1.0) / F.col("n")
+    ucl = pbar + 3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    lcl = pbar - 3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    lcl0 = F.greatest(lcl, F.lit(0.0))
+    return c.select(
+        "mon",
+        "n",
+        "n_late",
+        F.round(F.lit(1e6) * p).cast("bigint").alias("p_micro"),
+        F.round(F.lit(1e6) * ucl).cast("bigint").alias("ucl_micro"),
+        F.round(F.lit(1e6) * lcl0).cast("bigint").alias("lcl_micro"),
+        ((p > ucl) | (p < lcl0)).alias("out_of_control"),
+    ).orderBy(F.col("mon").asc())
