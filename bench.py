@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     "bh_weekday_conversion_fdr",
     "daily_seasonal_decomposition",
     "ship_late_p_chart",
+    # round-8 batch 7: ANN-feasibility geometry, capture-recapture
+    # cardinality
+    "knn_distance_concentration",
+    "capture_recapture_distinct",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

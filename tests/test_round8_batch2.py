@@ -596,3 +596,55 @@ def test_p_chart_matches_bruteforce(spark):
         assert abs(r["p_micro"] - round(1e6 * p)) <= 1
         assert abs(r["ucl_micro"] - round(1e6 * ucl)) <= 1
         assert r["out_of_control"] == (p > ucl or p < lcl)
+
+
+def test_distance_concentration_matches_bruteforce(spark):
+    """Moments and contrast match the Python recompute over the same
+    deterministic hash sample."""
+    from veri_spark.functions.hashing import portable_hash64_py
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    sample = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb
+        if portable_hash64_py(str(r["vec_id"]), seed="conc") % 4 == 0
+    ]
+    ds = []
+    for i, (ia, ea) in enumerate(sample):
+        for ib, eb in sample[i + 1:]:
+            d = math.sqrt(sum((a - b) ** 2 for a, b in zip(ea, eb)))
+            ds.append(math.floor(1e6 * d + 0.5))
+    [row] = QUERIES["knn_distance_concentration"](spark, SF_DIR).collect()
+    assert row["n_pairs"] == len(ds)
+    assert (row["d_min"], row["d_max"]) == (min(ds), max(ds))
+    assert abs(row["mean_micro"] - sum(ds) / len(ds)) <= 1
+    assert abs(
+        row["relative_contrast"] - (max(ds) - min(ds)) / min(ds)
+    ) < 1e-5
+    # contrast must be positive and std below mean on any real corpus
+    assert row["relative_contrast"] > 0
+    assert 0 < row["std_micro"] < row["mean_micro"]
+
+
+def test_capture_recapture_matches_bruteforce(spark):
+    """Capture sets, overlap, and the Chapman estimate match the Python
+    recompute; the estimate lands within 3x of the truth on this
+    corpus (it is an audit of assumptions, not a precision sketch)."""
+    from veri_spark.functions.hashing import portable_hash64_py
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id"
+    ).collect()
+    c1 = {r["user_id"] for r in ev
+          if portable_hash64_py(str(r["event_id"]), seed="cap1") % 10 == 0}
+    c2 = {r["user_id"] for r in ev
+          if portable_hash64_py(str(r["event_id"]), seed="cap2") % 10 == 0}
+    exact = len({r["user_id"] for r in ev})
+    chapman = (len(c1) + 1) * (len(c2) + 1) // (len(c1 & c2) + 1) - 1
+    [row] = QUERIES["capture_recapture_distinct"](spark, SF_DIR).collect()
+    assert (row["n_capture1"], row["n_capture2"]) == (len(c1), len(c2))
+    assert row["n_overlap"] == len(c1 & c2)
+    assert row["n_hat_chapman"] == chapman
+    assert row["exact_distinct"] == exact
+    assert row["ratio_micro"] == round(1e6 * chapman / exact)
+    assert exact // 3 <= chapman <= exact * 3

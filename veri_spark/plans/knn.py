@@ -2163,3 +2163,101 @@ def ivf_silhouette_audit(spark, sf_dir):
         )
         .orderBy(F.col("centroid_id").asc())
     )
+
+
+@register(
+    "knn_distance_concentration",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE CAST('0x' || substr(md5('conc|' || vec_id::VARCHAR), 1, 15)
+                 AS BIGINT) % 4 = 0),
+    p AS (SELECT CAST(FLOOR(1e6 * list_distance(a.e, b.e) + 0.5) AS BIGINT)
+                   AS d_micro
+          FROM s a JOIN s b ON a.vec_id < b.vec_id),
+    agg AS (SELECT COUNT(*)::BIGINT AS n_pairs,
+                   SUM(d_micro)::BIGINT AS s1,
+                   SUM(CAST(d_micro AS DECIMAL(38,0)) * d_micro) AS s2,
+                   MIN(d_micro)::BIGINT AS d_min,
+                   MAX(d_micro)::BIGINT AS d_max
+            FROM p)
+    SELECT n_pairs, d_min, d_max,
+           CAST(round(s1 * 1.0 / n_pairs) AS BIGINT) AS mean_micro,
+           CAST(round(sqrt((n_pairs * 1.0 * s2::DOUBLE - s1::DOUBLE * s1)
+                           / (n_pairs * 1.0 * n_pairs))) AS BIGINT)
+             AS std_micro,
+           ROUND((d_max - d_min) * 1.0 / d_min, 6) AS relative_contrast
+    FROM agg
+    """,
+)
+def knn_distance_concentration(spark, sf_dir):
+    """Distance-concentration audit (Beyer et al., 'when is nearest
+    neighbor meaningful'): over a deterministic 25% hash-sample of the
+    embedding corpus, the coefficient of variation and the relative
+    contrast (d_max - d_min)/d_min of all pairwise euclidean distances.
+    As dimensionality effectively grows, distances concentrate
+    (std/mean -> 0, contrast -> 0) and EVERY index — IVF, LSH, PQ —
+    degrades toward brute force; this is the go/no-go diagnostic to run
+    before investing in index tuning, next to `embedding_isotropy`
+    (which probes directional spread, not distance spread).
+
+    Scale + determinism: the sample is a pure hash function of vec_id
+    (no RNG), so the pair set is reproducible; the modulus is the
+    production knob — raise it with corpus size so the sampled COUNT
+    (not fraction) stays ~constant and the pair quadratic stays bounded
+    (concentration is a property of the distribution; a few hundred
+    vectors measure it). Each distance is
+    micro-quantized PER PAIR (floor(x+0.5) on the nonnegative
+    correctly-rounded distance), so moments come from exact BIGINT /
+    DECIMAL(38) power sums — no float accumulates across rows; mean,
+    std, and contrast are fixed-order double expressions at the end."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.filter(
+        portable_hash64(F.col("vec_id").cast("string"), seed="conc") % 4
+        == 0
+    ).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    p = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        F.floor(
+            F.lit(1e6)
+            * V.euclidean_distance(F.col("ea"), F.col("eb"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d_micro")
+    )
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("d_micro").cast("bigint").alias("s1"),
+        F.sum(F.col("d_micro").cast("decimal(38,0)") * F.col("d_micro")).alias(
+            "s2"
+        ),
+        F.min("d_micro").cast("bigint").alias("d_min"),
+        F.max("d_micro").cast("bigint").alias("d_max"),
+    )
+    return agg.select(
+        "n_pairs",
+        "d_min",
+        "d_max",
+        F.round(F.col("s1") * F.lit(1.0) / F.col("n_pairs"))
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_pairs") * F.lit(1.0) * F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1")
+                )
+                / (F.col("n_pairs") * F.lit(1.0) * F.col("n_pairs"))
+            )
+        )
+        .cast("bigint")
+        .alias("std_micro"),
+        F.round(
+            (F.col("d_max") - F.col("d_min")) * F.lit(1.0) / F.col("d_min"),
+            6,
+        ).alias("relative_contrast"),
+    )

@@ -2208,3 +2208,93 @@ def kmv_intersection_estimate(spark, sf_dir):
             ).alias("intersection_est"),
         )
     )
+
+
+@register(
+    "capture_recapture_distinct",
+    """
+    WITH c1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST('0x' || substr(md5('cap1|' || event_id::VARCHAR), 1, 15)
+                 AS BIGINT) % 10 = 0),
+    c2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST('0x' || substr(md5('cap2|' || event_id::VARCHAR), 1, 15)
+                 AS BIGINT) % 10 = 0),
+    n1 AS (SELECT COUNT(*)::BIGINT AS n1 FROM c1),
+    n2 AS (SELECT COUNT(*)::BIGINT AS n2 FROM c2),
+    mm AS (SELECT COUNT(*)::BIGINT AS m
+           FROM c1 JOIN c2 USING (user_id)),
+    ex AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+           FROM events)
+    SELECT n1.n1 AS n_capture1, n2.n2 AS n_capture2, mm.m AS n_overlap,
+           ((n1.n1 + 1) * (n2.n2 + 1) // (mm.m + 1) - 1)::BIGINT
+             AS n_hat_chapman,
+           ex.exact_distinct,
+           CAST(round(1e6 * ((n1.n1 + 1) * (n2.n2 + 1) // (mm.m + 1) - 1)
+                      / ex.exact_distinct) AS BIGINT) AS ratio_micro
+    FROM n1 CROSS JOIN n2 CROSS JOIN mm CROSS JOIN ex
+    """,
+)
+def capture_recapture_distinct(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture estimate of the distinct-user
+    count, with Chapman's bias correction: two INDEPENDENT deterministic
+    10% event samples are the two 'captures'; users seen in both are the
+    marked recaptures, and N-hat = (n1+1)(n2+1)/(m+1) - 1. The fourth
+    member of the cardinality-estimator family (exact count, KMV, HLL)
+    and the only one that works when you can only afford to SCAN samples
+    — the audit reports the realized N-hat/exact ratio, which the
+    estimator's assumption (capture independence) should hold near 1e6.
+    Heavy users appear in both samples more often than light users, so a
+    ratio far from 1 is a direct measurement of capture heterogeneity —
+    the classic ecology failure mode, surfaced as data skew.
+
+    Determinism + scale: both captures are pure md5 functions of
+    event_id with different seeds (no RNG, reproducible at any
+    parallelism); each reduces to a distinct-user set in one
+    partial-aggregated pass; the overlap is one equi-join on user_id;
+    Chapman is exact BIGINT integer division. The exact side is the one
+    corpus-scale distinct — the thing the estimator exists to avoid, kept
+    here as the audit truth."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def capture(seed):
+        return (
+            ev.filter(
+                portable_hash64(F.col("event_id").cast("string"), seed=seed)
+                % 10
+                == 0
+            )
+            .select("user_id")
+            .distinct()
+        )
+
+    c1, c2 = capture("cap1"), capture("cap2")
+    n1 = c1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = c2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    mm = c1.join(c2, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    ex = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    chapman = (
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1)") - 1
+    ).cast("bigint")
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n1").alias("n_capture1"),
+            F.col("n2").alias("n_capture2"),
+            F.col("m").alias("n_overlap"),
+            chapman.alias("n_hat_chapman"),
+            "exact_distinct",
+            F.round(F.lit(1e6) * chapman / F.col("exact_distinct"))
+            .cast("bigint")
+            .alias("ratio_micro"),
+        )
+    )
