@@ -1849,7 +1849,7 @@ def holm_weekday_conversion_tests(spark, sf_dir):
         *[F.lit(x) for k, v in _HOLM_Z.items() for x in (k, round(v * 1e6))]
     )
     rt = (
-        z.join(r, "dow")
+        z.join(F.broadcast(r), "dow")
         .crossJoin(F.broadcast(m))
         .withColumn(
             "zthr",
@@ -2079,7 +2079,7 @@ def bh_weekday_conversion_fdr(spark, sf_dir):
         "|", F.col("rnk").cast("string"), F.col("m").cast("string")
     )
     rt = (
-        z.join(r, "dow")
+        z.join(F.broadcast(r), "dow")
         .crossJoin(F.broadcast(m))
         .withColumn("zthr", F.element_at(thr_z, key))
         .withColumn("zthr_micro", F.element_at(thr_mic, key))

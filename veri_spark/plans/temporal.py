@@ -363,7 +363,7 @@ def daily_seasonal_decomposition(spark, sf_dir):
         .cast("bigint")
         .alias("season_micro"),
     )
-    r = de.join(se.select("dow", "season_micro"), "dow").select(
+    r = de.join(F.broadcast(se.select("dow", "season_micro")), "dow").select(
         (F.col("detr") - F.col("season_micro")).alias("resid")
     )
     ssd = de.agg(
