@@ -1879,7 +1879,7 @@ def holm_weekday_conversion_tests(spark, sf_dir):
         )
     )
     return (
-        rt.join(hm, "dow")
+        rt.join(F.broadcast(hm), "dow")
         .select(
             "dow",
             "n0",
