@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     # mostly measure the warm cache).
     "graph_kcore_peel",
     "graph_bfs_hops",
+    # round-9 (verdict task 1): the third capped ranker — rides the same
+    # session-shared one-pass wedge aggregate as the Jaccard and RA
+    # rankers, so its marginal cost in a warm sweep is a 20-row
+    # checkpoint read
+    "graph_adamic_adar_capped",
     "lsh_param_planner",
     "zorder_multicol_audit",
     "data_skipping_audit",
@@ -192,9 +197,16 @@ BENCH_QUERIES = [
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
-# sf0.1): one timed run instead of median-of-3 keeps the bench under
-# ~4 min while still recording them.
-SINGLE_RUN = {
+# sf0.1). Round-9 (verdict task 2): these now get TWO timed runs instead
+# of one — every prior heavy-entry spread was [x, x], which made
+# round-over-round graph regressions unadjudicable (the round-7 doulion
+# "regression" was a phantom; round-8's pagerank_converged flagged the
+# same gap). The REPORTED number stays the FIRST (cold) run — for the
+# shared-frame graph family the first consumer pays the session build,
+# which is the attribution every earlier round used, so medians remain
+# comparable — and the warm second run lands in the spread, making
+# min != max and showing the shared-frame effect explicitly.
+HEAVY_TWO_RUN = {
     "graph_triangle_census",
     "graph_common_neighbors",
     "graph_triangle_doulion",
@@ -205,15 +217,41 @@ SINGLE_RUN = {
     "zorder_multicol_audit",
     "graph_connected_components",
     # 32x row-explode map+reduce: deterministic single-shape job, low
-    # variance — one timed run keeps the bench under the wall budget
+    # variance — two runs record the variance cheaply
     "poisson_bootstrap_ci",
     # round-8: the distributed-rank + exploded-corpus first-occurrence
     # fit is the one multi-job entry of the evaluation batch
     "heaps_law_fit",
-    # round-8 batch 2: the second capped wedge join — same m^1.5 offline
-    # class as its Jaccard sibling, shares the session edge frame
+    # round-8 batch 2 / round-9: the capped rankers now share ONE wedge
+    # exchange (plans/graph._capped_ranker_top20s); whichever runs first
+    # pays the build, the others read the 60-row checkpoint
     "graph_resource_allocation_capped",
+    "graph_adamic_adar_capped",
 }
+
+# Round-9 (verdict task 6): the exact-triangle audits exist to price the
+# DOULION mitigation; the exact wedge-join build they share is the graph
+# family's second-biggest bench cost but is pure offline-audit weight —
+# the strict local gate still runs both queries at BOTH SFs every round.
+# Bench them on every OTHER round: the round number is 1 + the highest
+# committed BENCH_r*.json (the driver writes r{N} only after the round's
+# bench runs, so during round N the max on disk is N-1). Skipped names
+# are printed in the JSON line as "deferred_audits" so a smaller total
+# is never misread as coverage loss.
+EXACT_AUDIT_EVERY_OTHER_ROUND = ["graph_triangle_census", "graph_triangle_doulion"]
+
+
+def _current_round() -> int:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) if rounds else 0) + 1
 
 
 def main() -> None:
@@ -236,21 +274,26 @@ def main() -> None:
     # median of 3 runs per query: a single GC / compaction hiccup on one
     # run (BENCH_r03's 15.9 s dedup_minhash_lsh outlier, 4.4 s on re-run)
     # cannot dominate a round verdict. Spread (min/max) is reported so a
-    # noisy median is visible too.
+    # noisy median is visible too. Heavy entries get 2 runs with cold-run
+    # attribution (see HEAVY_TWO_RUN).
+    rnd = _current_round()
+    deferred = [] if rnd % 2 == 0 else list(EXACT_AUDIT_EVERY_OTHER_ROUND)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
+        if name in deferred:
+            continue
         # free the previous query's persisted blocks (plan builders pin
         # small reused intermediates) so 68 queries in one session don't
         # accumulate storage memory; kept BETWEEN queries, not between the
         # 3 timed runs, so medians stay comparable with earlier rounds
         spark.catalog.clearCache()
         runs = []
-        for _ in range(1 if name in SINGLE_RUN else 3):
+        for _ in range(2 if name in HEAVY_TWO_RUN else 3):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).collect()
             runs.append(round(time.time() - t0, 3))
-        timings[name] = sorted(runs)[len(runs) // 2]
+        timings[name] = runs[0] if name in HEAVY_TWO_RUN else sorted(runs)[1]
         spread[name] = [min(runs), max(runs)]
 
     total = round(sum(timings.values()), 3)
@@ -267,6 +310,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
+    if deferred:
+        compact["deferred_audits"] = deferred
     # the driver keeps only the LAST 2000 chars of output; if the growing
     # query set pushes the line past that, shed the CHEAPEST queries from
     # stdout (every number stays in BENCH_local.json) and say how many

@@ -1196,25 +1196,25 @@ def mann_kendall_daily_trend(spark, sf_dir):
              SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
                        AND l_shipdate < DATE '1997-01-01'
                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT
-               AS q94,
+               AS q96,
              SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
                        AND l_shipdate < DATE '1998-01-01'
                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT
-               AS q95
+               AS q97
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01'
         AND l_shipdate < DATE '1998-01-01'
       GROUP BY l_partkey),
-    top AS (SELECT l_partkey, q94, q95 FROM q
-            ORDER BY q94 DESC, l_partkey ASC LIMIT 100),
+    top AS (SELECT l_partkey, q96, q97 FROM q
+            ORDER BY q96 DESC, l_partkey ASC LIMIT 100),
     pr AS (SELECT
-             SUM(CASE WHEN (a.q94 - b.q94) * (a.q95 - b.q95) > 0
+             SUM(CASE WHEN (a.q96 - b.q96) * (a.q97 - b.q97) > 0
                       THEN 1 ELSE 0 END)::BIGINT AS c_pairs,
-             SUM(CASE WHEN (a.q94 - b.q94) * (a.q95 - b.q95) < 0
+             SUM(CASE WHEN (a.q96 - b.q96) * (a.q97 - b.q97) < 0
                       THEN 1 ELSE 0 END)::BIGINT AS d_pairs,
-             SUM(CASE WHEN a.q94 = b.q94 THEN 1 ELSE 0 END)::BIGINT
+             SUM(CASE WHEN a.q96 = b.q96 THEN 1 ELSE 0 END)::BIGINT
                AS ties_x,
-             SUM(CASE WHEN a.q95 = b.q95 THEN 1 ELSE 0 END)::BIGINT
+             SUM(CASE WHEN a.q97 = b.q97 THEN 1 ELSE 0 END)::BIGINT
                AS ties_y,
              COUNT(*)::BIGINT AS n_pairs
            FROM top a JOIN top b ON a.l_partkey < b.l_partkey),
@@ -1252,25 +1252,25 @@ def kendall_tau_part_demand(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
     )
-    y95 = F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")
+    y97 = F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")
     q = li.groupBy("l_partkey").agg(
-        F.sum(F.when(~y95, F.col("l_quantity").cast("bigint")).otherwise(0))
+        F.sum(F.when(~y97, F.col("l_quantity").cast("bigint")).otherwise(0))
         .cast("bigint")
-        .alias("q94"),
-        F.sum(F.when(y95, F.col("l_quantity").cast("bigint")).otherwise(0))
+        .alias("q96"),
+        F.sum(F.when(y97, F.col("l_quantity").cast("bigint")).otherwise(0))
         .cast("bigint")
-        .alias("q95"),
+        .alias("q97"),
     )
-    top = q.orderBy(F.col("q94").desc(), F.col("l_partkey").asc()).limit(100)
+    top = q.orderBy(F.col("q96").desc(), F.col("l_partkey").asc()).limit(100)
     a = top.select(
         F.col("l_partkey").alias("ka"),
-        F.col("q94").alias("xa"),
-        F.col("q95").alias("ya"),
+        F.col("q96").alias("xa"),
+        F.col("q97").alias("ya"),
     )
     b = top.select(
         F.col("l_partkey").alias("kb"),
-        F.col("q94").alias("xb"),
-        F.col("q95").alias("yb"),
+        F.col("q96").alias("xb"),
+        F.col("q97").alias("yb"),
     )
     sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
     pr = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).agg(
@@ -1323,7 +1323,8 @@ def kendall_tau_part_demand(spark, sf_dir):
     t AS (SELECT SUM(a_n)::BIGINT AS ta, SUM(b_n)::BIGINT AS tb FROM c),
     pq AS (SELECT c.event_type, c.a_n, c.b_n,
                   c.a_n / (t.ta * 1.0) AS p,
-                  c.b_n / (t.tb * 1.0) AS q
+                  CASE WHEN t.tb > 0 THEN c.b_n / (t.tb * 1.0)
+                       ELSE 0.0 END AS q
            FROM c CROSS JOIN t)
     SELECT event_type, a_n AS early_n, b_n AS late_n,
            CAST(FLOOR(1e6 * 0.5 * (
@@ -1386,8 +1387,18 @@ def js_divergence_event_drift(spark, sf_dir):
         F.sum("a_n").cast("bigint").alias("ta"),
         F.sum("b_n").cast("bigint").alias("tb"),
     )
+    # Degenerate-split guards (round-8 advisor finding): the early half
+    # is non-empty whenever the corpus is (day0 satisfies 2*0 <= span),
+    # so ta > 0 is structural — but a SINGLE-DAY corpus puts every row
+    # in half 0 and tb = 0, and x/0 semantics diverge cross-engine
+    # (DuckDB inf vs Spark ANSI throw). Guarding q to 0.0 (mirrored in
+    # the SQL) makes the output the JSD against an empty late half —
+    # every type's term reduces to p*ln(2), the metric's maximum, which
+    # is the honest reading of "all the data is early".
     p = F.col("a_n") / (F.col("ta") * F.lit(1.0))
-    q = F.col("b_n") / (F.col("tb") * F.lit(1.0))
+    q = F.when(
+        F.col("tb") > 0, F.col("b_n") / (F.col("tb") * F.lit(1.0))
+    ).otherwise(F.lit(0.0))
     m = F.lit(0.5) * (p + q)
     term = F.lit(1e6) * F.lit(0.5) * (
         F.when(F.col("a_n") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
@@ -1451,7 +1462,14 @@ def value_trimmed_winsorized_drift(spark, sf_dir):
     frame broadcast; both means sum exact DECIMAL(28,10) casts
     (order-insensitive, the value_moments idiom) with one double
     division at the end. The clamp (LEAST/GREATEST) returns one of the
-    operand doubles bit-for-bit in both engines."""
+    operand doubles bit-for-bit in both engines.
+
+    Degenerate splits (round-8 advisor): unlike the JSD query, both
+    divisors here are per-GROUP aggregates — a half with no rows
+    produces no group row at all (a single-day corpus simply emits one
+    half-0 row), COUNT(*) >= 1 on any emitted row, and n_kept >= 1
+    because the half's own q10/q90 always bracket at least the rows
+    equal to them — so no x/0 path exists and no guard is needed."""
     ev = load_table(spark, sf_dir, "events")
     d0 = ev.agg(
         F.min(F.col("ts").cast("date")).alias("day0"),

@@ -1674,6 +1674,13 @@ def copurchase_lift_chi2(spark, sf_dir):
         "part_a", "part_b", "n_ab",
         lift.alias("lift_raw"), chi2.alias("chi2_raw"),
     )
+    # Order by the ROUNDED lift, matching copurchase_lift's idiom AND
+    # what the oracle actually does: DuckDB's `ORDER BY lift DESC` binds
+    # to the SELECT alias ROUND(lift, 6), not the source column (round-8
+    # advisor finding — ordering Spark by the unrounded value was a
+    # latent top-20 row-order divergence for raw lifts that differ only
+    # past the 6th decimal; the (part_a, part_b) tie-break then resolves
+    # round-equal pairs identically in both engines).
     return (
         y.select(
             "part_a",
@@ -1682,11 +1689,9 @@ def copurchase_lift_chi2(spark, sf_dir):
             F.round("lift_raw", 6).alias("lift"),
             F.round("chi2_raw", 6).alias("chi2"),
             (F.col("chi2_raw") > F.lit(_CHI2_95)).alias("significant_95"),
-            F.col("lift_raw").alias("__lift"),
         )
         .orderBy(
-            F.col("__lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+            F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
         )
-        .drop("__lift")
         .limit(20)
     )

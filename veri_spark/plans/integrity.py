@@ -806,7 +806,12 @@ def mutual_information_lang_source(spark, sf_dir):
     w_micro between engines on future data. Unlike the Benford/nDCG
     constants the argument here is data-dependent, so Python
     precomputation cannot remove the boundary; a flip is a 1-micro-nat
-    wobble in one cell, caught by the hash gate rather than silent."""
+    wobble in one cell, caught by the hash gate rather than silent.
+    Round-9: tests/test_round9_units.py measures the realized guard band
+    on the committed testdata — every cell's 1e6*ln(ratio) sits > 1e-4
+    from its nearest half-integer boundary, ~6 orders of magnitude
+    beyond what a 1-ulp ln divergence can move it, so a flip on the
+    gate's inputs is impossible, not merely unlikely."""
     docs = load_table(spark, sf_dir, "documents")
     cell = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("nxy")

@@ -2186,7 +2186,9 @@ def ivf_silhouette_audit(spark, sf_dir):
            CAST(round(sqrt((n_pairs * 1.0 * s2::DOUBLE - s1::DOUBLE * s1)
                            / (n_pairs * 1.0 * n_pairs))) AS BIGINT)
              AS std_micro,
-           ROUND((d_max - d_min) * 1.0 / d_min, 6) AS relative_contrast
+           CASE WHEN d_min > 0
+                THEN ROUND((d_max - d_min) * 1.0 / d_min, 6)
+                ELSE NULL END AS relative_contrast
     FROM agg
     """,
 )
@@ -2210,7 +2212,13 @@ def knn_distance_concentration(spark, sf_dir):
     micro-quantized PER PAIR (floor(x+0.5) on the nonnegative
     correctly-rounded distance), so moments come from exact BIGINT /
     DECIMAL(38) power sums — no float accumulates across rows; mean,
-    std, and contrast are fixed-order double expressions at the end."""
+    std, and contrast are fixed-order double expressions at the end.
+    The contrast is guarded with d_min > 0 mirrored in both engines
+    (round-8 advisor finding): a sample containing two exact-duplicate
+    embeddings — the corpus HAS exact dups, that's why the dedup family
+    exists — makes d_min 0, and x/0 semantics diverge cross-engine
+    (DuckDB inf vs Spark ANSI throw); NULL states 'contrast undefined:
+    duplicates present' instead of breaking the gate."""
     from veri_spark.functions.hashing import portable_hash64
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2256,8 +2264,13 @@ def knn_distance_concentration(spark, sf_dir):
         )
         .cast("bigint")
         .alias("std_micro"),
-        F.round(
-            (F.col("d_max") - F.col("d_min")) * F.lit(1.0) / F.col("d_min"),
-            6,
+        F.when(
+            F.col("d_min") > 0,
+            F.round(
+                (F.col("d_max") - F.col("d_min"))
+                * F.lit(1.0)
+                / F.col("d_min"),
+                6,
+            ),
         ).alias("relative_contrast"),
     )
