@@ -1,0 +1,535 @@
+"""Nonparametric / distribution-free statistics and streaming-sketch
+audits: Spearman rank correlation, Kruskal-Wallis, the Wald-Wolfowitz
+runs test, lagged autocorrelation, and the AMS F2 sketch.
+
+These extend the evaluation family (plans/evaluation.py) with the tests
+an analyst reaches for when the value distributions are NOT normal-ish —
+which the QQ audit in this registry shows they aren't: rank correlation
+instead of Pearson, a rank ANOVA instead of the F test, a randomness
+test on the revenue sequence, and the second-moment sketch that prices
+what a distributed F2 estimate costs vs the exact answer. None exist in
+the reference (veriservice.proto has no evaluation surface) — north-star
+extensions per SURVEY.md §7 phase 6, built on the registry's determinism
+idioms: rank math on DOUBLED midranks (exact BIGINTs from the
+distributed prefix scan — the score_auc_mann_whitney pattern), moment
+sums as exact DECIMAL(38,0) folds cast ::DOUBLE once, per-group nano
+quantization before any cross-row fold of doubles, and engine-sensitive
+constants as Python-side literals.
+
+Scale shapes: every query collapses the corpus with one (or two)
+partial-aggregated scans to a BOUNDED frame — a value domain, a
+calendar-day grid, a 16-row estimator panel — before any ordered or
+pairwise step; prefix scans ride operators/ranking.py (no unpartitioned
+windows anywhere).
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like every
+domain module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions.hashing import dd_hash, portable_hash64
+from veri_spark.operators.ranking import global_prefix_agg, global_row_number
+from veri_spark.sources.catalog import load_table
+
+from veri_spark.plans._base import register
+
+# chi-square(4 df) 95% critical value — the event_type domain has 5
+# groups, so the Kruskal-Wallis statistic has 4 degrees of freedom. A
+# Python-side literal like the probit grid (engine quantile functions are
+# never trusted); standard table value, e.g. Abramowitz & Stegun 26.4.
+_CHI2_95_DF4 = 9.487729036781154
+
+
+def _mid2(df: DataFrame, value_col: str, cnt_col: str = "cnt") -> DataFrame:
+    """DOUBLED tie-correct midranks over a value-grain count frame: the
+    distributed prefix scan orders the value DOMAIN and 2*cum_before +
+    cnt + 1 keeps every midrank an exact BIGINT (the
+    score_auc_mann_whitney idiom — no row-level sort anywhere)."""
+    p = global_prefix_agg(
+        df, [F.col(value_col).asc()], cnt_col, agg="sum", out_col="cum_incl"
+    )
+    return p.withColumn(
+        "mid2",
+        (
+            2 * (F.col("cum_incl") - F.col(cnt_col)) + F.col(cnt_col) + 1
+        ).cast("bigint"),
+    )
+
+
+@register(
+    "spearman_qty_price",
+    """
+    WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y
+                FROM lineitem),
+    gx AS (SELECT x, COUNT(*)::BIGINT AS cnt FROM li GROUP BY x),
+    rx AS (SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x ASC) - cnt) + cnt + 1
+                    AS mid2 FROM gx),
+    gy AS (SELECT y, COUNT(*)::BIGINT AS cnt FROM li GROUP BY y),
+    ry AS (SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y ASC) - cnt) + cnt + 1
+                    AS mid2 FROM gy),
+    j AS (SELECT rx.mid2 AS dx, ry.mid2 AS dy
+          FROM li JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS sxx,
+                 SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS syy,
+                 SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy
+          FROM j)
+    SELECT n AS n_rows,
+           CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                 AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                THEN ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                           / sqrt((n::DOUBLE * sxx::DOUBLE
+                                   - sx::DOUBLE * sx::DOUBLE)
+                                  * (n::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)), 6)
+                ELSE NULL END AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_qty_price(spark, sf_dir):
+    """Spearman rank correlation between line quantity and extended
+    price — the distribution-free dependence readout for a pair where
+    Pearson is dominated by price's heavy tail. Rho is Pearson ON THE
+    MIDRANKS: both variables get tie-correct DOUBLED midranks (exact
+    BIGINTs, quantity ties are massive — 50 distinct values), the five
+    moment sums fold as exact DECIMAL(38,0) (order-insensitive at any
+    parallelism), and rho is ONE fixed-order double expression of six
+    exact numbers — identical in both engines. The constant-variable
+    guard (nSxx = Sx^2) mirrors cross-engine rather than risking x/0.
+
+    Scale shape: two value-grain count aggregates, two distributed
+    prefix scans over the value DOMAINS (50-row quantity domain,
+    vocabulary-sized price domain — never corpus-sized), a broadcast
+    join for the quantity ranks plus one shuffle join for the price
+    ranks, then a single partial-aggregated moment scan. The doubled
+    midranks keep every intermediate under DECIMAL(38,0) to ~1e9 rows
+    per variable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    gx = li.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rx = _mid2(gx, "x").select("x", F.col("mid2").alias("dx"))
+    gy = li.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ry = _mid2(gy, "y").select("y", F.col("mid2").alias("dy"))
+    j = li.join(F.broadcast(rx), "x").join(ry, "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("dx")).alias("sx"),
+        F.sum(dec("dy")).alias("sy"),
+        F.sum(dec("dx") * F.col("dx")).alias("sxx"),
+        F.sum(dec("dy") * F.col("dy")).alias("syy"),
+        F.sum(dec("dx") * F.col("dy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - sx * sx
+    vy = nd * F.col("syy").cast("double") - sy * sy
+    rho = (nd * F.col("sxy").cast("double") - sx * sy) / F.sqrt(vx * vy)
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.when((vx > 0) & (vy > 0), F.round(rho, 6)).alias("spearman_rho"),
+    )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    f"""
+    WITH e AS (SELECT event_type, value FROM events),
+    gv AS (SELECT value, COUNT(*)::BIGINT AS cnt FROM e GROUP BY value),
+    rv AS (SELECT value, cnt,
+                  2 * (SUM(cnt) OVER (ORDER BY value ASC) - cnt) + cnt + 1
+                    AS mid2 FROM gv),
+    vt AS (SELECT value, event_type, COUNT(*)::BIGINT AS cnt_vt
+           FROM e GROUP BY value, event_type),
+    grp AS (SELECT vt.event_type,
+                   SUM(vt.cnt_vt)::BIGINT AS n_g,
+                   SUM(vt.cnt_vt * rv.mid2)::BIGINT AS r2_g
+            FROM vt JOIN rv USING (value) GROUP BY vt.event_type),
+    nn AS (SELECT SUM(n_g)::DOUBLE AS nd FROM grp),
+    tot AS (SELECT SUM(g.n_g)::BIGINT AS n,
+                   COUNT(*)::BIGINT AS k,
+                   SUM(CAST(round(1e9 * (3.0 * (g.r2_g::DOUBLE
+                                                * g.r2_g::DOUBLE / g.n_g)
+                                         / (nn.nd * (nn.nd + 1.0))))
+                            AS BIGINT))::BIGINT AS term_nano
+            FROM grp g CROSS JOIN nn),
+    ties AS (SELECT COALESCE(SUM(cnt * cnt * cnt - cnt), 0)::BIGINT AS t3
+             FROM gv WHERE cnt > 1),
+    h AS (SELECT tot.n, tot.k,
+                 tot.term_nano / 1e9 - 3.0 * (tot.n::DOUBLE + 1.0) AS h_raw,
+                 1.0 - ties.t3::DOUBLE
+                       / (tot.n::DOUBLE * tot.n::DOUBLE * tot.n::DOUBLE
+                          - tot.n::DOUBLE) AS c
+          FROM tot CROSS JOIN ties)
+    SELECT n AS n_events, k AS n_groups,
+           ROUND(h_raw, 6) AS h,
+           CASE WHEN c > 0 THEN ROUND(h_raw / c, 6) ELSE NULL END
+             AS h_tie_corrected,
+           CASE WHEN c > 0 THEN h_raw / c > {_CHI2_95_DF4!r}
+                ELSE NULL END AS differs_95
+    FROM h
+    """,
+)
+def kruskal_wallis_value_by_type(spark, sf_dir):
+    """Kruskal-Wallis rank test: do the five event types draw their
+    `value` from the same distribution? The distribution-free ANOVA the
+    QQ audit says this corpus needs (values are nowhere near normal), and
+    the k-group generalization of the Mann-Whitney machinery the AUC
+    query already uses. H = 3/(N(N+1)) * sum_g R2_g^2/n_g - 3(N+1) on
+    DOUBLED midranks (R2_g = 2*R_g, absorbing the usual 12/(N(N+1)) and
+    /4): rank sums are exact BIGINTs from the value-domain prefix scan
+    joined to per-(value, type) counts — the corpus never gets a
+    row-level rank. Each group's H term is nano-quantized from one
+    fixed-order double expression of exact integers (the Brier
+    decomposition idiom) so the 5-term fold is order-proof; the tie
+    correction C = 1 - sum(t^3-t)/(N^3-N) folds exact BIGINTs. The 95%
+    verdict compares against the Python-side chi-square(4 df) literal —
+    df is pinned by the event_type domain.
+
+    Scale: two partial-aggregated scans (value grain, value x type
+    grain), one prefix scan over the value DOMAIN, one value-grain join
+    — no shuffle carries more than the distinct-value frame."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    gv = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rv = _mid2(gv, "value").select("value", "cnt", "mid2")
+    vt = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_vt")
+    )
+    grp = (
+        vt.join(rv.select("value", "mid2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_vt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt_vt") * F.col("mid2"))
+            .cast("bigint")
+            .alias("r2_g"),
+        )
+    )
+    tot_n = grp.agg(F.sum("n_g").cast("double").alias("nd"))
+    term = F.round(
+        F.lit(1e9)
+        * (
+            F.lit(3.0)
+            * (F.col("r2_g").cast("double") * F.col("r2_g").cast("double") / F.col("n_g"))
+            / (F.col("nd") * (F.col("nd") + F.lit(1.0)))
+        )
+    ).cast("bigint")
+    tot = (
+        grp.crossJoin(F.broadcast(tot_n))
+        .agg(
+            F.sum("n_g").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(term).cast("bigint").alias("term_nano"),
+        )
+    )
+    ties = gv.filter(F.col("cnt") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("t3")
+    )
+    nd = F.col("n").cast("double")
+    h_raw = F.col("term_nano") / F.lit(1e9) - F.lit(3.0) * (nd + F.lit(1.0))
+    c = F.lit(1.0) - F.col("t3").cast("double") / (nd * nd * nd - nd)
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_events"),
+            F.col("k").alias("n_groups"),
+            F.round(h_raw, 6).alias("h"),
+            F.when(c > 0, F.round(h_raw / c, 6)).alias("h_tie_corrected"),
+            F.when(c > 0, h_raw / c > F.lit(_CHI2_95_DF4)).alias(
+                "differs_95"
+            ),
+        )
+    )
+
+
+@register(
+    "runs_test_daily_revenue",
+    """
+    WITH d AS (SELECT l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           * 100 AS BIGINT) AS cents
+               FROM lineitem GROUP BY l_shipdate),
+    m AS (SELECT quantile_cont(cents, 0.5) AS med FROM d),
+    s AS (SELECT day,
+                 CASE WHEN cents > m.med THEN 1 ELSE 0 END AS sgn,
+                 row_number() OVER (ORDER BY day ASC) AS rn
+          FROM d CROSS JOIN m
+          WHERE cents::DOUBLE <> m.med),
+    adj AS (SELECT COALESCE(SUM(CASE WHEN a.sgn = b.sgn THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_same
+            FROM s a JOIN s b ON b.rn = a.rn + 1),
+    c AS (SELECT COUNT(*)::BIGINT AS n_kept, SUM(sgn)::BIGINT AS n1 FROM s),
+    z AS (SELECT c.n_kept, c.n1, (c.n_kept - c.n1)::BIGINT AS n2,
+                 (c.n_kept - adj.n_same)::BIGINT AS runs,
+                 2.0 * c.n1 * (c.n_kept - c.n1) / c.n_kept + 1.0 AS mu
+          FROM c CROSS JOIN adj)
+    SELECT n_kept AS n_days, n1 AS n_above, n2 AS n_below, runs AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n_kept > 1
+                 AND (mu - 1.0) * (mu - 2.0) / (n_kept - 1.0) > 0
+                THEN ROUND((runs - mu)
+                           / sqrt((mu - 1.0) * (mu - 2.0) / (n_kept - 1.0)),
+                           6)
+                ELSE NULL END AS z_runs
+    FROM z
+    """,
+)
+def runs_test_daily_revenue(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily-revenue sequence: are
+    above-median and below-median days RANDOMLY interleaved, or does
+    revenue cluster (momentum / regime shifts that invalidate any
+    i.i.d.-based monitor in this registry)? Days collapse to exact
+    integer CENTS (DECIMAL(28,10) fold * 100 — extendedprice has two
+    decimals), the median is the same interpolated quantile both engines
+    proved parity on (`events_value_quantiles`), median-equal days drop
+    (the standard treatment), and runs are counted as n - #same-sign
+    adjacencies via the rank-shift self-join (the SNM idiom) over the
+    calendar-BOUNDED day frame — the corpus is touched by exactly one
+    partial-aggregated scan. The z statistic uses the compact identity
+    sigma^2 = (mu-1)(mu-2)/(n-1): one fixed-order double expression of
+    exact integers, with degenerate cases (all-above, all-below, n<=1)
+    guarded to NULL identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    m = d.agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    s = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("cents").cast("double") != F.col("med"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    s = global_row_number(s, [F.col("day").asc()], rn_col="rn")
+    a = s.select(F.col("rn").alias("ra"), F.col("sgn").alias("sa"))
+    b = s.select((F.col("rn") - 1).alias("ra"), F.col("sgn").alias("sb"))
+    adj = a.join(b, "ra").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_same")
+    )
+    c = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("sgn").cast("bigint").alias("n1"),
+    )
+    z = c.crossJoin(F.broadcast(adj)).select(
+        "n_kept",
+        "n1",
+        (F.col("n_kept") - F.col("n1")).cast("bigint").alias("n2"),
+        (F.col("n_kept") - F.col("n_same")).cast("bigint").alias("runs"),
+        (
+            F.lit(2.0)
+            * F.col("n1")
+            * (F.col("n_kept") - F.col("n1"))
+            / F.col("n_kept")
+            + F.lit(1.0)
+        ).alias("mu"),
+    )
+    var = (
+        (F.col("mu") - F.lit(1.0))
+        * (F.col("mu") - F.lit(2.0))
+        / (F.col("n_kept") - F.lit(1.0))
+    )
+    return z.select(
+        F.col("n_kept").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("runs").alias("n_runs"),
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n_kept") > 1)
+            & (var > 0),
+            F.round((F.col("runs") - F.col("mu")) / F.sqrt(var), 6),
+        ).alias("z_runs"),
+    )
+
+
+@register(
+    "acf_daily_revenue",
+    """
+    WITH d AS (SELECT l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           * 100 AS BIGINT) AS cents
+               FROM lineitem GROUP BY l_shipdate),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+    p AS (SELECT k.lag, a.cents AS x, b.cents AS y
+          FROM generate_series(1, 7) AS k(lag)
+          JOIN r a ON TRUE
+          JOIN r b ON b.rn = a.rn + k.lag),
+    s AS (SELECT lag, COUNT(*)::BIGINT AS m,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+          FROM p GROUP BY lag)
+    SELECT lag, m AS n_pairs,
+           CASE WHEN (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                 AND (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                THEN ROUND((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                           / sqrt((m::DOUBLE * sxx::DOUBLE
+                                   - sx::DOUBLE * sx::DOUBLE)
+                                  * (m::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)), 6)
+                ELSE NULL END AS acf
+    FROM s ORDER BY lag ASC
+    """,
+)
+def acf_daily_revenue(spark, sf_dir):
+    """Lag-1..7 autocorrelation of daily revenue — the weekly-memory
+    readout that says whether yesterday predicts today (lag 1) and
+    whether the weekly cycle `daily_seasonal_decomposition` models is
+    visible as a lag-7 peak. Per lag k it is the PEARSON correlation of
+    the (day t, day t+k) pairs (the re-centering-per-lag variant, exact
+    and self-contained per row of output): days collapse to exact
+    integer cents, the day sequence gets a distributed global rank, the
+    7 lag copies come from one broadcast lags frame joined on rn+k, and
+    the five moment sums per lag fold as exact DECIMAL(38,0) — the final
+    correlation is one fixed-order double expression per lag with the
+    degenerate-variance guard mirrored cross-engine.
+
+    Scale: the corpus is touched by ONE partial-aggregated scan; all
+    pairwise work happens on the calendar-bounded day frame (~2.5k rows
+    regardless of SF), so the lag join is broadcast-sized at any data
+    volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
+        "rn", "cents"
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = r.select(F.col("rn").alias("ra"), F.col("cents").alias("x"))
+    b = r.select(F.col("rn").alias("rb"), F.col("cents").alias("y"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rb") == F.col("ra") + F.col("lag"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = md * F.col("sxx").cast("double") - sx * sx
+    vy = md * F.col("syy").cast("double") - sy * sy
+    acf = (md * F.col("sxy").cast("double") - sx * sy) / F.sqrt(vx * vy)
+    return (
+        s.select(
+            "lag",
+            F.col("m").alias("n_pairs"),
+            F.when((vx > 0) & (vy > 0), F.round(acf, 6)).alias("acf"),
+        )
+        .orderBy(F.col("lag").asc())
+    )
+
+
+@register(
+    "ams_f2_sketch_audit",
+    f"""
+    WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS cnt
+               FROM events GROUP BY user_id),
+    h AS (SELECT cnt, {dd_hash("user_id::VARCHAR", "'ams'")} AS hv FROM c),
+    z AS (SELECT i.i,
+                 SUM((1 - 2 * ((hv >> i.i) & 1)) * cnt)::BIGINT AS zi
+          FROM h CROSS JOIN generate_series(0, 15) AS i(i)
+          GROUP BY i.i),
+    est AS (SELECT list_sort(list(zi * zi)) AS l FROM z),
+    ex AS (SELECT COUNT(*)::BIGINT AS n_users,
+                  SUM(cnt * cnt)::BIGINT AS f2 FROM c)
+    SELECT ex.n_users, ex.f2 AS f2_exact,
+           ((est.l[8] + est.l[9]) // 2)::BIGINT AS f2_ams_median,
+           CASE WHEN ex.f2 > 0
+                THEN ROUND(((est.l[8] + est.l[9]) // 2 - ex.f2) * 1.0
+                           / ex.f2, 6)
+                ELSE NULL END AS rel_err
+    FROM ex CROSS JOIN est
+    """,
+)
+def ams_f2_sketch_audit(spark, sf_dir):
+    """AMS second-moment sketch (Alon-Matias-Szegedy) audited against the
+    exact F2 of the per-user event counts — the repeat-concentration
+    statistic (F2/N^2 is the Simpson index the lang-diversity query
+    uses) that a 100 TB stream would estimate with O(1) memory instead
+    of a user-grain aggregate. Sixteen independent estimators: each
+    takes a +-1 sign per user from one bit of the portable 60-bit hash
+    (bits 0..15 of ONE md5 — the poisson_bootstrap slicing idiom),
+    folds the signed BIGINT sum Z_i = sum s_i(u)*c_u, and squares it;
+    E[Z^2] = F2. The audit reports the pair-averaged median of the 16
+    estimates ((e8+e9) div 2 on the sorted panel — integer floor,
+    mirrored in both engines) and its relative error vs exact.
+
+    Determinism + scale: everything is BIGINT until the final error
+    division; the sketch side is ONE partial-aggregated pass producing
+    16 signed sums (a production stream keeps 16 counters and never
+    materializes the user grain — here both sides share the count frame
+    so the audit compares like for like); the 16-element panel sorts as
+    an in-row array, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    h = c.select(
+        "cnt", portable_hash64(F.col("user_id").cast("string"), "ams").alias("hv")
+    )
+    zcols = [
+        F.sum(
+            (1 - 2 * F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)))
+            * F.col("cnt")
+        )
+        .cast("bigint")
+        .alias(f"z{i}")
+        for i in range(16)
+    ]
+    z = h.agg(*zcols)
+    est = z.select(
+        F.array_sort(
+            F.array(*[F.col(f"z{i}") * F.col(f"z{i}") for i in range(16)])
+        ).alias("l")
+    )
+    ex = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2"),
+    )
+    med = ((F.col("l")[7] + F.col("l")[8]) / 2).cast("bigint")
+    return ex.crossJoin(F.broadcast(est)).select(
+        "n_users",
+        F.col("f2").alias("f2_exact"),
+        med.alias("f2_ams_median"),
+        F.when(
+            F.col("f2") > 0,
+            F.round((med - F.col("f2")) * F.lit(1.0) / F.col("f2"), 6),
+        ).alias("rel_err"),
+    )
