@@ -1,0 +1,349 @@
+"""Training-corpus quality gates in the Gopher/C4 style: repetition
+signals, rule-based quality flags, lexical diversity, and vocabulary
+entropy — the pre-training filter pass of an LLM data pipeline.
+
+The published web-scale filters (Gopher's repetition and quality rules,
+C4's line heuristics) gate documents on cheap surface statistics before
+any model-based scoring. This corpus is single-line word-soup (no
+newlines, small vocabulary), so each filter is re-expressed on the
+signals the data actually carries, with thresholds CALIBRATED on the
+corpus (each docstring records the measured distribution next to the
+chosen cut) — the plumbing, not the constants, is what transfers to
+100 TB. All four queries share the same scale shape: one projection
+scan explodes to token/bigram grain, partial-aggregated group-bys
+collapse back to doc grain then to the bounded source/lang domain —
+no shuffle ever carries more than the exploded token stream, and no
+per-row Python anywhere.
+
+Determinism: per-doc fractions are micro-quantized integers
+(floor(1e6*x + 0.5) on provably nonnegative ratios of exact integers),
+flags are integer comparisons on those micros, per-group means are one
+double round of exact BIGINT sums, and the only in-engine
+transcendental is ln on identical integers (the WoE/Zipf idiom).
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like every
+domain module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions.text import (
+    EN_STOPWORDS,
+    EN_STOPWORDS_SQL,
+    tokens,
+    word_shingles,
+)
+from veri_spark.sources.catalog import load_table
+
+from veri_spark.plans._base import register
+
+_DD_WS = "(SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM documents)"
+
+
+@register(
+    "gopher_repetition_gate",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    b AS (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM t WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, source, bg, COUNT(*)::BIGINT AS cnt
+          FROM b GROUP BY doc_id, source, bg),
+    d AS (SELECT doc_id, source,
+                 CAST(FLOOR(1e6 * SUM(CASE WHEN cnt >= 2 THEN cnt
+                                           ELSE 0 END)
+                            / SUM(cnt) + 0.5) AS BIGINT) AS dup_micro
+          FROM c GROUP BY doc_id, source)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN dup_micro > 125000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_flagged,
+           CAST(round(SUM(dup_micro) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_dup_micro,
+           MAX(dup_micro)::BIGINT AS max_dup_micro
+    FROM d GROUP BY source ORDER BY source ASC
+    """,
+)
+def gopher_repetition_gate(spark, sf_dir):
+    """Gopher-style repetition filter: per document, the fraction of
+    bigram occurrences that belong to DUPLICATED bigrams (Rae et al.'s
+    'fraction of text in duplicate n-grams' family — boilerplate and
+    template spam repeat phrases; prose doesn't), flagged above 12.5%
+    and reported per source so a single bad feed is visible directly.
+    Calibration on this corpus (measured at sf0.01): median 5.6%, p90
+    12.9%, p95 16.1% — the 0.125 cut flags the worst ~10%, the slice a
+    production pipeline routes to review. The fraction is argmax-free
+    (a top-1-bigram variant needs a cross-engine argmax tie-break;
+    SUM(cnt | cnt>=2)/SUM(cnt) is pure aggregation) and micro-quantized
+    per doc, so the flag is an INTEGER comparison and per-source means
+    are one round of exact BIGINT sums.
+
+    Scale: explode to bigram grain (token-stream sized), two
+    partial-aggregated group-bys back down to doc then source grain —
+    the same shape as the shingle dedup family, no corpus-sized state
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("ws")
+    )
+    b = (
+        docs.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("ws"), 2)).alias("bg"),
+        )
+    )
+    c = b.groupBy("doc_id", "source", "bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    d = c.groupBy("doc_id", "source").agg(
+        F.floor(
+            F.lit(1e6)
+            * F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+            / F.sum("cnt")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_micro")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("dup_micro") > 125000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(F.sum("dup_micro") * F.lit(1.0) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_dup_micro"),
+            F.max("dup_micro").cast("bigint").alias("max_dup_micro"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS {_DD_WS},
+    m AS (SELECT source,
+                 len(ws)::BIGINT AS wc,
+                 list_sum(list_transform(ws, w -> strlen(w)))::BIGINT
+                   AS chars,
+                 len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::BIGINT
+                   AS sw
+          FROM t WHERE len(ws) > 0)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN wc BETWEEN 20 AND 90 THEN 1 ELSE 0 END)::BIGINT
+             AS pass_word_count,
+           SUM(CASE WHEN chars * 10 BETWEEN 42 * wc AND 48 * wc
+                    THEN 1 ELSE 0 END)::BIGINT AS pass_mean_word_len,
+           SUM(CASE WHEN sw >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS pass_stopwords,
+           SUM(CASE WHEN wc BETWEEN 20 AND 90
+                     AND chars * 10 BETWEEN 42 * wc AND 48 * wc
+                     AND sw >= 2 THEN 1 ELSE 0 END)::BIGINT AS pass_all
+    FROM m GROUP BY source ORDER BY source ASC
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher-style rule gate, per source: word count in [20, 90], mean
+    word length in [4.2, 4.8], and >= 2 core stopwords (Rae et al.'s
+    50-100k-word / 3-10-char / stop-word-presence rules, re-calibrated
+    to this corpus's measured p10-p90 bands: word count median 56 with
+    p99 97; mean word length p10 4.26, p90 4.77; stopword count median
+    1). Reports per-rule AND all-rules pass counts so the marginal bite
+    of each rule is visible — the number a pipeline owner reads before
+    turning a rule on.
+
+    Determinism: the mean-word-length band is evaluated as the INTEGER
+    cross-multiplication chars*10 BETWEEN 42*wc AND 48*wc — no division
+    anywhere, so the rule is exact in both engines by construction (the
+    only divisions in this query are none). Scale: one projection scan,
+    per-doc stats from in-row array ops (no explode), one group-by on
+    the bounded source domain."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("ws")
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        "source",
+        F.size("ws").cast("bigint").alias("wc"),
+        F.aggregate(
+            F.transform(F.col("ws"), lambda w: F.length(w)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("chars"),
+        F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+        .cast("bigint")
+        .alias("sw"),
+    )
+    r_wc = F.col("wc").between(20, 90)
+    r_mwl = (F.col("chars") * 10 >= 42 * F.col("wc")) & (
+        F.col("chars") * 10 <= 48 * F.col("wc")
+    )
+    r_sw = F.col("sw") >= 2
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            flag(r_wc).alias("pass_word_count"),
+            flag(r_mwl).alias("pass_mean_word_len"),
+            flag(r_sw).alias("pass_stopwords"),
+            flag(r_wc & r_mwl & r_sw).alias("pass_all"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+@register(
+    "doc_type_token_ratio",
+    f"""
+    WITH t AS {_DD_WS},
+    d AS (SELECT lang,
+                 CAST(FLOOR(1e6 * len(list_distinct(ws)) * 1.0 / len(ws)
+                            + 0.5) AS BIGINT) AS ttr_micro
+          FROM t WHERE len(ws) > 0)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(round(SUM(ttr_micro) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_ttr_micro,
+           MIN(ttr_micro)::BIGINT AS min_ttr_micro,
+           MAX(ttr_micro)::BIGINT AS max_ttr_micro
+    FROM d GROUP BY lang ORDER BY lang ASC
+    """,
+)
+def doc_type_token_ratio(spark, sf_dir):
+    """Type-token ratio (distinct words / words) per document, aggregated
+    by language — the per-doc lexical-diversity gate (1 - TTR is
+    Gopher's duplicate-WORD fraction, so this is the word-grain sibling
+    of the bigram repetition gate, and the per-doc instantaneous version
+    of the corpus-growth curve `heaps_law_fit` measures). Low-TTR docs
+    are keyword-stuffed or template spam; the lang grouping exposes
+    whether a language's feed is systematically worse. Corpus
+    calibration (sf0.01): median 0.46, p10 0.32, p90 0.75.
+
+    Determinism + scale: TTR is micro-quantized per doc from two exact
+    in-row integers (array_distinct/size — no explode, no shuffle before
+    the bounded lang group-by); group means are one round of BIGINT
+    sums."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", tokens("text").alias("ws")
+    )
+    d = docs.filter(F.size("ws") > 0).select(
+        "lang",
+        F.floor(
+            F.lit(1e6)
+            * F.size(F.array_distinct(F.col("ws")))
+            * F.lit(1.0)
+            / F.size("ws")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ttr_micro"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("ttr_micro") * F.lit(1.0) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_ttr_micro"),
+            F.min("ttr_micro").cast("bigint").alias("min_ttr_micro"),
+            F.max("ttr_micro").cast("bigint").alias("max_ttr_micro"),
+        )
+        .orderBy(F.col("lang").asc())
+    )
+
+
+@register(
+    "doc_word_entropy_by_source",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    w AS (SELECT doc_id, source, unnest(ws) AS word FROM t
+          WHERE len(ws) > 0),
+    c AS (SELECT doc_id, source, word, COUNT(*)::BIGINT AS cnt
+          FROM w GROUP BY doc_id, source, word),
+    d AS (SELECT doc_id, source,
+                 SUM(cnt)::BIGINT AS n,
+                 SUM(CAST(round(1e9 * (cnt * ln(cnt::DOUBLE)))
+                          AS BIGINT))::BIGINT AS s_nano
+          FROM c GROUP BY doc_id, source),
+    e AS (SELECT source,
+                 CAST(FLOOR(1e6 * (ln(n::DOUBLE) - s_nano / (1e9 * n))
+                            + 0.5) AS BIGINT) AS ent_micro
+          FROM d)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           CAST(round(SUM(ent_micro) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_ent_micro,
+           MIN(ent_micro)::BIGINT AS min_ent_micro,
+           MAX(ent_micro)::BIGINT AS max_ent_micro
+    FROM e GROUP BY source ORDER BY source ASC
+    """,
+)
+def doc_word_entropy_by_source(spark, sf_dir):
+    """Per-document vocabulary (Shannon) entropy in micro-nats,
+    aggregated by source — the information-density gate: entropy near
+    ln(n) means every word is fresh (diverse prose), near 0 means one
+    word dominates (spam/boilerplate), and it weighs repetition by HOW
+    MUCH a word repeats where TTR only counts distinctness. Uses the
+    factored identity H = ln(n) - (sum_w c_w ln c_w)/n so the per-word
+    cells are independent of the doc total: each cell's c*ln(c) is
+    nano-quantized (ln on an identical BIGINT-cast integer in both
+    engines — the WoE/Zipf idiom; c=1 contributes exactly 0) and summed
+    as BIGINT, making the cross-cell fold order-proof; the per-doc
+    entropy is then ONE fixed-order double expression of two exact
+    integers, micro-quantized before the bounded source group-by.
+
+    Scale: explode to word grain, two partial-aggregated group-bys
+    (doc x word, then doc), then the bounded source aggregate — the
+    Zipf/heaps explode shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("ws")
+    )
+    w = docs.filter(F.size("ws") > 0).select(
+        "doc_id", "source", F.explode("ws").alias("word")
+    )
+    c = w.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    d = c.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * (F.col("cnt") * F.log(F.col("cnt").cast("double")))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_nano"),
+    )
+    e = d.select(
+        "source",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.log(F.col("n").cast("double"))
+                - F.col("s_nano") / (F.lit(1e9) * F.col("n"))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ent_micro"),
+    )
+    return (
+        e.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("ent_micro") * F.lit(1.0) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_ent_micro"),
+            F.min("ent_micro").cast("bigint").alias("min_ent_micro"),
+            F.max("ent_micro").cast("bigint").alias("max_ent_micro"),
+        )
+        .orderBy(F.col("source").asc())
+    )
