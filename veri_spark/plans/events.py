@@ -1457,3 +1457,172 @@ def events_page_hinkley(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS tc
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc
+          GROUP BY e.user_id),
+    s AS (SELECT (SELECT COUNT(*)::BIGINT FROM v) AS n_view,
+                 (SELECT COUNT(*)::BIGINT FROM c) AS n_click,
+                 (SELECT COUNT(*)::BIGINT FROM p) AS n_purchase)
+    SELECT n_view AS n_view_users,
+           n_click AS n_click_after_view,
+           n_purchase AS n_purchase_after_click,
+           CASE WHEN n_view > 0
+                THEN CAST(round(1e6 * n_click / n_view) AS BIGINT)
+                ELSE NULL END AS click_rate_micro,
+           CASE WHEN n_click > 0
+                THEN CAST(round(1e6 * n_purchase / n_click) AS BIGINT)
+                ELSE NULL END AS purchase_rate_micro
+    FROM s
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered three-step funnel: users whose first VIEW is later
+    followed by a click, whose first such click is later followed by a
+    purchase — the strictly-ordered conversion funnel (an event of the
+    right type but BEFORE the prior stage does not count, which is what
+    separates a funnel from three independent counts and is why the
+    naive GROUP BY intersection overstates conversion). Stage anchors
+    are first-occurrence timestamps, so the whole funnel is two
+    conditional min-aggregates chained by equi-joins on user_id — after
+    the first shuffle every stage is co-partitioned on the same key, the
+    100 TB shape (no window over a user's full history, no sessionize).
+    Counts are exact integers; the stage-to-stage rates are
+    micro-quantized with empty-stage guards mirrored in both engines.
+    Timestamps are microsecond-exact in both engines (the NANOS
+    truncation in sources/catalog.load_table matches DuckDB's coercion),
+    so the strict > comparisons agree."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    s = nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+    rate = lambda a, b: F.when(  # noqa: E731
+        F.col(b) > 0,
+        F.round(F.lit(1e6) * F.col(a) / F.col(b)).cast("bigint"),
+    )
+    return s.select(
+        F.col("n_view").alias("n_view_users"),
+        F.col("n_click").alias("n_click_after_view"),
+        F.col("n_purchase").alias("n_purchase_after_click"),
+        rate("n_click", "n_view").alias("click_rate_micro"),
+        rate("n_purchase", "n_click").alias("purchase_rate_micro"),
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0 FROM events),
+    uw AS (SELECT DISTINCT user_id,
+                  (date_diff('day', d0.day0, ts::DATE) // 7)::BIGINT AS wk
+           FROM events CROSS JOIN d0),
+    fu AS (SELECT user_id, MIN(wk)::BIGINT AS cohort_week FROM uw
+           GROUP BY user_id),
+    act AS (SELECT fu.cohort_week, (uw.wk - fu.cohort_week)::BIGINT
+                     AS offset_week,
+                   COUNT(*)::BIGINT AS n_active
+            FROM uw JOIN fu USING (user_id)
+            GROUP BY 1, 2),
+    sz AS (SELECT cohort_week, COUNT(*)::BIGINT AS n_cohort FROM fu
+           GROUP BY cohort_week)
+    SELECT a.cohort_week, a.offset_week, a.n_active, s.n_cohort,
+           CAST(round(1e6 * a.n_active / s.n_cohort) AS BIGINT)
+             AS retention_micro
+    FROM act a JOIN sz s USING (cohort_week)
+    ORDER BY a.cohort_week ASC, a.offset_week ASC
+    """,
+)
+def weekly_retention_cohorts(spark, sf_dir):
+    """Classic retention triangle: users grouped into weekly cohorts by
+    their FIRST event week, each cohort's share still active k weeks
+    later — the table behind every retention curve, and the
+    longitudinal complement of `scd2_intervals_from_events` (state over
+    time) and `kaplan_meier_time_to_purchase` (time to one event).
+    Weeks are integer 7-day buckets from the corpus's first day (NOT
+    ISO weekofyear, whose year-boundary and locale semantics differ
+    cross-engine); the cohort is MIN(week) per user, which equals the
+    first-event week because the bucket function is monotone. On this
+    corpus first events cluster on few days (TESTDATA quirk), so small
+    SFs yield few cohorts — the shape, not the row count, is what
+    scales. One distinct (user, week) aggregate, one user-grain
+    min-aggregate (co-partitioned after the first shuffle), one
+    bounded-domain (weeks^2 / 2) output frame; n_active counts DISTINCT
+    users by construction of uw. All-integer output except the guarded
+    micro rate (n_cohort >= 1 structurally: every cohort contains its
+    own week-0 users)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+    # integer `div` for the 7-day bucket (datediff >= 0, so div == floor
+    # == DuckDB's //)
+    uw = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), day0) div 7 AS BIGINT)"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    fu = uw.groupBy("user_id").agg(
+        F.min("wk").cast("bigint").alias("cohort_week")
+    )
+    act = (
+        uw.join(fu, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).cast("bigint").alias(
+                "offset_week"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sz = fu.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return (
+        act.join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_week",
+            "n_active",
+            "n_cohort",
+            F.round(F.lit(1e6) * F.col("n_active") / F.col("n_cohort"))
+            .cast("bigint")
+            .alias("retention_micro"),
+        )
+        .orderBy(F.col("cohort_week").asc(), F.col("offset_week").asc())
+    )

@@ -1695,3 +1695,76 @@ def copurchase_lift_chi2(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@register(
+    "graph_preferential_attachment",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+    top AS (SELECT u, d FROM deg ORDER BY d DESC, u ASC LIMIT 40),
+    pairs AS (
+      SELECT a.u AS part_a, b.u AS part_b, a.d AS deg_a, b.d AS deg_b,
+             (a.d * b.d)::BIGINT AS pa_score
+      FROM top a JOIN top b ON a.u < b.u
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = a.u AND e.v = b.u)
+    )
+    SELECT part_a, part_b, deg_a, deg_b, pa_score
+    FROM pairs
+    ORDER BY pa_score DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def graph_preferential_attachment(spark, sf_dir):
+    """Preferential-attachment link prediction: score(u,v) = deg(u) *
+    deg(v) over NON-edges — the degree-only baseline every wedge-based
+    ranker (common-neighbors, RA, Adamic-Adar) must beat, completing the
+    classical link-prediction panel on the co-purchase graph. PA needs
+    no neighborhood intersection at all, which is exactly its 100 TB
+    virtue AND the reason it plays baseline: the top PA candidates are
+    pairs of top-degree nodes, so the candidate set is the top-40
+    degree frame (TakeOrdered on exact integers, (d, u) tie-broken),
+    its C(40,2) = 780 ordered pairs come from one broadcast triangular
+    self-join, and existing edges drop via one anti-join against the
+    session-shared edge frame — no wedge exchange, no corpus-sized
+    shuffle beyond the shared degree build. All-integer output, full
+    (score, part_a, part_b) tie-break."""
+    edges, und, deg = _copurchase_graph(spark, sf_dir)
+    top = deg.orderBy(F.col("d").desc(), F.col("u").asc()).limit(40)
+    a = top.select(F.col("u").alias("part_a"), F.col("d").alias("deg_a"))
+    b = top.select(F.col("u").alias("part_b"), F.col("d").alias("deg_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("part_a") < F.col("part_b")
+    )
+    non_edges = pairs.join(
+        edges.select(
+            F.col("u").alias("part_a"), F.col("v").alias("part_b")
+        ),
+        ["part_a", "part_b"],
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            "part_a",
+            "part_b",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") * F.col("deg_b")).cast("bigint").alias(
+                "pa_score"
+            ),
+        )
+        .orderBy(
+            F.col("pa_score").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+    )

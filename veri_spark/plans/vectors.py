@@ -1334,3 +1334,65 @@ def kmeans_pp_farthest_seeds(spark, sf_dir):
         "vec_id",
         F.round("sel_dist", 6).alias("sel_dist"),
     ).orderBy(F.col("seed_rank").asc())
+
+
+@register(
+    "cosine_dot_rank_agreement",
+    f"""
+    WITH c AS (SELECT vec_id,
+                      ROUND(LEAST(GREATEST(list_cosine_similarity(
+                                embedding::DOUBLE[], {_Q0}), -1.0), 1.0), 6)
+                        AS score
+               FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20),
+    cr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+           FROM c),
+    d AS (SELECT vec_id,
+                 ROUND(list_inner_product(embedding::DOUBLE[], {_Q0}), 6)
+                   AS score
+          FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20),
+    dr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+           FROM d),
+    j AS (SELECT cr.r AS rc, dr.r AS rd FROM cr JOIN dr USING (vec_id))
+    SELECT COUNT(*)::BIGINT AS n_common,
+           COALESCE(SUM(ABS(rc - rd)), 0)::BIGINT AS footrule_sum,
+           CAST(round(1e6 * COUNT(*) / 20.0) AS BIGINT) AS overlap_micro
+    FROM j
+    """,
+)
+def cosine_dot_rank_agreement(spark, sf_dir):
+    """Do cosine and raw dot-product retrieval AGREE on this corpus? The
+    top-20 lists for the standard query vector under both K4 score
+    functions, compared by set overlap and Spearman footrule on the
+    common members — the one-row diagnostic that says whether vector
+    norms carry signal (dot boosts long vectors; if embeddings are
+    ~normalized the two rankings coincide and the cheaper dot kernel can
+    serve cosine traffic — the decision `embedding_norm_stats` hints at
+    and this query settles). Both lists reuse the exact knn_cosine /
+    knn_dot score expressions and orderings (rounded score DESC, vec_id
+    ASC — the proven K1 parity), ranks are row_numbers over the BOUNDED
+    post-limit 20-row frames (the accepted bounded-window idiom), and
+    the outputs are exact integers plus one guarded micro ratio.
+
+    Scale: two brute-force map-only scored scans (each the K1 shape:
+    zero exchanges before the TakeOrdered merge) and a 20x20 join —
+    at 100 TB you'd swap the scans for the IVF path; the agreement
+    readout is unchanged."""
+    a = _knn(spark, sf_dir, "CosineSimilarity", k=20)
+    b = _knn(spark, sf_dir, "VectorMultiplication", k=20)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    cr = a.select("vec_id", F.row_number().over(w).alias("rc"))
+    dr = b.select("vec_id", F.row_number().over(w).alias("rd"))
+    j = cr.join(dr, "vec_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.coalesce(
+            F.sum(F.abs(F.col("rc") - F.col("rd"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("footrule_sum"),
+        F.round(F.lit(1e6) * F.count(F.lit(1)) / F.lit(20.0))
+        .cast("bigint")
+        .alias("overlap_micro"),
+    )
