@@ -194,6 +194,24 @@ BENCH_QUERIES = [
     # cardinality
     "knn_distance_concentration",
     "capture_recapture_distinct",
+    # round-9: nonparametric statistics (rank midranks via the prefix
+    # scan, DECIMAL moment folds), Gopher/C4-style corpus-quality gates
+    # (explode-to-bigram/word grain), ordered funnel + retention
+    # cohorts, the AMS F2 sketch audit, the cosine-vs-dot agreement
+    # readout, and the degree-product link-prediction baseline
+    "spearman_qty_price",
+    "kruskal_wallis_value_by_type",
+    "runs_test_daily_revenue",
+    "acf_daily_revenue",
+    "ams_f2_sketch_audit",
+    "gopher_repetition_gate",
+    "gopher_quality_flags",
+    "doc_type_token_ratio",
+    "doc_word_entropy_by_source",
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
+    "cosine_dot_rank_agreement",
+    "graph_preferential_attachment",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

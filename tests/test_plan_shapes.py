@@ -69,6 +69,11 @@ def test_no_cartesian_products_in_headline_queries(spark):
         "copurchase_top_triples",
         "knn_label_accuracy",
         "minhash_bucket_skew",
+        # round-9: the shared-frame capped rankers and the degree-product
+        # baseline (its 40-row triangular self-join must broadcast, never
+        # go cartesian)
+        "graph_adamic_adar_capped",
+        "graph_preferential_attachment",
     ):
         c = plan_counts(QUERIES[q](spark, SF_DIR))
         assert c["cartesian"] == 0, q
@@ -131,6 +136,16 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "kendall_tau_part_demand",
         "bh_weekday_conversion_fdr",
         "daily_seasonal_decomposition",
+        # round-9: the nonparametric batch — Spearman/Kruskal-Wallis ride
+        # the value-domain prefix scan (_mid2), runs/ACF ride
+        # global_row_number over the calendar-day frame; none may fall
+        # back to a global window (cosine_dot_rank_agreement's 20-row
+        # post-limit window is the accepted bounded idiom and is NOT
+        # pinned here)
+        "spearman_qty_price",
+        "kruskal_wallis_value_by_type",
+        "runs_test_daily_revenue",
+        "acf_daily_revenue",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 
