@@ -212,6 +212,13 @@ BENCH_QUERIES = [
     "weekly_retention_cohorts",
     "cosine_dot_rank_agreement",
     "graph_preferential_attachment",
+    # round-9 batch 2: paired/omnibus rule tests, ordinal effect size,
+    # the median test, and the lag-1 autocorrelation single number
+    "mcnemar_rule_agreement",
+    "cochran_q_rules",
+    "cliffs_delta_purchase_view",
+    "mood_median_test_by_type",
+    "durbin_watson_daily_revenue",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -146,6 +146,8 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "kruskal_wallis_value_by_type",
         "runs_test_daily_revenue",
         "acf_daily_revenue",
+        "cliffs_delta_purchase_view",
+        "durbin_watson_daily_revenue",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

@@ -328,3 +328,88 @@ def test_cosine_dot_agreement_brute(spark):
     got = QUERIES["cosine_dot_rank_agreement"](spark, SF).collect()[0]
     assert got["n_common"] == len(common)
     assert got["footrule_sum"] == sum(abs(cos[v] - dot[v]) for v in common)
+
+
+def test_mcnemar_and_cochran_brute(spark):
+    docs = fetch(f"SELECT text FROM '{SF}/documents.parquet'")
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    b = c = 0
+    c1 = c2 = c3 = sr = sr2 = n = 0
+    for (text,) in docs:
+        ws = text.split(" ")
+        if not ws:
+            continue
+        n += 1
+        wc = len(ws)
+        chars = sum(len(w) for w in ws)
+        sw = sum(1 for w in ws if w in stop)
+        r1, r2, r3 = (
+            20 <= wc <= 90,
+            42 * wc <= chars * 10 <= 48 * wc,
+            sw >= 2,
+        )
+        b += r1 and not r3
+        c += r3 and not r1
+        c1 += r1
+        c2 += r2
+        c3 += r3
+        ri = r1 + r2 + r3
+        sr += ri
+        sr2 += ri * ri
+    got = QUERIES["mcnemar_rule_agreement"](spark, SF).collect()[0]
+    assert (got["n_wc_only"], got["n_sw_only"]) == (b, c)
+    exp = (abs(b - c) - 1.0) ** 2 / (b + c)
+    assert abs(got["chi2_mcnemar"] - exp) < 1e-6
+    gq = QUERIES["cochran_q_rules"](spark, SF).collect()[0]
+    q = (3 * 2 * (c1 * c1 + c2 * c2 + c3 * c3) - 2 * sr * sr) / (
+        3 * sr - sr2
+    )
+    assert (gq["pass_word_count"], gq["pass_mean_word_len"],
+            gq["pass_stopwords"]) == (c1, c2, c3)
+    assert abs(gq["cochran_q"] - q) < 1e-6
+
+
+def test_cliffs_delta_brute(spark):
+    rows = fetch(
+        f"""SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE event_type IN ('purchase', 'view')"""
+    )
+    p = sorted(v for t, v in rows if t == "purchase")
+    w = sorted(v for t, v in rows if t == "view")
+    # O(n1*n2) definition: P(p > w) - P(p < w)
+    gt = sum(1 for a in p for b in w if a > b)
+    lt = sum(1 for a in p for b in w if a < b)
+    exp = (gt - lt) / (len(p) * len(w))
+    got = QUERIES["cliffs_delta_purchase_view"](spark, SF).collect()[0]
+    assert (got["n_purchase"], got["n_view"]) == (len(p), len(w))
+    assert abs(got["cliffs_delta"] - exp) < 2e-6
+
+
+def test_mood_median_brute(spark):
+    rows = fetch(f"SELECT event_type, value FROM '{SF}/events.parquet'")
+    med = _py_median([v for _, v in rows])
+    a, bb = Counter(), Counter()
+    for t, v in rows:
+        if v > med:
+            a[t] += 1
+        elif v < med:
+            bb[t] += 1
+    ta, tb = sum(a.values()), sum(bb.values())
+    chi = 0.0
+    for t in set(a) | set(bb):
+        ng = a[t] + bb[t]
+        ea, eb = ng * ta / (ta + tb), ng * tb / (ta + tb)
+        chi += (a[t] - ea) ** 2 / ea + (bb[t] - eb) ** 2 / eb
+    got = QUERIES["mood_median_test_by_type"](spark, SF).collect()[0]
+    assert got["n_classified"] == ta + tb
+    assert abs(got["chi2_mood"] - chi) < 1e-5
+
+
+def test_durbin_watson_brute(spark):
+    cents = [c for _, c in _daily_cents()]
+    xbar = sum(cents) / len(cents)
+    num = sum((b - a) ** 2 for a, b in zip(cents, cents[1:]))
+    den = sum((x - xbar) ** 2 for x in cents)
+    got = QUERIES["durbin_watson_daily_revenue"](spark, SF).collect()[0]
+    assert got["n_days"] == len(cents)
+    assert abs(got["dw"] - num / den) < 1e-5

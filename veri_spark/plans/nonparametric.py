@@ -533,3 +533,247 @@ def ams_f2_sketch_audit(spark, sf_dir):
             F.round((med - F.col("f2")) * F.lit(1.0) / F.col("f2"), 6),
         ).alias("rel_err"),
     )
+
+
+@register(
+    "cliffs_delta_purchase_view",
+    """
+    WITH e AS (SELECT event_type, value FROM events
+               WHERE event_type IN ('purchase', 'view')),
+    gv AS (SELECT value, COUNT(*)::BIGINT AS cnt FROM e GROUP BY value),
+    rv AS (SELECT value, cnt,
+                  2 * (SUM(cnt) OVER (ORDER BY value ASC) - cnt) + cnt + 1
+                    AS mid2 FROM gv),
+    vt AS (SELECT value,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END)::BIGINT AS cp
+           FROM e GROUP BY value),
+    s AS (SELECT SUM(vt.cp)::BIGINT AS n1,
+                 SUM(rv.cnt - vt.cp)::BIGINT AS n2,
+                 SUM(vt.cp * rv.mid2)::BIGINT AS r2_1
+          FROM vt JOIN rv USING (value))
+    SELECT n1 AS n_purchase, n2 AS n_view,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN ROUND((r2_1 - n1 * (n1 + 1.0) - n1 * (n2 * 1.0))
+                           / (n1 * (n2 * 1.0)), 6)
+                ELSE NULL END AS cliffs_delta
+    FROM s
+    """,
+)
+def cliffs_delta_purchase_view(spark, sf_dir):
+    """Cliff's delta between purchase and view event values — the
+    ordinal EFFECT SIZE that answers "by how much do purchase values
+    dominate?" after Kruskal-Wallis answers "do the types differ at
+    all?" (a significance test says nothing about magnitude at large N;
+    delta in [-1, 1] does). Computed WITHOUT the n1*n2 pairwise scan via
+    the rank identity delta = 2*AUC - 1 with U from the Mann-Whitney
+    midrank sum: on DOUBLED midranks, delta = (R2_1 - n1(n1+1) - n1*n2)
+    / (n1*n2) — R2_1 is the exact BIGINT doubled-rank sum of the
+    purchase group from the same value-domain prefix scan the AUC and
+    Kruskal-Wallis queries ride, so the whole statistic is one
+    fixed-order double expression of three exact integers (ties handled
+    by midranks, which is exactly the P(>) - P(<) semantics of delta).
+    Empty-group degenerates guard to NULL in both engines.
+
+    Scale: one filtered scan to the (value, type) grain, one prefix scan
+    over the value DOMAIN, one value-grain join."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_type", "value")
+    gv = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rv = _mid2(gv, "value").select("value", "cnt", "mid2")
+    vt = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp")
+    )
+    s = vt.join(rv, "value").agg(
+        F.sum("cp").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cp")).cast("bigint").alias("n2"),
+        F.sum(F.col("cp") * F.col("mid2")).cast("bigint").alias("r2_1"),
+    )
+    delta = (
+        F.col("r2_1")
+        - F.col("n1") * (F.col("n1") + F.lit(1.0))
+        - F.col("n1") * (F.col("n2") * F.lit(1.0))
+    ) / (F.col("n1") * (F.col("n2") * F.lit(1.0)))
+    return s.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_view"),
+        F.when((F.col("n1") > 0) & (F.col("n2") > 0), F.round(delta, 6)).alias(
+            "cliffs_delta"
+        ),
+    )
+
+
+@register(
+    "mood_median_test_by_type",
+    f"""
+    WITH e AS (SELECT event_type, value FROM events),
+    m AS (SELECT quantile_cont(value, 0.5) AS med FROM e),
+    k AS (SELECT event_type,
+                 SUM(CASE WHEN value > m.med THEN 1 ELSE 0 END)::BIGINT
+                   AS a_g,
+                 SUM(CASE WHEN value < m.med THEN 1 ELSE 0 END)::BIGINT
+                   AS b_g
+          FROM e CROSS JOIN m GROUP BY event_type),
+    t AS (SELECT SUM(a_g)::BIGINT AS ta, SUM(b_g)::BIGINT AS tb FROM k),
+    c AS (SELECT k.event_type, k.a_g, k.b_g,
+                 CAST(round(1e9 * (
+                       (k.a_g - (k.a_g + k.b_g) * (t.ta * 1.0)
+                                / (t.ta + t.tb))
+                       * (k.a_g - (k.a_g + k.b_g) * (t.ta * 1.0)
+                                  / (t.ta + t.tb))
+                       / ((k.a_g + k.b_g) * (t.ta * 1.0) / (t.ta + t.tb))
+                     + (k.b_g - (k.a_g + k.b_g) * (t.tb * 1.0)
+                                / (t.ta + t.tb))
+                       * (k.b_g - (k.a_g + k.b_g) * (t.tb * 1.0)
+                                  / (t.ta + t.tb))
+                       / ((k.a_g + k.b_g) * (t.tb * 1.0) / (t.ta + t.tb))))
+                      AS BIGINT) AS chi_nano
+          FROM k CROSS JOIN t)
+    SELECT (SELECT ta + tb FROM t) AS n_classified,
+           COUNT(*)::BIGINT AS n_groups,
+           ROUND(SUM(chi_nano) / 1e9, 6) AS chi2_mood,
+           SUM(chi_nano) / 1e9 > {_CHI2_95_DF4!r} AS medians_differ_95
+    FROM c
+    """,
+)
+def mood_median_test_by_type(spark, sf_dir):
+    """Mood's median test: classify every event as above/below the GRAND
+    median of `value` and chi-square the 2x5 contingency of side x
+    event_type — the blunt, outlier-immune cousin of Kruskal-Wallis
+    (it uses only which side of the median a value falls on, so a
+    divergence between the two tests flags tail-driven differences).
+    The grand median is the engine-parity interpolated quantile
+    (`events_value_quantiles` idiom); median-equal values drop from the
+    table (the standard treatment, and the guard that keeps expected
+    counts positive: every group has a_g + b_g >= 0 and the per-cell
+    terms only evaluate on groups present in k). Each group's two
+    (O-E)^2/E terms are nano-quantized from ONE fixed-order double
+    expression of exact BIGINTs (the Brier/KW idiom) so the 5-group fold
+    is order-proof; the verdict compares against the same chi-square
+    (4 df) Python literal as Kruskal-Wallis.
+
+    Scale: one aggregate for the median, one partial-aggregated scan to
+    the 5-row group frame. At 100 TB the exact quantile swaps for
+    percentile_approx and nothing else moves."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    m = e.agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    k = (
+        e.crossJoin(F.broadcast(m))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_g"),
+            F.sum(F.when(F.col("value") < F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("b_g"),
+        )
+    )
+    t = k.agg(
+        F.sum("a_g").cast("bigint").alias("ta"),
+        F.sum("b_g").cast("bigint").alias("tb"),
+    )
+    ng = F.col("a_g") + F.col("b_g")
+    ea = ng * (F.col("ta") * F.lit(1.0)) / (F.col("ta") + F.col("tb"))
+    eb = ng * (F.col("tb") * F.lit(1.0)) / (F.col("ta") + F.col("tb"))
+    term = (
+        (F.col("a_g") - ea) * (F.col("a_g") - ea) / ea
+        + (F.col("b_g") - eb) * (F.col("b_g") - eb) / eb
+    )
+    c = k.crossJoin(F.broadcast(t)).select(
+        "a_g",
+        "b_g",
+        "ta",
+        "tb",
+        F.round(F.lit(1e9) * term).cast("bigint").alias("chi_nano"),
+    )
+    return c.agg(
+        F.max(F.col("ta") + F.col("tb")).cast("bigint").alias("n_classified"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(F.sum("chi_nano") / F.lit(1e9), 6).alias("chi2_mood"),
+        (F.sum("chi_nano") / F.lit(1e9) > F.lit(_CHI2_95_DF4)).alias(
+            "medians_differ_95"
+        ),
+    )
+
+
+@register(
+    "durbin_watson_daily_revenue",
+    """
+    WITH d AS (SELECT l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           * 100 AS BIGINT) AS cents
+               FROM lineitem GROUP BY l_shipdate),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+    num AS (SELECT SUM(CAST(b.cents - a.cents AS DECIMAL(38,0))
+                       * (b.cents - a.cents)) AS sd2
+            FROM r a JOIN r b ON b.rn = a.rn + 1),
+    den AS (SELECT COUNT(*)::BIGINT AS n,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+            FROM r)
+    SELECT den.n AS n_days,
+           CASE WHEN (den.n::DOUBLE * den.sxx::DOUBLE
+                      - den.sx::DOUBLE * den.sx::DOUBLE) > 0
+                THEN ROUND(den.n::DOUBLE * num.sd2::DOUBLE
+                           / (den.n::DOUBLE * den.sxx::DOUBLE
+                              - den.sx::DOUBLE * den.sx::DOUBLE), 6)
+                ELSE NULL END AS dw
+    FROM num CROSS JOIN den
+    """,
+)
+def durbin_watson_daily_revenue(spark, sf_dir):
+    """Durbin-Watson statistic of the mean-centered daily-revenue
+    series: DW = sum (x_t - x_(t-1))^2 / sum (x_t - xbar)^2 — near 2
+    means no lag-1 autocorrelation, toward 0 positive, toward 4
+    negative. The single-number companion to `acf_daily_revenue`'s
+    7-lag curve (DW ~ 2(1 - acf_1) when the series is long), kept
+    because it is THE standard first look at residual autocorrelation.
+    Uses the exact integer identity: the numerator folds squared
+    adjacent differences of exact cents as DECIMAL(38,0) via the same
+    rank-shift join as the runs test, the denominator is
+    (n*sum x^2 - (sum x)^2)/n folded the same way, so DW = n*sd2 /
+    (n*sxx - sx^2) is ONE fixed-order double expression of three exact
+    decimals — no mean is ever materialized, no float crosses rows. The
+    constant-series degenerate guards to NULL identically. Corpus cost:
+    one partial-aggregated scan; everything after is the bounded
+    calendar-day frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
+        "rn", "cents"
+    )
+    a = r.select(F.col("rn").alias("ra"), F.col("cents").alias("x"))
+    b = r.select((F.col("rn") - 1).alias("ra"), F.col("cents").alias("y"))
+    num = a.join(b, "ra").agg(
+        F.sum(
+            (F.col("y") - F.col("x")).cast("decimal(38,0)")
+            * (F.col("y") - F.col("x"))
+        ).alias("sd2")
+    )
+    den = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sxx"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    var = nd * F.col("sxx").cast("double") - sx * sx
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("n").alias("n_days"),
+        F.when(
+            var > 0,
+            F.round(nd * F.col("sd2").cast("double") / var, 6),
+        ).alias("dw"),
+    )

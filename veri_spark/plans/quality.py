@@ -347,3 +347,197 @@ def doc_word_entropy_by_source(spark, sf_dir):
         )
         .orderBy(F.col("source").asc())
     )
+
+
+# chi-square 95% critical values: 1 df = probit(0.975)^2, 2 df (exact:
+# -2 ln 0.05). Python-side literals per the registry's constant rule.
+_CHI2_95_DF1 = 1.959963984540054 ** 2
+_CHI2_95_DF2 = 5.991464547107979
+
+
+@register(
+    "mcnemar_rule_agreement",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                   AS r_wc,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                   'is'))) >= 2
+                      THEN 1 ELSE 0 END AS r_sw
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(r_wc * r_sw)::BIGINT AS both_pass,
+                 SUM(CASE WHEN r_wc = 1 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS b,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 1 THEN 1 ELSE 0
+                     END)::BIGINT AS c
+          FROM m)
+    SELECT n AS n_docs, both_pass AS n_both_pass, b AS n_wc_only,
+           c AS n_sw_only,
+           CASE WHEN b + c > 0
+                THEN ROUND((abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                           / (b + c), 6)
+                ELSE NULL END AS chi2_mcnemar,
+           CASE WHEN b + c > 0
+                THEN (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)
+                     > 3.841458820694124
+                ELSE NULL END AS marginals_differ_95
+    FROM s
+    """,
+)
+def mcnemar_rule_agreement(spark, sf_dir):
+    """McNemar's paired test between the two cheapest quality gates (word
+    count in [20, 90] vs stopword presence >= 2) ON THE SAME documents:
+    do the rules flag at DIFFERENT rates, or just flag different docs at
+    the same rate? Only the discordant cells matter (b = wc-only pass,
+    c = sw-only pass) — the paired design cancels everything the rules
+    agree on, which is what an unpaired two-proportion test gets wrong
+    here. Uses the continuity-corrected statistic (|b-c|-1)^2/(b+c)
+    against the 1-df chi-square literal (probit(0.975)^2 — the same
+    Python-side constant family as `copurchase_lift_chi2`). Everything
+    is one partial-aggregated scan to four BIGINTs; the statistic is one
+    fixed-order double expression with the b+c=0 degenerate guarded to
+    NULL in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("r_sw"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r_wc") * F.col("r_sw")).cast("bigint").alias("both_pass"),
+        F.sum(F.when((F.col("r_wc") == 1) & (F.col("r_sw") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    stat = (
+        (F.abs(F.col("b") - F.col("c")) - F.lit(1.0))
+        * (F.abs(F.col("b") - F.col("c")) - F.lit(1.0))
+        / (F.col("b") + F.col("c"))
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("both_pass").alias("n_both_pass"),
+        F.col("b").alias("n_wc_only"),
+        F.col("c").alias("n_sw_only"),
+        F.when(F.col("b") + F.col("c") > 0, F.round(stat, 6)).alias(
+            "chi2_mcnemar"
+        ),
+        F.when(
+            F.col("b") + F.col("c") > 0, stat > F.lit(_CHI2_95_DF1)
+        ).alias("marginals_differ_95"),
+    )
+
+
+@register(
+    "cochran_q_rules",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                   AS r1,
+                 CASE WHEN list_sum(list_transform(ws, w -> strlen(w))) * 10
+                           BETWEEN 42 * len(ws) AND 48 * len(ws)
+                      THEN 1 ELSE 0 END AS r2,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                   'is'))) >= 2
+                      THEN 1 ELSE 0 END AS r3
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(r1)::BIGINT AS c1, SUM(r2)::BIGINT AS c2,
+                 SUM(r3)::BIGINT AS c3,
+                 SUM(r1 + r2 + r3)::BIGINT AS sr,
+                 SUM((r1 + r2 + r3) * (r1 + r2 + r3))::BIGINT AS sr2
+          FROM m)
+    SELECT n AS n_docs, c1 AS pass_word_count, c2 AS pass_mean_word_len,
+           c3 AS pass_stopwords,
+           CASE WHEN 3 * sr - sr2 > 0
+                THEN ROUND((3.0 * 2.0 * (c1 * c1 + c2 * c2 + c3 * c3)
+                            - 2.0 * (sr * sr))
+                           / (3.0 * sr - sr2), 6)
+                ELSE NULL END AS cochran_q,
+           CASE WHEN 3 * sr - sr2 > 0
+                THEN (3.0 * 2.0 * (c1 * c1 + c2 * c2 + c3 * c3)
+                      - 2.0 * (sr * sr)) / (3.0 * sr - sr2)
+                     > 5.991464547107979
+                ELSE NULL END AS rules_differ_95
+    FROM s
+    """,
+)
+def cochran_q_rules(spark, sf_dir):
+    """Cochran's Q across all THREE quality rules (word count, mean word
+    length, stopword presence) as k=3 related binary treatments on the
+    same documents — the k-rule generalization of the McNemar pair: one
+    omnibus answer to 'do the rules pass at the same rate?' before any
+    pairwise drill-down (the same omnibus-then-posthoc discipline as
+    Kruskal-Wallis before rank pairs, or Holm over segment tests). Uses
+    the integer identity Q = [k(k-1) sum C_j^2 - (k-1)(sum C)^2] /
+    (k sum R_i - sum R_i^2): C_j are per-rule pass totals, R_i the
+    per-doc pass counts (0..3), so both numerator and denominator are
+    exact BIGINT aggregates from ONE corpus scan and Q is a single
+    fixed-order double division compared against the 2-df chi-square
+    literal (-2 ln 0.05). The all-pass/all-fail degenerate (denominator
+    0) guards to NULL identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    chars = F.aggregate(
+        F.transform(F.col("ws"), lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0).alias("r1"),
+        F.when(
+            (chars * 10 >= 42 * F.size("ws"))
+            & (chars * 10 <= 48 * F.size("ws")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+        F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("r3"),
+    )
+    ri = F.col("r1") + F.col("r2") + F.col("r3")
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r1").cast("bigint").alias("c1"),
+        F.sum("r2").cast("bigint").alias("c2"),
+        F.sum("r3").cast("bigint").alias("c3"),
+        F.sum(ri).cast("bigint").alias("sr"),
+        F.sum(ri * ri).cast("bigint").alias("sr2"),
+    )
+    num = F.lit(3.0) * F.lit(2.0) * (
+        F.col("c1") * F.col("c1")
+        + F.col("c2") * F.col("c2")
+        + F.col("c3") * F.col("c3")
+    ) - F.lit(2.0) * (F.col("sr") * F.col("sr"))
+    den = F.lit(3.0) * F.col("sr") - F.col("sr2")
+    ok = 3 * F.col("sr") - F.col("sr2") > 0
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("c1").alias("pass_word_count"),
+        F.col("c2").alias("pass_mean_word_len"),
+        F.col("c3").alias("pass_stopwords"),
+        F.when(ok, F.round(num / den, 6)).alias("cochran_q"),
+        F.when(ok, num / den > F.lit(_CHI2_95_DF2)).alias(
+            "rules_differ_95"
+        ),
+    )
