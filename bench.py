@@ -114,16 +114,17 @@ BENCH_QUERIES = [
     # mostly measure the warm cache).
     "graph_kcore_peel",
     "graph_bfs_hops",
-    # round-9 (verdict task 1): the third capped ranker — rides the same
-    # session-shared one-pass wedge aggregate as the Jaccard and RA
-    # rankers, so its marginal cost in a warm sweep is a 20-row
-    # checkpoint read
-    "graph_adamic_adar_capped",
     "lsh_param_planner",
     "zorder_multicol_audit",
     "data_skipping_audit",
     "sorted_neighborhood_pairs",
     "graph_common_neighbors_capped",
+    # round-9 (verdict task 1): the third capped ranker — rides the same
+    # session-shared one-pass wedge aggregate as the Jaccard and RA
+    # rankers. Listed AFTER the capped-Jaccard query so the build
+    # attribution stays on the historical payer; this entry's warm cost
+    # is a 20-row checkpoint read.
+    "graph_adamic_adar_capped",
     "knn_group_reduce_mean",
     # round-7 batch 3: the prefix-scan operator's corpus-scale users (KS
     # drift CDFs, ABC revenue cumsum), the duplicate-coverage shingle join,
