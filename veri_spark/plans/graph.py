@@ -885,33 +885,59 @@ def _capped_adjacency_shared(spark, sf_dir, cap: int = 128):
     return cund, und, deg
 
 
+_TOP20S_SCHEMA = (
+    "ranker string, part_a bigint, part_b bigint, n_common bigint,"
+    " ra_micro bigint, aa_micro bigint, jac double"
+)
+
+
 def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
-    """Session-shared 60-row frame: the top-20 node pairs of EVERY capped
-    link predictor (Jaccard, resource-allocation, Adamic-Adar), computed
-    in ONE pass over the capped wedge aggregate (round-8 judge task: the
-    Jaccard and RA rankers each paid their own ``cund ⋈ cund on w →
-    groupBy(pk)`` exchange — the single most expensive exchange in the
-    repo — over the SAME shared adjacency).
+    """Session-shared 60-row LITERAL frame: the top-20 node pairs of
+    EVERY capped link predictor (Jaccard, resource-allocation,
+    Adamic-Adar), computed from ONE materialization of the capped wedge
+    aggregate (round-8 judge task: the Jaccard and RA rankers each paid
+    their own ``cund ⋈ cund on w → groupBy(pk)`` exchange — the single
+    most expensive exchange in the repo — over the SAME shared
+    adjacency).
 
     How one pass serves three rankers: the wedge join carries the shared
     neighbor's exact degree on every wedge row, so one hash-agg per packed
     pair key yields ``n_common`` (count), ``ra_micro`` (sum of integer
-    1e6 div deg(w) — Zhou-Lu-Zhang resource allocation) and ``aa_micro``
-    (sum of floor(1e6/ln deg(w) + 0.5) — Adamic-Adar; deg(w) >= 2 is
-    structural, see `graph_adamic_adar_capped`) in the same shuffle. The
-    three top-20s are then UNION branches over that one aggregate — Spark
-    reuses the aggregate's exchange across the branches (verified: the
-    union build costs the same wall time as a single-ranker pass), and
-    only the 60 ranked rows are localCheckpointed. Each registered query
-    filters its ``ranker`` tag from the checkpoint, so a warm sweep pays
-    the wedge exchange ONCE for the whole capped family.
+    1e6 div dw — Zhou-Lu-Zhang resource allocation) and ``aa_micro``
+    (sum of floor(1e6/ln dw + 0.5) — Adamic-Adar; dw >= 2 is structural,
+    see `graph_adamic_adar_capped`) in the same shuffle. The pair-grain
+    aggregate (93.6M rows at sf0.1 — too large to localCheckpoint: a
+    measured ~50 s RDD materialization, more than the exchange it would
+    save) is PERSISTED only for the duration of this build: one
+    count-populate job pays the wedge exchange plus the columnar cache
+    write (measured 21.8 s at sf0.1, vs 14.7 s for the bare exchange),
+    the three bounded TakeOrdered heads then read the cache at ~1 s
+    each, the cache is dropped, and the 60 collected rows become a
+    literal session-cached DataFrame. Two rejected alternatives, both
+    measured at sf0.1: a union-of-branches frame under AQE re-ran the
+    exchange per branch (executed plan: ReusedExchange 0; 34 s in a
+    warm sweep), and with AQE disabled ReuseExchange DID fire but each
+    branch still re-ran the reduce-side final aggregation over the
+    shuffle files (47.7 s) — caching the post-agg frame once is the
+    only shape that pays both the exchange AND the final agg exactly
+    once. Driver materialization is bounded by construction (3 x LIMIT
+    20); every consumer query filters its ``ranker`` tag from the
+    literal frame, so a warm sweep pays the wedge work ONCE for the
+    whole capped family and consumers cost ~0.1 s.
 
-    ``jac`` is NULL on the non-Jaccard branches (their consumers never
-    read it); ordering inside every branch carries the full
-    (score, n_common, part_a, part_b) tie-break, so each 20-row slice is
-    deterministic independently of the others. Returns
-    (top20s, cund, und, deg)."""
+    ``jac`` is NULL on the non-Jaccard rows (their consumers never read
+    it); ordering inside every slice carries the full (score, n_common,
+    part_a, part_b) tie-break, so each 20-row slice is deterministic
+    independently of the others. Returns (top20s, cund, und, deg)."""
     cund, und, deg = _capped_adjacency_shared(spark, sf_dir, cap)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        f"capped_ranker_top20s_{cap}",
+    )
+    cached = _SHARED.get(key)
+    if cached is not None:
+        return cached, cund, und, deg
 
     def build():
         wdeg = F.broadcast(
@@ -946,8 +972,16 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
                 "aa_micro",
             )
         )
+        return agg
+
+    agg = build().persist()
+    try:
+        # populate the cache with a bare count FIRST so the expensive job
+        # is the clean wedge+cache-write pass (21.8 s measured at sf0.1)
+        # and every ranker branch is a ~1 s cached scan
+        agg.count()
         cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
-        ja = (
+        ja_rows = (
             agg.join(
                 F.broadcast(
                     cdeg.select(
@@ -983,9 +1017,10 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
                 F.col("part_b").asc(),
             )
             .limit(20)
+            .collect()
         )
 
-        def _score_branch(tag: str, score_col: str) -> DataFrame:
+        def _score_rows(tag: str, score_col: str):
             return (
                 agg.orderBy(
                     F.col(score_col).desc(),
@@ -1003,15 +1038,18 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
                     "aa_micro",
                     F.lit(None).cast("double").alias("jac"),
                 )
+                .collect()
             )
 
-        return ja.unionByName(_score_branch("ra", "ra_micro")).unionByName(
-            _score_branch("aa", "aa_micro")
+        rows = (
+            ja_rows + _score_rows("ra", "ra_micro") + _score_rows("aa", "aa_micro")
         )
-
-    top20s = _shared_frame(
-        spark, sf_dir, f"capped_ranker_top20s_{cap}", build
+    finally:
+        agg.unpersist()
+    top20s = spark.createDataFrame(
+        [tuple(r) for r in rows], _TOP20S_SCHEMA
     )
+    _SHARED[key] = top20s
     return top20s, cund, und, deg
 
 
