@@ -220,6 +220,12 @@ BENCH_QUERIES = [
     "cliffs_delta_purchase_view",
     "mood_median_test_by_type",
     "durbin_watson_daily_revenue",
+    # round-9 batch 3: paired and blocked rank tests, spread equality,
+    # seasonal-forecast value
+    "wilcoxon_signed_rank_yoy",
+    "friedman_weekday_revenue",
+    "levene_value_by_type",
+    "theil_u2_daily_forecast",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

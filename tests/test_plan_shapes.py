@@ -148,6 +148,13 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "acf_daily_revenue",
         "cliffs_delta_purchase_view",
         "durbin_watson_daily_revenue",
+        # round-9 batch 3: Wilcoxon rides _mid2, Theil U2 rides
+        # global_row_number; Friedman's within-block windows are
+        # PARTITIONED by construction and must stay that way
+        "wilcoxon_signed_rank_yoy",
+        "friedman_weekday_revenue",
+        "levene_value_by_type",
+        "theil_u2_daily_forecast",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

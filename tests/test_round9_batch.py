@@ -413,3 +413,93 @@ def test_durbin_watson_brute(spark):
     got = QUERIES["durbin_watson_daily_revenue"](spark, SF).collect()[0]
     assert got["n_days"] == len(cents)
     assert abs(got["dw"] - num / den) < 1e-5
+
+
+def test_wilcoxon_signed_rank_brute(spark):
+    days = fetch(
+        f"""SELECT l_shipdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100
+                        AS BIGINT)
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY 1"""
+    )
+    by_md = defaultdict(dict)
+    for d, c in days:
+        by_md[(d.month, d.day)][d.year] = c
+    diffs = [
+        v[1997] - v[1996]
+        for v in by_md.values()
+        if 1996 in v and 1997 in v and v[1997] != v[1996]
+    ]
+    r = midranks([abs(d) for d in diffs])
+    n = len(diffs)
+    wp = sum(r[abs(d)] for d in diffs if d > 0)
+    ties = Counter(abs(d) for d in diffs)
+    t3 = sum(t**3 - t for t in ties.values() if t > 1)
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - t3 / 48.0
+    z = (wp - n * (n + 1) / 4.0) / math.sqrt(var)
+    got = QUERIES["wilcoxon_signed_rank_yoy"](spark, SF).collect()[0]
+    assert got["n_pairs"] == n
+    assert got["w2_plus"] == round(2 * wp)
+    assert abs(got["z_wilcoxon"] - z) < 1e-5
+
+
+def test_friedman_brute(spark):
+    days = sorted(_daily_cents())
+    day0 = days[0][0]
+    blocks = defaultdict(list)
+    for d, c in days:
+        blocks[(d - day0).days // 7].append((d, c))
+    col = defaultdict(float)
+    n_blocks = 0
+    for blk, rows in blocks.items():
+        if len(rows) != 7:
+            continue
+        n_blocks += 1
+        r = midranks([c for _, c in rows])
+        for d, c in rows:
+            wd = (d.isoweekday()) % 7  # 0 = Sunday, matching both engines
+            col[wd] += r[c]
+    k = 7
+    chi2 = 12.0 / (n_blocks * k * (k + 1)) * sum(
+        v * v for v in col.values()
+    ) - 3 * n_blocks * (k + 1)
+    got = QUERIES["friedman_weekday_revenue"](spark, SF).collect()[0]
+    assert got["n_weeks"] == n_blocks
+    assert abs(got["chi2_friedman"] - chi2) < 1e-5
+    assert abs(got["kendall_w"] - chi2 / (n_blocks * (k - 1))) < 1e-6
+
+
+def test_levene_brute(spark):
+    rows = fetch(f"SELECT event_type, value FROM '{SF}/events.parquet'")
+    groups = defaultdict(list)
+    for t, v in rows:
+        groups[t].append(v)
+    zs = defaultdict(list)
+    for t, vs in groups.items():
+        m = _py_median(vs)
+        zs[t] = [math.floor(1e3 * abs(v - m) + 0.5) for v in vs]
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    st = sum(sum(v) for v in zs.values())
+    qt = sum(x * x for v in zs.values() for x in v)
+    gsum = sum(round(sum(v) ** 2 / len(v)) for v in zs.values())
+    between = (gsum - st * st / n) / (k - 1)
+    within = (qt - gsum) / (n - k)
+    got = QUERIES["levene_value_by_type"](spark, SF).collect()[0]
+    assert got["n_events"] == n and got["n_groups"] == k
+    assert abs(got["f_brown_forsythe"] - between / within) < 1e-5
+
+
+def test_theil_u2_brute(spark):
+    cents = [c for _, c in _daily_cents()]
+    pairs = [
+        (cents[i], cents[i - 1], cents[i - 7]) for i in range(7, len(cents))
+    ]
+    sse_s = sum((x - l7) ** 2 for x, _, l7 in pairs)
+    sse_n = sum((x - l1) ** 2 for x, l1, _ in pairs)
+    got = QUERIES["theil_u2_daily_forecast"](spark, SF).collect()[0]
+    assert got["n_days_scored"] == len(pairs)
+    assert abs(got["u2_seasonal_vs_naive"] - math.sqrt(sse_s / sse_n)) < 1e-6

@@ -777,3 +777,426 @@ def durbin_watson_daily_revenue(spark, sf_dir):
             F.round(nd * F.col("sd2").cast("double") / var, 6),
         ).alias("dw"),
     )
+
+
+# normal 97.5% quantile (Acklam probit literal — the plans/evaluation._Z_975
+# rule) and chi-square 95% critical values for 6 df (Friedman, k=7) and the
+# F(4, inf) limit (Brown-Forsythe, 5 groups) = chi2(4df)/4.
+_Z_975 = 1.959963984540054
+_CHI2_95_DF6 = 12.591587243743977
+_F_95_DF4_INF = 9.487729036781154 / 4.0
+
+
+@register(
+    "wilcoxon_signed_rank_yoy",
+    f"""
+    WITH d AS (SELECT l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           * 100 AS BIGINT) AS cents
+               FROM lineitem
+               WHERE l_shipdate >= DATE '1996-01-01'
+                 AND l_shipdate < DATE '1998-01-01'
+               GROUP BY l_shipdate),
+    p AS (SELECT b.cents - a.cents AS diff
+          FROM d a JOIN d b
+            ON EXTRACT(month FROM b.day) = EXTRACT(month FROM a.day)
+           AND EXTRACT(day FROM b.day) = EXTRACT(day FROM a.day)
+           AND EXTRACT(year FROM a.day) = 1996
+           AND EXTRACT(year FROM b.day) = 1997
+          WHERE b.cents <> a.cents),
+    g AS (SELECT abs(diff) AS ad, COUNT(*)::BIGINT AS cnt,
+                 SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT AS pos
+          FROM p GROUP BY abs(diff)),
+    r AS (SELECT ad, cnt, pos,
+                 2 * (SUM(cnt) OVER (ORDER BY ad ASC) - cnt) + cnt + 1
+                   AS mid2 FROM g),
+    s AS (SELECT SUM(cnt)::BIGINT AS n,
+                 SUM(pos * mid2)::BIGINT AS w2p,
+                 COALESCE(SUM(CASE WHEN cnt > 1
+                                   THEN cnt * cnt * cnt - cnt
+                                   ELSE 0 END), 0)::BIGINT AS t3
+          FROM r)
+    SELECT n AS n_pairs, w2p AS w2_plus,
+           CASE WHEN n > 0
+                 AND (n * (n + 1.0) * (2.0 * n + 1.0) / 6.0
+                      - t3 / 12.0) > 0
+                THEN ROUND((w2p - n * (n + 1.0) / 2.0)
+                           / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 6.0
+                                  - t3 / 12.0), 6)
+                ELSE NULL END AS z_wilcoxon
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank_yoy(spark, sf_dir):
+    """Wilcoxon signed-rank test on PAIRED daily revenues: each calendar
+    (month, day) pairs its 1996 revenue with its 1997 revenue, and the
+    test asks whether the year-over-year shift is systematic — the
+    paired, distribution-free alternative to a t-test on noisy revenue
+    differences, and the paired complement of the independent-sample
+    machinery (Kruskal-Wallis/Cliff's delta) this module already has.
+    Feb 29 drops out of the inner calendar join by construction; zero
+    diffs drop per the standard treatment. |diff| midranks come from
+    the same value-domain prefix scan idiom (_mid2) on the bounded
+    <=365-row pair frame; with DOUBLED ranks the statistic is
+    z = (W2+ - n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 - T/12) with
+    T = sum(t^3 - t) the tie correction — every input an exact BIGINT,
+    one fixed-order double expression at the end, degenerates guarded
+    to NULL in both engines.
+
+    Scale: one filtered partial-aggregated scan to the day grain
+    (shipdate predicate pushed to parquet); everything after is the
+    calendar-bounded pair frame."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = d.filter(F.year("day") == 1996).select(
+        F.month("day").alias("m"),
+        F.dayofmonth("day").alias("dd"),
+        F.col("cents").alias("ca"),
+    )
+    b = d.filter(F.year("day") == 1997).select(
+        F.month("day").alias("m"),
+        F.dayofmonth("day").alias("dd"),
+        F.col("cents").alias("cb"),
+    )
+    p = (
+        a.join(b, ["m", "dd"])
+        .filter(F.col("cb") != F.col("ca"))
+        .select((F.col("cb") - F.col("ca")).alias("diff"))
+    )
+    g = p.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    r = _mid2(g, "ad")
+    s = r.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("pos") * F.col("mid2")).cast("bigint").alias("w2p"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1,
+                    F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("t3"),
+    )
+    nd = F.col("n").cast("double")
+    var = nd * (nd + 1.0) * (2.0 * nd + 1.0) / F.lit(6.0) - F.col(
+        "t3"
+    ) / F.lit(12.0)
+    z = (F.col("w2p") - nd * (nd + 1.0) / F.lit(2.0)) / F.sqrt(var)
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.col("w2p").alias("w2_plus"),
+        F.when((F.col("n") > 0) & (var > 0), F.round(z, 6)).alias(
+            "z_wilcoxon"
+        ),
+    )
+
+
+@register(
+    "friedman_weekday_revenue",
+    f"""
+    WITH d0 AS (SELECT MIN(l_shipdate) AS day0 FROM lineitem),
+    d AS (SELECT l_shipdate AS day,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                      * 100 AS BIGINT) AS cents
+          FROM lineitem GROUP BY l_shipdate),
+    w AS (SELECT (date_diff('day', d0.day0, day) // 7)::BIGINT AS blk,
+                 dayofweek(day)::INT AS wd, cents
+          FROM d CROSS JOIN d0),
+    full_w AS (SELECT blk FROM w GROUP BY blk HAVING COUNT(*) = 7),
+    r AS (SELECT w.blk, w.wd,
+                 2 * (RANK() OVER (PARTITION BY w.blk
+                                   ORDER BY w.cents ASC) - 1)
+                 + COUNT(*) OVER (PARTITION BY w.blk, w.cents) + 1 AS r2
+          FROM w JOIN full_w USING (blk)),
+    col_sums AS (SELECT wd, SUM(r2)::BIGINT AS r2_j,
+                        COUNT(*)::BIGINT AS n_blk
+                 FROM r GROUP BY wd),
+    s AS (SELECT MAX(n_blk)::BIGINT AS n,
+                 SUM(CAST(r2_j AS DECIMAL(38,0)) * r2_j) AS sr2
+          FROM col_sums)
+    SELECT n AS n_weeks,
+           ROUND(3.0 * sr2::DOUBLE / (n * 56.0) - 3.0 * n * 8.0, 6)
+             AS chi2_friedman,
+           ROUND((3.0 * sr2::DOUBLE / (n * 56.0) - 3.0 * n * 8.0)
+                 / (n * 6.0), 6) AS kendall_w,
+           (3.0 * sr2::DOUBLE / (n * 56.0) - 3.0 * n * 8.0)
+             > {_CHI2_95_DF6!r} AS weekday_effect_95
+    FROM s
+    """,
+)
+def friedman_weekday_revenue(spark, sf_dir):
+    """Friedman rank test with Kendall's W: treating each COMPLETE 7-day
+    week as a block and the weekday as the treatment, do weekdays rank
+    consistently by revenue across weeks? The blocked, distribution-free
+    two-way companion to `daily_seasonal_decomposition` (which fits the
+    weekday effect; this tests it) and Kruskal-Wallis (unblocked): by
+    ranking WITHIN each week, week-to-week level shifts — trend,
+    holidays — cancel entirely. Kendall's W = chi2/(n(k-1)) in [0,1] is
+    the effect size: 1 means every week ranks weekdays identically.
+    Blocks are 7-day buckets from the corpus's first ship date
+    (engine-safe integer arithmetic, no weekofyear); incomplete head/
+    tail weeks drop so k is exactly 7. Within-block DOUBLED midranks
+    come from PARTITIONED window functions (rank + equal-count — never
+    a global window): r2 = 2*(RANK()-1) + |ties| + 1, an exact BIGINT
+    identical in both engines; the column sums R2_j fold as BIGINTs and
+    chi2 = 3*sum(R2_j^2)/(56n) - 24n (the doubled-rank form of
+    12/(nk(k+1)) * sum R_j^2 - 3n(k+1) at k=7) is one fixed-order
+    double expression against the chi-square(6 df) Python literal.
+
+    Scale: one partial-aggregated corpus scan to the day grain; the
+    window runs inside 7-row calendar blocks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d0 = li.agg(F.min("l_shipdate").alias("day0"))
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = d.crossJoin(F.broadcast(d0)).select(
+        F.expr("CAST(datediff(day, day0) div 7 AS BIGINT)").alias("blk"),
+        (F.dayofweek("day") - 1).cast("int").alias("wd"),
+        "cents",
+    )
+    full_w = (
+        w.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") == 7)
+        .select("blk")
+    )
+    wj = w.join(F.broadcast(full_w), "blk")
+    r2 = (
+        2
+        * (
+            F.rank().over(Window.partitionBy("blk").orderBy(F.col("cents").asc()))
+            - 1
+        )
+        + F.count(F.lit(1)).over(Window.partitionBy("blk", "cents"))
+        + 1
+    ).cast("bigint")
+    col_sums = (
+        wj.select("wd", r2.alias("r2"))
+        .groupBy("wd")
+        .agg(
+            F.sum("r2").cast("bigint").alias("r2_j"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blk"),
+        )
+    )
+    s = col_sums.agg(
+        F.max("n_blk").cast("bigint").alias("n"),
+        F.sum(F.col("r2_j").cast("decimal(38,0)") * F.col("r2_j")).alias(
+            "sr2"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = (
+        F.lit(3.0) * F.col("sr2").cast("double") / (nd * F.lit(56.0))
+        - F.lit(3.0) * nd * F.lit(8.0)
+    )
+    return s.select(
+        F.col("n").alias("n_weeks"),
+        F.round(chi2, 6).alias("chi2_friedman"),
+        F.round(chi2 / (nd * F.lit(6.0)), 6).alias("kendall_w"),
+        (chi2 > F.lit(_CHI2_95_DF6)).alias("weekday_effect_95"),
+    )
+
+
+@register(
+    "levene_value_by_type",
+    f"""
+    WITH e AS (SELECT event_type, value FROM events),
+    med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM e GROUP BY event_type),
+    z AS (SELECT e.event_type,
+                 CAST(FLOOR(1e3 * abs(e.value - med.m) + 0.5) AS BIGINT)
+                   AS zm
+          FROM e JOIN med USING (event_type)),
+    g AS (SELECT event_type, COUNT(*)::BIGINT AS n_g,
+                 SUM(CAST(zm AS DECIMAL(38,0))) AS s_g,
+                 SUM(CAST(zm AS DECIMAL(38,0)) * zm) AS q_g
+          FROM z GROUP BY event_type),
+    t AS (SELECT SUM(n_g)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+                 SUM(s_g) AS st, SUM(q_g) AS qt,
+                 SUM(CAST(round(s_g::DOUBLE * s_g::DOUBLE / n_g)
+                          AS BIGINT))::BIGINT AS gsum_u
+          FROM g),
+    f AS (SELECT n, k,
+                 (gsum_u * 1.0 - st::DOUBLE * st::DOUBLE / n)
+                   / (k - 1.0) AS between_ms,
+                 (qt::DOUBLE - gsum_u * 1.0) / (n - k * 1.0)
+                   AS within_ms
+          FROM t)
+    SELECT n AS n_events, k AS n_groups,
+           CASE WHEN within_ms > 0
+                THEN ROUND(between_ms / within_ms, 6)
+                ELSE NULL END AS f_brown_forsythe,
+           CASE WHEN within_ms > 0
+                THEN between_ms / within_ms > {_F_95_DF4_INF!r}
+                ELSE NULL END AS spread_differs_95
+    FROM f
+    """,
+)
+def levene_value_by_type(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) test: do the five event
+    types differ in SPREAD, not just location? Kruskal-Wallis and the
+    median test compare centers; this one-way ANOVA on the absolute
+    deviations from each group's MEDIAN (the Brown-Forsythe variant —
+    robust where mean-centered Levene is not) completes the
+    location/spread pair. Per-row deviations are micro-quantized
+    integers (|value - group median|: the median is the proven
+    engine-parity interpolated quantile, the abs difference one
+    correctly-rounded double op, the floor(+0.5) on a nonnegative
+    value), so the group moment sums fold as exact DECIMAL(38,0); the
+    per-group S_g^2/n_g terms are UNIT-quantized from one fixed-order
+    double each (S_g^2 overflows int64; the terms themselves reach
+    ~2.5e17, so whole-unit rounding keeps them in BIGINT with <= 0.5
+    absolute — ~2e-18 relative — error, identical in both engines) and
+    the F statistic is
+    one double expression against the F(4, inf) literal chi2_4/4.
+
+    Scale: one aggregate for the 5 medians, one partial-aggregated
+    deviation scan — nothing after the 5-row group frame."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.floor(F.lit(1e3) * F.abs(F.col("value") - F.col("m")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("zm"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("zm").cast("decimal(38,0)")).alias("s_g"),
+        F.sum(F.col("zm").cast("decimal(38,0)") * F.col("zm")).alias("q_g"),
+    )
+    gterm = F.round(
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g")
+    ).cast("bigint")
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_g").alias("st"),
+        F.sum("q_g").alias("qt"),
+        F.sum(gterm).cast("bigint").alias("gsum_u"),
+    )
+    nd = F.col("n").cast("double")
+    between = (
+        F.col("gsum_u") * F.lit(1.0)
+        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("n")
+    ) / (F.col("k") - F.lit(1.0))
+    within = (F.col("qt").cast("double") - F.col("gsum_u") * F.lit(1.0)) / (
+        nd - F.col("k") * F.lit(1.0)
+    )
+    return t.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_groups"),
+        F.when(within > 0, F.round(between / within, 6)).alias(
+            "f_brown_forsythe"
+        ),
+        F.when(within > 0, between / within > F.lit(_F_95_DF4_INF)).alias(
+            "spread_differs_95"
+        ),
+    )
+
+
+@register(
+    "theil_u2_daily_forecast",
+    """
+    WITH d AS (SELECT l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           * 100 AS BIGINT) AS cents
+               FROM lineitem GROUP BY l_shipdate),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+    p AS (SELECT c.cents AS x, b.cents AS lag1, a.cents AS lag7
+          FROM r c JOIN r b ON b.rn = c.rn - 1
+                   JOIN r a ON a.rn = c.rn - 7),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(x - lag7 AS DECIMAL(38,0)) * (x - lag7))
+                   AS sse_seasonal,
+                 SUM(CAST(x - lag1 AS DECIMAL(38,0)) * (x - lag1))
+                   AS sse_naive
+          FROM p)
+    SELECT n AS n_days_scored,
+           CASE WHEN sse_naive > 0
+                THEN ROUND(sqrt(sse_seasonal::DOUBLE / sse_naive::DOUBLE), 6)
+                ELSE NULL END AS u2_seasonal_vs_naive,
+           CASE WHEN sse_naive > 0
+                THEN sse_seasonal::DOUBLE < sse_naive::DOUBLE
+                ELSE NULL END AS seasonal_beats_naive
+    FROM s
+    """,
+)
+def theil_u2_daily_forecast(spark, sf_dir):
+    """Theil's U2 comparing the SEASONAL naive forecast (this day last
+    week, lag 7) against the plain naive forecast (yesterday, lag 1) on
+    daily revenue: U2 = sqrt(SSE_seasonal / SSE_naive) < 1 means the
+    weekly cycle carries real forecasting value — the squared-error,
+    daily-grain companion of `hourly_seasonal_naive_mase` (absolute
+    error, hourly) and the practical readout of `acf_daily_revenue`'s
+    lag-7 peak. Both error sums are exact DECIMAL(38,0) folds of
+    squared integer-cent differences over the calendar-bounded day
+    frame (both lags come from one distributed day rank and two shifted
+    equi-joins — the SNM idiom — restricted to days where BOTH
+    forecasts exist so the comparison is paired); U2 is one
+    double sqrt of their ratio with the degenerate-naive guard mirrored
+    cross-engine. Corpus cost: one partial-aggregated scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
+        "rn", "cents"
+    )
+    c = r.select(F.col("rn").alias("rc"), F.col("cents").alias("x"))
+    b = r.select((F.col("rn") + 1).alias("rc"), F.col("cents").alias("lag1"))
+    a = r.select((F.col("rn") + 7).alias("rc"), F.col("cents").alias("lag7"))
+    p = c.join(b, "rc").join(a, "rc")
+    s = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("x") - F.col("lag7")).cast("decimal(38,0)")
+            * (F.col("x") - F.col("lag7"))
+        ).alias("sse_seasonal"),
+        F.sum(
+            (F.col("x") - F.col("lag1")).cast("decimal(38,0)")
+            * (F.col("x") - F.col("lag1"))
+        ).alias("sse_naive"),
+    )
+    return s.select(
+        F.col("n").alias("n_days_scored"),
+        F.when(
+            F.col("sse_naive") > 0,
+            F.round(
+                F.sqrt(
+                    F.col("sse_seasonal").cast("double")
+                    / F.col("sse_naive").cast("double")
+                ),
+                6,
+            ),
+        ).alias("u2_seasonal_vs_naive"),
+        F.when(
+            F.col("sse_naive") > 0,
+            F.col("sse_seasonal").cast("double")
+            < F.col("sse_naive").cast("double"),
+        ).alias("seasonal_beats_naive"),
+    )
