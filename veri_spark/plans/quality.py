@@ -161,9 +161,9 @@ def gopher_quality_flags(spark, sf_dir):
     turning a rule on.
 
     Determinism: the mean-word-length band is evaluated as the INTEGER
-    cross-multiplication chars*10 BETWEEN 42*wc AND 48*wc — no division
-    anywhere, so the rule is exact in both engines by construction (the
-    only divisions in this query are none). Scale: one projection scan,
+    cross-multiplication chars*10 BETWEEN 42*wc AND 48*wc, so the rule
+    is exact in both engines by construction — this query contains no
+    division at all. Scale: one projection scan,
     per-doc stats from in-row array ops (no explode), one group-by on
     the bounded source domain."""
     docs = load_table(spark, sf_dir, "documents").select(
