@@ -14,7 +14,6 @@ import math
 from collections import Counter, defaultdict
 
 import duckdb
-import pytest
 
 from veri_spark.plans.registry import QUERIES
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -77,7 +76,6 @@ def test_capped_ranker_jac_slice_matches_independent_pipeline(spark):
     persist-and-collect build against the composable operators it
     replaced for sweep cost."""
     from veri_spark.plans.graph import (
-        _capped_adjacency_shared,
         _capped_ranker_top20s,
         _common_counts_packed,
         _common_top20,
@@ -109,7 +107,6 @@ def test_ams_sign_hash_is_unbiased_on_known_stream(spark):
     one of the 16 sign-hash estimators is (Z_i)^2 with E[Z^2] = F2; on a
     single-key stream Z_i = +-c exactly, so ALL estimates must equal F2
     — pins the sign extraction (bit i of one md5) and the squaring."""
-    from veri_spark.plans.registry import QUERIES  # noqa: F401 (import check)
     from veri_spark.functions.hashing import portable_hash64
 
     df = spark.createDataFrame([("solo",)] * 37, "user_id string")
