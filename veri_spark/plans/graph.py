@@ -1767,9 +1767,13 @@ def graph_preferential_attachment(spark, sf_dir):
     ranker (common-neighbors, RA, Adamic-Adar) must beat, completing the
     classical link-prediction panel on the co-purchase graph. PA needs
     no neighborhood intersection at all, which is exactly its 100 TB
-    virtue AND the reason it plays baseline: the top PA candidates are
-    pairs of top-degree nodes, so the candidate set is the top-40
-    degree frame (TakeOrdered on exact integers, (d, u) tie-broken),
+    virtue AND the reason it plays baseline. The query ranks non-edges
+    WITHIN the top-40-degree candidate frame — a deterministic
+    truncation, the same contract as the capped wedge rankers, NOT a
+    proof of global exactness (a rank-1 x rank-41 pair can outscore a
+    rank-39 x rank-40 pair when most top-40 pairs are existing edges;
+    round-9 advisor). The frame is the top-40 degree head (TakeOrdered
+    on exact integers, (d, u) tie-broken),
     its C(40,2) = 780 ordered pairs come from one broadcast triangular
     self-join, and existing edges drop via one anti-join against the
     session-shared edge frame — no wedge exchange, no corpus-sized

@@ -174,7 +174,7 @@ def spearman_qty_price(spark, sf_dir):
            ROUND(h_raw, 6) AS h,
            CASE WHEN c > 0 THEN ROUND(h_raw / c, 6) ELSE NULL END
              AS h_tie_corrected,
-           CASE WHEN c > 0 THEN h_raw / c > {_CHI2_95_DF4!r}
+           CASE WHEN c > 0 AND k = 5 THEN h_raw / c > {_CHI2_95_DF4!r}
                 ELSE NULL END AS differs_95
     FROM h
     """,
@@ -193,7 +193,10 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
     decomposition idiom) so the 5-term fold is order-proof; the tie
     correction C = 1 - sum(t^3-t)/(N^3-N) folds exact BIGINTs. The 95%
     verdict compares against the Python-side chi-square(4 df) literal —
-    df is pinned by the event_type domain.
+    df is pinned by the event_type domain, and the verdict NULLs when
+    k != 5 (round-9 advisor: a drifted domain must degrade VISIBLY
+    rather than silently test against the wrong df; h itself stays
+    reported).
 
     Scale: two partial-aggregated scans (value grain, value x type
     grain), one prefix scan over the value DOMAIN, one value-grain join
@@ -251,9 +254,10 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
             F.col("k").alias("n_groups"),
             F.round(h_raw, 6).alias("h"),
             F.when(c > 0, F.round(h_raw / c, 6)).alias("h_tie_corrected"),
-            F.when(c > 0, h_raw / c > F.lit(_CHI2_95_DF4)).alias(
-                "differs_95"
-            ),
+            F.when(
+                (c > 0) & (F.col("k") == 5),
+                h_raw / c > F.lit(_CHI2_95_DF4),
+            ).alias("differs_95"),
         )
     )
 
@@ -620,8 +624,8 @@ def cliffs_delta_purchase_view(spark, sf_dir):
                    AS b_g
           FROM e CROSS JOIN m GROUP BY event_type),
     t AS (SELECT SUM(a_g)::BIGINT AS ta, SUM(b_g)::BIGINT AS tb FROM k),
-    c AS (SELECT k.event_type, k.a_g, k.b_g,
-                 CAST(round(1e9 * (
+    c AS (SELECT CASE WHEN t.ta > 0 AND t.tb > 0
+                 THEN CAST(round(1e9 * (
                        (k.a_g - (k.a_g + k.b_g) * (t.ta * 1.0)
                                 / (t.ta + t.tb))
                        * (k.a_g - (k.a_g + k.b_g) * (t.ta * 1.0)
@@ -632,13 +636,17 @@ def cliffs_delta_purchase_view(spark, sf_dir):
                        * (k.b_g - (k.a_g + k.b_g) * (t.tb * 1.0)
                                   / (t.ta + t.tb))
                        / ((k.a_g + k.b_g) * (t.tb * 1.0) / (t.ta + t.tb))))
-                      AS BIGINT) AS chi_nano
-          FROM k CROSS JOIN t)
-    SELECT (SELECT ta + tb FROM t) AS n_classified,
-           COUNT(*)::BIGINT AS n_groups,
-           ROUND(SUM(chi_nano) / 1e9, 6) AS chi2_mood,
-           SUM(chi_nano) / 1e9 > {_CHI2_95_DF4!r} AS medians_differ_95
-    FROM c
+                      AS BIGINT) ELSE NULL END AS chi_nano
+          FROM k CROSS JOIN t WHERE k.a_g + k.b_g > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n_groups,
+                 SUM(chi_nano) AS chi_nano_sum FROM c)
+    SELECT (t.ta + t.tb)::BIGINT AS n_classified,
+           s.n_groups,
+           ROUND(s.chi_nano_sum / 1e9, 6) AS chi2_mood,
+           CASE WHEN s.n_groups = 5
+                THEN s.chi_nano_sum / 1e9 > {_CHI2_95_DF4!r}
+                ELSE NULL END AS medians_differ_95
+    FROM s CROSS JOIN t
     """,
 )
 def mood_median_test_by_type(spark, sf_dir):
@@ -649,13 +657,20 @@ def mood_median_test_by_type(spark, sf_dir):
     divergence between the two tests flags tail-driven differences).
     The grand median is the engine-parity interpolated quantile
     (`events_value_quantiles` idiom); median-equal values drop from the
-    table (the standard treatment, and the guard that keeps expected
-    counts positive: every group has a_g + b_g >= 0 and the per-cell
-    terms only evaluate on groups present in k). Each group's two
-    (O-E)^2/E terms are nano-quantized from ONE fixed-order double
-    expression of exact BIGINTs (the Brier/KW idiom) so the 5-group fold
-    is order-proof; the verdict compares against the same chi-square
-    (4 df) Python literal as Kruskal-Wallis.
+    table (the standard treatment). Round 10 (round-9 advisor): the
+    expected counts ea/eb are only positive when the GROUP has classified
+    mass (a_g + b_g > 0 — a group whose values all equal the grand
+    median would put 0/0 = NaN into the fold) AND both margins are
+    occupied (ta > 0 and tb > 0 — >=50% corpus mass AT the median
+    empties one side); both guards mirror in the SQL (WHERE a_g+b_g>0,
+    CASE on ta/tb) and the Spark plan (filter + F.when, which
+    short-circuits so ANSI mode never evaluates the division). Each
+    group's two (O-E)^2/E terms are nano-quantized from ONE fixed-order
+    double expression of exact BIGINTs (the Brier/KW idiom) so the
+    5-group fold is order-proof; the verdict compares against the
+    chi-square(4 df) Python literal and NULLs when the classified group
+    count drifts off 5 (the df the literal encodes — same pin as
+    Kruskal-Wallis).
 
     Scale: one aggregate for the median, one partial-aggregated scan to
     the 5-row group frame. At 100 TB the exact quantile swaps for
@@ -685,20 +700,28 @@ def mood_median_test_by_type(spark, sf_dir):
         (F.col("a_g") - ea) * (F.col("a_g") - ea) / ea
         + (F.col("b_g") - eb) * (F.col("b_g") - eb) / eb
     )
-    c = k.crossJoin(F.broadcast(t)).select(
-        "a_g",
-        "b_g",
-        "ta",
-        "tb",
-        F.round(F.lit(1e9) * term).cast("bigint").alias("chi_nano"),
+    c = (
+        k.filter(F.col("a_g") + F.col("b_g") > 0)
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.when(
+                (F.col("ta") > 0) & (F.col("tb") > 0),
+                F.round(F.lit(1e9) * term).cast("bigint"),
+            ).alias("chi_nano"),
+        )
     )
-    return c.agg(
-        F.max(F.col("ta") + F.col("tb")).cast("bigint").alias("n_classified"),
+    s = c.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.round(F.sum("chi_nano") / F.lit(1e9), 6).alias("chi2_mood"),
-        (F.sum("chi_nano") / F.lit(1e9) > F.lit(_CHI2_95_DF4)).alias(
-            "medians_differ_95"
-        ),
+        F.sum("chi_nano").alias("chi_nano_sum"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        (F.col("ta") + F.col("tb")).cast("bigint").alias("n_classified"),
+        F.col("n_groups"),
+        F.round(F.col("chi_nano_sum") / F.lit(1e9), 6).alias("chi2_mood"),
+        F.when(
+            F.col("n_groups") == 5,
+            F.col("chi_nano_sum") / F.lit(1e9) > F.lit(_CHI2_95_DF4),
+        ).alias("medians_differ_95"),
     )
 
 
