@@ -228,6 +228,21 @@ BENCH_QUERIES = [
     "friedman_weekday_revenue",
     "levene_value_by_type",
     "theil_u2_daily_forecast",
+    # round-10: the effect-size/association panel (plans/effects.py) —
+    # contingency effect sizes, standardized mean difference, 2x2 odds
+    # panel, pair-concordance family on the bounded cell join,
+    # chance-corrected rater agreement, normalized MI, and the 1-df
+    # ordered-trend test
+    "cramers_v_type_weekday",
+    "pearson_residuals_type_weekday",
+    "cohens_d_purchase_view",
+    "weekend_purchase_effect",
+    "ordinal_association_qty_line",
+    "cohens_kappa_rules",
+    "fleiss_kappa_rules",
+    "matthews_corr_lang_id",
+    "uncertainty_coeff_lang_source",
+    "cochran_armitage_weekday_trend",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -1,0 +1,1081 @@
+"""Effect sizes and association measures — the magnitude companions to
+the registry's significance tests.
+
+Round 9 finished the nonparametric TEST panel (Kruskal-Wallis, Mood,
+Friedman, Wilcoxon...); at 100 TB every test is "significant", so the
+question a data pipeline actually asks is HOW BIG: Cramer's V next to
+the chi-square, Cohen's d next to the t-machinery, kappa next to
+rule-agreement rates, gamma/tau-b next to Spearman, the uncertainty
+coefficient next to mutual information, the odds ratio with its
+confidence interval next to the conversion z-test. Every query here is
+the standard published estimator re-expressed in the registry's
+determinism discipline:
+
+- contingency tables collapse to their bounded domain (5 event types x
+  7 weekdays, 50 quantities x 7 line numbers, 5 langs x 20 sources)
+  before ANY per-cell math — one partial-aggregated corpus scan, then
+  broadcast-sized frames;
+- per-cell chi-square / log terms are nano- or micro-quantized integers
+  folded as BIGINT (the Brier/MI idiom), so multi-cell sums are
+  order-proof;
+- pair-counting statistics (gamma, tau-b, Somers' D) fold exact
+  DECIMAL(38,0) products over the bounded CELL-pair join — never a
+  row-level pair join;
+- the final statistic is ONE fixed-order double expression of exact
+  integers, mirrored token-for-token in the DuckDB oracle; degenerate
+  denominators guard to NULL identically in both engines (ANSI mode);
+- normal quantiles are Python literals (Acklam probit), never computed
+  in-engine.
+
+Reference scope note: the reference engine (veri) exposes aggregation
+hooks over scored result sets (proto:35, group reduce); these
+statistics are the analytics layer a user builds ON that surface —
+cited as north-star extensions in SURVEY.md section 2.8.
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.functions.text import EN_STOPWORDS_SQL, en_stopword_ratio
+from veri_spark.plans._base import register
+from veri_spark.plans.events_behavior import _acklam_probit
+from veri_spark.sources.catalog import load_table
+
+# Python-side literals (the registry's constant rule: quantiles are never
+# computed in-engine). probit(0.975) and its square (= chi-square 95%
+# critical value at 1 df); spot-pinned by tests/test_round10_batch.py.
+_Z975 = _acklam_probit(0.975)
+_CHI2_95_DF1 = _Z975 * _Z975
+
+
+# Shared SQL fragment: the event_type x weekday contingency cells with
+# both margins and the grand total. DuckDB's dayofweek() is 0=Sunday;
+# Spark's F.dayofweek is 1=Sunday, so the Spark side subtracts 1
+# (the weekday-profile idiom).
+_TYPE_DOW_SQL = """
+    WITH e AS (SELECT event_type, dayofweek(ts)::BIGINT AS dow FROM events),
+    c AS (SELECT event_type, dow, COUNT(*)::BIGINT AS o FROM e GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(o)::BIGINT AS r_tot FROM c GROUP BY 1),
+    ct AS (SELECT dow, SUM(o)::BIGINT AS c_tot FROM c GROUP BY 1),
+    t AS (SELECT SUM(o)::BIGINT AS n FROM c),
+    grid AS (
+      SELECT rt.event_type, ct.dow, rt.r_tot, ct.c_tot,
+             COALESCE(c.o, 0)::BIGINT AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN c ON c.event_type = rt.event_type AND c.dow = ct.dow)
+"""
+
+
+def _type_dow_grid(spark, sf_dir):
+    """Spark twin of ``_TYPE_DOW_SQL``: the COMPLETE r x c grid (absent
+    cells materialized with o = 0 — the textbook chi-square sums over all
+    cells, and a zero cell still contributes (0-E)^2/E = E), margins and
+    total attached, every frame broadcast-sized after one corpus scan."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    )
+    c = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = c.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r_tot"))
+    ct = c.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c_tot"))
+    t = c.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(c), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "r_tot",
+            "c_tot",
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    return grid, rt, ct, t
+
+
+@register(
+    "cramers_v_type_weekday",
+    _TYPE_DOW_SQL
+    + """,
+    x AS (SELECT CAST(round(1e9 * (
+             (g.o - g.r_tot * (g.c_tot * 1.0) / t.n)
+             * (g.o - g.r_tot * (g.c_tot * 1.0) / t.n)
+             / (g.r_tot * (g.c_tot * 1.0) / t.n))) AS BIGINT) AS chi_nano
+          FROM grid g CROSS JOIN t),
+    d AS (SELECT (SELECT COUNT(*) FROM rt)::BIGINT AS r,
+                 (SELECT COUNT(*) FROM ct)::BIGINT AS c,
+                 (SELECT n FROM t)::BIGINT AS n,
+                 SUM(chi_nano) AS chs
+          FROM x)
+    SELECT n AS n_events, r AS n_types, c AS n_weekdays,
+           ROUND(chs / 1e9, 6) AS chi2,
+           CASE WHEN LEAST(r, c) > 1
+                THEN ROUND(sqrt(chs / 1e9 / (n * (LEAST(r, c) - 1.0))), 6)
+                ELSE NULL END AS cramers_v,
+           ROUND(sqrt(chs / 1e9 / n), 6) AS cohen_w,
+           CASE WHEN n > 1 AND LEAST(r - (r - 1.0) * (r - 1.0) / (n - 1.0),
+                                     c - (c - 1.0) * (c - 1.0) / (n - 1.0))
+                               - 1.0 > 0
+                THEN ROUND(sqrt(
+                       GREATEST(chs / 1e9 / n
+                                - (r - 1.0) * (c - 1.0) / (n - 1.0), 0.0)
+                       / (LEAST(r - (r - 1.0) * (r - 1.0) / (n - 1.0),
+                                c - (c - 1.0) * (c - 1.0) / (n - 1.0))
+                          - 1.0)), 6)
+                ELSE NULL END AS cramers_v_corrected
+    FROM d
+    """,
+)
+def cramers_v_type_weekday(spark, sf_dir):
+    """Cramer's V for the event_type x weekday contingency — the effect
+    SIZE the chi-square family (`lang_source_chi2`, `copurchase_lift_chi2`)
+    deliberately doesn't report: at 100 TB every independence test
+    rejects, and V = sqrt(chi2 / (n * (min(r,c)-1))) in [0,1] is the
+    scale-free number you actually compare across corpora. Reports
+    Cohen's w = sqrt(chi2/n) (the power-analysis input) and the
+    Bergsma bias-corrected V (phi2 shrunk by its independence-null
+    expectation (r-1)(c-1)/(n-1) — plain V is inflated on small n, and
+    the corrected form is what makes tiny-sample and 100 TB numbers
+    comparable). The grid is the COMPLETE r x c frame (zero cells
+    materialized — an empty cell still contributes E to chi2); each
+    cell's (O-E)^2/E is nano-quantized from one fixed-order double
+    expression of exact BIGINTs so the 35-cell fold is order-proof
+    (the Brier idiom); every V/w formula is then a fixed-order
+    expression of the one integer chi_nano sum. No significance verdict
+    on purpose — the magnitude IS the deliverable, the tests live in
+    the nonparametric module.
+
+    Scale: one partial-aggregated corpus scan to the 35-cell frame;
+    everything after is broadcast arithmetic on <= 35 rows."""
+    grid, rt, ct, t = _type_dow_grid(spark, sf_dir)
+    e_exp = F.col("r_tot") * (F.col("c_tot") * F.lit(1.0)) / F.col("n")
+    x = grid.crossJoin(F.broadcast(t)).select(
+        F.round(
+            F.lit(1e9)
+            * ((F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp)
+        )
+        .cast("bigint")
+        .alias("chi_nano"),
+    )
+    r_cnt = rt.agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    c_cnt = ct.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d = (
+        x.agg(F.sum("chi_nano").alias("chs"))
+        .crossJoin(F.broadcast(r_cnt))
+        .crossJoin(F.broadcast(c_cnt))
+        .crossJoin(F.broadcast(t))
+    )
+    r, c, n, chs = (F.col(k) for k in ("r", "c", "n", "chs"))
+    chi2 = chs / F.lit(1e9)
+    phi2 = chs / F.lit(1e9) / n
+    r_adj = r - (r - F.lit(1.0)) * (r - F.lit(1.0)) / (n - F.lit(1.0))
+    c_adj = c - (c - F.lit(1.0)) * (c - F.lit(1.0)) / (n - F.lit(1.0))
+    min_adj = F.least(r_adj, c_adj) - F.lit(1.0)
+    phi2c = F.greatest(
+        phi2 - (r - F.lit(1.0)) * (c - F.lit(1.0)) / (n - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    return d.select(
+        n.alias("n_events"),
+        r.alias("n_types"),
+        c.alias("n_weekdays"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(
+            F.least(r, c) > 1,
+            F.round(F.sqrt(chi2 / (n * (F.least(r, c) - F.lit(1.0)))), 6),
+        ).alias("cramers_v"),
+        F.round(F.sqrt(phi2), 6).alias("cohen_w"),
+        F.when(
+            (n > 1) & (min_adj > 0),
+            F.round(F.sqrt(phi2c / min_adj), 6),
+        ).alias("cramers_v_corrected"),
+    )
+
+
+@register(
+    "pearson_residuals_type_weekday",
+    _TYPE_DOW_SQL
+    + """
+    SELECT g.event_type, g.dow, g.o AS n_obs,
+           CAST(round(1000 * (g.r_tot * (g.c_tot * 1.0) / t.n))
+                AS BIGINT) AS expected_milli,
+           ROUND((g.o - g.r_tot * (g.c_tot * 1.0) / t.n)
+                 / sqrt(g.r_tot * (g.c_tot * 1.0) / t.n), 6)
+             AS pearson_resid
+    FROM grid g CROSS JOIN t
+    ORDER BY g.event_type ASC, g.dow ASC
+    """,
+)
+def pearson_residuals_type_weekday(spark, sf_dir):
+    """Standardized (Pearson) residuals (O-E)/sqrt(E) for every cell of
+    the event_type x weekday table — the drill-down under
+    `cramers_v_type_weekday`: the omnibus statistic says THAT the table
+    is dependent, the residual map says WHICH cells drive it (|resid| >
+    2 is the conventional callout). The full 35-cell grid (zero cells
+    included) with expected counts milli-quantized; the residual is one
+    fixed-order double expression of exact integers (division and sqrt
+    are IEEE-correctly-rounded, so identical inputs + identical
+    association order = bit-identical output — the registry's
+    sqrt/division rule). Bounded output, full (type, dow) order.
+
+    Scale: identical to the parent — one corpus scan, then a 35-row
+    broadcast frame."""
+    grid, _rt, _ct, t = _type_dow_grid(spark, sf_dir)
+    e_exp = F.col("r_tot") * (F.col("c_tot") * F.lit(1.0)) / F.col("n")
+    return (
+        grid.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").alias("n_obs"),
+            F.round(F.lit(1000) * e_exp).cast("bigint").alias(
+                "expected_milli"
+            ),
+            F.round((F.col("o") - e_exp) / F.sqrt(e_exp), 6).alias(
+                "pearson_resid"
+            ),
+        )
+        .orderBy(F.col("event_type").asc(), F.col("dow").asc())
+    )
+
+
+@register(
+    "cohens_d_purchase_view",
+    """
+    WITH e AS (SELECT event_type, value FROM events
+               WHERE event_type IN ('purchase', 'view')),
+    s AS (SELECT
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END)::BIGINT AS na,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                END)::BIGINT AS nb,
+            SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS s1a,
+            SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value * value AS DECIMAL(28,4))
+                     ELSE CAST(0 AS DECIMAL(28,4)) END)::DOUBLE AS s2a,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS s1b,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value * value AS DECIMAL(28,4))
+                     ELSE CAST(0 AS DECIMAL(28,4)) END)::DOUBLE AS s2b
+          FROM e),
+    v AS (SELECT na, nb, s1a, s1b,
+                 (s2a - s1a * s1a / na) / (na - 1.0) AS va,
+                 (s2b - s1b * s1b / nb) / (nb - 1.0) AS vb
+          FROM s WHERE na > 1 AND nb > 1)
+    SELECT na AS n_purchase, nb AS n_view,
+           ROUND(s1a / na - s1b / nb, 6) AS mean_diff,
+           CASE WHEN ((na - 1.0) * va + (nb - 1.0) * vb)
+                     / (na + nb - 2.0) > 0
+                THEN ROUND((s1a / na - s1b / nb)
+                           / sqrt(((na - 1.0) * va + (nb - 1.0) * vb)
+                                  / (na + nb - 2.0)), 6)
+                ELSE NULL END AS cohens_d,
+           CASE WHEN ((na - 1.0) * va + (nb - 1.0) * vb)
+                     / (na + nb - 2.0) > 0
+                THEN ROUND((s1a / na - s1b / nb)
+                           / sqrt(((na - 1.0) * va + (nb - 1.0) * vb)
+                                  / (na + nb - 2.0))
+                           * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6)
+                ELSE NULL END AS hedges_g
+    FROM v
+    """,
+)
+def cohens_d_purchase_view(spark, sf_dir):
+    """Cohen's d (standardized mean difference, pooled sample SD) between
+    purchase and view event values, with the Hedges small-sample
+    correction g = d * (1 - 3/(4(n1+n2) - 9)) — the magnitude companion
+    to `cliffs_delta_purchase_view` (delta is ordinal and outlier-proof;
+    d is the metric effect every power calculation and meta-analysis
+    expects, and comparing the two flags tail-driven differences). Group
+    moment sums fold as exact DECIMALs in ONE conditional-aggregation
+    corpus scan (the `value_moments_by_type` idiom — order-insensitive
+    at any parallelism, cast ::DOUBLE once), and d/g are single
+    fixed-order double expressions of those six exact numbers, mirrored
+    token-for-token in the oracle. Degenerate pooled variance (constant
+    values) guards to NULL in both engines; n<=1 groups collapse the
+    frame to zero rows identically.
+
+    Scale: one partial-aggregated scan to six numbers; nothing else."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    is_a = F.col("event_type") == "purchase"
+    v = F.col("value")
+    dec0_18 = F.lit(0).cast("decimal(18,2)")
+    dec0_28 = F.lit(0).cast("decimal(28,4)")
+    s = e.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(is_a, v.cast("decimal(18,2)")).otherwise(dec0_18))
+        .cast("double")
+        .alias("s1a"),
+        F.sum(F.when(is_a, (v * v).cast("decimal(28,4)")).otherwise(dec0_28))
+        .cast("double")
+        .alias("s2a"),
+        F.sum(F.when(~is_a, v.cast("decimal(18,2)")).otherwise(dec0_18))
+        .cast("double")
+        .alias("s1b"),
+        F.sum(F.when(~is_a, (v * v).cast("decimal(28,4)")).otherwise(dec0_28))
+        .cast("double")
+        .alias("s2b"),
+    ).filter((F.col("na") > 1) & (F.col("nb") > 1))
+    na, nb = F.col("na"), F.col("nb")
+    s1a, s1b = F.col("s1a"), F.col("s1b")
+    va = (F.col("s2a") - s1a * s1a / na) / (na - F.lit(1.0))
+    vb = (F.col("s2b") - s1b * s1b / nb) / (nb - F.lit(1.0))
+    sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    d = (s1a / na - s1b / nb) / F.sqrt(sp2)
+    corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    return s.select(
+        na.alias("n_purchase"),
+        nb.alias("n_view"),
+        F.round(s1a / na - s1b / nb, 6).alias("mean_diff"),
+        F.when(sp2 > 0, F.round(d, 6)).alias("cohens_d"),
+        F.when(sp2 > 0, F.round(d * corr, 6)).alias("hedges_g"),
+    )
+
+
+@register(
+    "weekend_purchase_effect",
+    f"""
+    WITH e AS (SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                        AS wkend,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS conv
+               FROM events),
+    s AS (SELECT
+            SUM(CASE WHEN wkend = 1 AND conv = 1 THEN 1 ELSE 0
+                END)::BIGINT AS a,
+            SUM(CASE WHEN wkend = 1 AND conv = 0 THEN 1 ELSE 0
+                END)::BIGINT AS b,
+            SUM(CASE WHEN wkend = 0 AND conv = 1 THEN 1 ELSE 0
+                END)::BIGINT AS c,
+            SUM(CASE WHEN wkend = 0 AND conv = 0 THEN 1 ELSE 0
+                END)::BIGINT AS d
+          FROM e)
+    SELECT a + b AS n_weekend, c + d AS n_weekday,
+           a AS n_weekend_purchase, c AS n_weekday_purchase,
+           ROUND(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)), 6)
+             AS odds_ratio,
+           ROUND(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))), 6)
+             AS log_or,
+           ROUND(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+                 - {_Z975!r} * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                    + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6)
+             AS log_or_ci_lo,
+           ROUND(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+                 + {_Z975!r} * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                    + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6)
+             AS log_or_ci_hi,
+           ROUND(((a + 0.5) / (a + b + 1.0))
+                 / ((c + 0.5) / (c + d + 1.0)), 6) AS risk_ratio
+    FROM s
+    """,
+)
+def weekend_purchase_effect(spark, sf_dir):
+    """Odds ratio and risk ratio for purchase on weekends vs weekdays,
+    with the Woolf log-OR 95% interval — the 2x2 effect panel next to
+    `ab_test_conversion_ztest`'s significance machinery (a z-test says
+    whether the weekend effect is real; the OR with its CI says how big
+    and how precisely known). Haldane-Anscombe +0.5 applied to every
+    cell UNCONDITIONALLY (the standard zero-cell correction, and —
+    because it is unconditional — there is no data-dependent branch to
+    diverge on). The interval is reported in LOG space (exp is never
+    evaluated in-engine; ln on identical doubles is the accepted
+    WoE/Zipf idiom) with z = probit(0.975) injected as the Acklam
+    Python literal. One conditional-aggregation corpus scan to four
+    BIGINTs; every statistic is a fixed-order double expression of
+    those four integers. Weekend = Saturday/Sunday: DuckDB dayofweek in
+    (0, 6) vs Spark dayofweek in (1, 7) — 0=Sunday vs 1=Sunday.
+
+    Scale: one scan, one 4-number reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wkend"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    s = e.agg(
+        F.sum(F.when((F.col("wkend") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("wkend") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("wkend") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("wkend") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(k) for k in ("a", "b", "c", "d"))
+    orr = ((a + F.lit(0.5)) * (d + F.lit(0.5))) / (
+        (b + F.lit(0.5)) * (c + F.lit(0.5))
+    )
+    se = F.sqrt(
+        F.lit(1.0) / (a + F.lit(0.5))
+        + F.lit(1.0) / (b + F.lit(0.5))
+        + F.lit(1.0) / (c + F.lit(0.5))
+        + F.lit(1.0) / (d + F.lit(0.5))
+    )
+    rr = ((a + F.lit(0.5)) / (a + b + F.lit(1.0))) / (
+        (c + F.lit(0.5)) / (c + d + F.lit(1.0))
+    )
+    return s.select(
+        (a + b).alias("n_weekend"),
+        (c + d).alias("n_weekday"),
+        a.alias("n_weekend_purchase"),
+        c.alias("n_weekday_purchase"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr), 6).alias("log_or"),
+        F.round(F.log(orr) - F.lit(_Z975) * se, 6).alias("log_or_ci_lo"),
+        F.round(F.log(orr) + F.lit(_Z975) * se, 6).alias("log_or_ci_hi"),
+        F.round(rr, 6).alias("risk_ratio"),
+    )
+
+
+@register(
+    "ordinal_association_qty_line",
+    """
+    WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                       l_linenumber::BIGINT AS y
+                FROM lineitem),
+    cell AS (SELECT x, y, COUNT(*)::BIGINT AS cnt FROM li GROUP BY x, y),
+    cd AS (SELECT
+             SUM(CASE WHEN c2.y > c1.y
+                      THEN CAST(c1.cnt AS DECIMAL(38,0)) * c2.cnt
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS conc,
+             SUM(CASE WHEN c2.y < c1.y
+                      THEN CAST(c1.cnt AS DECIMAL(38,0)) * c2.cnt
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS disc
+           FROM cell c1 JOIN cell c2 ON c2.x > c1.x),
+    tx AS (SELECT SUM(CAST(cnt AS DECIMAL(38,0)) * cnt - cnt) AS t2x
+           FROM (SELECT SUM(cnt)::BIGINT AS cnt FROM cell GROUP BY x)),
+    ty AS (SELECT SUM(CAST(cnt AS DECIMAL(38,0)) * cnt - cnt) AS t2y
+           FROM (SELECT SUM(cnt)::BIGINT AS cnt FROM cell GROUP BY y)),
+    t AS (SELECT SUM(cnt)::BIGINT AS n FROM cell),
+    z AS (SELECT cd.conc, cd.disc,
+                 (CAST(t.n AS DECIMAL(38,0)) * t.n - t.n) AS n2d,
+                 tx.t2x, ty.t2y
+          FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN t)
+    SELECT (SELECT n FROM t) AS n_rows,
+           conc::BIGINT AS n_concordant, disc::BIGINT AS n_discordant,
+           CASE WHEN conc + disc > 0
+                THEN ROUND((conc - disc)::DOUBLE / (conc + disc)::DOUBLE, 6)
+                ELSE NULL END AS gamma,
+           CASE WHEN (n2d - t2x)::DOUBLE * ((n2d - t2y)::DOUBLE) > 0
+                THEN ROUND(2.0 * (conc - disc)::DOUBLE
+                           / sqrt((n2d - t2x)::DOUBLE
+                                  * ((n2d - t2y)::DOUBLE)), 6)
+                ELSE NULL END AS kendall_tau_b,
+           CASE WHEN n2d - t2x > 0
+                THEN ROUND(2.0 * (conc - disc)::DOUBLE
+                           / (n2d - t2x)::DOUBLE, 6)
+                ELSE NULL END AS somers_d_yx
+    FROM z
+    """,
+)
+def ordinal_association_qty_line(spark, sf_dir):
+    """Goodman-Kruskal gamma, Kendall tau-b, and Somers' D(y|x) for the
+    ordinal pair (l_quantity, l_linenumber) — the concordance panel next
+    to `spearman_qty_price` (Spearman measures monotone association on
+    midranks; gamma/tau-b/D are the PAIR-counting family, and the three
+    differ exactly in how they charge ties, which is the diagnostic).
+    Pairs are NEVER enumerated at row grain: the corpus collapses to the
+    bounded 50 x 7 contingency first, concordant/discordant mass comes
+    from the cell-pair join (c2.x > c1.x strictly, so each unordered
+    cell pair counts once) as exact DECIMAL(38,0) products, and tie
+    terms use the DOUBLED identities n2d = n(n-1), t2 = sum cnt(cnt-1)
+    (doubled pair counts — no /2 anywhere, the `_mid2` trick: tau_b =
+    2(C-D)/sqrt((n2d-t2x)(n2d-t2y)) and D(y|x) = 2(C-D)/(n2d-t2x) absorb
+    the doubling exactly). Final statistics are single fixed-order
+    double expressions of exact decimals; all-tied margins guard to
+    NULL identically.
+
+    Scale: one partial-aggregated scan to <= 350 cells, a broadcast
+    350 x 350 triangular join, three tiny reduces. At 100 TB only the
+    first scan touches the corpus."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.col("l_linenumber").cast("bigint").alias("y"),
+    )
+    cell = li.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    c1 = cell.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("cnt").alias("n1")
+    )
+    c2 = cell.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("cnt").alias("n2")
+    )
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    cd = c1.join(F.broadcast(c2), F.col("x2") > F.col("x1")).agg(
+        F.sum(
+            F.when(
+                F.col("y2") > F.col("y1"),
+                F.col("n1").cast("decimal(38,0)") * F.col("n2"),
+            ).otherwise(dec0)
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                F.col("y2") < F.col("y1"),
+                F.col("n1").cast("decimal(38,0)") * F.col("n2"),
+            ).otherwise(dec0)
+        ).alias("disc"),
+    )
+    tx = (
+        cell.groupBy("x")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("cnt") - F.col("cnt")
+            ).alias("t2x")
+        )
+    )
+    ty = (
+        cell.groupBy("y")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("cnt") - F.col("cnt")
+            ).alias("t2y")
+        )
+    )
+    t = cell.agg(F.sum("cnt").cast("bigint").alias("n"))
+    z = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "n2d", F.col("n").cast("decimal(38,0)") * F.col("n") - F.col("n")
+        )
+    )
+    conc, disc = F.col("conc"), F.col("disc")
+    n2d, t2x, t2y = F.col("n2d"), F.col("t2x"), F.col("t2y")
+    cds = (conc - disc).cast("double")
+    return z.select(
+        F.col("n").alias("n_rows"),
+        conc.cast("bigint").alias("n_concordant"),
+        disc.cast("bigint").alias("n_discordant"),
+        F.when(
+            conc + disc > 0,
+            F.round(cds / (conc + disc).cast("double"), 6),
+        ).alias("gamma"),
+        F.when(
+            (n2d - t2x).cast("double") * ((n2d - t2y).cast("double")) > 0,
+            F.round(
+                F.lit(2.0)
+                * cds
+                / F.sqrt(
+                    (n2d - t2x).cast("double") * ((n2d - t2y).cast("double"))
+                ),
+                6,
+            ),
+        ).alias("kendall_tau_b"),
+        F.when(
+            n2d - t2x > 0,
+            F.round(F.lit(2.0) * cds / (n2d - t2x).cast("double"), 6),
+        ).alias("somers_d_yx"),
+    )
+
+
+@register(
+    "cohens_kappa_rules",
+    f"""
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                   AS r_wc,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ({EN_STOPWORDS_SQL}))) >= 2
+                      THEN 1 ELSE 0 END AS r_sw
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(r_wc * r_sw)::BIGINT AS a,
+                 SUM(CASE WHEN r_wc = 1 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS b,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 1 THEN 1 ELSE 0
+                     END)::BIGINT AS c,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS d
+          FROM m)
+    SELECT n AS n_docs, a AS n_both_pass, d AS n_both_fail,
+           b + c AS n_disagree,
+           CASE WHEN (a + b) * (a + c) + (c + d) * (b + d) < n * n
+                THEN ROUND(((a + d) * 1.0 / n
+                            - ((a + b) * (a + c) + (c + d) * (b + d)) * 1.0
+                              / (n * n))
+                           / (1.0 - ((a + b) * (a + c) + (c + d) * (b + d))
+                                    * 1.0 / (n * n)), 6)
+                ELSE NULL END AS cohens_kappa
+    FROM s
+    """,
+)
+def cohens_kappa_rules(spark, sf_dir):
+    """Cohen's kappa between the two cheapest quality gates (word count
+    in [20, 90]; stopword hits >= 2) treated as two raters on the same
+    documents — the chance-corrected AGREEMENT next to
+    `mcnemar_rule_agreement`'s marginal test (McNemar asks "do they flag
+    at different rates?"; kappa asks "beyond what their base rates force,
+    do they flag the SAME docs?" — two rules can pass McNemar and still
+    be useless as cross-checks). kappa = (po - pe)/(1 - pe) with po =
+    (a+d)/n and pe from the marginal products; the pe < 1 degenerate is
+    guarded with the INTEGER comparison (a+b)(a+c) + (c+d)(b+d) < n^2
+    (no float-equality surface), and kappa is one fixed-order double
+    expression of five exact BIGINTs from one corpus scan. At corpus
+    sizes past ~3e9 docs the n^2 products need DECIMAL(38,0) widening —
+    noted here, integer-exact at every gate SF.
+
+    Scale: one conditional-aggregation scan; the statistic is driver-side
+    arithmetic on one row."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("r_sw"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r_wc") * F.col("r_sw")).cast("bigint").alias("a"),
+        F.sum(F.when((F.col("r_wc") == 1) & (F.col("r_sw") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n, a, b, c, d = (F.col(k) for k in ("n", "a", "b", "c", "d"))
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    po = (a + d) * F.lit(1.0) / n
+    pe = pe_num * F.lit(1.0) / (n * n)
+    return s.select(
+        n.alias("n_docs"),
+        a.alias("n_both_pass"),
+        d.alias("n_both_fail"),
+        (b + c).alias("n_disagree"),
+        F.when(pe_num < n * n, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias(
+            "cohens_kappa"
+        ),
+    )
+
+
+@register(
+    "fleiss_kappa_rules",
+    f"""
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT (CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                  + CASE WHEN list_sum(list_transform(ws, w -> strlen(w)))
+                              * 10 BETWEEN 42 * len(ws) AND 48 * len(ws)
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN len(list_filter(ws,
+                         w -> w IN ({EN_STOPWORDS_SQL}))) >= 2
+                         THEN 1 ELSE 0 END)::BIGINT AS x
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+                 SUM(x * (x - 1) + (3 - x) * (2 - x))::BIGINT AS snum
+          FROM m)
+    SELECT n AS n_docs, sx AS sum_passes,
+           CASE WHEN sx > 0 AND sx < 3 * n
+                  AND 1.0 - ((sx * 1.0 / (3 * n)) * (sx * 1.0 / (3 * n))
+                             + (1.0 - sx * 1.0 / (3 * n))
+                               * (1.0 - sx * 1.0 / (3 * n))) > 0
+                THEN ROUND((snum * 1.0 / (6 * n)
+                            - ((sx * 1.0 / (3 * n)) * (sx * 1.0 / (3 * n))
+                               + (1.0 - sx * 1.0 / (3 * n))
+                                 * (1.0 - sx * 1.0 / (3 * n))))
+                           / (1.0 - ((sx * 1.0 / (3 * n))
+                                     * (sx * 1.0 / (3 * n))
+                                     + (1.0 - sx * 1.0 / (3 * n))
+                                       * (1.0 - sx * 1.0 / (3 * n)))), 6)
+                ELSE NULL END AS fleiss_kappa
+    FROM s
+    """,
+)
+def fleiss_kappa_rules(spark, sf_dir):
+    """Fleiss' kappa across all THREE quality rules (word count, mean
+    word length, stopword presence) as k=3 raters x 2 categories on the
+    same documents — the multi-rater agreement companion to
+    `cochran_q_rules` (Q tests whether pass RATES differ; Fleiss-kappa
+    scores whether the rules AGREE doc-by-doc beyond chance, which is
+    what decides if a 2-of-3 ensemble gate adds signal over any single
+    rule). Per-doc agreement P_i = [x(x-1) + (3-x)(2-x)]/6 for x passes
+    — the numerator is an exact integer in (2, 6), so sum P_i folds as
+    ONE BIGINT (snum) and Pbar = snum/(6n); chance agreement pe = p^2 +
+    (1-p)^2 with p = sx/(3n). kappa = (Pbar - pe)/(1 - pe) is one
+    fixed-order double expression of three exact BIGINTs; the pe = 1
+    degenerate (all docs pass all rules or fail all rules) is guarded
+    by the integer condition 0 < sx < 3n plus the mirrored float
+    denominator check. One conditional-aggregation corpus scan.
+
+    Scale: one scan to three numbers."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    chars = F.aggregate(
+        F.transform(F.col("ws"), lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    x = (
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0)
+        + F.when(
+            (chars * 10 >= 42 * F.size("ws"))
+            & (chars * 10 <= 48 * F.size("ws")),
+            1,
+        ).otherwise(0)
+        + F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    m = docs.filter(F.size("ws") > 0).select(x.alias("x"))
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(
+            F.col("x") * (F.col("x") - 1)
+            + (3 - F.col("x")) * (2 - F.col("x"))
+        )
+        .cast("bigint")
+        .alias("snum"),
+    )
+    n, sx, snum = F.col("n"), F.col("sx"), F.col("snum")
+    p = sx * F.lit(1.0) / (3 * n)
+    pe = p * p + (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    pbar = snum * F.lit(1.0) / (6 * n)
+    return s.select(
+        n.alias("n_docs"),
+        sx.alias("sum_passes"),
+        F.when(
+            (sx > 0) & (sx < 3 * n) & (F.lit(1.0) - pe > 0),
+            F.round((pbar - pe) / (F.lit(1.0) - pe), 6),
+        ).alias("fleiss_kappa"),
+    )
+
+
+@register(
+    "matthews_corr_lang_id",
+    f"""
+    WITH m AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN len(list_filter(ws, w -> w IN ({EN_STOPWORDS_SQL})))::DOUBLE
+                       / len(ws) >= 0.04
+                  THEN 1 ELSE 0 END AS guess
+      FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) > 0),
+    s AS (SELECT
+            SUM(truth * guess)::BIGINT AS tp,
+            SUM(CASE WHEN truth = 0 AND guess = 1 THEN 1 ELSE 0
+                END)::BIGINT AS fp,
+            SUM(CASE WHEN truth = 1 AND guess = 0 THEN 1 ELSE 0
+                END)::BIGINT AS fn,
+            SUM(CASE WHEN truth = 0 AND guess = 0 THEN 1 ELSE 0
+                END)::BIGINT AS tn
+          FROM m)
+    SELECT tp AS n_tp, fp AS n_fp, fn AS n_fn, tn AS n_tn,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+                  AND tn + fn > 0
+                THEN ROUND((tp * tn - fp * fn) * 1.0
+                           / (sqrt((tp + fp) * 1.0 * (tp + fn))
+                              * sqrt((tn + fp) * 1.0 * (tn + fn))), 6)
+                ELSE NULL END AS mcc,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6)
+                ELSE NULL END AS f1
+    FROM s
+    """,
+)
+def matthews_corr_lang_id(spark, sf_dir):
+    """Matthews correlation coefficient (plus F1) for the stopword
+    language-ID heuristic against the recorded `lang` label — the
+    single-number summary of `lang_confusion_matrix` that, unlike
+    accuracy or F1, stays honest under class imbalance (en is ~44% of
+    this corpus; at production mixes a majority-class guesser gets high
+    accuracy and F1 but MCC ~= 0). MCC = (TP*TN - FP*FN) /
+    sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)), computed with the denominator
+    FACTORED as sqrt((TP+FP)(TP+FN)) * sqrt((TN+FP)(TN+FN)) so each
+    inner product stays within BIGINT range at any plausible corpus
+    (the single 4-way product overflows 64 bits past ~55k docs^4); the
+    factoring is mirrored token-for-token in the oracle so the
+    fixed-order result is identical. Any empty margin guards the MCC to
+    NULL (the undefined case), F1 guards on its own denominator. One
+    conditional-aggregation scan over a pure-expression classifier.
+
+    Scale: one scan to four BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    m = docs.filter(F.size(ws) > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(en_stopword_ratio("text") >= 0.04, 1).otherwise(0).alias(
+            "guess"
+        ),
+    )
+    s = m.agg(
+        F.sum(F.col("truth") * F.col("guess")).cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("truth") == 0) & (F.col("guess") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("truth") == 1) & (F.col("guess") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("truth") == 0) & (F.col("guess") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(k) for k in ("tp", "fp", "fn", "tn"))
+    mcc = (
+        (tp * tn - fp * fn)
+        * F.lit(1.0)
+        / (
+            F.sqrt((tp + fp) * F.lit(1.0) * (tp + fn))
+            * F.sqrt((tn + fp) * F.lit(1.0) * (tn + fn))
+        )
+    )
+    return s.select(
+        tp.alias("n_tp"),
+        fp.alias("n_fp"),
+        fn.alias("n_fn"),
+        tn.alias("n_tn"),
+        F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+            F.round(mcc, 6),
+        ).alias("mcc"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(F.lit(2.0) * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+    )
+
+
+@register(
+    "uncertainty_coeff_lang_source",
+    """
+    WITH cell AS (SELECT lang, source, COUNT(*)::BIGINT AS nxy
+                  FROM documents GROUP BY lang, source),
+    mx AS (SELECT lang, SUM(nxy)::BIGINT AS nx FROM cell GROUP BY lang),
+    my AS (SELECT source, SUM(nxy)::BIGINT AS ny FROM cell GROUP BY source),
+    t AS (SELECT SUM(nxy)::BIGINT AS n FROM cell),
+    mi AS (SELECT SUM(c.nxy
+                      * CAST(floor(1e6 * ln((c.nxy * t.n)::DOUBLE
+                                            / (mx.nx * my.ny)::DOUBLE) + 0.5)
+                             AS BIGINT))::BIGINT AS miw
+           FROM cell c JOIN mx USING (lang) JOIN my USING (source)
+           CROSS JOIN t),
+    hx AS (SELECT SUM(mx.nx
+                      * CAST(floor(1e6 * ln(t.n::DOUBLE / mx.nx::DOUBLE)
+                                   + 0.5) AS BIGINT))::BIGINT AS hxw
+           FROM mx CROSS JOIN t),
+    hy AS (SELECT SUM(my.ny
+                      * CAST(floor(1e6 * ln(t.n::DOUBLE / my.ny::DOUBLE)
+                                   + 0.5) AS BIGINT))::BIGINT AS hyw
+           FROM my CROSS JOIN t)
+    SELECT t.n AS n_docs, mi.miw AS mi_weighted_micro,
+           hx.hxw AS h_lang_weighted_micro,
+           hy.hyw AS h_source_weighted_micro,
+           CASE WHEN hx.hxw > 0
+                THEN ROUND(mi.miw * 1.0 / hx.hxw, 6) ELSE NULL END
+             AS u_lang_given_source,
+           CASE WHEN hy.hyw > 0
+                THEN ROUND(mi.miw * 1.0 / hy.hyw, 6) ELSE NULL END
+             AS u_source_given_lang,
+           CASE WHEN hx.hxw + hy.hyw > 0
+                THEN ROUND(2.0 * mi.miw / (hx.hxw + hy.hyw), 6)
+                ELSE NULL END AS u_symmetric
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN t
+    """,
+)
+def uncertainty_coeff_lang_source(spark, sf_dir):
+    """Theil's uncertainty coefficient U(lang|source) = MI/H(lang) — the
+    NORMALIZED version of `mutual_information_lang_source`: raw MI has
+    units (nats) and no ceiling, U in [0,1] answers "what fraction of
+    the language uncertainty does knowing the source remove?", which is
+    the number you threshold when deciding whether per-source sampling
+    will skew the language mixture. Reports both directions (U is
+    asymmetric) plus the symmetric average 2*MI/(H(x)+H(y)). All three
+    are ratios of the SAME integer-weighted sums: each cell/margin log
+    term is micro-quantized in-engine (floor(1e6*ln + 0.5) of a ratio
+    of exact integers — the MI idiom, guard-band-measured in
+    tests/test_round9_units.py), the weighted sums fold as exact
+    BIGINTs, and the common n*1e6 scale cancels so each U is ONE
+    division of two exact integers. Zero-entropy margins guard to NULL
+    with integer comparisons.
+
+    Scale: one partial-aggregated corpus scan to the (lang x source)
+    cell frame; three broadcast reduces of <= 100 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    mx = cell.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cell.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    t = cell.agg(F.sum("nxy").cast("bigint").alias("n"))
+
+    def _w_micro(num, den):
+        return F.floor(
+            F.lit(1e6) * F.log(num.cast("double") / den.cast("double"))
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    mi = (
+        cell.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(
+                F.col("nxy")
+                * _w_micro(F.col("nxy") * F.col("n"), F.col("nx") * F.col("ny"))
+            )
+            .cast("bigint")
+            .alias("miw")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(t)).agg(
+        F.sum(F.col("nx") * _w_micro(F.col("n"), F.col("nx")))
+        .cast("bigint")
+        .alias("hxw")
+    )
+    hy = my.crossJoin(F.broadcast(t)).agg(
+        F.sum(F.col("ny") * _w_micro(F.col("n"), F.col("ny")))
+        .cast("bigint")
+        .alias("hyw")
+    )
+    out = (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(t))
+    )
+    miw, hxw, hyw = F.col("miw"), F.col("hxw"), F.col("hyw")
+    return out.select(
+        F.col("n").alias("n_docs"),
+        miw.alias("mi_weighted_micro"),
+        hxw.alias("h_lang_weighted_micro"),
+        hyw.alias("h_source_weighted_micro"),
+        F.when(hxw > 0, F.round(miw * F.lit(1.0) / hxw, 6)).alias(
+            "u_lang_given_source"
+        ),
+        F.when(hyw > 0, F.round(miw * F.lit(1.0) / hyw, 6)).alias(
+            "u_source_given_lang"
+        ),
+        F.when(
+            hxw + hyw > 0, F.round(F.lit(2.0) * miw / (hxw + hyw), 6)
+        ).alias("u_symmetric"),
+    )
+
+
+@register(
+    "cochran_armitage_weekday_trend",
+    f"""
+    WITH e AS (SELECT dayofweek(ts)::BIGINT AS w,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS conv
+               FROM events),
+    g AS (SELECT w, COUNT(*)::BIGINT AS n_i, SUM(conv)::BIGINT AS a_i
+          FROM e GROUP BY w),
+    s AS (SELECT SUM(n_i)::BIGINT AS n, SUM(a_i)::BIGINT AS a,
+                 SUM(w * a_i)::BIGINT AS s1,
+                 SUM(w * n_i)::BIGINT AS s2,
+                 SUM(w * w * n_i)::BIGINT AS s3
+          FROM g)
+    SELECT n AS n_events, a AS n_purchases,
+           CASE WHEN a > 0 AND a < n AND n * s3 - s2 * s2 > 0
+                THEN ROUND((CAST(n AS DECIMAL(38,0))
+                            * CAST(n * s1 - a * s2 AS DECIMAL(38,0))
+                            * CAST(n * s1 - a * s2 AS DECIMAL(38,0)))::DOUBLE
+                           / (CAST(a AS DECIMAL(38,0)) * (n - a)
+                              * (n * s3 - s2 * s2))::DOUBLE, 6)
+                ELSE NULL END AS chi2_trend,
+           CASE WHEN a > 0 AND a < n AND n * s3 - s2 * s2 > 0
+                THEN (CAST(n AS DECIMAL(38,0))
+                      * CAST(n * s1 - a * s2 AS DECIMAL(38,0))
+                      * CAST(n * s1 - a * s2 AS DECIMAL(38,0)))::DOUBLE
+                     / (CAST(a AS DECIMAL(38,0)) * (n - a)
+                        * (n * s3 - s2 * s2))::DOUBLE
+                     > {_CHI2_95_DF1!r}
+                ELSE NULL END AS trend_95
+    FROM s
+    """,
+)
+def cochran_armitage_weekday_trend(spark, sf_dir):
+    """Cochran-Armitage test for a LINEAR trend in purchase rate across
+    the ordered weekday index (scores w = 0..6, Sunday-first) — the
+    ordered-exposure companion to the per-weekday multiple-testing
+    queries (`holm_weekday_conversion_tests` asks which individual days
+    differ; this asks the sharper one-df question "does conversion
+    drift monotonically through the week?", which a 6-df omnibus
+    dilutes). Uses the exact-integer identity chi2 = N (N*S1 - A*S2)^2
+    / (A (N-A) (N*S3 - S2^2)) with S1 = sum w*a_i, S2 = sum w*n_i,
+    S3 = sum w^2*n_i: every sum is an exact BIGINT from one
+    partial-aggregated scan over the bounded 7-row weekday frame, the
+    wide products fold as DECIMAL(38,0) (the squared numerator passes
+    2^63 already at ~1e5 events), and the statistic is ONE division of
+    two exact decimals. Degenerate margins (no purchases, all
+    purchases, single-day corpus) guard to NULL with integer
+    comparisons; the verdict compares against the chi-square(1 df)
+    literal probit(0.975)^2. Weekday scores match cross-engine: DuckDB
+    dayofweek 0=Sunday, Spark dayofweek-1.
+
+    Scale: one corpus scan to a 7-row frame, then scalar arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    g = e.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("conv").cast("bigint").alias("a_i"),
+    )
+    s = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("a_i").cast("bigint").alias("a"),
+        F.sum(F.col("w") * F.col("a_i")).cast("bigint").alias("s1"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("s2"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("bigint")
+        .alias("s3"),
+    )
+    n, a, s1, s2, s3 = (F.col(k) for k in ("n", "a", "s1", "s2", "s3"))
+    num = (
+        n.cast("decimal(38,0)")
+        * (n * s1 - a * s2).cast("decimal(38,0)")
+        * (n * s1 - a * s2).cast("decimal(38,0)")
+    ).cast("double")
+    den = (
+        a.cast("decimal(38,0)") * (n - a) * (n * s3 - s2 * s2)
+    ).cast("double")
+    ok = (a > 0) & (a < n) & (n * s3 - s2 * s2 > 0)
+    return s.select(
+        n.alias("n_events"),
+        a.alias("n_purchases"),
+        F.when(ok, F.round(num / den, 6)).alias("chi2_trend"),
+        F.when(ok, num / den > F.lit(_CHI2_95_DF1)).alias("trend_95"),
+    )
