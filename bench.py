@@ -243,6 +243,13 @@ BENCH_QUERIES = [
     "matthews_corr_lang_id",
     "uncertainty_coeff_lang_source",
     "cochran_armitage_weekday_trend",
+    # round-10 batch 2: training-pipeline planning tables — curriculum
+    # staging and the gains deciles ride the distributed global rank,
+    # the threshold sweep and epoch planner are broadcast fan-outs
+    "curriculum_quality_buckets",
+    "quality_threshold_sweep",
+    "epochs_per_source_plan",
+    "cumulative_gains_deciles",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

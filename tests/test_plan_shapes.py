@@ -159,6 +159,11 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         # unpartitioned ntile — the WoE decile binning — now rides
         # global_row_number + ntile_from_rank
         "quantile_binning_woe",
+        # round-10 batch 2: new distributed-ntile users — curriculum
+        # staging and the gains-table decile cut (its cumulative step is
+        # a bounded 10-row triangular join, never a corpus window)
+        "curriculum_quality_buckets",
+        "cumulative_gains_deciles",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

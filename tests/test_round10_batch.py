@@ -315,3 +315,105 @@ def test_cochran_armitage_brute(spark):
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+# ---------------------------------------------------------------------------
+# batch 2: training-pipeline planning tables
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_buckets_brute(spark):
+    rows = QUERIES["curriculum_quality_buckets"](spark, SF).collect()
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4, 5]
+    n_docs = _duck(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+        " WHERE len(string_split(text, ' ')) > 0"
+    )[0][0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # equal-frequency: stage sizes differ by at most 1 (ntile contract)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # stages are quality-ordered and non-overlapping at the micro grain
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_quality_micro"] <= hi["min_quality_micro"]
+        assert lo["min_quality_micro"] <= lo["mean_quality_micro"] <= lo["max_quality_micro"]
+
+
+def test_quality_threshold_sweep_brute(spark):
+    rows = QUERIES["quality_threshold_sweep"](spark, SF).collect()
+    assert [r["thr_micro"] for r in rows] == [200000, 400000, 600000, 800000]
+    # monotone: a stricter gate never keeps more
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs_kept"] <= a["n_docs_kept"]
+        assert b["tokens_kept"] <= a["tokens_kept"]
+    # brute-force one threshold
+    kept = toks = 0
+    for (text,) in _doc_tokens():
+        ws = text.split(" ")
+        if not ws:
+            continue
+        q = min(1.0, len(ws) / 64.0) * (len(set(ws)) / len(ws))
+        if math.floor(1e6 * q + 0.5) >= 400000:
+            kept += 1
+            toks += len(ws)
+    r = rows[1]
+    assert (r["n_docs_kept"], r["tokens_kept"]) == (kept, toks)
+
+
+def test_epochs_per_source_brute(spark):
+    rows = QUERIES["epochs_per_source_plan"](spark, SF).collect()
+    per_src = {
+        s: t
+        for s, t in _duck(
+            f"SELECT source, SUM(len(string_split(text, ' ')))"
+            f" FROM '{SF}/documents.parquet' GROUP BY source"
+        )
+    }
+    assert {r["source"] for r in rows} == set(per_src)
+    t_tot = sum(per_src.values())
+    s_tot = sum(math.floor(1e6 * math.sqrt(v) + 0.5) for v in per_src.values())
+    # budget identity: sum over sources of epochs*tokens = 2 * corpus
+    budget = sum(
+        2.0 * t_tot * math.floor(1e6 * math.sqrt(per_src[r["source"]]) + 0.5)
+        / s_tot
+        for r in rows
+    )
+    assert abs(budget - 2.0 * t_tot) < 1.0
+    for r in rows:
+        sm = math.floor(1e6 * math.sqrt(per_src[r["source"]]) + 0.5)
+        ep = 2.0 * t_tot * sm / (s_tot * per_src[r["source"]])
+        assert abs(r["epochs"] - ep) < 1e-5
+        assert r["over_epoch_cap"] == (ep > 4.0)
+    # target shares sum to ~1e6 (micro-rounded)
+    assert abs(sum(r["target_share_micro"] for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_cumulative_gains_brute(spark):
+    rows = QUERIES["cumulative_gains_deciles"](spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    ev = _duck(
+        f"""SELECT event_id, value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+            FROM '{SF}/events.parquet'"""
+    )
+    ev.sort(key=lambda t: (-t[1], t[0]))
+    n = len(ev)
+    p_tot = sum(p for _, _, p in ev)
+    # brute ntile decile boundaries
+    q, rem = divmod(n, 10)
+    cum = 0
+    start = 0
+    for i, r in enumerate(rows, 1):
+        size = q + (1 if i <= rem else 0)
+        chunk = ev[start : start + size]
+        start += size
+        cum += sum(p for _, _, p in chunk)
+        assert r["n_events"] == size
+        assert r["cum_pos"] == cum
+        assert r["gain_micro"] == math.floor(1e6 * cum / p_tot + 0.5)
+    # the last decile reaches 100% gain and lift 1x
+    assert rows[-1]["gain_micro"] == 1_000_000
+    assert rows[-1]["lift_micro"] == 1_000_000
+    # gains are monotone nondecreasing
+    gains = [r["gain_micro"] for r in rows]
+    assert gains == sorted(gains)

@@ -1517,3 +1517,109 @@ def value_trimmed_winsorized_drift(spark, sf_dir):
         )
         .orderBy(F.col("half").asc())
     )
+
+
+@register(
+    "cumulative_gains_deciles",
+    """
+    WITH e AS (SELECT event_id, value,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS pos
+               FROM events),
+    r AS (SELECT pos,
+                 ntile(10) OVER (ORDER BY value DESC, event_id ASC)
+                   AS decile
+          FROM e),
+    g AS (SELECT decile, COUNT(*)::BIGINT AS n_events,
+                 SUM(pos)::BIGINT AS n_pos
+          FROM r GROUP BY decile),
+    c AS (SELECT g.decile, g.n_events, g.n_pos,
+                 SUM(g2.n_events)::BIGINT AS cum_n,
+                 SUM(g2.n_pos)::BIGINT AS cum_pos
+          FROM g JOIN g g2 ON g2.decile <= g.decile
+          GROUP BY g.decile, g.n_events, g.n_pos),
+    t AS (SELECT SUM(n_events)::BIGINT AS n_tot, SUM(n_pos)::BIGINT AS p_tot
+          FROM g)
+    SELECT c.decile, c.n_events, c.n_pos, c.cum_pos,
+           CAST(round(1e6 * c.cum_pos / t.p_tot) AS BIGINT) AS gain_micro,
+           CAST(round(1e6 * (c.cum_pos * t.n_tot)
+                      / ((t.p_tot * c.cum_n) * 1.0)) AS BIGINT)
+             AS lift_micro
+    FROM c CROSS JOIN t ORDER BY c.decile ASC
+    """,
+)
+def cumulative_gains_deciles(spark, sf_dir):
+    """Cumulative gains and lift at score deciles, using event `value` as
+    the score and purchase as the positive label — the table behind the
+    gains chart every targeting/propensity evaluation starts with, and
+    the decision-oriented companion to `score_auc_mann_whitney` (AUC
+    summarizes the whole curve; a campaign acts on 'the top decile
+    captures X% of purchasers at Y-times random' — gain and lift). The
+    decile cut rides the distributed global rank (``global_row_number``
+    on (value DESC, event_id ASC) + ``ntile_from_rank`` — SQL ntile
+    bit-for-bit, no single-partition WindowExec; pinned in
+    tests/test_plan_shapes.py); the cumulative step runs on the BOUNDED
+    10-row decile frame via a broadcast triangular self-join (the
+    Mann-Kendall fold idiom), never a window over the corpus. Gains and
+    lift are single micro-quantized divisions of exact BIGINT counts
+    (cum_pos * n_tot stays under 2^53 through ~1e8 events per decile;
+    past that, widen to DECIMAL(38,0) — noted, exact at every gate SF).
+
+    Scale: one corpus scan, the two-pass rank, partial-agg collapse to
+    10 rows, then broadcast arithmetic."""
+    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    ranked = global_row_number(
+        e, [F.col("value").desc(), F.col("event_id").asc()], rn_col="__rn"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    r = ranked.crossJoin(F.broadcast(tot)).select(
+        "pos", ntile_from_rank(F.col("__rn"), F.col("__tot"), 10).alias("decile")
+    )
+    g = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    g2 = g.select(
+        F.col("decile").alias("d2"),
+        F.col("n_events").alias("ne2"),
+        F.col("n_pos").alias("np2"),
+    )
+    c = (
+        g.join(F.broadcast(g2), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_events", "n_pos")
+        .agg(
+            F.sum("ne2").cast("bigint").alias("cum_n"),
+            F.sum("np2").cast("bigint").alias("cum_pos"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_events").cast("bigint").alias("n_tot"),
+        F.sum("n_pos").cast("bigint").alias("p_tot"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_events",
+            "n_pos",
+            "cum_pos",
+            F.round(F.lit(1e6) * F.col("cum_pos") / F.col("p_tot"))
+            .cast("bigint")
+            .alias("gain_micro"),
+            F.round(
+                F.lit(1e6)
+                * (F.col("cum_pos") * F.col("n_tot"))
+                / ((F.col("p_tot") * F.col("cum_n")) * F.lit(1.0))
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.col("decile").asc())
+    )

@@ -2310,3 +2310,90 @@ def capture_recapture_distinct(spark, sf_dir):
             .alias("ratio_micro"),
         )
     )
+
+
+@register(
+    "epochs_per_source_plan",
+    """
+    WITH s AS (
+      SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT source, n_tokens,
+                 CAST(floor(1e6 * sqrt(n_tokens::DOUBLE) + 0.5) AS BIGINT)
+                   AS sqrt_micro
+          FROM s),
+    t AS (SELECT SUM(n_tokens)::BIGINT AS t_tot,
+                 SUM(sqrt_micro)::BIGINT AS s_tot FROM w)
+    SELECT w.source, w.n_tokens,
+           CAST(round(1e6 * w.n_tokens / t.t_tot) AS BIGINT)
+             AS actual_share_micro,
+           CAST(round(1e6 * w.sqrt_micro / t.s_tot) AS BIGINT)
+             AS target_share_micro,
+           ROUND(2.0 * t.t_tot * w.sqrt_micro
+                 / (t.s_tot * (w.n_tokens * 1.0)), 6) AS epochs,
+           2.0 * t.t_tot * w.sqrt_micro / (t.s_tot * (w.n_tokens * 1.0))
+             > 4.0 AS over_epoch_cap
+    FROM w CROSS JOIN t ORDER BY w.source ASC
+    """,
+)
+def epochs_per_source_plan(spark, sf_dir):
+    """Data-constrained mixture planning: given a training budget of 2x
+    the corpus token mass and a temperature-tau=2 target mixture
+    (target share proportional to sqrt of each source's token mass —
+    the standard up/down-weighting that keeps big sources from drowning
+    small ones without starving them), how many EPOCHS of each source
+    the sampler must take (epochs = budget * target_share /
+    source_tokens) and which sources cross the ~4-epoch repetition cap
+    past which repeated data stops helping (the Muennighoff
+    data-constrained-scaling rule of thumb). This is the planning table
+    `mixture_reweight_factors` feeds at 100 TB: a weight says HOW MUCH
+    to resample, the epoch count says whether that resampling is even
+    advisable. Determinism: per-source sqrt quantizes to micro integers
+    (floor(1e6*sqrt+0.5) of an exact BIGINT — sqrt is
+    IEEE-correctly-rounded, identical cross-engine), so BOTH mixture
+    totals fold as exact BIGINTs over the 20-row source frame and every
+    share/epoch is one fixed-order double expression of exact integers;
+    the cap verdict compares the UNROUNDED expression identically in
+    both engines.
+
+    Scale: one partial-aggregated corpus scan to the source frame; the
+    plan math is broadcast arithmetic on 20 rows."""
+    from veri_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(toks_fn("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = s.select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(1e6) * F.sqrt(F.col("n_tokens").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("sqrt_micro"),
+    )
+    t = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("t_tot"),
+        F.sum("sqrt_micro").cast("bigint").alias("s_tot"),
+    )
+    ep = (
+        F.lit(2.0)
+        * F.col("t_tot")
+        * F.col("sqrt_micro")
+        / (F.col("s_tot") * (F.col("n_tokens") * F.lit(1.0)))
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.lit(1e6) * F.col("n_tokens") / F.col("t_tot"))
+            .cast("bigint")
+            .alias("actual_share_micro"),
+            F.round(F.lit(1e6) * F.col("sqrt_micro") / F.col("s_tot"))
+            .cast("bigint")
+            .alias("target_share_micro"),
+            F.round(ep, 6).alias("epochs"),
+            (ep > F.lit(4.0)).alias("over_epoch_cap"),
+        )
+        .orderBy(F.col("source").asc())
+    )

@@ -541,3 +541,170 @@ def cochran_q_rules(spark, sf_dir):
             "rules_differ_95"
         ),
     )
+
+
+@register(
+    "curriculum_quality_buckets",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             LEAST(1.0, len(ws) / 64.0)
+               * (len(list_distinct(ws))::DOUBLE / len(ws)) AS quality,
+             len(ws)::BIGINT AS n_toks
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) > 0),
+    r AS (SELECT n_toks,
+                 CAST(floor(1e6 * quality + 0.5) AS BIGINT) AS q_micro,
+                 ntile(5) OVER (ORDER BY quality ASC, doc_id ASC) AS stage
+          FROM q)
+    SELECT stage, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_toks)::BIGINT AS n_tokens,
+           CAST(round(SUM(q_micro) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_quality_micro,
+           MIN(q_micro)::BIGINT AS min_quality_micro,
+           MAX(q_micro)::BIGINT AS max_quality_micro
+    FROM r GROUP BY stage ORDER BY stage ASC
+    """,
+)
+def curriculum_quality_buckets(spark, sf_dir):
+    """Curriculum staging: the corpus cut into 5 equal-frequency quality
+    stages (easy/clean last, low-quality first — the ANTI-curriculum
+    order some pipelines use for annealing, or reversed for classic
+    Bengio-style curricula; either way the STAGING artifact is this
+    table) with per-stage document count, token mass, and quality range
+    — the planning readout that tells a training scheduler how many
+    tokens each curriculum phase holds. The equal-frequency cut is the
+    distributed global rank: ``global_row_number`` on the total
+    (quality, doc_id) order + ``ntile_from_rank`` — the same scale-safe
+    replacement `quantile_binning_woe` adopted this round (SQL ntile
+    bit-for-bit, NO single-partition WindowExec; pinned in
+    tests/test_plan_shapes.py). The quality score is the shared
+    fixed-order double expression (`quality_percentile_gate` already
+    relies on its cross-engine ordering); per-doc scores micro-quantize
+    to integers BEFORE any stage-level fold so stage means are exact
+    integer arithmetic.
+
+    Scale: one corpus scan, the two-pass distributed rank (range
+    exchange + 32-row offset join), one partial-aggregated collapse to
+    5 rows."""
+    from veri_spark.functions.text import quality_score
+    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    q = docs.filter(F.size(ws) > 0).select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        F.size(ws).cast("bigint").alias("n_toks"),
+    )
+    ranked = global_row_number(
+        q, [F.col("quality").asc(), F.col("doc_id").asc()], rn_col="__rn"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    r = ranked.crossJoin(F.broadcast(tot)).select(
+        "n_toks",
+        F.floor(F.lit(1e6) * F.col("quality") + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_micro"),
+        ntile_from_rank(F.col("__rn"), F.col("__tot"), 5).alias("stage"),
+    )
+    return (
+        r.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("q_micro") * F.lit(1.0) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_quality_micro"),
+            F.min("q_micro").cast("bigint").alias("min_quality_micro"),
+            F.max("q_micro").cast("bigint").alias("max_quality_micro"),
+        )
+        .orderBy(F.col("stage").asc())
+    )
+
+
+@register(
+    "quality_threshold_sweep",
+    """
+    WITH q AS (
+      SELECT CAST(floor(1e6 * (LEAST(1.0, len(ws) / 64.0)
+                               * (len(list_distinct(ws))::DOUBLE / len(ws)))
+                  + 0.5) AS BIGINT) AS q_micro,
+             len(ws)::BIGINT AS n_toks
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) > 0),
+    thr AS (SELECT unnest([200000, 400000, 600000, 800000]) AS thr_micro),
+    s AS (SELECT t.thr_micro,
+                 SUM(CASE WHEN q.q_micro >= t.thr_micro THEN 1 ELSE 0
+                     END)::BIGINT AS n_docs_kept,
+                 SUM(CASE WHEN q.q_micro >= t.thr_micro THEN q.n_toks
+                     ELSE 0 END)::BIGINT AS tokens_kept,
+                 COUNT(*)::BIGINT AS n_docs,
+                 SUM(q.n_toks)::BIGINT AS tokens_total
+          FROM thr t CROSS JOIN q GROUP BY t.thr_micro)
+    SELECT thr_micro, n_docs_kept, tokens_kept,
+           CAST(round(1e6 * n_docs_kept / n_docs) AS BIGINT)
+             AS frac_docs_kept_micro,
+           CAST(round(1e6 * tokens_kept / tokens_total) AS BIGINT)
+             AS frac_tokens_kept_micro
+    FROM s ORDER BY thr_micro ASC
+    """,
+)
+def quality_threshold_sweep(spark, sf_dir):
+    """Quality-gate policy sweep: for score cutoffs 0.2/0.4/0.6/0.8, how
+    many documents and how much token mass a hard quality filter keeps —
+    the data-vs-quality tradeoff curve you weigh against compute budget
+    when setting the gate (the filtering twin of
+    `truncation_waste_sweep`'s length policy, and the corpus-level view
+    over `quality_percentile_gate`'s per-source rank cut). Pricing four
+    policies costs ONE scoring pass: per-doc scores micro-quantize to
+    integers, the 4-row threshold frame broadcasts against the doc
+    stream, and every keep decision is an INTEGER comparison (q_micro >=
+    thr_micro) — zero float-threshold boundary surface at any scale.
+    Kept fractions are single micro-quantized divisions of exact
+    BIGINTs.
+
+    Scale: one corpus scan with a 4x broadcast fan-out, partial-agg
+    collapse to 4 rows."""
+    from veri_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    q = docs.filter(F.size(ws) > 0).select(
+        F.floor(F.lit(1e6) * quality_score("text") + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_micro"),
+        F.size(ws).cast("bigint").alias("n_toks"),
+    )
+    thr = spark.createDataFrame(
+        [(200000,), (400000,), (600000,), (800000,)], "thr_micro int"
+    )
+    keep = F.col("q_micro") >= F.col("thr_micro")
+    s = (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+        )
+    )
+    return (
+        s.select(
+            "thr_micro",
+            "n_docs_kept",
+            "tokens_kept",
+            F.round(F.lit(1e6) * F.col("n_docs_kept") / F.col("n_docs"))
+            .cast("bigint")
+            .alias("frac_docs_kept_micro"),
+            F.round(F.lit(1e6) * F.col("tokens_kept") / F.col("tokens_total"))
+            .cast("bigint")
+            .alias("frac_tokens_kept_micro"),
+        )
+        .orderBy(F.col("thr_micro").asc())
+    )
