@@ -250,6 +250,14 @@ BENCH_QUERIES = [
     "quality_threshold_sweep",
     "epochs_per_source_plan",
     "cumulative_gains_deciles",
+    # round-10 batch 3: prefix-scan AP, experiment-calibration CUPED,
+    # the robust HL location estimate, top-weighted rank overlap, and
+    # the deliberately-quadratic TwoNN intrinsic-dimension audit
+    "average_precision_value_score",
+    "cuped_variance_reduction",
+    "hodges_lehmann_quantity",
+    "rbo_cosine_vs_dot",
+    "twonn_intrinsic_dimension",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

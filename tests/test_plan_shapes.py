@@ -164,6 +164,8 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         # a bounded 10-row triangular join, never a corpus window)
         "curriculum_quality_buckets",
         "cumulative_gains_deciles",
+        # round-10 batch 3: AP rides the two-column prefix scan
+        "average_precision_value_score",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

@@ -417,3 +417,169 @@ def test_cumulative_gains_brute(spark):
     # gains are monotone nondecreasing
     gains = [r["gain_micro"] for r in rows]
     assert gains == sorted(gains)
+
+
+# ---------------------------------------------------------------------------
+# batch 3: AP, CUPED, Hodges-Lehmann, RBO, TwoNN
+# ---------------------------------------------------------------------------
+
+
+def test_average_precision_brute(spark):
+    ev = _duck(
+        f"""SELECT event_id, value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+            FROM '{SF}/events.parquet'"""
+    )
+    ev.sort(key=lambda t: (-t[1], t[0]))
+    cum = 0
+    terms = []
+    for k, (_, _, pos) in enumerate(ev, 1):
+        cum += pos
+        if pos:
+            terms.append(cum / k)
+    p = cum
+    ap = sum(terms) / p
+    got = QUERIES["average_precision_value_score"](spark, SF).collect()[0]
+    assert got["n_events"] == len(ev)
+    assert got["n_pos"] == p
+    assert abs(got["average_precision"] - ap) < 1e-5
+    assert got["prevalence_micro"] == math.floor(1e6 * p / len(ev) + 0.5)
+    # AP of an informative-or-not score still lives in [prevalence-ish, 1]
+    assert 0.0 < got["average_precision"] <= 1.0
+
+
+def test_cuped_brute(spark):
+    rows = _duck(
+        f"SELECT user_id, epoch_us(ts::TIMESTAMP), value"
+        f" FROM '{SF}/events.parquet'"
+    )
+    lo = min(t for _, t, _ in rows)
+    hi = max(t for _, t, _ in rows)
+    mid = lo + (hi - lo) // 2
+    agg = {}
+    for u, t, v in rows:
+        x, y = agg.get(u, (0.0, 0.0))
+        # mirror the cent-grain decimal casts
+        v = round(v, 2)
+        if t <= mid:
+            x += v
+        else:
+            y += v
+        agg[u] = (x, y)
+    xs = [x for x, _ in agg.values()]
+    ys = [y for _, y in agg.values()]
+    n = len(agg)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in agg.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got = QUERIES["cuped_variance_reduction"](spark, SF).collect()[0]
+    assert got["n_users"] == n
+    assert abs(got["theta"] - theta) < 1e-4
+    assert abs(got["var_reduction"] - rho2) < 1e-4
+    assert 0.0 <= got["var_reduction"] <= 1.0
+
+
+def test_hodges_lehmann_brute(spark):
+    vals = [
+        int(v)
+        for (v,) in _duck(f"SELECT l_quantity FROM '{SF}/lineitem.parquet'")
+    ]
+    # brute Walsh-average median via the value-domain weights (the row
+    # grain would be n(n+1)/2 ~ 1.8e7 pairs at sf0.001 — do the same
+    # domain collapse independently)
+    cnt = Counter(vals)
+    walsh = Counter()
+    doms = sorted(cnt)
+    for i, v1 in enumerate(doms):
+        for v2 in doms[i:]:
+            wgt = (
+                cnt[v1] * (cnt[v1] + 1) // 2
+                if v1 == v2
+                else cnt[v1] * cnt[v2]
+            )
+            walsh[v1 + v2] += wgt
+    m = sum(walsh.values())
+    k1, k2 = (m + 1) // 2, (m + 2) // 2
+    cum = 0
+    w_lo = w_hi = None
+    for w in sorted(walsh):
+        cum += walsh[w]
+        if w_lo is None and cum >= k1:
+            w_lo = w
+        if w_hi is None and cum >= k2:
+            w_hi = w
+    hl = (w_lo + w_hi) / 4
+    got = QUERIES["hodges_lehmann_quantity"](spark, SF).collect()[0]
+    assert got["n_rows"] == len(vals)
+    assert got["n_walsh_pairs"] == len(vals) * (len(vals) + 1) // 2
+    assert got["hl_quarter_units"] == w_lo + w_hi
+    assert got["hodges_lehmann"] == hl
+    # a location estimate must sit inside the data range
+    assert min(vals) <= got["hodges_lehmann"] <= max(vals)
+
+
+def test_rbo_brute(spark):
+    # independent weight re-derivation + reference RBO_ext implementation
+    from veri_spark.plans.ranking_metrics import (
+        _RBO_K,
+        _RBO_P,
+        _RBO_ROWS,
+        _RBO_TAIL_W,
+    )
+
+    p = _RBO_P
+    for d, w in _RBO_ROWS:
+        assert abs(w - (1 - p) / p * p**d / d) < 1e-15
+    assert abs(_RBO_TAIL_W - p**_RBO_K / _RBO_K) < 1e-15
+
+    emb = _duck(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'")
+    q = next(e for vid, e in emb if vid == 0)
+
+    def cos(e):
+        dot = sum(a * b for a, b in zip(e, q))
+        na = math.sqrt(sum(a * a for a in e))
+        nq = math.sqrt(sum(b * b for b in q))
+        return max(-1.0, min(1.0, dot / (na * nq)))
+
+    def dot(e):
+        return sum(a * b for a, b in zip(e, q))
+
+    topc = [v for v, _ in sorted(((vid, cos(e)) for vid, e in emb), key=lambda t: (-t[1], t[0]))[:20]]
+    topd = [v for v, _ in sorted(((vid, dot(e)) for vid, e in emb), key=lambda t: (-t[1], t[0]))[:20]]
+    xs = [len(set(topc[:d]) & set(topd[:d])) for d in range(1, 21)]
+    rbo = xs[-1] / 20 * p**20 + (1 - p) / p * sum(
+        xs[d - 1] / d * p**d for d in range(1, 21)
+    )
+    got = QUERIES["rbo_cosine_vs_dot"](spark, SF).collect()[0]
+    assert got["n_common"] == xs[-1]
+    assert got["n_common_at10"] == xs[9]
+    assert abs(got["rbo_ext_p90"] - rbo) < 1e-5
+    assert 0.0 <= got["rbo_ext_p90"] <= 1.0
+
+
+def test_twonn_brute(spark):
+    emb = _duck(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'")
+    import numpy as np
+
+    ids = [vid for vid, _ in emb]
+    mat = np.array([e for _, e in emb], dtype=float)
+    s = 0.0
+    used = 0
+    for i in range(len(ids)):
+        d = np.sqrt(((mat - mat[i]) ** 2).sum(axis=1))
+        d[i] = np.inf
+        order = np.lexsort((np.array(ids), d))
+        r1, r2 = d[order[0]], d[order[1]]
+        if r1 > 0:
+            s += math.log(r2 / r1)
+            used += 1
+    est = used / s
+    got = QUERIES["twonn_intrinsic_dimension"](spark, SF).collect()[0]
+    assert got["n_vectors"] == len(ids)
+    assert got["n_used"] == used
+    assert abs(got["id_twonn"] - est) < 1e-3
+    # the whole point: intrinsic dimension <= ambient 64
+    assert 0 < got["id_twonn"] <= 64.0

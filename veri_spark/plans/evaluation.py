@@ -1623,3 +1623,203 @@ def cumulative_gains_deciles(spark, sf_dir):
         )
         .orderBy(F.col("decile").asc())
     )
+
+
+@register(
+    "average_precision_value_score",
+    """
+    WITH e AS (SELECT event_id, value,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS pos
+               FROM events),
+    r AS (SELECT pos,
+                 row_number() OVER (ORDER BY value DESC, event_id ASC)
+                   AS rn,
+                 SUM(pos) OVER (ORDER BY value DESC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum_pos
+          FROM e),
+    s AS (SELECT COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS p,
+                 SUM(CASE WHEN pos = 1
+                          THEN CAST(round(1e9 * cum_pos / rn) AS BIGINT)
+                          ELSE 0 END) AS ap_nano
+          FROM r)
+    SELECT n AS n_events, p AS n_pos,
+           CASE WHEN p > 0 THEN ROUND(ap_nano / (p * 1e9), 6)
+                ELSE NULL END AS average_precision,
+           CASE WHEN n > 0 THEN CAST(round(1e6 * p / n) AS BIGINT)
+                ELSE NULL END AS prevalence_micro
+    FROM s
+    """,
+)
+def average_precision_value_score(spark, sf_dir):
+    """Average precision (area under the precision-recall curve, the
+    step-function estimator) of the `value` score against the purchase
+    label — the class-imbalance-honest companion to
+    `score_auc_mann_whitney`: ROC-AUC is blind to prevalence, AP
+    degrades toward the base rate (reported as prevalence_micro, AP's
+    random baseline) exactly when positives are rare, which is the
+    regime targeting models live in. AP = (1/P) * sum over positive
+    rows of precision@rank. Both per-row inputs (rank, cumulative
+    positives) come from ONE distributed prefix pass —
+    ``global_prefix_agg`` scans the pos indicator and a ones column
+    under the total (value DESC, event_id) order in a single range
+    exchange (the two-column KS idiom), so no unpartitioned window
+    anywhere (pinned in tests/test_plan_shapes.py). Each positive row's
+    precision nano-quantizes to an integer (round(1e9*cum_pos/rn) of
+    exact BIGINTs) before the corpus-wide fold, and AP is ONE final
+    division.
+
+    Scale: one corpus scan, one range exchange, one reduce."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        F.lit(1).alias("one"),
+    )
+    r = global_prefix_agg(
+        e,
+        [F.col("value").desc(), F.col("event_id").asc()],
+        value_col=["pos", "one"],
+        out_col=["cum_pos", "rn"],
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(
+            F.when(
+                F.col("pos") == 1,
+                F.round(F.lit(1e9) * F.col("cum_pos") / F.col("rn")).cast(
+                    "bigint"
+                ),
+            ).otherwise(0)
+        ).alias("ap_nano"),
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.col("p").alias("n_pos"),
+        F.when(
+            F.col("p") > 0,
+            F.round(F.col("ap_nano") / (F.col("p") * F.lit(1e9)), 6),
+        ).alias("average_precision"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.lit(1e6) * F.col("p") / F.col("n")).cast("bigint"),
+        ).alias("prevalence_micro"),
+    )
+
+
+@register(
+    "cuped_variance_reduction",
+    """
+    WITH b AS (SELECT MIN(epoch_us(ts::TIMESTAMP))::BIGINT AS lo,
+                      MAX(epoch_us(ts::TIMESTAMP))::BIGINT AS hi
+               FROM events),
+    u AS (SELECT user_id,
+                 SUM(CASE WHEN epoch_us(ts::TIMESTAMP)
+                               <= b.lo + ((b.hi - b.lo) // 2)
+                          THEN CAST(value AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS x,
+                 SUM(CASE WHEN epoch_us(ts::TIMESTAMP)
+                               > b.lo + ((b.hi - b.lo) // 2)
+                          THEN CAST(value AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y
+          FROM events CROSS JOIN b GROUP BY user_id),
+    m AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(x AS DECIMAL(18,2)))::DOUBLE AS sx,
+                 SUM(CAST(y AS DECIMAL(18,2)))::DOUBLE AS sy,
+                 SUM(CAST(x AS DECIMAL(18,2))
+                     * CAST(x AS DECIMAL(18,2)))::DOUBLE AS sxx,
+                 SUM(CAST(y AS DECIMAL(18,2))
+                     * CAST(y AS DECIMAL(18,2)))::DOUBLE AS syy,
+                 SUM(CAST(x AS DECIMAL(18,2))
+                     * CAST(y AS DECIMAL(18,2)))::DOUBLE AS sxy
+          FROM u)
+    SELECT n AS n_users,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                ELSE NULL END AS theta,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                ELSE NULL END AS var_reduction
+    FROM m
+    """,
+)
+def cuped_variance_reduction(spark, sf_dir):
+    """CUPED (controlled experiments using pre-experiment data): split
+    the event timeline at its midpoint, use each user's FIRST-half spend
+    as the pre-experiment covariate X and second-half spend as the
+    metric Y, and report theta = cov(X,Y)/var(X) (the adjustment
+    coefficient Y - theta*(X - Xbar)) and the variance reduction it buys
+    (= rho^2, the fraction of metric variance the covariate explains) —
+    the standard pre-experiment calibration every A/B platform runs
+    before promising an MDE, and the natural extension of the
+    `ab_test_*` family. Determinism: the midpoint is exact integer
+    epoch-microsecond arithmetic ((hi-lo) halved with integer division
+    — identical cross-engine); per-user half-sums fold exact
+    DECIMAL(18,2) casts (cross-user double sums never happen); the five
+    user-grain moments fold as exact decimals and theta/rho^2 are
+    single fixed-order double expressions (the Pearson idiom).
+    Zero-variance degenerates guard to NULL identically.
+
+    Scale: one corpus scan for the bounds, one user-keyed
+    partial-aggregated scan, one 6-number moment reduce — all shuffles
+    on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    mid = F.col("lo") + F.shiftright(F.col("hi") - F.col("lo"), 1)
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col("ts").cast("timestamp")) <= mid,
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(dec0)
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col("ts").cast("timestamp")) > mid,
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(dec0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(18,2)")
+    yd = F.col("y").cast("decimal(18,2)")
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return m.select(
+        n.alias("n_users"),
+        F.when(vx > 0, F.round(cov / vx, 6)).alias("theta"),
+        F.when(vx * vy > 0, F.round(cov * cov / (vx * vy), 6)).alias(
+            "var_reduction"
+        ),
+    )

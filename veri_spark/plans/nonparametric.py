@@ -1223,3 +1223,117 @@ def theil_u2_daily_forecast(spark, sf_dir):
             < F.col("sse_naive").cast("double"),
         ).alias("seasonal_beats_naive"),
     )
+
+
+@register(
+    "hodges_lehmann_quantity",
+    """
+    WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                      COUNT(*)::BIGINT AS c
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(c)::BIGINT AS n FROM g),
+    w AS (SELECT a.v + b.v AS walsh,
+                 SUM(CASE WHEN a.v < b.v THEN a.c * b.c
+                          WHEN a.v = b.v THEN (a.c * (a.c + 1)) // 2
+                          ELSE 0 END)::BIGINT AS wt
+          FROM g a JOIN g b ON a.v <= b.v
+          GROUP BY a.v + b.v),
+    p AS (SELECT w.walsh, SUM(w2.wt)::BIGINT AS cumw
+          FROM w JOIN w w2 ON w2.walsh <= w.walsh
+          GROUP BY w.walsh),
+    k AS (SELECT ((t.n * (t.n + 1)) // 2) AS m,
+                 (((t.n * (t.n + 1)) // 2) + 1) // 2 AS k1,
+                 (((t.n * (t.n + 1)) // 2) + 2) // 2 AS k2
+          FROM t),
+    sel AS (SELECT MIN(CASE WHEN p.cumw >= k.k1 THEN p.walsh END) AS w_lo,
+                   MIN(CASE WHEN p.cumw >= k.k2 THEN p.walsh END) AS w_hi
+            FROM p CROSS JOIN k)
+    SELECT (SELECT n FROM t) AS n_rows,
+           (SELECT m FROM k) AS n_walsh_pairs,
+           (w_lo + w_hi)::BIGINT AS hl_quarter_units,
+           ROUND((w_lo + w_hi) / 4.0, 6) AS hodges_lehmann
+    FROM sel
+    """,
+)
+def hodges_lehmann_quantity(spark, sf_dir):
+    """Hodges-Lehmann location estimator of l_quantity: the median of
+    all n(n+1)/2 pairwise Walsh averages (x_i + x_j)/2, i <= j — the
+    point estimate the Wilcoxon signed-rank test inverts
+    (`wilcoxon_signed_rank_yoy`'s machinery tests; this ESTIMATES), ~95%
+    Gaussian-efficient yet 29%-breakdown robust, the standard answer to
+    'a robust mean that wastes less than the median'. The quadratic
+    pair space never materializes at row grain: values collapse to the
+    50-value DOMAIN, Walsh pair weights come from the bounded 50x50
+    triangular cell join with the EXACT integer multiplicities (c_a*c_b
+    off-diagonal, c(c+1)/2 on it), the weighted median comes from a
+    bounded prefix (triangular join over <= 99 distinct Walsh sums, no
+    window), and the two middle order statistics are MIN-over-threshold
+    selections on exact BIGINT cumulative weights. Doubled-sum trick:
+    Walsh values are kept as v_a + v_b (integers), so the median of
+    averages is (w_lo + w_hi)/4 — a division by 4 that is EXACT in
+    binary, making hodges_lehmann itself bit-exact with no rounding
+    risk. Even/odd total-pair parity is handled by the k1/k2 rank pair
+    (equal when odd).
+
+    Scale: one partial-aggregated corpus scan to the value domain;
+    everything after is broadcast arithmetic on <= 99 rows. Integer
+    widths: n(n+1)/2 needs DECIMAL(38,0) past ~3e9 rows (noted; exact
+    BIGINT at every gate SF)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("v")
+    )
+    g = li.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = g.agg(F.sum("c").cast("bigint").alias("n"))
+    a = g.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = g.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+    w = (
+        a.join(F.broadcast(b), F.col("va") <= F.col("vb"))
+        .groupBy((F.col("va") + F.col("vb")).alias("walsh"))
+        .agg(
+            F.sum(
+                F.when(F.col("va") < F.col("vb"), F.col("ca") * F.col("cb"))
+                .when(
+                    F.col("va") == F.col("vb"),
+                    F.shiftright(F.col("ca") * (F.col("ca") + 1), 1),
+                )
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("wt")
+        )
+    )
+    w2 = w.select(F.col("walsh").alias("walsh2"), F.col("wt").alias("wt2"))
+    p = (
+        w.join(F.broadcast(w2), F.col("walsh2") <= F.col("walsh"))
+        .groupBy("walsh")
+        .agg(F.sum("wt2").cast("bigint").alias("cumw"))
+    )
+    k = t.select(
+        F.col("n"),
+        F.shiftright(F.col("n") * (F.col("n") + 1), 1).alias("m"),
+    ).select(
+        "n",
+        "m",
+        F.shiftright(F.col("m") + 1, 1).alias("k1"),
+        F.shiftright(F.col("m") + 2, 1).alias("k2"),
+    )
+    sel = p.crossJoin(F.broadcast(k)).agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.min(F.when(F.col("cumw") >= F.col("k1"), F.col("walsh"))).alias(
+            "w_lo"
+        ),
+        F.min(F.when(F.col("cumw") >= F.col("k2"), F.col("walsh"))).alias(
+            "w_hi"
+        ),
+    )
+    return sel.select(
+        F.col("n").alias("n_rows"),
+        F.col("m").alias("n_walsh_pairs"),
+        (F.col("w_lo") + F.col("w_hi")).cast("bigint").alias(
+            "hl_quarter_units"
+        ),
+        F.round((F.col("w_lo") + F.col("w_hi")) / F.lit(4.0), 6).alias(
+            "hodges_lehmann"
+        ),
+    )

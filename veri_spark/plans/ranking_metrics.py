@@ -500,3 +500,119 @@ def ann_map_audit(spark, sf_dir):
         "ap_micro_sum",
         F.round(F.col("ap_micro_sum") / F.lit(1e7), 6).alias("ap_at_10"),
     ).orderBy(F.col("query_id").asc())
+
+
+# RBO depth weights for p=0.9, k=20: w_d = ((1-p)/p) * p^d / d, plus the
+# extrapolation tail weight p^k / k. Python-side literals (the probit-grid
+# rule); regenerating them is one list comprehension, and
+# tests/test_round10_batch.py re-derives every weight independently.
+_RBO_P = 0.9
+_RBO_K = 20
+_RBO_TAIL_W = 0.006078832729528467
+_RBO_ROWS = [(1, 0.09999999999999998), (2, 0.04499999999999999), (3, 0.026999999999999996), (4, 0.018224999999999995), (5, 0.013121999999999998), (6, 0.009841499999999998), (7, 0.007592014285714285), (8, 0.005978711249999999), (9, 0.004782969), (10, 0.00387420489), (11, 0.0031698040009090905), (12, 0.0026150883007500006), (13, 0.0021725348960076924), (14, 0.0018156184488064288), (15, 0.0015251194969974), (16, 0.0012868195755915562), (17, 0.0010900118757952006), (18, 0.0009265100944259206), (19, 0.0007899717647210482), (20, 0.0006754258588364962)]
+_RBO_SQL_ROWS = ", ".join(f"({d}, {w!r})" for d, w in _RBO_ROWS)
+
+
+@register(
+    "rbo_cosine_vs_dot",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 0),
+    cosr AS (
+      SELECT vec_id, rn FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY LEAST(GREATEST(list_cosine_similarity(
+                            e.embedding::DOUBLE[], q.qe), -1.0), 1.0) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e, q) WHERE rn <= {_RBO_K}),
+    dotr AS (
+      SELECT vec_id, rn FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY list_inner_product(e.embedding::DOUBLE[], q.qe)
+                            DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e, q) WHERE rn <= {_RBO_K}),
+    common AS (SELECT c.vec_id, GREATEST(c.rn, d.rn) AS m
+               FROM cosr c JOIN dotr d USING (vec_id)),
+    depths AS (SELECT * FROM (VALUES {_RBO_SQL_ROWS}) AS t(d, w)),
+    xd AS (SELECT dp.d, dp.w, COUNT(cm.vec_id)::BIGINT AS x
+           FROM depths dp LEFT JOIN common cm ON cm.m <= dp.d
+           GROUP BY dp.d, dp.w),
+    s AS (SELECT SUM(CAST(round(1e9 * (x * w)) AS BIGINT))::BIGINT AS s_nano,
+                 MAX(CASE WHEN d = 10 THEN x END)::BIGINT AS x10
+          FROM xd),
+    tl AS (SELECT COUNT(*)::BIGINT AS xk FROM common)
+    SELECT tl.xk AS n_common, s.x10 AS n_common_at10,
+           ROUND((s.s_nano
+                  + CAST(round(1e9 * (tl.xk * {_RBO_TAIL_W!r}))
+                         AS BIGINT)) / 1e9, 6) AS rbo_ext_p90
+    FROM s CROSS JOIN tl
+    """,
+)
+def rbo_cosine_vs_dot(spark, sf_dir):
+    """Rank-biased overlap (Webber et al.'s RBO_ext, p=0.9, depth 20)
+    between the clamped-cosine and raw-dot top-20 rankings for the same
+    query — the principled upgrade over `cosine_dot_rank_divergence`'s
+    footrule: RBO is TOP-WEIGHTED (disagreement at rank 1 costs more
+    than at rank 20, which is how serving actually experiences ranker
+    drift), handles non-conjoint lists natively, and p=0.9 means ~86%
+    of the weight sits in the top 10. Both rankings ride the
+    distributed bounded top-k (`topk_with_rank`; no unpartitioned
+    window — the module's standard shape); every prefix-overlap count
+    X_d is an exact integer from the bounded depths x common-items
+    left join (20 x <=20 rows), the depth weights ((1-p)/p * p^d / d)
+    and the extrapolation tail (p^k / k) are PYTHON literals
+    (re-derived independently by the round-10 tests), and each X_d * w_d
+    term nano-quantizes to BIGINT before the 20-row fold (the
+    bounded-frame fold rule). One final division, rounded once.
+
+    Scale: two map-only scored scans + TakeOrdered heads; everything
+    downstream is <= 400 broadcast rows regardless of corpus size."""
+    from veri_spark.operators.topk import topk_with_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    cos = V.cosine_similarity(F.col("embedding"), q)
+    dot = V.dot_product(F.col("embedding"), q)
+
+    def top(score):
+        return topk_with_rank(
+            emb.select("vec_id", score.alias("__s")),
+            "__s", _RBO_K, higher_is_better=True, tie_cols=["vec_id"],
+        ).select("vec_id", "rn")
+
+    c = top(cos)
+    d = top(dot).select("vec_id", F.col("rn").alias("__drn"))
+    common = c.join(d, "vec_id").select(
+        "vec_id", F.greatest(F.col("rn"), F.col("__drn")).alias("m")
+    )
+    depths = spark.createDataFrame(_RBO_ROWS, "d int, w double")
+    xd = (
+        depths.join(F.broadcast(common), F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "w")
+        .agg(F.count("vec_id").cast("bigint").alias("x"))
+    )
+    s = xd.agg(
+        F.sum(F.round(F.lit(1e9) * (F.col("x") * F.col("w"))).cast("bigint"))
+        .cast("bigint")
+        .alias("s_nano"),
+        F.max(F.when(F.col("d") == 10, F.col("x"))).cast("bigint").alias(
+            "x10"
+        ),
+    )
+    tl = common.agg(F.count(F.lit(1)).cast("bigint").alias("xk"))
+    return s.crossJoin(F.broadcast(tl)).select(
+        F.col("xk").alias("n_common"),
+        F.col("x10").alias("n_common_at10"),
+        F.round(
+            (
+                F.col("s_nano")
+                + F.round(F.lit(1e9) * (F.col("xk") * F.lit(_RBO_TAIL_W)))
+                .cast("bigint")
+            )
+            / F.lit(1e9),
+            6,
+        ).alias("rbo_ext_p90"),
+    )

@@ -1396,3 +1396,110 @@ def cosine_dot_rank_agreement(spark, sf_dir):
         .cast("bigint")
         .alias("overlap_micro"),
     )
+
+
+@register(
+    "twonn_intrinsic_dimension",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor,
+             list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               AS dist,
+             b.vec_id AS nb
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+    nn AS (SELECT anchor, dist,
+                  row_number() OVER (PARTITION BY anchor
+                                     ORDER BY dist ASC, nb ASC) AS rk
+           FROM pairs),
+    rr AS (SELECT anchor,
+                  MIN(CASE WHEN rk = 1 THEN dist END) AS r1,
+                  MIN(CASE WHEN rk = 2 THEN dist END) AS r2
+           FROM nn WHERE rk <= 2 GROUP BY anchor),
+    mu AS (SELECT CAST(round(1e9 * ln(r2 / r1)) AS BIGINT) AS lnmu_nano
+           FROM rr WHERE r1 > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n_used,
+                 SUM(lnmu_nano)::BIGINT AS s_nano FROM mu),
+    t AS (SELECT COUNT(*)::BIGINT AS n_vectors FROM embeddings)
+    SELECT t.n_vectors, s.n_used,
+           CASE WHEN s.s_nano > 0
+                THEN ROUND(s.n_used * 1e9 / (s.s_nano * 1.0), 6)
+                ELSE NULL END AS id_twonn
+    FROM s CROSS JOIN t
+    """,
+)
+def twonn_intrinsic_dimension(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding corpus: for each vector take the distance ratio mu =
+    r2/r1 of its two nearest neighbors; under a locally uniform density
+    mu is Pareto(d) and the MLE is d = N / sum ln(mu_i). This is THE
+    feasibility number for the whole ANN stack — `ivf_nprobe_cost_curve`
+    and `knn_distance_concentration` measure the SYMPTOMS of high
+    intrinsic dimension (flat recall curves, concentrating distances);
+    TwoNN measures the cause, and an ID far below the ambient 64 dims
+    is the license for aggressive PQ/LSH compression. Exact-by-audit
+    shape: the brute-force n^2 pair scan IS the point (the estimator
+    needs exact 2-NN; at 100 TB you run it on a uniform sample — the
+    estimator is sample-consistent), with the two smallest distances
+    per anchor taken by a PARTITIONED rank (per-anchor window, fully
+    parallel, tie-broken on neighbor id in both engines). Distances use
+    the gate-proven list_distance parity; ln(r2/r1) is the accepted
+    WoE-family in-engine log on identical doubles, nano-quantized per
+    anchor so the corpus fold is exact BIGINT; the estimate is ONE
+    division. Coincident-point anchors (r1 = 0, mu undefined) are
+    dropped and reported via n_used; an all-duplicates degenerate
+    (s_nano = 0) guards to NULL.
+
+    Scale: the pair join is the one quadratic stage — broadcast the
+    smaller side, or at production sizes replace the exact 2-NN with
+    the IVF-blocked `knn_join_ivf` candidates (same downstream math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the anchor side arrives as ONE parquet split at test SFs, which would
+    # serialize the n^2 distance fan-out into a single task; hash-spreading
+    # it on vec_id parallelizes the join AND pre-aligns the per-anchor
+    # window (no further exchange before the rank). The EXPLICIT partition
+    # count matters: the anchor frame is tiny BEFORE the fan-out, so an
+    # AQE-advisory repartition would coalesce right back to one task (the
+    # repartitionByRange(num, ...) exemption noted in operators/ranking.py).
+    a = emb.select(
+        F.col("vec_id").alias("anchor"), F.col("embedding").alias("ea")
+    ).repartition(32, F.col("anchor"))
+    b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("nb") != F.col("anchor")).select(
+        "anchor",
+        V.euclidean_distance(F.col("ea"), F.col("eb")).alias("dist"),
+        "nb",
+    )
+    nn = topk_per_group(
+        pairs,
+        ["anchor"],
+        "dist",
+        2,
+        higher_is_better=False,
+        tie_cols=["nb"],
+        rank_col="rk",
+    )
+    rr = nn.groupBy("anchor").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("dist"))).alias("r1"),
+        F.min(F.when(F.col("rk") == 2, F.col("dist"))).alias("r2"),
+    )
+    mu = rr.filter(F.col("r1") > 0).select(
+        F.round(F.lit(1e9) * F.log(F.col("r2") / F.col("r1")))
+        .cast("bigint")
+        .alias("lnmu_nano")
+    )
+    s = mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum("lnmu_nano").cast("bigint").alias("s_nano"),
+    )
+    t = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_vectors",
+        "n_used",
+        F.when(
+            F.col("s_nano") > 0,
+            F.round(
+                F.col("n_used") * F.lit(1e9) / (F.col("s_nano") * F.lit(1.0)),
+                6,
+            ),
+        ).alias("id_twonn"),
+    )
