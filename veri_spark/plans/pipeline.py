@@ -1121,1198 +1121,6 @@ def bloom_join_prune_audit(spark, sf_dir):
 
 
 @register(
-    "data_completeness_profile",
-    """
-    WITH p AS (
-      SELECT 'doc_id' AS col, COUNT(*)::BIGINT AS n_rows,
-             COUNT(doc_id)::BIGINT AS n_filled,
-             COUNT(DISTINCT doc_id)::BIGINT AS n_distinct
-      FROM documents
-      UNION ALL
-      SELECT 'lang', COUNT(*)::BIGINT, COUNT(lang)::BIGINT,
-             COUNT(DISTINCT lang)::BIGINT FROM documents
-      UNION ALL
-      SELECT 'n_chars', COUNT(*)::BIGINT, COUNT(n_chars)::BIGINT,
-             COUNT(DISTINCT n_chars)::BIGINT FROM documents
-      UNION ALL
-      SELECT 'source', COUNT(*)::BIGINT, COUNT(source)::BIGINT,
-             COUNT(DISTINCT source)::BIGINT FROM documents
-      UNION ALL
-      SELECT 'text', COUNT(*)::BIGINT, COUNT(text)::BIGINT,
-             COUNT(DISTINCT text)::BIGINT FROM documents
-    )
-    SELECT col, n_rows, n_filled, n_distinct,
-           ROUND(n_filled / n_rows, 6) AS completeness,
-           ROUND(n_distinct / n_rows, 6) AS distinctness
-    FROM p ORDER BY col ASC
-    """,
-)
-def data_completeness_profile(spark, sf_dir):
-    """Deequ-style column profiling of the documents table: per-column
-    completeness (non-null ratio) and distinctness (exact distinct ratio)
-    — the first gate any 100 TB ingest runs before heavier quality checks,
-    here as one grouped pass per column unioned into a profile relation.
-    Exact COUNT(DISTINCT) keeps the oracle exact; at cluster scale swap in
-    approx_count_distinct (the audited HLL path, `hll_distinct_audit`)
-    column-by-column — the plan shape (parallel scans, tiny union) is
-    unchanged. Ratios are single divisions of identical BIGINTs."""
-    docs = load_table(spark, sf_dir, "documents").persist()
-    cols = ["doc_id", "lang", "n_chars", "source", "text"]
-    profiles = None
-    for c in cols:
-        p = docs.agg(
-            F.lit(c).alias("col"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.count(F.col(c)).cast("bigint").alias("n_filled"),
-            F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
-        )
-        profiles = p if profiles is None else profiles.unionByName(p)
-    return profiles.select(
-        "col",
-        "n_rows",
-        "n_filled",
-        "n_distinct",
-        F.round(F.col("n_filled") / F.col("n_rows"), 6).alias("completeness"),
-        F.round(F.col("n_distinct") / F.col("n_rows"), 6).alias("distinctness"),
-    ).orderBy(F.col("col").asc())
-
-
-# ---------------------------------------------------------------------------
-# Round-6: physical-planning audits — the queries that measure WHY layout,
-# partitioning, and estimator choices matter at 100 TB (data skipping from
-# sort-on-write, shuffle-partition sizing, small-file compaction, CBO join
-# cardinality estimation)
-# ---------------------------------------------------------------------------
-
-@register(
-    "data_skipping_audit",
-    """
-    WITH nat AS (
-      SELECT l_shipdate,
-             (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 2000
-               AS chunk
-      FROM lineitem),
-    srt AS (
-      SELECT l_shipdate,
-             (row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
-              - 1) // 2000 AS chunk
-      FROM lineitem),
-    natc AS (SELECT chunk, MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
-             FROM nat GROUP BY chunk),
-    srtc AS (SELECT chunk, MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
-             FROM srt GROUP BY chunk),
-    agg AS (
-      SELECT (SELECT COUNT(*)::BIGINT FROM natc) AS n_chunks,
-             (SELECT COUNT(*)::BIGINT FROM natc
-               WHERE hi >= TIMESTAMP '1998-01-01 00:00:00'
-                 AND lo < TIMESTAMP '1999-01-01 00:00:00') AS scan_natural,
-             (SELECT COUNT(*)::BIGINT FROM srtc
-               WHERE hi >= TIMESTAMP '1998-01-01 00:00:00'
-                 AND lo < TIMESTAMP '1999-01-01 00:00:00') AS scan_sorted
-    )
-    SELECT n_chunks, scan_natural, scan_sorted,
-           ROUND(scan_natural / n_chunks, 6) AS scan_frac_natural,
-           ROUND(scan_sorted / n_chunks, 6) AS scan_frac_sorted
-    FROM agg
-    """,
-)
-def data_skipping_audit(spark, sf_dir):
-    """Data-skipping (zone-map) audit: simulates 2,000-row file chunks under
-    the table's ingest order vs a sort-on-write layout, computes per-chunk
-    min/max zone maps for l_shipdate, and counts how many chunks a one-year
-    range predicate must scan under each layout. This is the measurement
-    behind every 'sort/Z-order your fact tables' recommendation: parquet
-    row-group pruning and Delta/Iceberg file skipping both read exactly the
-    chunks whose [min,max] interval intersects the predicate, so the
-    scanned-fraction ratio IS the realized I/O saving at 100 TB (a date-
-    sorted layout scans ~1/7th of this 7-year table for a 1-year slice; the
-    ingest order scans nearly everything). Round-7: the simulated layouts
-    are built with the DISTRIBUTED global rank (operators/ranking.py —
-    range partition + within-range row_number + tiny offset aggregate), so
-    there is NO unpartitioned window moving the table to one task
-    (asserted by tests/test_plan_shapes.py); chunk ids are identical
-    because the rank is the same total order. Counts are integers; the
-    fractions are single divisions of identical BIGINTs."""
-    from veri_spark.operators.ranking import global_row_number
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate", "l_orderkey", "l_linenumber"
-    )
-    d1 = F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
-    d2 = F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
-
-    def _chunks(order_cols):
-        g = global_row_number(li, order_cols, rn_col="__rn")
-        return (
-            g.select(
-                "l_shipdate",
-                ((F.col("__rn") - 1) / 2000).cast("bigint").alias("chunk"),
-            )
-            .groupBy("chunk")
-            .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
-        )
-
-    natc = _chunks([F.col("l_orderkey"), F.col("l_linenumber")]).persist()
-    srtc = _chunks(
-        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
-    )
-    overlap = (F.col("hi") >= d1) & (F.col("lo") < d2)
-    n_chunks = natc.agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
-    scan_nat = natc.filter(overlap).agg(
-        F.count(F.lit(1)).cast("bigint").alias("scan_natural")
-    )
-    scan_srt = srtc.filter(overlap).agg(
-        F.count(F.lit(1)).cast("bigint").alias("scan_sorted")
-    )
-    return (
-        n_chunks.crossJoin(F.broadcast(scan_nat))
-        .crossJoin(F.broadcast(scan_srt))
-        .select(
-            "n_chunks",
-            "scan_natural",
-            "scan_sorted",
-            F.round(F.col("scan_natural") / F.col("n_chunks"), 6).alias(
-                "scan_frac_natural"
-            ),
-            F.round(F.col("scan_sorted") / F.col("n_chunks"), 6).alias(
-                "scan_frac_sorted"
-            ),
-        )
-    )
-
-
-@register(
-    "shuffle_partition_planner",
-    """
-    WITH est AS (
-      SELECT l_orderkey,
-             80 + strlen(l_returnflag) + strlen(l_linestatus)
-               AS row_bytes
-      FROM lineitem),
-    tot AS (SELECT COUNT(*)::BIGINT AS total_rows,
-                   SUM(row_bytes)::BIGINT AS total_bytes,
-                   COUNT(DISTINCT l_orderkey)::BIGINT AS n_keys
-            FROM est),
-    keys AS (SELECT l_orderkey, COUNT(*)::BIGINT AS c FROM est GROUP BY 1),
-    mx AS (SELECT MAX(c)::BIGINT AS max_key_rows FROM keys)
-    SELECT t.total_rows, t.n_keys,
-           t.total_bytes // 1048576 AS est_total_mb,
-           GREATEST(1, CEIL(t.total_bytes / 67108864.0)::BIGINT)
-             AS recommended_shuffle_partitions,
-           m.max_key_rows,
-           ROUND(m.max_key_rows * t.n_keys / t.total_rows, 6) AS skew_factor,
-           m.max_key_rows * t.n_keys > 4 * t.total_rows AS skew_flag
-    FROM tot t CROSS JOIN mx m
-    """,
-)
-def shuffle_partition_planner(spark, sf_dir):
-    """Shuffle-partition planner: derives the spark.sql.shuffle.partitions
-    setting a groupBy/join on this key would actually want — estimated
-    row bytes from the schema (8 bytes per fixed-width column + measured
-    varchar lengths) summed to a total, divided by the 64 MB-per-partition
-    target that keeps a partition comfortably in executor memory — plus
-    the skew screen that decides whether AQE skew-join splitting or
-    salting (`skewed_agg_salted`) is needed first: skew_factor is the
-    hottest key's row count over the mean rows-per-key, flagged above 4x.
-    At 100 TB you run exactly this ONE cheap pass before the expensive
-    shuffle, instead of discovering a 2 TB partition at stage runtime.
-    All outputs are integer arithmetic except skew_factor — one division
-    of identical BIGINTs (max*n_keys / total)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    est = li.select(
-        "l_orderkey",
-        (
-            80
-            + F.octet_length("l_returnflag")
-            + F.octet_length("l_linestatus")
-        ).alias("row_bytes"),
-    )
-    tot = est.agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_rows"),
-        F.sum("row_bytes").cast("bigint").alias("total_bytes"),
-        F.count_distinct("l_orderkey").cast("bigint").alias("n_keys"),
-    )
-    mx = (
-        est.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .agg(F.max("c").cast("bigint").alias("max_key_rows"))
-    )
-    return tot.crossJoin(F.broadcast(mx)).select(
-        "total_rows",
-        "n_keys",
-        F.expr("total_bytes div 1048576").alias("est_total_mb"),
-        F.greatest(
-            F.lit(1).cast("bigint"),
-            F.ceil(F.col("total_bytes") / 67108864.0).cast("bigint"),
-        ).alias("recommended_shuffle_partitions"),
-        "max_key_rows",
-        F.round(
-            F.col("max_key_rows") * F.col("n_keys") / F.col("total_rows"), 6
-        ).alias("skew_factor"),
-        (
-            F.col("max_key_rows") * F.col("n_keys") > 4 * F.col("total_rows")
-        ).alias("skew_flag"),
-    )
-
-
-@register(
-    "file_compaction_planner",
-    """
-    WITH d AS (
-      SELECT source, doc_id, strlen(text)::BIGINT AS b FROM documents),
-    c AS (
-      SELECT source, b,
-             (SUM(b) OVER (PARTITION BY source ORDER BY doc_id ASC) - b)
-               // 16384 AS file_id
-      FROM d),
-    f AS (SELECT source, file_id, COUNT(*)::BIGINT AS docs_in_file,
-                 SUM(b)::BIGINT AS file_bytes
-          FROM c GROUP BY source, file_id)
-    SELECT source,
-           COUNT(*)::BIGINT AS n_files,
-           SUM(docs_in_file)::BIGINT AS n_docs,
-           SUM(file_bytes)::BIGINT AS total_bytes,
-           ROUND(SUM(file_bytes) / (COUNT(*) * 16384), 6) AS avg_fill
-    FROM f GROUP BY source ORDER BY source ASC
-    """,
-)
-def file_compaction_planner(spark, sf_dir):
-    """Small-file compaction planner: packs each source's documents into
-    16 KB target files by running-byte-offset binning (the streaming-order
-    first-fit that compaction jobs like Delta OPTIMIZE / Iceberg rewrite
-    actually execute: no global bin packing, just cumulative offset //
-    target within each partition), then reports files, bytes, and realized
-    fill factor per source. The small-files problem is THE silent 100 TB
-    killer — a million 100 KB files turn a scan into a metadata storm —
-    and this one window-pass plan is the cheap audit that sizes the
-    rewrite before launching it. The running sum partitions by source and
-    orders by doc_id (deterministic in both engines); everything is
-    integer arithmetic except avg_fill — one division of identical
-    BIGINTs."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "source", "doc_id", F.octet_length("text").cast("bigint").alias("b")
-    )
-    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
-    c = d.select(
-        "source",
-        "b",
-        F.expr(
-            "(sum(b) OVER (PARTITION BY source ORDER BY doc_id ASC) - b)"
-            " div 16384"
-        ).alias("file_id"),
-    )
-    f = c.groupBy("source", "file_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("docs_in_file"),
-        F.sum("b").cast("bigint").alias("file_bytes"),
-    )
-    return (
-        f.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_files"),
-            F.sum("docs_in_file").cast("bigint").alias("n_docs"),
-            F.sum("file_bytes").cast("bigint").alias("total_bytes"),
-            F.round(
-                F.sum("file_bytes") / (F.count(F.lit(1)) * 16384), 6
-            ).alias("avg_fill"),
-        )
-        .orderBy(F.col("source").asc())
-    )
-
-
-@register(
-    "join_cardinality_estimate_audit",
-    """
-    WITH a AS (SELECT user_id, COUNT(*)::BIGINT AS c FROM events
-               WHERE event_type = 'click' GROUP BY user_id),
-    b AS (SELECT user_id, COUNT(*)::BIGINT AS c FROM events
-          WHERE event_type = 'view' GROUP BY user_id),
-    ex AS (SELECT SUM(a.c * b.c)::BIGINT AS exact_rows
-           FROM a JOIN b ON a.user_id = b.user_id),
-    st AS (SELECT (SELECT SUM(c)::BIGINT FROM a) AS n_left,
-                  (SELECT SUM(c)::BIGINT FROM b) AS n_right,
-                  (SELECT COUNT(*)::BIGINT FROM a) AS d_left,
-                  (SELECT COUNT(*)::BIGINT FROM b) AS d_right)
-    SELECT s.n_left, s.n_right, s.d_left, s.d_right, e.exact_rows,
-           (s.n_left * s.n_right) // GREATEST(s.d_left, s.d_right) AS est_rows,
-           ROUND(((s.n_left * s.n_right) // GREATEST(s.d_left, s.d_right)
-                  - e.exact_rows) / e.exact_rows, 6) AS rel_err
-    FROM st s CROSS JOIN ex e
-    """,
-)
-def join_cardinality_estimate_audit(spark, sf_dir):
-    """Join-cardinality estimator audit: the textbook CBO formula
-    |A|*|B| / max(ndv_A, ndv_B) (uniform-frequency, containment
-    assumption — what Catalyst's cost-based optimizer and every
-    System-R descendant uses to pick join order and strategy) measured
-    against the EXACT M:N join size sum_k cA(k)*cB(k) for the
-    clicks-joins-views self-join on user_id. The estimator's error on
-    real skewed keys is exactly why AQE re-plans from runtime statistics;
-    this audit quantifies it from two cheap grouped passes without
-    materializing the join. Everything is integer arithmetic (integer-div
-    estimate, as CBO row counts are); rel_err is one division of
-    identical BIGINTs."""
-    ev = load_table(spark, sf_dir, "events")
-    a = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
-    )
-    b = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
-    )
-    ex = a.join(b, "user_id").agg(
-        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_rows")
-    )
-    st = (
-        a.agg(
-            F.sum("ca").cast("bigint").alias("n_left"),
-            F.count(F.lit(1)).cast("bigint").alias("d_left"),
-        )
-        .crossJoin(
-            F.broadcast(
-                b.agg(
-                    F.sum("cb").cast("bigint").alias("n_right"),
-                    F.count(F.lit(1)).cast("bigint").alias("d_right"),
-                )
-            )
-        )
-    )
-    est = F.expr("(n_left * n_right) div greatest(d_left, d_right)")
-    return st.crossJoin(F.broadcast(ex)).select(
-        "n_left",
-        "n_right",
-        "d_left",
-        "d_right",
-        "exact_rows",
-        est.alias("est_rows"),
-        F.round(
-            (est - F.col("exact_rows")) / F.col("exact_rows"), 6
-        ).alias("rel_err"),
-    )
-
-
-@register(
-    "zorder_multicol_audit",
-    """
-    WITH b AS (
-      SELECT l_orderkey, l_linenumber,
-             ntile(256) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
-               - 1 AS xb,
-             ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
-               - 1 AS yb
-      FROM lineitem),
-    m AS (SELECT xb, yb, ((((xb >> 0) & 1) << 0) + (((yb >> 0) & 1) << 1)) + ((((xb >> 1) & 1) << 2) + (((yb >> 1) & 1) << 3)) + ((((xb >> 2) & 1) << 4) + (((yb >> 2) & 1) << 5)) + ((((xb >> 3) & 1) << 6) + (((yb >> 3) & 1) << 7)) + ((((xb >> 4) & 1) << 8) + (((yb >> 4) & 1) << 9)) + ((((xb >> 5) & 1) << 10) + (((yb >> 5) & 1) << 11)) + ((((xb >> 6) & 1) << 12) + (((yb >> 6) & 1) << 13)) + ((((xb >> 7) & 1) << 14) + (((yb >> 7) & 1) << 15)) AS morton FROM b),
-    s1 AS (SELECT xb, yb,
-                  (row_number() OVER (ORDER BY xb, yb, morton) - 1) // 2000
-                    AS chunk
-           FROM m),
-    s2 AS (SELECT xb, yb,
-                  (row_number() OVER (ORDER BY morton, xb, yb) - 1) // 2000
-                    AS chunk
-           FROM m),
-    c1 AS (SELECT chunk, MIN(xb) AS xlo, MAX(xb) AS xhi,
-                  MIN(yb) AS ylo, MAX(yb) AS yhi FROM s1 GROUP BY chunk),
-    c2 AS (SELECT chunk, MIN(xb) AS xlo, MAX(xb) AS xhi,
-                  MIN(yb) AS ylo, MAX(yb) AS yhi FROM s2 GROUP BY chunk),
-    agg AS (
-      SELECT (SELECT COUNT(*)::BIGINT FROM c1) AS n_chunks,
-             (SELECT COUNT(*)::BIGINT FROM c1
-               WHERE xhi >= 192 AND xlo <= 255 AND yhi >= 0 AND ylo <= 63)
-               AS scan_single_sort,
-             (SELECT COUNT(*)::BIGINT FROM c2
-               WHERE xhi >= 192 AND xlo <= 255 AND yhi >= 0 AND ylo <= 63)
-               AS scan_zorder
-    )
-    SELECT n_chunks, scan_single_sort, scan_zorder,
-           ROUND(scan_single_sort / n_chunks, 6) AS scan_frac_single,
-           ROUND(scan_zorder / n_chunks, 6) AS scan_frac_zorder
-    FROM agg
-    """,
-)
-def zorder_multicol_audit(spark, sf_dir):
-    """Z-order (Morton-interleaved) layout audit, the multi-column sequel
-    to `data_skipping_audit`: rank l_shipdate and l_partkey into 256
-    buckets each (deterministic ntile with full tie-break order),
-    interleave their 8 bits into a 16-bit Morton code, and compare
-    zone-map pruning for a CONJUNCTIVE two-column predicate (last quarter
-    of time AND first quarter of parts) between a lexicographic
-    (time-major) sort and the Z-order sort. A single-column sort prunes
-    perfectly on its leading key and not at all on the second — Z-order
-    trades a little pruning on each dimension for pruning on BOTH, which
-    is why Delta/Iceberg OPTIMIZE ZORDER exists. Bucket-space predicates
-    keep the audit scale-free; everything is integer arithmetic except
-    the two scan fractions — single divisions of identical BIGINTs. The
-    Morton expression is a plain shift/mask chain, engine-portable and
-    whole-stage-codegen friendly.
-
-    Round-7: all four formerly-global windows (two ntiles, two chunk
-    row_numbers) now run on the DISTRIBUTED global rank
-    (operators/ranking.py): ntile(256) is reconstructed bit-for-bit from
-    (rank, total count) with the SQL-standard bucket formula, and chunk
-    ids from the rank directly — no unpartitioned WindowExec in the plan
-    (asserted by tests/test_plan_shapes.py). Chunk-stat determinism under
-    sort-key ties is positional (see ranking.py docstring): tied rows are
-    value-identical, so every chunk's min/max envelope is unchanged by
-    which tied row takes which rank."""
-    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate", "l_partkey", "l_orderkey", "l_linenumber"
-    )
-    n1 = li.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-    gx = global_row_number(
-        li, ["l_shipdate", "l_orderkey", "l_linenumber"], rn_col="__rx"
-    )
-    gxy = global_row_number(
-        gx, ["l_partkey", "l_orderkey", "l_linenumber"], rn_col="__ry"
-    )
-    b = gxy.crossJoin(F.broadcast(n1)).select(
-        (ntile_from_rank(F.col("__rx"), F.col("__n"), 256) - 1).alias("xb"),
-        (ntile_from_rank(F.col("__ry"), F.col("__n"), 256) - 1).alias("yb"),
-    )
-    m = b.select("xb", "yb", F.expr("((((xb >> 0) & 1) << 0) + (((yb >> 0) & 1) << 1)) + ((((xb >> 1) & 1) << 2) + (((yb >> 1) & 1) << 3)) + ((((xb >> 2) & 1) << 4) + (((yb >> 2) & 1) << 5)) + ((((xb >> 3) & 1) << 6) + (((yb >> 3) & 1) << 7)) + ((((xb >> 4) & 1) << 8) + (((yb >> 4) & 1) << 9)) + ((((xb >> 5) & 1) << 10) + (((yb >> 5) & 1) << 11)) + ((((xb >> 6) & 1) << 12) + (((yb >> 6) & 1) << 13)) + ((((xb >> 7) & 1) << 14) + (((yb >> 7) & 1) << 15))").alias("morton"))
-
-    def _chunks(order_cols):
-        g = global_row_number(m, order_cols, rn_col="__rn")
-        return (
-            g.select(
-                "xb", "yb",
-                ((F.col("__rn") - 1) / 2000).cast("bigint").alias("chunk"),
-            )
-            .groupBy("chunk")
-            .agg(
-                F.min("xb").alias("xlo"), F.max("xb").alias("xhi"),
-                F.min("yb").alias("ylo"), F.max("yb").alias("yhi"),
-            )
-        )
-
-    c1 = _chunks(["xb", "yb", "morton"]).persist()
-    c2 = _chunks(["morton", "xb", "yb"])
-    hit = (
-        (F.col("xhi") >= 192) & (F.col("xlo") <= 255)
-        & (F.col("yhi") >= 0) & (F.col("ylo") <= 63)
-    )
-    n_chunks = c1.agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
-    s1 = c1.filter(hit).agg(
-        F.count(F.lit(1)).cast("bigint").alias("scan_single_sort")
-    )
-    s2 = c2.filter(hit).agg(
-        F.count(F.lit(1)).cast("bigint").alias("scan_zorder")
-    )
-    return (
-        n_chunks.crossJoin(F.broadcast(s1))
-        .crossJoin(F.broadcast(s2))
-        .select(
-            "n_chunks",
-            "scan_single_sort",
-            "scan_zorder",
-            F.round(F.col("scan_single_sort") / F.col("n_chunks"), 6).alias(
-                "scan_frac_single"
-            ),
-            F.round(F.col("scan_zorder") / F.col("n_chunks"), 6).alias(
-                "scan_frac_zorder"
-            ),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-6: supervised feature-engineering ops — the transforms a training
-# pipeline runs between raw tables and the model (leakage-safe encodings,
-# hashed features, label construction, supervised binning)
-# ---------------------------------------------------------------------------
-
-@register(
-    "target_encoding_loo",
-    """
-    WITH y AS (
-      SELECT event_id, user_id,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events),
-    g AS (SELECT user_id, SUM(y)::BIGINT AS s, COUNT(*)::BIGINT AS n
-          FROM y GROUP BY user_id),
-    tot AS (SELECT SUM(s)::BIGINT AS p, SUM(n)::BIGINT AS nn FROM g),
-    enc AS (
-      SELECT y.y,
-             (g.s - y.y + 10.0 * t.p / t.nn) / (g.n - 1 + 10) AS e
-      FROM y JOIN g ON g.user_id = y.user_id CROSS JOIN tot t),
-    h AS (SELECT y, LEAST(CAST(FLOOR(e * 10) AS BIGINT), 9) AS bin FROM enc)
-    SELECT bin, 
-           SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-           SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg
-    FROM h GROUP BY bin ORDER BY bin ASC
-    """,
-)
-def target_encoding_loo(spark, sf_dir):
-    """Leave-one-out target encoding with additive smoothing (m=10 toward
-    the global prior) of the user_id categorical against a purchase
-    target, audited as the encoded-value decile histogram split by true
-    label — the leakage check you run on any target-encoded feature: LOO
-    subtracts each row's own label from its group sum, so a clean
-    encoding shows separated but OVERLAPPING histograms (a per-row
-    leakage would separate them perfectly). Group sums are one shuffle
-    on the category key re-joined to the stream; the encoding itself is
-    integer sums plus one double expression computed identically in both
-    engines. At 100 TB this is exactly a broadcast-the-aggregates
-    pattern: |categories| << |rows|, so `g` broadcasts and encoding is
-    map-only."""
-    ev = load_table(spark, sf_dir, "events")
-    y = ev.select(
-        "event_id",
-        "user_id",
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-    )
-    g = y.groupBy("user_id").agg(
-        F.sum("y").cast("bigint").alias("s"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tot = g.agg(
-        F.sum("s").cast("bigint").alias("p"),
-        F.sum("n").cast("bigint").alias("nn"),
-    )
-    enc = (
-        y.join(g, "user_id")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "y",
-            (
-                (F.col("s") - F.col("y") + 10.0 * F.col("p") / F.col("nn"))
-                / (F.col("n") - 1 + 10)
-            ).alias("e"),
-        )
-    )
-    h = enc.select(
-        "y",
-        F.least(F.floor(F.col("e") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias("bin"),
-    )
-    return (
-        h.groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
-            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
-        )
-        .orderBy(F.col("bin").asc())
-    )
-
-
-@register(
-    "feature_hashing_collision_audit",
-    """
-    WITH ws_t AS (SELECT string_split(text, ' ') AS ws FROM documents),
-    v AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws)),
-                 i -> ws[i] || ' ' || ws[i+1])) AS tok
-          FROM ws_t),
-    widths AS (SELECT unnest([1024, 4096, 16384]) AS w),
-    b AS (
-      SELECT w.w AS width,
-             CAST('0x' || substr(md5(v.tok), 1, 15) AS BIGINT) % w.w AS bucket,
-             COUNT(*)::BIGINT AS toks
-      FROM v CROSS JOIN widths w
-      GROUP BY w.w, CAST('0x' || substr(md5(v.tok), 1, 15) AS BIGINT) % w.w)
-    SELECT width,
-           SUM(toks)::BIGINT AS n_tokens,
-           COUNT(*)::BIGINT AS buckets_used,
-           SUM(CASE WHEN toks > 1 THEN 1 ELSE 0 END)::BIGINT AS collision_buckets,
-           SUM(CASE WHEN toks > 1 THEN toks ELSE 0 END)::BIGINT AS tokens_colliding,
-           ROUND(SUM(CASE WHEN toks > 1 THEN toks ELSE 0 END)
-                 / SUM(toks), 6) AS collision_frac
-    FROM b GROUP BY width ORDER BY width ASC
-    """,
-)
-def feature_hashing_collision_audit(spark, sf_dir):
-    """Hashing-trick collision audit: the BIGRAM feature space hashed
-    into 2^k feature buckets at three widths, reporting how many buckets
-    collide and what fraction of features share one — the measurement that
-    picks the feature width before training a hashed linear/embedding
-    model (Weinberger et al.'s feature hashing trades exactly this
-    collision rate for O(1) vocab memory). One distinct pass over tokens,
-    one grouped count per width (the widths ride a 3-row broadcast); the
-    portable md5 hash keeps bucket ids identical across engines. All
-    integer counts; collision_frac is one division of identical
-    BIGINTs."""
-    from veri_spark.functions.hashing import portable_hash64
-
-    docs = load_table(spark, sf_dir, "documents")
-    # guard the single-token edge: Spark's sequence(1, 0) is DESCENDING
-    # [1, 0] (not empty like DuckDB's range), which would fabricate NULL
-    # bigrams from out-of-range indices
-    bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-        " transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
-        " ELSE array() END"
-    )
-    v = docs.select(F.explode(bigrams).alias("tok")).distinct()
-    widths = spark.createDataFrame([(1024,), (4096,), (16384,)], "w int")
-    b = (
-        v.crossJoin(F.broadcast(widths))
-        .select(
-            F.col("w").alias("width"),
-            (portable_hash64(F.col("tok")) % F.col("w")).alias("bucket"),
-        )
-        .groupBy("width", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("toks"))
-    )
-    coll = F.sum(F.when(F.col("toks") > 1, F.col("toks")).otherwise(0)).cast(
-        "bigint"
-    )
-    return (
-        b.groupBy("width")
-        .agg(
-            F.sum("toks").cast("bigint").alias("n_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
-            F.sum(F.when(F.col("toks") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("collision_buckets"),
-            coll.alias("tokens_colliding"),
-            F.round(coll / F.sum("toks"), 6).alias("collision_frac"),
-        )
-        .orderBy(F.col("width").asc())
-    )
-
-
-@register(
-    "quantile_binning_woe",
-    """
-    WITH y AS (
-      SELECT event_id, value,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events),
-    q AS (SELECT y, ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS bin
-          FROM y),
-    g AS (SELECT bin,
-                 SUM(y)::BIGINT AS n_pos,
-                 SUM(1 - y)::BIGINT AS n_neg
-          FROM q GROUP BY bin),
-    t AS (SELECT SUM(n_pos)::BIGINT AS p, SUM(n_neg)::BIGINT AS neg FROM g)
-    SELECT g.bin, g.n_pos, g.n_neg,
-           CAST(round(ln(((g.n_pos + 1) * t.neg)::DOUBLE
-                         / ((g.n_neg + 1) * t.p)) * 1e6) AS BIGINT)
-             AS woe_micro_nats
-    FROM g CROSS JOIN t ORDER BY g.bin ASC
-    """,
-)
-def quantile_binning_woe(spark, sf_dir):
-    """Supervised decile binning with weight-of-evidence scores: the
-    `value` feature cut into 10 equal-frequency bins (deterministic ntile
-    with a full tie-break order) and each bin scored
-    WoE = ln(P(bin|pos)/P(bin|neg)) with +1 smoothing — the classic
-    credit-scoring / GLM feature transform, and the per-bin evidence that
-    feeds information-value feature selection. Round 10 (round-9 judge
-    finding 1): the binning rides the DISTRIBUTED global rank —
-    ``global_row_number`` on the total (value, event_id) order plus
-    ``ntile_from_rank``, which reproduces SQL ntile's leftover-bucket
-    split bit-for-bit from (rank, total) — replacing what was the
-    repo's LAST corpus-grain unpartitioned ``ntile`` window (the
-    whole-event-table-to-one-task shape the `user_rfm_segments` family
-    shed in round 8). Everything downstream is integer counts, and the
-    WoE is quantized to integer micro-nats from a log of a ratio of
-    IDENTICAL integers — the registry's standard order-proof log
-    pattern. Pinned in tests/test_plan_shapes.py."""
-    from veri_spark.operators.ranking import global_row_number, ntile_from_rank
-
-    ev = load_table(spark, sf_dir, "events")
-    y = ev.select(
-        "event_id",
-        "value",
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-    )
-    ranked = global_row_number(
-        y, [F.col("value").asc(), F.col("event_id").asc()], rn_col="__rn"
-    )
-    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
-    q = ranked.crossJoin(F.broadcast(tot)).select(
-        "y", ntile_from_rank(F.col("__rn"), F.col("__tot"), 10).alias("bin")
-    )
-    g = q.groupBy("bin").agg(
-        F.sum("y").cast("bigint").alias("n_pos"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
-    )
-    t = g.agg(
-        F.sum("n_pos").cast("bigint").alias("p"),
-        F.sum("n_neg").cast("bigint").alias("neg"),
-    )
-    return (
-        g.crossJoin(F.broadcast(t))
-        .select(
-            "bin",
-            "n_pos",
-            "n_neg",
-            F.round(
-                F.log(
-                    ((F.col("n_pos") + 1) * F.col("neg")).cast("double")
-                    / ((F.col("n_neg") + 1) * F.col("p"))
-                )
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("woe_micro_nats"),
-        )
-        .orderBy(F.col("bin").asc())
-    )
-
-
-@register(
-    "truncation_waste_sweep",
-    """
-    WITH t AS (
-      SELECT len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
-    caps AS (SELECT unnest([512, 1024, 2048, 4096]) AS cap),
-    s AS (
-      SELECT c.cap,
-             SUM(CASE WHEN t.n_toks > c.cap THEN 1 ELSE 0 END)::BIGINT
-               AS n_docs_truncated,
-             SUM(GREATEST(t.n_toks - c.cap, 0))::BIGINT AS tokens_lost,
-             SUM(t.n_toks)::BIGINT AS tokens_total
-      FROM caps c CROSS JOIN t
-      GROUP BY c.cap)
-    SELECT cap, n_docs_truncated, tokens_lost,
-           CAST(round(1e6 * tokens_lost / tokens_total) AS BIGINT)
-             AS frac_lost_micro
-    FROM s ORDER BY cap ASC
-    """,
-)
-def truncation_waste_sweep(spark, sf_dir):
-    """Context-length policy sweep: for caps 512/1024/2048/4096 tokens,
-    how many documents a hard-truncation policy cuts and what fraction
-    of the corpus token mass it discards — the number you weigh against
-    `sequence_packing`'s bin efficiency when choosing between truncate,
-    split, and pack for long documents (tokens_lost at the training cap
-    IS the data you paid to crawl and then threw away). The sweep is a
-    4-row broadcast against per-doc token counts, so pricing four
-    policies costs ONE tokenize pass (the `jaccard_threshold_sweep`
-    pattern); whitespace tokens via the shared functions.text.tokens
-    convention. Counts are integers; the lost fraction is one
-    micro-quantized division."""
-    from veri_spark.functions.text import tokens as toks_fn
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(F.size(toks_fn("text")).cast("bigint").alias("n_toks"))
-    caps = spark.createDataFrame([(512,), (1024,), (2048,), (4096,)], "cap int")
-    s = (
-        t.crossJoin(F.broadcast(caps))
-        .groupBy("cap")
-        .agg(
-            F.sum(F.when(F.col("n_toks") > F.col("cap"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_docs_truncated"),
-            F.sum(F.greatest(F.col("n_toks") - F.col("cap"), F.lit(0)))
-            .cast("bigint")
-            .alias("tokens_lost"),
-            F.sum("n_toks").cast("bigint").alias("tokens_total"),
-        )
-    )
-    return s.select(
-        "cap",
-        "n_docs_truncated",
-        "tokens_lost",
-        F.round(F.lit(1e6) * F.col("tokens_lost") / F.col("tokens_total"))
-        .cast("bigint")
-        .alias("frac_lost_micro"),
-    ).orderBy(F.col("cap").asc())
-
-
-
-@register(
-    "domain_affinity_hashdot",
-    f"""
-    WITH tok AS (SELECT doc_id, source,
-                        unnest(string_split(text, ' ')) AS tk
-                 FROM documents),
-    b AS (SELECT doc_id, source,
-                 {dd_hash('tk')} % 4096 AS bucket
-          FROM tok),
-    tgt AS (SELECT bucket, COUNT(*)::BIGINT AS tb
-            FROM b WHERE source = 'src0' GROUP BY bucket),
-    dv AS (SELECT doc_id, source, bucket, COUNT(*)::BIGINT AS cb
-           FROM b WHERE source <> 'src0' GROUP BY doc_id, source, bucket),
-    dotp AS (SELECT d.doc_id, d.source,
-                    SUM(d.cb)::BIGINT AS doc_total,
-                    SUM(d.cb * COALESCE(t.tb, 0))::BIGINT AS dot
-             FROM dv d LEFT JOIN tgt t USING (bucket)
-             GROUP BY d.doc_id, d.source)
-    SELECT doc_id, source,
-           ((1000000 * dot) // doc_total)::BIGINT AS affinity_micro
-    FROM dotp
-    ORDER BY affinity_micro DESC, doc_id ASC
-    LIMIT 20
-    """,
-)
-def domain_affinity_hashdot(spark, sf_dir):
-    """Hashed-n-gram domain-affinity scoring (the deterministic core of
-    DSIR-style importance resampling, arXiv:2302.03169): every token is
-    hashed into 4096 buckets with the portable 60-bit hash, the TARGET
-    domain (source src0) is reduced to one bucket-count profile, and each
-    candidate document is scored by the dot product of its own bucket
-    counts against that profile, normalized per token — i.e. the mean
-    target-bucket mass under the doc's empirical token distribution, the
-    monotone integer-exact core of the DSIR log-ratio (the constant
-    target-total factor is dropped; it cannot change the ranking). Top-20
-    out-of-domain docs by affinity. Scale shape: the target profile is a
-    4096-row broadcast; each doc reduces map-side to its distinct buckets;
-    the score is an INTEGER dot + one integer floor-division — exact at
-    any scale, no log, no doubles anywhere."""
-    from veri_spark.functions.hashing import portable_hash64
-
-    docs = load_table(spark, sf_dir, "documents")
-    b = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.split(F.col("text"), " ")).alias("tk"),
-    ).select(
-        "doc_id",
-        "source",
-        F.pmod(portable_hash64("tk"), F.lit(4096)).alias("bucket"),
-    )
-    tgt = (
-        b.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tb"))
-        .select(F.col("bucket").alias("tbucket"), "tb")
-    )
-    dv = (
-        b.filter(F.col("source") != "src0")
-        .groupBy("doc_id", "source", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
-    )
-    dotp = (
-        dv.join(F.broadcast(tgt), F.col("bucket") == F.col("tbucket"), "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("cb").cast("bigint").alias("doc_total"),
-            F.sum(F.col("cb") * F.coalesce(F.col("tb"), F.lit(0)))
-            .cast("bigint")
-            .alias("dot"),
-        )
-    )
-    return (
-        dotp.select(
-            "doc_id",
-            "source",
-            F.expr("(1000000 * dot) div doc_total")
-            .cast("bigint")
-            .alias("affinity_micro"),
-        )
-        .orderBy(F.col("affinity_micro").desc(), F.col("doc_id").asc())
-        .limit(20)
-    )
-
-
-
-@register(
-    "neyman_allocation_plan",
-    """
-    WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n,
-                      SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS s1,
-                      SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2
-               FROM events GROUP BY event_type),
-    w AS (SELECT event_type, n::BIGINT AS n_stratum,
-                 ROUND(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6)
-                   AS std,
-                 GREATEST(CAST(round(1e6 * n
-                          * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)))
-                      AS BIGINT), 1) AS weight_micro
-          FROM s),
-    t AS (SELECT SUM(weight_micro)::BIGINT AS tw FROM w),
-    q AS (SELECT w.event_type, w.n_stratum, w.std, w.weight_micro,
-                 (1000 * w.weight_micro) // t.tw AS base_n,
-                 1000 * w.weight_micro - ((1000 * w.weight_micro) // t.tw)
-                   * t.tw AS rem
-          FROM w CROSS JOIN t),
-    l AS (SELECT (1000 - SUM(base_n))::BIGINT AS leftover FROM q),
-    r AS (SELECT q.*, row_number() OVER (ORDER BY q.rem DESC,
-                                         q.event_type ASC) AS rn
-          FROM q)
-    SELECT r.event_type, r.n_stratum, r.std, r.weight_micro,
-           (r.base_n + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END)::BIGINT
-             AS alloc_n
-    FROM r CROSS JOIN l
-    ORDER BY r.event_type ASC
-    """,
-)
-def neyman_allocation_plan(spark, sf_dir):
-    """Neyman-optimal stratified sampling allocation (the survey-sampling
-    formula n_h proportional to N_h*S_h that minimizes estimator variance
-    for a fixed budget) with Hamilton largest-remainder apportionment to
-    make the per-stratum counts EXACT integers summing to the n=1000
-    budget — the plan a stratified evaluation-set sampler consumes
-    (`sample_stratified_by_type` draws at fixed rates; this computes the
-    variance-optimal rates first). Per-stratum std comes from exact
-    decimal power sums (the `value_moments_by_type` determinism idiom);
-    the weight is micro-quantized to an INTEGER so the apportionment —
-    integer floor-division quotas, integer remainders, top-L rounding by
-    (remainder, stratum) — is bit-exact in both engines. The only window
-    runs on the stratum frame, bounded by the event-type DOMAIN, not the
-    corpus (the calendar-grain exception). One corpus scan total."""
-    ev = load_table(spark, sf_dir, "events")
-    v = F.col("value")
-    s = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
-        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
-    )
-    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    # greatest(var, 0): a constant-valued stratum can make the fp variance a
-    # tiny negative (sqrt -> NaN, and the engines disagree on NaN casts);
-    # the weight floor of 1 keeps the apportionment divisor positive even
-    # when EVERY stratum is constant (all-zero weights degrade to an even
-    # split instead of a divide-by-zero)
-    std = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
-    w = s.select(
-        "event_type",
-        n.cast("bigint").alias("n_stratum"),
-        F.round(std, 6).alias("std"),
-        F.greatest(
-            F.round(F.lit(1e6) * n * std).cast("bigint"), F.lit(1)
-        ).alias("weight_micro"),
-    )
-    t = w.agg(F.sum("weight_micro").cast("bigint").alias("tw"))
-    q = w.crossJoin(F.broadcast(t)).select(
-        "event_type",
-        "n_stratum",
-        "std",
-        "weight_micro",
-        F.expr("(1000 * weight_micro) div tw").alias("base_n"),
-        (
-            F.lit(1000) * F.col("weight_micro")
-            - F.expr("(1000 * weight_micro) div tw") * F.col("tw")
-        ).alias("rem"),
-    )
-    lo = q.agg((F.lit(1000) - F.sum("base_n")).cast("bigint").alias("leftover"))
-    r = q.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("rem").desc(), F.col("event_type").asc())
-        ),
-    )
-    return (
-        r.crossJoin(F.broadcast(lo))
-        .select(
-            "event_type",
-            "n_stratum",
-            "std",
-            "weight_micro",
-            (
-                F.col("base_n")
-                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("alloc_n"),
-        )
-        .orderBy(F.col("event_type").asc())
-    )
-
-
-@register(
-    "kmv_intersection_estimate",
-    """
-    WITH a0 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-    b0 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-    ah AS (SELECT CAST('0x' || substr(md5('u|' || user_id::VARCHAR), 1, 15)
-                       AS BIGINT) AS hv FROM a0),
-    bh AS (SELECT CAST('0x' || substr(md5('u|' || user_id::VARCHAR), 1, 15)
-                       AS BIGINT) AS hv FROM b0),
-    ka AS (SELECT hv FROM ah ORDER BY hv LIMIT 64),
-    kb AS (SELECT hv FROM bh ORDER BY hv LIMIT 64),
-    ku AS (SELECT DISTINCT hv FROM (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)
-           ORDER BY hv LIMIT 64),
-    st AS (SELECT (SELECT COUNT(*) FROM ku)::BIGINT AS n_ku,
-                  (SELECT MAX(hv) FROM ku) AS mx,
-                  (SELECT COUNT(*) FROM ku
-                   WHERE hv IN (SELECT hv FROM ka)
-                     AND hv IN (SELECT hv FROM kb))::BIGINT AS j_num,
-                  (SELECT COUNT(*) FROM a0)::BIGINT AS n_a,
-                  (SELECT COUNT(*) FROM b0)::BIGINT AS n_b,
-                  (SELECT COUNT(*) FROM a0
-                   WHERE user_id IN (SELECT user_id FROM b0))::BIGINT
-                    AS n_exact)
-    SELECT n_a AS n_click_users, n_b AS n_purchase_users,
-           n_exact AS exact_intersection,
-           ROUND(CASE WHEN n_ku < 64 THEN n_ku::DOUBLE
-                 ELSE (n_ku - 1) * 1152921504606846976.0 / mx END, 2)
-             AS union_est,
-           ROUND(j_num::DOUBLE / n_ku, 6) AS jaccard_est,
-           ROUND(j_num::DOUBLE / n_ku
-                 * CASE WHEN n_ku < 64 THEN n_ku::DOUBLE
-                   ELSE (n_ku - 1) * 1152921504606846976.0 / mx END, 2)
-             AS intersection_est
-    FROM st
-    """,
-)
-def kmv_intersection_estimate(spark, sf_dir):
-    """KMV set-operation sketch: estimate |clickers INTERSECT purchasers|
-    from three bottom-64 hash sketches (Beyer et al., SIGMOD'07) and
-    audit it against the exact semi-join — the mergeable-sketch answer
-    to audience-overlap questions that exact distinct-intersections make
-    a full shuffle of user ids at 100 TB. The union sketch is the
-    bottom-k of the two sketches' union (a 128-row merge — sketches
-    compose without touching the data again, the property that matters
-    when the sets live in different pipelines); Jaccard is the fraction
-    of union-sketch members present in BOTH per-set sketches (every
-    union-sketch member <= max(K_A) is in A iff it is in K_A, so sketch
-    membership is exact); the intersection estimate is J * (k-1)/u_(k).
-    When a set has fewer than k uniques the sketch IS the set and the
-    estimator degrades to exact — both branches are exercised across
-    the SF ladder (15 users at sf0.001, 1500 at sf0.1). Deterministic:
-    the portable 60-bit hash everywhere, (k-1)*2^60 integer-exact in a
-    double, one IEEE division per estimate."""
-    from veri_spark.functions.hashing import portable_hash64
-
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    a0 = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id")
-        .distinct()
-        .persist()
-    )
-    b0 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id")
-        .distinct()
-        .persist()
-    )
-    hv = portable_hash64(F.col("user_id").cast("string"), seed="u")
-
-    ka = a0.select(hv.alias("hv")).orderBy(F.col("hv").asc()).limit(64)
-    kb = b0.select(hv.alias("hv")).orderBy(F.col("hv").asc()).limit(64)
-    ku = (
-        ka.unionByName(kb)
-        .distinct()
-        .orderBy(F.col("hv").asc())
-        .limit(64)
-        .persist()
-    )
-    jn = (
-        ku.join(ka, "hv", "left_semi")
-        .join(kb, "hv", "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("j_num"))
-    )
-    kus = ku.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ku"), F.max("hv").alias("mx")
-    )
-    na = a0.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
-    nb = b0.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
-    nx = (
-        a0.join(b0, "user_id", "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    )
-    union_est = F.when(F.col("n_ku") < 64, F.col("n_ku").cast("double")).otherwise(
-        (F.col("n_ku") - 1) * F.lit(1152921504606846976.0) / F.col("mx")
-    )
-    return (
-        kus.crossJoin(F.broadcast(jn))
-        .crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(nx))
-        .select(
-            F.col("n_a").alias("n_click_users"),
-            F.col("n_b").alias("n_purchase_users"),
-            F.col("n_exact").alias("exact_intersection"),
-            F.round(union_est, 2).alias("union_est"),
-            F.round(F.col("j_num").cast("double") / F.col("n_ku"), 6).alias(
-                "jaccard_est"
-            ),
-            F.round(
-                F.col("j_num").cast("double") / F.col("n_ku") * union_est, 2
-            ).alias("intersection_est"),
-        )
-    )
-
-
-@register(
-    "capture_recapture_distinct",
-    """
-    WITH c1 AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE CAST('0x' || substr(md5('cap1|' || event_id::VARCHAR), 1, 15)
-                 AS BIGINT) % 10 = 0),
-    c2 AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE CAST('0x' || substr(md5('cap2|' || event_id::VARCHAR), 1, 15)
-                 AS BIGINT) % 10 = 0),
-    n1 AS (SELECT COUNT(*)::BIGINT AS n1 FROM c1),
-    n2 AS (SELECT COUNT(*)::BIGINT AS n2 FROM c2),
-    mm AS (SELECT COUNT(*)::BIGINT AS m
-           FROM c1 JOIN c2 USING (user_id)),
-    ex AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
-           FROM events)
-    SELECT n1.n1 AS n_capture1, n2.n2 AS n_capture2, mm.m AS n_overlap,
-           ((n1.n1 + 1) * (n2.n2 + 1) // (mm.m + 1) - 1)::BIGINT
-             AS n_hat_chapman,
-           ex.exact_distinct,
-           CAST(round(1e6 * ((n1.n1 + 1) * (n2.n2 + 1) // (mm.m + 1) - 1)
-                      / ex.exact_distinct) AS BIGINT) AS ratio_micro
-    FROM n1 CROSS JOIN n2 CROSS JOIN mm CROSS JOIN ex
-    """,
-)
-def capture_recapture_distinct(spark, sf_dir):
-    """Lincoln-Petersen capture-recapture estimate of the distinct-user
-    count, with Chapman's bias correction: two INDEPENDENT deterministic
-    10% event samples are the two 'captures'; users seen in both are the
-    marked recaptures, and N-hat = (n1+1)(n2+1)/(m+1) - 1. The fourth
-    member of the cardinality-estimator family (exact count, KMV, HLL)
-    and the only one that works when you can only afford to SCAN samples
-    — the audit reports the realized N-hat/exact ratio, which the
-    estimator's assumption (capture independence) should hold near 1e6.
-    Heavy users appear in both samples more often than light users, so a
-    ratio far from 1 is a direct measurement of capture heterogeneity —
-    the classic ecology failure mode, surfaced as data skew.
-
-    Determinism + scale: both captures are pure md5 functions of
-    event_id with different seeds (no RNG, reproducible at any
-    parallelism); each reduces to a distinct-user set in one
-    partial-aggregated pass; the overlap is one equi-join on user_id;
-    Chapman is exact BIGINT integer division. The exact side is the one
-    corpus-scale distinct — the thing the estimator exists to avoid, kept
-    here as the audit truth."""
-    from veri_spark.functions.hashing import portable_hash64
-
-    ev = load_table(spark, sf_dir, "events")
-
-    def capture(seed):
-        return (
-            ev.filter(
-                portable_hash64(F.col("event_id").cast("string"), seed=seed)
-                % 10
-                == 0
-            )
-            .select("user_id")
-            .distinct()
-        )
-
-    c1, c2 = capture("cap1"), capture("cap2")
-    n1 = c1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-    n2 = c2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
-    mm = c1.join(c2, "user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("m")
-    )
-    ex = ev.agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
-    )
-    chapman = (
-        F.expr("(n1 + 1) * (n2 + 1) div (m + 1)") - 1
-    ).cast("bigint")
-    return (
-        n1.crossJoin(F.broadcast(n2))
-        .crossJoin(F.broadcast(mm))
-        .crossJoin(F.broadcast(ex))
-        .select(
-            F.col("n1").alias("n_capture1"),
-            F.col("n2").alias("n_capture2"),
-            F.col("m").alias("n_overlap"),
-            chapman.alias("n_hat_chapman"),
-            "exact_distinct",
-            F.round(F.lit(1e6) * chapman / F.col("exact_distinct"))
-            .cast("bigint")
-            .alias("ratio_micro"),
-        )
-    )
-
-
-@register(
     "epochs_per_source_plan",
     """
     WITH s AS (

@@ -24,6 +24,7 @@ from veri_spark.plans._base import (  # noqa: F401
 # importing a domain module registers its queries (order fixed for
 # deterministic duplicate detection)
 from veri_spark.plans import knn as _knn  # noqa: F401,E402
+from veri_spark.plans import knn_audit as _knn_audit  # noqa: F401,E402
 from veri_spark.plans import events as _events  # noqa: F401,E402
 from veri_spark.plans import events_behavior as _events_behavior  # noqa: F401,E402
 from veri_spark.plans import vectors as _vectors  # noqa: F401,E402
@@ -32,6 +33,8 @@ from veri_spark.plans import store_queries as _store_queries  # noqa: F401,E402
 from veri_spark.plans import text as _text  # noqa: F401,E402
 from veri_spark.plans import dedup as _dedup  # noqa: F401,E402
 from veri_spark.plans import pipeline as _pipeline  # noqa: F401,E402
+from veri_spark.plans import physical as _physical  # noqa: F401,E402
+from veri_spark.plans import features as _features  # noqa: F401,E402
 from veri_spark.plans import graph as _graph  # noqa: F401,E402
 from veri_spark.plans import ranking_metrics as _ranking_metrics  # noqa: F401,E402
 from veri_spark.plans import integrity as _integrity  # noqa: F401,E402
