@@ -332,6 +332,178 @@ def kmeans_train(
     )
 
 
+def kmeans_lloyd_micro(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+):
+    """Lloyd's k-means on MICRO-QUANTIZED integer coordinates — the
+    bit-exact variant of ``kmeans_train`` built for oracle replay.
+
+    Every coordinate is fixed to ``floor(1e6 * x + 0.5)`` (a BIGINT), so
+    squared distances are EXACT integer arithmetic (dim 64, |x| < 1 =>
+    per-point distance < 2^47, corpus sums < 2^62: no overflow, no
+    float-summation order dependence — ties in the argmin break exactly
+    the same way in any engine). Centroid updates are
+    ``floor(sum / n + 0.5)`` where sum and n are exact integers below
+    2^53, so the one double division is correctly rounded IEEE and
+    bit-identical everywhere. This removes BOTH cross-engine hazards the
+    6dp-rounded ``kmeans_train`` merely shrinks (avg-order ulps, rounding
+    at a .5 boundary).
+
+    Same execution shape as ``kmeans_train`` (the reference's Process
+    pass rebuilds its index the same way, data/newsync.go:147-222): the
+    micro corpus is persisted ONCE; each iteration is one map-only
+    literal-centroid argmin over it (an array_min over k (dist, id)
+    structs — no shuffle) plus one (cluster, dim) partial-aggregated
+    sum/count that collects k*dim integers to the driver. The corpus
+    never shuffles on the vector id; lineage never grows (each iteration
+    plans from the persisted frame, so no localCheckpoint is needed —
+    the pagerank loop checkpoints because its RESULT frame is iterated).
+
+    Empty clusters keep their previous centroid (the oracle's COALESCE).
+    At 100 TB the per-cluster coordinate sums approach 2^63 only past
+    ~10^12 rows per cluster; switch the sum to DECIMAL(38,0) there.
+
+    Returns ``(centroids, history)`` where centroids is the final
+    ``[(centroid_id, [int micro coords])]`` and history has one dict per
+    iteration: ``iter``, ``inertia_micro2`` (exact BIGINT inertia of the
+    fresh assignment under the INCOMING centroids), ``n_moved``
+    (centroids whose micro vector changed this update), ``n_points``.
+    Lloyd + the quantization penalty bound sum_cd n_c*delta^2 <=
+    0.25*n*dim gives the provable invariant
+    ``inertia[t+1] <= inertia[t] + 0.25*n*dim`` (tested in
+    tests/test_round10_units.py).
+    """
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vector_col).cast("array<double>"),
+            lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
+        ).alias("__xm"),
+    ).persist()
+    cents = [
+        (int(r["__id"]), [int(x) for x in r["__xm"]])
+        for r in src.orderBy("__id").limit(k).collect()
+    ]
+    history = []
+    for it in range(1, iters + 1):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__xm"),
+                                F.array(*[F.lit(c).cast("bigint") for c in cm]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("bigint"),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        F.lit(cid).cast("bigint").alias("c"),
+                    )
+                    for cid, cm in cents
+                ]
+            )
+        )
+        assigned = src.select(
+            best["c"].alias("centroid_id"),
+            best["d"].alias("dist"),
+            F.col("__xm"),
+        )
+        stats = (
+            assigned.select("centroid_id", "dist", F.posexplode("__xm").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum("v").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("dist").cast("bigint").alias("dsum"),
+            )
+            .collect()
+        )
+        # dist repeats once per exploded dim: take each cluster's dsum at
+        # pos 0 only, so every point's dist counts exactly once.
+        dim = len(cents[0][1])
+        inertia = sum(int(r["dsum"]) for r in stats if r["pos"] == 0)
+        n_points = sum(int(r["n"]) for r in stats if r["pos"] == 0)
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        import math
+
+        n_moved = 0
+        updated = []
+        for cid, old in cents:
+            if cid in by_cid:
+                new = [
+                    int(math.floor(by_cid[cid][p][0] / by_cid[cid][p][1] + 0.5))
+                    for p in range(dim)
+                ]
+            else:
+                new = old
+            if new != old:
+                n_moved += 1
+            updated.append((cid, new))
+        cents = updated
+        history.append(
+            {
+                "iter": it,
+                "inertia_micro2": inertia,
+                "n_moved": n_moved,
+                "n_points": n_points,
+            }
+        )
+    src.unpersist()
+    return cents, history
+
+
+def kmeans_micro_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Map-only exact-integer assignment under literal micro centroids
+    (the final-pass companion of ``kmeans_lloyd_micro``): returns
+    (id, centroid_id, dist) with dist the exact BIGINT squared micro
+    distance. Zero shuffles — the argmin is an array_min over k
+    (dist, centroid_id) structs evaluated per row."""
+    xm = F.transform(
+        F.col(vector_col).cast("array<double>"),
+        lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
+    )
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            xm,
+                            F.array(*[F.lit(c).cast("bigint") for c in cm]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(cid).cast("bigint").alias("c"),
+                )
+                for cid, cm in centroids
+            ]
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        best["c"].alias("centroid_id"),
+        best["d"].alias("dist"),
+    )
+
+
 def ivf_search_assigned(
     assigned: DataFrame,
     centroids: DataFrame,

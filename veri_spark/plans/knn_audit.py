@@ -1289,3 +1289,106 @@ def knn_distance_concentration(spark, sf_dir):
             ),
         ).alias("relative_contrast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: full Lloyd convergence loop on exact micro-int coordinates —
+# the missing piece between kmeans_pp_farthest_seeds / kmeans_step_inertia
+# (one step) and the IVF/PQ codebook literals (round-9 verdict task 4).
+# ---------------------------------------------------------------------------
+
+def _lloyd_micro_sql(update_iters: int) -> str:
+    """Unrolled MATERIALIZED-CTE oracle for ``kmeans_lloyd_converged``:
+    ``update_iters`` assign+update rounds from the k=8 lowest-id seeds,
+    then a final assignment + per-cluster exact inertia. Every quantity is
+    exact integer arithmetic (see kmeans_lloyd_micro's docstring), so the
+    chain is bit-identical cross-engine by construction — no rounded
+    double ever feeds a downstream step."""
+    parts = [
+        """
+    WITH em AS (SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                         v -> CAST(FLOOR(1000000 * v + 0.5) AS BIGINT)) AS xm
+                FROM embeddings),
+         c0 AS (SELECT vec_id AS centroid_id,
+                       list_transform(embedding::DOUBLE[],
+                         v -> CAST(FLOOR(1000000 * v + 0.5) AS BIGINT)) AS cm
+                FROM embeddings ORDER BY vec_id LIMIT 8)"""
+    ]
+    for t in range(1, update_iters + 1):
+        parts.append(f"""
+         d{t} AS (SELECT e.vec_id, e.xm, c.centroid_id,
+                       CAST(list_sum(list_transform(range(1, len(e.xm) + 1),
+                            j -> (e.xm[j] - c.cm[j]) * (e.xm[j] - c.cm[j])))
+                            AS BIGINT) AS dist
+                 FROM em e CROSS JOIN c{t - 1} c),
+         a{t} AS (SELECT vec_id, xm, centroid_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist ASC, centroid_id ASC) AS rn
+                   FROM d{t}) WHERE rn = 1),
+         m{t} AS (SELECT centroid_id, pos,
+                        CAST(FLOOR(SUM(v) / COUNT(*) + 0.5) AS BIGINT) AS cv
+                 FROM (SELECT centroid_id, generate_subscripts(xm, 1) AS pos,
+                              unnest(xm) AS v
+                       FROM a{t})
+                 GROUP BY centroid_id, pos),
+         n{t} AS (SELECT centroid_id, list(cv ORDER BY pos) AS cm FROM m{t}
+                 GROUP BY centroid_id),
+         c{t} AS (SELECT p.centroid_id, COALESCE(n.cm, p.cm) AS cm
+                 FROM c{t - 1} p LEFT JOIN n{t} n USING (centroid_id))""")
+    f = update_iters + 1
+    parts.append(f"""
+         df AS (SELECT e.vec_id, c.centroid_id,
+                      CAST(list_sum(list_transform(range(1, len(e.xm) + 1),
+                           j -> (e.xm[j] - c.cm[j]) * (e.xm[j] - c.cm[j])))
+                           AS BIGINT) AS dist
+                FROM em e CROSS JOIN c{update_iters} c),
+         af AS (SELECT vec_id, centroid_id, dist FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+                  FROM df) WHERE rn = 1)
+    SELECT centroid_id, COUNT(*)::BIGINT AS n_assigned,
+           SUM(dist)::BIGINT AS inertia_micro2
+    FROM af GROUP BY centroid_id""")
+    return ",".join(parts)
+
+
+@register("kmeans_lloyd_converged", _lloyd_micro_sql(3))
+def kmeans_lloyd_converged(spark, sf_dir):
+    """Full Lloyd convergence loop (3 update iterations from the k=8
+    lowest-id seeds, then final assignment): per-cluster population and
+    EXACT integer inertia under the trained codebook — the converged-
+    codebook training `kmeans_step_inertia` (one step) and
+    `kmeans_pp_farthest_seeds` (seeding) bracketed but never closed; the
+    reference rebuilds its whole index per Process pass the same way
+    (data/newsync.go:147-222).
+
+    Everything is micro-int arithmetic (floor(1e6*x + 0.5) BIGINTs), so
+    distances, argmin ties, centroid updates, and inertia are bit-exact
+    cross-engine BY CONSTRUCTION — this is the strongest parity discipline
+    in the registry (the 6dp-rounding idiom merely makes ulp flips
+    unlikely; exact integers make them impossible). Execution shape per
+    iteration: one map-only literal-centroid argmin (array_min over k
+    (dist, id) structs — no shuffle, no window) + one (cluster, dim)
+    partial-aggregated sum/count collecting 8x64 integers to the driver;
+    the persisted micro corpus never shuffles on vec_id and lineage never
+    grows (each iteration plans from the persisted frame — the pagerank
+    loop's localCheckpoint is unnecessary here and that asymmetry is
+    deliberate). The invariant inertia[t+1] <= inertia[t] + 0.25*n*dim
+    (Lloyd monotonicity + the exact quantization penalty
+    sum n_c*delta^2, |delta| <= 0.5) is asserted per iteration in
+    tests/test_round10_units.py. At 100 TB: iterations add scans, never
+    joins; the 0.25*n*dim slack and the BIGINT headroom (sums < 2^62
+    until ~10^12 rows/cluster) both survive."""
+    from veri_spark.operators.similarity import (
+        kmeans_lloyd_micro,
+        kmeans_micro_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, history = kmeans_lloyd_micro(emb, k=8, iters=3)
+    assigned = kmeans_micro_assign(emb, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum("dist").cast("bigint").alias("inertia_micro2"),
+    )
