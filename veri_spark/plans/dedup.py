@@ -2239,3 +2239,112 @@ def spotsigs_neardup(spark, sf_dir):
         .limit(20)
         .select("doc_a", "doc_b", "n_common", F.round("jac", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the Lee et al. output grain dup_ngram_coverage (deciles) and
+# chunk_dedup_summary (fixed windows) bracketed but never produced —
+# maximal duplicated SPANS (round-9 verdict task 5).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_span_extents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sl AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+           FROM w),
+    sh AS (SELECT doc_id, generate_subscripts(sh, 1) AS pos,
+                  unnest(sh) AS shingle
+           FROM sl),
+    dfreq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df
+              FROM sh GROUP BY shingle),
+    dp AS (SELECT s.doc_id, s.pos
+           FROM sh s JOIN dfreq d USING (shingle) WHERE d.df >= 2),
+    tok AS (SELECT DISTINCT doc_id, t
+            FROM (SELECT doc_id, unnest(range(pos, pos + 3)) AS t FROM dp)),
+    isl AS (SELECT doc_id, t,
+                   t - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY t ASC) AS g
+            FROM tok),
+    spans AS (SELECT doc_id, COUNT(*)::BIGINT AS span_len
+              FROM isl GROUP BY doc_id, g)
+    SELECT LEAST(span_len, 12)::INT AS span_len_capped,
+           COUNT(*)::BIGINT AS n_spans,
+           SUM(span_len)::BIGINT AS tokens_removable
+    FROM spans GROUP BY 1 ORDER BY 1 ASC
+    """,
+)
+def dup_span_extents(spark, sf_dir):
+    """Maximal duplicated-span extents — the actual output grain of Lee
+    et al. 2022 ("Deduplicating Training Data", arXiv:2107.06499), which
+    removes each maximal substring that also occurs elsewhere in the
+    corpus, rather than dropping whole documents. `dup_ngram_coverage`
+    reports HOW MUCH of each doc is duplicated; this reports the spans
+    themselves: a token is covered when ANY of its positional 3-gram
+    slots is corpus-duplicated (df >= 2), covered tokens merge into
+    maximal runs via gaps-and-islands (t - row_number), and the output is
+    the span-length histogram (capped at 12 so the top bucket absorbs the
+    long boilerplate tail) with the exact total of removable tokens —
+    spans are disjoint by construction, so tokens_removable is a true
+    union, not a double-counted window sum.
+
+    Execution: positional shingles (posexplode of the shared
+    word_shingles builder), document frequency from one distinct
+    (doc, shingle) partial aggregate, one equi-join back on the shingle
+    key — all identical shapes to dup_ngram_coverage, NO all-pairs step
+    anywhere. The token expansion is a bounded x3 explode + distinct on
+    (doc_id, t); the islands window partitions BY DOCUMENT (frame bounded
+    by doc length — never corpus-grain), exactly the event_run_lengths
+    gaps-and-islands. At 100 TB everything shuffles on doc_id or the
+    shingle hash; hot boilerplate shingles cost df-counting only."""
+    from veri_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("ws"))
+    sh = w.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("ws"), 3)).alias("pos", "shingle"),
+    )
+    dfreq = (
+        sh.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.col("shingle").alias("sh2"), "df")
+    )
+    dp = (
+        sh.join(dfreq, F.col("shingle") == F.col("sh2"))
+        .filter(F.col("df") >= 2)
+        .select("doc_id", "pos")
+    )
+    tok = dp.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("t"),
+    ).distinct()
+    isl = tok.select(
+        "doc_id",
+        "t",
+        (
+            F.col("t")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("t").asc())
+            )
+        ).alias("g"),
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("span_len")
+    )
+    return (
+        spans.select(
+            F.least(F.col("span_len"), F.lit(12)).cast("int").alias("span_len_capped"),
+            "span_len",
+        )
+        .groupBy("span_len_capped")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("tokens_removable"),
+        )
+        .orderBy(F.col("span_len_capped").asc())
+    )
