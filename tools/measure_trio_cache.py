@@ -1,0 +1,218 @@
+"""Measure variants of the capped-trio top-20 build (round-9 verdict #3).
+
+The trio's one expensive job is the wedge exchange + 93.6M-row columnar
+cache write (21.8 s vs 14.7 s bare exchange at sf0.1, round-9 docstring).
+Variants measured here, each in a FRESH process (``python
+tools/measure_trio_cache.py <variant>``; a driver shell loops runs):
+
+- ``baseline``  — the shipped shape: persist the 5-bigint pair aggregate,
+  count-populate, three TakeOrdered heads read the cache.
+- ``narrow``    — same shape but the cache keeps the PACKED pair key and
+  INT scores (pk bigint, n_common/ra_micro/aa_micro int): 20 bytes/row vs
+  40 — the cache write is the inflating cost, so halve what it writes.
+- ``fused``     — no cache at all: compute jac map-side (broadcast degree
+  joins), then ONE mapInArrow pass keeps a running top-20 per ranker per
+  partition (numpy lexsort over <= batch+20 rows) and emits <= 60 rows
+  per partition; the driver merges. Pays the bare exchange once, writes
+  nothing.
+
+The adjacency (`cund`) is session-shared and warm in a real sweep, so it
+is force-built BEFORE the timer. Prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from veri_spark.session import get_spark  # noqa: E402
+from veri_spark.plans.graph import (  # noqa: E402
+    _capped_adjacency_shared,
+    _capped_ranker_top20s,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _pair_agg(cund, deg):
+    wdeg = F.broadcast(deg.select(F.col("u").alias("v"), F.col("d").alias("dw")))
+    x = cund.join(wdeg, "v").select(
+        F.col("u").alias("cu"), F.col("v").alias("w"), "dw"
+    )
+    y = cund.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    return (
+        x.join(y, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .select(
+            F.expr("shiftleft(cu, 32) + cv").alias("pk"),
+            F.expr("1000000 div dw").alias("rw"),
+            F.expr(
+                "CAST(floor(1000000 / ln(CAST(dw AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("aw"),
+        )
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("rw").cast("bigint").alias("ra_micro"),
+            F.sum("aw").cast("bigint").alias("aa_micro"),
+        )
+    )
+
+
+def run_baseline(spark):
+    t0 = time.time()
+    top20s, _, _, _ = _capped_ranker_top20s(spark, SF_DIR)
+    n = top20s.count()
+    return time.time() - t0, n
+
+
+def run_narrow(spark):
+    cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
+    t0 = time.time()
+    agg = _pair_agg(cund, deg).select(
+        "pk",
+        F.col("n_common").cast("int").alias("n_common"),
+        F.col("ra_micro").cast("int").alias("ra_micro"),
+        F.col("aa_micro").cast("int").alias("aa_micro"),
+    )
+    cap = 128
+    agg = agg.persist()
+    try:
+        agg.count()
+        unpacked = agg.select(
+            F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
+            F.expr("pk & 4294967295").alias("part_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+            F.col("aa_micro").cast("bigint").alias("aa_micro"),
+        )
+        cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
+        ja = (
+            unpacked.join(
+                F.broadcast(cdeg.select(F.col("u").alias("part_a"), F.col("cd").alias("da"))),
+                "part_a",
+            )
+            .join(
+                F.broadcast(cdeg.select(F.col("u").alias("part_b"), F.col("cd").alias("db"))),
+                "part_b",
+            )
+            .select(
+                "part_a", "part_b", "n_common", "ra_micro", "aa_micro",
+                (F.col("n_common").cast("double") / (F.col("da") + F.col("db") - F.col("n_common"))).alias("jac"),
+            )
+            .orderBy(F.col("jac").desc(), F.col("n_common").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+            .limit(20)
+            .collect()
+        )
+        ra = (
+            unpacked.orderBy(F.col("ra_micro").desc(), F.col("n_common").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+            .limit(20).collect()
+        )
+        aa = (
+            unpacked.orderBy(F.col("aa_micro").desc(), F.col("n_common").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+            .limit(20).collect()
+        )
+    finally:
+        agg.unpersist()
+    return time.time() - t0, len(ja) + len(ra) + len(aa)
+
+
+_ARROW_OUT = "ranker string, pk long, n_common long, ra_micro long, aa_micro long, jac double"
+
+
+def _partition_top20s(batches):
+    run = {r: None for r in ("jac", "ra", "aa")}
+    keycol = {"jac": "jac", "ra": "ra_micro", "aa": "aa_micro"}
+
+    def shrink(arrs, key):
+        order = np.lexsort((arrs["pk"], -arrs["n_common"], -arrs[key]))[:20]
+        return {k: v[order] for k, v in arrs.items()}
+
+    for batch in batches:
+        d = {
+            n: batch.column(i).to_numpy(zero_copy_only=False)
+            for i, n in enumerate(batch.schema.names)
+        }
+        for r, key in keycol.items():
+            cand = shrink(d, key)
+            if run[r] is None:
+                run[r] = cand
+            else:
+                merged = {k: np.concatenate([run[r][k], cand[k]]) for k in cand}
+                run[r] = shrink(merged, key)
+    out = {"ranker": [], "pk": [], "n_common": [], "ra_micro": [], "aa_micro": [], "jac": []}
+    for r in ("jac", "ra", "aa"):
+        if run[r] is None:
+            continue
+        k = len(run[r]["pk"])
+        out["ranker"] += [r] * k
+        for c in ("pk", "n_common", "ra_micro", "aa_micro", "jac"):
+            out[c] += [v.item() for v in run[r][c]]
+    yield pa.RecordBatch.from_pydict(
+        out,
+        schema=pa.schema(
+            [
+                ("ranker", pa.string()),
+                ("pk", pa.int64()),
+                ("n_common", pa.int64()),
+                ("ra_micro", pa.int64()),
+                ("aa_micro", pa.int64()),
+                ("jac", pa.float64()),
+            ]
+        ),
+    )
+
+
+def run_fused(spark):
+    cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
+    cap = 128
+    t0 = time.time()
+    agg = _pair_agg(cund, deg).select(
+        "pk",
+        F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
+        F.expr("pk & 4294967295").alias("part_b"),
+        "n_common", "ra_micro", "aa_micro",
+    )
+    cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
+    withjac = (
+        agg.join(F.broadcast(cdeg.select(F.col("u").alias("part_a"), F.col("cd").alias("da"))), "part_a")
+        .join(F.broadcast(cdeg.select(F.col("u").alias("part_b"), F.col("cd").alias("db"))), "part_b")
+        .select(
+            "pk", "n_common", "ra_micro", "aa_micro",
+            (F.col("n_common").cast("double") / (F.col("da") + F.col("db") - F.col("n_common"))).alias("jac"),
+        )
+    )
+    part = withjac.mapInArrow(_partition_top20s, _ARROW_OUT).collect()
+    # driver merge over <= 60 * npartitions rows
+    rows = {"jac": [], "ra": [], "aa": []}
+    for r in part:
+        rows[r["ranker"]].append(r)
+    key = {"jac": "jac", "ra": "ra_micro", "aa": "aa_micro"}
+    final = {}
+    for tag, rs in rows.items():
+        rs.sort(key=lambda r: (-r[key[tag]], -r["n_common"], r["pk"]))
+        final[tag] = rs[:20]
+    return time.time() - t0, sum(len(v) for v in final.values())
+
+
+def main():
+    variant = sys.argv[1]
+    spark = get_spark("trio-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
+    cund.count()  # warm the session-shared adjacency (real sweeps have it warm)
+    deg.count()
+    fn = {"baseline": run_baseline, "narrow": run_narrow, "fused": run_fused}[variant]
+    sec, n = fn(spark)
+    print(json.dumps({"variant": variant, "sec": round(sec, 2), "rows": n}))
+
+
+if __name__ == "__main__":
+    main()

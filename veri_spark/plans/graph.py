@@ -928,7 +928,22 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
     ``jac`` is NULL on the non-Jaccard rows (their consumers never read
     it); ordering inside every slice carries the full (score, n_common,
     part_a, part_b) tie-break, so each 20-row slice is deterministic
-    independently of the others. Returns (top20s, cund, und, deg)."""
+    independently of the others. Returns (top20s, cund, und, deg).
+
+    Round 10 (round-9 verdict task 3): the cache now stores the PACKED
+    pair key and INT scores — (pk bigint, n_common int, ra_micro int,
+    aa_micro int), 20 bytes/row vs the old 5-bigint 40 — because the
+    cache WRITE is the cost the slow/driver-class box inflates 2-3x.
+    INT is safe by construction at cap=128: n_common <= cap (a shared
+    neighbor must sit in BOTH capped lists), ra_micro <= cap * 5e5
+    (dw >= 2), aa_micro <= cap * 1e6/ln 2 ~ 1.85e8; the head branches
+    unpack pk and cast back to bigint so the 60-row literal frame is
+    unchanged. Measured on a cache-write-inflating box (two fresh-
+    process runs each, tools/measure_trio_cache.py, warm adjacency):
+    baseline 5-bigint cache [82.9, 136.3] s; narrow INT cache
+    [43.7, 49.0] s (ADOPTED); a no-cache fused mapInArrow per-partition
+    top-20x3 pass [87.1, 97.3] s (REJECTED — pushing 93.6M rows through
+    Arrow costs more than writing the narrow cache)."""
     cund, und, deg = _capped_adjacency_shared(spark, sf_dir, cap)
     key = (
         spark.sparkContext.applicationId,
@@ -960,16 +975,12 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
             )
             .groupBy("pk")
             .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_common"),
-                F.sum("rw").cast("bigint").alias("ra_micro"),
-                F.sum("aw").cast("bigint").alias("aa_micro"),
-            )
-            .select(
-                F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
-                F.expr("pk & 4294967295").alias("part_b"),
-                "n_common",
-                "ra_micro",
-                "aa_micro",
+                # INT, not BIGINT: bounded by cap=128 (see docstring) —
+                # the cache write is what the slow boxes inflate, so
+                # store 20 bytes/row instead of 40
+                F.count(F.lit(1)).cast("int").alias("n_common"),
+                F.sum("rw").cast("int").alias("ra_micro"),
+                F.sum("aw").cast("int").alias("aa_micro"),
             )
         )
         return agg
@@ -977,12 +988,19 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
     agg = build().persist()
     try:
         # populate the cache with a bare count FIRST so the expensive job
-        # is the clean wedge+cache-write pass (21.8 s measured at sf0.1)
-        # and every ranker branch is a ~1 s cached scan
+        # is the clean wedge+cache-write pass and every ranker branch is
+        # a cheap cached scan
         agg.count()
+        unpacked = agg.select(
+            F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
+            F.expr("pk & 4294967295").alias("part_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+            F.col("aa_micro").cast("bigint").alias("aa_micro"),
+        )
         cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
         ja_rows = (
-            agg.join(
+            unpacked.join(
                 F.broadcast(
                     cdeg.select(
                         F.col("u").alias("part_a"), F.col("cd").alias("da")
@@ -1022,7 +1040,7 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
 
         def _score_rows(tag: str, score_col: str):
             return (
-                agg.orderBy(
+                unpacked.orderBy(
                     F.col(score_col).desc(),
                     F.col("n_common").desc(),
                     F.col("part_a").asc(),

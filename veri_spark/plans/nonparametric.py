@@ -1337,3 +1337,181 @@ def hodges_lehmann_quantity(spark, sf_dir):
             "hodges_lehmann"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: distribution-shape tests — Jarque-Bera normality (the moment
+# companion to value_qq_normal_audit's quantile view) and the chi-square
+# goodness-of-fit for weekday uniformity.
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical values at 2 and 6 df (Abramowitz & Stegun
+# 26.4; Python literals per the registry's constant rule).
+_CHI2_95_DF2 = 5.991464547107979
+_CHI2_95_DF6 = 12.591587243743977
+
+
+@register(
+    "jarque_bera_value",
+    f"""
+    WITH s AS (SELECT COUNT(*)::BIGINT AS n,
+                      SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS s1,
+                      SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2,
+                      SUM(CAST(value * value * value AS DECIMAL(38,6)))::DOUBLE
+                        AS s3,
+                      SUM(CAST(value * value * value * value
+                               AS DECIMAL(38,8)))::DOUBLE AS s4
+               FROM events),
+    m AS (SELECT n,
+                 s2 / n - (s1 / n) * (s1 / n) AS m2,
+                 s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                        + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                 s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                        + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                        - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                   AS m4
+          FROM s WHERE n > 3)
+    SELECT n AS n_events,
+           CASE WHEN m2 > 0 THEN ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)),
+                                       6) ELSE NULL END AS skewness,
+           CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6)
+                ELSE NULL END AS excess_kurtosis,
+           CASE WHEN m2 > 0
+                THEN ROUND(n / 6.0 *
+                       ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                        * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                        + 0.25 * (m4 / (m2 * m2) - 3.0)
+                               * (m4 / (m2 * m2) - 3.0)), 6)
+                ELSE NULL END AS jb_stat,
+           CASE WHEN m2 > 0
+                THEN n / 6.0 *
+                       ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                        * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                        + 0.25 * (m4 / (m2 * m2) - 3.0)
+                               * (m4 / (m2 * m2) - 3.0))
+                     > {_CHI2_95_DF2!r}
+                ELSE NULL END AS non_normal_95
+    FROM m
+    """,
+)
+def jarque_bera_value(spark, sf_dir):
+    """Jarque-Bera normality test of the event `value` distribution:
+    JB = n/6 * (S^2 + K^2/4) with S the moment skewness and K the excess
+    kurtosis — the MOMENT view of non-normality next to
+    `value_qq_normal_audit`'s quantile view (QQ localizes WHERE the
+    shape deviates; JB is the single-number gate a pipeline thresholds
+    on before trusting z-machinery). Raw power sums up to value^4 fold
+    as exact DECIMALs in one scan (value has 2 decimal digits, so
+    value^4 is exact in DECIMAL(38,8)); the central moments m2/m3/m4
+    are single fixed-order double expressions of those five exact
+    numbers (the standard raw-to-central identities), mirrored
+    token-for-token. Constant values (m2 = 0) guard to NULL; the 95%
+    verdict uses the chi-square(2 df) Python literal — JB is
+    asymptotically chi2_2 and n here is ~6e5.
+
+    Scale: one partial-aggregated scan to five numbers."""
+    v = F.col("value")
+    s = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,8)")).cast("double").alias("s4"),
+    ).filter(F.col("n") > 3)
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = (
+        F.col("s3") / n
+        - F.lit(3.0) * mean * (F.col("s2") / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mean * (F.col("s3") / n)
+        + F.lit(6.0) * mean * mean * (F.col("s2") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    sk = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    ku = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (sk * sk + F.lit(0.25) * ku * ku)
+    return s.select(
+        n.alias("n_events"),
+        F.when(m2 > 0, F.round(sk, 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(ku, 6)).alias("excess_kurtosis"),
+        F.when(m2 > 0, F.round(jb, 6)).alias("jb_stat"),
+        F.when(m2 > 0, jb > F.lit(_CHI2_95_DF2)).alias("non_normal_95"),
+    )
+
+
+@register(
+    "chi2_goodness_weekday_orders",
+    f"""
+    WITH c AS (SELECT dayofweek(o_orderdate)::BIGINT AS dow,
+                      COUNT(*)::BIGINT AS o
+               FROM orders GROUP BY 1),
+    t AS (SELECT SUM(o)::BIGINT AS n, COUNT(*)::BIGINT AS k FROM c),
+    q AS (SELECT c.dow, c.o,
+                 CAST(FLOOR(1e9 * (c.o - t.n / (t.k * 1.0))
+                                * (c.o - t.n / (t.k * 1.0))
+                                / (t.n / (t.k * 1.0)) + 0.5) AS BIGINT)
+                   AS term_nano
+          FROM c CROSS JOIN t WHERE t.n > 0)
+    SELECT t.n AS n_orders, t.k AS n_days,
+           ROUND(SUM(q.term_nano) / 1e9, 6) AS chi2_uniform,
+           CASE WHEN t.k = 7
+                THEN SUM(q.term_nano) / 1e9 > {_CHI2_95_DF6!r}
+                ELSE NULL END AS non_uniform_95
+    FROM q CROSS JOIN t GROUP BY t.n, t.k
+    """,
+)
+def chi2_goodness_weekday_orders(spark, sf_dir):
+    """Chi-square goodness-of-fit of order volume against weekday
+    uniformity — the one-dimensional GoF the registry's independence
+    chi-squares (`lang_source_chi2`, `cramers_v_type_weekday`) never
+    cover, and the first sanity gate on a synthetic or sampled corpus
+    (a weekday skew this test flags invalidates every day-of-week
+    readout downstream). Per-day (O - E)^2 / E terms are nano-quantized
+    from ONE fixed-order double expression of exact BIGINT counts (the
+    Mood/KW idiom) so the 7-row fold is order-proof; the verdict
+    compares against the chi-square(6 df) Python literal and NULLs when
+    the observed day-domain drifts off 7 (the KW df pin — a calendar
+    ingestion bug degrades visibly instead of misreporting
+    significance).
+
+    Scale: one partial-aggregated scan to a 7-row frame."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy((F.dayofweek("o_orderdate") - F.lit(1)).cast("bigint").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    t = c.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    e = F.col("n") / (F.col("k") * F.lit(1.0))
+    q = (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("n") > 0)
+        .select(
+            "n",
+            "k",
+            F.floor(
+                F.lit(1e9) * (F.col("o") - e) * (F.col("o") - e) / e + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+    return q.groupBy("n", "k").agg(
+        F.round(F.sum("term_nano") / F.lit(1e9), 6).alias("chi2_uniform"),
+        F.when(
+            F.col("k") == 7,
+            F.sum("term_nano") / F.lit(1e9) > F.lit(_CHI2_95_DF6),
+        ).alias("non_uniform_95"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_days"),
+        "chi2_uniform",
+        "non_uniform_95",
+    )
