@@ -1823,3 +1823,332 @@ def cuped_variance_reduction(spark, sf_dir):
             "var_reduction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: distance-metric drift (Wasserstein-1, Hellinger, total
+# variation) and the scalar calibration readout (ECE/MCE) — completing the
+# drift panel (PSI bins, KS sup-gap, CvM integral, JS divergence) with the
+# transport and f-divergence views, and the reliability diagram with the
+# number a pipeline actually thresholds.
+# ---------------------------------------------------------------------------
+
+@register(
+    "wasserstein_value_drift",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0,
+                       date_diff('day', MIN(ts::DATE), MAX(ts::DATE))::BIGINT
+                         AS span
+                FROM events),
+    e AS (SELECT value,
+                 CASE WHEN date_diff('day', d0.day0, ts::DATE) * 2 <= d0.span
+                      THEN 0 ELSE 1 END AS half
+          FROM events CROSS JOIN d0),
+    g AS (SELECT value,
+                 SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                 SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n2
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(n1)::BIGINT AS tn1, SUM(n2)::BIGINT AS tn2,
+                 COUNT(*)::BIGINT AS n_domain
+          FROM g),
+    c AS (SELECT value,
+                 SUM(n1) OVER (ORDER BY value ASC) AS c1,
+                 SUM(n2) OVER (ORDER BY value ASC) AS c2,
+                 row_number() OVER (ORDER BY value ASC) AS rn
+          FROM g),
+    p AS (SELECT a.c1, a.c2, b.value - a.value AS gap
+          FROM c a JOIN c b ON b.rn = a.rn + 1),
+    q AS (SELECT CAST(FLOOR(1e9 * abs(p.c1 / (t.tn1 * 1.0)
+                                      - p.c2 / (t.tn2 * 1.0)) * p.gap + 0.5)
+                      AS BIGINT) AS term_nano
+          FROM p CROSS JOIN t WHERE t.tn1 > 0 AND t.tn2 > 0)
+    SELECT t.tn1 AS n_early, t.tn2 AS n_late, t.n_domain,
+           ROUND(SUM(q.term_nano) / 1e9, 6) AS wasserstein_1
+    FROM q CROSS JOIN t GROUP BY t.tn1, t.tn2, t.n_domain
+    """,
+)
+def wasserstein_value_drift(spark, sf_dir):
+    """Wasserstein-1 (earth mover's) distance between the early-half and
+    late-half `value` distributions — the TRANSPORT view of drift the
+    existing panel lacks: PSI and JS score mass mismatch per bin but are
+    blind to HOW FAR the mass moved; KS is the sup of the CDF gap; W1 is
+    its integral, in value units (dollars), which is the number a
+    downstream budget or threshold actually absorbs. Same half-split as
+    `js_divergence_event_drift`. W1 = sum |F1(v) - F2(v)| * (v_next - v)
+    over the distinct-value DOMAIN: counts collapse to value grain in
+    one partial-aggregated scan, the two CDFs and the row number come
+    from ONE distributed prefix scan (global_prefix_agg's multi-measure
+    pass — no unpartitioned window on the Spark side; the domain is
+    capped at ~50k by the 2-decimal value grid so the oracle's plain
+    window is the bounded mirror), consecutive domain values pair by an
+    rn = rn+1 equi-join (the Durbin-Watson idiom, no lead()), and each
+    term is nano-quantized from one fixed-order double expression of
+    exact integers before the fold (order-proof).
+
+    Scale: everything shuffles on value or rn over a domain-capped
+    frame; the corpus contributes one partial-aggregated scan."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    e = load_table(spark, sf_dir, "events").select("value", "ts")
+    d0 = e.agg(
+        F.min(F.to_date("ts")).alias("day0"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("bigint")
+        .alias("span"),
+    )
+    half = F.when(
+        F.datediff(F.to_date("ts"), F.col("day0")) * 2 <= F.col("span"), 0
+    ).otherwise(1)
+    g = (
+        e.crossJoin(F.broadcast(d0))
+        .select("value", half.alias("half"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    t = g.agg(
+        F.sum("n1").cast("bigint").alias("tn1"),
+        F.sum("n2").cast("bigint").alias("tn2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_domain"),
+    )
+    c = global_prefix_agg(
+        g,
+        [F.col("value").asc()],
+        ["n1", "n2", "one"],
+        agg="sum",
+        out_col=["c1", "c2", "rn"],
+    ).select("value", "c1", "c2", "rn")
+    a = c.select("c1", "c2", F.col("rn").alias("rna"), F.col("value").alias("va"))
+    b = c.select(F.col("rn").alias("rnb"), F.col("value").alias("vb"))
+    p = a.join(b, F.col("rnb") == F.col("rna") + 1).select(
+        "c1", "c2", (F.col("vb") - F.col("va")).alias("gap")
+    )
+    q = (
+        p.crossJoin(F.broadcast(t))
+        .filter((F.col("tn1") > 0) & (F.col("tn2") > 0))
+        .select(
+            "tn1",
+            "tn2",
+            "n_domain",
+            F.floor(
+                F.lit(1e9)
+                * F.abs(
+                    F.col("c1") / (F.col("tn1") * F.lit(1.0))
+                    - F.col("c2") / (F.col("tn2") * F.lit(1.0))
+                )
+                * F.col("gap")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+    return q.groupBy("tn1", "tn2", "n_domain").agg(
+        F.round(F.sum("term_nano") / F.lit(1e9), 6).alias("wasserstein_1")
+    ).select(
+        F.col("tn1").alias("n_early"),
+        F.col("tn2").alias("n_late"),
+        "n_domain",
+        "wasserstein_1",
+    )
+
+
+@register(
+    "hellinger_tv_event_drift",
+    """
+    WITH d0 AS (SELECT MIN(ts::DATE) AS day0,
+                       date_diff('day', MIN(ts::DATE), MAX(ts::DATE))::BIGINT
+                         AS span
+                FROM events),
+    e AS (SELECT event_type,
+                 CASE WHEN date_diff('day', d0.day0, ts::DATE) * 2 <= d0.span
+                      THEN 0 ELSE 1 END AS half
+          FROM events CROSS JOIN d0),
+    c AS (SELECT event_type,
+                 SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS a_n,
+                 SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS b_n
+          FROM e GROUP BY event_type),
+    t AS (SELECT SUM(a_n)::BIGINT AS ta, SUM(b_n)::BIGINT AS tb FROM c),
+    q AS (SELECT
+            CAST(FLOOR(1e9 * sqrt(c.a_n / (t.ta * 1.0)
+                                  * (c.b_n / (t.tb * 1.0))) + 0.5)
+                 AS BIGINT) AS bc_nano,
+            CAST(FLOOR(1e9 * abs(c.a_n / (t.ta * 1.0)
+                                 - c.b_n / (t.tb * 1.0)) + 0.5)
+                 AS BIGINT) AS ad_nano
+          FROM c CROSS JOIN t WHERE t.ta > 0 AND t.tb > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS k,
+                 SUM(bc_nano) AS bc_sum, SUM(ad_nano) AS ad_sum FROM q)
+    SELECT t.ta AS n_early, t.tb AS n_late, s.k AS n_types,
+           ROUND(sqrt(1.0 - LEAST(s.bc_sum / 1e9, 1.0)), 6) AS hellinger,
+           ROUND(s.ad_sum / 2e9, 6) AS total_variation
+    FROM s CROSS JOIN t
+    """,
+)
+def hellinger_tv_event_drift(spark, sf_dir):
+    """Hellinger distance and total-variation distance between the
+    early-half and late-half event-type distributions — the bounded
+    f-divergence pair next to `js_divergence_event_drift`'s
+    information-theoretic terms (JS is unbounded-ish in interpretation
+    and per-type here; H and TV are true metrics in [0,1] with the
+    textbook inequality H^2 <= TV <= H*sqrt(2), so reporting both
+    cross-checks each against the other). Same half-split CTEs as JS;
+    per-type Bhattacharyya and |p - q| terms are nano-quantized from one
+    fixed-order double expression of exact BIGINT counts before the
+    5-row fold (order-proof); the Bhattacharyya sum clamps to 1.0 before
+    the final sqrt so quantization can never produce sqrt of a negative.
+
+    Scale: one partial-aggregated scan to the 5-type frame."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    d0 = e.agg(
+        F.min(F.to_date("ts")).alias("day0"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("bigint")
+        .alias("span"),
+    )
+    half = F.when(
+        F.datediff(F.to_date("ts"), F.col("day0")) * 2 <= F.col("span"), 0
+    ).otherwise(1)
+    c = (
+        e.crossJoin(F.broadcast(d0))
+        .select("event_type", half.alias("half"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_n"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("b_n"),
+        )
+    )
+    t = c.agg(
+        F.sum("a_n").cast("bigint").alias("ta"),
+        F.sum("b_n").cast("bigint").alias("tb"),
+    )
+    p = F.col("a_n") / (F.col("ta") * F.lit(1.0))
+    q = F.col("b_n") / (F.col("tb") * F.lit(1.0))
+    qf = (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("ta") > 0) & (F.col("tb") > 0))
+        .select(
+            F.floor(F.lit(1e9) * F.sqrt(p * q) + F.lit(0.5))
+            .cast("bigint")
+            .alias("bc_nano"),
+            F.floor(F.lit(1e9) * F.abs(p - q) + F.lit(0.5))
+            .cast("bigint")
+            .alias("ad_nano"),
+        )
+    )
+    s = qf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("bc_nano").alias("bc_sum"),
+        F.sum("ad_nano").alias("ad_sum"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("ta").alias("n_early"),
+        F.col("tb").alias("n_late"),
+        F.col("k").alias("n_types"),
+        F.round(
+            F.sqrt(F.lit(1.0) - F.least(F.col("bc_sum") / F.lit(1e9), F.lit(1.0))),
+            6,
+        ).alias("hellinger"),
+        F.round(F.col("ad_sum") / F.lit(2e9), 6).alias("total_variation"),
+    )
+
+
+@register(
+    "expected_calibration_error",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                 len(list_filter(ws, w -> w IN
+                     ({EN_STOPWORDS_SQL}))) AS hits,
+                 len(ws) AS n
+          FROM t WHERE len(ws) > 0),
+    b AS (SELECT LEAST((10 * hits) // n, 9)::INT AS bin,
+                 pos,
+                 CAST(round(1e6 * hits / n) AS BIGINT) AS s_micro
+          FROM s),
+    bins AS (SELECT bin,
+                    COUNT(*)::BIGINT AS n_docs,
+                    CAST(round(SUM(s_micro)::DOUBLE / COUNT(*)) AS BIGINT)
+                      AS conf_micro,
+                    CAST(round(1e6 * SUM(pos) / COUNT(*)) AS BIGINT)
+                      AS emp_micro
+             FROM b GROUP BY bin),
+    tot AS (SELECT SUM(n_docs)::BIGINT AS n FROM bins)
+    SELECT tot.n AS n_docs,
+           COUNT(*)::BIGINT AS n_bins,
+           CAST(round(SUM(bins.n_docs * abs(bins.emp_micro
+                                            - bins.conf_micro))::DOUBLE
+                      / tot.n) AS BIGINT) AS ece_micro,
+           MAX(abs(bins.emp_micro - bins.conf_micro))::BIGINT AS mce_micro
+    FROM bins CROSS JOIN tot GROUP BY tot.n
+    """,
+)
+def expected_calibration_error(spark, sf_dir):
+    """Expected and maximum calibration error of the stopword-ratio
+    language scorer — the SCALAR a pipeline thresholds where
+    `calibration_reliability_bins` draws the full curve: ECE is the
+    doc-weighted mean of the per-bin |empirical rate - mean confidence|
+    gaps, MCE the worst bin (Naeini et al. 2015, the standard pairing).
+    Identical bin construction to the reliability query (integer
+    floor-division bins, micro-quantized per-doc scores), then the gaps
+    are EXACT BIGINT differences of the bins' micro integers — the
+    weighted fold n_b * gap_b is exact integer arithmetic (< n * 1e6,
+    no overflow until 9e12 docs) with ONE final half-up division.
+
+    Scale: one tokenize scan, a 10-row bin frame, exact arithmetic on
+    10 rows."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", tokens("text").alias("ws"))
+    s = t.filter(F.size("ws") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS))).alias(
+            "hits"
+        ),
+        F.size("ws").alias("n"),
+    )
+    b = s.select(
+        F.least(F.expr("(10 * hits) div n"), F.lit(9)).cast("int").alias("bin"),
+        "pos",
+        F.round(F.lit(1e6) * F.col("hits") / F.col("n"))
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    bins = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("s_micro").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("conf_micro"),
+        F.round(F.lit(1e6) * F.sum("pos") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("emp_micro"),
+    )
+    tot = bins.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    gap = F.abs(F.col("emp_micro") - F.col("conf_micro"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(
+                F.sum(F.col("n_docs") * gap).cast("double") / F.col("n")
+            )
+            .cast("bigint")
+            .alias("ece_micro"),
+            F.max(gap).cast("bigint").alias("mce_micro"),
+        )
+        .select(F.col("n").alias("n_docs"), "n_bins", "ece_micro", "mce_micro")
+    )

@@ -737,3 +737,124 @@ def capture_recapture_distinct(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "decision_stump_value_purchase",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS pos
+               FROM events),
+    g AS (SELECT value, COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS p
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(n)::BIGINT AS tn, SUM(p)::BIGINT AS tp FROM g),
+    c AS (SELECT value,
+                 SUM(n) OVER (ORDER BY value ASC) AS cn,
+                 SUM(p) OVER (ORDER BY value ASC) AS cp
+          FROM g),
+    s AS (SELECT c.value, c.cn, c.cp,
+                 t.tn - c.cn AS rn, t.tp - c.cp AS rp, t.tn, t.tp
+          FROM c CROSS JOIN t
+          WHERE c.cn > 0 AND c.cn < t.tn),
+    q AS (SELECT value, cn, cp, rn, rp,
+                 (1.0 - (tp / (tn * 1.0)) * (tp / (tn * 1.0))
+                      - ((tn - tp) / (tn * 1.0)) * ((tn - tp) / (tn * 1.0)))
+                 - (cn / (tn * 1.0))
+                   * (1.0 - (cp / (cn * 1.0)) * (cp / (cn * 1.0))
+                          - ((cn - cp) / (cn * 1.0)) * ((cn - cp) / (cn * 1.0)))
+                 - (rn / (tn * 1.0))
+                   * (1.0 - (rp / (rn * 1.0)) * (rp / (rn * 1.0))
+                          - ((rn - rp) / (rn * 1.0)) * ((rn - rp) / (rn * 1.0)))
+                   AS gain
+          FROM s)
+    SELECT value AS threshold, cn AS n_left, cp AS pos_left,
+           rn AS n_right, rp AS pos_right,
+           ROUND(gain, 9) AS gini_gain
+    FROM q ORDER BY gain DESC, value ASC LIMIT 1
+    """,
+)
+def decision_stump_value_purchase(spark, sf_dir):
+    """Optimal decision stump for predicting purchase from `value`: the
+    split threshold (left = value <= t) maximizing Gini impurity
+    reduction — the single most informative cut, i.e. the first node
+    every tree/GBM would grow, and the feature-usefulness readout
+    `target_encoding_loo` (encoding) and `quantile_binning_woe`
+    (fixed-decile evidence weights) bracket without optimizing. Gini
+    over entropy: no log, so the gain is ONE fixed-order double
+    expression of exact BIGINT prefix counts — bit-identical cross-
+    engine, making the argmax ordering (gain DESC, threshold ASC)
+    deterministic without quantization. Candidate thresholds collapse to
+    the distinct-value DOMAIN (~50k cap from the 2-decimal grid); left/
+    right class counts come from ONE distributed prefix scan
+    (global_prefix_agg — the oracle's plain window is the domain-bounded
+    mirror); degenerate splits (empty side) are excluded identically by
+    the 0 < cn < tn frame. The argmax is a bounded TakeOrdered.
+
+    Scale: one partial-aggregated corpus scan to the domain frame; the
+    sweep over candidate splits is arithmetic on that frame — the
+    classic distributed-histogram split finder (e.g. PLANET/XGBoost's
+    approx mode collapses to quantile sketch bins; here the exact domain
+    IS small enough)."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("p").cast("bigint").alias("tp"),
+    )
+    c = global_prefix_agg(
+        g, [F.col("value").asc()], ["n", "p"], agg="sum", out_col=["cn", "cp"]
+    ).select("value", "cn", "cp")
+    s = (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("cn") > 0) & (F.col("cn") < F.col("tn")))
+        .select(
+            "value",
+            "cn",
+            "cp",
+            (F.col("tn") - F.col("cn")).alias("rn"),
+            (F.col("tp") - F.col("cp")).alias("rp"),
+            "tn",
+            "tp",
+        )
+    )
+    tn1 = F.col("tn") * F.lit(1.0)
+
+    def gini(pcol, ncol):
+        pr = pcol / (ncol * F.lit(1.0))
+        qr = (ncol - pcol) / (ncol * F.lit(1.0))
+        return F.lit(1.0) - pr * pr - qr * qr
+
+    gain = (
+        gini(F.col("tp"), F.col("tn"))
+        - (F.col("cn") / tn1) * gini(F.col("cp"), F.col("cn"))
+        - (F.col("rn") / tn1) * gini(F.col("rp"), F.col("rn"))
+    )
+    return (
+        s.select(
+            F.col("value").alias("threshold"),
+            F.col("cn").alias("n_left"),
+            F.col("cp").alias("pos_left"),
+            F.col("rn").alias("n_right"),
+            F.col("rp").alias("pos_right"),
+            gain.alias("gain"),
+        )
+        .orderBy(F.col("gain").desc(), F.col("threshold").asc())
+        .limit(1)
+        .select(
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.round("gain", 9).alias("gini_gain"),
+        )
+    )

@@ -1828,3 +1828,72 @@ def graph_preferential_attachment(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@register(
+    "hits_authorities_bipartite",
+    """
+    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    a1 AS (SELECT p, COUNT(*)::BIGINT AS a FROM cp GROUP BY p),
+    h1 AS (SELECT cp.c, SUM(a1.a)::BIGINT AS h
+           FROM cp JOIN a1 USING (p) GROUP BY cp.c),
+    a2 AS (SELECT cp.p, SUM(h1.h)::BIGINT AS a
+           FROM cp JOIN h1 USING (c) GROUP BY cp.p)
+    SELECT a2.p AS l_partkey, a1.a AS indegree, a2.a AS authority_2
+    FROM a2 JOIN a1 USING (p)
+    ORDER BY authority_2 DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def hits_authorities_bipartite(spark, sf_dir):
+    """HITS (Kleinberg 1999) on the bipartite customer->part purchase
+    graph: two full hub/authority rounds, top-20 authority parts — the
+    mutual-reinforcement ranking PageRank's single-score random walk
+    can't express (a part is authoritative when HUB customers — those
+    who buy authoritative parts — buy it; in-degree alone is round 0 and
+    is reported alongside so the readout shows what the iteration
+    CHANGED). Bipartite HITS is the right formulation here: the
+    co-purchase projection is symmetric, which collapses hubs onto
+    authorities and makes the iteration a triviality; the bipartite form
+    keeps the two roles distinct.
+
+    Determinism: the scores are UNNORMALIZED exact BIGINT sums — each
+    iteration's normalization in textbook HITS is a positive scalar that
+    never changes the RANKING, so dropping it buys bit-exact integers
+    (no corpus-grain double fold anywhere, unlike pagerank's 6dp
+    discipline) with magnitudes bounded by degree^2 * |edges| (< 2^50
+    even at sf1000). Each half-iteration is one equi-join on c or p plus
+    one partial-aggregated group-by — the pagerank cost shape; the edge
+    set builds once from the distinct (customer, part) projection.
+
+    Scale: iterations add joins on the SAME keys (co-partitioned under
+    bucketing); the top-20 is a bounded TakeOrdered."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a1 = cp.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (
+        cp.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        cp.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h").cast("bigint").alias("a2"))
+    )
+    return (
+        a2.join(a1, "p")
+        .select(
+            F.col("p").alias("l_partkey"),
+            F.col("a").alias("indegree"),
+            F.col("a2").alias("authority_2"),
+        )
+        .orderBy(F.col("authority_2").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )

@@ -2037,3 +2037,117 @@ def doc_length_hill_tail(spark, sf_dir):
             F.col("k") * F.lit(1e6) / F.col("sum_log_micro"), 6
         ).alias("hill_alpha"),
     )
+
+
+@register(
+    "readability_flesch_by_source",
+    """
+    WITH d AS (SELECT source, string_split(text, ' ') AS ws, text
+               FROM documents),
+    s AS (SELECT source,
+                 len(ws)::BIGINT AS words,
+                 GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+                   AS sents,
+                 CAST(list_sum(list_transform(ws,
+                      w -> GREATEST(1, len(regexp_extract_all(lower(w),
+                                                              '[aeiouy]+')))))
+                      AS BIGINT) AS sylls,
+                 len(list_filter(ws,
+                      w -> len(regexp_extract_all(lower(w), '[aeiouy]+')) >= 3
+                     ))::BIGINT AS complex_words
+          FROM d WHERE len(ws) > 0),
+    g AS (SELECT source,
+                 COUNT(*)::BIGINT AS n_docs,
+                 SUM(words)::BIGINT AS words,
+                 SUM(sents)::BIGINT AS sents,
+                 SUM(sylls)::BIGINT AS sylls,
+                 SUM(complex_words)::BIGINT AS complex_words
+          FROM s GROUP BY source)
+    SELECT source, n_docs, words, sylls,
+           ROUND(sylls / (words * 1.0), 6) AS syllables_per_word,
+           ROUND(complex_words / (words * 1.0), 6) AS complex_share,
+           ROUND(206.835 - 1.015 * (words / (sents * 1.0))
+                         - 84.6 * (sylls / (words * 1.0)), 6)
+             AS flesch_reading_ease
+    FROM g ORDER BY source ASC
+    """,
+)
+def readability_flesch_by_source(spark, sf_dir):
+    """Flesch reading-ease panel per source: syllables-per-word, the
+    3+-syllable complex-word share (the Gunning-fog numerator), and the
+    Flesch score 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    word) — the classic readability gates a curriculum or quality
+    pipeline buckets text by (quality_score measures repetition and
+    stopword shape; this measures lexical difficulty, an orthogonal
+    axis). Syllables use the standard vowel-group heuristic (runs of
+    [aeiouy], min 1 per word) — deterministic and engine-mirrorable,
+    unlike dictionary syllabifiers. Sentences are terminator runs
+    ([.!?]+) clamped to >= 1; this synthetic corpus has NO terminators,
+    so every doc counts 1 sentence and words/sentence degenerates to
+    doc length — documented rather than hidden, and the formula stays
+    exactly mirrorable (on punctuated corpora the same query reads
+    correctly). All counts fold as exact BIGINTs; the three readouts
+    are single fixed-order double expressions of those integers.
+
+    Scale: map-only per-doc array math (transform/filter expressions,
+    no explode, no UDF), then one partial-aggregated group-by to the
+    source frame."""
+    from veri_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", tokens("text").alias("ws"), "text")
+    syl = lambda w: F.greatest(  # noqa: E731
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))),
+    )
+    s = d.filter(F.size("ws") > 0).select(
+        "source",
+        F.size("ws").cast("bigint").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        )
+        .cast("bigint")
+        .alias("sents"),
+        F.aggregate(
+            F.transform(F.col("ws"), lambda w: syl(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("sylls"),
+        F.size(
+            F.filter(
+                F.col("ws"),
+                lambda w: F.size(
+                    F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))
+                )
+                >= 3,
+            )
+        )
+        .cast("bigint")
+        .alias("complex_words"),
+    )
+    g = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sents").cast("bigint").alias("sents"),
+        F.sum("sylls").cast("bigint").alias("sylls"),
+        F.sum("complex_words").cast("bigint").alias("complex_words"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "sylls",
+        F.round(F.col("sylls") / (F.col("words") * F.lit(1.0)), 6).alias(
+            "syllables_per_word"
+        ),
+        F.round(
+            F.col("complex_words") / (F.col("words") * F.lit(1.0)), 6
+        ).alias("complex_share"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words") / (F.col("sents") * F.lit(1.0)))
+            - F.lit(84.6) * (F.col("sylls") / (F.col("words") * F.lit(1.0))),
+            6,
+        ).alias("flesch_reading_ease"),
+    ).orderBy(F.col("source").asc())
