@@ -258,6 +258,28 @@ BENCH_QUERIES = [
     "hodges_lehmann_quantity",
     "rbo_cosine_vs_dot",
     "twonn_intrinsic_dimension",
+    # round-10 batch 4: exact micro-int Lloyd training, Lee-et-al maximal
+    # duplicated spans, the parametric mean-test panel (Welch/ANOVA/
+    # randomization), distribution-shape and drift distances
+    # (JB, GoF, W1, Hellinger/TV), the calibration scalar, bipartite
+    # HITS, the Gini stump, and the readability panel
+    "kmeans_lloyd_converged",
+    "dup_span_extents",
+    "welch_ttest_purchase_view",
+    "oneway_anova_value_by_type",
+    "randomization_test_weekend_value",
+    "jarque_bera_value",
+    "chi2_goodness_weekday_orders",
+    "wasserstein_value_drift",
+    "hellinger_tv_event_drift",
+    "expected_calibration_error",
+    "hits_authorities_bipartite",
+    "decision_stump_value_purchase",
+    "readability_flesch_by_source",
+    # round-10 batch 5: the post-hoc / homogeneity / reliability trio
+    "tukey_hsd_value_by_type",
+    "bartlett_test_value_by_type",
+    "cronbachs_alpha_rules",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -291,6 +313,9 @@ HEAVY_TWO_RUN = {
     # pays the build, the others read the 60-row checkpoint
     "graph_resource_allocation_capped",
     "graph_adamic_adar_capped",
+    # round-10: 3 update iterations + final assignment = 7 jobs over the
+    # persisted micro corpus (exact-integer Lloyd loop)
+    "kmeans_lloyd_converged",
 }
 
 # Round-9 (verdict task 6): the exact-triangle audits exist to price the

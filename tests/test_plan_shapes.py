@@ -166,6 +166,11 @@ def test_no_unpartitioned_windows_in_ranked_queries(spark):
         "cumulative_gains_deciles",
         # round-10 batch 3: AP rides the two-column prefix scan
         "average_precision_value_score",
+        # round-10 batch 4: the W1 CDFs + row number ride ONE three-column
+        # prefix scan; the stump's split counts ride a two-column one —
+        # neither may fall back to a corpus-grain window
+        "wasserstein_value_drift",
+        "decision_stump_value_purchase",
     ):
         assert unpartitioned_window_specs(QUERIES[q](spark, SF_DIR)) == [], q
 

@@ -1459,3 +1459,133 @@ def randomization_test_weekend_value(spark, sf_dir):
             (F.lit(1.0) + F.col("n_extreme")) / (F.lit(1.0) + F.col("n_reps")), 6
         ).alias("p_two_sided"),
     )
+
+
+# Studentized-range 95% critical value q(k=5 groups, df=inf) — standard
+# table value (e.g. Harter 1960); Python literal per the constant rule.
+_Q_95_K5_INF = 3.858
+
+
+@register(
+    "tukey_hsd_value_by_type",
+    f"""
+    WITH g AS (SELECT event_type,
+                      COUNT(*)::BIGINT AS n_g,
+                      SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS s1_g,
+                      SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2_g
+               FROM events GROUP BY event_type),
+    q AS (SELECT event_type, n_g, s1_g,
+                 CAST(FLOOR(1000000 * (s2_g - s1_g * s1_g / n_g) + 0.5)
+                      AS BIGINT) AS ssw_micro
+          FROM g WHERE n_g > 1),
+    t AS (SELECT COUNT(*)::BIGINT AS k, SUM(n_g)::BIGINT AS n,
+                 SUM(ssw_micro) AS ssw_sum
+          FROM q),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.s1_g / a.n_g - b.s1_g / b.n_g AS diff,
+                 a.n_g AS na, b.n_g AS nb
+          FROM q a JOIN q b ON a.event_type < b.event_type)
+    SELECT p.type_a, p.type_b,
+           ROUND(p.diff, 6) AS mean_diff,
+           CASE WHEN t.ssw_sum > 0 AND t.n > t.k
+                THEN ROUND(abs(p.diff)
+                           / sqrt(t.ssw_sum / 1e6 / (t.n - t.k) / 2.0
+                                  * (1.0 / p.na + 1.0 / p.nb)), 6)
+                ELSE NULL END AS q_stat,
+           CASE WHEN t.ssw_sum > 0 AND t.n > t.k AND t.k = 5
+                THEN abs(p.diff)
+                     / sqrt(t.ssw_sum / 1e6 / (t.n - t.k) / 2.0
+                            * (1.0 / p.na + 1.0 / p.nb))
+                     > {_Q_95_K5_INF!r}
+                ELSE NULL END AS differs_95
+    FROM p CROSS JOIN t
+    ORDER BY p.type_a ASC, p.type_b ASC
+    """,
+)
+def tukey_hsd_value_by_type(spark, sf_dir):
+    """Tukey-Kramer HSD post-hoc after `oneway_anova_value_by_type`: all
+    10 pairwise mean differences between the 5 event types, each tested
+    against the studentized-range 95% criterion — the correct follow-up
+    when the omnibus F fires (10 naive t-tests at alpha=.05 inflate the
+    family error to ~40%; Tukey's q controls the family-wise rate
+    exactly for pairwise means, which is why it beats running Holm over
+    t-tests here). Per-group exact DECIMAL moments collapse the corpus
+    in one scan; each group's within-SS is micro-quantized BEFORE the
+    k-row fold (the ANOVA idiom) so MSW is order-proof; the pair frame
+    is a bounded 5x5 self-join. q = |diff| / sqrt(MSW/2 * (1/na + 1/nb))
+    (the Tukey-Kramer unequal-n form); the critical value q(5, inf,
+    .95) is a Python literal and the verdict NULLs when the group count
+    drifts off 5 (the df pin).
+
+    Scale: one partial-aggregated scan; everything else is arithmetic
+    on a 10-row pair frame."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s1_g"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("s2_g"),
+        )
+        .filter(F.col("n_g") > 1)
+    )
+    q = g.select(
+        "event_type",
+        "n_g",
+        "s1_g",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("s2_g") - F.col("s1_g") * F.col("s1_g") / F.col("n_g"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ssw_micro"),
+    )
+    t = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("ssw_micro").alias("ssw_sum"),
+    )
+    a = q.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_g").alias("na"),
+        F.col("s1_g").alias("s1a"),
+    )
+    b = q.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_g").alias("nb"),
+        F.col("s1_g").alias("s1b"),
+    )
+    p = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        (F.col("s1a") / F.col("na") - F.col("s1b") / F.col("nb")).alias("diff"),
+        "na",
+        "nb",
+    )
+    msw2 = (
+        F.col("ssw_sum")
+        / F.lit(1e6)
+        / (F.col("n") - F.col("k"))
+        / F.lit(2.0)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    qstat = F.abs(F.col("diff")) / F.sqrt(msw2)
+    ok = (F.col("ssw_sum") > 0) & (F.col("n") > F.col("k"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(F.col("diff"), 6).alias("mean_diff"),
+            F.when(ok, F.round(qstat, 6)).alias("q_stat"),
+            F.when(ok & (F.col("k") == 5), qstat > F.lit(_Q_95_K5_INF)).alias(
+                "differs_95"
+            ),
+        )
+        .orderBy(F.col("type_a").asc(), F.col("type_b").asc())
+    )

@@ -1515,3 +1515,123 @@ def chi2_goodness_weekday_orders(spark, sf_dir):
         "chi2_uniform",
         "non_uniform_95",
     )
+
+
+@register(
+    "bartlett_test_value_by_type",
+    f"""
+    WITH g AS (SELECT event_type,
+                      COUNT(*)::BIGINT AS n_g,
+                      SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS s1_g,
+                      SUM(CAST(value * value AS DECIMAL(28,4)))::DOUBLE AS s2_g
+               FROM events GROUP BY event_type),
+    v AS (SELECT event_type, n_g,
+                 (s2_g - s1_g * s1_g / n_g) AS ss_g
+          FROM g WHERE n_g > 1),
+    q AS (SELECT n_g,
+                 CAST(FLOOR(1000000 * ss_g + 0.5) AS BIGINT) AS ss_micro,
+                 CAST(FLOOR(1000000000 * (n_g - 1)
+                            * ln(ss_g / (n_g - 1.0)) + 0.5) AS BIGINT)
+                   AS lnterm_nano,
+                 CAST(FLOOR(1000000000 / (n_g - 1.0) + 0.5) AS BIGINT)
+                   AS inv_nano
+          FROM v WHERE ss_g > 0),
+    t AS (SELECT COUNT(*)::BIGINT AS k, SUM(n_g)::BIGINT AS n,
+                 SUM(ss_micro) AS ss_sum,
+                 SUM(lnterm_nano) AS ln_sum,
+                 SUM(inv_nano) AS inv_sum
+          FROM q)
+    SELECT k AS n_groups, n AS n_events,
+           CASE WHEN n > k AND k > 1 AND ss_sum > 0
+                THEN ROUND(((n - k) * ln(ss_sum / 1e6 / (n - k))
+                            - ln_sum / 1e9)
+                           / (1.0 + (inv_sum / 1e9 - 1.0 / (n - k))
+                                    / (3.0 * (k - 1))), 6)
+                ELSE NULL END AS bartlett_chi2,
+           CASE WHEN n > k AND k = 5 AND ss_sum > 0
+                THEN ((n - k) * ln(ss_sum / 1e6 / (n - k))
+                      - ln_sum / 1e9)
+                     / (1.0 + (inv_sum / 1e9 - 1.0 / (n - k))
+                              / (3.0 * (k - 1)))
+                     > {_CHI2_95_DF4!r}
+                ELSE NULL END AS variances_differ_95
+    FROM t
+    """,
+)
+def bartlett_test_value_by_type(spark, sf_dir):
+    """Bartlett's test for variance homogeneity across the 5 event
+    types — the PARAMETRIC companion to `levene_value_by_type` and
+    `brown_forsythe` (Bartlett is the likelihood-ratio test, most
+    powerful under normality but famously sensitive to heavy tails;
+    disagreement between Bartlett and Levene is itself the diagnostic,
+    and `jarque_bera_value` says which to trust). chi2 = [(N-k) ln Sp^2
+    - sum (n_i-1) ln S_i^2] / C with the Bartlett correction
+    C = 1 + (sum 1/(n_i-1) - 1/(N-k)) / (3(k-1)). Per-group exact
+    DECIMAL moments collapse in one scan; each group's within-SS,
+    (n_i-1) ln S_i^2 term, and 1/(n_i-1) term are micro/nano-quantized
+    from fixed-order double expressions BEFORE the k-row fold
+    (order-proof); zero-variance groups drop via ss_g > 0 (their log
+    diverges) and the verdict NULLs when the group count drifts off the
+    4-df literal's domain (the KW pin).
+
+    Scale: one partial-aggregated scan to a 5-row frame."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s1_g"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("s2_g"),
+        )
+        .filter(F.col("n_g") > 1)
+    )
+    ss = F.col("s2_g") - F.col("s1_g") * F.col("s1_g") / F.col("n_g")
+    q = g.select(
+        "n_g",
+        ss.alias("ss_g"),
+    ).filter(F.col("ss_g") > 0).select(
+        "n_g",
+        F.floor(F.lit(1000000.0) * F.col("ss_g") + F.lit(0.5))
+        .cast("bigint")
+        .alias("ss_micro"),
+        F.floor(
+            F.lit(1000000000.0)
+            * (F.col("n_g") - 1)
+            * F.log(F.col("ss_g") / (F.col("n_g") - F.lit(1.0)))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lnterm_nano"),
+        F.floor(F.lit(1000000000.0) / (F.col("n_g") - F.lit(1.0)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("inv_nano"),
+    )
+    t = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("ss_micro").alias("ss_sum"),
+        F.sum("lnterm_nano").alias("ln_sum"),
+        F.sum("inv_nano").alias("inv_sum"),
+    )
+    k, n = F.col("k"), F.col("n")
+    chi2 = (
+        (n - k) * F.log(F.col("ss_sum") / F.lit(1e6) / (n - k))
+        - F.col("ln_sum") / F.lit(1e9)
+    ) / (
+        F.lit(1.0)
+        + (F.col("inv_sum") / F.lit(1e9) - F.lit(1.0) / (n - k))
+        / (F.lit(3.0) * (k - F.lit(1.0)))
+    )
+    ok = (n > k) & (F.col("ss_sum") > 0)
+    return t.select(
+        k.alias("n_groups"),
+        n.alias("n_events"),
+        F.when(ok & (k > 1), F.round(chi2, 6)).alias("bartlett_chi2"),
+        F.when(ok & (k == 5), chi2 > F.lit(_CHI2_95_DF4)).alias(
+            "variances_differ_95"
+        ),
+    )

@@ -708,3 +708,106 @@ def quality_threshold_sweep(spark, sf_dir):
         )
         .orderBy(F.col("thr_micro").asc())
     )
+
+
+@register(
+    "cronbachs_alpha_rules",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                   AS r1,
+                 CASE WHEN list_sum(list_transform(ws, w -> strlen(w))) * 10
+                           BETWEEN 42 * len(ws) AND 48 * len(ws)
+                      THEN 1 ELSE 0 END AS r2,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                   'is'))) >= 2
+                      THEN 1 ELSE 0 END AS r3
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(r1)::BIGINT AS c1, SUM(r2)::BIGINT AS c2,
+                 SUM(r3)::BIGINT AS c3,
+                 SUM(r1 + r2 + r3)::BIGINT AS sr,
+                 SUM((r1 + r2 + r3) * (r1 + r2 + r3))::BIGINT AS sr2
+          FROM m)
+    SELECT n AS n_docs,
+           c1 AS pass_word_count, c2 AS pass_mean_word_len,
+           c3 AS pass_stopwords,
+           CASE WHEN n * sr2 - sr * sr > 0
+                THEN ROUND(1.5 * (1.0 -
+                       (c1 * (n - c1) + c2 * (n - c2) + c3 * (n - c3))
+                       / ((n * sr2 - sr * sr) * 1.0)), 6)
+                ELSE NULL END AS cronbach_alpha
+    FROM s
+    """,
+)
+def cronbachs_alpha_rules(spark, sf_dir):
+    """Cronbach's alpha (= KR-20 for binary items) over the k=3 quality
+    rules as a 3-item test battery on the same documents — the internal-
+    consistency readout next to the agreement family (`cohens_kappa_
+    rules` asks whether two rules agree beyond chance; `cochran_q_rules`
+    whether pass RATES differ; alpha whether the rules measure ONE
+    underlying quality construct — low alpha says the battery is a
+    union of unrelated filters, not a scale, which changes how a
+    pipeline should combine them). For binary items the n(n-1)
+    denominators of the item and total sample variances cancel, so
+    alpha = k/(k-1) * (1 - sum C_j(n - C_j) / (n*SR2 - SR^2)) is a
+    ratio of EXACT BIGINTs (C_j per-rule pass totals, SR/SR2 the per-doc
+    score sum and sum of squares) with ONE double division — no
+    quantization needed anywhere. Constant total score (zero variance)
+    guards to NULL identically.
+
+    Scale: one tokenize scan to six integers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    chars = F.aggregate(
+        F.transform(F.col("ws"), lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0).alias("r1"),
+        F.when(
+            (chars * 10 >= 42 * F.size("ws"))
+            & (chars * 10 <= 48 * F.size("ws")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+        F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("r3"),
+    )
+    ri = F.col("r1") + F.col("r2") + F.col("r3")
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r1").cast("bigint").alias("c1"),
+        F.sum("r2").cast("bigint").alias("c2"),
+        F.sum("r3").cast("bigint").alias("c3"),
+        F.sum(ri).cast("bigint").alias("sr"),
+        F.sum(ri * ri).cast("bigint").alias("sr2"),
+    )
+    n = F.col("n")
+    item_ss = (
+        F.col("c1") * (n - F.col("c1"))
+        + F.col("c2") * (n - F.col("c2"))
+        + F.col("c3") * (n - F.col("c3"))
+    )
+    tot_ss = n * F.col("sr2") - F.col("sr") * F.col("sr")
+    return s.select(
+        n.alias("n_docs"),
+        F.col("c1").alias("pass_word_count"),
+        F.col("c2").alias("pass_mean_word_len"),
+        F.col("c3").alias("pass_stopwords"),
+        F.when(
+            tot_ss > 0,
+            F.round(
+                F.lit(1.5) * (F.lit(1.0) - item_ss / (tot_ss * F.lit(1.0))), 6
+            ),
+        ).alias("cronbach_alpha"),
+    )
