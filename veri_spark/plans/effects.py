@@ -1347,17 +1347,20 @@ def oneway_anova_value_by_type(spark, sf_dir):
           FROM w GROUP BY r),
     st AS (SELECT r, s1 / n1 - s0 / n0 AS stat
            FROM m WHERE n1 > 0 AND n0 > 0),
+    ob AS (SELECT n1, n0,
+                  CASE WHEN n1 > 0 AND n0 > 0
+                       THEN s1 / n1 - s0 / n0 ELSE NULL END AS obs_diff
+           FROM obs),
     p AS (SELECT COUNT(*)::BIGINT AS n_reps,
-                 SUM(CASE WHEN abs(st.stat)
-                          >= abs(o.s1 / o.n1 - o.s0 / o.n0)
+                 SUM(CASE WHEN abs(st.stat) >= abs(o.obs_diff)
                           THEN 1 ELSE 0 END)::BIGINT AS n_extreme
-          FROM st CROSS JOIN obs o)
+          FROM st CROSS JOIN ob o)
     SELECT o.n1 AS n_weekend, o.n0 AS n_weekday,
-           ROUND(o.s1 / o.n1 - o.s0 / o.n0, 6) AS obs_mean_diff,
+           ROUND(o.obs_diff, 6) AS obs_mean_diff,
            p.n_reps AS n_replicates,
            p.n_extreme,
            ROUND((1.0 + p.n_extreme) / (1.0 + p.n_reps), 6) AS p_two_sided
-    FROM obs o CROSS JOIN p
+    FROM ob o CROSS JOIN p
     """,
 )
 def randomization_test_weekend_value(spark, sf_dir):
@@ -1379,7 +1382,9 @@ def randomization_test_weekend_value(spark, sf_dir):
     of labels; documented rather than hidden. Replicate sums fold as
     exact DECIMALs per (replicate, side); each stat is one double
     division pair, so the >= comparison against the observed stat is
-    bit-deterministic in both engines.
+    bit-deterministic in both engines. An empty weekend or weekday side
+    NULLs the observed stat (and the verdict count) in both engines
+    instead of dividing by zero (the Mood-guard discipline).
 
     Scale: one x60 explode (bounded fan-out) into a 120-row partial
     aggregate; the p-value folds a 60-row frame. At 100 TB the explode
@@ -1439,7 +1444,10 @@ def randomization_test_weekend_value(spark, sf_dir):
     ob = obs.select(
         "n1",
         "n0",
-        (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")).alias("obs_diff"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"),
+        ).alias("obs_diff"),
     )
     p = st.crossJoin(F.broadcast(ob)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reps"),
