@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "tukey_hsd_value_by_type",
     "bartlett_test_value_by_type",
     "cronbachs_alpha_rules",
+    "nelson_aalen_time_to_purchase",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -2152,3 +2152,130 @@ def expected_calibration_error(spark, sf_dir):
         )
         .select(F.col("n").alias("n_docs"), "n_bins", "ece_micro", "mce_micro")
     )
+
+
+@register(
+    "nelson_aalen_time_to_purchase",
+    """
+    WITH u AS (SELECT user_id,
+                      MIN(epoch_us(ts::TIMESTAMP)) AS fu,
+                      MIN(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts::TIMESTAMP) END) AS pu,
+                      MAX(epoch_us(ts::TIMESTAMP)) AS lu
+               FROM events GROUP BY user_id),
+    uu AS (SELECT CASE WHEN pu IS NOT NULL
+                            AND (pu - fu) // 3600000000 < 48
+                       THEN (pu - fu) // 3600000000
+                       ELSE LEAST(48, (lu - fu) // 3600000000)
+                  END::BIGINT AS t,
+                  CASE WHEN pu IS NOT NULL
+                            AND (pu - fu) // 3600000000 < 48
+                       THEN 1 ELSE 0 END AS e
+           FROM u),
+    d AS (SELECT t, SUM(e)::BIGINT AS d_t, COUNT(*)::BIGINT AS m_t
+          FROM uu GROUP BY t),
+    r AS (SELECT t, d_t,
+                 SUM(m_t) OVER (ORDER BY t DESC)::BIGINT AS n_t
+          FROM d),
+    k AS (SELECT t, d_t, n_t,
+                 CAST(FLOOR(1e9 * d_t / (n_t * 1.0) + 0.5) AS BIGINT)
+                   AS haz_nano,
+                 CAST(FLOOR(1e9 * d_t / (n_t * 1.0 * n_t) + 0.5) AS BIGINT)
+                   AS var_nano
+          FROM r WHERE d_t > 0)
+    SELECT t AS t_hours, n_t AS n_at_risk, d_t AS n_events,
+           SUM(haz_nano) OVER (ORDER BY t ASC)::BIGINT
+             AS cum_hazard_nano,
+           SUM(var_nano) OVER (ORDER BY t ASC)::BIGINT
+             AS cum_hazard_var_nano
+    FROM k ORDER BY t_hours ASC
+    """,
+)
+def nelson_aalen_time_to_purchase(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time to first purchase — the
+    hazard-scale companion to `kaplan_meier_time_to_purchase` on the
+    SAME risk sets (same 48-hour horizon, same censoring): H(t) =
+    sum d_i/n_i with the Aalen variance sum d_i/n_i^2. KM answers
+    "what fraction survives"; the NA slope is the INSTANTANEOUS
+    conversion intensity, the curve a marketing-timing or TTL decision
+    actually differentiates (and exp(-H) is the Fleming-Harrington
+    survival estimate, a drop-in KM cross-check — left to the reader
+    like KM's exp, since exp is not correctly-rounded cross-engine).
+    Each increment is nano-quantized from a ratio of exact BIGINTs
+    before the prefix fold, so both running sums are exact integers.
+    Same scale shape as KM: corpus to user grain in one partial
+    aggregate, then a horizon-bounded (<= 49-row) time frame where the
+    suffix risk-set and prefix hazard sums run as TRIANGULAR BROADCAST
+    FOLDS (the KM discipline — no window function anywhere; the
+    oracle's windows are the bounded-frame SQL mirror).
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = e.groupBy("user_id").agg(
+        F.min(us).alias("fu"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("pu"),
+        F.max(us).alias("lu"),
+    )
+    lag = (F.col("pu") - F.col("fu")) / F.lit(3600000000)
+    lagf = F.floor(lag).cast("bigint")
+    obs = F.col("pu").isNotNull() & (lagf < 48)
+    cens = F.least(
+        F.lit(48).cast("bigint"),
+        F.floor((F.col("lu") - F.col("fu")) / F.lit(3600000000)).cast("bigint"),
+    )
+    uu = u.select(
+        F.when(obs, lagf).otherwise(cens).cast("bigint").alias("t"),
+        F.when(obs, 1).otherwise(0).alias("e"),
+    )
+    d = uu.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d_t"),
+        F.count(F.lit(1)).cast("bigint").alias("m_t"),
+    )
+    # suffix risk set + prefix hazard sums over the <=49-row horizon
+    # frame: triangular broadcast folds, the KM discipline (deliberately
+    # not windows — the frame is horizon-bounded and the join broadcasts)
+    other = d.select(F.col("t").alias("t2"), F.col("m_t").alias("m2"))
+    r = (
+        d.join(F.broadcast(other), F.col("t2") >= F.col("t"))
+        .groupBy("t", "d_t")
+        .agg(F.sum("m2").cast("bigint").alias("n_t"))
+    )
+    k = r.filter(F.col("d_t") > 0).select(
+        "t",
+        "d_t",
+        "n_t",
+        F.floor(
+            F.lit(1e9) * F.col("d_t") / (F.col("n_t") * F.lit(1.0)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("haz_nano"),
+        F.floor(
+            F.lit(1e9)
+            * F.col("d_t")
+            / (F.col("n_t") * F.lit(1.0) * F.col("n_t"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("var_nano"),
+    )
+    ks = k.select(
+        F.col("t").alias("t3"),
+        F.col("haz_nano").alias("h3"),
+        F.col("var_nano").alias("v3"),
+    )
+    return (
+        k.join(F.broadcast(ks), F.col("t3") <= F.col("t"))
+        .groupBy("t", "n_t", "d_t")
+        .agg(
+            F.sum("h3").cast("bigint").alias("cum_hazard_nano"),
+            F.sum("v3").cast("bigint").alias("cum_hazard_var_nano"),
+        )
+        .select(
+            F.col("t").alias("t_hours"),
+            F.col("n_t").alias("n_at_risk"),
+            F.col("d_t").alias("n_events"),
+            "cum_hazard_nano",
+            "cum_hazard_var_nano",
+        )
+        .orderBy(F.col("t_hours").asc())
+    )
