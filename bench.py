@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "bartlett_test_value_by_type",
     "cronbachs_alpha_rules",
     "nelson_aalen_time_to_purchase",
+    "g_test_type_weekday",
+    "chao1_vocab_richness",
+    "lang_shannon_evenness_by_source",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -1597,3 +1597,79 @@ def tukey_hsd_value_by_type(spark, sf_dir):
         )
         .orderBy(F.col("type_a").asc(), F.col("type_b").asc())
     )
+
+
+# chi-square 95% critical value at 24 df = (5-1)(7-1), the type x weekday
+# grid's independence df (standard table value, Abramowitz & Stegun 26.4).
+_CHI2_95_DF24 = 36.41502850180731
+
+
+@register(
+    "g_test_type_weekday",
+    _TYPE_DOW_SQL
+    + f""",
+    q AS (SELECT grid.o, grid.r_tot, grid.c_tot, t.n,
+                 CASE WHEN grid.o > 0
+                      THEN CAST(FLOOR(1e9 * 2.0 * grid.o
+                             * ln(grid.o / (grid.r_tot
+                                            * (grid.c_tot / (t.n * 1.0))))
+                             + 0.5) AS BIGINT)
+                      ELSE 0 END AS g_nano
+          FROM grid CROSS JOIN t),
+    s AS (SELECT SUM(g_nano) AS g_sum FROM q),
+    k AS (SELECT (SELECT COUNT(*) FROM rt)::BIGINT AS n_types,
+                 (SELECT COUNT(*) FROM ct)::BIGINT AS n_days)
+    SELECT t.n AS n_events, k.n_types, k.n_days,
+           ROUND(s.g_sum / 1e9, 6) AS g_stat,
+           CASE WHEN k.n_types = 5 AND k.n_days = 7
+                THEN s.g_sum / 1e9 > {_CHI2_95_DF24!r}
+                ELSE NULL END AS dependent_95
+    FROM s CROSS JOIN t CROSS JOIN k
+    """,
+)
+def g_test_type_weekday(spark, sf_dir):
+    """G-test (log-likelihood-ratio chi-square) of event_type x weekday
+    independence — the information-theoretic twin of the Pearson
+    chi-square under `cramers_v_type_weekday` (G = 2n * MI in nats, so
+    it is additive across table partitions and the statistic
+    Sokal & Rohlf recommend over Pearson's when any O/E ratio is
+    extreme; agreement between the two is itself a diagnostic). Same
+    shared grid CTEs as the effects panel; each cell's 2*O*ln(O/E) term
+    is nano-quantized from ONE fixed-order double expression of exact
+    BIGINT margins BEFORE the 35-cell fold (order-proof), empty cells
+    contribute exactly 0 (the x ln x limit), and the verdict compares
+    against the chi-square(24 df) Python literal, NULLing when either
+    margin domain drifts off the literal's (5-1)(7-1) df (the KW pin).
+
+    Scale: one partial-aggregated corpus scan to the 35-cell grid."""
+    grid, rt, ct, t = _type_dow_grid(spark, sf_dir)
+    e = F.col("r_tot") * (F.col("c_tot") / (F.col("n") * F.lit(1.0)))
+    q = grid.crossJoin(F.broadcast(t)).select(
+        "n",
+        F.when(
+            F.col("o") > 0,
+            F.floor(
+                F.lit(1e9)
+                * F.lit(2.0)
+                * F.col("o")
+                * F.log(F.col("o") / e)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("g_nano"),
+    )
+    s = q.groupBy("n").agg(F.sum("g_nano").alias("g_sum"))
+    k = rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_types")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    )
+    return s.crossJoin(F.broadcast(k)).select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        "n_days",
+        F.round(F.col("g_sum") / F.lit(1e9), 6).alias("g_stat"),
+        F.when(
+            (F.col("n_types") == 5) & (F.col("n_days") == 7),
+            F.col("g_sum") / F.lit(1e9) > F.lit(_CHI2_95_DF24),
+        ).alias("dependent_95"),
+    )

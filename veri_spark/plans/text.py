@@ -2151,3 +2151,156 @@ def readability_flesch_by_source(spark, sf_dir):
             6,
         ).alias("flesch_reading_ease"),
     ).orderBy(F.col("source").asc())
+
+
+@register(
+    "chao1_vocab_richness",
+    """
+    WITH tf AS (SELECT term, COUNT(*)::BIGINT AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY term),
+    s AS (SELECT COUNT(*)::BIGINT AS v_obs,
+                 SUM(c)::BIGINT AS n_tokens,
+                 SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                 SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+          FROM tf)
+    SELECT n_tokens, v_obs, f1 AS hapax, f2 AS dis_legomena,
+           ROUND(v_obs + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6)
+             AS chao1_estimate,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(1.0 - f1 / (n_tokens * 1.0), 6)
+                ELSE NULL END AS good_turing_coverage
+    FROM s
+    """,
+)
+def chao1_vocab_richness(spark, sf_dir):
+    """Chao1 lower-bound estimate of TRUE vocabulary size from the
+    observed type counts — the capture-recapture view of vocabulary
+    (`heaps_law_fit` extrapolates the GROWTH CURVE; Chao1 asks the
+    complementary question "how many types exist that we have not seen
+    yet", using only the hapax/dis-legomena ratio: unseen mass is
+    estimable because singletons are what doubletons were one sample
+    ago). Uses the bias-corrected form V + F1(F1-1)/(2(F2+1)) (Chao
+    1984; defined even when F2 = 0), plus the Good-Turing sample
+    coverage 1 - F1/N — the fraction of the token stream covered by the
+    observed vocabulary, the number that prices an OOV rate before
+    tokenizer training. Term frequencies are one explode +
+    partial-aggregated count; the statistic is one fixed-order double
+    expression of four exact BIGINTs.
+
+    Scale: the explode rides the existing scan; everything collapses to
+    four integers."""
+    from veri_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_obs"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return s.select(
+        "n_tokens",
+        "v_obs",
+        F.col("f1").alias("hapax"),
+        F.col("f2").alias("dis_legomena"),
+        F.round(
+            F.col("v_obs")
+            + F.col("f1") * (F.col("f1") - F.lit(1.0))
+            / (F.lit(2.0) * (F.col("f2") + F.lit(1.0))),
+            6,
+        ).alias("chao1_estimate"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.lit(1.0) - F.col("f1") / (F.col("n_tokens") * F.lit(1.0)), 6
+            ),
+        ).alias("good_turing_coverage"),
+    )
+
+
+@register(
+    "lang_shannon_evenness_by_source",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n_docs
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT source, SUM(n_docs)::BIGINT AS n_tot,
+                 COUNT(*)::BIGINT AS k
+          FROM c GROUP BY source),
+    q AS (SELECT c.source,
+                 CAST(FLOOR(-1e9 * (c.n_docs / (t.n_tot * 1.0))
+                            * ln(c.n_docs / (t.n_tot * 1.0)) + 0.5)
+                      AS BIGINT) AS h_nano
+          FROM c JOIN t USING (source) WHERE t.n_tot > 0)
+    SELECT t.source, t.n_tot AS n_docs, t.k AS n_langs,
+           ROUND(SUM(q.h_nano) / 1e9, 6) AS shannon_h_nats,
+           CASE WHEN t.k > 1
+                THEN ROUND(SUM(q.h_nano) / 1e9 / ln(t.k * 1.0), 6)
+                ELSE NULL END AS pielou_evenness
+    FROM q JOIN t USING (source)
+    GROUP BY t.source, t.n_tot, t.k
+    ORDER BY t.source ASC
+    """,
+)
+def lang_shannon_evenness_by_source(spark, sf_dir):
+    """Shannon entropy and Pielou evenness of each source's language
+    mix — the companion to `lang_simpson_diversity_by_source` (Simpson
+    weights dominant langs, Shannon weights the tail; J = H/ln k
+    normalizes to [0,1] so sources with different lang counts compare
+    directly) and the routing readout a multilingual pipeline uses to
+    decide which sources need per-lang handling. Per-(source, lang)
+    -p ln p terms are nano-quantized from fixed-order double
+    expressions of exact BIGINT counts before the per-source fold
+    (order-proof, the MI/WoE idiom); single-language sources NULL the
+    evenness (ln 1 = 0 denominator) identically in both engines.
+
+    Scale: one partial-aggregated scan to the (source, lang) grid; the
+    folds run on a 20 x k_lang bounded frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    t = c.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    p = F.col("n_docs") / (F.col("n_tot") * F.lit(1.0))
+    q = (
+        c.join(t, "source")
+        .filter(F.col("n_tot") > 0)
+        .select(
+            "source",
+            F.floor(F.lit(-1e9) * p * F.log(p) + F.lit(0.5))
+            .cast("bigint")
+            .alias("h_nano"),
+        )
+    )
+    return (
+        q.join(t, "source")
+        .groupBy("source", "n_tot", "k")
+        .agg(F.sum("h_nano").alias("h_sum"))
+        .select(
+            "source",
+            F.col("n_tot").alias("n_docs"),
+            F.col("k").alias("n_langs"),
+            F.round(F.col("h_sum") / F.lit(1e9), 6).alias("shannon_h_nats"),
+            F.when(
+                F.col("k") > 1,
+                F.round(
+                    F.col("h_sum") / F.lit(1e9) / F.log(F.col("k") * F.lit(1.0)),
+                    6,
+                ),
+            ).alias("pielou_evenness"),
+        )
+        .orderBy(F.col("source").asc())
+    )
