@@ -1,585 +1,538 @@
-"""Round-10 batch: the effect-size/association panel (plans/effects.py)
-checked against independent brute-force Python implementations.
+"""Round-10 batch: independent brute-force checks of the new queries.
 
-The oracle gate proves Spark == DuckDB; these tests prove both equal the
-TEXTBOOK estimator — each statistic is recomputed here from raw rows with
-plain Python floats (no shared quantization tricks), so a formula error
-that both engines share cannot hide.
+Each test recomputes the query's answer in plain Python (sorting, dicts,
+math.log — no SQL, no Spark) from the raw sf0.001 parquet and compares
+against the registered Spark program. The DuckDB oracle gate already
+cross-checks engine parity; these pin the MATH against a third,
+structure-free implementation, so an error shared by both SQL dialects
+(a wrong formula, a misplaced tie rule) cannot hide.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
-import sys
-from collections import Counter
+import re
+from collections import Counter, defaultdict
 
 import duckdb
-import pytest
-
-sys.path.insert(0, "/root/repo")
 
 from veri_spark.plans.registry import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-STOPWORDS = {"the", "a", "of", "and", "to", "in", "is"}
+
+def fetch(sql):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
 
 
-def _duck(sql):
-    return duckdb.sql(sql).fetchall()
-
-
-def test_probit_literal_pinned():
-    from veri_spark.plans.effects import _CHI2_95_DF1, _Z975
-
-    # independently hardcoded table values (Abramowitz & Stegun)
-    assert abs(_Z975 - 1.959963984540054) < 1e-8
-    assert abs(_CHI2_95_DF1 - 3.841458820694124) < 1e-7
-
-
-def test_cramers_v_brute(spark):
-    rows = _duck(
-        f"SELECT event_type, dayofweek(ts), COUNT(*) FROM '{SF}/events.parquet'"
-        " GROUP BY 1, 2"
+def _purchase_view_values():
+    rows = fetch(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+        f" WHERE event_type IN ('purchase', 'view')"
     )
-    obs = {(t, d): c for t, d, c in rows}
-    types = sorted({t for t, _, _ in rows})
-    dows = sorted({d for _, d, _ in rows})
-    n = sum(obs.values())
-    rt = {t: sum(c for (tt, _), c in obs.items() if tt == t) for t in types}
-    ct = {d: sum(c for (_, dd), c in obs.items() if dd == d) for d in dows}
-    chi2 = 0.0
-    for t in types:
-        for d in dows:
-            e = rt[t] * ct[d] / n
-            o = obs.get((t, d), 0)
-            chi2 += (o - e) ** 2 / e
-    v = math.sqrt(chi2 / (n * (min(len(types), len(dows)) - 1)))
-    w = math.sqrt(chi2 / n)
-    got = QUERIES["cramers_v_type_weekday"](spark, SF).collect()[0]
-    assert got["n_events"] == n
-    assert abs(got["chi2"] - chi2) < 1e-4
-    assert abs(got["cramers_v"] - v) < 1e-5
-    assert abs(got["cohen_w"] - w) < 1e-5
-    # bias-corrected V shrinks plain V and stays in [0, 1]
-    assert 0.0 <= got["cramers_v_corrected"] <= got["cramers_v"]
+    a = [v for t, v in rows if t == "purchase"]
+    b = [v for t, v in rows if t == "view"]
+    return a, b
 
 
-def test_pearson_residuals_brute(spark):
-    got = {
-        (r["event_type"], r["dow"]): r
-        for r in QUERIES["pearson_residuals_type_weekday"](spark, SF).collect()
-    }
-    assert len(got) == 35  # complete 5 x 7 grid, zero cells included
-    rows = _duck(
-        f"SELECT event_type, dayofweek(ts), COUNT(*) FROM '{SF}/events.parquet'"
-        " GROUP BY 1, 2"
-    )
-    obs = {(t, d): c for t, d, c in rows}
-    n = sum(obs.values())
-    types = sorted({t for t, _, _ in rows})
-    dows = sorted({d for _, d, _ in rows})
-    rt = {t: sum(c for (tt, _), c in obs.items() if tt == t) for t in types}
-    ct = {d: sum(c for (_, dd), c in obs.items() if dd == d) for d in dows}
-    # residuals sum-of-squares = chi2; spot-check every cell
-    for t in types:
-        for d in dows:
-            e = rt[t] * ct[d] / n
-            o = obs.get((t, d), 0)
-            r = got[(t, d)]
-            assert r["n_obs"] == o
-            assert abs(r["expected_milli"] - round(1000 * e)) <= 1
-            assert abs(r["pearson_resid"] - (o - e) / math.sqrt(e)) < 1e-5
-
-
-def test_cohens_d_brute(spark):
-    vals = {}
-    for et in ("purchase", "view"):
-        vals[et] = [
-            # the engines fold exact DECIMAL(18,2)/(28,4) casts; mirror the
-            # cent-grain quantization so the brute mean/var agree closely
-            v
-            for (v,) in _duck(
-                f"SELECT value FROM '{SF}/events.parquet'"
-                f" WHERE event_type = '{et}'"
-            )
-        ]
-    na, nb = len(vals["purchase"]), len(vals["view"])
-    ma = sum(vals["purchase"]) / na
-    mb = sum(vals["view"]) / nb
-    va = sum((x - ma) ** 2 for x in vals["purchase"]) / (na - 1)
-    vb = sum((x - mb) ** 2 for x in vals["view"]) / (nb - 1)
-    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
-    d = (ma - mb) / sp
-    g = d * (1 - 3 / (4 * (na + nb) - 9))
-    got = QUERIES["cohens_d_purchase_view"](spark, SF).collect()[0]
-    assert (got["n_purchase"], got["n_view"]) == (na, nb)
-    assert abs(got["mean_diff"] - (ma - mb)) < 1e-3
-    assert abs(got["cohens_d"] - d) < 1e-3
-    assert abs(got["hedges_g"] - g) < 1e-3
-    assert abs(got["hedges_g"]) <= abs(got["cohens_d"])
-
-
-def test_weekend_or_brute(spark):
-    rows = _duck(
-        f"""SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END,
-                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
-                   COUNT(*)
-            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
-    )
-    c = {(w, v): n for w, v, n in rows}
-    a, b = c.get((1, 1), 0) + 0.5, c.get((1, 0), 0) + 0.5
-    cc, d = c.get((0, 1), 0) + 0.5, c.get((0, 0), 0) + 0.5
-    orr = (a * d) / (b * cc)
-    se = math.sqrt(1 / a + 1 / b + 1 / cc + 1 / d)
-    rr = (a / (a + b)) / (cc / (cc + d))
-    got = QUERIES["weekend_purchase_effect"](spark, SF).collect()[0]
-    assert abs(got["odds_ratio"] - orr) < 1e-5
-    assert abs(got["log_or"] - math.log(orr)) < 1e-5
-    assert abs(got["log_or_ci_lo"] - (math.log(orr) - 1.959963984540054 * se)) < 1e-5
-    assert abs(got["log_or_ci_hi"] - (math.log(orr) + 1.959963984540054 * se)) < 1e-5
-    assert abs(got["risk_ratio"] - rr) < 1e-5
-    assert got["log_or_ci_lo"] < got["log_or"] < got["log_or_ci_hi"]
-
-
-def test_ordinal_association_brute(spark):
-    rows = _duck(
-        f"SELECT CAST(l_quantity AS BIGINT), l_linenumber, COUNT(*)"
-        f" FROM '{SF}/lineitem.parquet' GROUP BY 1, 2"
-    )
-    cells = [(x, y, c) for x, y, c in rows]
-    conc = disc = 0
-    for i, (x1, y1, n1) in enumerate(cells):
-        for x2, y2, n2 in cells:
-            if x2 > x1 and y2 > y1:
-                conc += n1 * n2
-            elif x2 > x1 and y2 < y1:
-                disc += n1 * n2
-    n = sum(c for _, _, c in cells)
-    tx = Counter()
-    ty = Counter()
-    for x, y, c in cells:
-        tx[x] += c
-        ty[y] += c
-    n0 = n * (n - 1) // 2
-    n1t = sum(c * (c - 1) // 2 for c in tx.values())
-    n2t = sum(c * (c - 1) // 2 for c in ty.values())
-    gamma = (conc - disc) / (conc + disc)
-    tau_b = (conc - disc) / math.sqrt((n0 - n1t) * (n0 - n2t))
-    somers = (conc - disc) / (n0 - n1t)
-    got = QUERIES["ordinal_association_qty_line"](spark, SF).collect()[0]
-    assert got["n_rows"] == n
-    assert got["n_concordant"] == conc
-    assert got["n_discordant"] == disc
-    assert abs(got["gamma"] - gamma) < 1e-6
-    assert abs(got["kendall_tau_b"] - tau_b) < 1e-6
-    assert abs(got["somers_d_yx"] - somers) < 1e-6
-    # the tie-charging order: |gamma| >= |tau_b| always
-    assert abs(got["gamma"]) >= abs(got["kendall_tau_b"]) - 1e-9
-
-
-def _doc_tokens():
-    return _duck(f"SELECT text FROM '{SF}/documents.parquet'")
-
-
-def test_cohens_kappa_brute(spark):
-    n = a = b = c = d = 0
-    for (text,) in _doc_tokens():
-        ws = text.split(" ")
-        if not ws:
-            continue
-        r1 = 20 <= len(ws) <= 90
-        r2 = sum(1 for w in ws if w in STOPWORDS) >= 2
-        n += 1
-        a += r1 and r2
-        b += r1 and not r2
-        c += (not r1) and r2
-        d += (not r1) and not r2
-    po = (a + d) / n
-    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
-    kappa = (po - pe) / (1 - pe)
-    got = QUERIES["cohens_kappa_rules"](spark, SF).collect()[0]
-    assert got["n_docs"] == n
-    assert got["n_both_pass"] == a
-    assert got["n_both_fail"] == d
-    assert got["n_disagree"] == b + c
-    assert abs(got["cohens_kappa"] - kappa) < 1e-6
-    assert -1.0 <= got["cohens_kappa"] <= 1.0
-
-
-def test_fleiss_kappa_brute(spark):
-    xs = []
-    for (text,) in _doc_tokens():
-        ws = text.split(" ")
-        if not ws:
-            continue
-        chars = sum(len(w) for w in ws)
-        x = (
-            (20 <= len(ws) <= 90)
-            + (42 * len(ws) <= chars * 10 <= 48 * len(ws))
-            + (sum(1 for w in ws if w in STOPWORDS) >= 2)
-        )
-        xs.append(x)
+def _var(xs):
     n = len(xs)
-    p = sum(xs) / (3 * n)
-    pbar = sum(x * (x - 1) + (3 - x) * (2 - x) for x in xs) / (6 * n)
-    pe = p * p + (1 - p) * (1 - p)
-    kappa = (pbar - pe) / (1 - pe)
-    got = QUERIES["fleiss_kappa_rules"](spark, SF).collect()[0]
-    assert got["n_docs"] == n
-    assert got["sum_passes"] == sum(xs)
-    assert abs(got["fleiss_kappa"] - kappa) < 1e-6
+    m = sum(xs) / n
+    return sum((x - m) ** 2 for x in xs) / (n - 1)
 
 
-def test_mcc_brute(spark):
-    tp = fp = fn = tn = 0
-    for text, lang in _duck(
-        f"SELECT text, lang FROM '{SF}/documents.parquet'"
-    ):
-        ws = text.split(" ")
-        if not ws:
-            continue
-        guess = sum(1 for w in ws if w in STOPWORDS) / len(ws) >= 0.04
-        truth = lang == "en"
-        tp += truth and guess
-        fp += (not truth) and guess
-        fn += truth and not guess
-        tn += (not truth) and not guess
-    mcc = (tp * tn - fp * fn) / (
-        math.sqrt((tp + fp) * (tp + fn)) * math.sqrt((tn + fp) * (tn + fn))
+def test_welch_ttest_brute(spark):
+    a, b = _purchase_view_values()
+    sea = _var(a) / len(a)
+    seb = _var(b) / len(b)
+    t = (sum(a) / len(a) - sum(b) / len(b)) / math.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
     )
-    f1 = 2 * tp / (2 * tp + fp + fn)
-    got = QUERIES["matthews_corr_lang_id"](spark, SF).collect()[0]
-    assert (got["n_tp"], got["n_fp"], got["n_fn"], got["n_tn"]) == (
-        tp,
-        fp,
-        fn,
-        tn,
+    got = QUERIES["welch_ttest_purchase_view"](spark, SF).collect()[0]
+    assert got["n_purchase"] == len(a) and got["n_view"] == len(b)
+    assert abs(got["welch_t"] - t) < 2e-5
+    assert abs(got["satterthwaite_df"] - df) < max(1e-3, df * 1e-5)
+    assert got["means_differ_95"] == (abs(t) > 1.959963984540054)
+
+
+def test_oneway_anova_brute(spark):
+    rows = fetch(f"SELECT event_type, value FROM '{SF}/events.parquet'")
+    groups = defaultdict(list)
+    for t, v in rows:
+        groups[t].append(v)
+    n = len(rows)
+    k = len(groups)
+    gm = sum(v for _, v in rows) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
     )
-    assert abs(got["mcc"] - mcc) < 1e-6
-    assert abs(got["f1"] - f1) < 1e-6
-    assert -1.0 <= got["mcc"] <= 1.0
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = QUERIES["oneway_anova_value_by_type"](spark, SF).collect()[0]
+    assert got["n_groups"] == k and got["n_events"] == n
+    assert abs(got["f_stat"] - f) < max(1e-4, f * 1e-5)
+    assert abs(got["eta_sq"] - ssb / (ssb + ssw)) < 1e-5
 
 
-def test_uncertainty_coeff_brute(spark):
-    rows = _duck(
-        f"SELECT lang, source, COUNT(*) FROM '{SF}/documents.parquet'"
-        " GROUP BY 1, 2"
+def test_tukey_hsd_brute(spark):
+    rows = fetch(f"SELECT event_type, value FROM '{SF}/events.parquet'")
+    groups = defaultdict(list)
+    for t, v in rows:
+        groups[t].append(v)
+    n = len(rows)
+    k = len(groups)
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
     )
-    n = sum(c for _, _, c in rows)
-    nx = Counter()
-    ny = Counter()
-    for lang, src, c in rows:
-        nx[lang] += c
-        ny[src] += c
-    mi = sum(
-        c / n * math.log(c * n / (nx[lang] * ny[src]))
-        for lang, src, c in rows
-    )
-    hx = -sum(v / n * math.log(v / n) for v in nx.values())
-    hy = -sum(v / n * math.log(v / n) for v in ny.values())
-    got = QUERIES["uncertainty_coeff_lang_source"](spark, SF).collect()[0]
-    assert got["n_docs"] == n
-    assert abs(got["u_lang_given_source"] - mi / hx) < 1e-4
-    assert abs(got["u_source_given_lang"] - mi / hy) < 1e-4
-    assert abs(got["u_symmetric"] - 2 * mi / (hx + hy)) < 1e-4
-    # information inequalities: 0 <= U <= 1, MI <= min(H)
-    assert 0.0 <= got["u_lang_given_source"] <= 1.0
-    assert 0.0 <= got["u_source_given_lang"] <= 1.0
-    assert got["mi_weighted_micro"] <= min(
-        got["h_lang_weighted_micro"], got["h_source_weighted_micro"]
-    )
-
-
-def test_cochran_armitage_brute(spark):
-    rows = _duck(
-        f"""SELECT dayofweek(ts), COUNT(*),
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-            FROM '{SF}/events.parquet' GROUP BY 1"""
-    )
-    n = sum(ni for _, ni, _ in rows)
-    a = sum(ai for _, _, ai in rows)
-    s1 = sum(w * ai for w, _, ai in rows)
-    s2 = sum(w * ni for w, ni, _ in rows)
-    s3 = sum(w * w * ni for w, ni, _ in rows)
-    # textbook float form: T = S1 - A*S2/N; Var = A/N (1-A/N)(S3 - S2^2/N)
-    t_stat = s1 - a * s2 / n
-    var = (a / n) * (1 - a / n) * (s3 - s2 * s2 / n)
-    chi2 = t_stat * t_stat / var
-    got = QUERIES["cochran_armitage_weekday_trend"](spark, SF).collect()[0]
-    assert got["n_events"] == n
-    assert got["n_purchases"] == a
-    assert abs(got["chi2_trend"] - chi2) < 1e-5
-    assert got["trend_95"] == (chi2 > 3.841458820694124)
-
-
-if __name__ == "__main__":
-    sys.exit(pytest.main([__file__, "-q"]))
-
-
-# ---------------------------------------------------------------------------
-# batch 2: training-pipeline planning tables
-# ---------------------------------------------------------------------------
-
-
-def test_curriculum_buckets_brute(spark):
-    rows = QUERIES["curriculum_quality_buckets"](spark, SF).collect()
-    assert [r["stage"] for r in rows] == [1, 2, 3, 4, 5]
-    n_docs = _duck(
-        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
-        " WHERE len(string_split(text, ' ')) > 0"
-    )[0][0]
-    assert sum(r["n_docs"] for r in rows) == n_docs
-    # equal-frequency: stage sizes differ by at most 1 (ntile contract)
-    sizes = [r["n_docs"] for r in rows]
-    assert max(sizes) - min(sizes) <= 1
-    # stages are quality-ordered and non-overlapping at the micro grain
-    for lo, hi in zip(rows, rows[1:]):
-        assert lo["max_quality_micro"] <= hi["min_quality_micro"]
-        assert lo["min_quality_micro"] <= lo["mean_quality_micro"] <= lo["max_quality_micro"]
-
-
-def test_quality_threshold_sweep_brute(spark):
-    rows = QUERIES["quality_threshold_sweep"](spark, SF).collect()
-    assert [r["thr_micro"] for r in rows] == [200000, 400000, 600000, 800000]
-    # monotone: a stricter gate never keeps more
-    for a, b in zip(rows, rows[1:]):
-        assert b["n_docs_kept"] <= a["n_docs_kept"]
-        assert b["tokens_kept"] <= a["tokens_kept"]
-    # brute-force one threshold
-    kept = toks = 0
-    for (text,) in _doc_tokens():
-        ws = text.split(" ")
-        if not ws:
-            continue
-        q = min(1.0, len(ws) / 64.0) * (len(set(ws)) / len(ws))
-        if math.floor(1e6 * q + 0.5) >= 400000:
-            kept += 1
-            toks += len(ws)
-    r = rows[1]
-    assert (r["n_docs_kept"], r["tokens_kept"]) == (kept, toks)
-
-
-def test_epochs_per_source_brute(spark):
-    rows = QUERIES["epochs_per_source_plan"](spark, SF).collect()
-    per_src = {
-        s: t
-        for s, t in _duck(
-            f"SELECT source, SUM(len(string_split(text, ' ')))"
-            f" FROM '{SF}/documents.parquet' GROUP BY source"
-        )
+    msw = ssw / (n - k)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["tukey_hsd_value_by_type"](spark, SF).collect()
     }
-    assert {r["source"] for r in rows} == set(per_src)
-    t_tot = sum(per_src.values())
-    s_tot = sum(math.floor(1e6 * math.sqrt(v) + 0.5) for v in per_src.values())
-    # budget identity: sum over sources of epochs*tokens = 2 * corpus
-    budget = sum(
-        2.0 * t_tot * math.floor(1e6 * math.sqrt(per_src[r["source"]]) + 0.5)
-        / s_tot
-        for r in rows
+    names = sorted(groups)
+    n_pairs = 0
+    for i, ta in enumerate(names):
+        for tb in names[i + 1 :]:
+            ga, gb = groups[ta], groups[tb]
+            diff = sum(ga) / len(ga) - sum(gb) / len(gb)
+            q = abs(diff) / math.sqrt(
+                msw / 2.0 * (1.0 / len(ga) + 1.0 / len(gb))
+            )
+            r = got[(ta, tb)]
+            assert abs(r["mean_diff"] - diff) < 2e-6
+            assert abs(r["q_stat"] - q) < max(1e-4, q * 1e-5)
+            assert r["differs_95"] == (q > 3.858)
+            n_pairs += 1
+    assert n_pairs == len(got) == k * (k - 1) // 2
+
+
+def test_bartlett_brute(spark):
+    rows = fetch(f"SELECT event_type, value FROM '{SF}/events.parquet'")
+    groups = defaultdict(list)
+    for t, v in rows:
+        groups[t].append(v)
+    n = len(rows)
+    k = len(groups)
+    sp2 = sum((len(g) - 1) * _var(g) for g in groups.values()) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(_var(g)) for g in groups.values()
     )
-    assert abs(budget - 2.0 * t_tot) < 1.0
-    for r in rows:
-        sm = math.floor(1e6 * math.sqrt(per_src[r["source"]]) + 0.5)
-        ep = 2.0 * t_tot * sm / (s_tot * per_src[r["source"]])
-        assert abs(r["epochs"] - ep) < 1e-5
-        assert r["over_epoch_cap"] == (ep > 4.0)
-    # target shares sum to ~1e6 (micro-rounded)
-    assert abs(sum(r["target_share_micro"] for r in rows) - 1_000_000) <= len(rows)
+    c = 1 + (
+        sum(1.0 / (len(g) - 1) for g in groups.values()) - 1.0 / (n - k)
+    ) / (3 * (k - 1))
+    chi2 = num / c
+    got = QUERIES["bartlett_test_value_by_type"](spark, SF).collect()[0]
+    assert got["n_groups"] == k and got["n_events"] == n
+    assert abs(got["bartlett_chi2"] - chi2) < max(1e-3, chi2 * 1e-4)
 
 
-def test_cumulative_gains_brute(spark):
-    rows = QUERIES["cumulative_gains_deciles"](spark, SF).collect()
-    assert [r["decile"] for r in rows] == list(range(1, 11))
-    ev = _duck(
-        f"""SELECT event_id, value,
-                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-            FROM '{SF}/events.parquet'"""
+def test_jarque_bera_brute(spark):
+    vals = [r[0] for r in fetch(f"SELECT value FROM '{SF}/events.parquet'")]
+    n = len(vals)
+    m = sum(vals) / n
+    m2 = sum((v - m) ** 2 for v in vals) / n
+    m3 = sum((v - m) ** 3 for v in vals) / n
+    m4 = sum((v - m) ** 4 for v in vals) / n
+    s = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3
+    jb = n / 6.0 * (s * s + 0.25 * kurt * kurt)
+    got = QUERIES["jarque_bera_value"](spark, SF).collect()[0]
+    assert got["n_events"] == n
+    assert abs(got["skewness"] - s) < 1e-5
+    assert abs(got["excess_kurtosis"] - kurt) < 1e-5
+    assert abs(got["jb_stat"] - jb) < max(1e-3, jb * 1e-5)
+
+
+def test_chi2_goodness_weekday_brute(spark):
+    rows = fetch(
+        f"SELECT dayofweek(o_orderdate) FROM '{SF}/orders.parquet'"
     )
-    ev.sort(key=lambda t: (-t[1], t[0]))
-    n = len(ev)
-    p_tot = sum(p for _, _, p in ev)
-    # brute ntile decile boundaries
-    q, rem = divmod(n, 10)
-    cum = 0
-    start = 0
-    for i, r in enumerate(rows, 1):
-        size = q + (1 if i <= rem else 0)
-        chunk = ev[start : start + size]
-        start += size
-        cum += sum(p for _, _, p in chunk)
-        assert r["n_events"] == size
-        assert r["cum_pos"] == cum
-        assert r["gain_micro"] == math.floor(1e6 * cum / p_tot + 0.5)
-    # the last decile reaches 100% gain and lift 1x
-    assert rows[-1]["gain_micro"] == 1_000_000
-    assert rows[-1]["lift_micro"] == 1_000_000
-    # gains are monotone nondecreasing
-    gains = [r["gain_micro"] for r in rows]
-    assert gains == sorted(gains)
+    c = Counter(r[0] for r in rows)
+    n = len(rows)
+    k = len(c)
+    e = n / k
+    chi2 = sum((o - e) ** 2 / e for o in c.values())
+    got = QUERIES["chi2_goodness_weekday_orders"](spark, SF).collect()[0]
+    assert got["n_orders"] == n and got["n_days"] == k
+    assert abs(got["chi2_uniform"] - chi2) < 1e-4
 
 
-# ---------------------------------------------------------------------------
-# batch 3: AP, CUPED, Hodges-Lehmann, RBO, TwoNN
-# ---------------------------------------------------------------------------
-
-
-def test_average_precision_brute(spark):
-    ev = _duck(
-        f"""SELECT event_id, value,
-                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-            FROM '{SF}/events.parquet'"""
+def _half_split(table, col):
+    rows = fetch(
+        f"SELECT {col}, ts::DATE FROM '{SF}/{table}.parquet'"
     )
-    ev.sort(key=lambda t: (-t[1], t[0]))
-    cum = 0
-    terms = []
-    for k, (_, _, pos) in enumerate(ev, 1):
-        cum += pos
-        if pos:
-            terms.append(cum / k)
-    p = cum
-    ap = sum(terms) / p
-    got = QUERIES["average_precision_value_score"](spark, SF).collect()[0]
-    assert got["n_events"] == len(ev)
-    assert got["n_pos"] == p
-    assert abs(got["average_precision"] - ap) < 1e-5
-    assert got["prevalence_micro"] == math.floor(1e6 * p / len(ev) + 0.5)
-    # AP of an informative-or-not score still lives in [prevalence-ish, 1]
-    assert 0.0 < got["average_precision"] <= 1.0
+    days = [d for _, d in rows]
+    day0, span = min(days), (max(days) - min(days)).days
+    return [(v, 0 if (d - day0).days * 2 <= span else 1) for v, d in rows]
 
 
-def test_cuped_brute(spark):
-    rows = _duck(
-        f"SELECT user_id, epoch_us(ts::TIMESTAMP), value"
+def test_wasserstein_brute(spark):
+    rows = _half_split("events", "value")
+    a = sorted(v for v, h in rows if h == 0)
+    b = sorted(v for v, h in rows if h == 1)
+    domain = sorted(set(a) | set(b))
+    ca = Counter(a)
+    cb = Counter(b)
+    w1, f1, f2 = 0.0, 0, 0
+    for v, nxt in zip(domain, domain[1:]):
+        f1 += ca[v]
+        f2 += cb[v]
+        w1 += abs(f1 / len(a) - f2 / len(b)) * (nxt - v)
+    got = QUERIES["wasserstein_value_drift"](spark, SF).collect()[0]
+    assert got["n_early"] == len(a) and got["n_late"] == len(b)
+    assert got["n_domain"] == len(domain)
+    assert abs(got["wasserstein_1"] - w1) < 1e-4
+
+
+def test_hellinger_tv_brute(spark):
+    rows = _half_split("events", "event_type")
+    a = Counter(v for v, h in rows if h == 0)
+    b = Counter(v for v, h in rows if h == 1)
+    ta, tb = sum(a.values()), sum(b.values())
+    types = set(a) | set(b)
+    bc = sum(math.sqrt((a[t] / ta) * (b[t] / tb)) for t in types)
+    tv = sum(abs(a[t] / ta - b[t] / tb) for t in types) / 2.0
+    h = math.sqrt(1 - min(bc, 1.0))
+    got = QUERIES["hellinger_tv_event_drift"](spark, SF).collect()[0]
+    assert got["n_early"] == ta and got["n_late"] == tb
+    assert abs(got["hellinger"] - h) < 1e-4
+    assert abs(got["total_variation"] - tv) < 1e-5
+
+
+EN_STOPWORDS = None  # loaded lazily from the package to stay in sync
+
+
+def _rule_rows():
+    from veri_spark.functions.text import EN_STOPWORDS as SW
+
+    rows = fetch(f"SELECT text FROM '{SF}/documents.parquet'")
+    out = []
+    for (text,) in rows:
+        ws = text.split(" ")
+        if not ws or ws == [""]:
+            continue
+        hits = sum(1 for w in ws if w in SW)
+        out.append((ws, hits))
+    return out
+
+
+def test_ece_brute(spark):
+    rows = fetch(f"SELECT text, lang FROM '{SF}/documents.parquet'")
+    from veri_spark.functions.text import EN_STOPWORDS as SW
+
+    bins = defaultdict(lambda: [0, 0, 0])  # n, pos, sum score_micro
+    for text, lang in rows:
+        ws = text.split(" ")
+        if not ws or ws == [""]:
+            continue
+        hits = sum(1 for w in ws if w in SW)
+        b = min(10 * hits // len(ws), 9)
+        bins[b][0] += 1
+        bins[b][1] += 1 if lang == "en" else 0
+        bins[b][2] += round(1e6 * hits / len(ws))
+    n = sum(v[0] for v in bins.values())
+    gaps = {
+        b: abs(round(1e6 * p / c) - round(sm / c))
+        for b, (c, p, sm) in bins.items()
+    }
+    ece = round(sum(bins[b][0] * gaps[b] for b in bins) / n)
+    mce = max(gaps.values())
+    got = QUERIES["expected_calibration_error"](spark, SF).collect()[0]
+    assert got["n_docs"] == n and got["n_bins"] == len(bins)
+    assert got["ece_micro"] == ece
+    assert got["mce_micro"] == mce
+
+
+def test_decision_stump_brute(spark):
+    rows = fetch(f"SELECT value, event_type FROM '{SF}/events.parquet'")
+    dom = defaultdict(lambda: [0, 0])
+    for v, t in rows:
+        dom[v][0] += 1
+        dom[v][1] += 1 if t == "purchase" else 0
+    tn = sum(v[0] for v in dom.values())
+    tp = sum(v[1] for v in dom.values())
+
+    def gini(p, n):
+        return 1 - (p / n) ** 2 - ((n - p) / n) ** 2
+
+    best = None
+    cn = cp = 0
+    for v in sorted(dom):
+        cn += dom[v][0]
+        cp += dom[v][1]
+        if cn == 0 or cn == tn:
+            continue
+        rn, rp = tn - cn, tp - cp
+        gain = (
+            gini(tp, tn)
+            - cn / tn * gini(cp, cn)
+            - rn / tn * gini(rp, rn)
+        )
+        key = (-gain, v)
+        if best is None or key < best[0]:
+            best = (key, v, cn, cp, rn, rp, gain)
+    got = QUERIES["decision_stump_value_purchase"](spark, SF).collect()[0]
+    assert got["threshold"] == best[1]
+    assert got["n_left"] == best[2] and got["pos_left"] == best[3]
+    assert got["n_right"] == best[4] and got["pos_right"] == best[5]
+    assert abs(got["gini_gain"] - best[6]) < 1e-8
+
+
+def test_hits_brute(spark):
+    rows = fetch(
+        f"SELECT DISTINCT o.o_custkey, l.l_partkey"
+        f" FROM '{SF}/orders.parquet' o"
+        f" JOIN '{SF}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey"
+    )
+    by_c = defaultdict(list)
+    a1 = Counter()
+    for c, p in rows:
+        by_c[c].append(p)
+        a1[p] += 1
+    h1 = {c: sum(a1[p] for p in ps) for c, ps in by_c.items()}
+    a2 = Counter()
+    for c, ps in by_c.items():
+        for p in ps:
+            a2[p] += h1[c]
+    top = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["hits_authorities_bipartite"](spark, SF).collect()
+    assert [(r["l_partkey"], r["authority_2"]) for r in got] == top
+    for r in got:
+        assert r["indegree"] == a1[r["l_partkey"]]
+
+
+def test_chao1_brute(spark):
+    rows = fetch(f"SELECT text FROM '{SF}/documents.parquet'")
+    tf = Counter()
+    for (text,) in rows:
+        tf.update(text.split(" "))
+    f1 = sum(1 for c in tf.values() if c == 1)
+    f2 = sum(1 for c in tf.values() if c == 2)
+    v = len(tf)
+    n = sum(tf.values())
+    chao1 = v + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+    got = QUERIES["chao1_vocab_richness"](spark, SF).collect()[0]
+    assert got["v_obs"] == v and got["n_tokens"] == n
+    assert got["hapax"] == f1 and got["dis_legomena"] == f2
+    assert abs(got["chao1_estimate"] - chao1) < 1e-4
+    assert abs(got["good_turing_coverage"] - (1 - f1 / n)) < 1e-6
+
+
+def test_cronbach_alpha_brute(spark):
+    items = []
+    for ws, hits in _rule_rows():
+        chars = sum(len(w) for w in ws)
+        r1 = 1 if 20 <= len(ws) <= 90 else 0
+        r2 = 1 if 42 * len(ws) <= chars * 10 <= 48 * len(ws) else 0
+        r3 = 1 if hits >= 2 else 0
+        items.append((r1, r2, r3))
+    n = len(items)
+    k = 3
+    tot = [sum(t) for t in items]
+    var_t = (n * sum(x * x for x in tot) - sum(tot) ** 2) / (n * (n - 1))
+    var_items = sum(
+        (sum(t[j] for t in items) * (n - sum(t[j] for t in items)))
+        / (n * (n - 1))
+        for j in range(k)
+    )
+    alpha = k / (k - 1) * (1 - var_items / var_t)
+    got = QUERIES["cronbachs_alpha_rules"](spark, SF).collect()[0]
+    assert got["n_docs"] == n
+    assert abs(got["cronbach_alpha"] - alpha) < 1e-5
+
+
+def test_g_test_brute(spark):
+    rows = fetch(
+        f"SELECT event_type, dayofweek(ts) FROM '{SF}/events.parquet'"
+    )
+    cells = Counter(rows)
+    rt = Counter(t for t, _ in rows)
+    ct = Counter(d for _, d in rows)
+    n = len(rows)
+    g = 0.0
+    for (t, d), o in cells.items():
+        e = rt[t] * ct[d] / n
+        g += 2.0 * o * math.log(o / e)
+    got = QUERIES["g_test_type_weekday"](spark, SF).collect()[0]
+    assert got["n_events"] == n
+    assert got["n_types"] == len(rt) and got["n_days"] == len(ct)
+    assert abs(got["g_stat"] - g) < 1e-4
+
+
+def test_shannon_evenness_brute(spark):
+    rows = fetch(f"SELECT source, lang FROM '{SF}/documents.parquet'")
+    by_src = defaultdict(Counter)
+    for s, lang in rows:
+        by_src[s][lang] += 1
+    got = {
+        r["source"]: r
+        for r in QUERIES["lang_shannon_evenness_by_source"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, c in by_src.items():
+        n = sum(c.values())
+        h = -sum(v / n * math.log(v / n) for v in c.values())
+        r = got[s]
+        assert r["n_docs"] == n and r["n_langs"] == len(c)
+        assert abs(r["shannon_h_nats"] - h) < 1e-5
+        if len(c) > 1:
+            assert abs(r["pielou_evenness"] - h / math.log(len(c))) < 1e-5
+
+
+def test_nelson_aalen_brute(spark):
+    rows = fetch(
+        f"SELECT user_id, epoch_us(ts::TIMESTAMP), event_type"
         f" FROM '{SF}/events.parquet'"
     )
-    lo = min(t for _, t, _ in rows)
-    hi = max(t for _, t, _ in rows)
-    mid = lo + (hi - lo) // 2
-    agg = {}
-    for u, t, v in rows:
-        x, y = agg.get(u, (0.0, 0.0))
-        # mirror the cent-grain decimal casts
-        v = round(v, 2)
-        if t <= mid:
-            x += v
+    users = defaultdict(lambda: [None, None, None])  # fu, pu, lu
+    for u, us, t in rows:
+        rec = users[u]
+        rec[0] = us if rec[0] is None else min(rec[0], us)
+        rec[2] = us if rec[2] is None else max(rec[2], us)
+        if t == "purchase":
+            rec[1] = us if rec[1] is None else min(rec[1], us)
+    HOUR = 3600000000
+    obs = []
+    for fu, pu, lu in users.values():
+        if pu is not None and (pu - fu) // HOUR < 48:
+            obs.append(((pu - fu) // HOUR, 1))
         else:
-            y += v
-        agg[u] = (x, y)
-    xs = [x for x, _ in agg.values()]
-    ys = [y for _, y in agg.values()]
-    n = len(agg)
-    sx, sy = sum(xs), sum(ys)
-    sxx = sum(x * x for x in xs)
-    syy = sum(y * y for y in ys)
-    sxy = sum(x * y for x, y in agg.values())
-    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-    got = QUERIES["cuped_variance_reduction"](spark, SF).collect()[0]
-    assert got["n_users"] == n
-    assert abs(got["theta"] - theta) < 1e-4
-    assert abs(got["var_reduction"] - rho2) < 1e-4
-    assert 0.0 <= got["var_reduction"] <= 1.0
-
-
-def test_hodges_lehmann_brute(spark):
-    vals = [
-        int(v)
-        for (v,) in _duck(f"SELECT l_quantity FROM '{SF}/lineitem.parquet'")
+            obs.append((min(48, (lu - fu) // HOUR), 0))
+    d = defaultdict(lambda: [0, 0])  # d_t, m_t
+    for t, e in obs:
+        d[t][0] += e
+        d[t][1] += 1
+    ch = 0
+    cv = 0
+    exp = []
+    for t in sorted(d):
+        n_t = sum(m for tt, (_, m) in d.items() if tt >= t)
+        d_t = d[t][0]
+        if d_t > 0:
+            ch += round(1e9 * d_t / n_t)
+            cv += round(1e9 * d_t / (n_t * n_t))
+            exp.append((t, n_t, d_t, ch, cv))
+    got = QUERIES["nelson_aalen_time_to_purchase"](spark, SF).collect()
+    rows_got = [
+        (
+            r["t_hours"],
+            r["n_at_risk"],
+            r["n_events"],
+            r["cum_hazard_nano"],
+            r["cum_hazard_var_nano"],
+        )
+        for r in got
     ]
-    # brute Walsh-average median via the value-domain weights (the row
-    # grain would be n(n+1)/2 ~ 1.8e7 pairs at sf0.001 — do the same
-    # domain collapse independently)
-    cnt = Counter(vals)
-    walsh = Counter()
-    doms = sorted(cnt)
-    for i, v1 in enumerate(doms):
-        for v2 in doms[i:]:
-            wgt = (
-                cnt[v1] * (cnt[v1] + 1) // 2
-                if v1 == v2
-                else cnt[v1] * cnt[v2]
-            )
-            walsh[v1 + v2] += wgt
-    m = sum(walsh.values())
-    k1, k2 = (m + 1) // 2, (m + 2) // 2
-    cum = 0
-    w_lo = w_hi = None
-    for w in sorted(walsh):
-        cum += walsh[w]
-        if w_lo is None and cum >= k1:
-            w_lo = w
-        if w_hi is None and cum >= k2:
-            w_hi = w
-    hl = (w_lo + w_hi) / 4
-    got = QUERIES["hodges_lehmann_quantity"](spark, SF).collect()[0]
-    assert got["n_rows"] == len(vals)
-    assert got["n_walsh_pairs"] == len(vals) * (len(vals) + 1) // 2
-    assert got["hl_quarter_units"] == w_lo + w_hi
-    assert got["hodges_lehmann"] == hl
-    # a location estimate must sit inside the data range
-    assert min(vals) <= got["hodges_lehmann"] <= max(vals)
+    assert rows_got == exp
 
 
-def test_rbo_brute(spark):
-    # independent weight re-derivation + reference RBO_ext implementation
-    from veri_spark.plans.ranking_metrics import (
-        _RBO_K,
-        _RBO_P,
-        _RBO_ROWS,
-        _RBO_TAIL_W,
+def test_dup_span_extents_brute(spark):
+    rows = fetch(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    shingles = defaultdict(set)  # shingle -> docs
+    per_doc = {}
+    for doc, text in rows:
+        ws = text.split(" ")
+        sh = [
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        ] if len(ws) >= 3 else []
+        per_doc[doc] = sh
+        for s in sh:
+            shingles[s].add(doc)
+    hist = Counter()
+    removable = Counter()
+    for doc, sh in per_doc.items():
+        covered = set()
+        for i, s in enumerate(sh):
+            if len(shingles[s]) >= 2:
+                covered.update((i, i + 1, i + 2))
+        run = 0
+        prev = None
+        for t in sorted(covered) + [None]:
+            if prev is not None and t == prev + 1:
+                run += 1
+            else:
+                if run:
+                    hist[min(run, 12)] += 1
+                    removable[min(run, 12)] += run
+                run = 1 if t is not None else 0
+            prev = t
+    got = QUERIES["dup_span_extents"](spark, SF).collect()
+    assert {
+        (r["span_len_capped"], r["n_spans"], r["tokens_removable"])
+        for r in got
+    } == {(k, hist[k], removable[k]) for k in hist}
+
+
+def test_randomization_test_brute(spark):
+    rows = fetch(
+        f"SELECT event_id, value, dayofweek(ts) FROM '{SF}/events.parquet'"
     )
+    n1 = n0 = 0
+    s1 = s0 = 0.0
+    hs = []
+    for eid, v, dow in rows:
+        if dow in (0, 6):
+            n1 += 1
+            s1 += v
+        else:
+            n0 += 1
+            s0 += v
+        hs.append((int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16), v))
+    obs = s1 / n1 - s0 / n0
+    extreme = 0
+    reps = 0
+    for r in range(60):
+        a_n = b_n = 0
+        a_s = b_s = 0.0
+        for h, v in hs:
+            if (h >> r) & 1:
+                a_n += 1
+                a_s += v
+            else:
+                b_n += 1
+                b_s += v
+        if a_n and b_n:
+            reps += 1
+            if abs(a_s / a_n - b_s / b_n) >= abs(obs):
+                extreme += 1
+    got = QUERIES["randomization_test_weekend_value"](spark, SF).collect()[0]
+    assert got["n_weekend"] == n1 and got["n_weekday"] == n0
+    assert abs(got["obs_mean_diff"] - obs) < 2e-6
+    assert got["n_replicates"] == reps
+    assert got["n_extreme"] == extreme
 
-    p = _RBO_P
-    for d, w in _RBO_ROWS:
-        assert abs(w - (1 - p) / p * p**d / d) < 1e-15
-    assert abs(_RBO_TAIL_W - p**_RBO_K / _RBO_K) < 1e-15
 
-    emb = _duck(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'")
-    q = next(e for vid, e in emb if vid == 0)
-
-    def cos(e):
-        dot = sum(a * b for a, b in zip(e, q))
-        na = math.sqrt(sum(a * a for a in e))
-        nq = math.sqrt(sum(b * b for b in q))
-        return max(-1.0, min(1.0, dot / (na * nq)))
-
-    def dot(e):
-        return sum(a * b for a, b in zip(e, q))
-
-    topc = [v for v, _ in sorted(((vid, cos(e)) for vid, e in emb), key=lambda t: (-t[1], t[0]))[:20]]
-    topd = [v for v, _ in sorted(((vid, dot(e)) for vid, e in emb), key=lambda t: (-t[1], t[0]))[:20]]
-    xs = [len(set(topc[:d]) & set(topd[:d])) for d in range(1, 21)]
-    rbo = xs[-1] / 20 * p**20 + (1 - p) / p * sum(
-        xs[d - 1] / d * p**d for d in range(1, 21)
-    )
-    got = QUERIES["rbo_cosine_vs_dot"](spark, SF).collect()[0]
-    assert got["n_common"] == xs[-1]
-    assert got["n_common_at10"] == xs[9]
-    assert abs(got["rbo_ext_p90"] - rbo) < 1e-5
-    assert 0.0 <= got["rbo_ext_p90"] <= 1.0
-
-
-def test_twonn_brute(spark):
-    emb = _duck(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'")
-    import numpy as np
-
-    ids = [vid for vid, _ in emb]
-    mat = np.array([e for _, e in emb], dtype=float)
-    s = 0.0
-    used = 0
-    for i in range(len(ids)):
-        d = np.sqrt(((mat - mat[i]) ** 2).sum(axis=1))
-        d[i] = np.inf
-        order = np.lexsort((np.array(ids), d))
-        r1, r2 = d[order[0]], d[order[1]]
-        if r1 > 0:
-            s += math.log(r2 / r1)
-            used += 1
-    est = used / s
-    got = QUERIES["twonn_intrinsic_dimension"](spark, SF).collect()[0]
-    assert got["n_vectors"] == len(ids)
-    assert got["n_used"] == used
-    assert abs(got["id_twonn"] - est) < 1e-3
-    # the whole point: intrinsic dimension <= ambient 64
-    assert 0 < got["id_twonn"] <= 64.0
+def test_readability_brute(spark):
+    rows = fetch(f"SELECT source, text FROM '{SF}/documents.parquet'")
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, words, sents, syl, cplx
+    vowels = re.compile(r"[aeiouy]+")
+    for src, text in rows:
+        ws = text.split(" ")
+        if not ws or ws == [""]:
+            continue
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += max(1, len(re.findall(r"[.!?]+", text)))
+        a[3] += sum(max(1, len(vowels.findall(w.lower()))) for w in ws)
+        a[4] += sum(1 for w in ws if len(vowels.findall(w.lower())) >= 3)
+    got = {
+        r["source"]: r
+        for r in QUERIES["readability_flesch_by_source"](spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for src, (nd, w, s, y, cx) in agg.items():
+        r = got[src]
+        assert r["n_docs"] == nd and r["words"] == w and r["sylls"] == y
+        assert abs(r["syllables_per_word"] - y / w) < 1e-6
+        assert abs(r["complex_share"] - cx / w) < 1e-6
+        fl = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        assert abs(r["flesch_reading_ease"] - fl) < 1e-4
