@@ -284,6 +284,13 @@ BENCH_QUERIES = [
     "g_test_type_weekday",
     "chao1_vocab_richness",
     "lang_shannon_evenness_by_source",
+    # round-10 batch 7: cascade-model ranking audit, margin-free rule
+    # association, proportion effect/interval panel, stratified MH OR
+    "ann_err_audit",
+    "yule_q_rules",
+    "cohens_h_weekend_conversion",
+    "mantel_haenszel_weekend_or",
+    "wilson_ci_conversion",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

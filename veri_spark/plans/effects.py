@@ -1673,3 +1673,239 @@ def g_test_type_weekday(spark, sf_dir):
             F.col("g_sum") / F.lit(1e9) > F.lit(_CHI2_95_DF24),
         ).alias("dependent_95"),
     )
+
+
+@register(
+    "cohens_h_weekend_conversion",
+    """
+    WITH s AS (SELECT
+        SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                      AND event_type = 'purchase' THEN 1 ELSE 0
+            END)::BIGINT AS a,
+        SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+            END)::BIGINT AS n1,
+        SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                      AND event_type = 'purchase' THEN 1 ELSE 0
+            END)::BIGINT AS c,
+        SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0
+            END)::BIGINT AS n0
+      FROM events)
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           CAST(round(1e6 * a / n1) AS BIGINT) AS p_weekend_micro,
+           CAST(round(1e6 * c / n0) AS BIGINT) AS p_weekday_micro,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN ROUND(2.0 * asin(sqrt(a / (n1 * 1.0)))
+                           - 2.0 * asin(sqrt(c / (n0 * 1.0))), 6)
+                ELSE NULL END AS cohens_h
+    FROM s
+    """,
+)
+def cohens_h_weekend_conversion(spark, sf_dir):
+    """Cohen's h for the weekend-vs-weekday conversion rates: the
+    arcsine-stabilized difference of proportions h = 2 asin(sqrt p1) -
+    2 asin(sqrt p2) — the PROPORTION effect size the 2x2 panel lacks
+    (`weekend_purchase_effect`'s odds ratio is multiplicative and
+    explodes near rate 0; `ab_test_conversion_ztest` gives
+    significance; h is the additive magnitude with the same
+    small/medium/large anchors as Cohen's d, and the variance-
+    stabilized scale makes h comparable across base rates — the
+    property power calculators rely on). One conditional-aggregation
+    scan to four exact BIGINTs; h is a single fixed-order double
+    expression of them (asin/sqrt are correctly-rounded-class
+    library calls on IDENTICAL doubles in both engines — the
+    WoE-family in-engine transcendental discipline); empty sides
+    guard to NULL.
+
+    Scale: one scan to four integers."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.dayofweek("ts").isin(1, 7)
+    conv = F.col("event_type") == "purchase"
+    s = e.agg(
+        F.sum(F.when(wk & conv, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(wk, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~wk & conv, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~wk, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    a, n1, c, n0 = (F.col(k) for k in ("a", "n1", "c", "n0"))
+    h = F.lit(2.0) * F.asin(F.sqrt(a / (n1 * F.lit(1.0)))) - F.lit(
+        2.0
+    ) * F.asin(F.sqrt(c / (n0 * F.lit(1.0))))
+    return s.select(
+        n1.alias("n_weekend"),
+        n0.alias("n_weekday"),
+        F.round(F.lit(1e6) * a / n1).cast("bigint").alias("p_weekend_micro"),
+        F.round(F.lit(1e6) * c / n0).cast("bigint").alias("p_weekday_micro"),
+        F.when((n1 > 0) & (n0 > 0), F.round(h, 6)).alias("cohens_h"),
+    )
+
+
+@register(
+    "mantel_haenszel_weekend_or",
+    """
+    WITH e AS (SELECT month(ts)::BIGINT AS stratum,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                        AS wk,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS conv
+               FROM events),
+    g AS (SELECT stratum,
+                 SUM(wk * conv)::BIGINT AS a,
+                 SUM(wk * (1 - conv))::BIGINT AS b,
+                 SUM((1 - wk) * conv)::BIGINT AS c,
+                 SUM((1 - wk) * (1 - conv))::BIGINT AS d
+          FROM e GROUP BY stratum),
+    q AS (SELECT stratum, a, b, c, d, a + b + c + d AS n_i,
+                 CAST(FLOOR(1e6 * (a * d) / ((a + b + c + d) * 1.0) + 0.5)
+                      AS BIGINT) AS num_micro,
+                 CAST(FLOOR(1e6 * (b * c) / ((a + b + c + d) * 1.0) + 0.5)
+                      AS BIGINT) AS den_micro
+          FROM g WHERE a + b + c + d > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n_strata,
+                 SUM(num_micro) AS num_sum, SUM(den_micro) AS den_sum
+          FROM q),
+    crude AS (SELECT SUM(a)::BIGINT AS ta, SUM(b)::BIGINT AS tb,
+                     SUM(c)::BIGINT AS tc, SUM(d)::BIGINT AS td
+              FROM g)
+    SELECT s.n_strata,
+           CASE WHEN s.den_sum > 0
+                THEN ROUND(s.num_sum * 1.0 / s.den_sum, 6)
+                ELSE NULL END AS or_mh,
+           CASE WHEN crude.tb * crude.tc > 0
+                THEN ROUND((crude.ta * 1.0 * crude.td)
+                           / (crude.tb * 1.0 * crude.tc), 6)
+                ELSE NULL END AS or_crude
+    FROM s CROSS JOIN crude
+    """,
+)
+def mantel_haenszel_weekend_or(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio for weekend -> purchase
+    STRATIFIED BY MONTH, next to the crude (pooled-table) OR — the
+    confounding diagnostic the single 2x2 of `weekend_purchase_effect`
+    cannot give: when months differ in both weekend share and base
+    conversion (seasonality), the crude OR mixes the weekend effect
+    with the month effect (Simpson's pattern), and OR_MH =
+    sum(a_i d_i / n_i) / sum(b_i c_i / n_i) is the classic
+    sparse-strata-safe adjusted estimate; a crude/MH gap IS the
+    confounding readout. Each stratum's two terms are micro-quantized
+    from fixed-order double expressions of exact BIGINT cells before
+    the 12-row fold (order-proof); the crude OR folds exact integer
+    margins. Empty numerators/denominators guard to NULL.
+
+    Scale: one partial-aggregated scan to the 12-row month frame."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.month("ts").cast("bigint").alias("stratum"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    g = e.groupBy("stratum").agg(
+        F.sum(F.col("wk") * F.col("conv")).cast("bigint").alias("a"),
+        F.sum(F.col("wk") * (1 - F.col("conv"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("wk")) * F.col("conv")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("wk")) * (1 - F.col("conv"))).cast("bigint").alias("d"),
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    q = g.filter(n_i > 0).select(
+        F.floor(
+            F.lit(1e6) * (F.col("a") * F.col("d")) / (n_i * F.lit(1.0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("num_micro"),
+        F.floor(
+            F.lit(1e6) * (F.col("b") * F.col("c")) / (n_i * F.lit(1.0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("den_micro"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("num_micro").alias("num_sum"),
+        F.sum("den_micro").alias("den_sum"),
+    )
+    crude = g.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.sum("c").cast("bigint").alias("tc"),
+        F.sum("d").cast("bigint").alias("td"),
+    )
+    return s.crossJoin(F.broadcast(crude)).select(
+        "n_strata",
+        F.when(
+            F.col("den_sum") > 0,
+            F.round(F.col("num_sum") * F.lit(1.0) / F.col("den_sum"), 6),
+        ).alias("or_mh"),
+        F.when(
+            F.col("tb") * F.col("tc") > 0,
+            F.round(
+                (F.col("ta") * F.lit(1.0) * F.col("td"))
+                / (F.col("tb") * F.lit(1.0) * F.col("tc")),
+                6,
+            ),
+        ).alias("or_crude"),
+    )
+
+
+@register(
+    "wilson_ci_conversion",
+    f"""
+    WITH s AS (SELECT COUNT(*)::BIGINT AS n,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END)::BIGINT AS a
+               FROM events)
+    SELECT n AS n_events, a AS n_purchases,
+           CAST(round(1e6 * a / n) AS BIGINT) AS p_hat_micro,
+           ROUND((a * 1.0 / n + {_Z975!r} * {_Z975!r} / (2.0 * n)
+                  - {_Z975!r} * sqrt((a * 1.0 / n) * (1.0 - a * 1.0 / n) / n
+                                     + {_Z975!r} * {_Z975!r}
+                                       / (4.0 * n * n)))
+                 / (1.0 + {_Z975!r} * {_Z975!r} / n), 6) AS wilson_lo,
+           ROUND((a * 1.0 / n + {_Z975!r} * {_Z975!r} / (2.0 * n)
+                  + {_Z975!r} * sqrt((a * 1.0 / n) * (1.0 - a * 1.0 / n) / n
+                                     + {_Z975!r} * {_Z975!r}
+                                       / (4.0 * n * n)))
+                 / (1.0 + {_Z975!r} * {_Z975!r} / n), 6) AS wilson_hi,
+           ROUND(a * 1.0 / n - {_Z975!r}
+                 * sqrt((a * 1.0 / n) * (1.0 - a * 1.0 / n) / n), 6)
+             AS wald_lo,
+           ROUND(a * 1.0 / n + {_Z975!r}
+                 * sqrt((a * 1.0 / n) * (1.0 - a * 1.0 / n) / n), 6)
+             AS wald_hi
+    FROM s WHERE n > 0
+    """,
+)
+def wilson_ci_conversion(spark, sf_dir):
+    """Wilson score 95% interval for the overall purchase-conversion
+    rate, next to the naive Wald interval — the interval-estimation
+    companion to `ab_test_conversion_ztest` (a test says "different
+    from X"; the interval says what rates are compatible with the
+    data, and Wilson is the textbook default because Wald's coverage
+    collapses near 0/1 and at small n while Wilson never leaves [0,1]).
+    Both bounds are single fixed-order double expressions of two exact
+    BIGINTs and the probit literal; reporting Wald alongside makes the
+    difference (the continuity the z-test implicitly assumes) visible
+    at any n.
+
+    Scale: one conditional-aggregation scan to two integers."""
+    s = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+    ).filter(F.col("n") > 0)
+    n, a = F.col("n"), F.col("a")
+    z = F.lit(_Z975)
+    p = a * F.lit(1.0) / n
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    wald_half = z * F.sqrt(p * (F.lit(1.0) - p) / n)
+    return s.select(
+        n.alias("n_events"),
+        a.alias("n_purchases"),
+        F.round(F.lit(1e6) * a / n).cast("bigint").alias("p_hat_micro"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        F.round(p - wald_half, 6).alias("wald_lo"),
+        F.round(p + wald_half, 6).alias("wald_hi"),
+    )

@@ -811,3 +811,90 @@ def cronbachs_alpha_rules(spark, sf_dir):
             ),
         ).alias("cronbach_alpha"),
     )
+
+
+@register(
+    "yule_q_rules",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                   AS r_wc,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                   'is'))) >= 2
+                      THEN 1 ELSE 0 END AS r_sw
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(r_wc * r_sw)::BIGINT AS a,
+                 SUM(CASE WHEN r_wc = 1 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS b,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 1 THEN 1 ELSE 0
+                     END)::BIGINT AS c,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS d
+          FROM m)
+    SELECT n AS n_docs, a AS n_both_pass, b + c AS n_disagree,
+           CASE WHEN a * d + b * c > 0
+                THEN ROUND((a * d - b * c) * 1.0 / (a * d + b * c), 6)
+                ELSE NULL END AS yule_q,
+           CASE WHEN sqrt(a * d * 1.0) + sqrt(b * c * 1.0) > 0
+                THEN ROUND((sqrt(a * d * 1.0) - sqrt(b * c * 1.0))
+                           / (sqrt(a * d * 1.0) + sqrt(b * c * 1.0)), 6)
+                ELSE NULL END AS yule_y
+    FROM s
+    """,
+)
+def yule_q_rules(spark, sf_dir):
+    """Yule's Q and Y between the word-count and stopword quality gates —
+    the odds-ratio-derived association pair next to `cohens_kappa_rules`
+    (kappa is margin-SENSITIVE: two rules with very different base rates
+    cap its ceiling below 1 even at perfect association; Q = (OR-1)/
+    (OR+1) and the colligation Y = (sqrt(OR)-1)/(sqrt(OR)+1) are
+    margin-free, so kappa low + Q high diagnoses a threshold mismatch
+    rather than a broken rule). Both are single fixed-order double
+    expressions of the same four exact BIGINT cell counts as kappa (the
+    a*d/b*c products stay under 2^63 through ~3e9 docs); the degenerate
+    ad + bc = 0 guards to NULL with an integer comparison.
+
+    Scale: one conditional-aggregation corpus scan to four integers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("r_sw"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r_wc") * F.col("r_sw")).cast("bigint").alias("a"),
+        F.sum(F.when((F.col("r_wc") == 1) & (F.col("r_sw") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(k) for k in ("a", "b", "c", "d"))
+    sad = F.sqrt(a * d * F.lit(1.0))
+    sbc = F.sqrt(b * c * F.lit(1.0))
+    return s.select(
+        F.col("n").alias("n_docs"),
+        a.alias("n_both_pass"),
+        (b + c).alias("n_disagree"),
+        F.when(
+            a * d + b * c > 0,
+            F.round((a * d - b * c) * F.lit(1.0) / (a * d + b * c), 6),
+        ).alias("yule_q"),
+        F.when(sad + sbc > 0, F.round((sad - sbc) / (sad + sbc), 6)).alias(
+            "yule_y"
+        ),
+    )

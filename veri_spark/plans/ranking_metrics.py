@@ -616,3 +616,88 @@ def rbo_cosine_vs_dot(spark, sf_dir):
             6,
         ).alias("rbo_ext_p90"),
     )
+
+
+@register(
+    "ann_err_audit",
+    f"""
+    WITH {_dd_ranked(10)}
+    , rel AS (
+      SELECT a.query_id, a.rn,
+             CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM approx a
+      LEFT JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id),
+    c AS (SELECT query_id, rn, rel,
+                 COALESCE(SUM(rel) OVER (PARTITION BY query_id
+                                         ORDER BY rn ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS n_before
+          FROM rel),
+    s AS (SELECT query_id,
+                 SUM(CASE WHEN rel = 1
+                          THEN CAST(round(1e9 * (1.0 / rn)
+                                          * pow(0.5, n_before + 1))
+                               AS BIGINT)
+                          ELSE 0 END)::BIGINT AS err_nano
+          FROM c GROUP BY query_id)
+    SELECT query_id, err_nano, ROUND(err_nano / 1e9, 6) AS err_at_10
+    FROM s ORDER BY query_id ASC
+    """,
+)
+def ann_err_audit(spark, sf_dir):
+    """Expected reciprocal rank (Chapelle et al. 2009, ERR@10) of the IVF
+    probe ranking against exact brute force with binary relevance —
+    the CASCADE-model member of the audit family: nDCG discounts
+    positions independently, ERR models a user who STOPS at the first
+    satisfying result, so a relevant hit at rank 1 nearly exhausts the
+    metric and later hits matter only if earlier ranks missed
+    (ERR = sum_r (1/r) R_r prod_(i<r)(1 - R_i)). With binary relevance
+    R in (0, 1/2), the cascade product collapses to an exact power:
+    each relevant rank r with c relevant hits before it contributes
+    (1/r) * (1/2)^(c+1), where c comes from a PARTITIONED 10-row prefix
+    window (never corpus-grain), pow(0.5, int) is exact in binary, and
+    every term nano-quantizes to BIGINT before the per-query fold. Joins
+    run on the 30-row top-k frames; corpus cost is the two rankings.
+
+    Scale: identical to ann_ndcg_audit — the audit math is arithmetic
+    on bounded frames."""
+    exact, approx = _spark_ranked(spark, sf_dir, 10)
+    rel = approx.join(
+        exact.select("query_id", "vec_id", F.lit(1).alias("__rel")),
+        ["query_id", "vec_id"],
+        "left",
+    ).select(
+        "query_id",
+        "rn",
+        F.when(F.col("__rel").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rn").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = rel.select(
+        "query_id",
+        "rn",
+        "rel",
+        F.coalesce(F.sum("rel").over(w), F.lit(0)).alias("n_before"),
+    )
+    s = c.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(
+                    F.lit(1e9)
+                    * (F.lit(1.0) / F.col("rn"))
+                    * F.pow(F.lit(0.5), F.col("n_before") + 1)
+                ).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("err_nano")
+    )
+    return s.select(
+        "query_id",
+        "err_nano",
+        F.round(F.col("err_nano") / F.lit(1e9), 6).alias("err_at_10"),
+    ).orderBy(F.col("query_id").asc())
