@@ -931,24 +931,47 @@ def hybrid_rrf_fusion(spark, sf_dir):
     (direction x magnitude) — the standard way serving stacks combine
     lexical+dense or multi-metric rankings WITHOUT score calibration
     (RRF needs only ranks, so incomparable score scales fuse cleanly;
-    Cormack et al., SIGIR 2009). Each ranking is a map-only scoring
-    pass + bounded top-50; fusion is a full-outer join of two 50-row
-    lists with absent-rank contribution pinned by a large sentinel
-    (1/(60+1e6) ~ 0 but EXACT in both engines, so the fused doubles are
-    bit-identical — no epsilon games). At 100 TB each leg is whatever
-    index serves it (IVF-PQ, BM25 postings); fusion cost never grows
-    past the shortlists."""
+    Cormack et al., SIGIR 2009). Each leg is a map-only scoring pass
+    whose top-50 rides ``orderBy().limit(50)`` — TakeOrderedAndProject,
+    i.e. a per-partition partial top-50 merged once on the driver side,
+    NEVER a single-partition sort of the corpus (round-10 verdict task
+    1: the previous ``row_number() OVER (ORDER BY ...)`` shortlist was
+    the repo's last corpus-grain unpartitioned window). Ranks within
+    the bounded 50-row shortlist come from a broadcast triangular
+    self-join (50x50 = 2,500 pairs — constant, corpus-size-invariant),
+    so the executed plan contains ZERO window specs and the query sits
+    on the unpartitioned-window pin list (tests/test_plan_shapes.py).
+    Fusion is a full-outer join of two 50-row lists with absent-rank
+    contribution pinned by a large sentinel (1/(60+1e6) ~ 0 but EXACT
+    in both engines, so the fused doubles are bit-identical — no
+    epsilon games). At 100 TB each leg is whatever index serves it
+    (IVF-PQ, BM25 postings); fusion cost never grows past the
+    shortlists."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
     x = F.col("embedding").cast("array<double>")
 
     def shortlist(score, name):
-        w = Window.orderBy(F.col("__s").desc(), F.col("vec_id").asc())
-        return (
+        # partial+final top-50 (TakeOrderedAndProject) — no global sort
+        top = (
             emb.select("vec_id", score.alias("__s"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= 50)
-            .select("vec_id", F.col("r").alias(name))
+            .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+            .limit(50)
+        )
+        # exact rank over the bounded frame: (score, vec_id) is a strict
+        # total order (vec_id unique), so rank = # of rows at-or-before
+        a = top.alias("a")
+        b = F.broadcast(top.select(
+            F.col("__s").alias("__s2"), F.col("vec_id").alias("__v2")
+        )).alias("b")
+        before = (F.col("b.__s2") > F.col("a.__s")) | (
+            (F.col("b.__s2") == F.col("a.__s"))
+            & (F.col("b.__v2") <= F.col("a.vec_id"))
+        )
+        return (
+            a.join(b, before, "inner")
+            .groupBy(F.col("a.vec_id").alias("vec_id"))
+            .agg(F.count(F.lit(1)).cast("int").alias(name))
         )
 
     cosr = shortlist(V.cosine_similarity(x, q), "rc")
