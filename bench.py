@@ -430,9 +430,14 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
+    # round-11 (round-10 verdict task 5): bench_round + calib_sec ride the
+    # compact stdout line UNCONDITIONALLY so the driver-captured artifact
+    # is self-describing on even rounds too (previously only emitted when
+    # audits were deferred); SPARK_GRAFT_ROUND stays authoritative
+    compact["bench_round"] = rnd
+    compact["calib_sec"] = calib
     if deferred:
         compact["deferred_audits"] = deferred
-        compact["bench_round"] = rnd
     # the driver keeps only the LAST 2000 chars of output; if the growing
     # query set pushes the line past that, shed the CHEAPEST queries from
     # stdout (every number stays in BENCH_local.json) and say how many

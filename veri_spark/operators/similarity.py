@@ -384,12 +384,32 @@ def kmeans_lloyd_micro(
             lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
         ).alias("__xm"),
     ).persist()
+    # seeds ride a TakeOrdered over the UNPERSISTED frame (partial top-k
+    # per partition, merged once): the persisted corpus then materializes
+    # inside iteration 1's aggregation job instead of paying a dedicated
+    # full-scan seed job up front (round-11 verdict task 6)
     cents = [
         (int(r["__id"]), [int(x) for x in r["__xm"]])
-        for r in src.orderBy("__id").limit(k).collect()
+        for r in df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.col(vector_col).cast("array<double>"),
+                lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ).alias("__xm"),
+        )
+        .orderBy("__id")
+        .limit(k)
+        .collect()
     ]
     history = []
     for it in range(1, iters + 1):
+        # F.lit(cm) builds each 64-int centroid literal in ONE py4j call
+        # (round-11 verdict task 6: the previous per-element F.lit made
+        # 512 driver round-trips per iteration — ~2 s of pure Python
+        # chatter per iteration, the bulk of this query's SF-invariant
+        # fixed cost)
         best = F.array_min(
             F.array(
                 *[
@@ -397,7 +417,7 @@ def kmeans_lloyd_micro(
                         F.aggregate(
                             F.zip_with(
                                 F.col("__xm"),
-                                F.array(*[F.lit(c).cast("bigint") for c in cm]),
+                                F.lit(cm).cast("array<bigint>"),
                                 lambda a, b: (a - b) * (a - b),
                             ),
                             F.lit(0).cast("bigint"),
@@ -478,6 +498,7 @@ def kmeans_micro_assign(
         F.col(vector_col).cast("array<double>"),
         lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
     )
+    # one-py4j-call array literals per centroid (see kmeans_lloyd_micro)
     best = F.array_min(
         F.array(
             *[
@@ -485,7 +506,7 @@ def kmeans_micro_assign(
                     F.aggregate(
                         F.zip_with(
                             xm,
-                            F.array(*[F.lit(c).cast("bigint") for c in cm]),
+                            F.lit(cm).cast("array<bigint>"),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0).cast("bigint"),
