@@ -291,6 +291,9 @@ BENCH_QUERIES = [
     "cohens_h_weekend_conversion",
     "mantel_haenszel_weekend_or",
     "wilson_ci_conversion",
+    # round-11: trained-vs-seed IVF recall (2 Lloyd iterations + 2x the
+    # full probe path)
+    "ann_ivf_recall_trained",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -327,6 +330,9 @@ HEAVY_TWO_RUN = {
     # round-10: 3 update iterations + final assignment = 7 jobs over the
     # persisted micro corpus (exact-integer Lloyd loop)
     "kmeans_lloyd_converged",
+    # round-11: 2 Lloyd iterations + 12 bounded top-10s — a multi-job
+    # iterative loop like the above
+    "ann_ivf_recall_trained",
 }
 
 # Round-9 (verdict task 6): the exact-triangle audits exist to price the

@@ -15,6 +15,16 @@ tools/measure_trio_cache.py <variant>``; a driver shell loops runs):
   partition (numpy lexsort over <= batch+20 rows) and emits <= 60 rows
   per partition; the driver merges. Pays the bare exchange once, writes
   nothing.
+- ``prune``     — the round-10 verdict's untried variant: job 1 re-runs
+  the wedge exchange and computes a SOUND per-ranker lower bound on the
+  20th-best score with approx_percentile (GK sketch, rank error <=
+  N/accuracy; asking for p = 1 - (20 + 2*N/acc)/N guarantees the
+  returned value's true rank is at-or-below the 20th-from-top, so
+  filtering ``>= bound`` can never drop a true top-20 row and keeps at
+  most ~20 + 3N/acc rows per ranker). Job 2 re-runs the exchange,
+  applies the disjunctive filter BEFORE .persist(), so the cache write
+  shrinks from 93.6M rows to a few thousand; the three heads read the
+  tiny cache. Pays the bare exchange twice, writes almost nothing.
 
 The adjacency (`cund`) is session-shared and warm in a real sweep, so it
 is force-built BEFORE the timer. Prints one JSON line per run.
@@ -202,6 +212,115 @@ def run_fused(spark):
     return time.time() - t0, sum(len(v) for v in final.values())
 
 
+def run_prune(spark):
+    cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
+    cap = 128
+    t0 = time.time()
+    narrow = _pair_agg(cund, deg).select(
+        "pk",
+        F.col("n_common").cast("int").alias("n_common"),
+        F.col("ra_micro").cast("int").alias("ra_micro"),
+        F.col("aa_micro").cast("int").alias("aa_micro"),
+    )
+    cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
+
+    def with_jac(df):
+        return (
+            df.withColumn("part_a", F.expr("shiftrightunsigned(pk, 32)"))
+            .withColumn("part_b", F.expr("pk & 4294967295"))
+            .join(
+                F.broadcast(
+                    cdeg.select(F.col("u").alias("part_a"), F.col("cd").alias("da"))
+                ),
+                "part_a",
+            )
+            .join(
+                F.broadcast(
+                    cdeg.select(F.col("u").alias("part_b"), F.col("cd").alias("db"))
+                ),
+                "part_b",
+            )
+            .withColumn(
+                "jac",
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+            )
+        )
+
+    # job 1: sound 20th-value lower bounds. approx_percentile's percentage
+    # must be FOLDABLE, so ask for a fixed ladder of percentiles plus the
+    # exact count in one agg, then pick driver-side the largest p with
+    # p <= 1 - 20/N - eps (eps = 1/accuracy): the GK sketch guarantees the
+    # returned value's true rank r satisfies |r - pN| <= eps*N, so
+    # r <= pN + eps*N <= N - 20 — the value sits at-or-below the true
+    # 20th-best and `>= bound` keeps a SUPERSET of the top-20. If no rung
+    # qualifies (tiny N), the bound degrades to -inf == no pruning.
+    acc = 10000
+    ladder = [0.5, 0.9, 0.99, 0.999, 0.9995, 0.9999, 0.99995]
+    pl = "array(" + ",".join(f"{p!r}D" for p in ladder) + ")"
+    b = (
+        with_jac(narrow)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"approx_percentile(jac, {pl}, {acc})").alias("bj"),
+            F.expr(f"approx_percentile(ra_micro, {pl}, {acc})").alias("br"),
+            F.expr(f"approx_percentile(aa_micro, {pl}, {acc})").alias("ba"),
+        )
+        .collect()[0]
+    )
+    n_total = int(b["n"])
+    p_max = 1.0 - 20.0 / max(n_total, 1) - 2.0 / acc
+    idx = max(
+        (i for i, p in enumerate(ladder) if p <= p_max), default=None
+    )
+    if idx is None:
+        bj, br, ba = float("-inf"), -(2**31), -(2**31)
+    else:
+        bj, br, ba = float(b["bj"][idx]), int(b["br"][idx]), int(b["ba"][idx])
+    # job 2: rebuild the aggregate, prune BEFORE persist — the cache write
+    # shrinks from 93.6M rows to ~(1 - p + eps) * N per ranker
+    pruned = (
+        with_jac(narrow)
+        .filter(
+            (F.col("jac") >= F.lit(bj))
+            | (F.col("ra_micro") >= F.lit(br))
+            | (F.col("aa_micro") >= F.lit(ba))
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+            F.col("aa_micro").cast("bigint").alias("aa_micro"),
+            "jac",
+        )
+        .persist()
+    )
+    try:
+        kept = pruned.count()
+        ja = (
+            pruned.orderBy(
+                F.col("jac").desc(), F.col("n_common").desc(),
+                F.col("part_a").asc(), F.col("part_b").asc(),
+            ).limit(20).collect()
+        )
+        ra = (
+            pruned.orderBy(
+                F.col("ra_micro").desc(), F.col("n_common").desc(),
+                F.col("part_a").asc(), F.col("part_b").asc(),
+            ).limit(20).collect()
+        )
+        aa = (
+            pruned.orderBy(
+                F.col("aa_micro").desc(), F.col("n_common").desc(),
+                F.col("part_a").asc(), F.col("part_b").asc(),
+            ).limit(20).collect()
+        )
+    finally:
+        pruned.unpersist()
+    return time.time() - t0, len(ja) + len(ra) + len(aa), {"kept": kept, "n": n_total}
+
+
 def main():
     variant = sys.argv[1]
     spark = get_spark("trio-measure")
@@ -209,9 +328,16 @@ def main():
     cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
     cund.count()  # warm the session-shared adjacency (real sweeps have it warm)
     deg.count()
-    fn = {"baseline": run_baseline, "narrow": run_narrow, "fused": run_fused}[variant]
-    sec, n = fn(spark)
-    print(json.dumps({"variant": variant, "sec": round(sec, 2), "rows": n}))
+    fn = {
+        "baseline": run_baseline,
+        "narrow": run_narrow,
+        "fused": run_fused,
+        "prune": run_prune,
+    }[variant]
+    out = fn(spark)
+    sec, n = out[0], out[1]
+    extra = out[2] if len(out) > 2 else {}
+    print(json.dumps({"variant": variant, "sec": round(sec, 2), "rows": n, **extra}))
 
 
 if __name__ == "__main__":

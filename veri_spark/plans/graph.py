@@ -943,7 +943,17 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
     baseline 5-bigint cache [82.9, 136.3] s; narrow INT cache
     [43.7, 49.0] s (ADOPTED); a no-cache fused mapInArrow per-partition
     top-20x3 pass [87.1, 97.3] s (REJECTED — pushing 93.6M rows through
-    Arrow costs more than writing the narrow cache)."""
+    Arrow costs more than writing the narrow cache).
+
+    Round 11 (round-10 verdict task 2): the last untried variant — a
+    SOUND pre-persist prune (job 1: approx_percentile lower bounds on
+    each ranker's 20th-best score; job 2: rebuild the aggregate and
+    filter to the disjunction before .persist(), shrinking the cache
+    write 93.6M -> 67,295 rows) — was measured in fresh processes on one
+    box (tools/measure_trio_cache.py `prune`) and REJECTED: narrow cache
+    [28.8, 60.9] s vs prune [57.1, 77.8] s. Re-running the wedge
+    exchange + final aggregation for the threshold pass costs more than
+    the full-width cache write it eliminates. See SCALING.md."""
     cund, und, deg = _capped_adjacency_shared(spark, sf_dir, cap)
     key = (
         spark.sparkContext.applicationId,

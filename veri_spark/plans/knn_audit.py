@@ -1320,13 +1320,15 @@ def knn_distance_concentration(spark, sf_dir):
 # (one step) and the IVF/PQ codebook literals (round-9 verdict task 4).
 # ---------------------------------------------------------------------------
 
-def _lloyd_micro_sql(update_iters: int) -> str:
-    """Unrolled MATERIALIZED-CTE oracle for ``kmeans_lloyd_converged``:
-    ``update_iters`` assign+update rounds from the k=8 lowest-id seeds,
-    then a final assignment + per-cluster exact inertia. Every quantity is
-    exact integer arithmetic (see kmeans_lloyd_micro's docstring), so the
-    chain is bit-identical cross-engine by construction — no rounded
-    double ever feeds a downstream step."""
+def _lloyd_cte_parts(update_iters: int) -> list[str]:
+    """Shared unrolled-CTE prefix for the Lloyd-loop oracles: the micro-int
+    corpus (``em``), the k=8 lowest-id seed codebook (``c0``) and
+    ``update_iters`` assign+update rounds producing ``c{t}``. Every
+    quantity is exact integer arithmetic (see kmeans_lloyd_micro's
+    docstring), so the chain is bit-identical cross-engine by
+    construction — no rounded double ever feeds a downstream step.
+    Composed by ``_lloyd_micro_sql`` (inertia) and ``_lloyd_recall_sql``
+    (trained-vs-seed IVF recall)."""
     parts = [
         """
     WITH em AS (SELECT vec_id,
@@ -1359,7 +1361,19 @@ def _lloyd_micro_sql(update_iters: int) -> str:
                  GROUP BY centroid_id),
          c{t} AS (SELECT p.centroid_id, COALESCE(n.cm, p.cm) AS cm
                  FROM c{t - 1} p LEFT JOIN n{t} n USING (centroid_id))""")
-    f = update_iters + 1
+    return parts
+
+
+_MDIST = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+    " j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))) AS BIGINT)"
+)
+
+
+def _lloyd_micro_sql(update_iters: int) -> str:
+    """Oracle for ``kmeans_lloyd_converged``: the shared Lloyd CTE chain,
+    then a final assignment + per-cluster exact inertia."""
+    parts = _lloyd_cte_parts(update_iters)
     parts.append(f"""
          df AS (SELECT e.vec_id, c.centroid_id,
                       CAST(list_sum(list_transform(range(1, len(e.xm) + 1),
@@ -1415,3 +1429,171 @@ def kmeans_lloyd_converged(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.sum("dist").cast("bigint").alias("inertia_micro2"),
     )
+
+
+def _lloyd_recall_sql(update_iters: int) -> str:
+    """Oracle for ``ann_ivf_recall_trained``: the shared Lloyd CTE chain
+    trains ``c{update_iters}``; then for BOTH codebooks (seed ``c0`` and
+    the trained one) the full IVF serving path replays in exact micro-int
+    arithmetic — assignment argmin, 2-probe centroid ranking per query,
+    candidate top-10 — and recall@10 is counted against the exact
+    brute-force top-10."""
+    parts = _lloyd_cte_parts(update_iters)
+    d_eq = _MDIST.format(a="e.xm", b="q.qm")
+    d_ec = _MDIST.format(a="e.xm", b="c.cm")
+    d_qc = _MDIST.format(a="q.qm", b="c.cm")
+    parts.append(f"""
+         qs AS (SELECT vec_id AS query_id, xm AS qm FROM em
+                WHERE vec_id IN (0, 1, 2)),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY {d_eq} ASC, e.vec_id ASC) AS rn
+             FROM em e CROSS JOIN qs q) WHERE rn <= 10)""")
+    for tag, cb in (("seed", "c0"), ("trained", f"c{update_iters}")):
+        parts.append(f"""
+         asg_{tag} AS (SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {d_ec} ASC, c.centroid_id ASC) AS rn
+             FROM em e CROSS JOIN {cb} c) WHERE rn = 1),
+         prb_{tag} AS (SELECT query_id, centroid_id FROM (
+             SELECT q.query_id, c.centroid_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY {d_qc} ASC, c.centroid_id ASC) AS pr
+             FROM qs q CROSS JOIN {cb} c) WHERE pr <= 2),
+         apx_{tag} AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY {d_eq} ASC, e.vec_id ASC) AS rn
+             FROM prb_{tag} p
+             JOIN asg_{tag} a ON a.centroid_id = p.centroid_id
+             JOIN em e ON e.vec_id = a.vec_id
+             JOIN qs q ON q.query_id = p.query_id) WHERE rn <= 10),
+         rec_{tag} AS (SELECT x.query_id,
+                SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_hit
+             FROM exact x LEFT JOIN apx_{tag} a
+               ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+             GROUP BY x.query_id)""")
+    parts.append("""
+         u AS (SELECT query_id, 'seed' AS codebook, n_hit FROM rec_seed
+               UNION ALL
+               SELECT query_id, 'trained' AS codebook, n_hit
+               FROM rec_trained)
+    SELECT query_id, codebook, n_hit,
+           ROUND(n_hit / 10.0, 6) AS recall_at_10
+    FROM u ORDER BY query_id ASC, codebook ASC""")
+    return ",".join(parts)
+
+
+@register("ann_ivf_recall_trained", _lloyd_recall_sql(2))
+def ann_ivf_recall_trained(spark, sf_dir):
+    """What Lloyd training BUYS the index (round-10 verdict task 3):
+    recall@10 of the 2-probe IVF path under the Lloyd-refined codebook
+    (2 update iterations) vs the deterministic lowest-id seed codebook,
+    on the same 3 queries — the number `store.refresh_index(kmeans_iters=N)`
+    exists to improve, and the loop the reference's Process pass implies
+    (index quality maintained by periodic retraining,
+    data/newsync.go:147-222).
+
+    The whole path — assignment argmin, per-query probe ranking,
+    candidate scoring, the exact truth side — runs in MICRO-INT
+    arithmetic (floor(1e6*x + 0.5) BIGINTs, the kmeans_lloyd_converged
+    discipline), so every rank and recall count is bit-exact
+    cross-engine by construction. Execution shape: the trained codebook
+    comes from kmeans_lloyd_micro (one map-only argmin + one (cluster,
+    dim) partial agg per iteration); both codebooks then serve as plan
+    LITERALS — assignment is a map-only array_min (kmeans_micro_assign,
+    zero shuffles), probe selection is exact integer math on the driver
+    over k=8 rows, each candidate set is a bucket-pruned semi-join, and
+    every top-10 is a bounded TakeOrdered. At 100 TB: train on a sample,
+    assign map-only, probe with partition pruning — identical shape.
+    Recall delta at both SFs is recorded in SCALING.md."""
+    from veri_spark.operators.similarity import (
+        kmeans_lloyd_micro,
+        kmeans_micro_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained, _hist = kmeans_lloyd_micro(emb, k=8, iters=2)
+    micro = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
+    )
+    seeds = [
+        (int(r["vec_id"]), [int(x) for x in r["xm"]])
+        for r in emb.select("vec_id", micro.alias("xm"))
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    queries = {
+        int(r["vec_id"]): [int(x) for x in r["xm"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", micro.alias("xm"))
+        .collect()
+    }
+    src = emb.select("vec_id", micro.alias("xm"))
+
+    def mdist(qm):
+        return F.aggregate(
+            F.zip_with(
+                F.col("xm"),
+                F.lit(qm).cast("array<bigint>"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def top10(df, qid, qm):
+        scored = df.select("vec_id", mdist(qm).alias("d"))
+        return topk(
+            scored, "d", 10, higher_is_better=False, tie_cols=["vec_id"]
+        ).select(F.lit(qid).cast("bigint").alias("query_id"), "vec_id")
+
+    exact = None
+    for qid in sorted(queries):
+        e = top10(src, qid, queries[qid])
+        exact = e if exact is None else exact.unionByName(e)
+
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    out = None
+    for tag, cb in (("seed", seeds), ("trained", trained)):
+        assigned = kmeans_micro_assign(emb, cb)
+        approx = None
+        for qid in sorted(queries):
+            qm = queries[qid]
+            # probe selection: exact integer distances over k=8 driver
+            # rows, ties by centroid_id — same order as the oracle's
+            dd = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(qm, cm)), cid)
+                for cid, cm in cb
+            )
+            probe_ids = [cid for _, cid in dd[:2]]
+            cand = src.join(
+                assigned.filter(F.col("centroid_id").isin(probe_ids)).select(
+                    "vec_id"
+                ),
+                "vec_id",
+            )
+            a = top10(cand, qid, qm)
+            approx = a if approx is None else approx.unionByName(a)
+        rec = (
+            exact.join(
+                approx.withColumn("__hit", F.lit(1)),
+                ["query_id", "vec_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(hit.cast("bigint").alias("n_hit"))
+            .select(
+                "query_id",
+                F.lit(tag).alias("codebook"),
+                "n_hit",
+                F.round(F.col("n_hit") / F.lit(10.0), 6).alias("recall_at_10"),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out.orderBy(F.col("query_id").asc(), F.col("codebook").asc())
