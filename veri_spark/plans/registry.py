@@ -31,7 +31,9 @@ from veri_spark.plans import vectors as _vectors  # noqa: F401,E402
 from veri_spark.plans import tpch as _tpch  # noqa: F401,E402
 from veri_spark.plans import store_queries as _store_queries  # noqa: F401,E402
 from veri_spark.plans import text as _text  # noqa: F401,E402
+from veri_spark.plans import text_metrics as _text_metrics  # noqa: F401,E402
 from veri_spark.plans import dedup as _dedup  # noqa: F401,E402
+from veri_spark.plans import dedup_audit as _dedup_audit  # noqa: F401,E402
 from veri_spark.plans import pipeline as _pipeline  # noqa: F401,E402
 from veri_spark.plans import physical as _physical  # noqa: F401,E402
 from veri_spark.plans import features as _features  # noqa: F401,E402
