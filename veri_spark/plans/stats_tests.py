@@ -1,0 +1,973 @@
+"""Classical-test completions (round 11): Fisher's exact 2x2, the
+D'Agostino-Pearson K^2 omnibus, the tie-adjusted two-sample
+Anderson-Darling, Ansari-Bradley scale test, Kendall's W concordance,
+and Krippendorff's alpha.
+
+These close the remaining named gaps in the parametric/nonparametric
+battery (rounds 9-10 shipped Welch/ANOVA/Tukey/Bartlett/Jarque-Bera/
+Mood/KW/Friedman/kappa x3): the exact small-table test (Fisher), the
+moment-transform omnibus that Jarque-Bera approximates (K^2), the
+omnibus-sensitive ECDF two-sample test next to KS/CvM (AD), the
+rank-based SCALE test next to the location tests (AB), the concordance
+readout of the Friedman machinery (W), and the reliability coefficient
+that generalizes the kappa family (alpha).
+
+Shared idioms (established rounds 5-10):
+- rank math on DOUBLED midranks (exact BIGINTs from the distributed
+  value-domain prefix scan -- the corpus never gets a row-level rank);
+- order-proof folds: every float term that must cross a shuffle is
+  nano-/micro-quantized to an integer first, so partial-aggregation
+  order cannot perturb the sum;
+- no in-engine quantile/special functions are trusted: lgamma ships as
+  the SAME Lanczos(g=7, n=9) fixed-order expression in BOTH dialects
+  (the Acklam-probit discipline), with the public-domain coefficients
+  inlined below.
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like every
+other domain module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.operators.ranking import global_prefix_agg
+from veri_spark.sources.catalog import load_table
+
+from veri_spark.plans._base import register
+
+# ---------------------------------------------------------------------------
+# Lanczos log-gamma (g = 7, n = 9) -- public-domain coefficients (Lanczos
+# 1964 via the standard g=7 tabulation, e.g. Numerical Recipes / the GNU
+# Scientific Library docs / Wikipedia "Lanczos approximation"). Valid for
+# real z >= 1 (all our arguments are k+1 with k >= 0), relative error
+# ~1e-13 -- far inside the 1e-7 two-sided-inclusion tolerance below. The
+# SAME fixed-order expression is emitted in both dialects so the two
+# engines agree bit-for-bit on identical inputs (ln/sqrt on identical
+# doubles is the established WoE/Zipf idiom; an engine-native lgamma
+# would NOT be bit-identical between DuckDB's libm and the JVM).
+# ---------------------------------------------------------------------------
+
+_LANCZOS_C0 = 0.99999999999980993
+_LANCZOS = (
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+# 0.5 * ln(2*pi), one shared literal so neither engine evaluates ln(2pi)
+_HALF_LN_2PI = 0.9189385332046727
+
+
+def _lgamma_sql(z: str) -> str:
+    """DuckDB fragment: Lanczos lgamma of the SQL expression ``z``."""
+    a = f"{_LANCZOS_C0!r}" + "".join(
+        f" + {c!r} / (({z}) - 1 + {i + 1})" for i, c in enumerate(_LANCZOS)
+    )
+    t = f"(({z}) + 6.5)"
+    return (
+        f"({_HALF_LN_2PI!r} + (({z}) - 0.5) * ln({t}) - {t} + ln({a}))"
+    )
+
+
+def _lgamma_col(z):
+    """Spark Column: the SAME Lanczos lgamma, term-for-term."""
+    a = F.lit(_LANCZOS_C0)
+    for i, c in enumerate(_LANCZOS):
+        a = a + F.lit(c) / (z - F.lit(1) + F.lit(i + 1))
+    t = z + F.lit(6.5)
+    return (
+        F.lit(_HALF_LN_2PI)
+        + (z - F.lit(0.5)) * F.log(t)
+        - t
+        + F.log(a)
+    )
+
+
+def _lnchoose_sql(m: str, k: str) -> str:
+    return (
+        f"({_lgamma_sql(f'({m}) + 1.0')} - {_lgamma_sql(f'({k}) + 1.0')}"
+        f" - {_lgamma_sql(f'({m}) - ({k}) + 1.0')})"
+    )
+
+
+def _lnchoose_col(m, k):
+    return (
+        _lgamma_col(m + F.lit(1.0))
+        - _lgamma_col(k + F.lit(1.0))
+        - _lgamma_col(m - k + F.lit(1.0))
+    )
+
+
+_FISHER_CELLS_SQL = """
+    SELECT SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                     AND event_type = 'purchase' THEN 1 ELSE 0
+               END)::BIGINT AS a,
+           SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                     AND event_type <> 'purchase' THEN 1 ELSE 0
+               END)::BIGINT AS b,
+           SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                     AND event_type = 'purchase' THEN 1 ELSE 0
+               END)::BIGINT AS c,
+           SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                     AND event_type <> 'purchase' THEN 1 ELSE 0
+               END)::BIGINT AS d
+    FROM events
+"""
+
+
+@register(
+    "fisher_exact_weekend_purchase",
+    f"""
+    WITH s AS ({_FISHER_CELLS_SQL}),
+    m AS (SELECT a, b, c, d, a + b + c + d AS n, a + b AS r1, a + c AS c1
+          FROM s),
+    supp AS (SELECT m.*,
+                    unnest(generate_series(GREATEST(0, m.r1 + m.c1 - m.n),
+                                           LEAST(m.r1, m.c1)))::BIGINT AS k
+             FROM m),
+    lp AS (SELECT k, a,
+                  ({_lnchoose_sql('r1', 'k')}
+                   + {_lnchoose_sql('n - r1', 'c1 - k')}) AS lnu
+           FROM supp),
+    mx AS (SELECT MAX(lnu) AS lnu_max,
+                  MAX(CASE WHEN k = a THEN lnu END) AS lnu_obs
+           FROM lp),
+    q AS (SELECT CAST(round(exp(lp.lnu - mx.lnu_max) * 1e15) AS BIGINT)
+                   AS tq,
+                 CASE WHEN lp.lnu <= mx.lnu_obs + 1e-7 THEN 1 ELSE 0
+                 END AS incl
+          FROM lp CROSS JOIN mx),
+    agg AS (SELECT COUNT(*)::BIGINT AS support_size,
+                   SUM(CAST(tq AS DECIMAL(38,0))) AS tot,
+                   SUM(CAST(tq * incl AS DECIMAL(38,0))) AS hit
+            FROM q)
+    SELECT m.a AS n_weekend_purchase, m.b AS n_weekend_other,
+           m.c AS n_weekday_purchase, m.d AS n_weekday_other,
+           agg.support_size,
+           CASE WHEN m.b * m.c > 0
+                THEN ROUND(m.a * 1.0 * m.d / (m.b * 1.0 * m.c), 6)
+                ELSE NULL END AS odds_ratio,
+           ROUND(agg.hit::DOUBLE / agg.tot::DOUBLE, 6) AS p_two_sided
+    FROM m CROSS JOIN agg
+    """,
+)
+def fisher_exact_weekend_purchase(spark, sf_dir):
+    """Fisher's exact test on the weekend x purchase 2x2 table -- the
+    EXACT companion to `weekend_purchase_effect`'s Wald machinery and
+    `ab_test_conversion_ztest`'s normal approximation (the reference's
+    quality gates run on arbitrarily small slices, where the z-test's
+    n*p >= 5 precondition fails; the hypergeometric needs no
+    precondition). Two-sided p by the standard minimum-likelihood rule
+    (sum P(k) over the support where P(k) <= P(a_obs) * (1 + 1e-7), the
+    same gamma-tolerance scipy documents): ln P(k) is computed POINTWISE
+    from three Lanczos ln-binomials -- no prefix recursion, so the
+    support frame needs no window and no ordering -- shifted by the
+    support max and exponentiated, and each term is femto-quantized to
+    an integer so both the inclusion sum and the normalizer fold as
+    exact DECIMAL(38,0) at any parallelism. The observed cell's ln P
+    rides the same MAX aggregate (a CASE-guarded MAX), so the whole test
+    is two scans over the bounded support frame.
+
+    Scale: one conditional-aggregation corpus scan to four BIGINTs; the
+    support frame has min(r1, c1) + 1 rows -- proportional to the
+    smaller MARGIN, and map-only (pointwise lgamma, no window), so even
+    a billion-row support would distribute; the quantized normalizer
+    stays inside DECIMAL(38,0) to ~1e23 support rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.sum(
+            F.when(
+                F.dayofweek("ts").isin(1, 7)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(
+            F.when(
+                F.dayofweek("ts").isin(1, 7)
+                & (F.col("event_type") != "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                ~F.dayofweek("ts").isin(1, 7)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when(
+                ~F.dayofweek("ts").isin(1, 7)
+                & (F.col("event_type") != "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    # bounded collect: ONE row of four scalar cell counts (the same
+    # class as the repo's other scalar-aggregate collects) -- the
+    # support frame bounds cannot be expressed lazily in spark.range.
+    a, b, c, d = s.collect()[0]
+    n, r1, c1 = a + b + c + d, a + b, a + c
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    supp = spark.range(lo, hi + 1).select(F.col("id").alias("k"))
+    kd = F.col("k").cast("double")
+    lnu = _lnchoose_col(F.lit(float(r1)), kd) + _lnchoose_col(
+        F.lit(float(n - r1)), F.lit(float(c1)) - kd
+    )
+    lp = supp.select("k", lnu.alias("lnu"))
+    mx = lp.agg(
+        F.max("lnu").alias("lnu_max"),
+        F.max(F.when(F.col("k") == F.lit(a), F.col("lnu"))).alias("lnu_obs"),
+    )
+    q = lp.crossJoin(F.broadcast(mx)).select(
+        F.round(F.exp(F.col("lnu") - F.col("lnu_max")) * F.lit(1e15))
+        .cast("bigint")
+        .alias("tq"),
+        F.when(F.col("lnu") <= F.col("lnu_obs") + F.lit(1e-7), 1)
+        .otherwise(0)
+        .alias("incl"),
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("support_size"),
+        F.sum(F.col("tq").cast("decimal(38,0)")).alias("tot"),
+        F.sum((F.col("tq") * F.col("incl")).cast("decimal(38,0)")).alias(
+            "hit"
+        ),
+    )
+    orr = (
+        F.round(
+            F.lit(float(a)) * F.lit(float(d)) / (F.lit(float(b)) * F.lit(float(c))),
+            6,
+        )
+        if b * c > 0
+        else F.lit(None).cast("double")
+    )
+    return agg.select(
+        F.lit(a).cast("bigint").alias("n_weekend_purchase"),
+        F.lit(b).cast("bigint").alias("n_weekend_other"),
+        F.lit(c).cast("bigint").alias("n_weekday_purchase"),
+        F.lit(d).cast("bigint").alias("n_weekday_other"),
+        "support_size",
+        orr.alias("odds_ratio"),
+        F.round(
+            F.col("hit").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("p_two_sided"),
+    )
+
+
+@register(
+    "dagostino_k2_value",
+    """
+    WITH c AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS cv
+               FROM events),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(cv AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(cv * cv AS DECIMAL(38,0))) AS s2,
+                 SUM(CAST(cv * cv AS DECIMAL(38,0)) * cv) AS s3,
+                 SUM(CAST(cv * cv AS DECIMAL(38,0)) * (cv * cv)) AS s4
+          FROM c),
+    m AS (SELECT n,
+                 s1::DOUBLE / n AS m1,
+                 s2::DOUBLE / n AS r2,
+                 s3::DOUBLE / n AS r3,
+                 s4::DOUBLE / n AS r4
+          FROM s),
+    ctr AS (SELECT n,
+                   r2 - m1 * m1 AS m2,
+                   r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                   r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                      - 3.0 * m1 * m1 * m1 * m1 AS m4
+            FROM m),
+    g AS (SELECT n, m3 / (m2 * sqrt(m2)) AS g1, m4 / (m2 * m2) AS b2
+          FROM ctr),
+    z1c AS (SELECT n, g1, b2,
+                   g1 * sqrt(((n + 1.0) * (n + 3.0)) / (6.0 * (n - 2.0)))
+                     AS y,
+                   3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+                     / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+                     AS beta2
+            FROM g),
+    z1 AS (SELECT n, g1, b2, y,
+                  sqrt(2.0 * (beta2 - 1.0)) - 1.0 AS w2
+           FROM z1c),
+    z1f AS (SELECT n, g1, b2,
+                   (1.0 / sqrt(0.5 * ln(w2)))
+                   * ln(y / sqrt(2.0 / (w2 - 1.0))
+                        + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                               * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0))
+                     AS zs
+            FROM z1),
+    z2c AS (SELECT n, g1, b2, zs,
+                   (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+                   / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                          / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)))
+                     AS x,
+                   6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+                   * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                          / (n * (n - 2.0) * (n - 3.0))) AS sb1
+            FROM z1f),
+    z2a AS (SELECT n, g1, b2, zs, x,
+                   6.0 + 8.0 / sb1 * (2.0 / sb1
+                                      + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+            FROM z2c),
+    z2 AS (SELECT n, g1, b2, zs,
+                  ((1.0 - 2.0 / (9.0 * aa))
+                   - cbrt((1.0 - 2.0 / aa)
+                          / (1.0 + x * sqrt(2.0 / (aa - 4.0)))))
+                  / sqrt(2.0 / (9.0 * aa)) AS zk
+           FROM z2a)
+    SELECT n AS n_events,
+           ROUND(g1, 6) AS skew_g1,
+           ROUND(b2, 6) AS kurtosis_b2,
+           ROUND(zs, 6) AS z_skew,
+           ROUND(zk, 6) AS z_kurtosis,
+           ROUND(zs * zs + zk * zk, 6) AS k2_statistic
+    FROM z2
+    """,
+)
+def dagostino_k2_value(spark, sf_dir):
+    """D'Agostino-Pearson K^2 omnibus normality test on event values --
+    the refined companion to `jarque_bera_value`: JB uses the raw
+    sqrt(n)-asymptotics of skewness/kurtosis (badly mis-sized at
+    moderate n); K^2 first maps each through its exact finite-n
+    normalizing transform (D'Agostino 1970 for skewness, Anscombe-Glynn
+    1983 for kurtosis) and sums the squared z's. Values collapse to
+    exact integer cents (the Welch/ANOVA idiom), the four raw power
+    sums fold as exact DECIMAL(38,0) (order-proof at any parallelism;
+    cents^4 <= 9.9e18 per row stays inside 38 digits to ~1e12 rows),
+    and everything after the moment frame is ONE fixed-order double
+    expression evaluated identically in both engines -- sqrt/ln/cbrt on
+    identical doubles, no engine special functions. No significance
+    verdict: K^2 ~ chi2(2) is the caller's lookup, the statistic is the
+    deliverable (the Jarque-Bera precedent).
+
+    Scale: one partial-aggregated scan to five exact numbers; the
+    statistic is driver-free single-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.round(F.col("value") * 100.0).cast("bigint").alias("cv")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("cv"))).alias("s1"),
+        F.sum(dec(F.col("cv") * F.col("cv"))).alias("s2"),
+        F.sum(dec(F.col("cv") * F.col("cv")) * F.col("cv")).alias("s3"),
+        F.sum(
+            dec(F.col("cv") * F.col("cv")) * (F.col("cv") * F.col("cv"))
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m = s.select(
+        "n",
+        m1.alias("m1"),
+        (r2 - m1 * m1).alias("m2"),
+        (r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1).alias("m3"),
+        (
+            r4
+            - F.lit(4.0) * m1 * r3
+            + F.lit(6.0) * m1 * m1 * r2
+            - F.lit(3.0) * m1 * m1 * m1 * m1
+        ).alias("m4"),
+    )
+    nd = F.col("n").cast("double")
+    g1 = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    b2 = F.col("m4") / (F.col("m2") * F.col("m2"))
+    g = m.select("n", g1.alias("g1"), b2.alias("b2"))
+    nd = F.col("n").cast("double")
+    y = F.col("g1") * F.sqrt(
+        ((nd + F.lit(1.0)) * (nd + F.lit(3.0)))
+        / (F.lit(6.0) * (nd - F.lit(2.0)))
+    )
+    beta2 = (
+        F.lit(3.0)
+        * (nd * nd + F.lit(27.0) * nd - F.lit(70.0))
+        * (nd + F.lit(1.0))
+        * (nd + F.lit(3.0))
+        / (
+            (nd - F.lit(2.0))
+            * (nd + F.lit(5.0))
+            * (nd + F.lit(7.0))
+            * (nd + F.lit(9.0))
+        )
+    )
+    z1 = g.select(
+        "n",
+        "g1",
+        "b2",
+        y.alias("y"),
+        (F.sqrt(F.lit(2.0) * (beta2 - F.lit(1.0))) - F.lit(1.0)).alias("w2"),
+    )
+    ya = F.col("y") / F.sqrt(F.lit(2.0) / (F.col("w2") - F.lit(1.0)))
+    zs = (F.lit(1.0) / F.sqrt(F.lit(0.5) * F.log(F.col("w2")))) * F.log(
+        ya + F.sqrt(ya * ya + F.lit(1.0))
+    )
+    z1f = z1.select("n", "g1", "b2", zs.alias("zs"))
+    nd = F.col("n").cast("double")
+    x = (
+        F.col("b2") - F.lit(3.0) * (nd - F.lit(1.0)) / (nd + F.lit(1.0))
+    ) / F.sqrt(
+        F.lit(24.0)
+        * nd
+        * (nd - F.lit(2.0))
+        * (nd - F.lit(3.0))
+        / (
+            (nd + F.lit(1.0))
+            * (nd + F.lit(1.0))
+            * (nd + F.lit(3.0))
+            * (nd + F.lit(5.0))
+        )
+    )
+    sb1 = (
+        F.lit(6.0)
+        * (nd * nd - F.lit(5.0) * nd + F.lit(2.0))
+        / ((nd + F.lit(7.0)) * (nd + F.lit(9.0)))
+        * F.sqrt(
+            F.lit(6.0)
+            * (nd + F.lit(3.0))
+            * (nd + F.lit(5.0))
+            / (nd * (nd - F.lit(2.0)) * (nd - F.lit(3.0)))
+        )
+    )
+    z2c = z1f.select("n", "g1", "b2", "zs", x.alias("x"), sb1.alias("sb1"))
+    aa = F.lit(6.0) + F.lit(8.0) / F.col("sb1") * (
+        F.lit(2.0) / F.col("sb1")
+        + F.sqrt(F.lit(1.0) + F.lit(4.0) / (F.col("sb1") * F.col("sb1")))
+    )
+    z2a = z2c.select("n", "g1", "b2", "zs", "x", aa.alias("aa"))
+    zk = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("aa")))
+        - F.cbrt(
+            (F.lit(1.0) - F.lit(2.0) / F.col("aa"))
+            / (
+                F.lit(1.0)
+                + F.col("x")
+                * F.sqrt(F.lit(2.0) / (F.col("aa") - F.lit(4.0)))
+            )
+        )
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("aa")))
+    z2 = z2a.select("n", "g1", "b2", "zs", zk.alias("zk"))
+    return z2.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("g1"), 6).alias("skew_g1"),
+        F.round(F.col("b2"), 6).alias("kurtosis_b2"),
+        F.round(F.col("zs"), 6).alias("z_skew"),
+        F.round(F.col("zk"), 6).alias("z_kurtosis"),
+        F.round(
+            F.col("zs") * F.col("zs") + F.col("zk") * F.col("zk"), 6
+        ).alias("k2_statistic"),
+    )
+
+
+@register(
+    "anderson_darling_weekend_value",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT value, SUM(wk)::BIGINT AS f1,
+                 SUM(1 - wk)::BIGINT AS f2,
+                 COUNT(*)::BIGINT AS l
+          FROM e GROUP BY value),
+    p AS (SELECT l, f1, f2,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l AS ba2,
+                 2 * (SUM(f1) OVER (ORDER BY value ASC) - f1) + f1 AS ma21,
+                 2 * (SUM(f2) OVER (ORDER BY value ASC) - f2) + f2 AS ma22
+          FROM g),
+    t AS (SELECT COUNT(*)::BIGINT AS ndv, SUM(f1)::BIGINT AS n1,
+                 SUM(f2)::BIGINT AS n2, SUM(l)::BIGINT AS nn
+          FROM g),
+    q AS (SELECT
+            SUM(CAST(round(1e6 * p.l
+                  * ((t.nn * 1.0 * p.ma21 - t.n1 * 1.0 * p.ba2)
+                     * (t.nn * 1.0 * p.ma21 - t.n1 * 1.0 * p.ba2))
+                  / (p.ba2 * 1.0 * (2 * t.nn - p.ba2)
+                     - t.nn * 1.0 * p.l)) AS DECIMAL(38,0))) AS q1,
+            SUM(CAST(round(1e6 * p.l
+                  * ((t.nn * 1.0 * p.ma22 - t.n2 * 1.0 * p.ba2)
+                     * (t.nn * 1.0 * p.ma22 - t.n2 * 1.0 * p.ba2))
+                  / (p.ba2 * 1.0 * (2 * t.nn - p.ba2)
+                     - t.nn * 1.0 * p.l)) AS DECIMAL(38,0))) AS q2
+          FROM p CROSS JOIN t)
+    SELECT t.n1 AS n_weekend, t.n2 AS n_weekday,
+           t.ndv AS n_distinct_values,
+           ROUND((t.nn - 1.0) / t.nn
+                 * (q.q1::DOUBLE / 1e6 / t.n1
+                    + q.q2::DOUBLE / 1e6 / t.n2) / t.nn, 6) AS a2_akn
+    FROM t CROSS JOIN q
+    """,
+)
+def anderson_darling_weekend_value(spark, sf_dir):
+    """Two-sample Anderson-Darling (the tie-adjusted midrank A2akN of
+    Scholz-Stephens 1987, the variant scipy's anderson_ksamp computes)
+    comparing weekend vs weekday event values -- the tail-sensitive
+    omnibus next to `ks_value_drift` (KS sees only the single largest
+    ECDF gap; AD integrates ALL gaps with 1/(F(1-F)) weighting, so
+    tail-only drift that KS underweights shows up). Everything rides
+    the value DOMAIN: per-value weekend/weekday counts, three
+    distributed prefix scans give DOUBLED exclusive-cumulative counts
+    (exact BIGINTs: ba2 = 2B+l, ma2 = 2M+f, which absorb the +l/2
+    midrank adjustment without fractions), and each distinct value's
+    contribution l*(N*ma2 - n_i*ba2)^2 / (ba2*(2N-ba2) - N*l) -- the
+    doubled-units identity of the textbook term -- is micro-quantized
+    to an integer so the fold over the domain is order-proof. A2akN
+    assembles from the two quantized sums in one fixed-order double
+    expression.
+
+    Scale: one value-grain partial aggregation, prefix scans over the
+    value DOMAIN (vocabulary-sized, never corpus-sized), one map-only
+    term pass; the integer numerator N*ma2 stays exact in BIGINT to
+    N ~ 3e9 and the quantized term sum inside DECIMAL(38,0)
+    essentially unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("wk").cast("bigint").alias("f1"),
+        F.sum(F.lit(1) - F.col("wk")).cast("bigint").alias("f2"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    p = global_prefix_agg(
+        g, [F.col("value").asc()], "l", agg="sum", out_col="cl"
+    )
+    p = global_prefix_agg(
+        p, [F.col("value").asc()], "f1", agg="sum", out_col="cf1"
+    )
+    p = global_prefix_agg(
+        p, [F.col("value").asc()], "f2", agg="sum", out_col="cf2"
+    )
+    p = p.select(
+        "l",
+        "f1",
+        "f2",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l")).alias("ba2"),
+        (2 * (F.col("cf1") - F.col("f1")) + F.col("f1")).alias("ma21"),
+        (2 * (F.col("cf2") - F.col("f2")) + F.col("f2")).alias("ma22"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        F.sum("l").cast("bigint").alias("nn"),
+    )
+    j = p.crossJoin(F.broadcast(t))
+    nn = F.col("nn") * F.lit(1.0)
+    den = F.col("ba2") * F.lit(1.0) * (
+        F.lit(2) * F.col("nn") - F.col("ba2")
+    ) - nn * F.col("l")
+    d1 = nn * F.col("ma21") - F.col("n1") * F.lit(1.0) * F.col("ba2")
+    d2 = nn * F.col("ma22") - F.col("n2") * F.lit(1.0) * F.col("ba2")
+    q = j.agg(
+        F.sum(
+            F.round(F.lit(1e6) * F.col("l") * (d1 * d1) / den).cast(
+                "decimal(38,0)"
+            )
+        ).alias("q1"),
+        F.sum(
+            F.round(F.lit(1e6) * F.col("l") * (d2 * d2) / den).cast(
+                "decimal(38,0)"
+            )
+        ).alias("q2"),
+    )
+    out = t.crossJoin(F.broadcast(q))
+    nnd = F.col("nn").cast("double")
+    a2 = (
+        (nnd - F.lit(1.0))
+        / nnd
+        * (
+            F.col("q1").cast("double") / F.lit(1e6) / F.col("n1")
+            + F.col("q2").cast("double") / F.lit(1e6) / F.col("n2")
+        )
+        / nnd
+    )
+    return out.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.col("ndv").alias("n_distinct_values"),
+        F.round(a2, 6).alias("a2_akn"),
+    )
+
+
+@register(
+    "ansari_bradley_weekend_value",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT value, SUM(wk)::BIGINT AS f1, COUNT(*)::BIGINT AS l
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(f1)::BIGINT AS n1, SUM(l - f1)::BIGINT AS n2,
+                 SUM(l)::BIGINT AS nn
+          FROM g),
+    p AS (SELECT f1, l,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l + 1 AS mid2
+          FROM g),
+    sc AS (SELECT f1, l,
+                  LEAST(mid2, 2 * t.nn + 2 - mid2) AS s2
+           FROM p CROSS JOIN t),
+    s AS (SELECT SUM(CAST(f1 * s2 AS DECIMAL(38,0))) AS ab2,
+                 SUM(CAST(l * s2 AS DECIMAL(38,0))) AS t1,
+                 SUM(CAST(l * s2 AS DECIMAL(38,0)) * s2) AS t2
+          FROM sc)
+    SELECT t.n1 AS n_weekend, t.n2 AS n_weekday,
+           ROUND(s.ab2::DOUBLE / 2.0, 6) AS ab_statistic,
+           ROUND((s.ab2::DOUBLE - t.n1 * s.t1::DOUBLE / t.nn)
+                 / sqrt(t.n1 * 1.0 * t.n2
+                        * (t.nn * s.t2::DOUBLE - s.t1::DOUBLE * s.t1::DOUBLE)
+                        / (t.nn * 1.0 * t.nn * (t.nn - 1.0))), 6)
+             AS z_ties
+    FROM t CROSS JOIN s
+    """,
+)
+def ansari_bradley_weekend_value(spark, sf_dir):
+    """Ansari-Bradley rank test for a SCALE difference between weekend
+    and weekday values -- the dispersion companion to the location
+    battery (Mood's median / KW / Mann-Whitney ask "is the center
+    different?"; AB asks "is the SPREAD different?", scoring each
+    observation by its distance from the ends: s = min(rank,
+    N+1-rank), small at the extremes, large in the middle, so a
+    higher-dispersion group collects LOWER scores). Doubled midranks
+    from the value-domain prefix scan keep s2 = min(mid2, 2N+2-mid2)
+    an exact integer under ties; the statistic, its exact-ties mean
+    n1*T1/N and variance n1*n2*(N*T2 - T1^2)/(N^2(N-1)) (the
+    conditional-on-ties moments, Hollander-Wolfe Ch. 5) all assemble
+    from three exact DECIMAL(38,0) sums in one fixed-order double
+    expression. z is two-sided-symmetric; no verdict column -- the
+    normal approximation's quality at tiny n is the caller's call.
+
+    Scale: one value-grain aggregation, one prefix scan over the value
+    DOMAIN, one map-only score pass -- the corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("wk").cast("bigint").alias("f1"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    t = g.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum(F.col("l") - F.col("f1")).cast("bigint").alias("n2"),
+        F.sum("l").cast("bigint").alias("nn"),
+    )
+    p = global_prefix_agg(
+        g, [F.col("value").asc()], "l", agg="sum", out_col="cl"
+    ).select(
+        "f1",
+        "l",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+    )
+    sc = p.crossJoin(F.broadcast(t)).select(
+        "f1",
+        "l",
+        "n1",
+        "n2",
+        "nn",
+        F.least(
+            F.col("mid2"), F.lit(2) * F.col("nn") + F.lit(2) - F.col("mid2")
+        ).alias("s2"),
+    )
+    s = sc.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("nn").alias("nn"),
+        F.sum((F.col("f1") * F.col("s2")).cast("decimal(38,0)")).alias(
+            "ab2"
+        ),
+        F.sum((F.col("l") * F.col("s2")).cast("decimal(38,0)")).alias("t1"),
+        F.sum(
+            (F.col("l") * F.col("s2")).cast("decimal(38,0)") * F.col("s2")
+        ).alias("t2"),
+    )
+    nnd = F.col("nn") * F.lit(1.0)
+    e2 = F.col("n1") * F.col("t1").cast("double") / F.col("nn")
+    v2 = (
+        F.col("n1")
+        * F.lit(1.0)
+        * F.col("n2")
+        * (
+            F.col("nn") * F.col("t2").cast("double")
+            - F.col("t1").cast("double") * F.col("t1").cast("double")
+        )
+        / (nnd * F.col("nn") * (F.col("nn") - F.lit(1.0)))
+    )
+    return s.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(F.col("ab2").cast("double") / F.lit(2.0), 6).alias(
+            "ab_statistic"
+        ),
+        F.round(
+            (F.col("ab2").cast("double") - e2) / F.sqrt(v2), 6
+        ).alias("z_ties"),
+    )
+
+
+@register(
+    "kendalls_w_weekday_revenue",
+    """
+    WITH d0 AS (SELECT MIN(l_shipdate) AS day0 FROM lineitem),
+    d AS (SELECT l_shipdate AS day,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                      * 100 AS BIGINT) AS cents
+          FROM lineitem GROUP BY l_shipdate),
+    w AS (SELECT (date_diff('day', d0.day0, day) // 7)::BIGINT AS blk,
+                 day, cents
+          FROM d CROSS JOIN d0),
+    full_w AS (SELECT blk FROM w GROUP BY blk HAVING COUNT(*) = 7),
+    rr AS (SELECT blk,
+                  dayofweek(day)::INT AS wd,
+                  2 * (RANK() OVER (PARTITION BY blk
+                                    ORDER BY cents ASC) - 1)
+                  + COUNT(*) OVER (PARTITION BY blk, cents) + 1 AS r2
+           FROM w JOIN full_w USING (blk)),
+    col_sums AS (SELECT wd, SUM(r2)::BIGINT AS r2_j,
+                        COUNT(*)::BIGINT AS n_blk
+                 FROM rr GROUP BY wd),
+    ties AS (SELECT SUM(tt * tt * tt - tt)::BIGINT AS sum_t
+             FROM (SELECT COUNT(*)::BIGINT AS tt
+                   FROM w JOIN full_w USING (blk)
+                   GROUP BY blk, cents) z),
+    s AS (SELECT MAX(n_blk)::BIGINT AS n,
+                 SUM(CAST(r2_j AS DECIMAL(38,0)) * r2_j) AS sr2
+          FROM col_sums)
+    SELECT s.n AS n_weeks,
+           ROUND((3.0 * s.sr2::DOUBLE / (s.n * 56.0) - 24.0 * s.n)
+                 / (6.0 * s.n), 6) AS w_plain,
+           ROUND(3.0 * (s.sr2::DOUBLE - 56.0 * 56.0 * s.n * s.n / 7.0)
+                 / (s.n * (336.0 * s.n - ties.sum_t)), 6)
+             AS w_tie_corrected,
+           ROUND(6.0 * s.n
+                 * (3.0 * (s.sr2::DOUBLE - 56.0 * 56.0 * s.n * s.n / 7.0)
+                    / (s.n * (336.0 * s.n - ties.sum_t))), 6)
+             AS chi2_tc
+    FROM s CROSS JOIN ties
+    """,
+)
+def kendalls_w_weekday_revenue(spark, sf_dir):
+    """Kendall's coefficient of concordance W across full weeks ranking
+    the 7 weekdays by daily revenue -- the EFFECT-SIZE readout of the
+    `friedman_weekday_revenue` machinery (Friedman's chi-square says
+    whether weekday ordering is non-random; W in [0, 1] says HOW
+    consistently the weeks agree on that ordering -- the m-judges
+    generalization of Spearman's rho, W = chi2/(n(k-1))). Same frame
+    discipline as Friedman: days collapse to exact integer cents, only
+    FULL 7-day weeks enter (partial boundary weeks would break the
+    fixed k = 7), doubled within-block midranks are exact integers
+    from 7-row bounded windows, and both the plain W and the
+    tie-corrected W = 12*S/(n^2 k(k^2-1) - n*sum(t^3-t)) assemble from
+    two exact sums (sr2 as DECIMAL(38,0), the tie fold as BIGINT) in
+    fixed-order double expressions. The doubled-rank identities: rank
+    sums conserve to 56n, S = (sr2 - (56n)^2/7)/4, so 12S folds to
+    3*(sr2 - 56^2 n^2/7).
+
+    Scale: one corpus scan to the day frame; all ranking happens on
+    calendar-bounded 7-row blocks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    d0 = d.agg(F.min("day").alias("day0"))
+    w = d.crossJoin(F.broadcast(d0)).select(
+        F.floor(F.datediff(F.col("day"), F.col("day0")) / 7)
+        .cast("bigint")
+        .alias("blk"),
+        "day",
+        "cents",
+    )
+    full_w = (
+        w.groupBy("blk").count().filter(F.col("count") == 7).select("blk")
+    )
+    wf = w.join(F.broadcast(full_w), "blk")
+    blk_win = Window.partitionBy("blk").orderBy(F.col("cents").asc())
+    tie_win = Window.partitionBy("blk", "cents")
+    rr = wf.select(
+        "blk",
+        "cents",
+        (
+            2 * (F.rank().over(blk_win) - 1)
+            + F.count(F.lit(1)).over(tie_win)
+            + 1
+        ).alias("r2"),
+        F.dayofweek("day").alias("wd"),
+    )
+    col_sums = rr.groupBy("wd").agg(
+        F.sum("r2").cast("bigint").alias("r2_j"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blk"),
+    )
+    ties = (
+        wf.groupBy("blk", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+        .agg(
+            F.sum(
+                F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")
+            )
+            .cast("bigint")
+            .alias("sum_t")
+        )
+    )
+    s = col_sums.agg(
+        F.max("n_blk").cast("bigint").alias("n"),
+        F.sum(F.col("r2_j").cast("decimal(38,0)") * F.col("r2_j")).alias(
+            "sr2"
+        ),
+    )
+    out = s.crossJoin(F.broadcast(ties))
+    nd = F.col("n") * F.lit(1.0)
+    sr2d = F.col("sr2").cast("double")
+    w_plain = (
+        F.lit(3.0) * sr2d / (F.col("n") * F.lit(56.0))
+        - F.lit(24.0) * F.col("n")
+    ) / (F.lit(6.0) * F.col("n"))
+    w_tc = (
+        F.lit(3.0)
+        * (sr2d - F.lit(56.0) * F.lit(56.0) * F.col("n") * F.col("n") / F.lit(7.0))
+        / (
+            F.col("n")
+            * (F.lit(336.0) * F.col("n") - F.col("sum_t"))
+        )
+    )
+    return out.select(
+        F.col("n").alias("n_weeks"),
+        F.round(w_plain, 6).alias("w_plain"),
+        F.round(w_tc, 6).alias("w_tie_corrected"),
+        F.round(F.lit(6.0) * F.col("n") * w_tc, 6).alias("chi2_tc"),
+    )
+
+
+@register(
+    "krippendorff_alpha_rules",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                   AS r_wc,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                   'is'))) >= 2
+                      THEN 1 ELSE 0 END AS r_sw
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(r_wc * r_sw)::BIGINT AS a,
+                 SUM(CASE WHEN r_wc = 1 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS b,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 1 THEN 1 ELSE 0
+                     END)::BIGINT AS c,
+                 SUM(CASE WHEN r_wc = 0 AND r_sw = 0 THEN 1 ELSE 0
+                     END)::BIGINT AS d
+          FROM m)
+    SELECT n AS n_units,
+           ROUND((b + c) * 1.0 / n, 6) AS d_observed,
+           ROUND(2.0 * (2 * a + b + c) * (2 * d + b + c)
+                 / (2.0 * n * (2 * n - 1)), 6) AS d_expected,
+           CASE WHEN (2 * a + b + c) * (2 * d + b + c) > 0
+                THEN ROUND(1.0 - ((b + c) * 1.0 / n)
+                           / (2.0 * (2 * a + b + c) * (2 * d + b + c)
+                              / (2.0 * n * (2 * n - 1))), 6)
+                ELSE NULL END AS krippendorff_alpha
+    FROM s
+    """,
+)
+def krippendorff_alpha_rules(spark, sf_dir):
+    """Krippendorff's alpha (nominal metric, 2 raters, binary values)
+    for the same two quality gates `cohens_kappa_rules` scores -- the
+    reliability coefficient that generalizes the kappa family (alpha
+    corrects expected disagreement with the SAMPLE-SIZE-AWARE
+    coincidence denominator nn-1 and extends unchanged to missing
+    ratings and >2 raters, which is why content-analysis pipelines
+    standardize on it; for 2 complete binary raters it differs from
+    Scott's pi only through that nn-1). Coincidence algebra collapses
+    to the four agreement cells: each agreeing unit contributes 2 to a
+    diagonal coincidence, each disagreeing unit 1 to each off-diagonal,
+    so D_o = (b+c)/n and D_e = 2*n_1*n_0/(nn*(nn-1)) with marginal
+    coincidences n_1 = 2a+b+c, n_0 = 2d+b+c over nn = 2n total paired
+    judgments; alpha = 1 - D_o/D_e is one fixed-order double
+    expression of four exact BIGINTs. The degenerate all-one-value
+    corpus (D_e = 0) NULLs via an integer-product guard -- no
+    float-equality surface.
+
+    Scale: one conditional-aggregation corpus scan; single-row
+    arithmetic after."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.size("ws").between(20, 90), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS)))
+            >= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("r_sw"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r_wc") * F.col("r_sw")).cast("bigint").alias("a"),
+        F.sum(
+            F.when((F.col("r_wc") == 1) & (F.col("r_sw") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when((F.col("r_wc") == 0) & (F.col("r_sw") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    n, a, b, c, d = (F.col(k) for k in ("n", "a", "b", "c", "d"))
+    n1 = 2 * a + b + c
+    n0 = 2 * d + b + c
+    d_o = (b + c) * F.lit(1.0) / n
+    d_e = (
+        F.lit(2.0)
+        * n1
+        * n0
+        / (F.lit(2.0) * n * (F.lit(2) * n - F.lit(1)))
+    )
+    return s.select(
+        n.alias("n_units"),
+        F.round(d_o, 6).alias("d_observed"),
+        F.round(d_e, 6).alias("d_expected"),
+        F.when(
+            n1 * n0 > 0, F.round(F.lit(1.0) - d_o / d_e, 6)
+        ).alias("krippendorff_alpha"),
+    )
