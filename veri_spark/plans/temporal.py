@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
+from veri_spark.operators.ranking import (  # noqa: F401
+    global_prefix_agg,
+    global_row_number,
+)
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
 from veri_spark.plans._base import register  # noqa: F401
@@ -472,3 +476,691 @@ def ship_late_p_chart(spark, sf_dir):
         F.round(F.lit(1e6) * lcl0).cast("bigint").alias("lcl_micro"),
         ((p > ucl) | (p < lcl0)).alias("out_of_control"),
     ).orderBy(F.col("mon").asc())
+
+
+# ---------------------------------------------------------------------------
+# Round-11 time-series batch: PACF, Ljung-Box, binary-segmentation
+# changepoint, Hurst R/S, periodogram peaks, seasonal strength.
+# ---------------------------------------------------------------------------
+
+_DAILY_CENTS_SQL = """
+    SELECT l_shipdate AS day,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                * 100 AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_shipdate
+"""
+
+
+def _daily_cents(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+_RHO_SQL = f"""
+    d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+    tot AS (SELECT COUNT(*)::BIGINT AS t,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS p,
+                   SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS q
+            FROM r),
+    pairs AS (SELECT k.lag, a.cents AS x, b.cents AS y
+              FROM (SELECT unnest(generate_series(1, {{maxlag}}))::INT
+                             AS lag) k
+              JOIN r a ON TRUE
+              JOIN r b ON b.rn = a.rn + k.lag),
+    s AS (SELECT lag, COUNT(*)::BIGINT AS m,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS cxy,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS hx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS gy
+          FROM pairs GROUP BY lag),
+    rho AS (SELECT s.lag, tot.t,
+                   (s.cxy::DOUBLE
+                    - (tot.p::DOUBLE / tot.t)
+                      * (s.hx::DOUBLE + s.gy::DOUBLE)
+                    + s.m * (tot.p::DOUBLE / tot.t)
+                          * (tot.p::DOUBLE / tot.t))
+                   / (tot.q::DOUBLE
+                      - tot.t * (tot.p::DOUBLE / tot.t)
+                              * (tot.p::DOUBLE / tot.t)) AS rho
+            FROM s CROSS JOIN tot)
+"""
+
+
+def _rho_frame(spark, sf_dir, maxlag):
+    """Classical ACF rho_1..rho_maxlag of daily revenue: one corpus scan
+    to the day frame, a broadcast lag join on the global day rank, exact
+    DECIMAL(38,0) cross-moment folds, then one fixed-order double
+    expression per lag (single global mean, classical denominator)."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
+        "rn", "cents"
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("p"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "q"
+        ),
+    )
+    lags = spark.range(1, maxlag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = r.select(F.col("rn").alias("ra"), F.col("cents").alias("x"))
+    b = r.select(F.col("rn").alias("rb"), F.col("cents").alias("y"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("rb") == F.col("ra") + F.col("lag")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(dec("x") * F.col("y")).alias("cxy"),
+        F.sum(dec("x")).alias("hx"),
+        F.sum(dec("y")).alias("gy"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    mu = F.col("p").cast("double") / F.col("t")
+    rho = (
+        F.col("cxy").cast("double")
+        - mu * (F.col("hx").cast("double") + F.col("gy").cast("double"))
+        + F.col("m") * mu * mu
+    ) / (F.col("q").cast("double") - F.col("t") * mu * mu)
+    return j.select("lag", "t", rho.alias("rho"))
+
+
+@register(
+    "pacf_daily_revenue",
+    f"""
+    WITH {_RHO_SQL.format(maxlag=3)},
+    w AS (SELECT MAX(CASE WHEN lag = 1 THEN rho END) AS r1,
+                 MAX(CASE WHEN lag = 2 THEN rho END) AS r2,
+                 MAX(CASE WHEN lag = 3 THEN rho END) AS r3
+          FROM rho),
+    ph AS (SELECT r1, r2, r3,
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+                  r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi21
+           FROM w)
+    SELECT lag, ROUND(pacf, 6) AS pacf FROM (
+      SELECT 1::INT AS lag, r1 AS pacf FROM ph
+      UNION ALL SELECT 2::INT, phi22 FROM ph
+      UNION ALL SELECT 3::INT,
+        (r3 - phi21 * r2 - phi22 * r1)
+        / (1.0 - phi21 * r1 - phi22 * r2) FROM ph) z
+    ORDER BY lag ASC
+    """,
+)
+def pacf_daily_revenue(spark, sf_dir):
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion in closed form -- the AR-order diagnostic
+    next to `acf_daily_revenue` (ACF says WHAT correlates; PACF says
+    what correlates AFTER the shorter lags are regressed out, which is
+    what picks p in an AR(p)). Classical single-mean ACF first (exact
+    DECIMAL cross-moment folds over the broadcast lag join, one global
+    mean -- unlike the per-lag re-centered variant next door, because
+    Durbin-Levinson assumes the Toeplitz normalization), then phi11 =
+    rho1, phi22 = (rho2 - rho1^2)/(1 - rho1^2), and phi33 from the
+    level-2 coefficients phi21 = rho1(1 - rho2)/(1 - rho1^2) -- every
+    step a fixed-order double expression of the three rho's, identical
+    in both engines.
+
+    Scale: one corpus scan to the calendar-bounded day frame; the lag
+    join, pivot and recursion all run on frames of at most a few
+    thousand rows."""
+    rho = _rho_frame(spark, sf_dir, 3)
+    w = rho.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("rho"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("rho"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("rho"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    ph = w.select(
+        "r1",
+        "r2",
+        "r3",
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("phi22"),
+        (r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1)).alias("phi21"),
+    )
+    phi33 = (
+        F.col("r3") - F.col("phi21") * F.col("r2") - F.col("phi22") * F.col("r1")
+    ) / (
+        F.lit(1.0)
+        - F.col("phi21") * F.col("r1")
+        - F.col("phi22") * F.col("r2")
+    )
+    out = ph.select(
+        F.col("r1").alias("p1"),
+        F.col("phi22").alias("p2"),
+        phi33.alias("p3"),
+    )
+    return out.selectExpr(
+        "stack(3, CAST(1 AS INT), round(p1, 6), CAST(2 AS INT),"
+        " round(p2, 6), CAST(3 AS INT), round(p3, 6)) AS (lag, pacf)"
+    ).orderBy(F.col("lag").asc())
+
+
+@register(
+    "ljung_box_daily_revenue",
+    f"""
+    WITH {_RHO_SQL.format(maxlag=5)},
+    q AS (SELECT MAX(t)::BIGINT AS t,
+                 SUM(CAST(round(1e15 * rho * rho / (t - lag))
+                     AS DECIMAL(38,0))) AS sq
+          FROM rho)
+    SELECT t AS n_days,
+           ROUND(t * (t + 2.0) * (sq::DOUBLE / 1e15), 6) AS q_ljung_box
+    FROM q
+    """,
+)
+def ljung_box_daily_revenue(spark, sf_dir):
+    """Ljung-Box portmanteau Q over lags 1-5 of daily revenue -- the
+    "is there ANY serial structure?" gate next to
+    `durbin_watson_daily_revenue` (DW sees only lag 1; Q pools the
+    first m autocorrelations with the small-sample 1/(n-k) weights, the
+    standard residual-whiteness check after any forecasting fit). Same
+    classical-ACF machinery as `pacf_daily_revenue`; each lag's
+    rho^2/(n-k) term -- already an identical double in both engines --
+    is femto-quantized so the 5-term fold is order-proof, and Q =
+    n(n+2) * sum is one final fixed-order expression. Q ~ chi2(5) is
+    the caller's lookup (the Jarque-Bera no-verdict precedent).
+
+    Scale: identical to the ACF query -- one corpus scan, all pair
+    work on the calendar-bounded day frame."""
+    rho = _rho_frame(spark, sf_dir, 5)
+    q = rho.agg(
+        F.max("t").cast("bigint").alias("t"),
+        F.sum(
+            F.round(
+                F.lit(1e15) * F.col("rho") * F.col("rho")
+                / (F.col("t") - F.col("lag"))
+            ).cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    return q.select(
+        F.col("t").alias("n_days"),
+        F.round(
+            F.col("t") * (F.col("t") + F.lit(2.0))
+            * (F.col("sq").cast("double") / F.lit(1e15)),
+            6,
+        ).alias("q_ljung_box"),
+    )
+
+
+@register(
+    "binseg_changepoint_daily",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT day,
+                 row_number() OVER (ORDER BY day ASC) AS rn,
+                 SUM(CAST(cents AS DECIMAL(38,0)))
+                   OVER (ORDER BY day ASC) AS p,
+                 SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                   OVER (ORDER BY day ASC) AS q
+          FROM d),
+    tot AS (SELECT COUNT(*)::BIGINT AS t,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS pt,
+                   SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS qt
+            FROM d),
+    cost AS (SELECT r.day, r.rn, r.p, tot.t, tot.pt, tot.qt,
+                    (r.q::DOUBLE - r.p::DOUBLE * r.p::DOUBLE / r.rn)
+                    + ((tot.qt::DOUBLE - r.q::DOUBLE)
+                       - (tot.pt::DOUBLE - r.p::DOUBLE)
+                         * (tot.pt::DOUBLE - r.p::DOUBLE)
+                         / (tot.t - r.rn)) AS sse
+             FROM r CROSS JOIN tot
+             WHERE r.rn < tot.t),
+    best AS (SELECT * FROM cost ORDER BY sse ASC, day ASC LIMIT 1)
+    SELECT t AS n_days, day AS split_day, rn AS n_days_left,
+           ROUND(1.0 - sse / (qt::DOUBLE - pt::DOUBLE * pt::DOUBLE / t), 6)
+             AS gain_fraction,
+           ROUND(p::DOUBLE / rn / 100.0, 6) AS left_mean_revenue,
+           ROUND((pt::DOUBLE - p::DOUBLE) / (t - rn) / 100.0, 6)
+             AS right_mean_revenue
+    FROM best
+    """,
+)
+def binseg_changepoint_daily(spark, sf_dir):
+    """Single-changepoint detection on daily revenue by binary
+    segmentation (the first split of Scott-Knott / ruptures-style
+    binseg): the day t whose left/right mean split removes the most
+    SSE -- the offline companion to the online `events_cusum_scan` /
+    `events_page_hinkley` monitors (those flag WHEN a stream shifts;
+    this finds WHERE a finished series most plausibly broke, e.g. a
+    mix change mid-ingest). Days collapse to exact integer cents; two
+    distributed prefix scans give P_t, Q_t; each candidate's
+    two-segment SSE is one fixed-order double expression of exact
+    decimals (SSE = Q - P^2/n per side, means never materialize); the
+    argmin rides orderBy().limit(1) -- TakeOrdered partial+final, no
+    single-partition sort -- with the earliest-day tie-break. Output
+    reports the split plus the scale-free gain fraction 1 -
+    SSE_split/SSE_total.
+
+    Scale: one corpus scan to the calendar-bounded day frame; prefix
+    scans and the argmin run on ~2.5k rows at any data volume."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn")
+    r = global_prefix_agg(
+        r.withColumn("cdec", F.col("cents").cast("decimal(38,0)")),
+        [F.col("day").asc()],
+        "cdec",
+        agg="sum",
+        out_col="p",
+    )
+    r = global_prefix_agg(
+        r.withColumn(
+            "qdec", F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ),
+        [F.col("day").asc()],
+        "qdec",
+        agg="sum",
+        out_col="q",
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("pt"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "qt"
+        ),
+    )
+    c = r.crossJoin(F.broadcast(tot)).filter(F.col("rn") < F.col("t"))
+    pd_ = F.col("p").cast("double")
+    qd = F.col("q").cast("double")
+    ptd = F.col("pt").cast("double")
+    qtd = F.col("qt").cast("double")
+    sse = (qd - pd_ * pd_ / F.col("rn")) + (
+        (qtd - qd)
+        - (ptd - pd_) * (ptd - pd_) / (F.col("t") - F.col("rn"))
+    )
+    best = (
+        c.withColumn("sse", sse)
+        .orderBy(F.col("sse").asc(), F.col("day").asc())
+        .limit(1)
+    )
+    return best.select(
+        F.col("t").alias("n_days"),
+        F.col("day").alias("split_day"),
+        F.col("rn").alias("n_days_left"),
+        F.round(
+            F.lit(1.0) - F.col("sse") / (qtd - ptd * ptd / F.col("t")), 6
+        ).alias("gain_fraction"),
+        F.round(pd_ / F.col("rn") / F.lit(100.0), 6).alias(
+            "left_mean_revenue"
+        ),
+        F.round(
+            (ptd - pd_) / (F.col("t") - F.col("rn")) / F.lit(100.0), 6
+        ).alias("right_mean_revenue"),
+    )
+
+
+_HOURLY_SPINE_SQL = """
+    bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                      date_trunc('hour', MAX(ts)) AS t1 FROM events),
+    spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1),
+    x AS (SELECT date_diff('hour', b.t0, s.h)::BIGINT AS hi,
+                 COALESCE(a.n, 0)::BIGINT AS n
+          FROM spine s CROSS JOIN bounds b
+          LEFT JOIN actual a ON a.h = s.h)
+"""
+
+
+def _hourly_counts(spark, sf_dir):
+    """Dense zero-filled hourly count series with an integer hour index
+    (the events_dense_hourly spine idiom: generated, never scanned)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "t0",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return spine.join(actual, "h", "left").select(
+        ((F.unix_timestamp("h") - F.unix_timestamp("t0")) / 3600)
+        .cast("bigint")
+        .alias("hi"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "hurst_rs_hourly",
+    f"""
+    WITH {_HOURLY_SPINE_SQL},
+    xb AS (SELECT k.s, x.hi // k.s AS blk, x.hi % k.s AS pos, x.n
+           FROM x CROSS JOIN (SELECT unnest([24, 72, 180]) AS s) k),
+    fb AS (SELECT s, blk FROM xb GROUP BY s, blk HAVING COUNT(*) = s),
+    w AS (SELECT xb.s, xb.blk, xb.pos, xb.n,
+                 SUM(xb.n) OVER (PARTITION BY xb.s, xb.blk
+                                 ORDER BY xb.pos ASC) AS pf
+          FROM xb JOIN fb USING (s, blk)),
+    bs AS (SELECT s, blk, SUM(n)::BIGINT AS sb,
+                  SUM(CAST(n * n AS DECIMAL(38,0))) AS qb
+           FROM w GROUP BY s, blk),
+    dev AS (SELECT w.s, w.blk,
+                   MAX(w.pf - (w.pos + 1.0) * bs.sb / w.s)
+                   - MIN(w.pf - (w.pos + 1.0) * bs.sb / w.s) AS rng,
+                   MAX(sqrt(bs.qb::DOUBLE / w.s
+                            - (bs.sb::DOUBLE / w.s)
+                              * (bs.sb::DOUBLE / w.s))) AS sd
+            FROM w JOIN bs USING (s, blk) GROUP BY w.s, w.blk),
+    rs AS (SELECT s, COUNT(*)::BIGINT AS n_blocks,
+                  SUM(CAST(round(1e9 * rng / sd) AS DECIMAL(38,0))) AS q
+           FROM dev WHERE sd > 0 GROUP BY s),
+    pv AS (SELECT MAX(CASE WHEN s = 24 THEN q::DOUBLE / 1e9 / n_blocks
+                      END) AS rs24,
+                  MAX(CASE WHEN s = 72 THEN q::DOUBLE / 1e9 / n_blocks
+                      END) AS rs72,
+                  MAX(CASE WHEN s = 180 THEN q::DOUBLE / 1e9 / n_blocks
+                      END) AS rs180,
+                  MAX(CASE WHEN s = 24 THEN n_blocks END) AS nb24
+           FROM rs),
+    ols AS (SELECT rs24, rs72, rs180, nb24,
+                   ln(24.0) AS l1, ln(72.0) AS l2, ln(180.0) AS l3,
+                   ln(rs24) AS y1, ln(rs72) AS y2, ln(rs180) AS y3
+            FROM pv)
+    SELECT nb24 AS n_blocks_24,
+           ROUND(rs24, 6) AS rs_24,
+           ROUND(rs72, 6) AS rs_72,
+           ROUND(rs180, 6) AS rs_180,
+           ROUND(((l1 - (l1 + l2 + l3) / 3.0) * (y1 - (y1 + y2 + y3) / 3.0)
+                  + (l2 - (l1 + l2 + l3) / 3.0) * (y2 - (y1 + y2 + y3) / 3.0)
+                  + (l3 - (l1 + l2 + l3) / 3.0) * (y3 - (y1 + y2 + y3) / 3.0))
+                 / ((l1 - (l1 + l2 + l3) / 3.0) * (l1 - (l1 + l2 + l3) / 3.0)
+                    + (l2 - (l1 + l2 + l3) / 3.0) * (l2 - (l1 + l2 + l3) / 3.0)
+                    + (l3 - (l1 + l2 + l3) / 3.0) * (l3 - (l1 + l2 + l3) / 3.0)),
+                 6) AS hurst_exponent
+    FROM ols
+    """,
+)
+def hurst_rs_hourly(spark, sf_dir):
+    """Hurst exponent of the hourly event-count series by classical
+    rescaled-range (R/S) analysis over block sizes {{24, 72, 180}} hours
+    -- the long-memory readout next to `events_burstiness` and
+    `hourly_autocorr` (H ~ 0.5 is memoryless, H > 0.5 persistent/
+    trend-reinforcing traffic, H < 0.5 mean-reverting; load planners
+    care because persistent streams defeat naive capacity averaging).
+    The series is the dense zero-filled hourly spine (generated, never
+    scanned). Per block: the cumulative deviation identity W_i = P_i -
+    i*mean keeps everything in exact integer prefix sums until ONE
+    double expression per block; R/S_b is micro-quantized so the
+    per-size mean folds order-proof; H is the closed-form 3-point OLS
+    slope of ln(mean R/S) on ln(s) with ln of literal block sizes.
+
+    Scale: the corpus is touched by one hourly pre-aggregation; all R/S
+    work runs on spine x 3 copies (a few thousand rows), with windows
+    partitioned by (size, block) -- bounded frames of at most 180
+    rows."""
+    x = _hourly_counts(spark, sf_dir)
+    sizes = spark.range(3).select(
+        F.element_at(F.array(F.lit(24), F.lit(72), F.lit(180)), (F.col("id") + 1).cast("int")).alias("s")
+    )
+    xb = x.crossJoin(F.broadcast(sizes)).select(
+        "s",
+        (F.col("hi") / F.col("s")).cast("bigint").alias("blk"),
+        (F.col("hi") % F.col("s")).alias("pos"),
+        "n",
+    )
+    fb = (
+        xb.groupBy("s", "blk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == F.col("s"))
+        .select("s", "blk")
+    )
+    w = xb.join(fb, ["s", "blk"])
+    pw = Window.partitionBy("s", "blk").orderBy(F.col("pos").asc())
+    w = w.withColumn("pf", F.sum("n").over(pw))
+    bs = w.groupBy("s", "blk").agg(
+        F.sum("n").cast("bigint").alias("sb"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("qb"),
+    )
+    j = w.join(bs, ["s", "blk"])
+    dev_expr = F.col("pf") - (F.col("pos") + F.lit(1.0)) * F.col("sb") / F.col("s")
+    dev = j.groupBy("s", "blk").agg(
+        (F.max(dev_expr) - F.min(dev_expr)).alias("rng"),
+        F.max(
+            F.sqrt(
+                F.col("qb").cast("double") / F.col("s")
+                - (F.col("sb").cast("double") / F.col("s"))
+                * (F.col("sb").cast("double") / F.col("s"))
+            )
+        ).alias("sd"),
+    )
+    rs = (
+        dev.filter(F.col("sd") > 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.round(F.lit(1e9) * F.col("rng") / F.col("sd")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("q"),
+        )
+    )
+    mrs = F.col("q").cast("double") / F.lit(1e9) / F.col("n_blocks")
+    pv = rs.agg(
+        F.max(F.when(F.col("s") == 24, mrs)).alias("rs24"),
+        F.max(F.when(F.col("s") == 72, mrs)).alias("rs72"),
+        F.max(F.when(F.col("s") == 180, mrs)).alias("rs180"),
+        F.max(F.when(F.col("s") == 24, F.col("n_blocks"))).alias("nb24"),
+    )
+    l1, l2, l3 = (F.log(F.lit(float(v))) for v in (24.0, 72.0, 180.0))
+    y1, y2, y3 = (
+        F.log(F.col(c)) for c in ("rs24", "rs72", "rs180")
+    )
+    lm = (l1 + l2 + l3) / F.lit(3.0)
+    ym = (y1 + y2 + y3) / F.lit(3.0)
+    slope = (
+        (l1 - lm) * (y1 - ym) + (l2 - lm) * (y2 - ym) + (l3 - lm) * (y3 - ym)
+    ) / ((l1 - lm) * (l1 - lm) + (l2 - lm) * (l2 - lm) + (l3 - lm) * (l3 - lm))
+    return pv.select(
+        F.col("nb24").alias("n_blocks_24"),
+        F.round(F.col("rs24"), 6).alias("rs_24"),
+        F.round(F.col("rs72"), 6).alias("rs_72"),
+        F.round(F.col("rs180"), 6).alias("rs_180"),
+        F.round(slope, 6).alias("hurst_exponent"),
+    )
+
+
+_TWO_PI = 6.283185307179586
+
+
+@register(
+    "spectral_peak_hourly",
+    f"""
+    WITH {_HOURLY_SPINE_SQL},
+    periods AS (SELECT unnest([6, 12, 24, 168])::INT AS period),
+    tot AS (SELECT COUNT(*)::BIGINT AS t, SUM(n)::BIGINT AS s FROM x),
+    trig AS (SELECT p.period,
+                    SUM(CAST(round(1e9 * x.n * cos({_TWO_PI!r} * x.hi
+                                                   / p.period))
+                        AS DECIMAL(38,0))) AS ec,
+                    SUM(CAST(round(1e9 * x.n * sin({_TWO_PI!r} * x.hi
+                                                   / p.period))
+                        AS DECIMAL(38,0))) AS es,
+                    SUM(CAST(round(1e9 * cos({_TWO_PI!r} * x.hi / p.period))
+                        AS DECIMAL(38,0))) AS sc,
+                    SUM(CAST(round(1e9 * sin({_TWO_PI!r} * x.hi / p.period))
+                        AS DECIMAL(38,0))) AS ss
+             FROM x CROSS JOIN periods p GROUP BY p.period),
+    pw AS (SELECT t.period,
+                  (t.ec::DOUBLE / 1e9
+                   - (tt.s::DOUBLE / tt.t) * (t.sc::DOUBLE / 1e9))
+                  * (t.ec::DOUBLE / 1e9
+                     - (tt.s::DOUBLE / tt.t) * (t.sc::DOUBLE / 1e9))
+                  + (t.es::DOUBLE / 1e9
+                     - (tt.s::DOUBLE / tt.t) * (t.ss::DOUBLE / 1e9))
+                    * (t.es::DOUBLE / 1e9
+                       - (tt.s::DOUBLE / tt.t) * (t.ss::DOUBLE / 1e9))
+                    AS power
+           FROM trig t CROSS JOIN tot tt),
+    totp AS (SELECT SUM(CAST(round(power) AS DECIMAL(38,0))) AS tp FROM pw)
+    SELECT pw.period AS period_hours,
+           CAST(round(pw.power) AS BIGINT) AS power_rounded,
+           ROUND(CAST(round(pw.power) AS DOUBLE) / totp.tp::DOUBLE, 6)
+             AS power_share
+    FROM pw CROSS JOIN totp
+    ORDER BY period_hours ASC
+    """,
+)
+def spectral_peak_hourly(spark, sf_dir):
+    """Periodogram power of the hourly event-count series at the four
+    candidate cycles {{6, 12, 24, 168}} hours -- the frequency-domain
+    companion to `hourly_autocorr` and `events_weekday_profile` (the
+    lag-k ACF can alias a 12 h cycle into a 24 h peak; the DFT power
+    P(f) = |sum (x_h - mean) e^(-2 pi i h/f)|^2 reads each candidate
+    directly, the Lomb-Scargle special case for a complete evenly
+    spaced series). The trig sums fold DIRECTLY over the event scan
+    (sum_h x_h cos = sum_events cos -- densification is free because
+    missing hours contribute zero), mean-centering is applied
+    algebraically via the spine trig sums, and every cos/sin term is
+    nano-quantized so all folds are exact DECIMAL(38,0) at any
+    parallelism (acos/ln cross-engine agreement is the established
+    angular-distance idiom). Power is reported integer-rounded (its
+    share r6) so the final comparison surface has no float-sum tail.
+
+    Scale: one corpus-scan conditional aggregation (4 periods x 2 trig
+    sums with map-side combine) plus a generated-spine pass; no
+    windows, no joins above calendar size."""
+    x = _hourly_counts(spark, sf_dir)
+    periods = spark.range(4).select(
+        F.element_at(
+            F.array(F.lit(6), F.lit(12), F.lit(24), F.lit(168)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("period")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    ang = F.lit(_TWO_PI) * F.col("hi") / F.col("period")
+    trig = (
+        x.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e9) * F.col("n") * F.cos(ang)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("ec"),
+            F.sum(
+                F.round(F.lit(1e9) * F.col("n") * F.sin(ang)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("es"),
+            F.sum(F.round(F.lit(1e9) * F.cos(ang)).cast("decimal(38,0)")).alias(
+                "sc"
+            ),
+            F.sum(F.round(F.lit(1e9) * F.sin(ang)).cast("decimal(38,0)")).alias(
+                "ss"
+            ),
+        )
+    )
+    j = trig.crossJoin(F.broadcast(tot))
+    mean = F.col("s").cast("double") / F.col("t")
+    a = F.col("ec").cast("double") / F.lit(1e9) - mean * (
+        F.col("sc").cast("double") / F.lit(1e9)
+    )
+    b = F.col("es").cast("double") / F.lit(1e9) - mean * (
+        F.col("ss").cast("double") / F.lit(1e9)
+    )
+    pw = j.select("period", (a * a + b * b).alias("power"))
+    totp = pw.agg(
+        F.sum(F.round(F.col("power")).cast("decimal(38,0)")).alias("tp")
+    )
+    return (
+        pw.crossJoin(F.broadcast(totp))
+        .select(
+            F.col("period").alias("period_hours"),
+            F.round(F.col("power")).cast("bigint").alias("power_rounded"),
+            F.round(
+                F.round(F.col("power")).cast("double")
+                / F.col("tp").cast("double"),
+                6,
+            ).alias("power_share"),
+        )
+        .orderBy(F.col("period_hours").asc())
+    )
+
+
+@register(
+    "hourly_seasonality_strength",
+    f"""
+    WITH {_HOURLY_SPINE_SQL},
+    hod AS (SELECT hi % 24 AS hh, n FROM x),
+    g AS (SELECT hh, COUNT(*)::BIGINT AS ng, SUM(n)::BIGINT AS sg
+          FROM hod GROUP BY hh),
+    tot AS (SELECT COUNT(*)::BIGINT AS t, SUM(n)::BIGINT AS s,
+                   SUM(CAST(n * n AS DECIMAL(38,0))) AS q
+            FROM x),
+    btw AS (SELECT SUM(CAST(round(1e6 * sg * (sg * 1.0) / ng)
+                       AS DECIMAL(38,0))) AS bq
+            FROM g)
+    SELECT tot.t AS n_hours,
+           ROUND(tot.q::DOUBLE - tot.s::DOUBLE * tot.s / tot.t, 6)
+             AS ss_total,
+           ROUND(tot.q::DOUBLE - btw.bq::DOUBLE / 1e6, 6) AS ss_resid,
+           ROUND(GREATEST(0.0,
+                 1.0 - (tot.q::DOUBLE - btw.bq::DOUBLE / 1e6)
+                       / (tot.q::DOUBLE - tot.s::DOUBLE * tot.s / tot.t)),
+                 6) AS seasonal_strength
+    FROM tot CROSS JOIN btw
+    """,
+)
+def hourly_seasonality_strength(spark, sf_dir):
+    """Hour-of-day seasonal strength of the hourly event-count series:
+    F_s = max(0, 1 - SS_resid/SS_total) with the seasonal component
+    fitted as the 24 hour-of-day means (Hyndman's STL strength measure
+    specialized to a flat trend) -- the single-number summary of what
+    `events_weekday_profile` and `daily_seasonal_decomposition` show as
+    tables (F_s ~ 0: the diurnal profile explains nothing; -> 1: the
+    series IS its daily cycle, which decides whether a forecaster needs
+    a seasonal term and whether load tests may ignore time-of-day).
+    The within-group SS collapses algebraically: SS_resid = Q - sum_g
+    S_g^2/n_g -- group means never materialize; each group's S_g^2/n_g
+    is micro-quantized so the 24-term fold is order-proof; everything
+    else is exact integer sums off the zero-filled spine.
+
+    Scale: one corpus scan to the hourly pre-aggregation; the analysis
+    frame is the generated calendar spine and a 24-row group table."""
+    x = _hourly_counts(spark, sf_dir)
+    g = x.groupBy((F.col("hi") % 24).alias("hh")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("n").cast("bigint").alias("sg"),
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("q"),
+    )
+    btw = g.agg(
+        F.sum(
+            F.round(
+                F.lit(1e6) * F.col("sg") * (F.col("sg") * F.lit(1.0))
+                / F.col("ng")
+            ).cast("decimal(38,0)")
+        ).alias("bq")
+    )
+    j = tot.crossJoin(F.broadcast(btw))
+    qd = F.col("q").cast("double")
+    sst = qd - F.col("s").cast("double") * F.col("s") / F.col("t")
+    ssr = qd - F.col("bq").cast("double") / F.lit(1e6)
+    return j.select(
+        F.col("t").alias("n_hours"),
+        F.round(sst, 6).alias("ss_total"),
+        F.round(ssr, 6).alias("ss_resid"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - ssr / sst), 6).alias(
+            "seasonal_strength"
+        ),
+    )
