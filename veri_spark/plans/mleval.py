@@ -1,0 +1,516 @@
+"""Binary-classifier evaluation panel (round 11): threshold sweeps,
+exact ROC operating points (Youden J, KS separation, cost-optimal
+cutoff), balanced accuracy, and per-bin log-loss.
+
+The running example scores events by `value` against the label
+"event_type = purchase" (the same scorer/label pair
+`score_auc_mann_whitney` ranks and `decision_stump_value_purchase`
+splits): AUC says how well the scorer ORDERS; this panel says what
+happens at an actual CUTOFF -- the numbers a gate owner needs before
+shipping a threshold. The language-ID panel rides the stopword-ratio
+scorer from `lang_id_heuristic`/`calibration_reliability_bins`.
+
+Frame discipline: operating points are computed EXACTLY over the value
+DOMAIN (per-distinct-value class counts + distributed prefix scans --
+the score_auc/KW idiom), never over a sampled threshold grid, and
+argmax/argmin selections compare INTEGER cross-products (J and KS
+numerators clear denominators first) so no float tie can diverge
+cross-engine; selections ride orderBy().limit(1) (TakeOrdered).
+
+Registered into ``plans._base.QUERIES``/``ORACLES`` at import like
+every other domain module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from veri_spark.operators.ranking import global_prefix_agg
+from veri_spark.sources.catalog import load_table
+
+from veri_spark.plans._base import register
+
+# per-distinct-value positive/negative counts + exclusive prefix sums +
+# totals: the exact-ROC frame every operating-point query below shares.
+_ROC_SQL = """
+    e AS (SELECT value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos
+          FROM events),
+    g AS (SELECT value, SUM(pos)::BIGINT AS pc,
+                 SUM(1 - pos)::BIGINT AS nc
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(pc)::BIGINT AS p, SUM(nc)::BIGINT AS n FROM g),
+    r AS (SELECT value, pc, nc,
+                 SUM(pc) OVER (ORDER BY value ASC) - pc AS cp,
+                 SUM(nc) OVER (ORDER BY value ASC) - nc AS cn,
+                 SUM(pc) OVER (ORDER BY value ASC) AS cpi,
+                 SUM(nc) OVER (ORDER BY value ASC) AS cni
+          FROM g)
+"""
+
+
+def _roc_frame(spark, sf_dir):
+    """(value, pc, nc, cp, cn, cpi, cni) + broadcastable totals (p, n):
+    exclusive/inclusive class-count prefix scans over the value domain."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("pos").cast("bigint").alias("pc"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("nc"),
+    )
+    t = g.agg(
+        F.sum("pc").cast("bigint").alias("p"),
+        F.sum("nc").cast("bigint").alias("n"),
+    )
+    r = global_prefix_agg(
+        g, [F.col("value").asc()], "pc", agg="sum", out_col="cpi"
+    )
+    r = global_prefix_agg(
+        r, [F.col("value").asc()], "nc", agg="sum", out_col="cni"
+    )
+    r = r.select(
+        "value",
+        "pc",
+        "nc",
+        (F.col("cpi") - F.col("pc")).alias("cp"),
+        (F.col("cni") - F.col("nc")).alias("cn"),
+        "cpi",
+        "cni",
+    )
+    return r, t
+
+
+@register(
+    "f1_threshold_sweep",
+    """
+    WITH th AS (SELECT unnest([5, 10, 20, 50, 100])::INT AS threshold),
+    e AS (SELECT value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos
+          FROM events),
+    s AS (SELECT th.threshold,
+                 SUM(CASE WHEN e.pos = 1 AND e.value >= th.threshold
+                     THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 SUM(CASE WHEN e.pos = 0 AND e.value >= th.threshold
+                     THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 SUM(CASE WHEN e.pos = 1 AND e.value < th.threshold
+                     THEN 1 ELSE 0 END)::BIGINT AS fn
+          FROM e CROSS JOIN th GROUP BY th.threshold)
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(tp * 1.0 / (tp + fp), 6) END AS precision_,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(tp * 1.0 / (tp + fn), 6) END AS recall_,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+    FROM s ORDER BY threshold ASC
+    """,
+)
+def f1_threshold_sweep(spark, sf_dir):
+    """Precision / recall / F1 of the "value >= theta predicts purchase"
+    rule at five fixed operating points -- the table a reviewer reads
+    before picking a gate (`score_auc_mann_whitney` certifies the
+    RANKING; this shows the confusion trade at each concrete cutoff;
+    F1 = 2TP/(2TP+FP+FN) avoids the P*R/(P+R) float path entirely).
+    One conditional-aggregation pass over events x 5 broadcast
+    thresholds yields exact BIGINT confusion cells; each metric is a
+    guarded single division. Zero-denominator cells NULL via integer
+    comparisons.
+
+    Scale: one corpus scan with map-side combine (5x fan-out on a
+    broadcast literal frame); the output is 5 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    th = spark.range(5).select(
+        F.element_at(
+            F.array(*(F.lit(v) for v in (5, 10, 20, 50, 100))),
+            (F.col("id") + 1).cast("int"),
+        ).alias("threshold")
+    )
+    s = (
+        e.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pos") == 1) & (F.col("value") >= F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("pos") == 0) & (F.col("value") >= F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("pos") == 1) & (F.col("value") < F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return s.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, F.round(tp * F.lit(1.0) / (tp + fp), 6)).alias(
+            "precision_"
+        ),
+        F.when(tp + fn > 0, F.round(tp * F.lit(1.0) / (tp + fn), 6)).alias(
+            "recall_"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(F.lit(2.0) * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+    ).orderBy(F.col("threshold").asc())
+
+
+@register(
+    "youden_j_threshold",
+    f"""
+    WITH {_ROC_SQL},
+    j AS (SELECT r.value, t.p, t.n,
+                 t.p - r.cp AS tp, t.n - r.cn AS fp,
+                 (t.p - r.cp) * t.n - (t.n - r.cn) * t.p AS jnum
+          FROM r CROSS JOIN t),
+    best AS (SELECT * FROM j ORDER BY jnum DESC, value ASC LIMIT 1)
+    SELECT value AS threshold_value, tp, fp,
+           ROUND(tp * 1.0 / p, 6) AS tpr,
+           ROUND(fp * 1.0 / n, 6) AS fpr,
+           ROUND(jnum * 1.0 / (p * 1.0 * n), 6) AS youden_j
+    FROM best
+    """,
+)
+def youden_j_threshold(spark, sf_dir):
+    """The Youden-J-optimal cutoff of the value scorer: the distinct
+    value v maximizing J = TPR - FPR for the rule "predict purchase if
+    value >= v", computed EXACTLY at every ROC vertex (thresholds =
+    the value domain itself, so no grid can miss the optimum -- the
+    operating-point complement to `score_auc_mann_whitney`'s
+    area-under summary and the standard balanced-cutoff choice when FP
+    and FN cost the same). TP/FP at each vertex come from the
+    exclusive class-count prefix scans; the argmax compares the
+    INTEGER numerator TP*N - FP*P (denominators cleared), so ties are
+    exact, broken toward the smallest value; the selection rides
+    orderBy().limit(1).
+
+    Scale: one corpus scan to the value-domain frame, two prefix scans
+    over the domain, one TakeOrdered -- nothing corpus-sized past the
+    first aggregation."""
+    r, t = _roc_frame(spark, sf_dir)
+    j = r.crossJoin(F.broadcast(t)).select(
+        "value",
+        "p",
+        "n",
+        (F.col("p") - F.col("cp")).alias("tp"),
+        (F.col("n") - F.col("cn")).alias("fp"),
+        (
+            (F.col("p") - F.col("cp")) * F.col("n")
+            - (F.col("n") - F.col("cn")) * F.col("p")
+        ).alias("jnum"),
+    )
+    best = j.orderBy(F.col("jnum").desc(), F.col("value").asc()).limit(1)
+    return best.select(
+        F.col("value").alias("threshold_value"),
+        "tp",
+        "fp",
+        F.round(F.col("tp") * F.lit(1.0) / F.col("p"), 6).alias("tpr"),
+        F.round(F.col("fp") * F.lit(1.0) / F.col("n"), 6).alias("fpr"),
+        F.round(
+            F.col("jnum") * F.lit(1.0) / (F.col("p") * F.lit(1.0) * F.col("n")),
+            6,
+        ).alias("youden_j"),
+    )
+
+
+@register(
+    "ks_class_separation",
+    f"""
+    WITH {_ROC_SQL},
+    k AS (SELECT r.value, t.p, t.n,
+                 ABS(r.cpi * t.n - r.cni * t.p) AS knum
+          FROM r CROSS JOIN t),
+    best AS (SELECT * FROM k ORDER BY knum DESC, value ASC LIMIT 1)
+    SELECT p AS n_positive, n AS n_negative,
+           value AS at_value,
+           ROUND(knum * 1.0 / (p * 1.0 * n), 6) AS ks_statistic
+    FROM best
+    """,
+)
+def ks_class_separation(spark, sf_dir):
+    """The Kolmogorov-Smirnov separation of the value scorer: max over
+    the value domain of |CDF(value | purchase) - CDF(value | other)| --
+    the credit-scoring "KS" that certifies a scorer DISCRIMINATES
+    (distinct from `ks_value_drift`, which compares the SAME variable
+    across time; here the two ECDFs are the class-conditional score
+    distributions, and KS = max TPR-FPR gap = the Youden J optimum's
+    height read off the CDF scale). Inclusive class-count prefix scans
+    give both ECDFs exactly at every jump; the argmax compares the
+    integer cross-product |cpi*N - cni*P|; smallest-value tie-break;
+    TakeOrdered selection.
+
+    Scale: identical to the Youden frame -- value-domain prefix scans
+    and a limit(1); the corpus is scanned once."""
+    r, t = _roc_frame(spark, sf_dir)
+    k = r.crossJoin(F.broadcast(t)).select(
+        "value",
+        "p",
+        "n",
+        F.abs(F.col("cpi") * F.col("n") - F.col("cni") * F.col("p")).alias(
+            "knum"
+        ),
+    )
+    best = k.orderBy(F.col("knum").desc(), F.col("value").asc()).limit(1)
+    return best.select(
+        F.col("p").alias("n_positive"),
+        F.col("n").alias("n_negative"),
+        F.col("value").alias("at_value"),
+        F.round(
+            F.col("knum") * F.lit(1.0) / (F.col("p") * F.lit(1.0) * F.col("n")),
+            6,
+        ).alias("ks_statistic"),
+    )
+
+
+@register(
+    "expected_cost_threshold",
+    f"""
+    WITH {_ROC_SQL},
+    c AS (SELECT r.value, t.p, t.n,
+                 (t.n - r.cn) + 5 * r.cp AS total_cost,
+                 t.n - r.cn AS fp, r.cp AS fn
+          FROM r CROSS JOIN t),
+    best AS (SELECT * FROM c ORDER BY total_cost ASC, value ASC LIMIT 1)
+    SELECT value AS threshold_value, fp, fn, total_cost,
+           ROUND(total_cost * 1.0 / (p + n), 6) AS cost_per_event
+    FROM best
+    """,
+)
+def expected_cost_threshold(spark, sf_dir):
+    """The cost-minimizing cutoff under an asymmetric loss (FP costs 1,
+    FN costs 5 -- the shape of a fraud/abuse gate where a missed
+    positive is five reviews' worth of damage): min over the value
+    domain of cost(v) = FP(v) + 5*FN(v) for "predict purchase if value
+    >= v". The entire objective is INTEGER (confusion cells from the
+    exclusive prefix scans, literal integer costs), so the argmin is
+    exact with no quantization anywhere -- the cost-curve complement to
+    `youden_j_threshold` (J is the zero-prior, equal-cost special
+    case). Smallest-value tie-break; TakeOrdered selection. The cost
+    ratio is a documented literal: re-run with your own ratio, the
+    plan shape is unchanged.
+
+    Scale: value-domain prefix scans + limit(1); one corpus scan."""
+    r, t = _roc_frame(spark, sf_dir)
+    c = r.crossJoin(F.broadcast(t)).select(
+        "value",
+        "p",
+        "n",
+        ((F.col("n") - F.col("cn")) + 5 * F.col("cp")).alias("total_cost"),
+        (F.col("n") - F.col("cn")).alias("fp"),
+        F.col("cp").alias("fn"),
+    )
+    best = c.orderBy(F.col("total_cost").asc(), F.col("value").asc()).limit(
+        1
+    )
+    return best.select(
+        F.col("value").alias("threshold_value"),
+        "fp",
+        "fn",
+        "total_cost",
+        F.round(
+            F.col("total_cost") * F.lit(1.0) / (F.col("p") + F.col("n")), 6
+        ).alias("cost_per_event"),
+    )
+
+
+@register(
+    "balanced_accuracy_lang_id",
+    """
+    WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+    m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CASE WHEN len(list_filter(ws,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                   'is')))::DOUBLE / len(ws) >= 0.04
+                      THEN 1 ELSE 0 END AS yhat
+          FROM t WHERE len(ws) > 0),
+    s AS (SELECT SUM(y * yhat)::BIGINT AS tp,
+                 SUM((1 - y) * yhat)::BIGINT AS fp,
+                 SUM(y * (1 - yhat))::BIGINT AS fn,
+                 SUM((1 - y) * (1 - yhat))::BIGINT AS tn
+          FROM m)
+    SELECT tp, fp, fn, tn,
+           ROUND(0.5 * (tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp)), 6)
+             AS balanced_accuracy,
+           ROUND(0.5 * (2.0 * tp / (2 * tp + fp + fn)
+                        + 2.0 * tn / (2 * tn + fn + fp)), 6) AS macro_f1
+    FROM s
+    """,
+)
+def balanced_accuracy_lang_id(spark, sf_dir):
+    """Balanced accuracy and macro-F1 of the stopword language-ID rule
+    against the recorded lang label -- the class-imbalance-proof
+    single numbers for the matrix `lang_confusion_matrix` prints (raw
+    accuracy on a 90%-English corpus rewards predicting 'en' always;
+    balanced accuracy averages the per-class recalls so the minority
+    class counts equally, and macro-F1 averages the per-class F1s --
+    the pair any labeler eval reports first). One
+    conditional-aggregation scan to four exact BIGINTs; both metrics
+    are fixed-order double expressions; per-class F1 uses the
+    2TP/(2TP+FP+FN) form (no precision*recall float chain). Degenerate
+    single-class corpora would 0-divide identically in both engines --
+    the documents fixture always carries both classes, and the oracle
+    pins that.
+
+    Scale: one scan, one 4-number reduce."""
+    from veri_spark.functions.text import en_stopword_ratio, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text", tokens("text").alias("ws")
+    )
+    m = docs.filter(F.size("ws") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(en_stopword_ratio("text") >= 0.04, 1).otherwise(0).alias(
+            "yhat"
+        ),
+    )
+    s = m.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((F.lit(1) - F.col("y")) * F.col("yhat"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.col("y") * (F.lit(1) - F.col("yhat")))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((F.lit(1) - F.col("y")) * (F.lit(1) - F.col("yhat")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(k) for k in ("tp", "fp", "fn", "tn"))
+    return s.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.lit(0.5)
+            * (tp * F.lit(1.0) / (tp + fn) + tn * F.lit(1.0) / (tn + fp)),
+            6,
+        ).alias("balanced_accuracy"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.lit(2.0) * tp / (2 * tp + fp + fn)
+                + F.lit(2.0) * tn / (2 * tn + fn + fp)
+            ),
+            6,
+        ).alias("macro_f1"),
+    )
+
+
+@register(
+    "logloss_by_calibration_bin",
+    """
+    WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                 len(list_filter(ws, w -> w IN
+                     ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS hits,
+                 len(ws) AS n
+          FROM t WHERE len(ws) > 0),
+    b AS (SELECT LEAST((10 * hits) // n, 9)::INT AS bin, pos,
+                 LEAST(GREATEST(hits * 1.0 / n, 1e-6), 1.0 - 1e-6) AS ph
+          FROM s),
+    q AS (SELECT bin, COUNT(*)::BIGINT AS n_docs,
+                 SUM(pos)::BIGINT AS n_positive,
+                 SUM(CAST(round(-1e9 * (pos * ln(ph)
+                                        + (1 - pos) * ln(1.0 - ph)))
+                     AS DECIMAL(38,0))) AS llq
+          FROM b GROUP BY bin)
+    SELECT bin, n_docs, n_positive,
+           ROUND(llq::DOUBLE / 1e9 / n_docs, 6) AS mean_logloss
+    FROM q ORDER BY bin ASC
+    """,
+)
+def logloss_by_calibration_bin(spark, sf_dir):
+    """Mean negative log-likelihood of the stopword-ratio
+    pseudo-probability per reliability bin -- the PROPER-score
+    sharpening of `calibration_reliability_bins` and the binned
+    decomposition of what `expected_calibration_error` integrates (ECE
+    shows WHERE predicted and empirical rates diverge; log-loss also
+    punishes confident misses inside a bin, so a bin can look
+    calibrated on means and still carry terrible log-loss). Scores are
+    clipped to [1e-6, 1 - 1e-6] with the standard symmetric epsilon
+    (ln(0) guard, applied UNCONDITIONALLY in both engines -- no
+    data-dependent branch); each document's term rides ln on identical
+    doubles (the WoE idiom) and is nano-quantized so the per-bin fold
+    is an exact DECIMAL(38,0) at any parallelism.
+
+    Scale: one corpus scan into a 10-row group frame."""
+    from veri_spark.functions.text import EN_STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", tokens("text").alias("ws")
+    )
+    s = docs.filter(F.size("ws") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.size(F.filter(F.col("ws"), lambda w: w.isin(*EN_STOPWORDS))).alias(
+            "hits"
+        ),
+        F.size("ws").alias("n"),
+    )
+    b = s.select(
+        F.least(
+            F.floor(F.lit(10) * F.col("hits") / F.col("n")), F.lit(9)
+        )
+        .cast("int")
+        .alias("bin"),
+        "pos",
+        F.least(
+            F.greatest(F.col("hits") * F.lit(1.0) / F.col("n"), F.lit(1e-6)),
+            F.lit(1.0 - 1e-6),
+        ).alias("ph"),
+    )
+    q = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_positive"),
+        F.sum(
+            F.round(
+                F.lit(-1e9)
+                * (
+                    F.col("pos") * F.log(F.col("ph"))
+                    + (F.lit(1) - F.col("pos"))
+                    * F.log(F.lit(1.0) - F.col("ph"))
+                )
+            ).cast("decimal(38,0)")
+        ).alias("llq"),
+    )
+    return q.select(
+        "bin",
+        "n_docs",
+        "n_positive",
+        F.round(
+            F.col("llq").cast("double") / F.lit(1e9) / F.col("n_docs"), 6
+        ).alias("mean_logloss"),
+    ).orderBy(F.col("bin").asc())

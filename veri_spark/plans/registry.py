@@ -44,5 +44,6 @@ from veri_spark.plans import temporal as _temporal  # noqa: F401,E402
 from veri_spark.plans import evaluation as _evaluation  # noqa: F401,E402
 from veri_spark.plans import nonparametric as _nonparametric  # noqa: F401,E402
 from veri_spark.plans import stats_tests as _stats_tests  # noqa: F401,E402
+from veri_spark.plans import mleval as _mleval  # noqa: F401,E402
 from veri_spark.plans import quality as _quality  # noqa: F401,E402
 from veri_spark.plans import effects as _effects  # noqa: F401,E402
