@@ -1270,3 +1270,112 @@ def dup_span_extents(spark, sf_dir):
         )
         .orderBy(F.col("span_len_capped").asc())
     )
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len
+               FROM documents WHERE length(text) > 0),
+    cand AS (SELECT doc_id, text, len,
+                    unnest(generate_series(2, len - 15))::BIGINT AS p
+             FROM d),
+    cuts AS (SELECT doc_id, text, len, p FROM cand
+             WHERE {_dd_hash("substr(text, p::INT, 16)", "'cdc'")} % 64 = 0),
+    starts AS (SELECT doc_id, text, len, 1::BIGINT AS p FROM d
+               UNION ALL
+               SELECT doc_id, text, len, p FROM cuts),
+    ch AS (SELECT doc_id, len, p,
+                  COALESCE(LEAD(p) OVER (PARTITION BY doc_id
+                                         ORDER BY p ASC),
+                           len + 1) - p AS clen,
+                  md5(substr(text, p::INT,
+                             (COALESCE(LEAD(p) OVER (PARTITION BY doc_id
+                                                     ORDER BY p ASC),
+                                       len + 1) - p)::INT)) AS chash
+           FROM starts)
+    SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_chunks,
+           COUNT(DISTINCT chash)::BIGINT AS n_distinct_chunks,
+           ROUND(1.0 - COUNT(DISTINCT chash) * 1.0 / COUNT(*), 6)
+             AS chunk_dup_ratio,
+           ROUND(SUM(clen) * 1.0 / COUNT(*), 6) AS mean_chunk_len
+    FROM ch
+    """,
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking (CDC) dedup audit: each document is cut
+    wherever the fingerprint of its local 16-char window satisfies
+    hash % 64 == 0, and chunks dedup by content hash across the corpus
+    -- the storage-dedup primitive (LBFS/rsync lineage; FastCDC is the
+    production variant of exactly this boundary rule) that
+    `chunk_dedup_summary`'s FIXED-width chunks cannot match: a 1-byte
+    insertion shifts every fixed boundary after it, but content-defined
+    boundaries re-synchronize because the cut depends only on the
+    local window, so shared suffixes still dedup. Boundary decisions
+    use the portable md5 family on the window SUBSTRING (shift-invariant
+    by construction; the same O(len * w) fingerprint grain the
+    winnowing/MOSS queries already pay, traded for needing no rolling
+    modular state that SQL cannot thread); position 1 is always a cut;
+    chunk extents come from LEAD over per-document windows (bounded by
+    document length); expected chunk size is the 64-char mask mean plus
+    the window width.
+
+    Scale: candidate positions explode to one row per character --
+    corpus-linear with map-side pruning to the ~1/64 of positions that
+    cut; per-doc windows are document-bounded; the global dedup is one
+    distinct-count over chunk hashes (partial-aggregated). At 100 TB
+    this is the same shape as the shingle pipeline: linear explode,
+    banded reduce."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text", F.length("text").cast("bigint").alias("len"))
+    )
+    from veri_spark.functions.hashing import portable_hash64
+
+    cand = docs.select(
+        "doc_id",
+        "text",
+        "len",
+        F.explode(
+            F.sequence(F.lit(2).cast("bigint"), F.col("len") - 15)
+        ).alias("p"),
+    )
+    cuts = cand.filter(
+        portable_hash64(
+            F.expr("substring(text, CAST(p AS INT), 16)"), "cdc"
+        )
+        % 64
+        == 0
+    )
+    starts = docs.select(
+        "doc_id", "text", "len", F.lit(1).cast("bigint").alias("p")
+    ).unionByName(cuts.select("doc_id", "text", "len", "p"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("p").asc())
+    ch = starts.select(
+        "doc_id",
+        (
+            F.coalesce(F.lead("p").over(w), F.col("len") + 1) - F.col("p")
+        ).alias("clen"),
+        F.md5(
+            F.expr(
+                "substring(text, CAST(p AS INT), CAST("
+                "coalesce(lead(p) over (partition by doc_id order by p asc),"
+                " len + 1) - p AS INT))"
+            )
+        ).alias("chash"),
+    )
+    return ch.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("chash").cast("bigint").alias("n_distinct_chunks"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("chash") * F.lit(1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("chunk_dup_ratio"),
+        F.round(F.sum("clen") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "mean_chunk_len"
+        ),
+    )

@@ -1907,3 +1907,154 @@ def hits_authorities_bipartite(spark, sf_dir):
         .orderBy(F.col("authority_2").desc(), F.col("l_partkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "graph_rich_club_coefficient",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL
+            SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+    ks AS (SELECT unnest([2, 4, 8])::BIGINT AS k),
+    rich AS (SELECT ks.k, deg.u FROM deg CROSS JOIN ks WHERE deg.d > ks.k),
+    nk AS (SELECT k, COUNT(*)::BIGINT AS n_k FROM rich GROUP BY k),
+    ek AS (SELECT r1.k, COUNT(*)::BIGINT AS e_k
+           FROM edges e
+           JOIN rich r1 ON r1.u = e.u
+           JOIN rich r2 ON r2.u = e.v AND r2.k = r1.k
+           GROUP BY r1.k)
+    SELECT nk.k AS k_degree, nk.n_k AS n_rich_nodes,
+           COALESCE(ek.e_k, 0)::BIGINT AS n_rich_edges,
+           CASE WHEN nk.n_k >= 2
+                THEN ROUND(2.0 * COALESCE(ek.e_k, 0)
+                           / (nk.n_k * (nk.n_k - 1.0)), 6)
+                END AS rich_club_phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    ORDER BY k_degree ASC
+    """,
+)
+def graph_rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient phi(k) of the co-purchase graph at degree
+    thresholds k in {2, 4, 8}: the edge density among nodes of degree
+    > k (Zhou-Mondragon 2004) -- the "do the hubs talk to each other?"
+    readout that `graph_degree_assortativity` only correlates
+    (assortativity is one global number; phi(k) localizes it to the
+    high-degree club, the region `graph_common_neighbors_capped`'s
+    hub caps exist to protect against). Degrees come from the shared
+    cached edge set; the club membership is a broadcast-sized filter
+    of the degree table per threshold; club-internal edges are ONE
+    edges-to-membership double equi-join grouped by k; phi is a
+    guarded single division of exact BIGINTs (n_k < 2 NULLs via an
+    integer comparison).
+
+    Scale: reuses the session-shared edge/degree frames (one shuffle
+    each, already paid by the graph family); the per-k work is two
+    hash joins on node id -- no wedge or pair explosion anywhere."""
+    edges, und, deg = _copurchase_graph(spark, sf_dir)
+    ks = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(2), F.lit(4), F.lit(8)), (F.col("id") + 1).cast("int")
+        )
+        .cast("bigint")
+        .alias("k")
+    )
+    rich = deg.crossJoin(F.broadcast(ks)).filter(
+        F.col("d") > F.col("k")
+    ).select("k", "u")
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    ek = (
+        edges.join(rich.select("k", F.col("u").alias("ru")), edges.u == F.col("ru"))
+        .join(
+            rich.select(F.col("k").alias("k2"), F.col("u").alias("rv")),
+            (edges.v == F.col("rv")) & (F.col("k") == F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    out = nk.join(ek, "k", "left")
+    e_k = F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint")
+    return out.select(
+        F.col("k").alias("k_degree"),
+        F.col("n_k").alias("n_rich_nodes"),
+        e_k.alias("n_rich_edges"),
+        F.when(
+            F.col("n_k") >= 2,
+            F.round(
+                F.lit(2.0) * e_k / (F.col("n_k") * (F.col("n_k") - F.lit(1.0))),
+                6,
+            ),
+        ).alias("rich_club_phi"),
+    ).orderBy(F.col("k_degree").asc())
+
+
+@register(
+    "graph_degree_powerlaw_alpha",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL
+            SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+    tail AS (SELECT d FROM deg WHERE d >= 2),
+    s AS (SELECT COUNT(*)::BIGINT AS n_tail,
+                 SUM(CAST(round(1e9 * ln(d / 1.5)) AS DECIMAL(38,0))) AS lq
+          FROM tail),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_nodes FROM deg)
+    SELECT tot.n_nodes, s.n_tail,
+           2::BIGINT AS d_min,
+           ROUND(1.0 + s.n_tail / (s.lq::DOUBLE / 1e9), 6) AS alpha_mle,
+           ROUND((s.n_tail / (s.lq::DOUBLE / 1e9)) / sqrt(s.n_tail), 6)
+             AS alpha_se
+    FROM s CROSS JOIN tot
+    """,
+)
+def graph_degree_powerlaw_alpha(spark, sf_dir):
+    """Maximum-likelihood power-law exponent of the co-purchase degree
+    distribution: alpha = 1 + n / sum ln(d / (d_min - 1/2)) over
+    degrees >= d_min = 2 -- the discrete-data continuous-MLE
+    approximation of Clauset-Shalizi-Newman 2009 (their eq. 3.7, the
+    estimator that replaced log-log-histogram regression, which is
+    biased by binning) -- with the asymptotic standard error
+    (alpha-1)/sqrt(n). This is the single-parameter summary behind the
+    hub phenomena the graph family guards against: alpha < 2.5 means
+    the hub caps and skew salting are load-bearing at scale, and it
+    pairs with `doc_length_hill_tail` (the same Hill/MLE estimator on
+    text lengths). Each node's ln(d/1.5) rides ln on identical exact
+    integers-over-literal and is nano-quantized so the fold is exact
+    DECIMAL(38,0); alpha is one fixed-order expression of two exact
+    numbers.
+
+    Scale: reuses the shared degree frame; one partial-aggregated pass
+    over the node-grain table."""
+    edges, und, deg = _copurchase_graph(spark, sf_dir)
+    tail = deg.filter(F.col("d") >= 2)
+    s = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(
+            F.round(F.lit(1e9) * F.log(F.col("d") / F.lit(1.5))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("lq"),
+    )
+    tot = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    j = s.crossJoin(F.broadcast(tot))
+    ratio = F.col("n_tail") / (F.col("lq").cast("double") / F.lit(1e9))
+    return j.select(
+        "n_nodes",
+        "n_tail",
+        F.lit(2).cast("bigint").alias("d_min"),
+        F.round(F.lit(1.0) + ratio, 6).alias("alpha_mle"),
+        F.round(ratio / F.sqrt(F.col("n_tail")), 6).alias("alpha_se"),
+    )

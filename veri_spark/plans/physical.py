@@ -555,3 +555,108 @@ def zorder_multicol_audit(spark, sf_dir):
 # hashed features, label construction, supervised binning)
 # ---------------------------------------------------------------------------
 
+
+
+@register(
+    "priority_sample_estimator",
+    f"""
+    WITH e AS (SELECT event_id, value,
+                      {dd_hash("event_id::VARCHAR", "'psamp'")} AS hv
+               FROM events),
+    q AS (SELECT event_id, value,
+                 value / ((hv + 1) / 1152921504606846976.0) AS pri
+          FROM e),
+    top AS (SELECT event_id, value, pri,
+                   ROW_NUMBER() OVER (ORDER BY pri DESC, event_id ASC)
+                     AS rn
+            FROM (SELECT * FROM q
+                  ORDER BY pri DESC, event_id ASC LIMIT 65) z),
+    tau AS (SELECT MAX(CASE WHEN rn = 65 THEN pri END) AS tau FROM top),
+    est AS (SELECT SUM(CAST(round(1e6 * GREATEST(t.value, x.tau))
+                       AS DECIMAL(38,0))) AS eq
+            FROM top t CROSS JOIN tau x WHERE t.rn <= 64),
+    tru AS (SELECT SUM(CAST(round(value * 100) AS BIGINT))::BIGINT
+              AS cents FROM events)
+    SELECT 64::BIGINT AS k,
+           ROUND(tau.tau, 6) AS tau,
+           ROUND(est.eq::DOUBLE / 1e6, 6) AS est_total,
+           ROUND(tru.cents / 100.0, 6) AS true_total,
+           ROUND((est.eq::DOUBLE / 1e6 - tru.cents / 100.0)
+                 / (tru.cents / 100.0), 6) AS rel_error
+    FROM est CROSS JOIN tau CROSS JOIN tru
+    """,
+)
+def priority_sample_estimator(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup 2007) estimating the
+    corpus value total from a fixed 64-item sample: each item gets
+    priority q_i = w_i/u_i with a DETERMINISTIC pseudo-uniform u_i =
+    (hash+1)/2^60 (the portable md5 family, so the oracle draws the
+    SAME sample), the sample is the top-64 priorities, tau is the
+    65th, and the estimator sum of max(w_i, tau) over the sample is
+    unbiased for sum w with the provably minimal variance among
+    threshold schemes -- the weighted companion to
+    `sample_hash_deterministic` (uniform rows) and
+    `weighted_sample_es` (A-ES gives inclusion probability; priority
+    sampling gives a direct TOTAL estimator, which is what a cost
+    monitor over 100 TB of per-record weights actually wants).
+    Zero-weight items take priority 0 and contribute 0 -- exactly
+    their weight. The top-65 rides orderBy().limit(65) (TakeOrdered:
+    per-partition partial top-k + one final merge -- THE distributed
+    sampling shape); the 65-row shortlist gets a bounded-frame rank;
+    the 64 estimator terms are micro-quantized so the fold is exact.
+
+    Scale: one map-only priority pass + TakeOrdered(65) + one exact
+    total scan -- no shuffle wider than 65 rows anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    from veri_spark.functions.hashing import portable_hash64
+
+    q = ev.select(
+        "event_id",
+        "value",
+        (
+            F.col("value")
+            / (
+                (portable_hash64(F.col("event_id").cast("string"), "psamp") + 1)
+                / F.lit(1152921504606846976.0)
+            )
+        ).alias("pri"),
+    )
+    top = (
+        q.orderBy(F.col("pri").desc(), F.col("event_id").asc())
+        .limit(65)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("pri").desc(), F.col("event_id").asc())
+            ),
+        )
+    )
+    tau = top.agg(
+        F.max(F.when(F.col("rn") == 65, F.col("pri"))).alias("tau")
+    )
+    est = (
+        top.filter(F.col("rn") <= 64)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1e6) * F.greatest(F.col("value"), F.col("tau"))
+                ).cast("decimal(38,0)")
+            ).alias("eq")
+        )
+    )
+    tru = ev.agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    j = est.crossJoin(F.broadcast(tau)).crossJoin(F.broadcast(tru))
+    estd = F.col("eq").cast("double") / F.lit(1e6)
+    trud = F.col("cents") / F.lit(100.0)
+    return j.select(
+        F.lit(64).cast("bigint").alias("k"),
+        F.round(F.col("tau"), 6).alias("tau"),
+        F.round(estd, 6).alias("est_total"),
+        F.round(trud, 6).alias("true_total"),
+        F.round((estd - trud) / trud, 6).alias("rel_error"),
+    )
