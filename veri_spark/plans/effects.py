@@ -1909,3 +1909,102 @@ def wilson_ci_conversion(spark, sf_dir):
         F.round(p - wald_half, 6).alias("wald_lo"),
         F.round(p + wald_half, 6).alias("wald_hi"),
     )
+
+
+@register(
+    "anova_effect_sizes",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100.0) AS BIGINT) AS cv
+               FROM events),
+    g AS (SELECT event_type, COUNT(*)::BIGINT AS ng,
+                 SUM(CAST(cv AS DECIMAL(38,0))) AS sg
+          FROM c GROUP BY event_type),
+    t AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(cv AS DECIMAL(38,0))) AS s,
+                 SUM(CAST(cv * cv AS DECIMAL(38,0))) AS q
+          FROM c),
+    b AS (SELECT COUNT(*)::BIGINT AS k,
+                 SUM(CAST(round(1e6 * (sg::DOUBLE * sg::DOUBLE) / ng)
+                     AS DECIMAL(38,0))) AS bq
+          FROM g)
+    SELECT t.n AS n_events, b.k AS n_groups,
+           ROUND((b.bq::DOUBLE / 1e6 - t.s::DOUBLE * t.s::DOUBLE / t.n)
+                 / (t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n), 6)
+             AS eta_squared,
+           ROUND(((b.bq::DOUBLE / 1e6 - t.s::DOUBLE * t.s::DOUBLE / t.n)
+                  - (b.k - 1.0)
+                    * ((t.q::DOUBLE - b.bq::DOUBLE / 1e6) / (t.n - b.k)))
+                 / ((t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n)
+                    + (t.q::DOUBLE - b.bq::DOUBLE / 1e6) / (t.n - b.k)), 6)
+             AS omega_squared,
+           ROUND(sqrt(((b.bq::DOUBLE / 1e6
+                        - t.s::DOUBLE * t.s::DOUBLE / t.n)
+                       / (t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n))
+                      / (1.0 - (b.bq::DOUBLE / 1e6
+                                - t.s::DOUBLE * t.s::DOUBLE / t.n)
+                               / (t.q::DOUBLE
+                                  - t.s::DOUBLE * t.s::DOUBLE / t.n))), 6)
+             AS cohen_f
+    FROM t CROSS JOIN b
+    """,
+)
+def anova_effect_sizes(spark, sf_dir):
+    """ANOVA effect sizes for value-by-event-type: eta^2 = SSB/SST (the
+    variance share the grouping explains), omega^2 (its
+    positive-bias-corrected estimator -- eta^2 over-reads small
+    samples; omega^2 subtracts (k-1)*MSW before normalizing, Hays
+    1963), and Cohen's f = sqrt(eta^2/(1-eta^2)) (the power-analysis
+    currency) -- the magnitude panel `oneway_anova_value_by_type`'s
+    F-statistic deliberately omits (F says the groups differ; these say
+    whether anyone should CARE, the same significance-vs-size split as
+    `cramers_v_type_weekday` next to the chi-square). Values collapse
+    to exact integer cents; SSB collapses algebraically (sum S_g^2/n_g
+    - S^2/N, group means never materialize -- the seasonality-strength
+    idiom); the per-group S_g^2/n_g terms are micro-quantized so the
+    k-term fold is order-proof; all three outputs are fixed-order
+    double expressions of four exact numbers.
+
+    Scale: two partial-aggregated scans (group grain + corpus grain);
+    the statistics are single-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100.0).cast("bigint").alias("cv"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("cv").cast("decimal(38,0)")).alias("sg"),
+    )
+    t = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cv").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("cv").cast("decimal(38,0)") * F.col("cv")).alias("q"),
+    )
+    b = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.lit(1e6)
+                * (F.col("sg").cast("double") * F.col("sg").cast("double"))
+                / F.col("ng")
+            ).cast("decimal(38,0)")
+        ).alias("bq"),
+    )
+    j = t.crossJoin(F.broadcast(b))
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    bqd = F.col("bq").cast("double") / F.lit(1e6)
+    ssb = bqd - sd * sd / F.col("n")
+    sst = qd - sd * sd / F.col("n")
+    msw = (qd - bqd) / (F.col("n") - F.col("k"))
+    eta2 = ssb / sst
+    return j.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_groups"),
+        F.round(eta2, 6).alias("eta_squared"),
+        F.round(
+            (ssb - (F.col("k") - F.lit(1.0)) * msw) / (sst + msw), 6
+        ).alias("omega_squared"),
+        F.round(F.sqrt(eta2 / (F.lit(1.0) - eta2)), 6).alias("cohen_f"),
+    )

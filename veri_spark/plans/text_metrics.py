@@ -1179,3 +1179,333 @@ def lang_shannon_evenness_by_source(spark, sf_dir):
         )
         .orderBy(F.col("source").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 stylometry/lexical-diversity batch: Burrows' Delta, Gries' DP,
+# MATTR. Shared shortlist: the top-20 corpus words (count desc, word asc).
+# ---------------------------------------------------------------------------
+
+_TOP20_WORDS_SQL = """
+    tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+    wc AS (SELECT w, COUNT(*)::BIGINT AS cw FROM tok GROUP BY w),
+    top20 AS (SELECT w, cw FROM wc ORDER BY cw DESC, w ASC LIMIT 20),
+    st AS (SELECT source, COUNT(*)::BIGINT AS ts FROM tok GROUP BY source),
+    ws AS (SELECT t.source, t.w, COUNT(*)::BIGINT AS cws
+           FROM tok t JOIN top20 USING (w) GROUP BY t.source, t.w),
+    grid AS (SELECT st.source, top20.w, st.ts, top20.cw,
+                    COALESCE(ws.cws, 0)::BIGINT AS cws
+             FROM st CROSS JOIN top20
+             LEFT JOIN ws ON ws.source = st.source AND ws.w = top20.w)
+"""
+
+
+def _top20_grid(spark, sf_dir):
+    """(source, w, ts, cw, cws): the dense top-20-word x source count
+    grid (zero-filled), plus per-source token totals -- 20 x n_sources
+    rows, bounded by the vocabulary shortlist, shared by the
+    stylometry queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    top20 = wc.orderBy(F.col("cw").desc(), F.col("w").asc()).limit(20)
+    st = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ts")
+    )
+    ws = (
+        tok.join(F.broadcast(top20.select("w")), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cws"))
+    )
+    return (
+        st.crossJoin(F.broadcast(top20))
+        .join(ws, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "ts",
+            "cw",
+            F.coalesce(F.col("cws"), F.lit(0)).cast("bigint").alias("cws"),
+        )
+    )
+
+
+@register(
+    "burrows_delta_sources",
+    f"""
+    WITH {_TOP20_WORDS_SQL},
+    fq AS (SELECT source, w,
+                  CAST(round(1e15 * cws / ts) AS BIGINT) AS fq
+           FROM grid),
+    mz AS (SELECT w, COUNT(*)::BIGINT AS ns,
+                  SUM(CAST(fq AS DECIMAL(38,0))) AS sf,
+                  SUM(CAST(fq AS DECIMAL(38,0)) * fq) AS sf2
+           FROM fq GROUP BY w),
+    z AS (SELECT fq.source, fq.w,
+                 (fq.fq / 1e15 - mz.sf::DOUBLE / mz.ns / 1e15)
+                 / sqrt(mz.sf2::DOUBLE / mz.ns / 1e30
+                        - (mz.sf::DOUBLE / mz.ns / 1e15)
+                          * (mz.sf::DOUBLE / mz.ns / 1e15)) AS z
+          FROM fq JOIN mz USING (w)
+          WHERE mz.sf2::DOUBLE / mz.ns / 1e30
+                - (mz.sf::DOUBLE / mz.ns / 1e15)
+                  * (mz.sf::DOUBLE / mz.ns / 1e15) > 0),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*)::BIGINT AS n_words,
+                     SUM(CAST(round(1e9 * ABS(a.z - b.z))
+                         AS DECIMAL(38,0))) AS dq
+              FROM z a JOIN z b
+                ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, n_words,
+           ROUND(dq::DOUBLE / 1e9 / n_words, 6) AS burrows_delta
+    FROM pairs ORDER BY source_a ASC, source_b ASC
+    """,
+)
+def burrows_delta_sources(spark, sf_dir):
+    """Burrows' Delta between every source pair: the classic stylometric
+    distance (Burrows 2002) -- z-score each source's relative frequency
+    of the top-20 corpus words against the cross-source mean/sd, then
+    Delta(a,b) = mean |z_a - z_b| -- the "do these two feeds write
+    alike?" readout that catches a relabeled or replayed source before
+    `source_overlap_jaccard` can (Delta sees STYLE drift even when no
+    document is shared). All counting is corpus-side; everything after
+    lives on the 20-word x 20-source grid: relative frequencies are
+    femto-quantized integers so the per-word moment folds are exact
+    DECIMAL(38,0); zero-variance words drop via a condition on the
+    identical-in-both-engines variance double; the pair join is
+    grid x grid (hundreds of rows), each pair's 20-term fold
+    nano-quantized.
+
+    Scale: one token scan + one top-20 TakeOrdered; the stylometry
+    itself runs on a vocabulary-shortlist frame independent of corpus
+    size."""
+    grid = _top20_grid(spark, sf_dir)
+    fq = grid.select(
+        "source",
+        "w",
+        F.round(F.lit(1e15) * F.col("cws") / F.col("ts"))
+        .cast("bigint")
+        .alias("fq"),
+    )
+    mz = fq.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum(F.col("fq").cast("decimal(38,0)")).alias("sf"),
+        F.sum(F.col("fq").cast("decimal(38,0)") * F.col("fq")).alias("sf2"),
+    )
+    j = fq.join(mz, "w")
+    m = F.col("sf").cast("double") / F.col("ns") / F.lit(1e15)
+    var = (
+        F.col("sf2").cast("double") / F.col("ns") / F.lit(1e30) - m * m
+    )
+    z = j.filter(var > 0).select(
+        "source",
+        "w",
+        ((F.col("fq") / F.lit(1e15) - m) / F.sqrt(var)).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(
+                F.round(
+                    F.lit(1e9) * F.abs(F.col("za") - F.col("zb"))
+                ).cast("decimal(38,0)")
+            ).alias("dq"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_words",
+        F.round(
+            F.col("dq").cast("double") / F.lit(1e9) / F.col("n_words"), 6
+        ).alias("burrows_delta"),
+    ).orderBy(F.col("source_a").asc(), F.col("source_b").asc())
+
+
+@register(
+    "gries_dp_dispersion",
+    f"""
+    WITH {_TOP20_WORDS_SQL},
+    tt AS (SELECT SUM(ts)::BIGINT AS t FROM st),
+    dp AS (SELECT g.w, MAX(g.cw)::BIGINT AS cw,
+                  SUM(CAST(round(1e9 * ABS(g.cws * 1.0 / g.cw
+                                           - g.ts * 1.0 / tt.t))
+                      AS DECIMAL(38,0))) AS dq
+           FROM grid g CROSS JOIN tt GROUP BY g.w)
+    SELECT w AS word, cw AS total_count,
+           ROUND(0.5 * dq::DOUBLE / 1e9, 6) AS dp
+    FROM dp ORDER BY word ASC
+    """,
+)
+def gries_dp_dispersion(spark, sf_dir):
+    """Gries' deviation of proportions (DP, Gries 2008) for the top-20
+    corpus words: DP_w = 0.5 * sum_s |share of w's tokens in source s -
+    source s's share of ALL tokens| -- the corpus-linguistics
+    dispersion standard that `hapax_ratio_by_source` and
+    `vocab_coverage` do not give: a word can be frequent yet live in
+    ONE source (DP -> 1, a contamination/boilerplate tell), or spread
+    exactly with corpus mass (DP -> 0, a true function word; stopword
+    lists are audited exactly this way). Both proportions are exact
+    integer ratios evaluated identically in both engines; each
+    source's term is nano-quantized so the per-word fold over sources
+    is exact DECIMAL(38,0).
+
+    Scale: the same one-token-scan + top-20 shortlist as the Delta
+    query; DP itself is a 20-sources-per-word fold on the grid."""
+    grid = _top20_grid(spark, sf_dir)
+    tt = grid.select("source", "ts").distinct().agg(
+        F.sum("ts").cast("bigint").alias("t")
+    )
+    dp = (
+        grid.crossJoin(F.broadcast(tt))
+        .groupBy("w")
+        .agg(
+            F.max("cw").cast("bigint").alias("cw"),
+            F.sum(
+                F.round(
+                    F.lit(1e9)
+                    * F.abs(
+                        F.col("cws") * F.lit(1.0) / F.col("cw")
+                        - F.col("ts") * F.lit(1.0) / F.col("t")
+                    )
+                ).cast("decimal(38,0)")
+            ).alias("dq"),
+        )
+    )
+    return dp.select(
+        F.col("w").alias("word"),
+        F.col("cw").alias("total_count"),
+        F.round(F.lit(0.5) * F.col("dq").cast("double") / F.lit(1e9), 6).alias(
+            "dp"
+        ),
+    ).orderBy(F.col("word").asc())
+
+
+@register(
+    "mattr_type_token",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    d AS (SELECT doc_id, source, ws, len(ws)::BIGINT AS l
+          FROM t WHERE len(ws) >= 50),
+    pos AS (SELECT doc_id, source, l,
+                   generate_subscripts(ws, 1)::BIGINT AS p,
+                   unnest(ws) AS tok
+            FROM d),
+    pr AS (SELECT doc_id, source, l, p,
+                  COALESCE(LAG(p) OVER (PARTITION BY doc_id, tok
+                                        ORDER BY p ASC), 0) AS prev
+           FROM pos),
+    contrib AS (SELECT doc_id, source, l,
+                       GREATEST(0, LEAST(p, l - 49)
+                                   - GREATEST(p - 49, prev + 1, 1) + 1)
+                         AS c
+                FROM pr),
+    per_doc AS (SELECT doc_id, source,
+                       CAST(round(1e9 * SUM(c)
+                                  / (50.0 * (MAX(l) - 49))) AS BIGINT)
+                         AS mattr_q
+                FROM contrib GROUP BY doc_id, source)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           ROUND(SUM(CAST(mattr_q AS DECIMAL(38,0)))::DOUBLE / 1e9
+                 / COUNT(*), 6) AS mattr_w50
+    FROM per_doc GROUP BY source ORDER BY source ASC
+    """,
+)
+def mattr_type_token(spark, sf_dir):
+    """Moving-average type-token ratio (MATTR, Covington-McFall 2010)
+    with a 50-token window, averaged per source -- the
+    length-independent lexical-diversity measure that fixes the raw
+    TTR's document-length bias (`doc_type_token_ratio`'s number falls
+    mechanically as documents grow; MATTR windows it away, so sources
+    of different document lengths become comparable -- the diversity
+    gate a mixture planner can actually act on). The naive form counts
+    distinct tokens in every window (O(L * w) distinct-counts); here
+    it collapses via the LAST-OCCURRENCE identity: token position p is
+    the first occurrence of its type within window i iff prev(p) < i,
+    so p's total contribution over all windows is the INTEGER interval
+    length max(0, min(p, L-49) - max(p-49, prev+1, 1) + 1) -- one
+    closed-form expression per position, no per-window work at all.
+    prev comes from LAG over (doc, token) partitions (document-bounded);
+    every per-doc MATTR is an exact-integer ratio, nano-quantized for
+    the order-proof per-source mean.
+
+    Scale: one position explode (corpus-linear, the shingle grain),
+    document-bounded windows, two grouped aggregations -- no frame
+    anywhere exceeds the corpus scan itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("ws")
+    )
+    d = docs.filter(F.size("ws") >= 50).select(
+        "doc_id", "source", "ws", F.size("ws").cast("bigint").alias("l")
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        "l",
+        F.posexplode("ws").alias("p0", "tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "l",
+        (F.col("p0") + 1).cast("bigint").alias("p"),
+        "tok",
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy(F.col("p").asc())
+    pr = pos.select(
+        "doc_id",
+        "source",
+        "l",
+        "p",
+        F.coalesce(F.lag("p").over(w), F.lit(0).cast("bigint")).alias(
+            "prev"
+        ),
+    )
+    contrib = pr.select(
+        "doc_id",
+        "source",
+        F.col("l"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("p"), F.col("l") - 49)
+            - F.greatest(
+                F.col("p") - 49, F.col("prev") + 1, F.lit(1).cast("bigint")
+            )
+            + 1,
+        ).alias("c"),
+    )
+    per_doc = contrib.groupBy("doc_id", "source").agg(
+        F.round(
+            F.lit(1e9)
+            * F.sum("c")
+            / (F.lit(50.0) * (F.max("l") - 49))
+        )
+        .cast("bigint")
+        .alias("mattr_q")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("mattr_q").cast("decimal(38,0)")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mattr_w50"),
+        )
+        .orderBy(F.col("source").asc())
+    )

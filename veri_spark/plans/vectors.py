@@ -1503,3 +1503,140 @@ def twonn_intrinsic_dimension(spark, sf_dir):
             ),
         ).alias("id_twonn"),
     )
+
+
+@register(
+    "embedding_pairwise_cosine_moments",
+    """
+    WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      unnest(embedding)::DOUBLE AS v
+               FROM embeddings),
+    nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nv FROM x GROUP BY vec_id),
+    u AS (SELECT x.vec_id, x.pos, x.v / nrm.nv AS u
+          FROM x JOIN nrm USING (vec_id) WHERE nrm.nv > 0),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM nrm WHERE nv > 0),
+    s AS (SELECT pos, SUM(CAST(round(1e12 * u) AS DECIMAL(38,0))) AS sq
+          FROM u GROUP BY pos),
+    selfdot AS (SELECT vec_id,
+                       SUM(CAST(round(1e12 * u * u) AS DECIMAL(38,0))) AS dq
+                FROM u GROUP BY vec_id),
+    sums AS (SELECT SUM(CAST(round(1e6 * (sq::DOUBLE / 1e12)
+                                       * (sq::DOUBLE / 1e12))
+                        AS DECIMAL(38,0))) AS snorm2q
+             FROM s),
+    diag AS (SELECT SUM(CAST(round(1e6 * (dq::DOUBLE / 1e12))
+                        AS DECIMAL(38,0))) AS trq,
+                    SUM(CAST(round(1e6 * (dq::DOUBLE / 1e12)
+                                       * (dq::DOUBLE / 1e12))
+                        AS DECIMAL(38,0))) AS tr2q
+             FROM selfdot),
+    g AS (SELECT a.pos AS pa, b.pos AS pb,
+                 SUM(CAST(round(1e12 * a.u * b.u) AS DECIMAL(38,0))) AS gq
+          FROM u a JOIN u b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+    frob AS (SELECT SUM(CAST(round(1e6 * (gq::DOUBLE / 1e12)
+                                       * (gq::DOUBLE / 1e12))
+                        AS DECIMAL(38,0))) AS fq
+             FROM g)
+    SELECT n.n AS n_vectors,
+           ROUND((sums.snorm2q::DOUBLE / 1e6 - diag.trq::DOUBLE / 1e6)
+                 / (n.n * (n.n - 1.0)), 6) AS mean_cosine,
+           ROUND((frob.fq::DOUBLE / 1e6 - diag.tr2q::DOUBLE / 1e6)
+                 / (n.n * (n.n - 1.0))
+                 - ((sums.snorm2q::DOUBLE / 1e6 - diag.trq::DOUBLE / 1e6)
+                    / (n.n * (n.n - 1.0)))
+                   * ((sums.snorm2q::DOUBLE / 1e6 - diag.trq::DOUBLE / 1e6)
+                      / (n.n * (n.n - 1.0))), 6) AS var_cosine
+    FROM n CROSS JOIN sums CROSS JOIN diag CROSS JOIN frob
+    """,
+)
+def embedding_pairwise_cosine_moments(spark, sf_dir):
+    """EXACT mean and variance of ALL n(n-1) pairwise cosines in the
+    embedding corpus -- without ever forming a pair. The Gram-moment
+    identities do the work: sum of pairwise dots = ||sum u||^2 -
+    sum ||u||^2 (a d-vector of column sums), and sum of SQUARED
+    pairwise dots = ||U'U||_F^2 - sum (u.u)^2 (the d x d second-moment
+    matrix: 64 x 64 = 4,096 entries regardless of corpus size). This
+    sharpens `embedding_isotropy`'s single-pairing ESTIMATE into the
+    exact population moments -- mean cosine is the anisotropy constant
+    that inflates every similarity the engine serves, and the variance
+    says whether re-centering would fix it (tight high mean: one
+    common direction; wide: cluster structure, re-center per cluster).
+    Normalized coordinates are quantized at 1e-12 before every fold so
+    all sums are exact DECIMAL(38,0) at any parallelism.
+
+    Scale: one scan to build the column sums, one vec_id-local 64x64
+    coordinate self-join (corpus-linear with a 4,096-row result), and
+    three scalar reduces. The classic quadratic pair statistic at
+    linear cost -- this is the shape to reach for before ANY sampled
+    pair estimate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "p0", "v"
+        ),
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"), "v")
+    nrm = x.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv")
+    )
+    u = (
+        x.join(nrm, "vec_id")
+        .filter(F.col("nv") > 0)
+        .select("vec_id", "pos", (F.col("v") / F.col("nv")).alias("u"))
+    )
+    n = nrm.filter(F.col("nv") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dec = "decimal(38,0)"
+    s = u.groupBy("pos").agg(
+        F.sum(F.round(F.lit(1e12) * F.col("u")).cast(dec)).alias("sq")
+    )
+    selfdot = u.groupBy("vec_id").agg(
+        F.sum(
+            F.round(F.lit(1e12) * F.col("u") * F.col("u")).cast(dec)
+        ).alias("dq")
+    )
+    sd = F.col("sq").cast("double") / F.lit(1e12)
+    sums = s.agg(
+        F.sum(F.round(F.lit(1e6) * sd * sd).cast(dec)).alias("snorm2q")
+    )
+    dd = F.col("dq").cast("double") / F.lit(1e12)
+    diag = selfdot.agg(
+        F.sum(F.round(F.lit(1e6) * dd).cast(dec)).alias("trq"),
+        F.sum(F.round(F.lit(1e6) * dd * dd).cast(dec)).alias("tr2q"),
+    )
+    a = u.select("vec_id", F.col("pos").alias("pa"), F.col("u").alias("ua"))
+    b = u.select("vec_id", F.col("pos").alias("pb"), F.col("u").alias("ub"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e12) * F.col("ua") * F.col("ub")).cast(dec)
+            ).alias("gq")
+        )
+    )
+    gd = F.col("gq").cast("double") / F.lit(1e12)
+    frob = g.agg(
+        F.sum(F.round(F.lit(1e6) * gd * gd).cast(dec)).alias("fq")
+    )
+    j = (
+        n.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(frob))
+    )
+    nn = F.col("n") * (F.col("n") - F.lit(1.0))
+    m1 = (
+        F.col("snorm2q").cast("double") / F.lit(1e6)
+        - F.col("trq").cast("double") / F.lit(1e6)
+    ) / nn
+    m2 = (
+        F.col("fq").cast("double") / F.lit(1e6)
+        - F.col("tr2q").cast("double") / F.lit(1e6)
+    ) / nn
+    return j.select(
+        F.col("n").alias("n_vectors"),
+        F.round(m1, 6).alias("mean_cosine"),
+        F.round(m2 - m1 * m1, 6).alias("var_cosine"),
+    )
