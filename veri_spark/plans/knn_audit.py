@@ -1597,3 +1597,159 @@ def ann_ivf_recall_trained(spark, sf_dir):
         )
         out = rec if out is None else out.unionByName(rec)
     return out.orderBy(F.col("query_id").asc(), F.col("codebook").asc())
+
+
+@register(
+    "knn_shapley_data_values",
+    f"""
+    WITH tr AS (SELECT vec_id, label,
+                       list_distance(embedding::DOUBLE[], {_Q0}) AS dist
+                FROM embeddings WHERE vec_id <> 0),
+    y AS (SELECT label AS yq FROM embeddings WHERE vec_id = 0),
+    r AS (SELECT vec_id, dist,
+                 CASE WHEN label = (SELECT yq FROM y) THEN 1 ELSE 0
+                 END AS m,
+                 ROW_NUMBER() OVER (ORDER BY dist ASC, vec_id ASC) AS rn
+          FROM tr),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM r),
+    d AS (SELECT a.rn,
+                 CAST(round(1e12 * (a.m - b.m) / 5.0
+                            * LEAST(5, a.rn) / a.rn) AS BIGINT) AS dq
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+    pre AS (SELECT rn, dq,
+                   SUM(dq) OVER (ORDER BY rn ASC) - dq AS pex
+            FROM d),
+    dt AS (SELECT SUM(dq)::BIGINT AS dtot FROM d),
+    sn AS (SELECT r.m * 1.0 / n.n AS s_last FROM r CROSS JOIN n
+           WHERE r.rn = n.n),
+    s AS (SELECT r.vec_id, r.rn, r.m,
+                 sn.s_last + (dt.dtot - COALESCE(pre.pex, 0)) / 1e12 AS sv
+          FROM r LEFT JOIN pre ON pre.rn = r.rn
+          CROSS JOIN sn CROSS JOIN dt CROSS JOIN n
+          WHERE r.rn < n.n
+          UNION ALL
+          SELECT r.vec_id, r.rn, r.m, sn.s_last AS sv
+          FROM r CROSS JOIN sn CROSS JOIN n WHERE r.rn = n.n),
+    top AS (SELECT 'top' AS side, vec_id, rn, m, sv FROM s
+            ORDER BY sv DESC, vec_id ASC LIMIT 5),
+    bot AS (SELECT 'bottom' AS side, vec_id, rn, m, sv FROM s
+            ORDER BY sv ASC, vec_id ASC LIMIT 5)
+    SELECT side, vec_id, rn AS rank_by_distance, m AS same_label,
+           ROUND(sv, 6) AS shapley_value
+    FROM (SELECT * FROM top UNION ALL SELECT * FROM bot) z
+    ORDER BY side ASC, vec_id ASC
+    """,
+)
+def knn_shapley_data_values(spark, sf_dir):
+    """Exact Data Shapley values of every training point for the 5-NN
+    classification of query vec 0 (Jia et al., VLDB 2019: for KNN
+    utility the exponential Shapley sum collapses to one closed-form
+    recursion over the distance ranking) -- the data-VALUATION readout
+    a training-data market or pruning pass runs: `knn_label_accuracy`
+    says how good the neighborhood is, this says WHICH points deserve
+    the credit (positive: same-label points near the query; negative:
+    wrong-label points that crowd the top-K). The recursion s_i =
+    s_(i+1) + (m_i - m_(i+1))/K * min(K,i)/i needs only: the global
+    distance ranking (the distributed global_row_number analog;
+    DuckDB's window is the oracle side), consecutive-rank deltas from
+    ONE self-join on rn+1 (no window in Spark), and a SUFFIX sum --
+    computed as total-minus-exclusive-prefix via the distributed
+    prefix scan on pico-quantized deltas, so every fold is exact.
+    Output: the 5 most valuable and 5 least valuable points.
+
+    Scale: one scored scan, one distributed ranking, one rn+1
+    equi-join, one prefix scan, two TakeOrdered(5) selections --
+    no window over the corpus in the Spark plan and nothing
+    quadratic anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    yq = emb.filter(F.col("vec_id") == 0).select(
+        F.col("label").alias("yq")
+    )
+    tr = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        V.euclidean_distance(F.col("embedding"), q).alias("dist"),
+    )
+    from veri_spark.operators.ranking import (
+        global_prefix_agg,
+        global_row_number,
+    )
+
+    r = tr.crossJoin(F.broadcast(yq)).select(
+        "vec_id",
+        "dist",
+        F.when(F.col("label") == F.col("yq"), 1).otherwise(0).alias("m"),
+    )
+    r = global_row_number(
+        r, [F.col("dist").asc(), F.col("vec_id").asc()], rn_col="rn"
+    ).select("vec_id", "m", "rn")
+    n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = r.select(F.col("rn").alias("ra"), F.col("m").alias("ma"))
+    b = r.select(F.col("rn").alias("rb"), F.col("m").alias("mb"))
+    d = a.join(b, F.col("rb") == F.col("ra") + 1).select(
+        F.col("ra").alias("rn"),
+        F.round(
+            F.lit(1e12)
+            * (F.col("ma") - F.col("mb"))
+            / F.lit(5.0)
+            * F.least(F.lit(5), F.col("ra"))
+            / F.col("ra")
+        )
+        .cast("bigint")
+        .alias("dq"),
+    )
+    pre = global_prefix_agg(
+        d, [F.col("rn").asc()], "dq", agg="sum", out_col="pin"
+    ).select("rn", (F.col("pin") - F.col("dq")).alias("pex"))
+    dt = d.agg(F.sum("dq").cast("bigint").alias("dtot"))
+    sn = (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.col("n"))
+        .select((F.col("m") * F.lit(1.0) / F.col("n")).alias("s_last"))
+    )
+    body = (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") < F.col("n"))
+        .join(pre, "rn", "left")
+        .crossJoin(F.broadcast(sn))
+        .crossJoin(F.broadcast(dt))
+        .select(
+            "vec_id",
+            "rn",
+            "m",
+            (
+                F.col("s_last")
+                + (F.col("dtot") - F.coalesce(F.col("pex"), F.lit(0)))
+                / F.lit(1e12)
+            ).alias("sv"),
+        )
+    )
+    last = (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.col("n"))
+        .crossJoin(F.broadcast(sn))
+        .select("vec_id", "rn", "m", F.col("s_last").alias("sv"))
+    )
+    s = body.unionByName(last)
+    top = (
+        s.orderBy(F.col("sv").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .select(F.lit("top").alias("side"), "vec_id", "rn", "m", "sv")
+    )
+    bot = (
+        s.orderBy(F.col("sv").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select(F.lit("bottom").alias("side"), "vec_id", "rn", "m", "sv")
+    )
+    return (
+        top.unionByName(bot)
+        .select(
+            "side",
+            "vec_id",
+            F.col("rn").alias("rank_by_distance"),
+            F.col("m").alias("same_label"),
+            F.round(F.col("sv"), 6).alias("shapley_value"),
+        )
+        .orderBy(F.col("side").asc(), F.col("vec_id").asc())
+    )

@@ -898,3 +898,148 @@ def yule_q_rules(spark, sf_dir):
             "yule_y"
         ),
     )
+
+
+@register(
+    "theil_index_decomposition",
+    f"""
+    WITH d AS (SELECT source, len(ws)::BIGINT AS x FROM {_DD_WS}
+               WHERE len(ws) > 0),
+    g AS (SELECT source, COUNT(*)::BIGINT AS ng,
+                 SUM(x)::BIGINT AS sg,
+                 SUM(CAST(round(1e6 * x * ln(x)) AS DECIMAL(38,0))) AS xlx
+          FROM d GROUP BY source),
+    t AS (SELECT SUM(ng)::BIGINT AS n, SUM(sg)::BIGINT AS s,
+                 SUM(xlx) AS xlx
+          FROM g),
+    btw AS (SELECT SUM(CAST(round(1e9 * (g.sg * 1.0 / t.s)
+                                  * ln((g.sg * 1.0 / g.ng)
+                                       / (t.s * 1.0 / t.n)))
+                       AS DECIMAL(38,0))) AS bq
+            FROM g CROSS JOIN t)
+    SELECT t.n AS n_docs,
+           ROUND(t.xlx::DOUBLE / 1e6 / t.s - ln(t.s * 1.0 / t.n), 6)
+             AS theil_total,
+           ROUND(btw.bq::DOUBLE / 1e9, 6) AS theil_between,
+           ROUND(t.xlx::DOUBLE / 1e6 / t.s - ln(t.s * 1.0 / t.n)
+                 - btw.bq::DOUBLE / 1e9, 6) AS theil_within,
+           ROUND((btw.bq::DOUBLE / 1e9)
+                 / (t.xlx::DOUBLE / 1e6 / t.s - ln(t.s * 1.0 / t.n)), 6)
+             AS between_share
+    FROM t CROSS JOIN btw
+    """,
+)
+def theil_index_decomposition(spark, sf_dir):
+    """Theil's T inequality index of document token counts, decomposed
+    across sources: T = T_within + T_between EXACTLY (the additive
+    decomposability that makes Theil -- not Gini -- the budget-audit
+    index; `customer_spend_gini` and `user_lorenz_curve` measure
+    inequality but cannot attribute it). T_between > T_within says the
+    length imbalance is a SOURCE-mix problem (rebalance the mixture);
+    the reverse says it is intra-source (cap/split documents). The
+    income-share form needs only three exact sums: T = sum(x ln x)/S -
+    ln(S/N), and T_between = sum_g (S_g/S) ln(mean_g/mean) -- group
+    means enter only inside ln of exact-integer ratios; x ln x terms
+    are micro-quantized, per-group between-terms nano-quantized, so
+    every fold is exact DECIMAL(38,0); T_within is recovered by the
+    identity rather than a second within-group pass.
+
+    Scale: one corpus scan to the source-grain frame (3 numbers per
+    source); all index arithmetic on that bounded frame."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("ws")
+    )
+    d = docs.filter(F.size("ws") > 0).select(
+        "source", F.size("ws").cast("bigint").alias("x")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+        F.sum(
+            F.round(F.lit(1e6) * F.col("x") * F.log(F.col("x"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("xlx"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("xlx").alias("xlx"),
+    )
+    btw = g.crossJoin(F.broadcast(t)).agg(
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * (F.col("sg") * F.lit(1.0) / F.col("s"))
+                * F.log(
+                    (F.col("sg") * F.lit(1.0) / F.col("ng"))
+                    / (F.col("s") * F.lit(1.0) / F.col("n"))
+                )
+            ).cast("decimal(38,0)")
+        ).alias("bq")
+    )
+    j = t.crossJoin(F.broadcast(btw))
+    total = F.col("xlx").cast("double") / F.lit(1e6) / F.col("s") - F.log(
+        F.col("s") * F.lit(1.0) / F.col("n")
+    )
+    between = F.col("bq").cast("double") / F.lit(1e9)
+    return j.select(
+        F.col("n").alias("n_docs"),
+        F.round(total, 6).alias("theil_total"),
+        F.round(between, 6).alias("theil_between"),
+        F.round(total - between, 6).alias("theil_within"),
+        F.round(between / total, 6).alias("between_share"),
+    )
+
+
+@register(
+    "atkinson_index_doclen",
+    f"""
+    WITH d AS (SELECT len(ws)::BIGINT AS x FROM {_DD_WS}
+               WHERE len(ws) > 0),
+    t AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+                 SUM(CAST(round(1e9 * ln(x)) AS DECIMAL(38,0))) AS lq
+          FROM d)
+    SELECT n AS n_docs,
+           ROUND(s * 1.0 / n, 6) AS mean_len,
+           ROUND(exp(lq::DOUBLE / 1e9 / n), 6) AS geomean_len,
+           ROUND(1.0 - exp(lq::DOUBLE / 1e9 / n) / (s * 1.0 / n), 6)
+             AS atkinson_eps1
+    FROM t
+    """,
+)
+def atkinson_index_doclen(spark, sf_dir):
+    """Atkinson inequality index (epsilon = 1) of document token counts:
+    A = 1 - geomean/mean -- the WELFARE-weighted companion to
+    `theil_index_decomposition` (Theil weights by income share, so big
+    documents dominate; Atkinson at eps=1 weights the lower tail, so A
+    rises when the corpus carries many near-empty documents even if
+    totals look fine -- exactly the skew that starves a packing
+    pipeline with fragments). One exact-sum pass: N, S, and the
+    nano-quantized sum of ln(x) (ln on exact integers, the WoE idiom);
+    the geometric mean is a SINGLE exp of one identical-in-both-engines
+    double (exp is never folded -- the one-evaluation exception to the
+    no-exp rule the odds-ratio CI established).
+
+    Scale: one scan, one 3-number reduce."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("ws")
+    )
+    d = docs.filter(F.size("ws") > 0).select(
+        F.size("ws").cast("bigint").alias("x")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(
+            F.round(F.lit(1e9) * F.log(F.col("x"))).cast("decimal(38,0)")
+        ).alias("lq"),
+    )
+    gm = F.exp(F.col("lq").cast("double") / F.lit(1e9) / F.col("n"))
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    return t.select(
+        F.col("n").alias("n_docs"),
+        F.round(mean, 6).alias("mean_len"),
+        F.round(gm, 6).alias("geomean_len"),
+        F.round(F.lit(1.0) - gm / mean, 6).alias("atkinson_eps1"),
+    )

@@ -971,3 +971,127 @@ def krippendorff_alpha_rules(spark, sf_dir):
             n1 * n0 > 0, F.round(F.lit(1.0) - d_o / d_e, 6)
         ).alias("krippendorff_alpha"),
     )
+
+
+@register(
+    "quade_test_weekday_revenue",
+    """
+    WITH d0 AS (SELECT MIN(l_shipdate) AS day0 FROM lineitem),
+    d AS (SELECT l_shipdate AS day,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                      * 100 AS BIGINT) AS cents
+          FROM lineitem GROUP BY l_shipdate),
+    w AS (SELECT (date_diff('day', d0.day0, day) // 7)::BIGINT AS blk,
+                 day, cents
+          FROM d CROSS JOIN d0),
+    full_w AS (SELECT blk FROM w GROUP BY blk HAVING COUNT(*) = 7),
+    rr AS (SELECT blk, dayofweek(day)::INT AS wd,
+                  2 * (RANK() OVER (PARTITION BY blk
+                                    ORDER BY cents ASC) - 1)
+                  + COUNT(*) OVER (PARTITION BY blk, cents) + 1 AS r2
+           FROM w JOIN full_w USING (blk)),
+    rng AS (SELECT blk, MAX(cents) - MIN(cents) AS rg
+            FROM w JOIN full_w USING (blk) GROUP BY blk),
+    q2 AS (SELECT blk,
+                  2 * (RANK() OVER (ORDER BY rg ASC) - 1)
+                  + COUNT(*) OVER (PARTITION BY rg) + 1 AS q2
+           FROM rng),
+    sc AS (SELECT rr.wd, q2.q2 * (rr.r2 - 8) AS s2
+           FROM rr JOIN q2 USING (blk)),
+    a AS (SELECT SUM(CAST(s2 AS DECIMAL(38,0)) * s2) AS a2,
+                 (COUNT(*) // 7)::BIGINT AS n
+          FROM sc),
+    b AS (SELECT SUM(CAST(sj AS DECIMAL(38,0)) * sj) AS sb2
+          FROM (SELECT wd, SUM(s2)::BIGINT AS sj FROM sc GROUP BY wd) z)
+    SELECT a.n AS n_weeks,
+           ROUND((a.n - 1.0) * (b.sb2::DOUBLE / a.n)
+                 / (a.a2::DOUBLE - b.sb2::DOUBLE / a.n), 6) AS quade_f
+    FROM a CROSS JOIN b
+    """,
+)
+def quade_test_weekday_revenue(spark, sf_dir):
+    """Quade's test for weekday effects on daily revenue -- the
+    block-weighted sharpening of `friedman_weekday_revenue` (Friedman
+    gives every week one vote; Quade 1979 weights each week by the
+    RANK of its within-week revenue range, so high-signal weeks --
+    where weekday actually moved money -- dominate, which buys real
+    power at small k). Same full-7-day-week frame; within-block
+    doubled midranks r2 and across-block doubled range-rank weights
+    q2 keep S2 = q2*(r2 - 8) an exact integer (8 = k+1 absorbs the
+    centering; both doublings cancel in F); A2 = sum S2^2 and B2 =
+    (1/n) sum_j S_j^2 fold as exact DECIMAL(38,0); F = (n-1)B/(A-B)
+    is one fixed-order expression. The block-rank window runs over the
+    calendar-bounded WEEK frame, the within-block windows over 7-row
+    blocks.
+
+    Scale: one corpus scan to the day frame; every ranking step is
+    calendar-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    d0 = d.agg(F.min("day").alias("day0"))
+    w = d.crossJoin(F.broadcast(d0)).select(
+        F.floor(F.datediff(F.col("day"), F.col("day0")) / 7)
+        .cast("bigint")
+        .alias("blk"),
+        "day",
+        "cents",
+    )
+    full_w = (
+        w.groupBy("blk").count().filter(F.col("count") == 7).select("blk")
+    )
+    wf = w.join(F.broadcast(full_w), "blk")
+    blk_win = Window.partitionBy("blk").orderBy(F.col("cents").asc())
+    tie_win = Window.partitionBy("blk", "cents")
+    rr = wf.select(
+        "blk",
+        F.dayofweek("day").alias("wd"),
+        (
+            2 * (F.rank().over(blk_win) - 1)
+            + F.count(F.lit(1)).over(tie_win)
+            + 1
+        ).alias("r2"),
+    )
+    rng = wf.groupBy("blk").agg(
+        (F.max("cents") - F.min("cents")).alias("rg")
+    )
+    # block-grain frame (calendar-bounded): doubled midrank of the range
+    rg_win = Window.orderBy(F.col("rg").asc())
+    rg_tie = Window.partitionBy("rg")
+    q2 = rng.select(
+        "blk",
+        (
+            2 * (F.rank().over(rg_win) - 1)
+            + F.count(F.lit(1)).over(rg_tie)
+            + 1
+        ).alias("q2"),
+    )
+    sc = rr.join(q2, "blk").select(
+        "wd", (F.col("q2") * (F.col("r2") - 8)).alias("s2")
+    )
+    a = sc.agg(
+        F.sum(F.col("s2").cast("decimal(38,0)") * F.col("s2")).alias("a2"),
+        (F.count(F.lit(1)) / 7).cast("bigint").alias("n"),
+    )
+    b = (
+        sc.groupBy("wd")
+        .agg(F.sum("s2").cast("bigint").alias("sj"))
+        .agg(
+            F.sum(F.col("sj").cast("decimal(38,0)") * F.col("sj")).alias(
+                "sb2"
+            )
+        )
+    )
+    j = a.crossJoin(F.broadcast(b))
+    bb = F.col("sb2").cast("double") / F.col("n")
+    return j.select(
+        F.col("n").alias("n_weeks"),
+        F.round(
+            (F.col("n") - F.lit(1.0)) * bb
+            / (F.col("a2").cast("double") - bb),
+            6,
+        ).alias("quade_f"),
+    )

@@ -1164,3 +1164,92 @@ def hourly_seasonality_strength(spark, sf_dir):
             "seasonal_strength"
         ),
     )
+
+
+@register(
+    "permutation_entropy_hourly",
+    f"""
+    WITH {_HOURLY_SPINE_SQL},
+    tr AS (SELECT a.n AS v1, b.n AS v2, c.n AS v3
+           FROM x a JOIN x b ON b.hi = a.hi + 1
+                    JOIN x c ON c.hi = a.hi + 2),
+    pat AS (SELECT ((CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+                     + CASE WHEN v3 < v1 THEN 1 ELSE 0 END) * 9
+                    + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END
+                       + CASE WHEN v3 < v2 THEN 1 ELSE 0 END) * 3
+                    + (CASE WHEN v1 <= v3 THEN 1 ELSE 0 END
+                       + CASE WHEN v2 <= v3 THEN 1 ELSE 0 END))::INT
+                     AS pattern
+           FROM tr),
+    c AS (SELECT pattern, COUNT(*)::BIGINT AS cnt FROM pat
+          GROUP BY pattern),
+    t AS (SELECT SUM(cnt)::BIGINT AS tot, COUNT(*)::BIGINT AS np FROM c),
+    h AS (SELECT SUM(CAST(round(-1e12 * (c.cnt * 1.0 / t.tot)
+                                * ln(c.cnt * 1.0 / t.tot))
+                     AS DECIMAL(38,0))) AS hq
+          FROM c CROSS JOIN t)
+    SELECT t.tot AS n_triples, t.np AS n_patterns,
+           ROUND(h.hq::DOUBLE / 1e12 / ln(6.0), 6) AS perm_entropy_norm
+    FROM t CROSS JOIN h
+    """,
+)
+def permutation_entropy_hourly(spark, sf_dir):
+    """Normalized permutation entropy (Bandt-Pompe 2002, order m = 3) of
+    the hourly event-count series -- the model-free complexity readout
+    next to `hourly_autocorr` and `markov_entropy_rate` (those need a
+    value alphabet or linear structure; PE looks only at the ORDINAL
+    pattern of each consecutive triple, so it is calibration-invariant
+    and robust to any monotone transform of load: ~1 means
+    noise-dominated traffic, well below 1 means repeated motifs a
+    forecaster can exploit). Ties resolve by position (earlier index
+    ranks first -- the standard convention, stated explicitly because
+    zero-count hours tie often): each triple maps to one of 6 codes via
+    pure integer comparisons, patterns aggregate exactly, and the
+    <= 6-term entropy fold is pico-quantized; only ln of
+    identical-integer ratios touches floating point.
+
+    Scale: the spine self-joins twice on the hour index (calendar-sized
+    equi-joins); the corpus is touched once by the hourly
+    pre-aggregation."""
+    x = _hourly_counts(spark, sf_dir)
+    a = x.select(F.col("hi").alias("h1"), F.col("n").alias("v1"))
+    b = x.select(F.col("hi").alias("h2"), F.col("n").alias("v2"))
+    cc = x.select(F.col("hi").alias("h3"), F.col("n").alias("v3"))
+    tr = a.join(b, F.col("h2") == F.col("h1") + 1).join(
+        cc, F.col("h3") == F.col("h1") + 2
+    )
+    i = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    pat = tr.select(
+        (
+            (i(F.col("v2") < F.col("v1")) + i(F.col("v3") < F.col("v1"))) * 9
+            + (i(F.col("v1") <= F.col("v2")) + i(F.col("v3") < F.col("v2")))
+            * 3
+            + (i(F.col("v1") <= F.col("v3")) + i(F.col("v2") <= F.col("v3")))
+        )
+        .cast("int")
+        .alias("pattern")
+    )
+    c = pat.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    h = c.crossJoin(F.broadcast(t)).agg(
+        F.sum(
+            F.round(
+                F.lit(-1e12)
+                * (F.col("cnt") * F.lit(1.0) / F.col("tot"))
+                * F.log(F.col("cnt") * F.lit(1.0) / F.col("tot"))
+            ).cast("decimal(38,0)")
+        ).alias("hq")
+    )
+    j = t.crossJoin(F.broadcast(h))
+    return j.select(
+        F.col("tot").alias("n_triples"),
+        F.col("np").alias("n_patterns"),
+        F.round(
+            F.col("hq").cast("double") / F.lit(1e12) / F.log(F.lit(6.0)), 6
+        ).alias("perm_entropy_norm"),
+    )
