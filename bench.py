@@ -294,6 +294,52 @@ BENCH_QUERIES = [
     # round-11: trained-vs-seed IVF recall (2 Lloyd iterations + 2x the
     # full probe path)
     "ann_ivf_recall_trained",
+    # round-11 batch 1: classical-test completions (plans/stats_tests.py)
+    "fisher_exact_weekend_purchase",
+    "dagostino_k2_value",
+    "anderson_darling_weekend_value",
+    "ansari_bradley_weekend_value",
+    "kendalls_w_weekday_revenue",
+    "krippendorff_alpha_rules",
+    "quade_test_weekday_revenue",
+    # round-11 batch 2: time-series (plans/temporal.py)
+    "pacf_daily_revenue",
+    "ljung_box_daily_revenue",
+    "binseg_changepoint_daily",
+    "hurst_rs_hourly",
+    "spectral_peak_hourly",
+    "hourly_seasonality_strength",
+    "permutation_entropy_hourly",
+    # round-11 batch 3: classifier-evaluation panel (plans/mleval.py)
+    "f1_threshold_sweep",
+    "youden_j_threshold",
+    "ks_class_separation",
+    "expected_cost_threshold",
+    "balanced_accuracy_lang_id",
+    "logloss_by_calibration_bin",
+    # round-11 batch 4: graph readouts, priority sampling, CDC dedup
+    "graph_rich_club_coefficient",
+    "graph_degree_powerlaw_alpha",
+    "priority_sample_estimator",
+    "cdc_chunk_dedup",
+    # round-11 batch 5: stylometry/diversity, exact pair moments,
+    # ANOVA effect sizes
+    "burrows_delta_sources",
+    "gries_dp_dispersion",
+    "mattr_type_token",
+    "embedding_pairwise_cosine_moments",
+    "anova_effect_sizes",
+    # round-11 batch 6: inequality panel + data valuation
+    "theil_index_decomposition",
+    "atkinson_index_doclen",
+    "knn_shapley_data_values",
+    # round-11 batch 7: survival test, modern dependence, joint
+    # location-scale, seasonal trend, vocabulary mass
+    "logrank_test_ab_arms",
+    "chatterjee_xi_qty_price",
+    "cucconi_test_weekend_value",
+    "seasonal_mann_kendall_daily",
+    "good_turing_vocab",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -514,3 +514,168 @@ def logloss_by_calibration_bin(spark, sf_dir):
             F.col("llq").cast("double") / F.lit(1e9) / F.col("n_docs"), 6
         ).alias("mean_logloss"),
     ).orderBy(F.col("bin").asc())
+
+
+@register(
+    "logrank_test_ab_arms",
+    """
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CAST('0x' || substr(md5('arm|' || user_id::VARCHAR), 1, 15)
+                  AS BIGINT) % 2 AS grp
+      FROM events),
+    u0 AS (SELECT user_id,
+                  MIN(epoch_us(ts::TIMESTAMP)) AS fu,
+                  MIN(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts::TIMESTAMP) END) AS pu,
+                  MAX(epoch_us(ts::TIMESTAMP)) AS lu
+           FROM events GROUP BY user_id),
+    u AS (SELECT u0.*, arms.grp FROM u0 JOIN arms USING (user_id)),
+    uu AS (SELECT grp,
+                  CASE WHEN pu IS NOT NULL
+                            AND (pu - fu) // 3600000000 < 48
+                       THEN (pu - fu) // 3600000000
+                       ELSE LEAST(48, (lu - fu) // 3600000000)
+                  END::BIGINT AS t,
+                  CASE WHEN pu IS NOT NULL
+                            AND (pu - fu) // 3600000000 < 48
+                       THEN 1 ELSE 0 END AS e
+           FROM u),
+    d AS (SELECT t, SUM(e)::BIGINT AS d_t,
+                 SUM(e * grp)::BIGINT AS d1_t,
+                 COUNT(*)::BIGINT AS m_t,
+                 SUM(grp)::BIGINT AS m1_t
+          FROM uu GROUP BY t),
+    r AS (SELECT t, d_t, d1_t,
+                 SUM(m_t) OVER (ORDER BY t DESC)::BIGINT AS n_t,
+                 SUM(m1_t) OVER (ORDER BY t DESC)::BIGINT AS n1_t
+          FROM d),
+    s AS (SELECT SUM(d1_t)::BIGINT AS o1,
+                 SUM(CAST(round(1e9 * d_t * n1_t * 1.0 / n_t)
+                     AS DECIMAL(38,0))) AS e1q,
+                 SUM(CASE WHEN n_t > 1 THEN
+                       CAST(round(1e9 * d_t * (n1_t * 1.0 / n_t)
+                                  * (1.0 - n1_t * 1.0 / n_t)
+                                  * (n_t - d_t) / (n_t - 1.0))
+                       AS DECIMAL(38,0)) ELSE 0 END) AS vq
+          FROM r WHERE d_t > 0),
+    tot AS (SELECT SUM(grp)::BIGINT AS n1,
+                   SUM(1 - grp)::BIGINT AS n2
+            FROM uu)
+    SELECT tot.n1 AS n_arm1, tot.n2 AS n_arm0,
+           s.o1 AS observed_events_arm1,
+           ROUND(s.e1q::DOUBLE / 1e9, 6) AS expected_events_arm1,
+           CASE WHEN s.vq > 0
+                THEN ROUND((s.o1 - s.e1q::DOUBLE / 1e9)
+                           * (s.o1 - s.e1q::DOUBLE / 1e9)
+                           / (s.vq::DOUBLE / 1e9), 6) END AS logrank_chi2
+    FROM s CROSS JOIN tot
+    """,
+)
+def logrank_test_ab_arms(spark, sf_dir):
+    """Log-rank test comparing time-to-first-purchase between the two
+    deterministic A/B arms -- the survival-grade experiment readout
+    next to `ab_test_conversion_ztest` (the z-test compares final
+    conversion RATES; the log-rank compares the whole time-to-convert
+    CURVES, so an arm that converts the same users but SLOWER is
+    caught -- and it handles the 48 h administrative censoring the
+    rate test silently ignores). Identical time-to-event construction
+    to `kaplan_meier_time_to_purchase` (hour grain, 48 h censoring);
+    arms are the portable-hash split `ab_test_srm_check` audits, so
+    the oracle assigns identically. Each distinct event time is a 2x2
+    table against the risk sets: O1 - E1 folds per-time
+    hypergeometric means d*n1/n and variances
+    d*(n1/n)(1-n1/n)(n-d)/(n-1), nano-quantized over exact
+    suffix-count integers; chi2(1) = (O1-E1)^2/V is one fixed-order
+    expression with an integer-sum zero guard. Risk sets are suffix
+    sums over the HOUR domain (<= 49 rows, the bounded KM frame).
+
+    Scale: one corpus scan to the user grain, one to the 49-row time
+    frame; everything after is bounded-frame arithmetic."""
+    from veri_spark.functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("fu"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("pu"),
+        F.max(us).alias("lu"),
+    ).withColumn(
+        "grp",
+        (portable_hash64(F.col("user_id").cast("string"), seed="arm") % 2)
+        .cast("int"),
+    )
+    hrs = (F.col("pu") - F.col("fu")) / F.lit(3600000000)
+    obs = F.col("pu").isNotNull() & (F.floor(hrs).cast("bigint") < 48)
+    uu = u.select(
+        "grp",
+        F.when(obs, F.floor(hrs).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(48).cast("bigint"),
+                F.floor(
+                    (F.col("lu") - F.col("fu")) / F.lit(3600000000)
+                ).cast("bigint"),
+            )
+        )
+        .alias("t"),
+        F.when(obs, 1).otherwise(0).alias("e"),
+    )
+    d = uu.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d_t"),
+        F.sum(F.col("e") * F.col("grp")).cast("bigint").alias("d1_t"),
+        F.count(F.lit(1)).cast("bigint").alias("m_t"),
+        F.sum("grp").cast("bigint").alias("m1_t"),
+    )
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = d.select(
+        "t",
+        "d_t",
+        "d1_t",
+        F.sum("m_t").over(w).cast("bigint").alias("n_t"),
+        F.sum("m1_t").over(w).cast("bigint").alias("n1_t"),
+    )
+    share = F.col("n1_t") * F.lit(1.0) / F.col("n_t")
+    s = r.filter(F.col("d_t") > 0).agg(
+        F.sum("d1_t").cast("bigint").alias("o1"),
+        F.sum(
+            F.round(F.lit(1e9) * F.col("d_t") * share).cast("decimal(38,0)")
+        ).alias("e1q"),
+        F.sum(
+            F.when(
+                F.col("n_t") > 1,
+                F.round(
+                    F.lit(1e9)
+                    * F.col("d_t")
+                    * share
+                    * (F.lit(1.0) - share)
+                    * (F.col("n_t") - F.col("d_t"))
+                    / (F.col("n_t") - F.lit(1.0))
+                ).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("vq"),
+    )
+    tot = uu.agg(
+        F.sum("grp").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("bigint").alias("n2"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    e1 = F.col("e1q").cast("double") / F.lit(1e9)
+    return j.select(
+        F.col("n1").alias("n_arm1"),
+        F.col("n2").alias("n_arm0"),
+        F.col("o1").alias("observed_events_arm1"),
+        F.round(e1, 6).alias("expected_events_arm1"),
+        F.when(
+            F.col("vq") > 0,
+            F.round(
+                (F.col("o1") - e1)
+                * (F.col("o1") - e1)
+                / (F.col("vq").cast("double") / F.lit(1e9)),
+                6,
+            ),
+        ).alias("logrank_chi2"),
+    )

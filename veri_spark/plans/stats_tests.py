@@ -1095,3 +1095,229 @@ def quade_test_weekday_revenue(spark, sf_dir):
             6,
         ).alias("quade_f"),
     )
+
+
+@register(
+    "chatterjee_xi_qty_price",
+    """
+    WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y,
+                       l_orderkey AS ok, l_linenumber AS ln
+                FROM lineitem),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM li),
+    gy AS (SELECT y, COUNT(*)::BIGINT AS c FROM li GROUP BY y),
+    ry AS (SELECT y, c, SUM(c) OVER (ORDER BY y ASC)::BIGINT AS ri
+           FROM gy),
+    o AS (SELECT ry.ri,
+                 ROW_NUMBER() OVER (ORDER BY li.x ASC, li.y ASC,
+                                    li.ok ASC, li.ln ASC) AS rn
+          FROM li JOIN ry USING (y)),
+    num AS (SELECT SUM(CAST(ABS(b.ri - a.ri) AS DECIMAL(38,0))) AS sd
+            FROM o a JOIN o b ON b.rn = a.rn + 1),
+    den AS (SELECT SUM(CAST(c AS DECIMAL(38,0))
+                       * (n.n - (ri - c)) * (ri - c)) AS sl
+            FROM ry CROSS JOIN n)
+    SELECT n.n AS n_rows,
+           ROUND(1.0 - n.n * num.sd::DOUBLE / (2.0 * den.sl::DOUBLE), 6)
+             AS chatterjee_xi
+    FROM n CROSS JOIN num CROSS JOIN den
+    """,
+)
+def chatterjee_xi_qty_price(spark, sf_dir):
+    """Chatterjee's rank correlation xi (Chatterjee, JASA 2020) between
+    line quantity and extended price -- the modern dependence
+    coefficient that completes the Spearman/Kendall panel: rho and tau
+    measure MONOTONE association (a perfect V-shape scores 0), xi
+    consistently estimates a measure that is 0 iff independent and 1
+    iff y is a measurable FUNCTION of x, so it sees non-monotone
+    dependence the classical pair misses. Ties version (his eq. on
+    ties): sort by x (deterministic tie-break by y then line key --
+    stated because the original randomizes x-ties), r_i = #{{y_j <=
+    y_i}} from the inclusive y-domain prefix scan, xi = 1 - n *
+    sum|r_(i+1) - r_i| / (2 * sum l_i(n - l_i)) with l_i = #{{y_j >=
+    y_i}} folding per DISTINCT y. Everything is exact integers --
+    ranking via the distributed global row number, consecutive
+    differences via ONE rn+1 equi-join (no corpus window in the Spark
+    plan), both sums as DECIMAL(38,0) -- and xi is a single final
+    division.
+
+    Scale: one corpus scan, one y-domain prefix scan, one distributed
+    ranking, one rn+1 self-join -- all equi-partitioned, nothing
+    quadratic."""
+    from veri_spark.operators.ranking import (
+        global_prefix_agg,
+        global_row_number,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    n = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gy = li.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ry = global_prefix_agg(
+        gy, [F.col("y").asc()], "c", agg="sum", out_col="ri"
+    )
+    o = li.join(ry, "y").select("x", "y", "ok", "ln", "ri")
+    o = global_row_number(
+        o,
+        [F.col("x").asc(), F.col("y").asc(), F.col("ok").asc(),
+         F.col("ln").asc()],
+        rn_col="rn",
+    ).select("rn", "ri")
+    a = o.select(F.col("rn").alias("ra"), F.col("ri").alias("ria"))
+    b = o.select(F.col("rn").alias("rb"), F.col("ri").alias("rib"))
+    num = a.join(b, F.col("rb") == F.col("ra") + 1).agg(
+        F.sum(
+            F.abs(F.col("rib") - F.col("ria")).cast("decimal(38,0)")
+        ).alias("sd")
+    )
+    den = ry.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (F.col("n") - (F.col("ri") - F.col("c")))
+            * (F.col("ri") - F.col("c"))
+        ).alias("sl")
+    )
+    j = n.crossJoin(F.broadcast(num)).crossJoin(F.broadcast(den))
+    return j.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n")
+            * F.col("sd").cast("double")
+            / (F.lit(2.0) * F.col("sl").cast("double")),
+            6,
+        ).alias("chatterjee_xi"),
+    )
+
+
+@register(
+    "cucconi_test_weekend_value",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT value, SUM(wk)::BIGINT AS f1, COUNT(*)::BIGINT AS l
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(f1)::BIGINT AS n1, SUM(l - f1)::BIGINT AS n2,
+                 SUM(l)::BIGINT AS nn
+          FROM g),
+    p AS (SELECT f1, l,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l + 1 AS mid2
+          FROM g),
+    s AS (SELECT SUM(CAST(f1 AS DECIMAL(38,0)) * mid2 * mid2) AS r2,
+                 SUM(CAST(f1 AS DECIMAL(38,0))
+                     * (2 * t.nn + 2 - mid2) * (2 * t.nn + 2 - mid2)) AS v2
+          FROM p CROSS JOIN t GROUP BY t.nn),
+    uv AS (SELECT t.n1, t.n2, t.nn,
+                  (1.5 * s.r2::DOUBLE - t.n1 * (t.nn + 1.0)
+                                             * (2.0 * t.nn + 1.0))
+                  / sqrt(t.n1 * 1.0 * t.n2 * (t.nn + 1.0)
+                         * (2.0 * t.nn + 1.0) * (8.0 * t.nn + 11.0) / 5.0)
+                    AS u,
+                  (1.5 * s.v2::DOUBLE - t.n1 * (t.nn + 1.0)
+                                             * (2.0 * t.nn + 1.0))
+                  / sqrt(t.n1 * 1.0 * t.n2 * (t.nn + 1.0)
+                         * (2.0 * t.nn + 1.0) * (8.0 * t.nn + 11.0) / 5.0)
+                    AS v,
+                  2.0 * (t.nn * 1.0 * t.nn - 4.0)
+                  / ((2.0 * t.nn + 1.0) * (8.0 * t.nn + 11.0)) - 1.0 AS rho
+           FROM t CROSS JOIN s)
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           ROUND(u, 6) AS u_stat, ROUND(v, 6) AS v_stat,
+           ROUND((u * u + v * v - 2.0 * rho * u * v)
+                 / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c
+    FROM uv
+    """,
+)
+def cucconi_test_weekend_value(spark, sf_dir):
+    """Cucconi's test (1968) for a JOINT location-scale difference
+    between weekend and weekday values -- the one-shot
+    Lepage-alternative that closes the two-sample battery: Mann-Whitney
+    sees location, `ansari_bradley_weekend_value` sees scale, Cucconi's
+    C combines squared ranks from BOTH ends (U on r^2, V on (N+1-r)^2,
+    correlated rho exactly known under H0) and predates-but-outpowers
+    Lepage in the standard simulations (Marozzi 2009 rehabilitated
+    it). Doubled midranks keep both squared-rank sums exact:
+    sum r^2 = sum f1*mid2^2 / 4 folds as DECIMAL(38,0) (the /4 is
+    absorbed as 1.5*R2 against 6*sum r^2), the contra-ranks use
+    (2N+2-mid2), and U, V, rho, C are fixed-order double expressions
+    of five exact numbers.
+
+    Scale: one value-grain aggregation + one prefix scan over the
+    value domain; the corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("wk").cast("bigint").alias("f1"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    t = g.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum(F.col("l") - F.col("f1")).cast("bigint").alias("n2"),
+        F.sum("l").cast("bigint").alias("nn"),
+    )
+    p = global_prefix_agg(
+        g, [F.col("value").asc()], "l", agg="sum", out_col="cl"
+    ).select(
+        "f1",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+    )
+    pj = p.crossJoin(F.broadcast(t))
+    contra = F.lit(2) * F.col("nn") + F.lit(2) - F.col("mid2")
+    s = pj.agg(
+        F.sum(
+            F.col("f1").cast("decimal(38,0)") * F.col("mid2") * F.col("mid2")
+        ).alias("r2"),
+        F.sum(F.col("f1").cast("decimal(38,0)") * contra * contra).alias(
+            "v2"
+        ),
+    )
+    j = t.crossJoin(F.broadcast(s))
+    nnd = F.col("nn") * F.lit(1.0)
+    se = F.sqrt(
+        F.col("n1")
+        * F.lit(1.0)
+        * F.col("n2")
+        * (nnd + F.lit(1.0))
+        * (F.lit(2.0) * nnd + F.lit(1.0))
+        * (F.lit(8.0) * nnd + F.lit(11.0))
+        / F.lit(5.0)
+    )
+    mean = F.col("n1") * (nnd + F.lit(1.0)) * (F.lit(2.0) * nnd + F.lit(1.0))
+    u = (F.lit(1.5) * F.col("r2").cast("double") - mean) / se
+    v = (F.lit(1.5) * F.col("v2").cast("double") - mean) / se
+    rho = (
+        F.lit(2.0)
+        * (nnd * nnd - F.lit(4.0))
+        / ((F.lit(2.0) * nnd + F.lit(1.0)) * (F.lit(8.0) * nnd + F.lit(11.0)))
+        - F.lit(1.0)
+    )
+    out = j.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        u.alias("u"),
+        v.alias("v"),
+        rho.alias("rho"),
+    )
+    return out.select(
+        "n_weekend",
+        "n_weekday",
+        F.round(F.col("u"), 6).alias("u_stat"),
+        F.round(F.col("v"), 6).alias("v_stat"),
+        F.round(
+            (
+                F.col("u") * F.col("u")
+                + F.col("v") * F.col("v")
+                - F.lit(2.0) * F.col("rho") * F.col("u") * F.col("v")
+            )
+            / (F.lit(2.0) * (F.lit(1.0) - F.col("rho") * F.col("rho"))),
+            6,
+        ).alias("cucconi_c"),
+    )

@@ -1253,3 +1253,120 @@ def permutation_entropy_hourly(spark, sf_dir):
             F.col("hq").cast("double") / F.lit(1e12) / F.log(F.lit(6.0)), 6
         ).alias("perm_entropy_norm"),
     )
+
+
+@register(
+    "seasonal_mann_kendall_daily",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    w AS (SELECT day, dayofweek(day)::INT AS wd, cents FROM d),
+    s AS (SELECT a.wd,
+                 SUM(CASE WHEN b.cents > a.cents THEN 1
+                          WHEN b.cents < a.cents THEN -1 ELSE 0
+                     END)::BIGINT AS s_wd,
+                 (COUNT(*))::BIGINT AS n_pairs
+          FROM w a JOIN w b ON a.wd = b.wd AND b.day > a.day
+          GROUP BY a.wd),
+    m AS (SELECT wd, COUNT(*)::BIGINT AS m FROM w GROUP BY wd),
+    ties AS (SELECT wd, SUM(tt * (tt - 1) * (2 * tt + 5))::BIGINT AS tt3
+             FROM (SELECT wd, COUNT(*)::BIGINT AS tt FROM w
+                   GROUP BY wd, cents) z
+             GROUP BY wd),
+    agg AS (SELECT SUM(s.s_wd)::BIGINT AS s_total,
+                   SUM(m.m * (m.m - 1) * (2 * m.m + 5) - ties.tt3)::BIGINT
+                     AS var18,
+                   COUNT(*)::BIGINT AS n_seasons
+            FROM s JOIN m USING (wd) JOIN ties USING (wd))
+    SELECT n_seasons, s_total,
+           ROUND(var18 / 18.0, 6) AS var_total,
+           CASE WHEN s_total > 0
+                THEN ROUND((s_total - 1.0) / sqrt(var18 / 18.0), 6)
+                WHEN s_total < 0
+                THEN ROUND((s_total + 1.0) / sqrt(var18 / 18.0), 6)
+                ELSE 0.0 END AS z_mk
+    FROM agg
+    """,
+)
+def seasonal_mann_kendall_daily(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack 1984) on daily
+    revenue with weekday seasons: is revenue trending once the weekly
+    cycle is removed? `mann_kendall_daily_trend` pools ALL day pairs,
+    so the Mon-vs-Sat comparisons inject the seasonal signal into the
+    trend statistic; the seasonal variant compares days only WITHIN
+    the same weekday, then sums the seven S statistics and their
+    tie-corrected variances (independent under H0). Sign counting is
+    pure integer CASE arithmetic on the calendar-bounded day frame
+    (~2.5k days -> ~230k same-weekday pairs, bounded by the calendar
+    squared -- the same deliberate frame as the plain MK); the
+    continuity-corrected z keeps the variance as the exact integer
+    numerator var18 until ONE division by 18.
+
+    Scale: one corpus scan to the day frame; the pair join lives
+    entirely on the calendar frame."""
+    d = _daily_cents(spark, sf_dir)
+    w = d.select("day", F.dayofweek("day").alias("wd"), "cents")
+    a = w.select(
+        F.col("wd"), F.col("day").alias("da"), F.col("cents").alias("ca")
+    )
+    b = w.select(
+        F.col("wd"), F.col("day").alias("db"), F.col("cents").alias("cb")
+    )
+    s = (
+        a.join(b, "wd")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("wd")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_wd")
+        )
+    )
+    m = w.groupBy("wd").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ties = (
+        w.groupBy("wd", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+        .groupBy("wd")
+        .agg(
+            F.sum(
+                F.col("tt")
+                * (F.col("tt") - 1)
+                * (2 * F.col("tt") + 5)
+            )
+            .cast("bigint")
+            .alias("tt3")
+        )
+    )
+    agg = (
+        s.join(m, "wd")
+        .join(ties, "wd")
+        .agg(
+            F.sum("s_wd").cast("bigint").alias("s_total"),
+            F.sum(
+                F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                - F.col("tt3")
+            )
+            .cast("bigint")
+            .alias("var18"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        )
+    )
+    vt = F.col("var18") / F.lit(18.0)
+    return agg.select(
+        "n_seasons",
+        "s_total",
+        F.round(vt, 6).alias("var_total"),
+        F.when(
+            F.col("s_total") > 0,
+            F.round((F.col("s_total") - F.lit(1.0)) / F.sqrt(vt), 6),
+        )
+        .when(
+            F.col("s_total") < 0,
+            F.round((F.col("s_total") + F.lit(1.0)) / F.sqrt(vt), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_mk"),
+    )

@@ -1509,3 +1509,91 @@ def mattr_type_token(spark, sf_dir):
         )
         .orderBy(F.col("source").asc())
     )
+
+
+@register(
+    "good_turing_vocab",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    wc AS (SELECT w, COUNT(*)::BIGINT AS r FROM tok GROUP BY w),
+    fof AS (SELECT r, COUNT(*)::BIGINT AS n_r FROM wc
+            WHERE r <= 6 GROUP BY r),
+    t AS (SELECT COUNT(*)::BIGINT AS n_tokens FROM tok),
+    n1 AS (SELECT COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0)::BIGINT
+             AS v1 FROM fof),
+    grid AS (SELECT g.r::BIGINT AS r,
+                    COALESCE(a.n_r, 0)::BIGINT AS n_r,
+                    COALESCE(b.n_r, 0)::BIGINT AS n_r1
+             FROM (SELECT unnest([1, 2, 3, 4, 5]) AS r) g
+             LEFT JOIN fof a ON a.r = g.r
+             LEFT JOIN fof b ON b.r = g.r + 1)
+    SELECT grid.r, grid.n_r, grid.n_r1,
+           CASE WHEN grid.n_r > 0
+                THEN ROUND((grid.r + 1.0) * grid.n_r1 / grid.n_r, 6)
+                END AS gt_smoothed_count,
+           ROUND(n1.v1 * 1.0 / t.n_tokens, 6) AS missing_mass
+    FROM grid CROSS JOIN t CROSS JOIN n1
+    ORDER BY grid.r ASC
+    """,
+)
+def good_turing_vocab(spark, sf_dir):
+    """Good-Turing frequency smoothing over the corpus vocabulary:
+    smoothed counts r* = (r+1) n_(r+1)/n_r for r = 1..5 and the Turing
+    missing-mass estimate P0 = n_1/N -- the unseen-vocabulary readout
+    that tells a tokenizer/LM-data planner how much probability the
+    NEXT shard will spend on words this corpus has never seen
+    (`chao1_vocab_richness` estimates how many unseen TYPES exist;
+    Good-Turing estimates how much MASS they carry, which is the
+    number perplexity actually pays, Gale-Sampson 1995). The whole
+    statistic lives on the frequency-of-frequency table (six integers
+    plus the token total): one vocab aggregation, one 5-row literal
+    grid with guarded integer divisions; nothing leaves exact
+    arithmetic until the two final rationals.
+
+    Scale: one token scan to the vocab grain, one vocab scan to the
+    6-row fof frame -- the heavy step is the groupBy the Zipf/Heaps
+    queries already pay."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    fof = (
+        wc.filter(F.col("r") <= 6)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    )
+    t = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    v1 = fof.agg(
+        F.coalesce(
+            F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("v1")
+    )
+    grid = spark.range(1, 6).select(F.col("id").cast("bigint").alias("r"))
+    a = fof.select(F.col("r").alias("ra"), F.col("n_r").alias("na"))
+    b = fof.select(F.col("r").alias("rb"), F.col("n_r").alias("nb"))
+    g = (
+        grid.join(F.broadcast(a), F.col("r") == F.col("ra"), "left")
+        .join(F.broadcast(b), F.col("rb") == F.col("r") + 1, "left")
+        .select(
+            "r",
+            F.coalesce(F.col("na"), F.lit(0)).cast("bigint").alias("n_r"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_r1"),
+        )
+    )
+    out = g.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(v1))
+    return out.select(
+        "r",
+        "n_r",
+        "n_r1",
+        F.when(
+            F.col("n_r") > 0,
+            F.round(
+                (F.col("r") + F.lit(1.0)) * F.col("n_r1") / F.col("n_r"), 6
+            ),
+        ).alias("gt_smoothed_count"),
+        F.round(F.col("v1") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
+            "missing_mass"
+        ),
+    ).orderBy(F.col("r").asc())
