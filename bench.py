@@ -340,6 +340,12 @@ BENCH_QUERIES = [
     "cucconi_test_weekend_value",
     "seasonal_mann_kendall_daily",
     "good_turing_vocab",
+    # round-11 batch 8: sequential testing, blocked causal estimate,
+    # kernel two-sample drift, privacy-triplet completion
+    "sprt_daily_conversion",
+    "stratified_ate_weekend_value",
+    "mmd_label_groups",
+    "t_closeness_audit",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -2008,3 +2008,154 @@ def anova_effect_sizes(spark, sf_dir):
         ).alias("omega_squared"),
         F.round(F.sqrt(eta2 / (F.lit(1.0) - eta2)), 6).alias("cohen_f"),
     )
+
+
+@register(
+    "stratified_ate_weekend_value",
+    """
+    WITH ue AS (SELECT user_id, COUNT(*)::BIGINT AS ne
+                FROM events GROUP BY user_id),
+    tot AS (SELECT COUNT(*)::BIGINT AS nu FROM ue),
+    r AS (SELECT user_id,
+                 ROW_NUMBER() OVER (ORDER BY ne ASC, user_id ASC) AS rn
+          FROM ue),
+    strat2 AS (SELECT user_id,
+                      CASE WHEN tot.nu < 5 THEN r.rn
+                           WHEN r.rn <= (tot.nu % 5)
+                                        * ((tot.nu + 4) // 5)
+                           THEN (r.rn - 1) // ((tot.nu + 4) // 5) + 1
+                           ELSE (tot.nu % 5)
+                                + (r.rn - 1 - (tot.nu % 5)
+                                              * ((tot.nu + 4) // 5))
+                                  // (tot.nu // 5) + 1
+                      END::BIGINT AS stratum
+               FROM r CROSS JOIN tot),
+    e AS (SELECT e.user_id, st.stratum,
+                 CASE WHEN dayofweek(e.ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS w,
+                 CAST(round(e.value * 100.0) AS BIGINT) AS cv
+          FROM events e JOIN strat2 st USING (user_id)),
+    g AS (SELECT stratum,
+                 SUM(w)::BIGINT AS n1, SUM(1 - w)::BIGINT AS n0,
+                 SUM(CASE WHEN w = 1 THEN cv ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN w = 0 THEN cv ELSE 0 END)::BIGINT AS s0
+          FROM e GROUP BY stratum),
+    t AS (SELECT SUM(n1 + n0)::BIGINT AS n,
+                 SUM(n1)::BIGINT AS nt1, SUM(n0)::BIGINT AS nt0,
+                 SUM(s1)::BIGINT AS st1, SUM(s0)::BIGINT AS st0
+          FROM g),
+    ate AS (SELECT SUM(CASE WHEN g.n1 > 0 AND g.n0 > 0 THEN
+                         CAST(round(1e6 * (g.n1 + g.n0)
+                                    * (g.s1 * 1.0 / g.n1
+                                       - g.s0 * 1.0 / g.n0))
+                              AS DECIMAL(38,0)) ELSE 0 END) AS aq,
+                   SUM(CASE WHEN g.n1 > 0 AND g.n0 > 0
+                       THEN g.n1 + g.n0 ELSE 0 END)::BIGINT AS n_used,
+                   COUNT(*)::BIGINT AS n_strata
+            FROM g)
+    SELECT ate.n_strata, ate.n_used,
+           ROUND((t.st1 * 1.0 / t.nt1 - t.st0 * 1.0 / t.nt0) / 100.0, 6)
+             AS crude_diff,
+           ROUND(ate.aq::DOUBLE / 1e6 / ate.n_used / 100.0, 6)
+             AS stratified_ate
+    FROM ate CROSS JOIN t
+    """,
+)
+def stratified_ate_weekend_value(spark, sf_dir):
+    """Stratified average treatment effect of weekend exposure on event
+    value, standardized over user-activity quintiles -- the
+    confounding-adjusted companion to `cohens_d_purchase_view` and
+    `cuped_variance_reduction` (the crude weekend-weekday gap mixes
+    the treatment effect with WHO is active on weekends; stratifying
+    on pre-treatment activity and reweighting strata by size is the
+    classic direct-standardization/blocking estimator, Cochran 1968).
+    Strata are exact user-count quintiles from the DISTRIBUTED rank
+    (the ntile identity computed inline: the first nu%5 buckets take
+    ceil(nu/5) users -- no unpartitioned ntile window in the Spark
+    plan); within-stratum means stay exact cents sums; each stratum's
+    weighted effect is micro-quantized so the 5-term fold is
+    order-proof; strata missing a treatment arm are excluded with
+    INTEGER guards and the reweighting denominator shrinks
+    accordingly.
+
+    Scale: one user-grain aggregation + distributed rank, one
+    corpus-scan join back on user_id (equi-partitioned), one 5-row
+    stratum frame."""
+    from veri_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ne")
+    )
+    tot = ue.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    r = global_row_number(
+        ue, [F.col("ne").asc(), F.col("user_id").asc()], rn_col="rn"
+    )
+    strat = r.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        ntile_from_rank(F.col("rn"), F.col("nu"), 5).alias("stratum"),
+    )
+    e = ev.join(strat, "user_id").select(
+        "stratum",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("w"),
+        F.round(F.col("value") * 100.0).cast("bigint").alias("cv"),
+    )
+    g = e.groupBy("stratum").agg(
+        F.sum("w").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("w")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("w") == 1, F.col("cv")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("w") == 0, F.col("cv")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    t = g.agg(
+        F.sum("n1").cast("bigint").alias("nt1"),
+        F.sum("n0").cast("bigint").alias("nt0"),
+        F.sum("s1").cast("bigint").alias("st1"),
+        F.sum("s0").cast("bigint").alias("st0"),
+    )
+    both = (F.col("n1") > 0) & (F.col("n0") > 0)
+    ate = g.agg(
+        F.sum(
+            F.when(
+                both,
+                F.round(
+                    F.lit(1e6)
+                    * (F.col("n1") + F.col("n0"))
+                    * (
+                        F.col("s1") * F.lit(1.0) / F.col("n1")
+                        - F.col("s0") * F.lit(1.0) / F.col("n0")
+                    )
+                ).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("aq"),
+        F.sum(F.when(both, F.col("n1") + F.col("n0")).otherwise(0))
+        .cast("bigint")
+        .alias("n_used"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+    )
+    j = ate.crossJoin(F.broadcast(t))
+    return j.select(
+        "n_strata",
+        "n_used",
+        F.round(
+            (
+                F.col("st1") * F.lit(1.0) / F.col("nt1")
+                - F.col("st0") * F.lit(1.0) / F.col("nt0")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("crude_diff"),
+        F.round(
+            F.col("aq").cast("double")
+            / F.lit(1e6)
+            / F.col("n_used")
+            / F.lit(100.0),
+            6,
+        ).alias("stratified_ate"),
+    )

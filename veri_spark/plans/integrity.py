@@ -1385,3 +1385,140 @@ def kfold_label_balance_audit(spark, sf_dir):
         )
         .orderBy(F.col("fold").asc())
     )
+
+
+@register(
+    "t_closeness_audit",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sens
+      FROM customer),
+    bins AS (SELECT sens, COUNT(*)::BIGINT AS cq FROM s GROUP BY sens),
+    tot AS (SELECT SUM(cq)::BIGINT AS n, COUNT(*)::BIGINT AS m
+            FROM bins),
+    grp AS (SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS sz
+            FROM s GROUP BY 1, 2),
+    cell AS (SELECT c_nationkey, c_mktsegment, sens,
+                    COUNT(*)::BIGINT AS cg
+             FROM s GROUP BY 1, 2, 3),
+    grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.sz, b.sens, b.cq,
+                    COALESCE(c.cg, 0)::BIGINT AS cg
+             FROM grp g CROSS JOIN bins b
+             LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+                             AND c.c_mktsegment = g.c_mktsegment
+                             AND c.sens = b.sens),
+    cum AS (SELECT c_nationkey, c_mktsegment, sz,
+                   SUM(cg) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY sens ASC)::BIGINT AS ccg,
+                   SUM(cq) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY sens ASC)::BIGINT AS ccq
+            FROM grid),
+    emd AS (SELECT cum.c_nationkey, cum.c_mktsegment, cum.sz,
+                   SUM(CAST(round(1e9 * ABS(cum.ccg * 1.0 / cum.sz
+                                            - cum.ccq * 1.0 / tot.n))
+                       AS DECIMAL(38,0))) AS eq,
+                   MAX(tot.m)::BIGINT AS m
+            FROM cum CROSS JOIN tot
+            GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, sz AS group_size,
+           ROUND(eq::DOUBLE / 1e9 / (m - 1), 6) AS t_emd
+    FROM emd
+    ORDER BY t_emd DESC, c_nationkey ASC, c_mktsegment ASC
+    LIMIT 5
+    """,
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (Li-Li-Venkatasubramanian 2007): for each
+    quasi-identifier group (nation x market segment -- the same QI the
+    k-anonymity and l-diversity audits use), the ordered earth-mover
+    distance between the group's sensitive-attribute distribution
+    (account-balance bands) and the corpus-wide one; the 5 worst
+    groups surface. This completes the privacy triplet: k-anonymity
+    bounds group SIZE, l-diversity bounds sensitive CARDINALITY, but a
+    group can pass both while its values concentrate in the top band
+    -- t-closeness is the distributional bound that catches it. For an
+    ordered attribute the EMD is the mean absolute CDF gap
+    (1/(m-1)) sum_j |cumP_j - cumQ_j|: the dense group x band grid is
+    QI-bounded (~125 x ~11), per-group cumulative sums run on <= 11-row
+    partitions, each CDF gap is an exact-integer ratio nano-quantized
+    for the order-proof per-group fold, and the top-5 rides
+    orderBy().limit(5).
+
+    Scale: one corpus scan to the (QI, band) cell grain; every later
+    frame is bounded by the QI domain times the band domain."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+    )
+    bins = cust.groupBy("sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cq")
+    )
+    tot = bins.agg(
+        F.sum("cq").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    grp = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    cell = cust.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cg")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(bins))
+        .join(cell, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "sz",
+            "sens",
+            "cq",
+            F.coalesce(F.col("cg"), F.lit(0)).cast("bigint").alias("cg"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        F.col("sens").asc()
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "sz",
+        F.sum("cg").over(w).cast("bigint").alias("ccg"),
+        F.sum("cq").over(w).cast("bigint").alias("ccq"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "sz")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1e9)
+                    * F.abs(
+                        F.col("ccg") * F.lit(1.0) / F.col("sz")
+                        - F.col("ccq") * F.lit(1.0) / F.col("n")
+                    )
+                ).cast("decimal(38,0)")
+            ).alias("eq"),
+            F.max("m").cast("bigint").alias("m"),
+        )
+    )
+    return (
+        emd.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("sz").alias("group_size"),
+            F.round(
+                F.col("eq").cast("double")
+                / F.lit(1e9)
+                / (F.col("m") - F.lit(1)),
+                6,
+            ).alias("t_emd"),
+        )
+        .orderBy(
+            F.col("t_emd").desc(),
+            F.col("c_nationkey").asc(),
+            F.col("c_mktsegment").asc(),
+        )
+        .limit(5)
+    )

@@ -679,3 +679,119 @@ def logrank_test_ab_arms(spark, sf_dir):
             ),
         ).alias("logrank_chi2"),
     )
+
+
+# SPRT design literals: H0 p0 = 0.18 vs H1 p1 = 0.22 (straddling the
+# corpus base purchase rate ~0.198 so the walk is a genuine contest),
+# alpha = beta = 0.05 -> Wald boundaries ln(19), -ln(19). Evaluated in
+# Python once and injected as the SAME literal into both dialects.
+import math as _math
+
+_SPRT_L1 = _math.log(0.22 / 0.18)
+_SPRT_L0 = _math.log(0.78 / 0.82)
+_SPRT_LN_A = _math.log(19.0)
+_SPRT_LN_B = -_math.log(19.0)
+
+
+@register(
+    "sprt_daily_conversion",
+    f"""
+    WITH d AS (SELECT ts::DATE AS day,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END)::BIGINT AS k,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT day,
+                 CAST(round(1e9 * (k * {_SPRT_L1!r}
+                                   + (n - k) * {_SPRT_L0!r}))
+                      AS BIGINT) AS tq
+          FROM d),
+    p AS (SELECT day, SUM(tq) OVER (ORDER BY day ASC) / 1e9 AS llr
+          FROM t),
+    agg AS (SELECT COUNT(*)::BIGINT AS n_days,
+                   MIN(CASE WHEN llr >= {_SPRT_LN_A!r} THEN day END)
+                     AS d_hi,
+                   MIN(CASE WHEN llr <= {_SPRT_LN_B!r} THEN day END)
+                     AS d_lo
+            FROM p),
+    tot AS (SELECT SUM(tq)::BIGINT AS tq FROM t)
+    SELECT agg.n_days,
+           CASE WHEN agg.d_hi IS NOT NULL
+                     AND (agg.d_lo IS NULL OR agg.d_hi <= agg.d_lo)
+                THEN 'accept_h1'
+                WHEN agg.d_lo IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CASE WHEN agg.d_hi IS NOT NULL
+                     AND (agg.d_lo IS NULL OR agg.d_hi <= agg.d_lo)
+                THEN agg.d_hi
+                WHEN agg.d_lo IS NOT NULL THEN agg.d_lo END
+             AS crossing_day,
+           ROUND(tot.tq / 1e9, 6) AS llr_final
+    FROM agg CROSS JOIN tot
+    """,
+)
+def sprt_daily_conversion(spark, sf_dir):
+    """Wald's sequential probability ratio test on the daily conversion
+    stream: H0 p = 0.18 vs H1 p = 0.22 with alpha = beta = 0.05 -- the
+    ALWAYS-VALID sequential companion to `ab_test_conversion_ztest`
+    (the fixed-horizon z-test is invalidated by peeking; the SPRT is
+    the test you may legally stop the moment the log-likelihood walk
+    exits (ln 19, -ln 19), and it is the optimal such test by the
+    Wald-Wolfowitz theorem). Each day's increment k*ln(p1/p0) +
+    (n-k)*ln((1-p1)/(1-p0)) uses PYTHON-evaluated literals (neither
+    engine computes a ln), is nano-quantized, and prefix-sums over the
+    calendar-bounded day frame; first-crossing day and decision come
+    from two CASE-guarded MIN aggregates (no ordered scan in the
+    final reduce) and the final LLR is the plain total.
+
+    Scale: one corpus scan to the day frame; the walk lives on ~30
+    calendar rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    t = d.select(
+        "day",
+        F.round(
+            F.lit(1e9)
+            * (
+                F.col("k") * F.lit(_SPRT_L1)
+                + (F.col("n") - F.col("k")) * F.lit(_SPRT_L0)
+            )
+        )
+        .cast("bigint")
+        .alias("tq"),
+    )
+    p = global_prefix_agg(
+        t, [F.col("day").asc()], "tq", agg="sum", out_col="cq"
+    ).select("day", (F.col("cq") / F.lit(1e9)).alias("llr"))
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(
+            F.when(F.col("llr") >= F.lit(_SPRT_LN_A), F.col("day"))
+        ).alias("d_hi"),
+        F.min(
+            F.when(F.col("llr") <= F.lit(_SPRT_LN_B), F.col("day"))
+        ).alias("d_lo"),
+    )
+    tot = t.agg(F.sum("tq").cast("bigint").alias("tq"))
+    j = agg.crossJoin(F.broadcast(tot))
+    hi_wins = F.col("d_hi").isNotNull() & (
+        F.col("d_lo").isNull() | (F.col("d_hi") <= F.col("d_lo"))
+    )
+    return j.select(
+        "n_days",
+        F.when(hi_wins, F.lit("accept_h1"))
+        .when(F.col("d_lo").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(hi_wins, F.col("d_hi"))
+        .when(F.col("d_lo").isNotNull(), F.col("d_lo"))
+        .alias("crossing_day"),
+        F.round(F.col("tq") / F.lit(1e9), 6).alias("llr_final"),
+    )

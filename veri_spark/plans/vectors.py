@@ -1640,3 +1640,198 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
         F.round(m1, 6).alias("mean_cosine"),
         F.round(m2 - m1 * m1, 6).alias("var_cosine"),
     )
+
+
+@register(
+    "mmd_label_groups",
+    """
+    WITH x AS (SELECT vec_id, label,
+                      generate_subscripts(embedding, 1) AS pos,
+                      unnest(embedding)::DOUBLE AS v
+               FROM embeddings WHERE label IN (0, 1)),
+    n AS (SELECT label, COUNT(DISTINCT vec_id)::BIGINT AS n
+          FROM x GROUP BY label),
+    s AS (SELECT label, pos,
+                 SUM(CAST(round(1e12 * v) AS DECIMAL(38,0))) AS sq
+          FROM x GROUP BY label, pos),
+    lin AS (SELECT SUM(CAST(round(1e6 * d * d) AS DECIMAL(38,0))) AS lq
+            FROM (SELECT a.sq::DOUBLE / 1e12 / na.n
+                         - b.sq::DOUBLE / 1e12 / nb.n AS d
+                  FROM s a JOIN s b ON a.pos = b.pos
+                  JOIN n na ON na.label = a.label AND a.label = 0
+                  JOIN n nb ON nb.label = b.label AND b.label = 1) z),
+    m AS (SELECT a.label, a.pos AS pa, b.pos AS pb,
+                 SUM(CAST(round(1e12 * a.v * b.v) AS DECIMAL(38,0))) AS mq
+          FROM x a JOIN x b ON a.vec_id = b.vec_id
+          GROUP BY a.label, a.pos, b.pos),
+    sd AS (SELECT label, vec_id,
+                  SUM(CAST(round(1e12 * v * v) AS DECIMAL(38,0))) AS dq
+           FROM x GROUP BY label, vec_id),
+    diag AS (SELECT label,
+                    SUM(CAST(round(1e6 * (dq::DOUBLE / 1e12)
+                                       * (dq::DOUBLE / 1e12))
+                        AS DECIMAL(38,0))) AS tr2q
+             FROM sd GROUP BY label),
+    e11 AS (SELECT m.label,
+                   SUM(CAST(round(1e6 * (m.mq::DOUBLE / 1e12)
+                                      * (m.mq::DOUBLE / 1e12))
+                       AS DECIMAL(38,0))) AS fq
+            FROM m GROUP BY m.label),
+    fix AS (SELECT SUM(CAST(round(1e6 * (a.mq::DOUBLE / 1e12)
+                                      * (b.mq::DOUBLE / 1e12))
+                       AS DECIMAL(38,0))) AS cq
+            FROM m a JOIN m b ON a.pa = b.pa AND a.pb = b.pb
+            WHERE a.label = 0 AND b.label = 1)
+    SELECT na.n AS n_label0, nb.n AS n_label1,
+           ROUND(lin.lq::DOUBLE / 1e6, 6) AS mmd2_linear,
+           ROUND((e0.fq::DOUBLE / 1e6 - d0.tr2q::DOUBLE / 1e6)
+                   / (na.n * (na.n - 1.0))
+                 + (e1.fq::DOUBLE / 1e6 - d1.tr2q::DOUBLE / 1e6)
+                   / (nb.n * (nb.n - 1.0))
+                 - 2.0 * fix.cq::DOUBLE / 1e6 / (na.n * 1.0 * nb.n), 6)
+             AS mmd2_quadratic
+    FROM n na, n nb, lin, fix,
+         e11 e0, e11 e1, diag d0, diag d1
+    WHERE na.label = 0 AND nb.label = 1
+      AND e0.label = 0 AND e1.label = 1
+      AND d0.label = 0 AND d1.label = 1
+    """,
+)
+def mmd_label_groups(spark, sf_dir):
+    """Maximum mean discrepancy between the label-0 and label-1
+    embedding populations, under the linear kernel (MMD^2 = ||mu_0 -
+    mu_1||^2) and the quadratic kernel k(x,y) = (x.y)^2 -- the
+    kernel two-sample test (Gretton et al. 2012) computed EXACTLY at
+    linear cost: like `embedding_pairwise_cosine_moments`, the
+    pairwise kernel sums collapse onto per-group column sums and the
+    per-group 64x64 second-moment matrices (sum_(i,j) (x_i.x_j)^2 =
+    <M_g, M_h>_F), so no pair is ever formed. This is the
+    distribution-level drift gate the per-dimension
+    `embedding_dim_stats` cannot give: linear MMD sees mean shift
+    only; the quadratic kernel also sees covariance rotation --
+    cheaply, before anyone pays for an RBF approximation. Unbiased
+    within-group estimators subtract the exact diagonals; every fold
+    is quantized-to-integer.
+
+    Scale: one coordinate scan, one vec-local 64x64 self-join
+    (corpus-linear, 4,096-row results per group), one 4,096-row
+    matrix join -- the quadratic statistic at linear cost."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(0, 1)
+    )
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "p0", "v"
+        ),
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("pos"), "v")
+    dec = "decimal(38,0)"
+    n = x.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    s = x.groupBy("label", "pos").agg(
+        F.sum(F.round(F.lit(1e12) * F.col("v")).cast(dec)).alias("sq")
+    )
+    n0 = n.filter(F.col("label") == 0).select(F.col("n").alias("n0"))
+    n1 = n.filter(F.col("label") == 1).select(F.col("n").alias("n1"))
+    s0 = s.filter(F.col("label") == 0).select(
+        "pos", F.col("sq").alias("sq0")
+    )
+    s1 = s.filter(F.col("label") == 1).select(
+        "pos", F.col("sq").alias("sq1")
+    )
+    dcol = (
+        s0.join(s1, "pos")
+        .crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            (
+                F.col("sq0").cast("double") / F.lit(1e12) / F.col("n0")
+                - F.col("sq1").cast("double") / F.lit(1e12) / F.col("n1")
+            ).alias("d")
+        )
+    )
+    lin = dcol.agg(
+        F.sum(
+            F.round(F.lit(1e6) * F.col("d") * F.col("d")).cast(dec)
+        ).alias("lq")
+    )
+    a = x.select(
+        "vec_id", "label", F.col("pos").alias("pa"), F.col("v").alias("va")
+    )
+    b = x.select(
+        "vec_id", F.col("pos").alias("pb"), F.col("v").alias("vb")
+    )
+    m = (
+        a.join(b, "vec_id")
+        .groupBy("label", "pa", "pb")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e12) * F.col("va") * F.col("vb")).cast(dec)
+            ).alias("mq")
+        )
+    )
+    sdot = x.groupBy("label", "vec_id").agg(
+        F.sum(F.round(F.lit(1e12) * F.col("v") * F.col("v")).cast(dec)).alias(
+            "dq"
+        )
+    )
+    dd = F.col("dq").cast("double") / F.lit(1e12)
+    diag = sdot.groupBy("label").agg(
+        F.sum(F.round(F.lit(1e6) * dd * dd).cast(dec)).alias("tr2q")
+    )
+    md = F.col("mq").cast("double") / F.lit(1e12)
+    e11 = m.groupBy("label").agg(
+        F.sum(F.round(F.lit(1e6) * md * md).cast(dec)).alias("fq")
+    )
+    m0 = m.filter(F.col("label") == 0).select(
+        "pa", "pb", F.col("mq").alias("mq0")
+    )
+    m1 = m.filter(F.col("label") == 1).select(
+        "pa", "pb", F.col("mq").alias("mq1")
+    )
+    cross = m0.join(m1, ["pa", "pb"]).agg(
+        F.sum(
+            F.round(
+                F.lit(1e6)
+                * (F.col("mq0").cast("double") / F.lit(1e12))
+                * (F.col("mq1").cast("double") / F.lit(1e12))
+            ).cast(dec)
+        ).alias("cq")
+    )
+    e0 = e11.filter(F.col("label") == 0).select(F.col("fq").alias("f0"))
+    e1 = e11.filter(F.col("label") == 1).select(F.col("fq").alias("f1"))
+    d0 = diag.filter(F.col("label") == 0).select(
+        F.col("tr2q").alias("t0")
+    )
+    d1 = diag.filter(F.col("label") == 1).select(
+        F.col("tr2q").alias("t1")
+    )
+    j = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(lin))
+        .crossJoin(F.broadcast(cross))
+        .crossJoin(F.broadcast(e0))
+        .crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(d1))
+    )
+    mmd2q = (
+        (F.col("f0").cast("double") / F.lit(1e6) - F.col("t0").cast("double") / F.lit(1e6))
+        / (F.col("n0") * (F.col("n0") - F.lit(1.0)))
+        + (F.col("f1").cast("double") / F.lit(1e6) - F.col("t1").cast("double") / F.lit(1e6))
+        / (F.col("n1") * (F.col("n1") - F.lit(1.0)))
+        - F.lit(2.0)
+        * F.col("cq").cast("double")
+        / F.lit(1e6)
+        / (F.col("n0") * F.lit(1.0) * F.col("n1"))
+    )
+    return j.select(
+        F.col("n0").alias("n_label0"),
+        F.col("n1").alias("n_label1"),
+        F.round(F.col("lq").cast("double") / F.lit(1e6), 6).alias(
+            "mmd2_linear"
+        ),
+        F.round(mmd2q, 6).alias("mmd2_quadratic"),
+    )
