@@ -346,6 +346,11 @@ BENCH_QUERIES = [
     "stratified_ate_weekend_value",
     "mmd_label_groups",
     "t_closeness_audit",
+    # round-11 batch 9: reweighting go/no-go, distribution-free
+    # intervals, quantile-loss forecast profile
+    "importance_weight_ess",
+    "split_conformal_value_interval",
+    "pinball_loss_hourly",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

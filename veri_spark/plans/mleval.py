@@ -795,3 +795,212 @@ def sprt_daily_conversion(spark, sf_dir):
         .alias("crossing_day"),
         F.round(F.col("tq") / F.lit(1e9), 6).alias("llr_final"),
     )
+
+
+@register(
+    "split_conformal_value_interval",
+    """
+    WITH e AS (SELECT event_id, hour(ts)::INT AS hod,
+                      CAST(round(value * 100.0) AS BIGINT) AS cv,
+                      CAST('0x' || substr(md5('conf|' || event_id::VARCHAR),
+                                          1, 15) AS BIGINT) % 2 AS half
+               FROM events),
+    pred AS (SELECT hod, SUM(cv)::BIGINT AS s, COUNT(*)::BIGINT AS n
+             FROM e WHERE half = 0 GROUP BY hod),
+    cal AS (SELECT ABS(e.cv - p.s * 1.0 / p.n) AS score, e.event_id
+            FROM e JOIN pred p USING (hod) WHERE e.half = 0),
+    nc AS (SELECT COUNT(*)::BIGINT AS n_cal FROM cal),
+    kk AS (SELECT CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT) AS k, n_cal
+           FROM nc),
+    q AS (SELECT r.score AS q_hat, kk.n_cal, kk.k
+          FROM (SELECT score,
+                       ROW_NUMBER() OVER (ORDER BY score ASC,
+                                          event_id ASC) AS rn
+                FROM cal) r
+          JOIN kk ON r.rn = kk.k),
+    tst AS (SELECT COUNT(*)::BIGINT AS n_test,
+                   SUM(CASE WHEN ABS(e.cv - p.s * 1.0 / p.n) <= q.q_hat
+                       THEN 1 ELSE 0 END)::BIGINT AS covered
+            FROM e JOIN pred p USING (hod) CROSS JOIN q
+            WHERE e.half = 1)
+    SELECT q.n_cal, tst.n_test,
+           ROUND(q.q_hat / 100.0, 6) AS q_hat,
+           ROUND(tst.covered * 1.0 / tst.n_test, 6) AS coverage
+    FROM q CROSS JOIN tst
+    """,
+)
+def split_conformal_value_interval(spark, sf_dir):
+    """Split conformal prediction interval (Papadopoulos et al. 2002 /
+    Lei et al. 2018) for event value at 90% nominal coverage: the
+    calibration half (deterministic md5 split, so the oracle splits
+    identically) fits the cheapest predictor (hour-of-day mean), the
+    conformal quantile q_hat is the ceil((n+1)*0.9)-th smallest
+    absolute residual -- an EXACT order statistic, not an interpolated
+    percentile -- and the held-out half reports empirical coverage of
+    pred +/- q_hat. This is the distribution-free guarantee none of
+    the parametric intervals in the battery carry: no normality, no
+    homoskedasticity, coverage >= 90% by exchangeability alone, which
+    is what a monitoring gate should page on. Residuals stay
+    exact-integer-over-integer rationals; the order statistic rides a
+    rank + equi-join on the scalar k (tie-broken by event_id); the
+    coverage fold is pure integers.
+
+    Scale: two corpus scans (fit + score) and one distributed ranking
+    of the calibration residuals; the interval itself is one row. The
+    ranked frame is corpus-scale, which is exactly what
+    `global_row_number`'s two-pass prefix machinery is for -- no
+    single-partition sort in the Spark plan (the window in the ORACLE
+    is DuckDB-side only)."""
+    from veri_spark.functions.hashing import portable_hash64
+    from veri_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100.0).cast("bigint").alias("cv"),
+        (portable_hash64(F.col("event_id").cast("string"), "conf") % 2)
+        .cast("int")
+        .alias("half"),
+    )
+    pred = (
+        e.filter(F.col("half") == 0)
+        .groupBy("hod")
+        .agg(
+            F.sum("cv").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    resid = F.abs(F.col("cv") - F.col("s") * F.lit(1.0) / F.col("n"))
+    cal = (
+        e.filter(F.col("half") == 0)
+        .join(F.broadcast(pred), "hod")
+        .select(resid.alias("score"), "event_id")
+    )
+    nc = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    kk = nc.select(
+        "n_cal",
+        F.ceil((F.col("n_cal") + 1) * F.lit(0.9)).cast("bigint").alias("k"),
+    )
+    r = global_row_number(
+        cal, [F.col("score").asc(), F.col("event_id").asc()], rn_col="rn"
+    )
+    q = r.crossJoin(F.broadcast(kk)).filter(
+        F.col("rn") == F.col("k")
+    ).select(F.col("score").alias("q_hat"), "n_cal")
+    tst = (
+        e.filter(F.col("half") == 1)
+        .join(F.broadcast(pred), "hod")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(resid <= F.col("q_hat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("covered"),
+            F.max("q_hat").alias("q_hat"),
+            F.max("n_cal").alias("n_cal"),
+        )
+    )
+    return tst.select(
+        "n_cal",
+        "n_test",
+        F.round(F.col("q_hat") / F.lit(100.0), 6).alias("q_hat"),
+        F.round(F.col("covered") * F.lit(1.0) / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+@register(
+    "pinball_loss_hourly",
+    """
+    WITH b AS (SELECT MIN(date_trunc('hour', ts)) AS h0 FROM events),
+    h AS (SELECT date_diff('hour', b.h0, date_trunc('hour', ts))::BIGINT
+                   AS hr,
+                 COUNT(*)::BIGINT AS y
+          FROM events CROSS JOIN b GROUP BY 1),
+    mx AS (SELECT MAX(hr)::BIGINT AS maxh FROM h),
+    grid AS (SELECT unnest(range(0, mx.maxh + 1)) AS hr FROM mx),
+    g AS (SELECT grid.hr, COALESCE(h.y, 0)::BIGINT AS y
+          FROM grid LEFT JOIN h ON h.hr = grid.hr),
+    qs AS (SELECT unnest([0.1, 0.5, 0.9])::DOUBLE AS q),
+    p AS (SELECT qs.q, a.y - f.y AS err
+          FROM g a JOIN g f ON f.hr = a.hr - 24 CROSS JOIN qs),
+    s AS (SELECT q, COUNT(*)::BIGINT AS n,
+                 SUM(CAST(round(1e6 * CASE WHEN err >= 0 THEN q * err
+                                      ELSE (q - 1.0) * err END)
+                     AS DECIMAL(38,0))) AS lq
+          FROM p GROUP BY q)
+    SELECT q AS quantile, n AS n_forecasts,
+           ROUND(lq::DOUBLE / 1e6 / n, 6) AS pinball_loss
+    FROM s ORDER BY quantile ASC
+    """,
+)
+def pinball_loss_hourly(spark, sf_dir):
+    """Pinball (quantile) loss of the seasonal-naive hourly forecaster
+    at q in {0.1, 0.5, 0.9} -- the asymmetric-loss profile of the SAME
+    y_hat(t) = y(t-24h) forecaster `hourly_seasonal_naive_mase` grades
+    symmetrically (MASE averages |err|; the pinball pair says whether
+    the forecaster's misses are one-SIDED -- a q=0.9 loss far above
+    the q=0.1 loss means systematic under-forecasting, the failure
+    mode capacity planning cares about, and the loss a quantile
+    forecast would be trained on). Errors are exact integer count
+    differences on the dense zero-filled spine; each loss term is one
+    CASE of integer * literal, micro-quantized for the order-proof
+    per-quantile fold.
+
+    Scale: one corpus scan to the hourly frame; the lag join and sweep
+    live on the calendar spine x 3 literals."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("h0"))
+    h = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                    - F.unix_timestamp("h0")
+                )
+                / 3600
+            )
+            .cast("bigint")
+            .alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    mx = h.agg(F.max("hr").cast("bigint").alias("maxh"))
+    grid = mx.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("maxh"))).alias(
+            "hr"
+        )
+    )
+    g = grid.join(h, "hr", "left").select(
+        "hr", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+    qs = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q")
+    )
+    a = g.select(F.col("hr").alias("ha"), F.col("y").alias("ya"))
+    f = g.select(F.col("hr").alias("hf"), F.col("y").alias("yf"))
+    p = (
+        a.join(f, F.col("hf") == F.col("ha") - 24)
+        .crossJoin(F.broadcast(qs))
+        .select("q", (F.col("ya") - F.col("yf")).alias("err"))
+    )
+    loss = F.when(
+        F.col("err") >= 0, F.col("q") * F.col("err")
+    ).otherwise((F.col("q") - F.lit(1.0)) * F.col("err"))
+    s = p.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.lit(1e6) * loss).cast("decimal(38,0)")).alias("lq"),
+    )
+    return s.select(
+        F.col("q").alias("quantile"),
+        F.col("n").alias("n_forecasts"),
+        F.round(
+            F.col("lq").cast("double") / F.lit(1e6) / F.col("n"), 6
+        ).alias("pinball_loss"),
+    ).orderBy(F.col("quantile").asc())

@@ -1205,3 +1205,98 @@ def epochs_per_source_plan(spark, sf_dir):
         )
         .orderBy(F.col("source").asc())
     )
+
+
+@register(
+    "importance_weight_ess",
+    """
+    WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents
+               GROUP BY lang),
+    tot AS (SELECT SUM(n_docs)::BIGINT AS t, COUNT(*)::BIGINT AS k
+            FROM c),
+    w AS (SELECT c.lang, c.n_docs,
+                 (tot.t * 1.0) / (tot.k * c.n_docs) AS wt
+          FROM c CROSS JOIN tot),
+    clips AS (SELECT unnest([1.0, 5.0, 10.0])::DOUBLE AS clip),
+    s AS (SELECT cl.clip,
+                 SUM(CAST(round(1e9 * w.n_docs * LEAST(w.wt, cl.clip))
+                     AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(round(1e6 * w.n_docs
+                                * LEAST(w.wt, cl.clip)
+                                * LEAST(w.wt, cl.clip))
+                     AS DECIMAL(38,0))) AS s2
+          FROM w CROSS JOIN clips cl GROUP BY cl.clip),
+    n AS (SELECT SUM(n_docs)::BIGINT AS n FROM c)
+    SELECT s.clip::DOUBLE AS clip_at,
+           ROUND((s.s1::DOUBLE / 1e9) * (s.s1::DOUBLE / 1e9)
+                 / (s.s2::DOUBLE / 1e6), 6) AS ess,
+           ROUND((s.s1::DOUBLE / 1e9) * (s.s1::DOUBLE / 1e9)
+                 / (s.s2::DOUBLE / 1e6) / n.n, 6) AS ess_fraction,
+           ROUND(s.s1::DOUBLE / 1e9 / n.n, 6) AS mean_clipped_weight
+    FROM s CROSS JOIN n ORDER BY clip_at ASC
+    """,
+)
+def importance_weight_ess(spark, sf_dir):
+    """Effective sample size of the uniform-language importance weights
+    under clipping at {1, 5, 10} -- the go/no-go gauge for the
+    reweighting `mixture_reweight_factors` proposes (Kish 1965: ESS =
+    (sum w)^2 / sum w^2; reweighting toward uniform languages is only
+    worth it if the ESS it leaves behind still covers the training
+    budget, and the clip sweep shows exactly how much ESS each unit of
+    clipping buys back at the price of mixture bias -- the knob every
+    DSIR-style sampler exposes). Per-language weights are exact
+    rationals of corpus counts, so the per-doc sums COLLAPSE to the
+    language grain (n_docs * min(w, c) -- the corpus is never
+    rescanned per clip); both moment folds are quantized over the
+    k-language frame.
+
+    Scale: one corpus scan to the language histogram; the sweep is
+    arithmetic on a k x 3 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = c.agg(
+        F.sum("n_docs").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (
+            (F.col("t") * F.lit(1.0)) / (F.col("k") * F.col("n_docs"))
+        ).alias("wt"),
+    )
+    clips = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(1.0), F.lit(5.0), F.lit(10.0)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("clip")
+    )
+    cw = F.least(F.col("wt"), F.col("clip"))
+    s = (
+        w.crossJoin(F.broadcast(clips))
+        .groupBy("clip")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e9) * F.col("n_docs") * cw).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s1"),
+            F.sum(
+                F.round(F.lit(1e6) * F.col("n_docs") * cw * cw).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s2"),
+        )
+    )
+    n = c.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    j = s.crossJoin(F.broadcast(n))
+    s1 = F.col("s1").cast("double") / F.lit(1e9)
+    s2 = F.col("s2").cast("double") / F.lit(1e6)
+    return j.select(
+        F.col("clip").alias("clip_at"),
+        F.round(s1 * s1 / s2, 6).alias("ess"),
+        F.round(s1 * s1 / s2 / F.col("n"), 6).alias("ess_fraction"),
+        F.round(s1 / F.col("n"), 6).alias("mean_clipped_weight"),
+    ).orderBy(F.col("clip_at").asc())

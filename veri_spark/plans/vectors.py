@@ -1580,11 +1580,17 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
     nrm = x.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv")
     )
+    # the normalized coordinate frame feeds FOUR consumers (column sums,
+    # self-dots, and both sides of the Gram join); persist() trades four
+    # re-derivations (scan + explode + norm join each) for one narrow
+    # (vec_id, pos, u) cache -- the same measured trade the MinHash
+    # pipeline makes, and the frame is the corpus's own coordinate
+    # explode, never wider.
     u = (
         x.join(nrm, "vec_id")
         .filter(F.col("nv") > 0)
         .select("vec_id", "pos", (F.col("v") / F.col("nv")).alias("u"))
-    )
+    ).persist()
     n = nrm.filter(F.col("nv") > 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
