@@ -1923,13 +1923,14 @@ def hits_authorities_bipartite(spark, sf_dir):
             SELECT v AS u, u AS v FROM edges),
     deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
     ks AS (SELECT unnest([2, 4, 8])::BIGINT AS k),
-    rich AS (SELECT ks.k, deg.u FROM deg CROSS JOIN ks WHERE deg.d > ks.k),
-    nk AS (SELECT k, COUNT(*)::BIGINT AS n_k FROM rich GROUP BY k),
-    ek AS (SELECT r1.k, COUNT(*)::BIGINT AS e_k
+    nk AS (SELECT ks.k, COUNT(*)::BIGINT AS n_k
+           FROM deg CROSS JOIN ks WHERE deg.d > ks.k GROUP BY ks.k),
+    em AS (SELECT LEAST(d1.d, d2.d) AS mind
            FROM edges e
-           JOIN rich r1 ON r1.u = e.u
-           JOIN rich r2 ON r2.u = e.v AND r2.k = r1.k
-           GROUP BY r1.k)
+           JOIN deg d1 ON d1.u = e.u
+           JOIN deg d2 ON d2.u = e.v),
+    ek AS (SELECT ks.k, COUNT(*)::BIGINT AS e_k
+           FROM em CROSS JOIN ks WHERE em.mind > ks.k GROUP BY ks.k)
     SELECT nk.k AS k_degree, nk.n_k AS n_rich_nodes,
            COALESCE(ek.e_k, 0)::BIGINT AS n_rich_edges,
            CASE WHEN nk.n_k >= 2
