@@ -411,6 +411,21 @@ EXACT_AUDIT_EVERY_OTHER_ROUND = [
     "graph_common_neighbors",
 ]
 
+# Round 12 (round-11 verdict task 3): the capped-trio COLD cache build is
+# the bench's largest and most volatile entry (21.5-65.1 s spread across
+# same-code runs at r11 — pure columnar-cache-write volatility; the plan
+# shape itself is proven best-of-four with executed-run evidence, variant
+# space closed r9-r11, see _capped_ranker_top20s). It joins the exact
+# censuses' every-other-round cadence: on ODD rounds the cold payer is
+# listed in deferred_audits and its cache is pre-built UNTIMED before the
+# sweep, so the trio's warm consumers (graph_adamic_adar_capped etc.)
+# keep their ~1 s session-cache attribution instead of silently
+# inheriting the cold build. Correctness gates are unaffected — the
+# strict local gate still runs all trio queries at both SFs every round.
+TRIO_COLD_EVERY_OTHER_ROUND = [
+    "graph_common_neighbors_capped",
+]
+
 
 def _current_round() -> int:
     """Round number for the audit-deferral parity. Prefers the explicit
@@ -460,7 +475,18 @@ def main() -> None:
     # noisy median is visible too. Heavy entries get 2 runs with cold-run
     # attribution (see HEAVY_TWO_RUN).
     rnd = _current_round()
-    deferred = [] if rnd % 2 == 0 else list(EXACT_AUDIT_EVERY_OTHER_ROUND)
+    deferred = (
+        []
+        if rnd % 2 == 0
+        else list(EXACT_AUDIT_EVERY_OTHER_ROUND)
+        + list(TRIO_COLD_EVERY_OTHER_ROUND)
+    )
+    # pre-pay the deferred trio cold build untimed so the warm consumers
+    # later in the sweep keep their ~1 s attribution (the 60-row literal
+    # session frame survives the per-query clearCache)
+    for name in TRIO_COLD_EVERY_OTHER_ROUND:
+        if name in deferred:
+            QUERIES[name](spark, sf_dir).collect()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
