@@ -351,6 +351,10 @@ BENCH_QUERIES = [
     "importance_weight_ess",
     "split_conformal_value_interval",
     "pinball_loss_hourly",
+    # round-12 batch 1: incremental delta-vs-corpus dedup — builds the
+    # persisted signature index in a throwaway store then dedups the
+    # hash shard against it (parquet writes + delta-only signatures)
+    "dedup_incremental_delta",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -390,6 +394,9 @@ HEAVY_TWO_RUN = {
     # round-11: 2 Lloyd iterations + 12 bounded top-10s — a multi-job
     # iterative loop like the above
     "ann_ivf_recall_trained",
+    # round-12: store writes (corpus parquet + signature index) dominate;
+    # median-of-3 would triple the disk churn for no extra signal
+    "dedup_incremental_delta",
 }
 
 # Round-9 (verdict task 6): the exact-triangle audits exist to price the

@@ -1,0 +1,113 @@
+"""Round-12: incremental delta-vs-corpus dedup via the persisted
+signature index (round-11 verdict task 1).
+
+The load-bearing proof here is INCREMENTAL == BATCH-RESTRICTED: the
+index-backed delta candidates must equal the whole-corpus batch MinHash
+LSH result restricted to pairs with exactly one endpoint in the delta.
+The batch side runs through the long-gated ``minhash_candidate_pairs``
+operator, so any divergence in the persisted path (carry-forward bug,
+signature drift between fresh and stored band keys, superseded-row leak)
+fails this equality rather than hiding behind a same-code comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from veri_spark.functions.hashing import portable_hash64
+from veri_spark.operators.dedup import minhash_candidate_pairs
+from veri_spark.store import FeatureStore
+
+SF = "/root/testdata/sf0.001"
+
+
+def _slices(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    shard = portable_hash64(F.col("doc_id").cast("string")) % 10 == 7
+    return docs, docs.filter(shard), docs.filter(~shard)
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_equals_batch_restricted(spark, tmp_path):
+    docs, delta, corpus = _slices(spark)
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("documents", corpus)
+    info = store.dedup_index_refresh("documents")
+    assert info["indexed"] == corpus.count()
+
+    inc = _pairs(store.dedup_delta_candidates("documents", delta))
+
+    # batch MinHash LSH over the WHOLE corpus, restricted to pairs with
+    # exactly one endpoint in the delta (ordered delta-side first)
+    delta_ids = {r[0] for r in delta.select("doc_id").collect()}
+    batch = minhash_candidate_pairs(docs, num_hashes=16, bands=4)
+    restricted = sorted(
+        (a, b) if a in delta_ids else (b, a)
+        for a, b in map(tuple, batch.collect())
+        if (a in delta_ids) != (b in delta_ids)
+    )
+    assert inc == restricted
+    assert len(inc) > 0  # the fixture's near-dup seeding must cross the split
+
+
+def test_refresh_recomputes_only_changed_docs(spark, tmp_path):
+    _, delta, corpus = _slices(spark)
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("documents", corpus)
+    full = store.dedup_index_refresh("documents")
+    assert full["recomputed"] == full["indexed"] and full["carried"] == 0
+
+    # mutate a deterministic subset, append the delta shard, drop one doc
+    changed_pred = F.col("doc_id") % 97 == 0
+    dropped = corpus.orderBy("doc_id").limit(1)
+    dropped_id = dropped.collect()[0][0]
+    n_changed = corpus.filter(
+        changed_pred & (F.col("doc_id") != dropped_id)
+    ).count()
+    corpus2 = (
+        corpus.filter(F.col("doc_id") != dropped_id)
+        .withColumn(
+            "text",
+            F.when(changed_pred, F.concat(F.col("text"), F.lit(" zz"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(delta)
+    )
+    store.put_corpus("documents", corpus2)
+    assert store._dedup_indexed("documents") is None  # stale after the write
+    inc = store.dedup_index_refresh("documents")
+    n_new = delta.count()
+    assert inc["indexed"] == corpus2.count()
+    assert inc["recomputed"] == n_changed + n_new
+    assert inc["carried"] == inc["indexed"] - inc["recomputed"]
+
+    # the incrementally maintained index must equal a from-scratch build
+    bands_inc, sim_inc = store._dedup_indexed("documents")
+    scratch = FeatureStore(spark, str(tmp_path / "scratch"), use_delta=False)
+    scratch.put_corpus("documents", corpus2)
+    scratch.dedup_index_refresh("documents")
+    bands_scr, sim_scr = scratch._dedup_indexed("documents")
+    assert _pairs(bands_inc) == _pairs(bands_scr)
+    assert _pairs(sim_inc) == _pairs(sim_scr)
+    # the dropped doc's rows fell out of the carry semi-join
+    assert bands_inc.filter(F.col("doc_id") == dropped_id).count() == 0
+
+
+def test_stale_index_falls_back_and_stays_correct(spark, tmp_path):
+    _, delta, corpus = _slices(spark)
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("documents", corpus)
+    store.dedup_index_refresh("documents")
+    fresh = _pairs(store.dedup_delta_candidates("documents", delta))
+
+    # a corpus rewrite with identical content bumps the stamp: the index
+    # reads as stale and the query falls back to on-the-fly signatures —
+    # same candidates, no wrong-state serve
+    store.put_corpus("documents", corpus)
+    assert store._dedup_indexed("documents") is None
+    fallback = _pairs(store.dedup_delta_candidates("documents", delta))
+    assert fallback == fresh

@@ -572,3 +572,78 @@ def simhash_hamming_pairs(
         "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_signature_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable dedup signature state for a corpus (or a delta
+    shard): MinHash LSH band keys ``(id, fp, band, band_key)`` and SimHash
+    words ``(id, fp, simhash)``, both keyed by the doc CONTENT fingerprint
+    ``fp = xxhash64(text)``.
+
+    The fingerprint is what makes the index INCREMENTALLY maintainable
+    (the reference's Process loop analog, data/newsync.go:147-222, which
+    rebuilds dirty state rather than all state): a refresh joins the live
+    table's (id, fp) against the stored index and re-shingles ONLY docs
+    whose fp changed or appeared — the expensive explode/agg work is
+    delta-sized, the carry-forward is one fp-equality hash join with no
+    explode.
+
+    Plan shape: id and fp are PACKED into one struct grouping key so fp
+    rides the existing shingle -> signature -> band pipeline for free —
+    no corpus-grain join-back to re-attach it. Both outputs are one
+    shuffle each past the shared shingle/token explode.
+    """
+    packed = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.xxhash64(F.col(text_col)).alias("fp")
+        ).alias("__doc"),
+        F.col(text_col),
+    )
+    sh = doc_shingles(packed, "__doc", text_col, shingle_k, parallelism=parallelism)
+    sigs = minhash_signatures(sh, "__doc", num_hashes)
+    bk = minhash_band_keys(sigs, "__doc", num_hashes, bands)
+    band_rows = bk.select(
+        F.col("__doc.id").alias(id_col),
+        F.col("__doc.fp").alias("fp"),
+        "band",
+        "band_key",
+    )
+    sim_rows = simhash32(packed, "__doc", text_col).select(
+        F.col("__doc.id").alias(id_col), F.col("__doc.fp").alias("fp"), "simhash"
+    )
+    return band_rows, sim_rows
+
+
+def incremental_minhash_candidates(
+    delta_bands: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delta-vs-corpus near-dup candidates: distinct ``(delta_doc,
+    corpus_doc)`` pairs whose MinHash signatures collide in >= 1 band,
+    where the corpus side comes from a PERSISTED signature index (no
+    corpus re-shingling — the 100 TB point of the index).
+
+    Index rows whose id appears in the delta are anti-joined away first
+    (broadcast — the delta id set is shard-sized by assumption): an
+    updated document must match against OTHER docs, not its own stale
+    signature, and delta-internal pairs are the ordinary batch dedup's
+    job, not this operator's.
+    """
+    superseded = delta_bands.select(F.col(id_col)).distinct()
+    corpus_side = index_bands.join(F.broadcast(superseded), id_col, "left_anti")
+    d = delta_bands.select(F.col(id_col).alias("delta_doc"), "band", "band_key")
+    c = corpus_side.select(F.col(id_col).alias("corpus_doc"), "band", "band_key")
+    return (
+        d.join(c, ["band", "band_key"])
+        .select("delta_doc", "corpus_doc")
+        .distinct()
+    )

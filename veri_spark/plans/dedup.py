@@ -1122,3 +1122,68 @@ def multimodal_dedup(spark, sf_dir):
         )
         .orderBy(F.col("source").asc())
     )
+
+
+@register(
+    "dedup_incremental_delta",
+    f"""
+    WITH {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    delta AS (SELECT doc_id FROM documents
+              WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT)
+                    % 10 = 7)
+    SELECT DISTINCT d.doc_id AS delta_doc, c.doc_id AS corpus_doc
+    FROM bands d
+    JOIN delta USING (doc_id)
+    JOIN bands c ON c.band = d.band AND c.band_key = d.band_key
+                AND c.doc_id <> d.doc_id
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM delta)
+    """,
+)
+def dedup_incremental_delta(spark, sf_dir):
+    """INCREMENTAL dedup: a deterministic-hash "new shard" slice (~10% of
+    documents) deduped against the REST of the corpus via the store's
+    PERSISTED MinHash signature index — the capability every production
+    100 TB pipeline runs nightly, where re-shingling the corpus per
+    incoming shard is the non-starter (corpus signature state is built
+    once by ``dedup_index_refresh`` and maintained incrementally on its
+    content fingerprints; each shard then pays only its own signature
+    cost plus one band-key join against the parquet-backed index; the
+    reference's analog is the rebuild-on-dirty Process loop,
+    data/newsync.go:147-222).
+
+    This query exercises the REAL persisted path end-to-end inside the
+    gate: it writes the corpus slice into a throwaway FeatureStore,
+    builds the signature index on disk, and dedups the delta via
+    ``dedup_delta_candidates`` (index parquet read + delta-only
+    signatures). The oracle recomputes both sides' signatures from
+    scratch in DuckDB — so a carry-forward bug, a stale-index bug, or a
+    signature drift between the persisted and fresh paths all surface as
+    value mismatches, not just row counts.
+    tests/test_round12_incremental_dedup.py additionally proves the
+    incremental result equals the BATCH MinHash LSH result restricted to
+    delta x corpus pairs, and that a second refresh recomputes only
+    changed docs."""
+    import tempfile
+
+    from veri_spark.functions.hashing import portable_hash64
+    from veri_spark.store import FeatureStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = portable_hash64(F.col("doc_id").cast("string")) % 10 == 7
+    delta = docs.filter(shard)
+    corpus = docs.filter(~shard)
+    store = FeatureStore(
+        spark, tempfile.mkdtemp(prefix="veri_dedupidx_"), use_delta=False
+    )
+    store.put_corpus("documents", corpus.select("doc_id", "text"))
+    store.dedup_index_refresh("documents")
+    return store.dedup_delta_candidates("documents", delta)

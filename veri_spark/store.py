@@ -866,6 +866,163 @@ class FeatureStore:
             books,
         )
 
+    # -- dedup signature index (incremental delta-vs-corpus dedup) ---------
+    def _dedup_index_path(self, name: str) -> str:
+        return f"{self.root}/{name}.dedupidx"
+
+    def put_corpus(self, name: str, df: DataFrame) -> None:
+        """Overwrite-write an arbitrary-schema corpus table (document shape,
+        e.g. ``(doc_id, text, ...)``) under the store root. Corpus tables
+        are shard-overwrite inputs to the dedup signature index, not keyed
+        datum state, so they skip the bucketed upsert layout — the write is
+        tmp + atomic rename like refresh_index, and it bumps the dataset's
+        mutation stamp so a previously built signature index reads as
+        stale until the next ``dedup_index_refresh``."""
+        tmp = self._data_path(name) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._data_path(name)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._bump_mutation(name)
+        self._invalidate_count(name)
+
+    def dedup_index_refresh(
+        self,
+        name: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_k: int = 3,
+    ) -> dict:
+        """Rebuild the persisted dedup signature index (MinHash LSH band
+        keys + SimHash words, both keyed by ``fp = xxhash64(text)``) from
+        the live corpus and hot-swap it atomically — the dedup analog of
+        ``refresh_index`` / the reference's rebuild-on-dirty Process loop
+        (data/newsync.go:147-222).
+
+        INCREMENTAL: when a previous index exists, docs whose (id, fp)
+        match it are CARRIED FORWARD with one fp-equality hash join (no
+        shingle explode, no signature agg); only new-or-changed docs pay
+        the signature pipeline, and rows for deleted or superseded docs
+        drop out of the carry semi-join. At 100 TB a nightly refresh
+        therefore costs O(delta) signature work + one corpus-grain join —
+        never a corpus re-shingle. Returns
+        ``{"indexed": n_docs, "recomputed": n_delta, "carried": n_kept}``.
+        """
+        from veri_spark.operators.dedup import dedup_signature_index
+
+        corpus = self._read(name)
+        final = self._dedup_index_path(name)
+        prev_bands = prev_sim = None
+        if os.path.exists(final + ".bands") and os.path.exists(final + ".simhash"):
+            prev_bands = self.spark.read.parquet(final + ".bands")
+            prev_sim = self.spark.read.parquet(final + ".simhash")
+        live_fp = corpus.select(
+            F.col(id_col),
+            F.xxhash64(F.col(text_col)).alias("fp"),
+            F.col(text_col),
+        )
+        if prev_bands is not None:
+            known = prev_sim.select(id_col, "fp")
+            changed = live_fp.join(known, [id_col, "fp"], "left_anti")
+            live_keys = live_fp.select(id_col, "fp")
+            carried_bands = prev_bands.join(live_keys, [id_col, "fp"], "left_semi")
+            carried_sim = prev_sim.join(live_keys, [id_col, "fp"], "left_semi")
+            new_bands, new_sim = dedup_signature_index(
+                changed, id_col, text_col, num_hashes, bands, shingle_k
+            )
+            out_bands = carried_bands.unionByName(new_bands)
+            out_sim = carried_sim.unionByName(new_sim)
+            n_recomputed = changed.select(id_col).distinct().count()
+        else:
+            out_bands, out_sim = dedup_signature_index(
+                live_fp, id_col, text_col, num_hashes, bands, shingle_k
+            )
+            n_recomputed = -1  # full build: no previous index to diff against
+        tmp = final + ".tmp"
+        out_bands.write.mode("overwrite").parquet(tmp + ".bands")
+        out_sim.write.mode("overwrite").parquet(tmp + ".simhash")
+        import shutil
+
+        for suffix in (".bands", ".simhash"):
+            if os.path.exists(final + suffix):
+                shutil.rmtree(final + suffix)
+            os.rename(tmp + suffix, final + suffix)
+        with open(final + ".mutver", "w") as f:
+            f.write(str(self._mutation_stamp(name)))
+        n_docs = (
+            self.spark.read.parquet(final + ".simhash")
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+        if n_recomputed < 0:
+            n_recomputed = n_docs
+        return {
+            "indexed": n_docs,
+            "recomputed": n_recomputed,
+            "carried": n_docs - n_recomputed,
+        }
+
+    def _dedup_indexed(self, name: str):
+        """The persisted dedup signature index as (band_keys, simhash)
+        DataFrames, or None when absent or STALE (built from an older
+        mutation stamp) — same freshness contract as ``_indexed``: serving
+        stale signatures would dedup new shards against a corpus state
+        that no longer exists."""
+        final = self._dedup_index_path(name)
+        if not (
+            os.path.exists(final + ".bands") and os.path.exists(final + ".simhash")
+        ):
+            return None
+        stamp_file = final + ".mutver"
+        if not os.path.exists(stamp_file):
+            return None
+        if int(open(stamp_file).read()) != self._mutation_stamp(name):
+            return None
+        return (
+            self.spark.read.parquet(final + ".bands"),
+            self.spark.read.parquet(final + ".simhash"),
+        )
+
+    def dedup_delta_candidates(
+        self,
+        name: str,
+        delta: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_k: int = 3,
+    ) -> DataFrame:
+        """Near-dup candidates of an INCOMING shard against the stored
+        corpus via the persisted signature index: distinct
+        ``(delta_doc, corpus_doc)`` MinHash band collisions. Only the
+        delta is shingled; the corpus side is a parquet read of
+        pre-computed band keys. Falls back to on-the-fly corpus
+        signatures when the index is absent or stale (the same
+        staleness fallback shape as approximate search)."""
+        from veri_spark.operators.dedup import (
+            dedup_signature_index,
+            incremental_minhash_candidates,
+        )
+
+        idx = self._dedup_indexed(name)
+        if idx is not None:
+            index_bands = idx[0]
+        else:
+            index_bands, _ = dedup_signature_index(
+                self._read(name), id_col, text_col, num_hashes, bands, shingle_k
+            )
+        delta_bands, _ = dedup_signature_index(
+            delta, id_col, text_col, num_hashes, bands, shingle_k
+        )
+        return incremental_minhash_candidates(delta_bands, index_bands, id_col)
+
     # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
     def _cached_result(self, key: str, max_age_s: int) -> DataFrame | None:
         path = f"{self.root}/_cache/{key}"
