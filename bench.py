@@ -355,6 +355,10 @@ BENCH_QUERIES = [
     # persisted signature index in a throwaway store then dedups the
     # hash shard against it (parquet writes + delta-only signatures)
     "dedup_incremental_delta",
+    # round-12: trained IVF-PQ end-to-end (coarse Lloyd x2 + one PQ Lloyd
+    # round + two full serving replays) — SF-invariant training/compile
+    # fixed cost dominates
+    "ann_ivfpq_trained_audit",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -397,6 +401,8 @@ HEAVY_TWO_RUN = {
     # round-12: store writes (corpus parquet + signature index) dominate;
     # median-of-3 would triple the disk churn for no extra signal
     "dedup_incremental_delta",
+    # round-12: 3 training loops + 2 serving replays — multi-job iterative
+    "ann_ivfpq_trained_audit",
 }
 
 # Round-9 (verdict task 6): the exact-triangle audits exist to price the

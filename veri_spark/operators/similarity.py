@@ -996,3 +996,156 @@ def ivf_pq_search(
         scored.select(id_col, "score"), "score", n,
         higher_is_better=False, tie_cols=[id_col],
     )
+
+
+def _micro_xm(vector_col: str = "embedding"):
+    """Micro-quantized BIGINT coordinates — floor(1e6*x + 0.5) — the
+    kmeans_lloyd_micro fixed-point discipline as a reusable column."""
+    return F.transform(
+        F.col(vector_col).cast("array<double>"),
+        lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def _micro_subdist(xm_col, codeword: list[int], j: int, sub: int):
+    """Exact BIGINT squared distance between the j-th ``sub``-wide
+    subvector of a micro array column and a literal micro codeword."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(xm_col, j * sub + 1, sub),
+            F.lit(list(codeword)).cast("array<bigint>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_micro_code_cols(xm_col, books: list[list[list[int]]]):
+    """One (code, err) struct column per subspace: the argmin codeword
+    under exact integer arithmetic, ties to the lower code (same
+    tie-break as numpy argmin-first and the oracle's row_number). Built
+    as m SEPARATE array_min columns — not one fused m*k expression — so
+    each stays inside codegen limits (the janino blowup pq_encode's
+    docstring documents for the fused float form). Map-only."""
+    m = len(books)
+    sub = len(books[0][0])
+    cols = []
+    for j in range(m):
+        cols.append(
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _micro_subdist(xm_col, cw, j, sub).alias("d"),
+                            F.lit(c).cast("int").alias("c"),
+                        )
+                        for c, cw in enumerate(books[j])
+                    ]
+                )
+            )
+        )
+    return cols
+
+
+def pq_train_micro(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Product-quantization sub-codebooks trained with the MICRO-INT Lloyd
+    kernel (the kmeans_lloyd_converged discipline applied per subspace):
+    seeds are the k lowest-id vectors' sub-slices, assignment is an exact
+    integer argmin, updates are floor(sum/n + 0.5) — bit-identical
+    cross-engine by construction, unlike ``pq_train``'s float KMeans
+    (which trains better codebooks but can't be oracle-replayed exactly).
+
+    Scale shape — ALL m subspaces train in each pass: per iteration ONE
+    corpus scan evaluates the m map-only argmin columns, then ONE
+    (subspace, code, pos) partial-aggregated sum/count shuffle (m*k*sub
+    groups — 1,024 at the default shape) collects the update to the
+    driver. Training cost is iters corpus scans regardless of m; the
+    corpus never shuffles on the vector id. Empty codes keep their
+    previous codeword (the oracle's COALESCE). Returns
+    ``books[j][c] = [sub micro ints]``."""
+    dim = len(df.select(vector_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    src = df.select(_micro_xm(vector_col).alias("__xm")).persist()
+    seed_rows = (
+        df.select(F.col(id_col).alias("__id"), _micro_xm(vector_col).alias("__xm"))
+        .orderBy("__id")
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [[int(x) for x in r["__xm"]][j * sub : (j + 1) * sub] for r in seed_rows]
+        for j in range(m)
+    ]
+    try:
+        for _ in range(iters):
+            code_cols = pq_micro_code_cols(F.col("__xm"), books)
+            per_j = src.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.struct(
+                                code_cols[j]["c"].alias("code"),
+                                F.slice(F.col("__xm"), j * sub + 1, sub).alias(
+                                    "sx"
+                                ),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("j", "s")
+            )
+            upd = (
+                per_j.select(
+                    "j",
+                    F.col("s.code").alias("code"),
+                    F.posexplode(F.col("s.sx")).alias("pos", "v"),
+                )
+                .groupBy("j", "code", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            import math
+
+            sums: dict[tuple[int, int], list] = {}
+            for r in upd:
+                key = (int(r["j"]), int(r["code"]))
+                vec = sums.setdefault(key, [None] * sub)
+                vec[int(r["pos"])] = int(
+                    math.floor(int(r["s"]) / int(r["n"]) + 0.5)
+                )
+            for (j, c), vec in sums.items():
+                books[j][c] = vec
+    finally:
+        src.unpersist()
+    return books
+
+
+def pq_micro_adc_lut(
+    query_micro: list[int], books: list[list[list[int]]]
+) -> list[list[int]]:
+    """Driver-side exact-integer ADC lookup table: lut[j][c] = squared
+    micro distance between the query's j-th subvector and codeword c.
+    m*k BIGINTs — a plan literal; the corpus-side score is then an
+    m-term sum of element_at lookups on the stored codes."""
+    m = len(books)
+    sub = len(books[0][0])
+    return [
+        [
+            sum(
+                (query_micro[j * sub + t] - cw[t]) ** 2
+                for t in range(sub)
+            )
+            for cw in books[j]
+        ]
+        for j in range(m)
+    ]
