@@ -42,6 +42,7 @@ from veri_spark.plans import ranking_metrics as _ranking_metrics  # noqa: F401,E
 from veri_spark.plans import integrity as _integrity  # noqa: F401,E402
 from veri_spark.plans import temporal as _temporal  # noqa: F401,E402
 from veri_spark.plans import evaluation as _evaluation  # noqa: F401,E402
+from veri_spark.plans import evaluation_metrics as _evaluation_metrics  # noqa: F401,E402
 from veri_spark.plans import nonparametric as _nonparametric  # noqa: F401,E402
 from veri_spark.plans import stats_tests as _stats_tests  # noqa: F401,E402
 from veri_spark.plans import mleval as _mleval  # noqa: F401,E402
