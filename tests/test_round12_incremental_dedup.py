@@ -111,3 +111,28 @@ def test_stale_index_falls_back_and_stays_correct(spark, tmp_path):
     assert store._dedup_indexed("documents") is None
     fallback = _pairs(store.dedup_delta_candidates("documents", delta))
     assert fallback == fresh
+
+
+def test_simhash_incremental_equals_batch_restricted(spark, tmp_path):
+    from veri_spark.operators.dedup import simhash_hamming_pairs
+
+    docs, delta, corpus = _slices(spark)
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("documents", corpus)
+    store.dedup_index_refresh("documents")
+    inc = sorted(
+        (r["delta_doc"], r["corpus_doc"], r["hamming"])
+        for r in store.dedup_delta_simhash("documents", delta).collect()
+    )
+
+    delta_ids = {r[0] for r in delta.select("doc_id").collect()}
+    batch = simhash_hamming_pairs(docs, max_hamming=3)
+    restricted = sorted(
+        ((a, b, h) if a in delta_ids else (b, a, h))
+        for a, b, h in (
+            (r["doc_a"], r["doc_b"], r["hamming"]) for r in batch.collect()
+        )
+        if (a in delta_ids) != (b in delta_ids)
+    )
+    assert inc == restricted
+    assert len(inc) > 0

@@ -647,3 +647,43 @@ def incremental_minhash_candidates(
         .select("delta_doc", "corpus_doc")
         .distinct()
     )
+
+
+def incremental_simhash_candidates(
+    delta_sim: DataFrame,
+    index_sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Delta-vs-corpus SimHash near-dups within ``max_hamming`` bits,
+    where the corpus side is the PERSISTED signature index: byte-band
+    blocking (pigeonhole over 4 bytes — exact recall for max_hamming
+    <= 3) between the delta's fresh signatures and the index, one
+    popcount per collided pair. Index rows superseded by the delta are
+    anti-joined away as in ``incremental_minhash_candidates``. Returns
+    (delta_doc, corpus_doc, hamming)."""
+    superseded = delta_sim.select(F.col(id_col)).distinct()
+    corpus_side = index_sim.join(F.broadcast(superseded), id_col, "left_anti")
+
+    def banded(df, out_id):
+        b = df.select(
+            F.col(id_col).alias(out_id),
+            F.col("simhash").alias(f"__s_{out_id}"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+        )
+        return b.withColumn("v", F.expr(f"shiftright(__s_{out_id}, b * 8) & 255"))
+
+    a = banded(delta_sim, "delta_doc")
+    c = banded(corpus_side, "corpus_doc")
+    cand = (
+        a.join(c, ["b", "v"])
+        .select("delta_doc", "corpus_doc", "__s_delta_doc", "__s_corpus_doc")
+        .distinct()
+    )
+    return cand.select(
+        "delta_doc",
+        "corpus_doc",
+        F.bit_count(
+            F.col("__s_delta_doc").bitwiseXOR(F.col("__s_corpus_doc"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

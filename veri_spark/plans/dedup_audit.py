@@ -1379,3 +1379,133 @@ def cdc_chunk_dedup(spark, sf_dir):
             "mean_chunk_len"
         ),
     )
+
+
+@register(
+    "dedup_incremental_simhash",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+          FROM t),
+    bsum AS (SELECT doc_id, bit,
+                    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+             GROUP BY doc_id, bit),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN s >= 0 THEN (1::BIGINT << bit)
+                       ELSE 0::BIGINT END)::BIGINT AS simhash
+            FROM bsum GROUP BY doc_id),
+    delta AS (SELECT doc_id FROM documents
+              WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT)
+                    % 10 = 7),
+    bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS v
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT a.doc_id AS delta_doc, c.doc_id AS corpus_doc,
+                    a.simhash AS sa, c.simhash AS sb
+             FROM bands a
+             JOIN delta d ON a.doc_id = d.doc_id
+             JOIN bands c ON a.b = c.b AND a.v = c.v
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM delta))
+    SELECT delta_doc, corpus_doc, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_incremental_simhash(spark, sf_dir):
+    """SimHash side of the incremental dedup pair
+    (`dedup_incremental_delta` is the MinHash side): the hash-shard
+    delta's near-dups within Hamming distance 3 against the REST of the
+    corpus, corpus signatures read from the store's PERSISTED signature
+    index — byte-band blocking keeps exact recall (pigeonhole: <= 3
+    flipped bits leave >= 1 of 4 bytes intact) while only the delta is
+    ever tokenized. The two queries together give a shard ingest both
+    near-dup families (shingle-overlap and bit-rot similarity) at
+    delta cost.
+
+    Scale: the corpus side is a parquet read of (id, fp, simhash) rows;
+    banding explodes 4 rows per doc on each side; the join is band-key
+    equality; one popcount per collided pair. The index carry-forward
+    keeps nightly refreshes delta-sized (store.dedup_index_refresh)."""
+    import tempfile
+
+    from veri_spark.functions.hashing import portable_hash64
+    from veri_spark.store import FeatureStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = portable_hash64(F.col("doc_id").cast("string")) % 10 == 7
+    delta = docs.filter(shard)
+    corpus = docs.filter(~shard)
+    store = FeatureStore(
+        spark, tempfile.mkdtemp(prefix="veri_dedupidx_"), use_delta=False
+    )
+    store.put_corpus("documents", corpus.select("doc_id", "text"))
+    store.dedup_index_refresh("documents")
+    out = store.dedup_delta_simhash("documents", delta, max_hamming=3)
+    return out.select(
+        "delta_doc", "corpus_doc", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "dedup_index_band_skew",
+    f"""
+    WITH {_DD_SHINGLES},
+    seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+    hashed AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                        % 2147483647 AS h31
+               FROM sh),
+    sig AS (SELECT doc_id, seed, MIN((a * h31 + b) % 2147483647) AS h
+            FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    buckets AS (SELECT band, band_key, COUNT(*)::BIGINT AS nb
+                FROM bands GROUP BY band, band_key)
+    SELECT band::BIGINT AS band,
+           COUNT(*)::BIGINT AS n_buckets,
+           MAX(nb)::BIGINT AS max_bucket,
+           SUM(nb * (nb - 1) / 2)::BIGINT AS candidate_pairs
+    FROM buckets GROUP BY band ORDER BY band ASC
+    """,
+)
+def dedup_index_band_skew(spark, sf_dir):
+    """Bucket-skew audit of the MinHash signature index — the number
+    that decides whether the LSH candidate join survives 100 TB: per
+    band, the bucket count, the LARGEST bucket, and the exact candidate
+    pair mass sum nb*(nb-1)/2 the band contributes to the join. A
+    degenerate band key (empty-text docs, boilerplate shingles) makes
+    its bucket QUADRATIC — this audit is the monitoring hook that
+    catches it before the join does, the same hazard
+    `cap_stop_shingles` guards in the exact-Jaccard tier and
+    `minhash_bucket_skew` measures for raw-signature buckets (this is
+    the BAND-key grain the production index actually joins on,
+    i.e. the skew of `store.dedup_index_refresh`'s persisted state).
+
+    Scale: signature pipeline (one shuffle on doc id), one (band,
+    band_key) aggregation, then a 4-row reduce — no pair is ever
+    materialized."""
+    from veri_spark.operators.dedup import dedup_signature_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands, _ = dedup_signature_index(docs, parallelism=16)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("nb").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("nb") * (F.col("nb") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets",
+            "max_bucket",
+            "candidate_pairs",
+        )
+        .orderBy(F.col("band").asc())
+    )

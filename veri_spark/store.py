@@ -1023,6 +1023,35 @@ class FeatureStore:
         )
         return incremental_minhash_candidates(delta_bands, index_bands, id_col)
 
+    def dedup_delta_simhash(
+        self,
+        name: str,
+        delta: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """SimHash companion of ``dedup_delta_candidates``: incoming-shard
+        near-dups within ``max_hamming`` bits against the stored corpus,
+        corpus side read from the persisted signature index (with the
+        same stale-index on-the-fly fallback)."""
+        from veri_spark.operators.dedup import (
+            dedup_signature_index,
+            incremental_simhash_candidates,
+        )
+
+        idx = self._dedup_indexed(name)
+        if idx is not None:
+            index_sim = idx[1]
+        else:
+            _, index_sim = dedup_signature_index(
+                self._read(name), id_col, text_col
+            )
+        _, delta_sim = dedup_signature_index(delta, id_col, text_col)
+        return incremental_simhash_candidates(
+            delta_sim, index_sim, id_col, max_hamming
+        )
+
     # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
     def _cached_result(self, key: str, max_age_s: int) -> DataFrame | None:
         path = f"{self.root}/_cache/{key}"
