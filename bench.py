@@ -359,6 +359,16 @@ BENCH_QUERIES = [
     # round + two full serving replays) — SF-invariant training/compile
     # fixed cost dominates
     "ann_ivfpq_trained_audit",
+    # round-12 batch A/B: simhash incremental path + index-skew audit,
+    # robust two-sample (Brunner-Munzel), ordered-trend (Jonckheere-
+    # Terpstra, Page), outlier/randomness day-spine tests
+    "dedup_incremental_simhash",
+    "dedup_index_band_skew",
+    "brunner_munzel_weekend_value",
+    "jonckheere_terpstra_priority_trend",
+    "page_trend_weekday_revenue",
+    "grubbs_outlier_daily_revenue",
+    "bartels_rank_daily_revenue",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -403,6 +413,8 @@ HEAVY_TWO_RUN = {
     "dedup_incremental_delta",
     # round-12: 3 training loops + 2 serving replays — multi-job iterative
     "ann_ivfpq_trained_audit",
+    # round-12: store writes like its minhash sibling
+    "dedup_incremental_simhash",
 }
 
 # Round-9 (verdict task 6): the exact-triangle audits exist to price the

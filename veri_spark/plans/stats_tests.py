@@ -1321,3 +1321,304 @@ def cucconi_test_weekend_value(spark, sf_dir):
             6,
         ).alias("cucconi_c"),
     )
+
+
+@register(
+    "brunner_munzel_weekend_value",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT value, SUM(wk)::BIGINT AS f1,
+                 (COUNT(*) - SUM(wk))::BIGINT AS f2,
+                 COUNT(*)::BIGINT AS l
+          FROM e GROUP BY value),
+    p AS (SELECT f1, f2,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l + 1 AS mid2,
+                 2 * (SUM(f1) OVER (ORDER BY value ASC) - f1) + f1 + 1
+                   AS m12,
+                 2 * (SUM(f2) OVER (ORDER BY value ASC) - f2) + f2 + 1
+                   AS m22
+          FROM g),
+    s AS (SELECT SUM(f1)::BIGINT AS n1, SUM(f2)::BIGINT AS n2,
+                 SUM(CAST(f1 AS DECIMAL(38,0)) * mid2) AS r1s2,
+                 SUM(CAST(f2 AS DECIMAL(38,0)) * mid2) AS r2s2,
+                 SUM(CAST(f1 AS DECIMAL(38,0)) * (mid2 - m12)
+                     * (mid2 - m12)) AS a1,
+                 SUM(CAST(f1 AS DECIMAL(38,0)) * (mid2 - m12)) AS b1,
+                 SUM(CAST(f2 AS DECIMAL(38,0)) * (mid2 - m22)
+                     * (mid2 - m22)) AS a2,
+                 SUM(CAST(f2 AS DECIMAL(38,0)) * (mid2 - m22)) AS b2
+          FROM p),
+    f AS (SELECT n1, n2,
+                 r1s2::DOUBLE / (2.0 * n1) AS r1,
+                 r2s2::DOUBLE / (2.0 * n2) AS r2,
+                 (n1 + 1.0) / 2.0 - r1s2::DOUBLE / (2.0 * n1) AS k1,
+                 (n2 + 1.0) / 2.0 - r2s2::DOUBLE / (2.0 * n2) AS k2,
+                 a1::DOUBLE AS a1, b1::DOUBLE AS b1,
+                 a2::DOUBLE AS a2, b2::DOUBLE AS b2
+          FROM s),
+    v AS (SELECT n1, n2, r1, r2,
+                 (a1 / 4.0 + k1 * b1 + n1 * k1 * k1) / (n1 - 1.0) AS s1,
+                 (a2 / 4.0 + k2 * b2 + n2 * k2 * k2) / (n2 - 1.0) AS s2
+          FROM f)
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           ROUND((r2 - r1) / (n1 + n2) + 0.5, 6) AS p_hat,
+           ROUND(n1 * n2 * (r2 - r1)
+                 / ((n1 + n2) * sqrt(n1 * s1 + n2 * s2)), 6) AS w_bm
+    FROM v
+    """,
+)
+def brunner_munzel_weekend_value(spark, sf_dir):
+    """Brunner-Munzel test (2000) for stochastic dominance of weekday
+    over weekend event values — the modern replacement for Mann-Whitney
+    when the two groups may differ in SHAPE/variance (MW assumes
+    exchangeability under H0; BM studentizes with per-group rank
+    variances, the "generalized Behrens-Fisher" answer, and is what
+    scipy/R recommend over MW for unequal spreads). Reports the relative
+    effect p_hat = P(weekend < weekday) + P(=)/2 and the studentized
+    W. Everything reduces to ONE value-grain frame: combined and
+    within-group doubled midranks come from a single 3-measure prefix
+    scan; the rank-variance pieces fold as exact DECIMAL sums via
+    sum f*(D/2 + K)^2 = A/4 + K*B + n*K^2 (A, B exact integers, K a
+    fixed-order double); W and p_hat are single expressions of eight
+    exact numbers.
+
+    Scale: one corpus scan to value grain + one prefix scan — the
+    cucconi/MW machinery, two extra cumulative measures for free."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("wk").cast("bigint").alias("f1"),
+        (F.count(F.lit(1)) - F.sum("wk")).cast("bigint").alias("f2"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    p = global_prefix_agg(
+        g,
+        [F.col("value").asc()],
+        ["l", "f1", "f2"],
+        agg="sum",
+        out_col=["cl", "c1", "c2"],
+    ).select(
+        "f1",
+        "f2",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+        (2 * (F.col("c1") - F.col("f1")) + F.col("f1") + 1).alias("m12"),
+        (2 * (F.col("c2") - F.col("f2")) + F.col("f2") + 1).alias("m22"),
+    )
+    d1 = F.col("mid2") - F.col("m12")
+    d2 = F.col("mid2") - F.col("m22")
+    s = p.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        F.sum(F.col("f1").cast("decimal(38,0)") * F.col("mid2")).alias("r1s2"),
+        F.sum(F.col("f2").cast("decimal(38,0)") * F.col("mid2")).alias("r2s2"),
+        F.sum(F.col("f1").cast("decimal(38,0)") * d1 * d1).alias("a1"),
+        F.sum(F.col("f1").cast("decimal(38,0)") * d1).alias("b1"),
+        F.sum(F.col("f2").cast("decimal(38,0)") * d2 * d2).alias("a2"),
+        F.sum(F.col("f2").cast("decimal(38,0)") * d2).alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    r1 = F.col("r1s2").cast("double") / (F.lit(2.0) * n1)
+    r2 = F.col("r2s2").cast("double") / (F.lit(2.0) * n2)
+    k1 = (n1 + F.lit(1.0)) / F.lit(2.0) - F.col("r1s2").cast("double") / (
+        F.lit(2.0) * n1
+    )
+    k2 = (n2 + F.lit(1.0)) / F.lit(2.0) - F.col("r2s2").cast("double") / (
+        F.lit(2.0) * n2
+    )
+    s1 = (
+        F.col("a1").cast("double") / F.lit(4.0)
+        + k1 * F.col("b1").cast("double")
+        + n1 * k1 * k1
+    ) / (n1 - F.lit(1.0))
+    s2 = (
+        F.col("a2").cast("double") / F.lit(4.0)
+        + k2 * F.col("b2").cast("double")
+        + n2 * k2 * k2
+    ) / (n2 - F.lit(1.0))
+    return s.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.round((r2 - r1) / (n1 + n2) + F.lit(0.5), 6).alias("p_hat"),
+        F.round(
+            n1 * n2 * (r2 - r1) / ((n1 + n2) * F.sqrt(n1 * s1 + n2 * s2)), 6
+        ).alias("w_bm"),
+    )
+
+
+@register(
+    "jonckheere_terpstra_priority_trend",
+    """
+    WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(substr(o_orderpriority, 1, 1) AS INT) AS grp
+               FROM orders),
+    g AS (SELECT cents,
+                 SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                 SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+                 SUM(CASE WHEN grp = 3 THEN 1 ELSE 0 END)::BIGINT AS f3,
+                 SUM(CASE WHEN grp = 4 THEN 1 ELSE 0 END)::BIGINT AS f4,
+                 SUM(CASE WHEN grp = 5 THEN 1 ELSE 0 END)::BIGINT AS f5,
+                 COUNT(*)::BIGINT AS l
+          FROM o GROUP BY cents),
+    p AS (SELECT f1, f2, f3, f4, f5, l,
+                 2 * (SUM(f1) OVER (ORDER BY cents ASC) - f1) + f1 AS t1,
+                 2 * (SUM(f2) OVER (ORDER BY cents ASC) - f2) + f2 AS t2,
+                 2 * (SUM(f3) OVER (ORDER BY cents ASC) - f3) + f3 AS t3,
+                 2 * (SUM(f4) OVER (ORDER BY cents ASC) - f4) + f4 AS t4
+          FROM g),
+    j AS (SELECT SUM(CAST(f2 AS DECIMAL(38,0)) * t1
+                     + CAST(f3 AS DECIMAL(38,0)) * (t1 + t2)
+                     + CAST(f4 AS DECIMAL(38,0)) * (t1 + t2 + t3)
+                     + CAST(f5 AS DECIMAL(38,0)) * (t1 + t2 + t3 + t4))
+                   AS j2,
+                 SUM(f1)::BIGINT AS n1, SUM(f2)::BIGINT AS n2,
+                 SUM(f3)::BIGINT AS n3, SUM(f4)::BIGINT AS n4,
+                 SUM(f5)::BIGINT AS n5,
+                 SUM(l)::BIGINT AS nn,
+                 SUM(CAST(l AS DECIMAL(38,0)) * (l - 1) * (2 * l + 5))
+                   AS tv1,
+                 SUM(CAST(l AS DECIMAL(38,0)) * (l - 1) * (l - 2)) AS tv2,
+                 SUM(CAST(l AS DECIMAL(38,0)) * (l - 1)) AS tv3
+          FROM p),
+    v AS (SELECT j2, nn,
+                 (CAST(nn AS DECIMAL(38,0)) * nn
+                  - (CAST(n1 AS DECIMAL(38,0)) * n1
+                     + CAST(n2 AS DECIMAL(38,0)) * n2
+                     + CAST(n3 AS DECIMAL(38,0)) * n3
+                     + CAST(n4 AS DECIMAL(38,0)) * n4
+                     + CAST(n5 AS DECIMAL(38,0)) * n5)) AS e2x2,
+                 (CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (2 * nn + 5)
+                  - (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) * (2 * n1 + 5)
+                     + CAST(n2 AS DECIMAL(38,0)) * (n2 - 1) * (2 * n2 + 5)
+                     + CAST(n3 AS DECIMAL(38,0)) * (n3 - 1) * (2 * n3 + 5)
+                     + CAST(n4 AS DECIMAL(38,0)) * (n4 - 1) * (2 * n4 + 5)
+                     + CAST(n5 AS DECIMAL(38,0)) * (n5 - 1) * (2 * n5 + 5))
+                  - tv1) AS v1,
+                 (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) * (n1 - 2)
+                  + CAST(n2 AS DECIMAL(38,0)) * (n2 - 1) * (n2 - 2)
+                  + CAST(n3 AS DECIMAL(38,0)) * (n3 - 1) * (n3 - 2)
+                  + CAST(n4 AS DECIMAL(38,0)) * (n4 - 1) * (n4 - 2)
+                  + CAST(n5 AS DECIMAL(38,0)) * (n5 - 1) * (n5 - 2)) AS g2,
+                 (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1)
+                  + CAST(n2 AS DECIMAL(38,0)) * (n2 - 1)
+                  + CAST(n3 AS DECIMAL(38,0)) * (n3 - 1)
+                  + CAST(n4 AS DECIMAL(38,0)) * (n4 - 1)
+                  + CAST(n5 AS DECIMAL(38,0)) * (n5 - 1)) AS g3,
+                 tv2, tv3
+          FROM j)
+    SELECT nn AS n_orders,
+           ROUND(j2::DOUBLE / 2.0, 6) AS j_stat,
+           ROUND((j2::DOUBLE - e2x2::DOUBLE / 2.0)
+                 / (2.0 * sqrt(v1::DOUBLE / 72.0
+                     + g2::DOUBLE * tv2::DOUBLE
+                       / (36.0 * nn * (nn - 1.0) * (nn - 2.0))
+                     + g3::DOUBLE * tv3::DOUBLE
+                       / (8.0 * nn * (nn - 1.0)))), 6) AS z_jt
+    FROM v
+    """,
+)
+def jonckheere_terpstra_priority_trend(spark, sf_dir):
+    """Jonckheere-Terpstra test for an ORDERED trend in order value
+    across the five priority levels (1-URGENT < ... < 5-LOW) — the
+    ordered-alternative upgrade of `kruskal_wallis_value_by_type` (KW
+    asks "any group difference?"; JT asks "does value move
+    MONOTONICALLY with priority?", the hypothesis a pricing analyst
+    actually holds, with the power gain every ordered test buys). J is
+    the sum of between-group Mann-Whitney counts for all 10 ordered
+    pairs; on the value-grain frame J2 = 2J folds exactly as
+    sum_v f_j * (2*below_i + at_i) over i < j, so ties contribute the
+    standard half-counts with NO division. The tie-corrected null
+    variance (Hollander-Wolfe) uses three exact group moments and
+    three exact tie moments; z is one fixed-order expression.
+
+    Scale: one corpus scan to value grain + one 4-measure prefix scan;
+    group count is fixed (5), so the fold is a constant-width
+    expression — no group×group join exists anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("grp") == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"f{i}")
+        for i in range(1, 6)
+    ]
+    g = o.groupBy("cents").agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("l"))
+    p = global_prefix_agg(
+        g,
+        [F.col("cents").asc()],
+        ["f1", "f2", "f3", "f4"],
+        agg="sum",
+        out_col=["c1", "c2", "c3", "c4"],
+    )
+    t = {
+        i: (2 * (F.col(f"c{i}") - F.col(f"f{i}")) + F.col(f"f{i}"))
+        for i in range(1, 5)
+    }
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    j = p.agg(
+        F.sum(
+            dec("f2") * t[1]
+            + dec("f3") * (t[1] + t[2])
+            + dec("f4") * (t[1] + t[2] + t[3])
+            + dec("f5") * (t[1] + t[2] + t[3] + t[4])
+        ).alias("j2"),
+        *[F.sum(f"f{i}").cast("bigint").alias(f"n{i}") for i in range(1, 6)],
+        F.sum("l").cast("bigint").alias("nn"),
+        F.sum(dec("l") * (F.col("l") - 1) * (2 * F.col("l") + 5)).alias("tv1"),
+        F.sum(dec("l") * (F.col("l") - 1) * (F.col("l") - 2)).alias("tv2"),
+        F.sum(dec("l") * (F.col("l") - 1)).alias("tv3"),
+    )
+    nn = F.col("nn")
+    nnd = nn.cast("decimal(38,0)")
+    ns = [F.col(f"n{i}") for i in range(1, 6)]
+    nds = [n.cast("decimal(38,0)") for n in ns]
+    e2x2 = nnd * nn - sum(
+        (nd * n for nd, n in zip(nds[1:], ns[1:])), nds[0] * ns[0]
+    )
+    v1 = (
+        nnd * (nn - 1) * (2 * nn + 5)
+        - sum(
+            (nd * (n - 1) * (2 * n + 5) for nd, n in zip(nds[1:], ns[1:])),
+            nds[0] * (ns[0] - 1) * (2 * ns[0] + 5),
+        )
+        - F.col("tv1")
+    )
+    g2 = sum(
+        (nd * (n - 1) * (n - 2) for nd, n in zip(nds[1:], ns[1:])),
+        nds[0] * (ns[0] - 1) * (ns[0] - 2),
+    )
+    g3 = sum((nd * (n - 1) for nd, n in zip(nds[1:], ns[1:])), nds[0] * (ns[0] - 1))
+    j2d = F.col("j2").cast("double")
+    nnd2 = nn.cast("double")
+    return j.select(
+        nn.alias("n_orders"),
+        F.round(j2d / F.lit(2.0), 6).alias("j_stat"),
+        F.round(
+            (j2d - e2x2.cast("double") / F.lit(2.0))
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    v1.cast("double") / F.lit(72.0)
+                    + g2.cast("double")
+                    * F.col("tv2").cast("double")
+                    / (
+                        F.lit(36.0)
+                        * nnd2
+                        * (nnd2 - F.lit(1.0))
+                        * (nnd2 - F.lit(2.0))
+                    )
+                    + g3.cast("double")
+                    * F.col("tv3").cast("double")
+                    / (F.lit(8.0) * nnd2 * (nnd2 - F.lit(1.0)))
+                )
+            ),
+            6,
+        ).alias("z_jt"),
+    )
