@@ -369,6 +369,12 @@ BENCH_QUERIES = [
     "page_trend_weekday_revenue",
     "grubbs_outlier_daily_revenue",
     "bartels_rank_daily_revenue",
+    # round-12 batch C: stationarity pair (KPSS + Dickey-Fuller),
+    # regularity (sample entropy), regression influence (Cook's D)
+    "kpss_daily_revenue",
+    "dickey_fuller_daily_revenue",
+    "sample_entropy_hourly",
+    "cooks_distance_daily",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

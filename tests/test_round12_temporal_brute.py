@@ -1,0 +1,135 @@
+"""Round-12 batch C: pure-Python brute-force models of the new
+time-series diagnostics (KPSS, Dickey-Fuller, sample entropy, Cook's
+distance) from the textbook definitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from veri_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def fetch(sql):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _daily_cents():
+    return fetch(
+        f"SELECT l_shipdate, CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))"
+        f" * 100 AS BIGINT) FROM '{SF}/lineitem.parquet' GROUP BY 1 ORDER BY 1"
+    )
+
+
+def test_kpss_brute(spark):
+    xs = [c for _, c in _daily_cents()]
+    n = len(xs)
+    mean = sum(xs) / n
+    e = [x - mean for x in xs]
+    s = 0.0
+    ssq = 0.0
+    for v in e:
+        s += v
+        ssq += s * s
+    lag = 8
+    lrv = sum(v * v for v in e) / n
+    for k in range(1, lag + 1):
+        gamma = sum(e[t] * e[t - k] for t in range(k, n)) / n
+        lrv += 2.0 * (1.0 - k / (lag + 1.0)) * gamma
+    eta = (ssq / (n * n)) / lrv
+
+    got = QUERIES["kpss_daily_revenue"](spark, SF).collect()[0]
+    assert got["n_days"] == n and got["bartlett_lag"] == lag
+    assert abs(got["kpss_eta"] - eta) < 1e-6
+
+
+def test_dickey_fuller_brute(spark):
+    xs = [c for _, c in _daily_cents()]
+    pairs = [(xs[t + 1] - xs[t], xs[t]) for t in range(len(xs) - 1)]
+    m = len(pairs)
+    sy = sum(y for y, _ in pairs)
+    sz = sum(z for _, z in pairs)
+    szy = sum(y * z for y, z in pairs)
+    szz = sum(z * z for _, z in pairs)
+    syy = sum(y * y for y, _ in pairs)
+    szzc = szz - sz * sz / m
+    szyc = szy - sz * sy / m
+    syyc = syy - sy * sy / m
+    b = szyc / szzc
+    sse = syyc - b * szyc
+    t_df = b / math.sqrt((sse / (m - 2)) / szzc)
+
+    got = QUERIES["dickey_fuller_daily_revenue"](spark, SF).collect()[0]
+    assert got["n_pairs"] == m
+    assert abs(got["rho_hat"] - b) < 1e-6
+    assert abs(got["t_df"] - t_df) < 1e-4
+
+
+def test_sample_entropy_brute(spark):
+    rows = fetch(
+        f"""
+        WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                               date_trunc('hour', MAX(ts)) AS t1
+                        FROM '{SF}/events.parquet'),
+        spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+        actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+                   FROM '{SF}/events.parquet' GROUP BY 1)
+        SELECT COALESCE(a.n, 0) FROM spine s LEFT JOIN actual a ON a.h = s.h
+        ORDER BY s.h
+        """
+    )
+    xs = [int(r[0]) for r in rows]
+    hn = len(xs)
+    mean = sum(xs) / hn
+    sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / hn)
+    r = math.floor(0.2 * sd)
+    nt = hn - 2
+    b_cnt = a_cnt = 0
+    for i in range(nt):
+        for j in range(i + 1, nt):
+            if max(abs(xs[i] - xs[j]), abs(xs[i + 1] - xs[j + 1])) <= r:
+                b_cnt += 1
+                if abs(xs[i + 2] - xs[j + 2]) <= r:
+                    a_cnt += 1
+
+    got = QUERIES["sample_entropy_hourly"](spark, SF).collect()[0]
+    assert got["n_hours"] == hn and got["r_threshold"] == r
+    assert got["b_count"] == b_cnt and got["a_count"] == a_cnt
+    assert abs(got["sampen"] - math.log(b_cnt / a_cnt)) < 1e-6
+
+
+def test_cooks_distance_brute(spark):
+    rows = _daily_cents()
+    n = len(rows)
+    ys = [c for _, c in rows]
+    xbar = (n + 1) / 2.0
+    sxx = n * (n * n - 1) / 12.0
+    sy = sum(ys)
+    sxy = sum((t + 1) * y for t, y in enumerate(ys)) - xbar * sy
+    b = sxy / sxx
+    a = sy / n - b * xbar
+    resid = [ys[t] - (a + b * (t + 1)) for t in range(n)]
+    sse = sum(e * e for e in resid)
+    s2 = sse / (n - 2)
+    ds = []
+    for t in range(n):
+        h = 1.0 / n + (t + 1 - xbar) ** 2 / sxx
+        d = resid[t] ** 2 * h / (2 * s2 * (1 - h) ** 2)
+        ds.append((rows[t][0], d, h))
+    top = sorted(ds, key=lambda z: (-z[1], z[0].toordinal()))[:5]
+
+    got = QUERIES["cooks_distance_daily"](spark, SF).collect()
+    assert len(got) == 5
+    for row, (day, d, h) in zip(got, top):
+        assert row["day"] == day
+        assert abs(row["cooks_d"] - d) < 1e-5
+        assert abs(row["leverage"] - h) < 1e-6

@@ -1624,3 +1624,420 @@ def bartels_rank_daily_revenue(spark, sf_dir):
             6,
         ).alias("z_bartels"),
     )
+
+
+@register(
+    "kpss_daily_revenue",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+    t AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s1 FROM r),
+    e AS (SELECT rn, (t.n * cents - t.s1) AS ee FROM r CROSS JOIN t),
+    s AS (SELECT rn, SUM(ee) OVER (ORDER BY rn ASC) AS se FROM e),
+    ss AS (SELECT SUM(CAST(se AS DECIMAL(38,0)) * se) AS ss2 FROM s),
+    e2 AS (SELECT SUM(CAST(ee AS DECIMAL(38,0)) * ee) AS se2 FROM e),
+    c AS (SELECT SUM((9 - k.k) * CAST(a.ee AS DECIMAL(38,0)) * b.ee) AS wc
+          FROM (SELECT unnest(range(1, 9))::BIGINT AS k) k
+          JOIN e a ON TRUE
+          JOIN e b ON b.rn = a.rn - k.k)
+    SELECT t.n AS n_days, 8 AS bartlett_lag,
+           ROUND(9.0 * ss.ss2::DOUBLE
+                 / (t.n * (9.0 * e2.se2::DOUBLE + 2.0 * c.wc::DOUBLE)), 6)
+             AS kpss_eta
+    FROM t CROSS JOIN ss CROSS JOIN e2 CROSS JOIN c
+    """,
+)
+def kpss_daily_revenue(spark, sf_dir):
+    """KPSS level-stationarity statistic (Kwiatkowski et al. 1992) on
+    daily revenue — the null-reversed partner of
+    `dickey_fuller_daily_revenue` (DF's null is a unit root, KPSS's
+    null is stationarity; running BOTH is the standard confirmatory
+    protocol before trusting any forecast fit). eta = sum of squared
+    partial sums of demeaned revenue over n^2 * (Bartlett long-run
+    variance, fixed lag 8). Working in n-scaled units E_t = n*x_t - S1
+    makes the demeaned series, its partial sums, the variance and all
+    8 lag cross-products EXACT integers — the n powers cancel into
+    eta = 9*sum S(E)^2 / (n * (9*sum E^2 + 2*sum (9-k)*C_k)), ONE
+    final division of exact DECIMALs: bit-exact cross-engine. (The
+    data-driven bandwidth floor(4*(n/100)^0.25) is deliberately pinned
+    to 8 — a float-boundary-free constant in both engines; at the
+    fixture's n it equals the Schwert value anyway.)
+
+    Scale: one corpus scan to the day frame; the prefix scan and the
+    8-lag self-join live on the calendar-bounded spine. At 100 TB day
+    counts stay calendar-bounded; E_t needs DECIMAL once n*cents
+    passes 2^63 (documented switch)."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
+        "rn", "cents"
+    )
+    t = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+    )
+    e = r.crossJoin(F.broadcast(t)).select(
+        "rn", (F.col("n") * F.col("cents") - F.col("s1")).alias("ee")
+    )
+    s = global_prefix_agg(e, [F.col("rn").asc()], "ee", out_col="se")
+    ss = s.agg(
+        F.sum(F.col("se").cast("decimal(38,0)") * F.col("se")).alias("ss2")
+    )
+    e2 = e.agg(
+        F.sum(F.col("ee").cast("decimal(38,0)") * F.col("ee")).alias("se2")
+    )
+    ks = spark.range(1, 9).select(F.col("id").cast("bigint").alias("k"))
+    b = e.select(F.col("rn").alias("rnb"), F.col("ee").alias("eeb"))
+    c = (
+        e.crossJoin(F.broadcast(ks))
+        .join(b, F.col("rnb") == F.col("rn") - F.col("k"))
+        .agg(
+            F.sum(
+                (9 - F.col("k"))
+                * F.col("ee").cast("decimal(38,0)")
+                * F.col("eeb")
+            ).alias("wc")
+        )
+    )
+    j = (
+        t.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(e2))
+        .crossJoin(F.broadcast(c))
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.lit(8).alias("bartlett_lag"),
+        F.round(
+            F.lit(9.0)
+            * F.col("ss2").cast("double")
+            / (
+                F.col("n")
+                * (
+                    F.lit(9.0) * F.col("se2").cast("double")
+                    + F.lit(2.0) * F.col("wc").cast("double")
+                )
+            ),
+            6,
+        ).alias("kpss_eta"),
+    )
+
+
+@register(
+    "dickey_fuller_daily_revenue",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+    p AS (SELECT b.cents - a.cents AS y, a.cents AS z
+          FROM r a JOIN r b ON b.rn = a.rn + 1),
+    s AS (SELECT COUNT(*)::BIGINT AS m,
+                 SUM(z)::BIGINT AS sz, SUM(y)::BIGINT AS sy,
+                 SUM(CAST(z AS DECIMAL(38,0)) * y) AS szy,
+                 SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+          FROM p),
+    f AS (SELECT m,
+                 szz::DOUBLE - sz::DOUBLE * sz::DOUBLE / m AS szzc,
+                 szy::DOUBLE - sz::DOUBLE * sy::DOUBLE / m AS szyc,
+                 syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / m AS syyc
+          FROM s)
+    SELECT m AS n_pairs,
+           ROUND(szyc / szzc, 6) AS rho_hat,
+           ROUND((szyc / szzc)
+                 / sqrt(((syyc - (szyc / szzc) * szyc) / (m - 2.0))
+                        / szzc), 6) AS t_df
+    FROM f
+    """,
+)
+def dickey_fuller_daily_revenue(spark, sf_dir):
+    """Dickey-Fuller unit-root regression (1979, with drift, no
+    augmentation) on daily revenue: OLS of the day-over-day CHANGE on
+    the lagged level. rho_hat near 0 with a large-negative t means the
+    series mean-reverts (stationary); rho_hat ~ 0 with small |t| means
+    a random-walk level — THE go/no-go before differencing in any
+    forecast pipeline, and the null-reversed partner of
+    `kpss_daily_revenue`. The five regression sums (sz, sy, szy, szz,
+    syy) fold exactly (BIGINT/DECIMAL); the centered moments, slope and
+    its t-statistic are one fixed-order double expression — the
+    `theil_sen_daily_trend` determinism discipline applied to OLS. The
+    DF critical values are the caller's lookup (Jarque-Bera
+    precedent).
+
+    Scale: one corpus scan to the day frame; the successor join is
+    rn+1 on the calendar-bounded spine."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
+        "rn", "cents"
+    )
+    b = r.select((F.col("rn") - 1).alias("rnb"), F.col("cents").alias("cb"))
+    p = r.join(b, F.col("rnb") == F.col("rn")).select(
+        (F.col("cb") - F.col("cents")).alias("y"), F.col("cents").alias("z")
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("y")).alias("szy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szz"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    m = F.col("m")
+    szzc = F.col("szz").cast("double") - F.col("sz").cast("double") * F.col(
+        "sz"
+    ).cast("double") / m
+    szyc = F.col("szy").cast("double") - F.col("sz").cast("double") * F.col(
+        "sy"
+    ).cast("double") / m
+    syyc = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / m
+    rho = szyc / szzc
+    return s.select(
+        m.alias("n_pairs"),
+        F.round(rho, 6).alias("rho_hat"),
+        F.round(
+            rho / F.sqrt(((syyc - rho * szyc) / (m - F.lit(2.0))) / szzc), 6
+        ).alias("t_df"),
+    )
+
+
+@register(
+    "sample_entropy_hourly",
+    f"""
+    WITH {_HOURLY_SPINE_SQL},
+    t AS (SELECT COUNT(*)::BIGINT AS h, SUM(n)::BIGINT AS s1,
+                 SUM(CAST(n AS DECIMAL(38,0)) * n) AS s2
+          FROM x),
+    rt AS (SELECT h,
+                  CAST(FLOOR(0.2 * sqrt((h * s2::DOUBLE - s1::DOUBLE * s1)
+                                        / (h::DOUBLE * h))) AS BIGINT) AS r
+           FROM t),
+    w AS (SELECT a.hi, a.n AS n0, b.n AS n1, c.n AS n2
+          FROM x a JOIN x b ON b.hi = a.hi + 1
+                   JOIN x c ON c.hi = a.hi + 2),
+    pairs AS (SELECT CASE WHEN GREATEST(abs(i.n0 - j.n0), abs(i.n1 - j.n1))
+                               <= rt.r THEN 1 ELSE 0 END AS mb,
+                     CASE WHEN GREATEST(abs(i.n0 - j.n0), abs(i.n1 - j.n1),
+                                        abs(i.n2 - j.n2)) <= rt.r
+                          THEN 1 ELSE 0 END AS ma
+              FROM w i JOIN w j ON j.hi > i.hi CROSS JOIN rt),
+    ab AS (SELECT SUM(mb)::BIGINT AS b, SUM(ma)::BIGINT AS a FROM pairs)
+    SELECT rt.h AS n_hours, rt.r AS r_threshold, ab.b AS b_count,
+           ab.a AS a_count,
+           ROUND(ln(ab.b::DOUBLE / ab.a), 6) AS sampen
+    FROM ab CROSS JOIN rt
+    """,
+)
+def sample_entropy_hourly(spark, sf_dir):
+    """Sample entropy (Richman-Moorman 2000, m=2, r = 0.2 sd) of the
+    hourly event-count series — the regularity readout that
+    `permutation_entropy_hourly` approximates ordinally: SampEn counts
+    template matches at length 2 vs length 3 (B vs A) and reports
+    ln(B/A); low values mean the series repeats its own patterns
+    (strong daily structure), high values mean noise. The tolerance r
+    is FLOOR(0.2 * population sd) — an exact integer threshold on
+    integer counts, so every match decision is integer comparison and
+    B, A are exact BIGINTs; the one ln runs on the same double in both
+    engines (the tfidf ln discipline). Self-matches are excluded by
+    i < j (the definition), which scales both counts by 2 and cancels
+    in the ratio.
+
+    Scale: the template and pair joins live on the calendar-bounded
+    hour spine (~n^2/2 integer comparisons on a generated frame, never
+    on the corpus); the corpus is touched once for the hourly
+    aggregate."""
+    x = _hourly_counts(spark, sf_dir)
+    t = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("s2"),
+    )
+    rt = t.select(
+        "h",
+        F.floor(
+            F.lit(0.2)
+            * F.sqrt(
+                (
+                    F.col("h") * F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1")
+                )
+                / (F.col("h").cast("double") * F.col("h"))
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    b1 = x.select((F.col("hi") - 1).alias("hi"), F.col("n").alias("n1"))
+    b2 = x.select((F.col("hi") - 2).alias("hi"), F.col("n").alias("n2"))
+    w = (
+        x.select("hi", F.col("n").alias("n0"))
+        .join(b1, "hi")
+        .join(b2, "hi")
+    )
+    i = w.select(
+        F.col("hi").alias("hi_i"),
+        F.col("n0").alias("i0"),
+        F.col("n1").alias("i1"),
+        F.col("n2").alias("i2"),
+    )
+    j = w.select(
+        F.col("hi").alias("hi_j"),
+        F.col("n0").alias("j0"),
+        F.col("n1").alias("j1"),
+        F.col("n2").alias("j2"),
+    )
+    pairs = i.join(j, F.col("hi_j") > F.col("hi_i")).crossJoin(
+        F.broadcast(rt)
+    )
+    d2 = F.greatest(
+        F.abs(F.col("i0") - F.col("j0")), F.abs(F.col("i1") - F.col("j1"))
+    )
+    d3 = F.greatest(d2, F.abs(F.col("i2") - F.col("j2")))
+    ab = pairs.agg(
+        F.sum(F.when(d2 <= F.col("r"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(d3 <= F.col("r"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+    )
+    out = ab.crossJoin(F.broadcast(rt))
+    return out.select(
+        F.col("h").alias("n_hours"),
+        F.col("r").alias("r_threshold"),
+        F.col("b").alias("b_count"),
+        F.col("a").alias("a_count"),
+        F.round(F.log(F.col("b").cast("double") / F.col("a")), 6).alias(
+            "sampen"
+        ),
+    )
+
+
+@register(
+    "cooks_distance_daily",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day ASC) AS rn
+          FROM d),
+    s AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sy,
+                 SUM(CAST(rn AS DECIMAL(38,0)) * cents) AS sxy,
+                 SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS syy
+          FROM r),
+    f AS (SELECT n, sy,
+                 n * (CAST(n AS DECIMAL(38,0)) * n - 1) / 12 AS sxxc,
+                 sxy::DOUBLE - (n + 1.0) / 2.0 * sy::DOUBLE AS sxyc,
+                 syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n AS syyc
+          FROM s),
+    g AS (SELECT n, sy, sxxc, sxyc, syyc,
+                 sxyc / sxxc::DOUBLE AS b,
+                 (syyc - sxyc / sxxc::DOUBLE * sxyc) / (n - 2.0) AS s2
+          FROM f),
+    cd AS (SELECT r.day,
+                  r.cents - (g.sy::DOUBLE / g.n
+                             + g.b * (r.rn - (g.n + 1.0) / 2.0)) AS e,
+                  1.0 / g.n
+                  + (2.0 * r.rn - g.n - 1.0) * (2.0 * r.rn - g.n - 1.0)
+                    / (4.0 * g.sxxc::DOUBLE) AS h
+           FROM r CROSS JOIN g),
+    dd AS (SELECT day, h,
+                  e * e * h / (2.0 * g.s2 * (1.0 - h) * (1.0 - h)) AS cd
+           FROM cd CROSS JOIN g)
+    SELECT day, ROUND(cd, 6) AS cooks_d, ROUND(h, 6) AS leverage
+    FROM dd ORDER BY cd DESC, day ASC LIMIT 5
+    """,
+)
+def cooks_distance_daily(spark, sf_dir):
+    """Cook's distance (1977) of each day against the linear
+    day-index trend fit of daily revenue: the five most INFLUENTIAL
+    days — the regression-diagnostics companion of
+    `grubbs_outlier_daily_revenue` (Grubbs prices raw extremity;
+    Cook's D prices what a day DOES to the fitted trend, leverage
+    included, which is what decides whether to drop it before
+    forecasting). The design is the integer day index, so x-moments
+    are CLOSED FORMS (sum x = n(n+1)/2, centered Sxx = n(n^2-1)/12 —
+    exact DECIMAL), leverage is 1/n + (2t-n-1)^2/(4 Sxx) with an exact
+    integer numerator, and slope/residuals/s^2 are fixed-order doubles
+    of exact sums — identical trees in both engines, ties broken on
+    the day.
+
+    Scale: one corpus scan to the day frame; per-day D is map-side
+    arithmetic against one broadcast 5-number row; top-5 is a bounded
+    TakeOrdered."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="rn")
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "syy"
+        ),
+    )
+    n = F.col("n")
+    g = s.select(
+        "n",
+        "sy",
+        (n * (n.cast("decimal(38,0)") * n - 1) / 12).alias("sxxc"),
+        (
+            F.col("sxy").cast("double")
+            - (n + F.lit(1.0)) / F.lit(2.0) * F.col("sy").cast("double")
+        ).alias("sxyc"),
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+        ).alias("syyc"),
+    ).select(
+        "n",
+        "sy",
+        "sxxc",
+        "sxyc",
+        "syyc",
+        (F.col("sxyc") / F.col("sxxc").cast("double")).alias("b"),
+        (
+            (
+                F.col("syyc")
+                - F.col("sxyc")
+                / F.col("sxxc").cast("double")
+                * F.col("sxyc")
+            )
+            / (F.col("n") - F.lit(2.0))
+        ).alias("s2"),
+    )
+    cd = r.crossJoin(F.broadcast(g)).select(
+        "day",
+        (
+            F.col("cents")
+            - (
+                F.col("sy").cast("double") / F.col("n")
+                + F.col("b")
+                * (F.col("rn") - (F.col("n") + F.lit(1.0)) / F.lit(2.0))
+            )
+        ).alias("e"),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.lit(2.0) * F.col("rn") - F.col("n") - F.lit(1.0))
+            * (F.lit(2.0) * F.col("rn") - F.col("n") - F.lit(1.0))
+            / (F.lit(4.0) * F.col("sxxc").cast("double"))
+        ).alias("h"),
+        "s2",
+    )
+    dd = cd.select(
+        "day",
+        "h",
+        (
+            F.col("e")
+            * F.col("e")
+            * F.col("h")
+            / (
+                F.lit(2.0)
+                * F.col("s2")
+                * (F.lit(1.0) - F.col("h"))
+                * (F.lit(1.0) - F.col("h"))
+            )
+        ).alias("cd"),
+    )
+    return (
+        dd.orderBy(F.col("cd").desc(), F.col("day").asc())
+        .limit(5)
+        .select("day", F.round("cd", 6).alias("cooks_d"), F.round("h", 6).alias("leverage"))
+    )
