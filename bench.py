@@ -375,6 +375,11 @@ BENCH_QUERIES = [
     "dickey_fuller_daily_revenue",
     "sample_entropy_hourly",
     "cooks_distance_daily",
+    # round-12 batch D: community/structure metrics on the shared
+    # co-purchase frames (modularity, hub clustering, 2-round LPA)
+    "graph_modularity_partition",
+    "graph_local_clustering_top",
+    "graph_label_propagation",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

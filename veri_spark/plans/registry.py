@@ -38,6 +38,7 @@ from veri_spark.plans import pipeline as _pipeline  # noqa: F401,E402
 from veri_spark.plans import physical as _physical  # noqa: F401,E402
 from veri_spark.plans import features as _features  # noqa: F401,E402
 from veri_spark.plans import graph as _graph  # noqa: F401,E402
+from veri_spark.plans import graph_metrics as _graph_metrics  # noqa: F401,E402
 from veri_spark.plans import ranking_metrics as _ranking_metrics  # noqa: F401,E402
 from veri_spark.plans import integrity as _integrity  # noqa: F401,E402
 from veri_spark.plans import temporal as _temporal  # noqa: F401,E402
