@@ -380,6 +380,13 @@ BENCH_QUERIES = [
     "graph_modularity_partition",
     "graph_local_clustering_top",
     "graph_label_propagation",
+    # round-12 batch E/F: KN-smoothed bigram LM, vocabulary repeat-rate,
+    # clustered ratio-metric CI, DiD, experiment power planning
+    "kneser_ney_bigram_scores",
+    "yules_k_by_source",
+    "delta_method_ratio_ci",
+    "difference_in_differences_priority",
+    "ab_power_mde",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

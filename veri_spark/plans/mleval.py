@@ -1004,3 +1004,266 @@ def pinball_loss_hourly(spark, sf_dir):
             F.col("lq").cast("double") / F.lit(1e6) / F.col("n"), 6
         ).alias("pinball_loss"),
     ).orderBy(F.col("quantile").asc())
+
+
+from veri_spark.plans.events_behavior import _acklam_probit  # noqa: E402
+
+# Python-precomputed normal quantiles (the probit-literal rule: never
+# in-engine) from the SAME Acklam implementation the Holm/BH tables use,
+# so one pinned implementation feeds every z literal in the repo.
+_Z975 = _acklam_probit(0.975)
+_Z80 = _acklam_probit(0.8)
+
+
+@register(
+    "delta_method_ratio_ci",
+    f"""
+    WITH u AS (SELECT user_id,
+                      SUM(CAST(round(1e6 * value) AS BIGINT))::BIGINT AS yu,
+                      COUNT(*)::BIGINT AS xu
+               FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(yu)::BIGINT AS sy, SUM(xu)::BIGINT AS sx,
+                 SUM(CAST(yu AS DECIMAL(38,0)) * yu) AS syy,
+                 SUM(CAST(xu AS DECIMAL(38,0)) * xu) AS sxx,
+                 SUM(CAST(yu AS DECIMAL(38,0)) * xu) AS sxy
+          FROM u),
+    f AS (SELECT n, sy, sx, sy::DOUBLE / sx AS r,
+                 sqrt((n::DOUBLE / (n - 1.0))
+                      * (syy::DOUBLE
+                         - 2.0 * (sy::DOUBLE / sx) * sxy::DOUBLE
+                         + (sy::DOUBLE / sx) * (sy::DOUBLE / sx)
+                           * sxx::DOUBLE)
+                      / (sx::DOUBLE * sx)) AS se
+          FROM s)
+    SELECT n AS n_users, sx AS n_events,
+           ROUND(r / 1e6, 6) AS ratio,
+           ROUND(se / 1e6, 6) AS se,
+           ROUND((r - {_Z975!r} * se) / 1e6, 6) AS ci_lo,
+           ROUND((r + {_Z975!r} * se) / 1e6, 6) AS ci_hi
+    FROM f
+    """,
+)
+def delta_method_ratio_ci(spark, sf_dir):
+    """Delta-method (linearization) confidence interval for the RATIO
+    metric revenue-per-event with USER-level clustering — the A/B
+    workhorse the naive per-event t-interval gets WRONG whenever the
+    randomization unit (user) emits multiple correlated events
+    (Deng et al. 2018 popularized this at scale): linearize
+    R = sum Y / sum X around the means, Var ~ (n/(n-1)) *
+    sum_u (y_u - R x_u)^2 / (sum X)^2, which expands into three exact
+    per-user cross-moments — no per-event variance ever computed.
+    Values are micro-quantized to exact BIGINTs per user, the three
+    quadratic folds are DECIMAL(38,0), and R/se/CI are one fixed-order
+    double expression with the Acklam z literal.
+
+    Scale: one corpus scan to user grain, one moment reduce — the
+    classic two-aggregation shape, no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.lit(1e6) * F.col("value")).cast("bigint"))
+        .cast("bigint")
+        .alias("yu"),
+        F.count(F.lit(1)).cast("bigint").alias("xu"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yu").cast("bigint").alias("sy"),
+        F.sum("xu").cast("bigint").alias("sx"),
+        F.sum(F.col("yu").cast("decimal(38,0)") * F.col("yu")).alias("syy"),
+        F.sum(F.col("xu").cast("decimal(38,0)") * F.col("xu")).alias("sxx"),
+        F.sum(F.col("yu").cast("decimal(38,0)") * F.col("xu")).alias("sxy"),
+    )
+    n = F.col("n")
+    r = F.col("sy").cast("double") / F.col("sx")
+    se = F.sqrt(
+        (n.cast("double") / (n - F.lit(1.0)))
+        * (
+            F.col("syy").cast("double")
+            - F.lit(2.0) * r * F.col("sxy").cast("double")
+            + r * r * F.col("sxx").cast("double")
+        )
+        / (F.col("sx").cast("double") * F.col("sx"))
+    )
+    return s.select(
+        n.alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.round(r / F.lit(1e6), 6).alias("ratio"),
+        F.round(se / F.lit(1e6), 6).alias("se"),
+        F.round((r - F.lit(_Z975) * se) / F.lit(1e6), 6).alias("ci_lo"),
+        F.round((r + F.lit(_Z975) * se) / F.lit(1e6), 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "difference_in_differences_priority",
+    """
+    WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                           THEN 1 ELSE 0 END AS trt,
+                      CASE WHEN o_orderdate >= DATE '1996-01-01'
+                           THEN 1 ELSE 0 END AS post
+               FROM orders),
+    c AS (SELECT trt, post, COUNT(*)::BIGINT AS n,
+                 SUM(cents)::BIGINT AS s1,
+                 SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+          FROM o GROUP BY trt, post),
+    m AS (SELECT trt, post, n, s1::DOUBLE / n AS mean,
+                 (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n)
+                   / ((n - 1.0) * n) AS mvar
+          FROM c),
+    w AS (SELECT
+            MAX(CASE WHEN trt = 1 AND post = 0 THEN mean END) AS m_t_pre,
+            MAX(CASE WHEN trt = 1 AND post = 1 THEN mean END) AS m_t_post,
+            MAX(CASE WHEN trt = 0 AND post = 0 THEN mean END) AS m_c_pre,
+            MAX(CASE WHEN trt = 0 AND post = 1 THEN mean END) AS m_c_post,
+            SUM(mvar) AS var_did,
+            SUM(n)::BIGINT AS n_orders
+          FROM m)
+    SELECT n_orders,
+           ROUND(m_t_pre, 6) AS m_t_pre, ROUND(m_t_post, 6) AS m_t_post,
+           ROUND(m_c_pre, 6) AS m_c_pre, ROUND(m_c_post, 6) AS m_c_post,
+           ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_cents,
+           ROUND(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                 / sqrt(var_did), 6) AS z_did
+    FROM w
+    """,
+)
+def difference_in_differences_priority(spark, sf_dir):
+    """Difference-in-differences on mean order value: high-priority
+    orders (URGENT/HIGH) as the "treated" group, the 1996 calendar
+    break as the intervention — DiD removes both the stable
+    group-level gap and the common time shock, which neither
+    `weekend_purchase_effect` (one difference) nor
+    `stratified_ate_weekend_value` (cross-section) nets out; this is
+    the panel-data estimator every pricing/launch analysis reaches for
+    when randomization wasn't available. Four cells' counts and exact
+    integer cents moments fold in one aggregation; cell means,
+    variance-of-mean and the DiD z use the standard independent-cell
+    normal approximation, all fixed-order doubles of exact numbers.
+
+    Scale: one corpus scan to a 4-row cell frame — the cheapest
+    possible causal estimate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        ).otherwise(0).alias("trt"),
+        F.when(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+    )
+    c = o.groupBy("trt", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
+    )
+    n = F.col("n")
+    m = c.select(
+        "trt",
+        "post",
+        "n",
+        (F.col("s1").cast("double") / n).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+            )
+            / ((n - F.lit(1.0)) * n)
+        ).alias("mvar"),
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("trt") == t) & (F.col("post") == p), F.col("mean"))
+    )
+    w = m.agg(
+        cell(1, 0).alias("m_t_pre"),
+        cell(1, 1).alias("m_t_post"),
+        cell(0, 0).alias("m_c_pre"),
+        cell(0, 1).alias("m_c_post"),
+        F.sum("mvar").alias("var_did"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return w.select(
+        "n_orders",
+        F.round("m_t_pre", 6).alias("m_t_pre"),
+        F.round("m_t_post", 6).alias("m_t_post"),
+        F.round("m_c_pre", 6).alias("m_c_pre"),
+        F.round("m_c_post", 6).alias("m_c_post"),
+        F.round(did, 6).alias("did_cents"),
+        F.round(did / F.sqrt(F.col("var_did")), 6).alias("z_did"),
+    )
+
+
+@register(
+    "ab_power_mde",
+    f"""
+    WITH e AS (SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END AS conv
+               FROM events),
+    s AS (SELECT SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                 SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+                 SUM(CASE WHEN wk = 0 THEN conv ELSE 0 END)::BIGINT AS c1
+          FROM e),
+    f AS (SELECT n1, n2, c1::DOUBLE / n1 AS p FROM s)
+    SELECT n1 AS n_weekday, n2 AS n_weekend,
+           ROUND(p, 6) AS p_base,
+           ROUND(({_Z975!r} + {_Z80!r})
+                 * sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2)), 6)
+             AS mde_abs,
+           ROUND(({_Z975!r} + {_Z80!r})
+                 * sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2)) / p, 6)
+             AS mde_rel
+    FROM f
+    """,
+)
+def ab_power_mde(spark, sf_dir):
+    """Minimum detectable effect of the weekday-vs-weekend conversion
+    comparison at alpha = 5% (two-sided) and 80% power — the question
+    every experiment review asks BEFORE reading
+    `ab_test_conversion_ztest`'s verdict: "could this test even see a
+    lift worth caring about?" MDE = (z_0.975 + z_0.8) *
+    sqrt(p(1-p)(1/n1 + 1/n2)) on the observed control (weekday) rate,
+    reported absolute and relative. Counts fold exactly; both z
+    quantiles are Python-precomputed Acklam literals (the _Z_975
+    discipline — and z_0.8 joins the pinned table); the MDE is one
+    fixed-order expression.
+
+    Scale: one corpus scan to a 3-number row."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    s = e.agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("wk") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("wk") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    mde = (F.lit(_Z975) + F.lit(_Z80)) * F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return s.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.round(p, 6).alias("p_base"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )

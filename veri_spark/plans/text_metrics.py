@@ -1597,3 +1597,158 @@ def good_turing_vocab(spark, sf_dir):
             "missing_mass"
         ),
     ).orderBy(F.col("r").asc())
+
+
+@register(
+    "kneser_ney_bigram_scores",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    big AS (SELECT unnest(list_transform(range(1, len(ws)),
+                   i -> ws[i] || CHR(1) || ws[i+1])) AS bg
+            FROM w),
+    bc AS (SELECT string_split(bg, CHR(1))[1] AS w1,
+                  string_split(bg, CHR(1))[2] AS w2,
+                  COUNT(*)::BIGINT AS c12
+           FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12)::BIGINT AS c1,
+                  COUNT(*)::BIGINT AS fanout
+           FROM bc GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*)::BIGINT AS n_left FROM bc GROUP BY w2),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_types FROM bc),
+    s AS (SELECT bc.w1, bc.w2, bc.c12, c1.c1,
+                 (bc.c12 - 0.75) / c1.c1
+                 + 0.75 * c1.fanout / c1.c1
+                   * (cont.n_left::DOUBLE / tot.n_types) AS p_kn
+          FROM bc JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tot)
+    SELECT w1, w2, c12 AS n_pair,
+           ROUND(c12::DOUBLE / c1, 6) AS p_ml,
+           ROUND(p_kn, 6) AS p_kn
+    FROM s ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def kneser_ney_bigram_scores(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (fixed discount
+    D = 0.75) for the corpus's 20 most frequent bigrams, next to their
+    maximum-likelihood estimates — THE smoothing every n-gram LM
+    pipeline ships (`bigram_lm_scores` is add-one; KN's continuation
+    probability P_cont(w2) = types-to-the-left / total-bigram-types is
+    what fixes the "San Francisco" problem add-one can't). All
+    ingredients are exact integer counts (pair count, left-context
+    total, fanout N1+(w1,.), continuation N1+(.,w2), type total); D =
+    0.75 is an exact binary fraction, so p_kn is one fixed-order double
+    expression of integers. Bigrams are keyed on a CHR(1) separator so
+    tokens containing spaces can't alias (the token stream is
+    whitespace-split, making this a pure safety pin).
+
+    Scale: one bigram explode + three hash aggregations, all
+    partial-aggregated; the scored join is bigram-grain with two
+    broadcast-able side tables; top-20 is a bounded TakeOrdered. (No
+    c12 >= k floor here — the head by count is what's reported, and
+    the count grids are exact.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("ws"))
+    staged = w.select(
+        F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+        ).alias("bgs")
+    )
+    big = staged.select(F.explode("bgs").alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = bc.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    tot = bc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    s = (
+        bc.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (
+                (F.col("c12") - F.lit(0.75)) / F.col("c1")
+                + F.lit(0.75)
+                * F.col("fanout")
+                / F.col("c1")
+                * (
+                    F.col("n_left").cast("double") / F.col("n_types")
+                )
+            ).alias("p_kn"),
+        )
+    )
+    out = topk(
+        s, "c12", 20, higher_is_better=True, tie_cols=["w1", "w2"]
+    )
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c12").alias("n_pair"),
+        F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias("p_ml"),
+        F.round("p_kn", 6).alias("p_kn"),
+    )
+
+
+@register(
+    "yules_k_by_source",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    freq AS (SELECT source, t, COUNT(*)::BIGINT AS c
+             FROM tok GROUP BY source, t),
+    s AS (SELECT source, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v,
+                 SUM(CAST(c AS DECIMAL(38,0)) * c) AS c2
+          FROM freq GROUP BY source)
+    SELECT source, n AS n_tokens, v AS n_types,
+           ROUND(10000.0 * (c2::DOUBLE - n) / (n::DOUBLE * n), 6)
+             AS yules_k
+    FROM s ORDER BY source ASC
+    """,
+)
+def yules_k_by_source(spark, sf_dir):
+    """Yule's characteristic K per source — the classic repeat-rate
+    measure of vocabulary concentration (K = 10^4 (sum_w c_w^2 - N)/N^2,
+    i.e. the collision probability of two random token draws, length-
+    invariant where raw TTR is not): high K means a source hammers few
+    types (boilerplate, templated spam), low K means lexically diverse
+    prose. Completes the diversity battery next to `mattr_type_token`
+    (windowed TTR), `doc_word_entropy_by_source` (Shannon) and
+    `lang_simpson_diversity_by_source` (Simpson over LANGUAGES — same
+    functional, different unit of analysis). Sum c^2 folds exactly as
+    DECIMAL; K is one fixed-order double expression.
+
+    Scale: one token explode + two partial-aggregated hash
+    aggregations; the output frame is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    freq = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = freq.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("c2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.round(
+            F.lit(10000.0)
+            * (F.col("c2").cast("double") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("yules_k"),
+    ).orderBy(F.col("source").asc())
