@@ -387,6 +387,9 @@ BENCH_QUERIES = [
     "delta_method_ratio_ci",
     "difference_in_differences_priority",
     "ab_power_mde",
+    "hoover_index_customer_spend",
+    "palma_ratio_customer_spend",
+    "spectral_entropy_hourly",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -133,3 +133,68 @@ def test_cooks_distance_brute(spark):
         assert row["day"] == day
         assert abs(row["cooks_d"] - d) < 1e-5
         assert abs(row["leverage"] - h) < 1e-6
+
+
+def test_spectral_entropy_brute(spark):
+    rows = fetch(
+        f"""
+        WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+                               date_trunc('hour', MAX(ts)) AS t1
+                        FROM '{SF}/events.parquet'),
+        spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+        actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+                   FROM '{SF}/events.parquet' GROUP BY 1)
+        SELECT COALESCE(a.n, 0) FROM spine s LEFT JOIN actual a ON a.h = s.h
+        ORDER BY s.h
+        """
+    )
+    xs = [int(r[0]) for r in rows]
+    t = len(xs)
+    mean = sum(xs) / t
+    two_pi = 6.283185307179586
+    powers = {}
+    for period in range(2, 49):
+        # same nano-quantized fold as the query
+        ec = sum(round(1e9 * x * math.cos(two_pi * i / period)) for i, x in enumerate(xs))
+        es = sum(round(1e9 * x * math.sin(two_pi * i / period)) for i, x in enumerate(xs))
+        sc = sum(round(1e9 * math.cos(two_pi * i / period)) for i in range(t))
+        ss = sum(round(1e9 * math.sin(two_pi * i / period)) for i in range(t))
+        re = ec / 1e9 - mean * (sc / 1e9)
+        im = es / 1e9 - mean * (ss / 1e9)
+        powers[period] = round(re * re + im * im)
+    pos = {p: w for p, w in powers.items() if w > 0}
+    tp = sum(pos.values())
+    hsum = sum(round(1e12 * (w / tp) * math.log(w / tp)) for w in pos.values())
+    ent = -hsum / 1e12
+    peak = min(pos, key=lambda p: (-pos[p], p))
+
+    got = QUERIES["spectral_entropy_hourly"](spark, SF).collect()[0]
+    assert got["n_periods"] == len(pos)
+    assert got["peak_period"] == peak
+    assert abs(got["spectral_entropy_nats"] - ent) < 1e-6
+    assert abs(got["spectral_entropy_norm"] - ent / math.log(len(pos))) < 1e-6
+
+
+def test_hoover_palma_brute(spark):
+    rows = fetch(
+        f"SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+        f" FROM '{SF}/orders.parquet' GROUP BY 1"
+    )
+    spends = sorted((c, k) for k, c in rows)
+    n = len(spends)
+    tot = sum(c for c, _ in spends)
+    hoover = sum(abs(n * c - tot) for c, _ in spends) / (2.0 * n * tot)
+    got = QUERIES["hoover_index_customer_spend"](spark, SF).collect()[0]
+    assert got["n_customers"] == n
+    assert abs(got["hoover_index"] - hoover) < 1e-6
+
+    b = 4 * n // 10
+    t10 = n - n // 10
+    bot40 = sum(c for c, _ in spends[:b])
+    top10 = sum(c for c, _ in spends[t10:])
+    got = QUERIES["palma_ratio_customer_spend"](spark, SF).collect()[0]
+    assert got["n_customers"] == n
+    assert got["bottom40_cents"] == bot40
+    assert got["top10_cents"] == top10
+    assert abs(got["palma_ratio"] - top10 / bot40) < 1e-6

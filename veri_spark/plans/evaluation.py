@@ -1054,3 +1054,139 @@ def user_lorenz_curve(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+
+
+@register(
+    "hoover_index_customer_spend",
+    """
+    WITH s AS (SELECT o_custkey,
+                      SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                        AS cents
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS tot FROM s)
+    SELECT t.n AS n_customers,
+           ROUND(SUM(abs(t.n * CAST(s.cents AS DECIMAL(38,0)) - t.tot))::DOUBLE
+                 / (2.0 * t.n * t.tot), 6) AS hoover_index
+    FROM s CROSS JOIN t GROUP BY t.n, t.tot
+    """,
+)
+def hoover_index_customer_spend(spark, sf_dir):
+    """Hoover (Robin Hood) index of revenue concentration: the share of
+    total spend that would have to MOVE between customers to equalize
+    them — the most interpretable member of the inequality battery
+    (`customer_spend_gini` is area-based, `theil_index_decomposition`
+    is entropy-based, `atkinson_index_doclen` is welfare-based; Hoover
+    is the one an account manager can act on). H = sum |n*x_i - T| /
+    (2nT): the numerator is an EXACT integer per customer (no division
+    before the fold — the max-vertical-gap-of-Lorenz identity), so H
+    is one final division of exact DECIMALs — bit-exact, and unlike
+    Gini it needs NO ranking pass at all.
+
+    Scale: one corpus scan to customer grain + one broadcast 2-number
+    row + one map-side fold. The cheapest inequality number in the
+    repo."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    j = s.crossJoin(F.broadcast(t))
+    return (
+        j.groupBy("n", "tot")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n") * F.col("cents").cast("decimal(38,0)")
+                    - F.col("tot")
+                )
+            ).alias("num")
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("n") * F.col("tot")),
+                6,
+            ).alias("hoover_index"),
+        )
+    )
+
+
+@register(
+    "palma_ratio_customer_spend",
+    """
+    WITH s AS (SELECT o_custkey,
+                      SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                        AS cents
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+          FROM s),
+    t AS (SELECT COUNT(*)::BIGINT AS n FROM s),
+    agg AS (SELECT SUM(CASE WHEN r.i <= (4 * t.n) // 10
+                            THEN r.cents ELSE 0 END)::BIGINT AS bot40,
+                   SUM(CASE WHEN r.i > t.n - t.n // 10
+                            THEN r.cents ELSE 0 END)::BIGINT AS top10,
+                   MAX(t.n)::BIGINT AS n
+            FROM r CROSS JOIN t)
+    SELECT n AS n_customers, bot40 AS bottom40_cents, top10 AS top10_cents,
+           ROUND(top10::DOUBLE / bot40, 6) AS palma_ratio
+    FROM agg
+    """,
+)
+def palma_ratio_customer_spend(spark, sf_dir):
+    """Palma ratio of customer spend: top-10% share over bottom-40%
+    share — the inequality readout built on the empirical fact that
+    the middle 50% share is stable, so ALL the action is in the tails
+    (Palma 2011; the number development economists quote when Gini's
+    mid-distribution sensitivity blurs the story). Cutoffs are exact
+    integer ranks (floor(0.4n), n - floor(0.1n)) over the distributed
+    global ranking, tail sums are exact integer cents, and the ratio
+    is one final division.
+
+    Scale: customer-grain aggregate + the two-pass global_row_number
+    (no single-task sort), then one conditional fold."""
+    from veri_spark.operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = global_row_number(
+        s, [F.col("cents").asc(), F.col("o_custkey").asc()], rn_col="i"
+    )
+    t = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = r.crossJoin(F.broadcast(t))
+    agg = j.agg(
+        F.sum(
+            F.when(
+                F.col("i") <= F.floor(4 * F.col("n") / 10), F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bot40"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.floor(F.col("n") / 10),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top10"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("bot40").alias("bottom40_cents"),
+        F.col("top10").alias("top10_cents"),
+        F.round(F.col("top10").cast("double") / F.col("bot40"), 6).alias(
+            "palma_ratio"
+        ),
+    )

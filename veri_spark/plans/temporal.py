@@ -2041,3 +2041,131 @@ def cooks_distance_daily(spark, sf_dir):
         .limit(5)
         .select("day", F.round("cd", 6).alias("cooks_d"), F.round("h", 6).alias("leverage"))
     )
+
+
+@register(
+    "spectral_entropy_hourly",
+    f"""
+    WITH {_HOURLY_SPINE_SQL},
+    periods AS (SELECT unnest(range(2, 49))::INT AS period),
+    tot AS (SELECT COUNT(*)::BIGINT AS t, SUM(n)::BIGINT AS s FROM x),
+    trig AS (SELECT p.period,
+                    SUM(CAST(round(1e9 * x.n * cos({_TWO_PI!r} * x.hi
+                                                   / p.period))
+                        AS DECIMAL(38,0))) AS ec,
+                    SUM(CAST(round(1e9 * x.n * sin({_TWO_PI!r} * x.hi
+                                                   / p.period))
+                        AS DECIMAL(38,0))) AS es,
+                    SUM(CAST(round(1e9 * cos({_TWO_PI!r} * x.hi / p.period))
+                        AS DECIMAL(38,0))) AS sc,
+                    SUM(CAST(round(1e9 * sin({_TWO_PI!r} * x.hi / p.period))
+                        AS DECIMAL(38,0))) AS ss
+             FROM x CROSS JOIN periods p GROUP BY p.period),
+    pw AS (SELECT t.period,
+                  CAST(round(
+                    (t.ec::DOUBLE / 1e9
+                     - (tt.s::DOUBLE / tt.t) * (t.sc::DOUBLE / 1e9))
+                    * (t.ec::DOUBLE / 1e9
+                       - (tt.s::DOUBLE / tt.t) * (t.sc::DOUBLE / 1e9))
+                    + (t.es::DOUBLE / 1e9
+                       - (tt.s::DOUBLE / tt.t) * (t.ss::DOUBLE / 1e9))
+                      * (t.es::DOUBLE / 1e9
+                         - (tt.s::DOUBLE / tt.t) * (t.ss::DOUBLE / 1e9)))
+                    AS BIGINT) AS pwr
+           FROM trig t CROSS JOIN tot tt),
+    tp AS (SELECT SUM(pwr)::BIGINT AS tp FROM pw WHERE pwr > 0),
+    h AS (SELECT SUM(CAST(round(1e12 * (pw.pwr::DOUBLE / tp.tp)
+                                * ln(pw.pwr::DOUBLE / tp.tp))
+                    AS DECIMAL(38,0))) AS hsum,
+                 COUNT(*)::BIGINT AS n_periods
+          FROM pw CROSS JOIN tp WHERE pw.pwr > 0),
+    peak AS (SELECT period FROM pw ORDER BY pwr DESC, period ASC LIMIT 1)
+    SELECT h.n_periods, peak.period AS peak_period,
+           ROUND(-(h.hsum::DOUBLE) / 1e12, 6) AS spectral_entropy_nats,
+           ROUND(-(h.hsum::DOUBLE) / 1e12 / ln(h.n_periods::DOUBLE), 6)
+             AS spectral_entropy_norm
+    FROM h CROSS JOIN peak
+    """,
+)
+def spectral_entropy_hourly(spark, sf_dir):
+    """Spectral entropy of the hourly event-count series over the
+    2..48-hour period grid — ONE number for "how concentrated is the
+    rhythm?" where `spectral_peak_hourly` reports four raw powers and
+    `hourly_seasonality_strength` one ratio: entropy near 0 means one
+    dominant cycle (a healthy daily pulse), near 1 (normalized) means
+    white noise or a broken timestamp pipeline. Same nano-quantized
+    trig fold as the periodogram (mean-corrected power per period,
+    rounded to an exact BIGINT); shares are exact-integer ratios; each
+    p*ln(p) term is pico-quantized BEFORE the fold so the 47-term sum
+    is order-proof (the ljung-box femto idiom), and the one ln rides
+    the tfidf discipline.
+
+    Scale: one corpus scan to the hour spine; the trig fold is
+    spine x 47 rows, generated, never corpus-grain."""
+    x = _hourly_counts(spark, sf_dir)
+    periods = spark.range(2, 49).select(
+        F.col("id").cast("int").alias("period")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    ang = F.lit(_TWO_PI) * F.col("hi") / F.col("period")
+    trig = (
+        x.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e9) * F.col("n") * F.cos(ang)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("ec"),
+            F.sum(
+                F.round(F.lit(1e9) * F.col("n") * F.sin(ang)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("es"),
+            F.sum(F.round(F.lit(1e9) * F.cos(ang)).cast("decimal(38,0)")).alias(
+                "sc"
+            ),
+            F.sum(F.round(F.lit(1e9) * F.sin(ang)).cast("decimal(38,0)")).alias(
+                "ss"
+            ),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("t")
+    re = F.col("ec").cast("double") / F.lit(1e9) - mean * (
+        F.col("sc").cast("double") / F.lit(1e9)
+    )
+    im = F.col("es").cast("double") / F.lit(1e9) - mean * (
+        F.col("ss").cast("double") / F.lit(1e9)
+    )
+    pw = trig.crossJoin(F.broadcast(tot)).select(
+        "period", F.round(re * re + im * im).cast("bigint").alias("pwr")
+    )
+    tp = pw.filter(F.col("pwr") > 0).agg(
+        F.sum("pwr").cast("bigint").alias("tp")
+    )
+    share = F.col("pwr").cast("double") / F.col("tp")
+    h = (
+        pw.crossJoin(F.broadcast(tp))
+        .filter(F.col("pwr") > 0)
+        .agg(
+            F.sum(
+                F.round(F.lit(1e12) * share * F.log(share)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("hsum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        )
+    )
+    peak = pw.orderBy(F.col("pwr").desc(), F.col("period").asc()).limit(1)
+    ent = -(F.col("hsum").cast("double")) / F.lit(1e12)
+    return h.crossJoin(F.broadcast(peak.select("period"))).select(
+        "n_periods",
+        F.col("period").alias("peak_period"),
+        F.round(ent, 6).alias("spectral_entropy_nats"),
+        F.round(
+            ent / F.log(F.col("n_periods").cast("double")), 6
+        ).alias("spectral_entropy_norm"),
+    )
