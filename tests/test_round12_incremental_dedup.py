@@ -136,3 +136,55 @@ def test_simhash_incremental_equals_batch_restricted(spark, tmp_path):
     )
     assert inc == restricted
     assert len(inc) > 0
+
+
+def test_dedup_stream_matches_batch_path(spark, tmp_path):
+    """Two micro-batches through dedup_stream must produce exactly the
+    union of batch1-vs-corpus and batch2-vs-(corpus+batch1) candidates,
+    with the index fresh and the corpus complete at the end."""
+    docs, delta, corpus = _slices(spark)
+    b1 = delta.filter(F.col("doc_id") % 2 == 0)
+    b2 = delta.filter(F.col("doc_id") % 2 == 1)
+
+    src = tmp_path / "src"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    # one file per micro-batch: a real 2-batch stream, not one big batch
+    import glob
+    import shutil
+
+    files = sorted(
+        glob.glob(str(src / "b1" / "*.parquet"))
+        + glob.glob(str(src / "b2" / "*.parquet"))
+    )
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, f in enumerate(files):
+        shutil.copy(f, stream_dir / f"{i}.parquet")
+
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("documents", corpus)
+    store.dedup_index_refresh("documents")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    matches = store.dedup_stream("documents", stream)
+
+    got = sorted(map(tuple, spark.read.parquet(matches).collect()))
+
+    ref = FeatureStore(spark, str(tmp_path / "ref"), use_delta=False)
+    ref.put_corpus("documents", corpus)
+    ref.dedup_index_refresh("documents")
+    exp1 = _pairs(ref.dedup_delta_candidates("documents", b1))
+    ref.put_corpus("documents", corpus.unionByName(b1))
+    ref.dedup_index_refresh("documents")
+    exp2 = _pairs(ref.dedup_delta_candidates("documents", b2))
+    assert got == sorted(exp1 + exp2)
+    assert len(got) > 0
+
+    # corpus complete, index fresh (no stale fallback at the end)
+    assert store._read("documents").count() == docs.count()
+    assert store._dedup_indexed("documents") is not None

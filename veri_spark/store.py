@@ -1052,6 +1052,59 @@ class FeatureStore:
             delta_sim, index_sim, id_col, max_hamming
         )
 
+    def append_corpus(self, name: str, df: DataFrame) -> None:
+        """Append a shard to a corpus table (parquet append — at
+        production scale a Delta/Iceberg transactional append). Bumps the
+        mutation stamp, so the signature index reads stale until the next
+        ``dedup_index_refresh`` (which then carries all unchanged docs
+        forward and signs only the new shard)."""
+        df.write.mode("append").parquet(self._data_path(name))
+        self._bump_mutation(name)
+        self._invalidate_count(name)
+
+    def dedup_stream(
+        self,
+        name: str,
+        stream: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        timeout_s: int = 120,
+    ) -> str:
+        """STREAMING shard ingest with per-micro-batch incremental dedup —
+        the production loop the batch ``dedup_delta_candidates`` path
+        exists for, run continuously (the reference's continuously-
+        accepting Insert + periodic Process rebuild, node/nodeservice.go:
+        35-51 + data/newsync.go:147-222, fused per batch): each
+        micro-batch (1) dedups against the CURRENT persisted signature
+        index (delta-cost: only the batch is shingled), appending the
+        ``(delta_doc, corpus_doc)`` candidates to ``<name>.dedup_matches``;
+        (2) appends the batch to the corpus; (3) refreshes the index
+        INCREMENTALLY — the fingerprint carry-forward makes the refresh
+        batch-sized, so steady-state cost per batch is O(batch) signature
+        work + one fp join, never a corpus re-shingle. availableNow
+        drains the source then stops (swap the trigger in production).
+        Returns the matches path."""
+        matches = f"{self.root}/{name}.dedup_matches"
+
+        def _step(batch_df: DataFrame, _batch_id: int) -> None:
+            batch = batch_df.select(id_col, text_col)
+            if os.path.exists(self._data_path(name)):
+                cand = self.dedup_delta_candidates(name, batch, id_col, text_col)
+                cand.write.mode("append").parquet(matches)
+            self.append_corpus(name, batch)
+            self.dedup_index_refresh(name, id_col, text_col)
+
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option(
+                "checkpointLocation", f"{self.root}/{name}.dedup_checkpoint"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        return matches
+
     # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
     def _cached_result(self, key: str, max_age_s: int) -> DataFrame | None:
         path = f"{self.root}/_cache/{key}"
