@@ -390,6 +390,12 @@ BENCH_QUERIES = [
     "hoover_index_customer_spend",
     "palma_ratio_customer_spend",
     "spectral_entropy_hourly",
+    # round-12 batch G: dependence-robust FDR, OR-homogeneity,
+    # walk-counting centrality, phrase keyword extraction
+    "by_weekday_conversion_fdr",
+    "breslow_day_weekend_or",
+    "graph_katz_centrality",
+    "rake_keyword_phrases",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

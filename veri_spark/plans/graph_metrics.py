@@ -255,3 +255,61 @@ def graph_label_propagation(spark, sf_dir):
         topk(sizes, "n_members", 10, higher_is_better=True, tie_cols=["lab"])
         .select(F.col("lab").alias("community_label"), "n_members")
     )
+
+
+@register(
+    "graph_katz_centrality",
+    f"""
+    WITH {_EDGES_SQL},
+    k0 AS (SELECT u, 1000000::BIGINT AS x FROM deg),
+    s1 AS (SELECT und.u, SUM(k0.x)::BIGINT AS s FROM und
+           JOIN k0 ON k0.u = und.v GROUP BY und.u),
+    k1 AS (SELECT u, 1000000 + (2 * s + 16) // 32 AS x FROM s1),
+    s2 AS (SELECT und.u, SUM(k1.x)::BIGINT AS s FROM und
+           JOIN k1 ON k1.u = und.v GROUP BY und.u),
+    k2 AS (SELECT u, 1000000 + (2 * s + 16) // 32 AS x FROM s2),
+    s3 AS (SELECT und.u, SUM(k2.x)::BIGINT AS s FROM und
+           JOIN k2 ON k2.u = und.v GROUP BY und.u),
+    k3 AS (SELECT u, 1000000 + (2 * s + 16) // 32 AS x FROM s3)
+    SELECT u AS node, x AS katz_micro
+    FROM k3 ORDER BY x DESC, u ASC LIMIT 20
+    """,
+)
+def graph_katz_centrality(spark, sf_dir):
+    """Katz centrality (1953), three unrolled iterations of
+    x <- 1 + alpha * A x with alpha = 1/16, top-20 nodes — the
+    walk-counting influence measure between degree (walks of length 1)
+    and eigenvector/PageRank (the limit): Katz pays every walk,
+    damped geometrically, WITHOUT PageRank's out-degree normalization,
+    so a node adjacent to hubs scores high even if those hubs spread
+    their endorsement thin. alpha = 1/16 is an EXACT binary fraction,
+    so the whole recursion stays in integer micro units:
+    x_{{t+1}} = 1e6 + (2*S + 16) // 32 realizes round-half-up of S/16
+    in pure BIGINT arithmetic — bit-exact cross-engine with NO
+    quantization drift across iterations (the kmeans_lloyd_micro
+    discipline applied to an iterative graph recursion; values stay
+    < 2^53 through 3 iterations at any fixture SF, switch to DECIMAL
+    beyond). alpha < 1/lambda_max holds on this graph, so the
+    truncated series is the convergent prefix.
+
+    Scale: each iteration is ONE hash aggregation of the
+    both-direction edge list joined to the node-grain score frame —
+    the LPA/PageRank shape; iterations add scans, never new joins."""
+    _, und, deg = _copurchase_graph(spark, sf_dir)
+    x = deg.select("u", F.lit(1000000).cast("bigint").alias("x"))
+    for _ in range(3):
+        s = (
+            und.join(x.select(F.col("u").alias("v"), "x"), "v")
+            .groupBy("u")
+            .agg(F.sum("x").cast("bigint").alias("s"))
+        )
+        x = s.select(
+            "u",
+            (
+                F.lit(1000000)
+                + F.expr("(2 * s + 16) div 32")
+            ).cast("bigint").alias("x"),
+        )
+    return topk(x, "x", 20, higher_is_better=True, tie_cols=["u"]).select(
+        F.col("u").alias("node"), F.col("x").alias("katz_micro")
+    )

@@ -1622,3 +1622,246 @@ def jonckheere_terpstra_priority_trend(spark, sf_dir):
             6,
         ).alias("z_jt"),
     )
+
+
+from veri_spark.plans.events_behavior import (  # noqa: E402
+    _WEEKDAY_Z_SQL,
+    _acklam_probit,
+    _weekday_z_frame,
+)
+
+# Benjamini-Yekutieli thresholds: BH with q deflated by the harmonic
+# factor c(m) = sum_{i<=m} 1/i — Python-precomputed Acklam literals over
+# every (rank, m) pair, exactly like the Holm/BH tables.
+_BY_Z = {
+    (i, m): _acklam_probit(
+        1 - 0.05 * i / (2 * m * sum(1.0 / j for j in range(1, m + 1)))
+    )
+    for m in range(1, 8)
+    for i in range(1, m + 1)
+}
+_BY_SQL_ROWS = ", ".join(
+    f"({i}, {m}, {z!r}, {round(z * 1e6)})" for (i, m), z in _BY_Z.items()
+)
+
+
+@register(
+    "by_weekday_conversion_fdr",
+    _WEEKDAY_Z_SQL
+    + f""",
+    thr AS (SELECT * FROM (VALUES {_BY_SQL_ROWS})
+            AS v(i, mm, zthr, zthr_micro)),
+    rt AS (SELECT z.*, r.rnk, thr.zthr, thr.zthr_micro
+           FROM z JOIN r USING (dow) CROSS JOIN m
+           JOIN thr ON thr.i = r.rnk AND thr.mm = m.m),
+    istar AS (SELECT COALESCE(MAX(CASE WHEN abs(zval) >= zthr
+                                       THEN rnk END), 0)::BIGINT AS i_max
+              FROM rt)
+    SELECT rt.dow, ROUND(rt.zval, 6) AS z_score,
+           rt.rnk AS by_rank,
+           rt.zthr_micro::BIGINT AS z_threshold_micro,
+           istar.i_max AS max_rejected_rank,
+           rt.rnk <= istar.i_max AS rejected
+    FROM rt CROSS JOIN istar
+    ORDER BY rt.rnk ASC
+    """,
+)
+def by_weekday_conversion_fdr(spark, sf_dir):
+    """Benjamini-Yekutieli FDR control over the per-weekday A/A z-tests —
+    the DEPENDENCE-ROBUST sibling of `bh_weekday_conversion_fdr`: BH's
+    FDR guarantee assumes independent (or PRDS) tests, but weekday
+    segments of the same user population are arbitrarily correlated;
+    BY restores the guarantee under ANY dependence by deflating q with
+    the harmonic factor c(m) = sum 1/i (Benjamini-Yekutieli 2001) — the
+    price is stricter thresholds, visible here side by side with BH on
+    the SAME ranked frame. Running Holm (FWER), BH (FDR-independent)
+    and BY (FDR-any-dependence) on one frame is the textbook
+    strictness ladder.
+
+    Determinism + scale: identical machinery to BH — the <= 7-cell
+    shared z frame, triangular rank fold, Python-precomputed Acklam
+    thresholds over every (rank, m) pair (c(m) folded into the
+    quantile argument at table-build time, so the engines see only
+    literals), one bounded MAX for the step-up cutoff."""
+    z, m, r = _weekday_z_frame(spark, sf_dir)
+    thr_z = F.create_map(
+        *[
+            F.lit(x)
+            for (i, mm), v in _BY_Z.items()
+            for x in (f"{i}|{mm}", v)
+        ]
+    )
+    thr_mic = F.create_map(
+        *[
+            F.lit(x)
+            for (i, mm), v in _BY_Z.items()
+            for x in (f"{i}|{mm}", round(v * 1e6))
+        ]
+    )
+    key = F.concat_ws("|", F.col("rnk").cast("string"), F.col("m").cast("string"))
+    rt = (
+        z.join(r, "dow")
+        .crossJoin(F.broadcast(m))
+        .withColumn("zthr", thr_z[key])
+        .withColumn("zthr_micro", thr_mic[key].cast("bigint"))
+    )
+    istar = rt.agg(
+        F.coalesce(
+            F.max(F.when(F.abs(F.col("zval")) >= F.col("zthr"), F.col("rnk"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("i_max")
+    )
+    return (
+        rt.crossJoin(F.broadcast(istar))
+        .select(
+            "dow",
+            F.round("zval", 6).alias("z_score"),
+            F.col("rnk").alias("by_rank"),
+            F.col("zthr_micro").alias("z_threshold_micro"),
+            F.col("i_max").alias("max_rejected_rank"),
+            (F.col("rnk") <= F.col("i_max")).alias("rejected"),
+        )
+        .orderBy(F.col("by_rank").asc())
+    )
+
+
+@register(
+    "breslow_day_weekend_or",
+    """
+    WITH e AS (SELECT month(ts)::BIGINT AS stratum,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                        AS wk,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS conv
+               FROM events),
+    g AS (SELECT stratum,
+                 SUM(wk * conv)::BIGINT AS a,
+                 SUM(wk * (1 - conv))::BIGINT AS b,
+                 SUM((1 - wk) * conv)::BIGINT AS c,
+                 SUM((1 - wk) * (1 - conv))::BIGINT AS d
+          FROM e GROUP BY stratum
+          HAVING SUM(wk * conv) + SUM(wk * (1 - conv))
+                 + SUM((1 - wk) * conv) + SUM((1 - wk) * (1 - conv)) > 0),
+    q AS (SELECT *,
+                 CAST(FLOOR(1e6 * (a * d) / ((a + b + c + d) * 1.0) + 0.5)
+                      AS BIGINT) AS num_micro,
+                 CAST(FLOOR(1e6 * (b * c) / ((a + b + c + d) * 1.0) + 0.5)
+                      AS BIGINT) AS den_micro
+          FROM g),
+    psi AS (SELECT SUM(num_micro)::DOUBLE / SUM(den_micro) AS psi,
+                   COUNT(*)::BIGINT AS n_strata
+            FROM q),
+    cell AS (SELECT q.a, q.stratum,
+                    (q.a + q.b)::DOUBLE AS n1, (q.a + q.c)::DOUBLE AS m1,
+                    (q.a + q.b + q.c + q.d)::DOUBLE AS nn, psi.psi
+             FROM q CROSS JOIN psi),
+    ev AS (SELECT stratum, a, psi,
+                  (psi * (n1 + m1) + (nn - n1 - m1)) AS bb,
+                  (psi - 1.0) AS aa,
+                  psi * n1 * m1 AS cc,
+                  n1, m1, nn
+           FROM cell),
+    ex AS (SELECT stratum, a, n1, m1, nn,
+                  CASE WHEN abs(aa) < 1e-12 THEN n1 * m1 / nn
+                       ELSE (bb - sqrt(bb * bb - 4.0 * aa * cc))
+                            / (2.0 * aa) END AS ee
+           FROM ev),
+    t AS (SELECT SUM((a - ee) * (a - ee)
+                     * (1.0 / ee + 1.0 / (n1 - ee) + 1.0 / (m1 - ee)
+                        + 1.0 / (nn - n1 - m1 + ee))) AS x2
+          FROM ex)
+    SELECT psi.n_strata, ROUND(psi.psi, 6) AS or_mh,
+           ROUND(t.x2, 6) AS x2_breslow_day
+    FROM psi CROSS JOIN t
+    """,
+)
+def breslow_day_weekend_or(spark, sf_dir):
+    """Breslow-Day homogeneity test (1980) for the weekend-conversion
+    odds ratio across month strata — the check
+    `mantel_haenszel_weekend_or` PRESUPPOSES: MH pools a common OR, but
+    pooling is only licensed if the per-stratum ORs are homogeneous;
+    Breslow-Day scores each stratum's observed cell a against its
+    expected value under the pooled OR (the root of a quadratic — the
+    conditional expectation given the margins) over the exact variance,
+    X^2 ~ chi2(K-1) under homogeneity. The pooled psi is the SAME
+    micro-quantized MH ratio the MH query reports (exact integer sums,
+    one division); per-stratum E is the closed-form quadratic root and
+    V the harmonic of the four fitted cells — fixed-order doubles of
+    exact integers, identical trees in both engines (the psi = 1
+    degenerate branch guarded by an explicit integer-comparison CASE).
+
+    Scale: one corpus scan to a 12-row (month) cell frame; everything
+    after is bounded arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.month("ts").cast("bigint").alias("stratum"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    g = e.groupBy("stratum").agg(
+        F.sum(F.col("wk") * F.col("conv")).cast("bigint").alias("a"),
+        F.sum(F.col("wk") * (1 - F.col("conv"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("wk")) * F.col("conv")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("wk")) * (1 - F.col("conv")))
+        .cast("bigint")
+        .alias("d"),
+    ).filter(F.col("a") + F.col("b") + F.col("c") + F.col("d") > 0)
+    nn_i = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) * F.lit(1.0)
+    q = g.select(
+        "*",
+        F.floor(F.lit(1e6) * (F.col("a") * F.col("d")) / nn_i + F.lit(0.5))
+        .cast("bigint")
+        .alias("num_micro"),
+        F.floor(F.lit(1e6) * (F.col("b") * F.col("c")) / nn_i + F.lit(0.5))
+        .cast("bigint")
+        .alias("den_micro"),
+    )
+    psi = q.agg(
+        (
+            F.sum("num_micro").cast("double") / F.sum("den_micro")
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+    )
+    cell = q.crossJoin(F.broadcast(psi)).select(
+        "stratum",
+        "a",
+        "psi",
+        (F.col("a") + F.col("b")).cast("double").alias("n1"),
+        (F.col("a") + F.col("c")).cast("double").alias("m1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("double")
+        .alias("nn"),
+    )
+    bb = F.col("psi") * (F.col("n1") + F.col("m1")) + (
+        F.col("nn") - F.col("n1") - F.col("m1")
+    )
+    aa = F.col("psi") - F.lit(1.0)
+    cc = F.col("psi") * F.col("n1") * F.col("m1")
+    ee = F.when(
+        F.abs(aa) < F.lit(1e-12), F.col("n1") * F.col("m1") / F.col("nn")
+    ).otherwise(
+        (bb - F.sqrt(bb * bb - F.lit(4.0) * aa * cc)) / (F.lit(2.0) * aa)
+    )
+    ex = cell.select("stratum", "a", "n1", "m1", "nn", ee.alias("ee"))
+    t = ex.agg(
+        F.sum(
+            (F.col("a") - F.col("ee"))
+            * (F.col("a") - F.col("ee"))
+            * (
+                F.lit(1.0) / F.col("ee")
+                + F.lit(1.0) / (F.col("n1") - F.col("ee"))
+                + F.lit(1.0) / (F.col("m1") - F.col("ee"))
+                + F.lit(1.0)
+                / (F.col("nn") - F.col("n1") - F.col("m1") + F.col("ee"))
+            )
+        ).alias("x2")
+    )
+    return psi.crossJoin(F.broadcast(t)).select(
+        "n_strata",
+        F.round("psi", 6).alias("or_mh"),
+        F.round("x2", 6).alias("x2_breslow_day"),
+    )

@@ -1752,3 +1752,123 @@ def yules_k_by_source(spark, sf_dir):
             6,
         ).alias("yules_k"),
     ).orderBy(F.col("source").asc())
+
+
+@register(
+    "rake_keyword_phrases",
+    f"""
+    WITH tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+                        unnest(ws) AS t
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents)),
+    flg AS (SELECT doc_id, pos, t,
+                   CASE WHEN t IN ({EN_STOPWORDS_SQL}) THEN 1 ELSE 0
+                   END AS stop
+            FROM tok),
+    runs AS (SELECT doc_id, pos, t, stop,
+                    SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos ASC)
+                      AS run
+             FROM flg),
+    pw AS (SELECT doc_id, run, pos, t FROM runs WHERE stop = 0),
+    phr AS (SELECT doc_id, run,
+                   string_agg(t, ' ' ORDER BY pos) AS phrase,
+                   COUNT(*)::BIGINT AS len
+            FROM pw GROUP BY doc_id, run),
+    wstat AS (SELECT pw.t, COUNT(*)::BIGINT AS freq,
+                     SUM(phr.len)::BIGINT AS deg
+              FROM pw JOIN phr USING (doc_id, run)
+              GROUP BY pw.t),
+    wscore AS (SELECT t,
+                      CAST(FLOOR(1e6 * deg / (freq * 1.0) + 0.5) AS BIGINT)
+                        AS score_micro
+               FROM wstat),
+    uniq AS (SELECT phrase, COUNT(*)::BIGINT AS n_occurrences
+             FROM phr GROUP BY phrase),
+    scored AS (SELECT u.phrase, u.n_occurrences,
+                      COUNT(*)::BIGINT AS n_words,
+                      SUM(ws.score_micro)::BIGINT AS score_micro
+               FROM uniq u,
+                    unnest(string_split(u.phrase, ' ')) AS w(t)
+               JOIN wscore ws ON ws.t = w.t
+               GROUP BY u.phrase, u.n_occurrences)
+    SELECT phrase, n_words, n_occurrences, score_micro
+    FROM scored ORDER BY score_micro DESC, phrase ASC LIMIT 15
+    """,
+)
+def rake_keyword_phrases(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: the
+    top-15 candidate phrases by the classic degree/frequency word
+    score — the unsupervised keyword extractor every document-
+    triage pipeline runs before anything model-based (`tfidf_top_terms`
+    ranks single tokens by corpus contrast; RAKE ranks multi-word
+    PHRASES by internal co-occurrence, which is where named entities
+    and technical terms live). Candidate phrases are maximal stopword-
+    free token runs — computed with a doc-bounded prefix count of stop
+    flags (run id), never a regex split, so both engines segment
+    IDENTICALLY; deg(w) = sum of the lengths of phrase occurrences
+    containing w, freq(w) = occurrence count; each word score is
+    micro-quantized to an exact integer BEFORE the per-phrase fold, so
+    phrase scores are order-proof integer sums.
+
+    Scale: one token explode with a doc-partitioned running sum, three
+    hash aggregations (phrase build, word stats, phrase scores) — all
+    partial-aggregated; top-15 is a bounded TakeOrdered."""
+    from veri_spark.functions.text import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    flg = tok.withColumn(
+        "stop", F.when(F.col("t").isin(*EN_STOPWORDS), 1).otherwise(0)
+    )
+    runw = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    runs = flg.withColumn("run", F.sum("stop").over(runw))
+    pw = runs.filter(F.col("stop") == 0).select("doc_id", "run", "pos", "t")
+    phr = pw.groupBy("doc_id", "run").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    wstat = (
+        pw.join(phr, ["doc_id", "run"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("len").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "t",
+        F.floor(
+            F.lit(1e6) * F.col("deg") / (F.col("freq") * F.lit(1.0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    uniq = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    scored = (
+        uniq.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("t"),
+        )
+        .join(wscore, "t")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    out = topk(
+        scored, "score_micro", 15, higher_is_better=True, tie_cols=["phrase"]
+    )
+    return out.select("phrase", "n_words", "n_occurrences", "score_micro")
