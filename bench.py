@@ -396,6 +396,7 @@ BENCH_QUERIES = [
     "breslow_day_weekend_or",
     "graph_katz_centrality",
     "rake_keyword_phrases",
+    "weibull_shape_time_to_purchase",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -140,3 +140,36 @@ def test_rake_brute(spark):
     for r in got:
         assert r["n_occurrences"] == uniq[r["phrase"]]
         assert r["n_words"] == len(r["phrase"].split(" "))
+
+
+def test_weibull_shape_brute(spark):
+    rows = fetch(
+        f"""
+        SELECT ((pu - fu) // 3600000000 + 1)::BIGINT
+        FROM (SELECT MIN(epoch_us(ts::TIMESTAMP)) AS fu,
+                     MIN(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts::TIMESTAMP) END) AS pu
+              FROM '{SF}/events.parquet' GROUP BY user_id)
+        WHERE pu IS NOT NULL
+        """
+    )
+    ts = sorted(int(r[0]) for r in rows)
+    n = len(ts)
+    xs, ys = [], []
+    for i, t in enumerate(ts, start=1):
+        f = (i - 0.3) / (n + 0.4)
+        xs.append(math.floor(1e6 * math.log(t) + 0.5))
+        ys.append(math.floor(1e6 * math.log(-math.log(1 - f)) + 0.5))
+    m = n
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = m * sxy - sx * sy
+    shape = num / (m * sxx - sx * sx)
+    r2 = num * num / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+
+    got = QUERIES["weibull_shape_time_to_purchase"](spark, SF).collect()[0]
+    assert got["n_uncensored"] == n
+    assert abs(got["weibull_shape"] - shape) < 1e-6
+    assert abs(got["fit_r2"] - r2) < 1e-6

@@ -1190,3 +1190,124 @@ def palma_ratio_customer_spend(spark, sf_dir):
             "palma_ratio"
         ),
     )
+
+
+@register(
+    "weibull_shape_time_to_purchase",
+    """
+    WITH u AS (SELECT user_id,
+                      MIN(epoch_us(ts::TIMESTAMP)) AS fu,
+                      MIN(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts::TIMESTAMP) END) AS pu
+               FROM events GROUP BY user_id),
+    d AS (SELECT ((pu - fu) // 3600000000 + 1)::BIGINT AS t
+          FROM u WHERE pu IS NOT NULL),
+    g AS (SELECT t, COUNT(*)::BIGINT AS c FROM d GROUP BY t),
+    r AS (SELECT t, c, SUM(c) OVER (ORDER BY t ASC)::BIGINT AS cc FROM g),
+    n AS (SELECT SUM(c)::BIGINT AS n FROM g),
+    obs AS (SELECT r.t, unnest(generate_series(r.cc - r.c + 1, r.cc)) AS i
+            FROM r),
+    xy AS (SELECT CAST(FLOOR(1e6 * ln(obs.t::DOUBLE) + 0.5) AS BIGINT) AS x,
+                  CAST(FLOOR(1e6 * ln(-ln(1.0 - (obs.i - 0.3)
+                                                / (n.n + 0.4))) + 0.5)
+                       AS BIGINT) AS y
+           FROM obs CROSS JOIN n),
+    s AS (SELECT COUNT(*)::BIGINT AS m,
+                 SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+          FROM xy)
+    SELECT m AS n_uncensored,
+           ROUND((m * sxy::DOUBLE - sx::DOUBLE * sy)
+                 / (m * sxx::DOUBLE - sx::DOUBLE * sx), 6) AS weibull_shape,
+           ROUND((m * sxy::DOUBLE - sx::DOUBLE * sy)
+                 * (m * sxy::DOUBLE - sx::DOUBLE * sy)
+                 / ((m * sxx::DOUBLE - sx::DOUBLE * sx)
+                    * (m * syy::DOUBLE - sy::DOUBLE * sy)), 6) AS fit_r2
+    FROM s
+    """,
+)
+def weibull_shape_time_to_purchase(spark, sf_dir):
+    """Weibull shape parameter of time-to-first-purchase by median-rank
+    regression (Benard's approximation) — the PARAMETRIC completion of
+    the survival battery: `kaplan_meier_time_to_purchase` is
+    distribution-free, but capacity planning wants the one-parameter
+    verdict shape < 1 (conversion hazard decays — convert-early-or-
+    never) vs shape > 1 (hazard grows — slow-burn converters). Fit:
+    ln(-ln(1 - F_i)) on ln(t_i) over the uncensored conversion lags
+    (+1 hour so ln is defined at lag 0), F_i = (i - 0.3)/(n + 0.4).
+    Both coordinates are micro-quantized to exact integers BEFORE the
+    regression (the tfidf ln discipline), so the five OLS sums fold
+    exactly and slope/r^2 are fixed-order doubles of integers.
+
+    Scale: user-grain scan -> hour-grain lag frame (<= 48 distinct
+    values); the per-observation rank explode is bounded by the
+    uncensored count and exists only to realize Benard's per-rank
+    plotting positions; the prefix scan rides the tiny t frame."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("fu"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("pu"),
+    )
+    d = u.filter(F.col("pu").isNotNull()).select(
+        (
+            F.floor((F.col("pu") - F.col("fu")) / 3600000000) + 1
+        ).cast("bigint").alias("t")
+    )
+    g = d.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    r = global_prefix_agg(g, [F.col("t").asc()], "c", out_col="cc")
+    n = g.agg(F.sum("c").cast("bigint").alias("n"))
+    obs = r.select(
+        "t",
+        F.explode(
+            F.sequence(F.col("cc") - F.col("c") + 1, F.col("cc"))
+        ).alias("i"),
+    )
+    xy = obs.crossJoin(F.broadcast(n)).select(
+        F.floor(F.lit(1e6) * F.log(F.col("t").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                -F.log(
+                    F.lit(1.0)
+                    - (F.col("i") - F.lit(0.3)) / (F.col("n") + F.lit(0.4))
+                )
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    m = F.col("m")
+    num = m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    )
+    dxx = m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    )
+    dyy = m * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    )
+    return s.select(
+        m.alias("n_uncensored"),
+        F.round(num / dxx, 6).alias("weibull_shape"),
+        F.round(num * num / (dxx * dyy), 6).alias("fit_r2"),
+    )
