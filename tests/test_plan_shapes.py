@@ -214,3 +214,55 @@ def test_weighted_quantiles_single_exchange(spark):
     exchange."""
     c = plan_counts(QUERIES["weighted_length_quantiles"](spark, SF_DIR))
     assert c["exchanges"] <= 1
+
+
+def test_round12_no_corpus_grain_windows(spark):
+    """Round-12 pins: the new statistical queries must carry NO
+    unpartitioned window at all (their ordered steps ride
+    global_prefix_agg / global_row_number or calendar-bounded frames
+    that plan as partitioned windows or joins), and the incremental
+    dedup candidates must plan no cartesian shape."""
+    plan_re = re.compile(r"Window \[(?![^\]]*partition)")
+    for q in (
+        "brunner_munzel_weekend_value",
+        "jonckheere_terpstra_priority_trend",
+        "kpss_daily_revenue",
+        "delta_method_ratio_ci",
+        "hoover_index_customer_spend",
+    ):
+        plan = (
+            QUERIES[q](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not plan_re.search(plan), q
+
+
+def test_incremental_dedup_candidates_no_cartesian(spark, tmp_path):
+    """The delta-vs-index band join must be an equi-join on
+    (band, band_key) — zero cartesian products / unbounded BNLJ."""
+    from veri_spark.functions.hashing import portable_hash64
+    from veri_spark.store import FeatureStore
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shard = portable_hash64(F.col("doc_id").cast("string")) % 10 == 7
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("documents", docs.filter(~shard))
+    store.dedup_index_refresh("documents")
+    out = store.dedup_delta_candidates("documents", docs.filter(shard))
+    c = plan_counts(out)
+    assert c["cartesian"] == 0 and c["bnlj"] == 0
+
+
+def test_katz_iterations_add_no_joins_beyond_lpa_shape(spark):
+    """Each Katz iteration is one hash agg of the edge list joined to the
+    node-grain score frame: 3 iterations must plan at most 2 exchanges
+    per iteration (edge-join shuffle + agg) plus the shared-edge build
+    and final top-k — pin a generous ceiling so a corpus-grain window
+    or pair blow-up cannot sneak in."""
+    c = plan_counts(QUERIES["graph_katz_centrality"](spark, SF_DIR))
+    assert c["cartesian"] == 0 and c["bnlj"] == 0
+    assert c["exchanges"] <= 12
