@@ -443,6 +443,16 @@ HEAVY_TWO_RUN = {
     "ann_ivfpq_trained_audit",
     # round-12: store writes like its minhash sibling
     "dedup_incremental_simhash",
+    # round-12: share the session graph frames (first run pays the edge
+    # build — same attribution convention as the rest of the family) or
+    # are explode-heavy corpus passes where a median-of-3 only re-prices
+    # the same scan
+    "graph_modularity_partition",
+    "graph_local_clustering_top",
+    "graph_label_propagation",
+    "graph_katz_centrality",
+    "kneser_ney_bigram_scores",
+    "rake_keyword_phrases",
 }
 
 # Round-9 (verdict task 6): the exact-triangle audits exist to price the
