@@ -57,7 +57,7 @@ def test_z975_literal_matches_acklam():
     """The 97.5% normal quantile literal re-derives from Acklam's
     approximation (the literals-match-formulas discipline shared with
     the QQ probit grid)."""
-    from veri_spark.plans.evaluation import _Z_975
+    from veri_spark.plans.evaluation_metrics import _Z_975
 
     # Acklam central-region coefficients (same as test_round8_eval.py)
     a = [-3.969683028665376e+01, 2.209460984245205e+02,
