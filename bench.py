@@ -397,6 +397,10 @@ BENCH_QUERIES = [
     "graph_katz_centrality",
     "rake_keyword_phrases",
     "weibull_shape_time_to_purchase",
+    # round-12 batch H: rank changepoint + sign trend + oscillation
+    "pettitt_changepoint_daily",
+    "cox_stuart_trend_daily",
+    "turning_points_daily",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -198,3 +198,80 @@ def test_hoover_palma_brute(spark):
     assert got["bottom40_cents"] == bot40
     assert got["top10_cents"] == top10
     assert abs(got["palma_ratio"] - top10 / bot40) < 1e-6
+
+
+def _midranks_list(values):
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(values):
+        j = i
+        while j + 1 < len(values) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        r = (i + j + 2) / 2.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = r
+        i = j + 1
+    return ranks
+
+
+def test_pettitt_brute(spark):
+    rows = _daily_cents()
+    xs = [c for _, c in rows]
+    n = len(xs)
+    # U_t from the definition, updated incrementally in O(n^2) total:
+    # moving x_t from the right set to the left set adds sgn(x_t - x_j)
+    # for the remaining right js and removes sgn(x_i - x_t) for prior is
+    best = None
+    u = 0
+    for t in range(1, n):
+        x = xs[t - 1]
+        u += sum(1 if x > xs[j] else -1 if x < xs[j] else 0 for j in range(t, n))
+        u -= sum(1 if xs[i] > x else -1 if xs[i] < x else 0 for i in range(t - 1))
+        key = (-abs(u), rows[t - 1][0].toordinal())
+        if best is None or key < best[0]:
+            best = (key, t, abs(u), rows[t - 1][0])
+    _, t, k, day = best
+    lnp = -6.0 * k * k / (n**3 + n**2)
+
+    got = QUERIES["pettitt_changepoint_daily"](spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert got["t_index"] == t and got["changepoint_day"] == day
+    assert got["k_stat"] == k
+    assert abs(got["ln_p_approx"] - lnp) < 1e-6
+
+
+def test_cox_stuart_brute(spark):
+    xs = [c for _, c in _daily_cents()]
+    n = len(xs)
+    h = n // 2
+    off = h + (n % 2)
+    plus = minus = 0
+    for t in range(h):
+        x1, x2 = xs[t], xs[t + off]
+        if x2 > x1:
+            plus += 1
+        elif x2 < x1:
+            minus += 1
+    m = plus + minus
+    z = (plus - m / 2.0) / math.sqrt(m / 4.0)
+    got = QUERIES["cox_stuart_trend_daily"](spark, SF).collect()[0]
+    assert got["n_plus"] == plus and got["n_minus"] == minus
+    assert abs(got["z_cox_stuart"] - z) < 1e-6
+
+
+def test_turning_points_brute(spark):
+    xs = [c for _, c in _daily_cents()]
+    n = len(xs)
+    tp = sum(
+        1
+        for t in range(1, n - 1)
+        if (xs[t] > xs[t - 1] and xs[t] > xs[t + 1])
+        or (xs[t] < xs[t - 1] and xs[t] < xs[t + 1])
+    )
+    e = 2.0 * (n - 2) / 3.0
+    z = (tp - e) / math.sqrt((16.0 * n - 29.0) / 90.0)
+    got = QUERIES["turning_points_daily"](spark, SF).collect()[0]
+    assert got["n_days"] == n and got["n_turning_points"] == tp
+    assert abs(got["expected_tp"] - e) < 1e-6
+    assert abs(got["z_turning"] - z) < 1e-6

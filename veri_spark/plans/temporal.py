@@ -2169,3 +2169,231 @@ def spectral_entropy_hourly(spark, sf_dir):
             ent / F.log(F.col("n_periods").cast("double")), 6
         ).alias("spectral_entropy_norm"),
     )
+
+
+@register(
+    "pettitt_changepoint_daily",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT day,
+                 row_number() OVER (ORDER BY day ASC) AS t,
+                 2 * (RANK() OVER (ORDER BY cents ASC) - 1)
+                 + COUNT(*) OVER (PARTITION BY cents) + 1 AS r2
+          FROM d),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM r),
+    u AS (SELECT r.day, r.t,
+                 2 * SUM(r.r2) OVER (ORDER BY r.t ASC)
+                 - 2 * r.t * (n.n + 1) AS u2
+          FROM r CROSS JOIN n),
+    k AS (SELECT day, t, u2, abs(u2) AS au FROM u CROSS JOIN n
+          WHERE t < n.n
+          ORDER BY abs(u2) DESC, day ASC LIMIT 1)
+    SELECT k.day AS changepoint_day, k.t AS t_index, n.n AS n_days,
+           ROUND(k.au / 2.0, 6) AS k_stat,
+           ROUND(-6.0 * (k.au / 2.0) * (k.au / 2.0)
+                 / (n.n * 1.0 * n.n * n.n + n.n * 1.0 * n.n), 6)
+             AS ln_p_approx
+    FROM k CROSS JOIN n
+    """,
+)
+def pettitt_changepoint_daily(spark, sf_dir):
+    """Pettitt's nonparametric changepoint test (1979) on daily revenue:
+    the split day t maximizing |U_t|, U_t = sum_(i<=t) sum_(j>t)
+    sgn(x_i - x_j) — the RANK-based changepoint that complements
+    `binseg_changepoint_daily`'s variance-based split (binseg chases
+    mean shifts and is outlier-sensitive; Pettitt is a running
+    Mann-Whitney, robust to the heavy daily tails). The O(n^2) double
+    sum collapses to the prefix-rank identity
+    U_t = 2*sum_(i<=t) R_i - t(N+1) (midranks), so with DOUBLED
+    midranks U2_t = 2*sum r2 - 2t(N+1) is an EXACT integer per day and
+    the argmax is integer comparison (ties to the earlier day).
+    ln p ~ -6K^2/(n^3 + n^2) (Pettitt's approximation) is one
+    fixed-order expression.
+
+    Scale: one corpus scan to the day frame; the prefix scan and
+    bounded TakeOrdered(1) ride the calendar spine."""
+    d = _daily_cents(spark, sf_dir)
+    r = d.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy(F.col("day").asc())).alias("t"),
+        (
+            2 * (F.rank().over(Window.orderBy(F.col("cents").asc())) - 1)
+            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+            + 1
+        ).alias("r2"),
+    )
+    n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    u = (
+        r.crossJoin(F.broadcast(n))
+        .withColumn(
+            "cum2", F.sum("r2").over(Window.orderBy(F.col("t").asc()))
+        )
+        .select(
+            "day",
+            "t",
+            "n",
+            (2 * F.col("cum2") - 2 * F.col("t") * (F.col("n") + 1)).alias(
+                "u2"
+            ),
+        )
+        .filter(F.col("t") < F.col("n"))
+    )
+    k = (
+        u.withColumn("au", F.abs(F.col("u2")))
+        .orderBy(F.col("au").desc(), F.col("day").asc())
+        .limit(1)
+    )
+    ks = F.col("au") / F.lit(2.0)
+    nn = F.col("n") * F.lit(1.0)
+    return k.select(
+        F.col("day").alias("changepoint_day"),
+        F.col("t").alias("t_index"),
+        F.col("n").alias("n_days"),
+        F.round(ks, 6).alias("k_stat"),
+        F.round(
+            F.lit(-6.0) * ks * ks / (nn * F.col("n") * F.col("n") + nn * F.col("n")),
+            6,
+        ).alias("ln_p_approx"),
+    )
+
+
+@register(
+    "cox_stuart_trend_daily",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS t FROM d),
+    n AS (SELECT COUNT(*)::BIGINT AS n, (COUNT(*) // 2)::BIGINT AS h
+          FROM r),
+    p AS (SELECT a.cents AS x1, b.cents AS x2
+          FROM r a CROSS JOIN n
+          JOIN r b ON b.t = a.t + n.h + (n.n % 2)
+          WHERE a.t <= n.h),
+    s AS (SELECT SUM(CASE WHEN x2 > x1 THEN 1 ELSE 0 END)::BIGINT AS plus,
+                 SUM(CASE WHEN x2 < x1 THEN 1 ELSE 0 END)::BIGINT AS minus
+          FROM p)
+    SELECT plus AS n_plus, minus AS n_minus,
+           ROUND((plus - (plus + minus) / 2.0)
+                 / sqrt((plus + minus) / 4.0), 6) AS z_cox_stuart
+    FROM s
+    """,
+)
+def cox_stuart_trend_daily(spark, sf_dir):
+    """Cox-Stuart sign test for trend (1955) on daily revenue: pair day
+    t with day t + n/2 and sign-test the second-half-vs-first-half
+    comparisons — the assumption-free trend verdict that needs no
+    ranks at all (`mann_kendall_daily_trend` uses all O(n^2) pair
+    information; Cox-Stuart uses n/2 independent signs — weaker but
+    exactly binomial and robust to ANY marginal distribution; classic
+    as the quick first look). Ties drop out (the conditional sign
+    test); z is the half-corrected... plain normal approximation of
+    Bin(m, 1/2) in one fixed-order expression of two exact counts.
+
+    Scale: one corpus scan to the day frame; the pairing is a single
+    rn-offset equi-join on the calendar spine."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="t").select(
+        "t", "cents"
+    )
+    n = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.floor(F.count(F.lit(1)) / 2).cast("bigint").alias("h"),
+    )
+    b = r.select(F.col("t").alias("tb"), F.col("cents").alias("x2"))
+    p = (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("t") <= F.col("h"))
+        .join(
+            b,
+            F.col("tb")
+            == F.col("t") + F.col("h") + F.col("n") % 2,
+        )
+        .select(F.col("cents").alias("x1"), "x2")
+    )
+    s = p.agg(
+        F.sum(F.when(F.col("x2") > F.col("x1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("plus"),
+        F.sum(F.when(F.col("x2") < F.col("x1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("minus"),
+    )
+    m = F.col("plus") + F.col("minus")
+    return s.select(
+        F.col("plus").alias("n_plus"),
+        F.col("minus").alias("n_minus"),
+        F.round(
+            (F.col("plus") - m / F.lit(2.0)) / F.sqrt(m / F.lit(4.0)), 6
+        ).alias("z_cox_stuart"),
+    )
+
+
+@register(
+    "turning_points_daily",
+    f"""
+    WITH d AS ({_DAILY_CENTS_SQL}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day ASC) AS t FROM d),
+    w AS (SELECT a.cents AS x0, b.cents AS x1, c.cents AS x2
+          FROM r a JOIN r b ON b.t = a.t + 1 JOIN r c ON c.t = a.t + 2),
+    s AS (SELECT SUM(CASE WHEN (x1 > x0 AND x1 > x2)
+                            OR (x1 < x0 AND x1 < x2)
+                          THEN 1 ELSE 0 END)::BIGINT AS tp
+          FROM w),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM r)
+    SELECT n.n AS n_days, s.tp AS n_turning_points,
+           ROUND(2.0 * (n.n - 2.0) / 3.0, 6) AS expected_tp,
+           ROUND((s.tp - 2.0 * (n.n - 2.0) / 3.0)
+                 / sqrt((16.0 * n.n - 29.0) / 90.0), 6) AS z_turning
+    FROM s CROSS JOIN n
+    """,
+)
+def turning_points_daily(spark, sf_dir):
+    """Turning-points test for randomness (Kendall) on daily revenue:
+    count local peaks and troughs among interior days; under i.i.d.
+    data E[T] = 2(n-2)/3 and Var = (16n-29)/90 — the third member of
+    the randomness battery (`runs_test_daily_revenue` sees the median
+    split, `bartels_rank_daily_revenue` sees rank autocorrelation;
+    turning points see local oscillation — too FEW means momentum,
+    too MANY means alternation). The count is exact integer comparison
+    over two rn-offset equi-joins on the calendar spine (strict
+    inequalities: flat triples are not turning points — the standard
+    convention, stated so both engines and the brute model agree); z
+    is one fixed-order expression of exact numbers.
+
+    Scale: one corpus scan to the day frame; two bounded spine joins."""
+    d = _daily_cents(spark, sf_dir)
+    r = global_row_number(d, [F.col("day").asc()], rn_col="t").select(
+        "t", "cents"
+    )
+    b = r.select((F.col("t") - 1).alias("t"), F.col("cents").alias("x1"))
+    c = r.select((F.col("t") - 2).alias("t"), F.col("cents").alias("x2"))
+    w = r.select("t", F.col("cents").alias("x0")).join(b, "t").join(c, "t")
+    s = w.agg(
+        F.sum(
+            F.when(
+                (
+                    (F.col("x1") > F.col("x0")) & (F.col("x1") > F.col("x2"))
+                )
+                | (
+                    (F.col("x1") < F.col("x0")) & (F.col("x1") < F.col("x2"))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp")
+    )
+    n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = s.crossJoin(F.broadcast(n))
+    nn = F.col("n") * F.lit(1.0)
+    etp = F.lit(2.0) * (nn - F.lit(2.0)) / F.lit(3.0)
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("n_turning_points"),
+        F.round(etp, 6).alias("expected_tp"),
+        F.round(
+            (F.col("tp") - etp)
+            / F.sqrt((F.lit(16.0) * nn - F.lit(29.0)) / F.lit(90.0)),
+            6,
+        ).alias("z_turning"),
+    )
