@@ -1565,42 +1565,64 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
     Normalized coordinates are quantized at 1e-12 before every fold so
     all sums are exact DECIMAL(38,0) at any parallelism.
 
-    Scale: one scan to build the column sums, one vec_id-local 64x64
-    coordinate self-join (corpus-linear with a 4,096-row result), and
-    three scalar reduces. The classic quadratic pair statistic at
-    linear cost -- this is the shape to reach for before ANY sampled
-    pair estimate."""
+    Scale: JOIN-FREE since round 13. The round-12 shape self-joined the
+    exploded (vec_id, pos, u) frame on vec_id to form the Gram products
+    -- and round-13 profiling showed the join was NOT even the
+    bottleneck: the 246M-row DECIMAL(38,0) product fold was (BigDecimal
+    accumulation outside primitive codegen; 14.2 s for the Frobenius
+    term alone at sf0.1, identical cost in join and explode shapes).
+    The round-13 shape removes both. Norms are a per-row `aggregate`
+    fold (strict left fold in array order -- the same summation order
+    DuckDB's unnest+SUM produces, so the u coordinates and the 1e-12
+    quantization boundaries stay bit-identical), normalization a
+    per-row `transform`, column sums one 64-group hash agg, self-dots
+    a per-row exact-decimal fold. The Gram second-moment matrix is the
+    one genuinely heavy term (246M scalar products at sf0.1), so it
+    uses the sanctioned Arrow escape hatch (SURVEY §2.7): mapInPandas
+    emits one EXACT int64 64x64 partial per partition -- numpy computes
+    (1e12*u[a])*u[b] with the oracle's left-associated double multiply
+    and rounds half-away-from-zero via the exact trunc/frac identity
+    (bit-identical to Spark's and DuckDB's round for |x| < 2^51; every
+    quantized product is <= 1e12 so an int64 partial is overflow-safe
+    below 9.2e6 rows per partition) -- and a 4,096-group decimal merge
+    folds the partials exactly, order-proof. Zero joins, zero vec_id
+    shuffles, no corpus-grain decimal arithmetic. Measured at sf0.1 on
+    local[32]: 13.7 s (r12 join+decimal shape) -> ~4 s. The classic
+    quadratic pair statistic at linear map-only cost -- this is the
+    shape to reach for before ANY sampled pair estimate."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "p0", "v"
-        ),
-    ).select("vec_id", (F.col("p0") + 1).alias("pos"), "v")
-    nrm = x.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv")
+    arr = F.col("embedding").cast("array<double>")
+    withn = emb.select(
+        arr.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                arr, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("nv"),
     )
-    # the normalized coordinate frame feeds FOUR consumers (column sums,
-    # self-dots, and both sides of the Gram join); persist() trades four
-    # re-derivations (scan + explode + norm join each) for one narrow
-    # (vec_id, pos, u) cache -- the same measured trade the MinHash
-    # pipeline makes, and the frame is the corpus's own coordinate
-    # explode, never wider.
-    u = (
-        x.join(nrm, "vec_id")
-        .filter(F.col("nv") > 0)
-        .select("vec_id", "pos", (F.col("v") / F.col("nv")).alias("u"))
+    # the normalized frame feeds four consumers (count, column sums,
+    # self-dots, Gram partials); persist() trades three re-derivations
+    # (scan + per-row norm fold each) for one narrow array-column cache
+    u = withn.filter(F.col("nv") > 0).select(
+        F.transform("v", lambda x: x / F.col("nv")).alias("u")
     ).persist()
-    n = nrm.filter(F.col("nv") > 0).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    n = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     dec = "decimal(38,0)"
-    s = u.groupBy("pos").agg(
-        F.sum(F.round(F.lit(1e12) * F.col("u")).cast(dec)).alias("sq")
+    ue = u.select(F.posexplode("u").alias("p0", "uu"))
+    s = ue.groupBy("p0").agg(
+        F.sum(F.round(F.lit(1e12) * F.col("uu")).cast(dec)).alias("sq")
     )
-    selfdot = u.groupBy("vec_id").agg(
-        F.sum(
-            F.round(F.lit(1e12) * F.col("u") * F.col("u")).cast(dec)
+    # self-dot per ROW (no groupBy(vec_id) shuffle): exact decimal fold
+    # over the 64 elements, order-proof because every term is an integer
+    selfdot = u.select(
+        F.aggregate(
+            "u",
+            F.lit(0).cast(dec),
+            lambda acc, x: acc
+            + F.round(F.lit(1e12) * x * x).cast(dec),
         ).alias("dq")
     )
     sd = F.col("sq").cast("double") / F.lit(1e12)
@@ -1612,16 +1634,50 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
         F.sum(F.round(F.lit(1e6) * dd).cast(dec)).alias("trq"),
         F.sum(F.round(F.lit(1e6) * dd * dd).cast(dec)).alias("tr2q"),
     )
-    a = u.select("vec_id", F.col("pos").alias("pa"), F.col("u").alias("ua"))
-    b = u.select("vec_id", F.col("pos").alias("pb"), F.col("u").alias("ub"))
-    g = (
-        a.join(b, "vec_id")
-        .groupBy("pa", "pb")
-        .agg(
-            F.sum(
-                F.round(F.lit(1e12) * F.col("ua") * F.col("ub")).cast(dec)
-            ).alias("gq")
+
+    def gram_partials(batches):
+        # one exact int64 64x64 partial per partition; chunked so the
+        # (rows, 64, 64) product tensor stays ~35 MB
+        acc = None
+        d = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["u"].to_numpy())
+            d = mat.shape[1]
+            if acc is None:
+                acc = np.zeros((d, d), dtype=np.int64)
+            for lo in range(0, mat.shape[0], 1024):
+                chunk = mat[lo:lo + 1024]
+                a = 1e12 * chunk
+                # oracle-order left-assoc multiply: (1e12*ua)*ub
+                prod = a[:, :, None] * chunk[:, None, :]
+                t = np.trunc(prod)
+                frac = prod - t  # exact: Sterbenz / |prod| < 2^53
+                q = t + np.where(
+                    np.abs(frac) >= 0.5, np.copysign(1.0, prod), 0.0
+                )
+                acc += q.astype(np.int64).sum(axis=0)
+        if acc is None:
+            return
+        idx = np.arange(d, dtype=np.int32)
+        yield pd.DataFrame(
+            {
+                "pa": np.repeat(idx, d),
+                "pb": np.tile(idx, d),
+                "gl": acc.reshape(-1),
+            }
         )
+
+    # repartition so every core carries a slice of the product work (the
+    # parquet scan alone yields too few splits to parallelize 246M
+    # products); partials are exact integers, so the round-robin
+    # placement cannot change the merged result
+    g = (
+        u.repartition(32)
+        .mapInPandas(gram_partials, "pa int, pb int, gl long")
+        .groupBy("pa", "pb")
+        .agg(F.sum(F.col("gl").cast(dec)).alias("gq"))
     )
     gd = F.col("gq").cast("double") / F.lit(1e12)
     frob = g.agg(
