@@ -661,7 +661,21 @@ def incremental_simhash_candidates(
     <= 3) between the delta's fresh signatures and the index, one
     popcount per collided pair. Index rows superseded by the delta are
     anti-joined away as in ``incremental_minhash_candidates``. Returns
-    (delta_doc, corpus_doc, hamming)."""
+    (delta_doc, corpus_doc, hamming).
+
+    ``max_hamming`` must be <= 3: with 4 fixed byte bands the pigeonhole
+    bound only guarantees a colliding band for pairs within 3 flipped
+    bits — a larger radius would SILENTLY miss pairs whose 4+ flips
+    spread across all bands, so it is rejected rather than served
+    incomplete (round-13, r12 advisor)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "incremental_simhash_candidates: max_hamming="
+            f"{max_hamming} exceeds the exact-recall bound of the 4-band "
+            "byte blocking (pigeonhole guarantees a shared band only for "
+            "<= 3 flipped bits); use simhash_hamming_pairs' wider banding "
+            "for larger radii"
+        )
     superseded = delta_sim.select(F.col(id_col)).distinct()
     corpus_side = index_sim.join(F.broadcast(superseded), id_col, "left_anti")
 

@@ -26,6 +26,28 @@ from typing import Callable
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_store_root(key: str) -> str:
+    """A session-scoped throwaway directory for queries that exercise the
+    REAL persisted FeatureStore path inside the gate (the incremental
+    dedup family). One root per process, removed at interpreter exit, and
+    one FIXED subdirectory per query key — so a bench's 2-3 timed runs of
+    the same query overwrite one store instead of leaking a fresh
+    corpus+index parquet copy per invocation (round-13, r12 advisor)."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="veri_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    import os
+
+    return os.path.join(_SCRATCH_ROOT, key)
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):

@@ -1172,9 +1172,8 @@ def dedup_incremental_delta(spark, sf_dir):
     incremental result equals the BATCH MinHash LSH result restricted to
     delta x corpus pairs, and that a second refresh recomputes only
     changed docs."""
-    import tempfile
-
     from veri_spark.functions.hashing import portable_hash64
+    from veri_spark.plans._base import scratch_store_root
     from veri_spark.store import FeatureStore
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1182,7 +1181,11 @@ def dedup_incremental_delta(spark, sf_dir):
     delta = docs.filter(shard)
     corpus = docs.filter(~shard)
     store = FeatureStore(
-        spark, tempfile.mkdtemp(prefix="veri_dedupidx_"), use_delta=False
+        spark,
+        scratch_store_root(
+            "dedupidx_" + sf_dir.strip("/").replace("/", "_")
+        ),
+        use_delta=False,
     )
     store.put_corpus("documents", corpus.select("doc_id", "text"))
     store.dedup_index_refresh("documents")

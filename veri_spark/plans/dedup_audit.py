@@ -1426,9 +1426,8 @@ def dedup_incremental_simhash(spark, sf_dir):
     banding explodes 4 rows per doc on each side; the join is band-key
     equality; one popcount per collided pair. The index carry-forward
     keeps nightly refreshes delta-sized (store.dedup_index_refresh)."""
-    import tempfile
-
     from veri_spark.functions.hashing import portable_hash64
+    from veri_spark.plans._base import scratch_store_root
     from veri_spark.store import FeatureStore
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1436,7 +1435,11 @@ def dedup_incremental_simhash(spark, sf_dir):
     delta = docs.filter(shard)
     corpus = docs.filter(~shard)
     store = FeatureStore(
-        spark, tempfile.mkdtemp(prefix="veri_dedupidx_"), use_delta=False
+        spark,
+        scratch_store_root(
+            "dedupsim_" + sf_dir.strip("/").replace("/", "_")
+        ),
+        use_delta=False,
     )
     store.put_corpus("documents", corpus.select("doc_id", "text"))
     store.dedup_index_refresh("documents")

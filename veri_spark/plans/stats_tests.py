@@ -1768,12 +1768,13 @@ def by_weekday_conversion_fdr(spark, sf_dir):
                        ELSE (bb - sqrt(bb * bb - 4.0 * aa * cc))
                             / (2.0 * aa) END AS ee
            FROM ev),
-    t AS (SELECT SUM((a - ee) * (a - ee)
+    t AS (SELECT SUM(CAST(round(1e9 * (a - ee) * (a - ee)
                      * (1.0 / ee + 1.0 / (n1 - ee) + 1.0 / (m1 - ee)
-                        + 1.0 / (nn - n1 - m1 + ee))) AS x2
+                        + 1.0 / (nn - n1 - m1 + ee)))
+                     AS DECIMAL(38,0))) AS x2q
           FROM ex)
     SELECT psi.n_strata, ROUND(psi.psi, 6) AS or_mh,
-           ROUND(t.x2, 6) AS x2_breslow_day
+           ROUND(t.x2q::DOUBLE / 1e9, 6) AS x2_breslow_day
     FROM psi CROSS JOIN t
     """,
 )
@@ -1847,21 +1848,30 @@ def breslow_day_weekend_or(spark, sf_dir):
         (bb - F.sqrt(bb * bb - F.lit(4.0) * aa * cc)) / (F.lit(2.0) * aa)
     )
     ex = cell.select("stratum", "a", "n1", "m1", "nn", ee.alias("ee"))
+    # nano-quantize each stratum's X^2 term before the fold (the
+    # ljung-box idiom) so the 12-term sum is aggregation-order-proof —
+    # a raw double SUM could flip the 6th rounded decimal between
+    # engines/partitionings (round-13, r12 advisor)
     t = ex.agg(
         F.sum(
-            (F.col("a") - F.col("ee"))
-            * (F.col("a") - F.col("ee"))
-            * (
-                F.lit(1.0) / F.col("ee")
-                + F.lit(1.0) / (F.col("n1") - F.col("ee"))
-                + F.lit(1.0) / (F.col("m1") - F.col("ee"))
-                + F.lit(1.0)
-                / (F.col("nn") - F.col("n1") - F.col("m1") + F.col("ee"))
-            )
-        ).alias("x2")
+            F.round(
+                F.lit(1e9)
+                * (F.col("a") - F.col("ee"))
+                * (F.col("a") - F.col("ee"))
+                * (
+                    F.lit(1.0) / F.col("ee")
+                    + F.lit(1.0) / (F.col("n1") - F.col("ee"))
+                    + F.lit(1.0) / (F.col("m1") - F.col("ee"))
+                    + F.lit(1.0)
+                    / (F.col("nn") - F.col("n1") - F.col("m1") + F.col("ee"))
+                )
+            ).cast("decimal(38,0)")
+        ).alias("x2q")
     )
     return psi.crossJoin(F.broadcast(t)).select(
         "n_strata",
         F.round("psi", 6).alias("or_mh"),
-        F.round("x2", 6).alias("x2_breslow_day"),
+        F.round(F.col("x2q").cast("double") / F.lit(1e9), 6).alias(
+            "x2_breslow_day"
+        ),
     )
