@@ -173,7 +173,14 @@ def test_dedup_stream_matches_batch_path(spark, tmp_path):
     )
     matches = store.dedup_stream("documents", stream)
 
-    got = sorted(map(tuple, spark.read.parquet(matches).collect()))
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(matches)
+            .select("delta_doc", "corpus_doc")
+            .collect(),
+        )
+    )
 
     ref = FeatureStore(spark, str(tmp_path / "ref"), use_delta=False)
     ref.put_corpus("documents", corpus)

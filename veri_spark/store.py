@@ -1172,16 +1172,35 @@ class FeatureStore:
         batch-sized, so steady-state cost per batch is O(batch) signature
         work + one fp join, never a corpus re-shingle. availableNow
         drains the source then stops (swap the trigger in production).
-        Returns the matches path."""
-        matches = f"{self.root}/{name}.dedup_matches"
+        Returns the matches path.
 
-        def _step(batch_df: DataFrame, _batch_id: int) -> None:
+        IDEMPOTENT under foreachBatch's at-least-once replay (round-13,
+        r12 advisor): matches land in a PER-BATCH partition directory
+        (``batch=<id>``, overwritten on replay, so a retried micro-batch
+        cannot duplicate candidate rows), and a last-applied-batch marker
+        written AFTER the corpus append + index refresh makes a replay of
+        a fully applied batch a no-op. The one residual window is a crash
+        BETWEEN the corpus append and the marker write — closing it needs
+        a transactional table (Delta/Iceberg MERGE; the delta-spark probe
+        is env-blocked here), which is why the marker is ordered last:
+        replaying that window re-appends the batch to the corpus but
+        never double-counts matches."""
+        matches = f"{self.root}/{name}.dedup_matches"
+        marker = f"{self.root}/{name}.dedup_last_batch"
+
+        def _step(batch_df: DataFrame, batch_id: int) -> None:
+            if os.path.exists(marker) and batch_id <= int(open(marker).read()):
+                return  # replay of a fully applied batch
             batch = batch_df.select(id_col, text_col)
             if os.path.exists(self._data_path(name)):
                 cand = self.dedup_delta_candidates(name, batch, id_col, text_col)
-                cand.write.mode("append").parquet(matches)
+                cand.write.mode("overwrite").parquet(
+                    f"{matches}/batch={batch_id}"
+                )
             self.append_corpus(name, batch)
             self.dedup_index_refresh(name, id_col, text_col)
+            with open(marker, "w") as f:
+                f.write(str(batch_id))
 
         q = (
             stream.writeStream.foreachBatch(_step)
