@@ -401,6 +401,8 @@ BENCH_QUERIES = [
     "pettitt_changepoint_daily",
     "cox_stuart_trend_daily",
     "turning_points_daily",
+    # round-13: SemDeDup cell-blocked semantic dedup (verdict task 5)
+    "semantic_dedup_semdedup",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

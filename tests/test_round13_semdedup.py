@@ -1,0 +1,75 @@
+"""Round-13: SemDeDup semantic dedup (r12 verdict task 5) against a
+literal pure-Python model — integer micro-quantized assignment, within-
+cell pairwise cosine, keep-lowest-id survivorship, per-source ledger."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from veri_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(spark):
+    emb = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    )
+    docs = {
+        int(r["doc_id"]): (r["source"], int(r["n_chars"]))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    q = {
+        vid: [math.floor(1e6 * v + 0.5) for v in vec] for vid, vec in emb
+    }
+    seeds = {vid: q[vid] for vid in q if vid < 16}
+    cell = {}
+    for vid, xv in q.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(xv, sv)), cid)
+            for cid, sv in seeds.items()
+        )
+        cell[vid] = best[1]
+    nq = {vid: sum(v * v for v in xv) for vid, xv in q.items()}
+    by_cell = defaultdict(list)
+    for vid in sorted(q):
+        by_cell[cell[vid]].append(vid)
+    removed = set()
+    for members in by_cell.values():
+        for i, ia in enumerate(members):
+            for ib in members[i + 1 :]:
+                dot = sum(p * r for p, r in zip(q[ia], q[ib]))
+                cos = float(dot) / (math.sqrt(nq[ia]) * math.sqrt(nq[ib]))
+                if cos >= 0.42:
+                    removed.add(ib)
+    ledger = defaultdict(lambda: [0, 0, 0, 0])
+    for did, (source, n_chars) in docs.items():
+        if did not in q:
+            continue
+        row = ledger[source]
+        row[0] += 1
+        row[2] += n_chars
+        if did in removed:
+            row[1] += 1
+            row[3] += n_chars
+    return {
+        s: tuple(v) for s, v in ledger.items()
+    }, removed
+
+
+def test_semdedup_matches_brute_force(spark):
+    want, removed = _brute(spark)
+    got = {
+        r["source"]: (
+            r["n_embedded"],
+            r["n_removed"],
+            r["chars_embedded"],
+            r["chars_removed"],
+        )
+        for r in QUERIES["semantic_dedup_semdedup"](spark, SF).collect()
+    }
+    assert got == want
+    # the fixture must exercise real survivorship, not an empty pass
+    assert sum(v[1] for v in want.values()) == len(removed) > 0

@@ -1190,3 +1190,146 @@ def dedup_incremental_delta(spark, sf_dir):
     store.put_corpus("documents", corpus.select("doc_id", "text"))
     store.dedup_index_refresh("documents")
     return store.dedup_delta_candidates("documents", delta)
+
+
+@register(
+    "semantic_dedup_semdedup",
+    """
+    WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      CAST(FLOOR(1e6 * unnest(embedding)::DOUBLE + 0.5)
+                           AS BIGINT) AS q
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, pos, q FROM x WHERE vec_id < 16),
+    d AS (SELECT x.vec_id, s.cid, SUM((x.q - s.q) * (x.q - s.q)) AS dist
+          FROM x JOIN seeds s USING (pos) GROUP BY x.vec_id, s.cid),
+    asg AS (SELECT vec_id, cid AS cell FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1),
+    nq AS (SELECT vec_id, SUM(q * q) AS nq FROM x GROUP BY vec_id),
+    p AS (SELECT aa.vec_id AS ia, bb.vec_id AS ib, SUM(xa.q * xb.q) AS dotq
+          FROM asg aa JOIN asg bb
+            ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+          JOIN x xa ON xa.vec_id = aa.vec_id
+          JOIN x xb ON xb.vec_id = bb.vec_id AND xb.pos = xa.pos
+          GROUP BY 1, 2),
+    removed AS (SELECT DISTINCT ib AS vec_id
+                FROM p JOIN nq na ON na.vec_id = p.ia
+                       JOIN nq nb ON nb.vec_id = p.ib
+                WHERE dotq::DOUBLE / (sqrt(na.nq::DOUBLE)
+                                      * sqrt(nb.nq::DOUBLE)) >= 0.42)
+    SELECT d.source,
+           COUNT(*)::BIGINT AS n_embedded,
+           SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_removed,
+           SUM(d.n_chars)::BIGINT AS chars_embedded,
+           SUM(CASE WHEN r.vec_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+             ::BIGINT AS chars_removed
+    FROM documents d JOIN asg a ON a.vec_id = d.doc_id
+    LEFT JOIN removed r ON r.vec_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source ASC
+    """,
+)
+def semantic_dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means cell blocking — assign every embedding to
+    its nearest of k centroids, compute pairwise cosine ONLY within a
+    cell, and drop every document whose cell contains a more-senior
+    (lower id) document above the similarity threshold. This is the one
+    big-name LLM-pipeline dedup recipe the MinHash/SimHash/embedding
+    tiers did not yet cover as a single composed query; the output is
+    the survivorship ledger a data curator actually reads: per source,
+    how many embedded docs and how many chars the pass removes.
+
+    Determinism contract (the repo's exact-integer discipline):
+    coordinates are micro-quantized (FLOOR(1e6*v + 0.5), the
+    `kmeans_micro_assign` idiom), so assignment distances, norms, and
+    dot products are exact BIGINTs in both engines; the only doubles are
+    the final cosine (identical IEEE ops on identical integers) and its
+    compare against the 0.42 literal. Seniority keep-lowest-id makes the
+    removed set order-free. On this synthetic corpus the max within-cell
+    cosine is ~0.53, so the paper's 0.95-grade threshold would be
+    vacuous; 0.42 exercises real survivorship (33-91 pairs at sf0.1).
+
+    Scale: the 16 seed centroids are a bounded collect (the codebook
+    idiom); assignment is map-only over literal centroids (zero
+    exchanges, `kmeans_micro_assign`); the pair join is cell-blocked —
+    sum of |cell|^2, never corpus-pairs — and at 100 TB k grows with the
+    corpus (k ~ n / 1k keeps cells ~1k rows, exactly the paper's recipe:
+    they run k = 50k on LAION-440M), keeping per-cell work constant;
+    the removed set re-joins the documents table on its id (broadcast
+    at these cardinalities, shuffle-hash at scale). Reference parity:
+    composes the K2 IVF machinery (operators/similarity.py) with the
+    dedup survivorship accounting (veri/data/newsync.go is signature
+    dedup only — this is a north-star extension)."""
+    from veri_spark.operators.similarity import kmeans_micro_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    xm = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
+    )
+    base = emb.select("vec_id", xm.alias("xm"))
+    seeds = [
+        (int(r["vec_id"]), [int(v) for v in r["xm"]])
+        for r in base.filter(F.col("vec_id") < 16).collect()
+    ]
+    assigned = kmeans_micro_assign(emb, seeds).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    frame = base.select(
+        "vec_id",
+        "xm",
+        F.aggregate(
+            "xm", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("nq"),
+    ).join(assigned, "vec_id")
+    a = frame.select(
+        F.col("vec_id").alias("ia"),
+        F.col("cell"),
+        F.col("xm").alias("xa"),
+        F.col("nq").alias("na"),
+    )
+    b = frame.select(
+        F.col("vec_id").alias("ib"),
+        F.col("cell"),
+        F.col("xm").alias("xb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("ia") < F.col("ib"))
+    dotq = F.aggregate(
+        F.zip_with("xa", "xb", lambda p, q: p * q),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = dotq.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    removed = (
+        pairs.filter(cos >= F.lit(0.42))
+        .select(F.col("ib").alias("rm_id"))
+        .distinct()
+    )
+    ledger = (
+        docs.join(assigned, docs["doc_id"] == assigned["vec_id"])
+        .join(F.broadcast(removed), F.col("doc_id") == F.col("rm_id"), "left")
+        .select(
+            "source",
+            "n_chars",
+            F.col("rm_id").isNotNull().alias("rm"),
+        )
+    )
+    return (
+        ledger.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_embedded"),
+            F.sum(F.when(F.col("rm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum("n_chars").cast("bigint").alias("chars_embedded"),
+            F.sum(F.when(F.col("rm"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .orderBy(F.col("source").asc())
+    )
