@@ -401,8 +401,13 @@ BENCH_QUERIES = [
     "pettitt_changepoint_daily",
     "cox_stuart_trend_daily",
     "turning_points_daily",
-    # round-13: SemDeDup cell-blocked semantic dedup (verdict task 5)
+    # round-13: SemDeDup cell-blocked semantic dedup (verdict task 5),
+    # energy-distance two-sample, Conover squared-ranks scale,
+    # Hoeffding's D independence on the day spine
     "semantic_dedup_semdedup",
+    "energy_distance_weekend_value",
+    "conover_squared_ranks_scale",
+    "hoeffding_d_daily",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -1875,3 +1875,388 @@ def breslow_day_weekend_or(spark, sf_dir):
             "x2_breslow_day"
         ),
     )
+
+
+@register(
+    "energy_distance_weekend_value",
+    """
+    WITH e AS (SELECT CAST(round(1e6 * value) AS BIGINT) AS vq,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT vq, SUM(wk)::BIGINT AS a, SUM(1 - wk)::BIGINT AS b
+          FROM e GROUP BY vq),
+    p AS (SELECT vq, a, b,
+                 SUM(a) OVER w - a AS pa, SUM(b) OVER w - b AS pb,
+                 SUM(a * vq) OVER w - a * vq AS sa,
+                 SUM(b * vq) OVER w - b * vq AS sb
+          FROM g WINDOW w AS (ORDER BY vq ASC)),
+    t AS (SELECT SUM(a)::BIGINT AS n1, SUM(b)::BIGINT AS n2,
+                 SUM(CAST(a AS DECIMAL(38,0)) * (vq * pb - sb)
+                     + CAST(b AS DECIMAL(38,0)) * (vq * pa - sa)) AS cq,
+                 SUM(CAST(a AS DECIMAL(38,0)) * (vq * pa - sa)) AS wxq,
+                 SUM(CAST(b AS DECIMAL(38,0)) * (vq * pb - sb)) AS wyq
+          FROM p)
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           ROUND(2.0 * (cq::DOUBLE / 1e6) / (n1 * 1.0 * n2)
+                 - 2.0 * (wxq::DOUBLE / 1e6) / (n1 * 1.0 * n1)
+                 - 2.0 * (wyq::DOUBLE / 1e6) / (n2 * 1.0 * n2), 6)
+             AS energy_d2,
+           ROUND((n1 * 1.0 * n2 / (n1 + n2))
+                 * (2.0 * (cq::DOUBLE / 1e6) / (n1 * 1.0 * n2)
+                    - 2.0 * (wxq::DOUBLE / 1e6) / (n1 * 1.0 * n1)
+                    - 2.0 * (wyq::DOUBLE / 1e6) / (n2 * 1.0 * n2)), 6)
+             AS energy_stat
+    FROM t
+    """,
+)
+def energy_distance_weekend_value(spark, sf_dir):
+    """Energy distance / E-statistic two-sample test (Szekely & Rizzo
+    2004) between weekend and weekday event values -- the
+    characteristic-function omnibus that completes the drift panel: KS
+    sees the max CDF gap, CvM the integrated gap, Wasserstein the
+    transport cost; the energy statistic D^2 = 2*E|X-Y| - E|X-X'| -
+    E|Y-Y'| (V-statistic convention, diagonal zeros included) is zero
+    IFF the distributions are equal and weights the whole shape, and
+    n1*n2/(n1+n2) * D^2 is the permutation-test statistic practitioners
+    actually threshold.
+
+    The quadratic pair sums collapse onto the sorted value domain: for
+    counts (a_v, b_v) per distinct micro-quantized value, sum |x-y|
+    over pairs = sum_v [a_v*(v*PB_<v - SB_<v) + b_v*(v*PA_<v - SA_<v)]
+    with P/S the EXCLUSIVE prefix count/sum of the other group -- four
+    prefix measures scanned in ONE `global_prefix_agg` pass (no
+    unpartitioned window in the Spark plan). Values are micro-quantized
+    first, so every prefix term is an exact integer and the three pair
+    masses fold as DECIMAL(38,0); the only doubles are the final
+    divisions (identical expressions both engines).
+
+    Scale: one corpus scan to value-grain counts, one multi-measure
+    prefix scan, one value-grain fold -- the classic O(n^2) pair
+    statistic at sort cost, same machinery as `ks_value_drift` /
+    `score_auc_mann_whitney`. At 100 TB the per-row BIGINT inner terms
+    (v * prefix-count) need the decimal cast moved inward (documented
+    bound: safe below ~2e13 rows at this value range)."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.round(F.lit(1e6) * F.col("value")).cast("bigint").alias("vq"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("vq").agg(
+        F.sum("wk").cast("bigint").alias("a"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("b"),
+    )
+    g = g.select(
+        "vq",
+        "a",
+        "b",
+        (F.col("a") * F.col("vq")).alias("av"),
+        (F.col("b") * F.col("vq")).alias("bv"),
+    )
+    p = global_prefix_agg(
+        g,
+        [F.col("vq").asc()],
+        ["a", "b", "av", "bv"],
+        agg="sum",
+        out_col=["ca", "cb", "cav", "cbv"],
+    )
+    dec = "decimal(38,0)"
+    pa = F.col("ca") - F.col("a")
+    pb = F.col("cb") - F.col("b")
+    sa = F.col("cav") - F.col("av")
+    sb = F.col("cbv") - F.col("bv")
+    t = p.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("a").cast(dec) * (F.col("vq") * pb - sb)
+            + F.col("b").cast(dec) * (F.col("vq") * pa - sa)
+        ).alias("cq"),
+        F.sum(F.col("a").cast(dec) * (F.col("vq") * pa - sa)).alias("wxq"),
+        F.sum(F.col("b").cast(dec) * (F.col("vq") * pb - sb)).alias("wyq"),
+    )
+    n1d = F.col("n1") * F.lit(1.0)
+    n2d = F.col("n2") * F.lit(1.0)
+    d2 = (
+        F.lit(2.0) * (F.col("cq").cast("double") / F.lit(1e6)) / (n1d * F.col("n2"))
+        - F.lit(2.0) * (F.col("wxq").cast("double") / F.lit(1e6)) / (n1d * F.col("n1"))
+        - F.lit(2.0) * (F.col("wyq").cast("double") / F.lit(1e6)) / (n2d * F.col("n2"))
+    )
+    return t.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(d2, 6).alias("energy_d2"),
+        F.round((n1d * F.col("n2") / (F.col("n1") + F.col("n2"))) * d2, 6).alias(
+            "energy_stat"
+        ),
+    )
+
+
+@register(
+    "conover_squared_ranks_scale",
+    """
+    WITH e AS (SELECT event_type AS g,
+                      CAST(round(1e6 * value) AS BIGINT) AS xq
+               FROM events),
+    gm AS (SELECT g, SUM(xq)::BIGINT AS sq, COUNT(*)::BIGINT AS ng
+           FROM e GROUP BY g),
+    u AS (SELECT e.g, abs(e.xq::DOUBLE - gm.sq::DOUBLE / gm.ng) AS u
+          FROM e JOIN gm USING (g)),
+    cnt AS (SELECT g, u, COUNT(*)::BIGINT AS f FROM u GROUP BY g, u),
+    lu AS (SELECT u, SUM(f)::BIGINT AS l FROM cnt GROUP BY u),
+    mid AS (SELECT u, l,
+                   2 * (SUM(l) OVER (ORDER BY u ASC) - l) + l + 1 AS mid2
+            FROM lu),
+    sg AS (SELECT c.g,
+                  SUM(CAST(c.f AS DECIMAL(38,0)) * (m.mid2 * m.mid2)) AS s2
+           FROM cnt c JOIN mid m USING (u) GROUP BY c.g),
+    tot AS (SELECT SUM(l)::BIGINT AS n,
+                   SUM(CAST(l AS DECIMAL(38,0)) * (mid2 * mid2)) AS sall,
+                   SUM(CAST(l AS DECIMAL(38,0)) * (mid2 * mid2)
+                       * (mid2 * mid2)) AS s4
+            FROM mid),
+    num AS (SELECT COUNT(*)::BIGINT AS k,
+                   SUM(CAST(round(1e3 * (sg.s2::DOUBLE * sg.s2::DOUBLE)
+                                  / gm.ng) AS DECIMAL(38,0))) AS numq
+            FROM sg JOIN gm USING (g))
+    SELECT tot.n AS n_events, num.k AS k_types,
+           ROUND((num.numq::DOUBLE / 1e3
+                  - tot.n * (tot.sall::DOUBLE / tot.n)
+                          * (tot.sall::DOUBLE / tot.n))
+                 / ((tot.s4::DOUBLE
+                     - tot.n * (tot.sall::DOUBLE / tot.n)
+                             * (tot.sall::DOUBLE / tot.n))
+                    / (tot.n - 1.0)), 6) AS t_conover
+    FROM tot CROSS JOIN num
+    """,
+)
+def conover_squared_ranks_scale(spark, sf_dir):
+    """Conover squared-ranks test for scale (Conover & Iman 1981;
+    Conover, Practical Nonparametric Statistics 3e sec. 5.3) across the
+    five event types -- the RANK-based k-sample dispersion test that
+    completes the scale panel: Bartlett assumes normality, Levene
+    trades it for mean-deviation ANOVA, Ansari-Bradley handles two
+    samples; Conover's T ranks |x - mean_g| pooled, squares the
+    midranks, and compares per-group squared-rank masses, staying valid
+    under heavy tails at any k.
+
+    Exactness: values micro-quantized, so group means are exact-integer
+    ratios and u = |xq - sq/ng| is the same double in both engines;
+    pooled midranks ride the distinct-u grain as the INTEGER mid2 =
+    2*rank (the cucconi idiom) -- T is invariant to the x2 rank scaling
+    because numerator and D^2 both scale by 16. Every fold is decimal
+    over integer terms except the k-row sum of S_g^2/n_g, which is
+    milli-quantized before folding (order-proof; S_g^2 ~ 1e31 sits far
+    above double ulp at that magnitude, but both engines quantize the
+    SAME double so the fold stays bit-identical).
+
+    Scale: one corpus scan, a group-mean join, distinct-u grain
+    aggregation, ONE prefix scan for midranks (global_prefix_agg -- no
+    unpartitioned window in the Spark plan), then k-row and value-grain
+    folds. Same machinery as `cucconi_test_weekend_value` /
+    `score_auc_mann_whitney`."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.lit(1e6) * F.col("value")).cast("bigint").alias("xq"),
+    )
+    gm = e.groupBy("g").agg(
+        F.sum("xq").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    u = e.join(gm, "g").select(
+        "g",
+        F.abs(
+            F.col("xq").cast("double")
+            - F.col("sq").cast("double") / F.col("ng")
+        ).alias("u"),
+    )
+    cnt = u.groupBy("g", "u").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    lu = cnt.groupBy("u").agg(F.sum("f").cast("bigint").alias("l"))
+    mid = global_prefix_agg(
+        lu, [F.col("u").asc()], "l", agg="sum", out_col="cl"
+    ).select(
+        "u",
+        "l",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+    )
+    dec = "decimal(38,0)"
+    sg = (
+        cnt.join(mid.select("u", "mid2"), "u")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("f").cast(dec) * (F.col("mid2") * F.col("mid2"))
+            ).alias("s2")
+        )
+    )
+    tot = mid.agg(
+        F.sum("l").cast("bigint").alias("n"),
+        F.sum(
+            F.col("l").cast(dec) * (F.col("mid2") * F.col("mid2"))
+        ).alias("sall"),
+        F.sum(
+            F.col("l").cast(dec)
+            * (F.col("mid2") * F.col("mid2"))
+            * (F.col("mid2") * F.col("mid2"))
+        ).alias("s4"),
+    )
+    num = sg.join(gm, "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.lit(1e3)
+                * (F.col("s2").cast("double") * F.col("s2").cast("double"))
+                / F.col("ng")
+            ).cast(dec)
+        ).alias("numq"),
+    )
+    j = tot.crossJoin(F.broadcast(num))
+    sbar = F.col("sall").cast("double") / F.col("n")
+    return j.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_types"),
+        F.round(
+            (F.col("numq").cast("double") / F.lit(1e3)
+             - F.col("n") * sbar * sbar)
+            / (
+                (F.col("s4").cast("double") - F.col("n") * sbar * sbar)
+                / (F.col("n") - F.lit(1.0))
+            ),
+            6,
+        ).alias("t_conover"),
+    )
+
+
+@register(
+    "hoeffding_d_daily",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                        AS revq,
+                      COUNT(*)::BIGINT AS cnt
+               FROM orders GROUP BY 1),
+    p AS (SELECT a.day,
+                 4 + SUM((CASE WHEN b.revq < a.revq THEN 2
+                               WHEN b.revq = a.revq THEN 1 ELSE 0 END)
+                         * (CASE WHEN b.cnt < a.cnt THEN 2
+                                 WHEN b.cnt = a.cnt THEN 1 ELSE 0 END))
+                   AS q4,
+                 2 + SUM(CASE WHEN b.revq < a.revq THEN 2
+                              WHEN b.revq = a.revq THEN 1 ELSE 0 END) AS r2,
+                 2 + SUM(CASE WHEN b.cnt < a.cnt THEN 2
+                              WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) AS s2
+          FROM d a JOIN d b ON a.day <> b.day GROUP BY a.day),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST((q4 - 4) * (q4 - 8) AS DECIMAL(38,0))) AS d1q,
+                 SUM(CAST((r2 - 2) * (r2 - 4) AS DECIMAL(38,0))
+                     * ((s2 - 2) * (s2 - 4))) AS d2q,
+                 SUM(CAST((r2 - 4) * (s2 - 4) AS DECIMAL(38,0))
+                     * (q4 - 4)) AS d3q
+          FROM p)
+    SELECT n AS n_days,
+           ROUND(30.0 * (((n - 2.0) * (n - 3.0)) * d1q::DOUBLE
+                         + d2q::DOUBLE - 2.0 * (n - 2.0) * d3q::DOUBLE)
+                 / (16.0 * n * (n - 1.0) * (n - 2.0) * (n - 3.0)
+                    * (n - 4.0)), 8) AS d_hoeffding
+    FROM s
+    """,
+)
+def hoeffding_d_daily(spark, sf_dir):
+    """Hoeffding's D (Hoeffding 1948) between daily revenue and daily
+    order count on the calendar day spine -- the nonparametric
+    INDEPENDENCE test that completes the dependence panel the way
+    chatterjee_xi did for functional dependence: Pearson sees linear,
+    Spearman/Kendall see monotone, xi sees y=f(x); D is consistent
+    against ALL dependence alternatives (any departure of the joint
+    CDF from the product of marginals), so it flags the
+    revenue-vs-volume coupling shape the others can each miss.
+
+    Midrank/tie handling via the 1948 c-function convention (c = 1 if
+    less, 1/2 if equal, 0 if greater, summed over j != i), carried as
+    INTEGERS by the x2/x4 scaling: r2 = 2R, s2 = 2S, q4 = 4Q, under
+    which 16*D1 = (q4-4)(q4-8), 16*D2 = (r2-2)(r2-4)(s2-2)(s2-4),
+    16*D3 = (r2-4)(s2-4)(q4-4) -- every per-day term an exact integer
+    folded in DECIMAL(38,0); the single double division happens once,
+    identically, in both engines.
+
+    Scale: the pair join lives on the calendar-BOUNDED day spine
+    (2,399 rows at ANY SF -- the adjudicated bounded-frame exemption,
+    same as bartels/pettitt), so the 5.8M c-products are a fixed cost
+    independent of corpus size; the corpus itself is touched by ONE
+    scan to the day grain. The Spark crossJoin broadcasts the 2,399-row
+    spine."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revq"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    a = d.select(
+        F.col("day").alias("da"),
+        F.col("revq").alias("xa"),
+        F.col("cnt").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("db"),
+        F.col("revq").alias("xb"),
+        F.col("cnt").alias("yb"),
+    )
+    cx2 = (
+        F.when(F.col("xb") < F.col("xa"), 2)
+        .when(F.col("xb") == F.col("xa"), 1)
+        .otherwise(0)
+    )
+    cy2 = (
+        F.when(F.col("yb") < F.col("ya"), 2)
+        .when(F.col("yb") == F.col("ya"), 1)
+        .otherwise(0)
+    )
+    p = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da")
+        .agg(
+            (F.lit(4) + F.sum(cx2 * cy2)).alias("q4"),
+            (F.lit(2) + F.sum(cx2)).alias("r2"),
+            (F.lit(2) + F.sum(cy2)).alias("s2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    s = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            ((F.col("q4") - 4) * (F.col("q4") - 8)).cast(dec)
+        ).alias("d1q"),
+        F.sum(
+            ((F.col("r2") - 2) * (F.col("r2") - 4)).cast(dec)
+            * ((F.col("s2") - 2) * (F.col("s2") - 4))
+        ).alias("d2q"),
+        F.sum(
+            ((F.col("r2") - 4) * (F.col("s2") - 4)).cast(dec)
+            * (F.col("q4") - 4)
+        ).alias("d3q"),
+    )
+    n = F.col("n")
+    num = (
+        ((n - F.lit(2.0)) * (n - F.lit(3.0))) * F.col("d1q").cast("double")
+        + F.col("d2q").cast("double")
+        - F.lit(2.0) * (n - F.lit(2.0)) * F.col("d3q").cast("double")
+    )
+    den = (
+        F.lit(16.0)
+        * n
+        * (n - F.lit(1.0))
+        * (n - F.lit(2.0))
+        * (n - F.lit(3.0))
+        * (n - F.lit(4.0))
+    )
+    return s.select(
+        n.alias("n_days"),
+        F.round(F.lit(30.0) * num / den, 8).alias("d_hoeffding"),
+    )
