@@ -788,9 +788,23 @@ class FeatureStore:
         before assignment: balanced cells mean bounded per-cell probe cost
         — the difference between "some cell holds half the corpus" and
         uniform pruning at scale. Each iteration costs one extra corpus
-        scan, no extra shuffle. Returns the number of indexed rows."""
+        scan, no extra shuffle. Returns the number of indexed rows.
+
+        INCREMENTAL in I/O since round 13 (the dedup-index discipline
+        extended to the ANN index): when a previous index exists, the PQ
+        path is off, and the freshly derived centroids are IDENTICAL to
+        the persisted ones (the safety guard — different centroids change
+        every assignment, so the refresh falls back to the full rebuild),
+        only the centroid_id directories containing added/changed/removed
+        rows are rewritten; untouched cells' files are neither read for
+        the carry (partition pruning on the isin filter) nor rewritten.
+        Row identity is the content fingerprint xxhash64(all columns),
+        compared at COUNT grain per fingerprint so duplicate rows carry
+        with exact multiplicity. Cell-level refresh detail lands in
+        ``self.last_index_refresh_info``."""
         df = self._read(name)
-        df = df.withColumn("__row_id", F.xxhash64(*df.columns))
+        orig_cols = list(df.columns)
+        df = df.withColumn("__row_id", F.xxhash64(*orig_cols))
         if kmeans_iters > 0:
             from veri_spark.operators.similarity import kmeans_train
 
@@ -807,6 +821,26 @@ class FeatureStore:
             cents = take_centroids(
                 df, n_centroids, id_col="__row_id", vector_col=vector_col
             )
+        final = self._index_path(name)
+        if (
+            pq_m is None
+            and os.path.exists(final)
+            and os.path.exists(final + ".centroids")
+            and not os.path.exists(final + ".pq")
+        ):
+            prev_cents = sorted(
+                (r["centroid_id"], tuple(float(v) for v in r["centroid_vec"]))
+                for r in self.spark.read.parquet(final + ".centroids").collect()
+            )
+            new_cents = sorted(
+                (r["centroid_id"], tuple(float(v) for v in r["centroid_vec"]))
+                for r in cents.collect()
+            )
+            if prev_cents == new_cents:
+                return self._refresh_index_incremental(
+                    name, df, cents, final, vector_col
+                )
+        self.last_index_refresh_info = {"cells_rewritten": -1}  # full build
         assigned = ivf_assign(df, cents, id_col="__row_id", vector_col=vector_col)
         books = None
         if pq_m is not None:
@@ -840,6 +874,79 @@ class FeatureStore:
         # call refresh_index again to re-serve the fast path)
         with open(final + ".mutver", "w") as f:
             f.write(str(self._mutation_stamp(name)))
+        return self.spark.read.parquet(final).count()
+
+    def _refresh_index_incremental(
+        self, name: str, df, cents, final: str, vector_col: str
+    ) -> int:
+        """O(touched cells) refresh of the persisted IVF index (round 13):
+        compare live vs stored rows at (content fingerprint -> count)
+        grain, assign ONLY the changed rows under the (verified-equal)
+        stored centroids, and swap exactly the centroid_id directories
+        holding added/changed/removed rows. ``df`` arrives with
+        ``__row_id`` already stamped; multiplicity-exact by construction
+        (a fingerprint whose count changed re-derives ALL its live rows
+        and drops ALL its stored rows)."""
+        import shutil
+
+        prev = self.spark.read.parquet(final)
+        orig_cols = [c for c in df.columns if c != "__row_id"]
+        prev_fp = prev.withColumn("__row_id", F.xxhash64(*orig_cols))
+        livec = df.groupBy("__row_id").agg(
+            F.count(F.lit(1)).alias("__lc")
+        )
+        prevc = prev_fp.groupBy("__row_id").agg(
+            F.count(F.lit(1)).alias("__pc")
+        )
+        match = (
+            livec.join(prevc, "__row_id")
+            .filter(F.col("__lc") == F.col("__pc"))
+            .select("__row_id")
+        )
+        delta_fps = livec.join(match, "__row_id", "left_anti").select(
+            "__row_id"
+        )
+        stale_prev = prevc.join(match, "__row_id", "left_anti").select(
+            "__row_id"
+        )
+        changed_rows = df.join(delta_fps, "__row_id", "left_semi")
+        new_assigned = ivf_assign(
+            changed_rows, cents, id_col="__row_id", vector_col=vector_col
+        )
+        dirty = sorted(
+            r[0]
+            for r in new_assigned.select("centroid_id")
+            .unionByName(
+                prev_fp.join(stale_prev, "__row_id", "left_semi").select(
+                    "centroid_id"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        if not dirty:
+            with open(final + ".mutver", "w") as f:
+                f.write(str(self._mutation_stamp(name)))
+            self.last_index_refresh_info = {"cells_rewritten": 0}
+            return self.spark.read.parquet(final).count()
+        carried = (
+            prev_fp.filter(F.col("centroid_id").isin(dirty))
+            .join(match, "__row_id", "left_semi")
+        )
+        out = carried.unionByName(new_assigned).drop("__row_id")
+        tmp = final + ".tmp"
+        out.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+        for c in dirty:
+            dst = os.path.join(final, f"centroid_id={c}")
+            src = os.path.join(tmp, f"centroid_id={c}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
+        with open(final + ".mutver", "w") as f:
+            f.write(str(self._mutation_stamp(name)))
+        self.last_index_refresh_info = {"cells_rewritten": len(dirty)}
         return self.spark.read.parquet(final).count()
 
     def _indexed(self, name: str):
