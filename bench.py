@@ -408,6 +408,7 @@ BENCH_QUERIES = [
     "energy_distance_weekend_value",
     "conover_squared_ranks_scale",
     "hoeffding_d_daily",
+    "multimodal_audio_wav_meta",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -73,3 +73,43 @@ def test_semdedup_matches_brute_force(spark):
     assert got == want
     # the fixture must exercise real survivorship, not an empty pass
     assert sum(v[1] for v in want.values()) == len(removed) > 0
+
+
+def test_wav_parser_reads_real_stdlib_wave_files(spark, tmp_path):
+    """parse_wav_header against bytes written by Python's own stdlib
+    `wave` module — the parser must read REAL encoder output, not just
+    its own synthesis — plus truncation/corruption safety, and the
+    Spark query agrees with a per-row Python recomputation."""
+    import wave
+
+    from veri_spark.multimodal.binary import parse_wav_header
+
+    for sr, ch, nframes in ((8000, 1, 1234), (44100, 2, 999)):
+        p = tmp_path / f"t_{sr}_{ch}.wav"
+        w = wave.open(str(p), "wb")
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"\x00" * (nframes * ch * 2))
+        w.close()
+        got = parse_wav_header(open(p, "rb").read())
+        assert got == (sr, ch, 16, nframes * ch * 2)
+    assert parse_wav_header(b"RIFF") is None
+    assert parse_wav_header(b"x" * 64) is None
+    assert parse_wav_header(None) is None
+
+    from veri_spark.plans.registry import QUERIES
+
+    rows = QUERIES["multimodal_audio_wav_meta"](spark, SF).collect()
+    docs = {
+        int(r["doc_id"]): int(r["n_chars"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    srs = [8000, 16000, 22050, 44100, 48000]
+    assert len(rows) == len(docs)
+    for r in rows:
+        sr = srs[r["doc_id"] % 5]
+        ch = 1 + r["doc_id"] % 2
+        dsz = 2000 + docs[r["doc_id"]] * 100
+        assert (r["sample_rate"], r["channels"], r["bits"]) == (sr, ch, 16)
+        assert r["duration_ms"] == (1000 * dsz) // (sr * ch * 2)

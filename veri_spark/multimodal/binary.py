@@ -260,3 +260,69 @@ def frame_sample(
         .select(id_col, "media", "duration_ms")
         .mapInPandas(sample, out_schema)
     )
+
+
+def parse_wav_header(
+    data: bytes | None,
+) -> tuple[int, int, int, int] | None:
+    """REAL pure-stdlib RIFF/WAVE header decode: (sample_rate, channels,
+    bits_per_sample, data_size) from the canonical 44-byte PCM layout, or
+    None if unrecognized/truncated (RIFF spec / WAVE format chunk:
+    'RIFF' size 'WAVE', 'fmt ' chunk with little-endian audioFormat(2)
+    channels(2) sampleRate(4) byteRate(4) blockAlign(2) bits(2), then the
+    'data' chunk id + little-endian size). The audio analog of
+    ``parse_image_header`` — the metadata tier a 100 TB media table
+    audits scan-side; sample decode stays behind ``decode_stub``."""
+    if not data or len(data) < 44:
+        return None
+    if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    if data[12:16] != b"fmt " or data[36:40] != b"data":
+        return None
+    channels = int.from_bytes(data[22:24], "little")
+    sample_rate = int.from_bytes(data[24:28], "little")
+    bits = int.from_bytes(data[34:36], "little")
+    data_size = int.from_bytes(data[40:44], "little")
+    if channels == 0 or sample_rate == 0 or bits == 0:
+        return None
+    return (sample_rate, channels, bits, data_size)
+
+
+def audio_meta(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Arrow-batched REAL WAV-header decode over a binary column: one row
+    per input with (id, sample_rate, channels, bits, duration_ms) — NULLs
+    for unparseable bytes. duration_ms = 1000 * data_size / byte_rate,
+    floored to exact integer milliseconds. Same scan-side shape as
+    ``image_dims``: (id, media) projected before mapInPandas, bytes never
+    leave the map task."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("bits", IntegerType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [p[0] if p else None for p in parsed],
+                    "channels": [p[1] if p else None for p in parsed],
+                    "bits": [p[2] if p else None for p in parsed],
+                    "duration_ms": [
+                        (1000 * p[3]) // (p[0] * p[1] * p[2] // 8)
+                        if p
+                        else None
+                        for p in parsed
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(parse, out_schema)

@@ -285,3 +285,134 @@ def multimodal_image_dims(spark, sf_dir):
         "doc_id", F.to_binary(hex_str, F.lit("hex")).alias("media")
     )
     return image_dims(media, id_col="doc_id", media_col="media")
+
+
+@register(
+    "multimodal_audio_wav_meta",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                             ELSE 48000 END AS sr,
+             1 + doc_id % 2 AS ch,
+             2000 + n_chars * 100 AS dsz
+      FROM documents
+    ), hx AS (
+      SELECT doc_id,
+             '52494646'
+             || lower(lpad(to_hex((36 + dsz) % 256), 2, '0'))
+             || lower(lpad(to_hex(((36 + dsz) // 256) % 256), 2, '0'))
+             || lower(lpad(to_hex(((36 + dsz) // 65536) % 256), 2, '0'))
+             || lower(lpad(to_hex(((36 + dsz) // 16777216) % 256), 2, '0'))
+             || '57415645' || '666d7420' || '10000000' || '0100'
+             || lower(lpad(to_hex(ch % 256), 2, '0')) || '00'
+             || lower(lpad(to_hex(sr % 256), 2, '0'))
+             || lower(lpad(to_hex((sr // 256) % 256), 2, '0'))
+             || lower(lpad(to_hex((sr // 65536) % 256), 2, '0'))
+             || '00'
+             || lower(lpad(to_hex((sr * ch * 2) % 256), 2, '0'))
+             || lower(lpad(to_hex(((sr * ch * 2) // 256) % 256), 2, '0'))
+             || lower(lpad(to_hex(((sr * ch * 2) // 65536) % 256), 2, '0'))
+             || '00'
+             || lower(lpad(to_hex(ch * 2), 2, '0')) || '00' || '1000'
+             || '64617461'
+             || lower(lpad(to_hex(dsz % 256), 2, '0'))
+             || lower(lpad(to_hex((dsz // 256) % 256), 2, '0'))
+             || lower(lpad(to_hex((dsz // 65536) % 256), 2, '0'))
+             || lower(lpad(to_hex((dsz // 16777216) % 256), 2, '0'))
+               AS hex_str
+      FROM d
+    ), mh AS (
+      -- blob round-trip like multimodal_image_dims: parse the REAL bytes
+      SELECT doc_id, lower(to_hex(from_hex(hex_str))) AS m FROM hx
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(m, 55, 2) || substr(m, 53, 2)
+                || substr(m, 51, 2) || substr(m, 49, 2) AS INT)
+             AS sample_rate,
+           CAST('0x' || substr(m, 47, 2) || substr(m, 45, 2) AS INT)
+             AS channels,
+           CAST('0x' || substr(m, 71, 2) || substr(m, 69, 2) AS INT)
+             AS bits,
+           (1000 * CAST('0x' || substr(m, 87, 2) || substr(m, 85, 2)
+                        || substr(m, 83, 2) || substr(m, 81, 2) AS BIGINT))
+           // CAST('0x' || substr(m, 63, 2) || substr(m, 61, 2)
+                   || substr(m, 59, 2) || substr(m, 57, 2) AS BIGINT)
+             AS duration_ms
+    FROM mh
+    """,
+)
+def multimodal_audio_wav_meta(spark, sf_dir):
+    """REAL audio-header decode end-to-end — the AUDIO sibling of
+    `multimodal_image_dims`, completing the opaque-binary metadata tier
+    for the second modality a 100 TB media table carries: each document
+    synthesizes a genuine canonical 44-byte RIFF/WAVE PCM header (chunk
+    ids, little-endian fmt fields, byte-rate consistency, data chunk
+    size) and multimodal/binary.parse_wav_header parses sample_rate /
+    channels / bits / duration back OUT of the bytes inside the
+    Arrow-batched mapInPandas path — the parser validates all four magic
+    ids, so a corrupted stream yields NULLs, not garbage. duration_ms is
+    exact integer milliseconds (1000 * data_size floor-divided by the
+    byte rate parsed from the header, not recomputed). The oracle builds
+    the identical blob with from_hex and re-parses it by little-endian
+    hex slicing at the same byte offsets.
+
+    Scale shape: map-only (construct -> parse in one projection + one
+    mapInPandas, zero exchanges); bytes never leave the stage. Sample
+    decode (the signal tier) stays behind the documented env-blocked
+    ``decode_stub`` exactly like pixel decode."""
+    from veri_spark.multimodal.binary import audio_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    sr = (
+        F.element_at(
+            F.array(
+                F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100),
+                F.lit(48000),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+    ).cast("bigint")
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("bigint")
+    dsz = (F.lit(2000) + F.col("n_chars") * 100).cast("bigint")
+
+    def le(c, nbytes):
+        parts = []
+        for i in range(nbytes):
+            parts.append(
+                F.lower(
+                    F.lpad(
+                        F.hex((c / (256 ** i)).cast("bigint") % 256), 2, "0"
+                    )
+                )
+            )
+        return F.concat(*parts)
+
+    byte_rate = sr * ch * 2
+    hx = F.concat(
+        F.lit("52494646"),
+        le(F.lit(36) + dsz, 4),
+        F.lit("57415645"),
+        F.lit("666d7420"),
+        F.lit("10000000"),
+        F.lit("0100"),
+        le(ch, 2),
+        le(sr, 4),
+        le(byte_rate, 4),
+        le(ch * 2, 2),
+        F.lit("1000"),
+        F.lit("64617461"),
+        le(dsz, 4),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.unhex(hx).alias("media")
+    )
+    out = audio_meta(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "bits",
+        "duration_ms",
+    )
