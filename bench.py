@@ -409,6 +409,7 @@ BENCH_QUERIES = [
     "conover_squared_ranks_scale",
     "hoeffding_d_daily",
     "multimodal_audio_wav_meta",
+    "multimodal_video_mp4_meta",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

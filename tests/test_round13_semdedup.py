@@ -113,3 +113,57 @@ def test_wav_parser_reads_real_stdlib_wave_files(spark, tmp_path):
         dsz = 2000 + docs[r["doc_id"]] * 100
         assert (r["sample_rate"], r["channels"], r["bits"]) == (sr, ch, 16)
         assert r["duration_ms"] == (1000 * dsz) // (sr * ch * 2)
+
+
+def test_mp4_parser_walks_real_box_structure(spark):
+    """parse_mp4_meta must walk REAL box structures: boxes in either
+    order, an extra free box between them, corrupted sizes rejected —
+    and the Spark query agrees with a per-row Python recomputation."""
+    import struct
+
+    from veri_spark.multimodal.binary import parse_mp4_meta
+
+    def ftyp(brand):
+        return struct.pack(">I", 20) + b"ftyp" + brand + struct.pack(
+            ">I", 0x200
+        ) + b"mp41"
+
+    def moov(ts, dur):
+        mvhd = (
+            struct.pack(">I", 108) + b"mvhd" + b"\x00" * 12
+            + struct.pack(">II", ts, dur) + b"\x00" * 80
+        )
+        return struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+
+    free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    assert parse_mp4_meta(ftyp(b"isom") + moov(90000, 4500)) == (
+        "isom", 90000, 4500,
+    )
+    # boxes separated by a free box, and moov-before-ftyp order
+    assert parse_mp4_meta(ftyp(b"mp42") + free + moov(600, 30)) == (
+        "mp42", 600, 30,
+    )
+    assert parse_mp4_meta(moov(1000, 99) + ftyp(b"avc1")) == (
+        "avc1", 1000, 99,
+    )
+    # corrupted: size field overruns the buffer
+    bad = struct.pack(">I", 9999) + b"ftypisom"
+    assert parse_mp4_meta(bad) is None
+    assert parse_mp4_meta(ftyp(b"isom")) is None  # no moov -> no timescale
+
+    from veri_spark.plans.registry import QUERIES
+
+    rows = QUERIES["multimodal_video_mp4_meta"](spark, SF).collect()
+    docs = {
+        int(r["doc_id"]): int(r["n_chars"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    brands = ["isom", "mp42", "avc1"]
+    tss = [600, 1000, 24000, 90000]
+    assert len(rows) == len(docs)
+    for r in rows:
+        ts = tss[r["doc_id"] % 4]
+        dur = 100 + docs[r["doc_id"]] * 7
+        assert r["brand"] == brands[r["doc_id"] % 3]
+        assert r["timescale"] == ts
+        assert r["duration_ms"] == (1000 * dur) // ts

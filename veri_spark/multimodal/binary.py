@@ -326,3 +326,79 @@ def audio_meta(
             )
 
     return df.select(id_col, media_col).mapInPandas(parse, out_schema)
+
+
+def parse_mp4_meta(
+    data: bytes | None,
+) -> tuple[str, int, int] | None:
+    """REAL pure-stdlib MP4 container metadata decode: (major_brand,
+    timescale, duration) via the ISO BMFF box walk (ISO/IEC 14496-12) —
+    scan top-level boxes by their big-endian size fields for ftyp (major
+    brand) and moov, then walk moov's children for mvhd (version-0 full
+    box: timescale at offset 20, duration at 24). None for truncated or
+    non-BMFF bytes. The video analog of ``parse_image_header`` /
+    ``parse_wav_header``; frame decode stays behind ``decode_stub``."""
+    if not data or len(data) < 16:
+        return None
+    brand = None
+    timescale = duration = None
+    i = 0
+    n = len(data)
+    while i + 8 <= n:
+        size = int.from_bytes(data[i:i + 4], "big")
+        typ = data[i + 4:i + 8]
+        if size < 8 or i + size > n:
+            return None
+        if typ == b"ftyp":
+            if size < 12:
+                return None
+            brand = data[i + 8:i + 12].decode("ascii", errors="replace")
+        elif typ == b"moov":
+            j = i + 8
+            end = i + size
+            while j + 8 <= end:
+                csize = int.from_bytes(data[j:j + 4], "big")
+                ctyp = data[j + 4:j + 8]
+                if csize < 8 or j + csize > end:
+                    return None
+                if ctyp == b"mvhd" and csize >= 28 and data[j + 8] == 0:
+                    timescale = int.from_bytes(data[j + 20:j + 24], "big")
+                    duration = int.from_bytes(data[j + 24:j + 28], "big")
+                j += csize
+        i += size
+    if brand is None or not timescale:
+        return None
+    return (brand, timescale, duration)
+
+
+def video_meta(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Arrow-batched REAL MP4 metadata decode over a binary column:
+    (id, brand, timescale, duration_ms) with NULLs for unparseable
+    bytes; duration_ms = 1000 * duration floor-divided by timescale.
+    Same scan-side shape as ``image_dims`` / ``audio_meta``."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("brand", StringType(), True),
+            StructField("timescale", IntegerType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_mp4_meta(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "brand": [p[0] if p else None for p in parsed],
+                    "timescale": [p[1] if p else None for p in parsed],
+                    "duration_ms": [
+                        (1000 * p[2]) // p[1] if p else None for p in parsed
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(parse, out_schema)

@@ -416,3 +416,103 @@ def multimodal_audio_wav_meta(spark, sf_dir):
         "bits",
         "duration_ms",
     )
+
+
+_MVHD_TAIL = (
+    "00010000" "0100" "0000" + "0" * 16
+    + "00010000" + "00000000" * 3
+    + "00010000" + "00000000" * 3
+    + "40000000" + "0" * 48 + "00000001"
+)
+
+
+@register(
+    "multimodal_video_mp4_meta",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN '69736f6d'
+                             WHEN 1 THEN '6d703432'
+                             ELSE '61766331' END AS brand_hex,
+             CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+             100 + n_chars * 7 AS dur
+      FROM documents
+    ), hx AS (
+      SELECT doc_id,
+             '00000014' || '66747970' || brand_hex || '00000200'
+             || '6d703431'
+             || '00000074' || '6d6f6f76'
+             || '0000006c' || '6d766864' || '00000000'
+             || '00000000' || '00000000'
+             || lower(lpad(to_hex(ts), 8, '0'))
+             || lower(lpad(to_hex(dur), 8, '0'))
+             || '{_MVHD_TAIL}' AS hex_str
+      FROM d
+    ), mh AS (
+      -- blob round-trip: parse the REAL bytes back out at box offsets
+      SELECT doc_id, lower(to_hex(from_hex(hex_str))) AS m FROM hx
+    )
+    SELECT doc_id,
+           CASE substr(m, 17, 8) WHEN '69736f6d' THEN 'isom'
+                                 WHEN '6d703432' THEN 'mp42'
+                                 WHEN '61766331' THEN 'avc1' END AS brand,
+           CAST('0x' || substr(m, 97, 8) AS INT) AS timescale,
+           (1000 * CAST('0x' || substr(m, 105, 8) AS BIGINT))
+             // CAST('0x' || substr(m, 97, 8) AS BIGINT) AS duration_ms
+    FROM mh
+    """,
+)
+def multimodal_video_mp4_meta(spark, sf_dir):
+    """REAL video-container metadata decode — the VIDEO sibling of
+    `multimodal_image_dims` and `multimodal_audio_wav_meta`, completing
+    the opaque-binary metadata tier across all three media modalities:
+    each document synthesizes a genuine ISO BMFF stream (ftyp box with a
+    varying major brand, moov box containing a version-0 mvhd with
+    big-endian timescale/duration and the full 108-byte layout) and
+    multimodal/binary.parse_mp4_meta walks the REAL box structure —
+    top-level size-field scan to ftyp and moov, child walk inside moov
+    to mvhd — inside the Arrow-batched mapInPandas path. A truncated or
+    non-BMFF stream yields NULLs. duration_ms is exact integer
+    milliseconds from the PARSED timescale. The oracle re-parses the
+    identical from_hex blob by big-endian hex slicing at the same box
+    offsets (brand via the known-brand hex table, since DuckDB lacks
+    blob substring).
+
+    Scale shape: map-only, zero exchanges, bytes never leave the stage;
+    frame/sample decode stays behind the documented env-blocked
+    ``decode_stub``."""
+    from veri_spark.multimodal.binary import video_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    brand_hex = (
+        F.when(F.col("doc_id") % 3 == 0, "69736f6d")
+        .when(F.col("doc_id") % 3 == 1, "6d703432")
+        .otherwise("61766331")
+    )
+    ts = (
+        F.when(F.col("doc_id") % 4 == 0, 600)
+        .when(F.col("doc_id") % 4 == 1, 1000)
+        .when(F.col("doc_id") % 4 == 2, 24000)
+        .otherwise(90000)
+    ).cast("bigint")
+    dur = (F.lit(100) + F.col("n_chars") * 7).cast("bigint")
+    be4 = lambda c: F.lower(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    hx = F.concat(
+        F.lit("00000014"), F.lit("66747970"), brand_hex, F.lit("00000200"),
+        F.lit("6d703431"),
+        F.lit("00000074"), F.lit("6d6f6f76"),
+        F.lit("0000006c"), F.lit("6d766864"), F.lit("00000000"),
+        F.lit("00000000"), F.lit("00000000"),
+        be4(ts), be4(dur),
+        F.lit(_MVHD_TAIL),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.unhex(hx).alias("media")
+    )
+    return video_meta(media).select(
+        F.col("media_id").alias("doc_id"),
+        "brand",
+        "timescale",
+        "duration_ms",
+    )
