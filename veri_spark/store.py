@@ -101,6 +101,12 @@ class DatasetConfig:
 
 
 class FeatureStore:
+    #: cell-level detail of the most recent refresh_index call on this
+    #: store ({"cells_rewritten": -1} = full rebuild, 0 = no-op, k = the
+    #: incremental path swapped k centroid directories); a safe default
+    #: before any refresh has run
+    last_index_refresh_info: dict = {"cells_rewritten": None}
+
     def __init__(self, spark: SparkSession, root: str, use_delta: bool | None = None):
         """``use_delta=None`` auto-detects delta-spark; when active, insert/
         delete/expire_now run as Delta ``MERGE``/``DELETE`` (ACID commit,
