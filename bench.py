@@ -410,6 +410,8 @@ BENCH_QUERIES = [
     "hoeffding_d_daily",
     "multimodal_audio_wav_meta",
     "multimodal_video_mp4_meta",
+    # round-13: the persisted incremental IVF serving path under the gate
+    "ann_persisted_incremental_search",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

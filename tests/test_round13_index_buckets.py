@@ -394,3 +394,35 @@ def test_ivf_refresh_falls_back_on_centroid_change(spark, tmp_path):
         map(tuple, spark.read.parquet(scratch._index_path("idx")).collect())
     )
     assert got == want
+
+
+def test_persisted_incremental_search_serves_fresh_incremental_index(
+    spark, tmp_path
+):
+    """The gate query's store recipe must actually take the incremental
+    path on the second refresh (stable vec_id seeds) and serve from a
+    FRESH persisted index (stamp matches after the delta append)."""
+    from veri_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    table = emb.select(
+        F.col("embedding").cast("array<float>").alias("feature"),
+        F.col("vec_id").cast("string").alias("label"),
+        "vec_id",
+    )
+    shard = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") > 20)
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("vectors", table.filter(~shard))
+    store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id"
+    )
+    assert store.last_index_refresh_info["cells_rewritten"] == -1
+    store.put_corpus("vectors", table)
+    assert store._indexed("vectors") is None  # stale after the append
+    n = store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id"
+    )
+    assert n == table.count()
+    k = store.last_index_refresh_info["cells_rewritten"]
+    assert 0 < k < 16  # incremental, and the delta touched < all cells
+    assert store._indexed("vectors") is not None  # served fresh

@@ -516,3 +516,92 @@ def multimodal_video_mp4_meta(spark, sf_dir):
         "timescale",
         "duration_ms",
     )
+
+
+@register(
+    "ann_persisted_incremental_search",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 16),
+    cd AS (SELECT c.centroid_id, list_distance(c.cvec, q.qe) AS qd
+           FROM cents c, q),
+    probe AS (SELECT centroid_id FROM cd
+              ORDER BY qd ASC, centroid_id ASC LIMIT 2),
+    d AS (SELECT e.vec_id, c.centroid_id,
+                 list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+          FROM embeddings e CROSS JOIN cents c),
+    r AS (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, centroid_id ASC) AS rn
+          FROM d),
+    assigned AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    cand AS (SELECT a.vec_id FROM assigned a
+             JOIN probe p ON a.centroid_id = p.centroid_id)
+    SELECT e.vec_id,
+           ROUND(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS score
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_persisted_incremental_search(spark, sf_dir):
+    """The PERSISTED incremental ANN path end-to-end under the oracle
+    gate — the serving analog of `dedup_incremental_delta`: write the
+    corpus minus a delta slice into a real FeatureStore, build the
+    partitioned IVF index on disk (`refresh_index(seed_col="vec_id")` —
+    seeding by the dataset's own id keeps the 16 seeds STABLE under the
+    delta append, which is both what lets the second refresh take the
+    round-13 O(touched cells) incremental path deterministically and
+    what makes this oracle expressible in SQL), append the delta, refresh
+    INCREMENTALLY, and serve an Annoy-dispatch search from the refreshed
+    index. The oracle recomputes the IVF probe from scratch over the FULL
+    corpus — so a carry bug, a stale-cell leak, a missed delta row, or a
+    superseded-row survival all surface as value mismatches.
+    tests/test_round13_index_buckets.py additionally pins that the
+    second refresh rewrites exactly the touched cells.
+
+    Scale: the index build assigns map-only under literal centroids and
+    writes partitioned by cell; the delta refresh re-assigns ONLY the
+    delta and swaps only its cells; the probe search reads nprobe/16 of
+    the index files (partition pruning on the isin filter). This is the
+    reference's hot-swapped Annoy snapshot loop (data/newsync.go:93-227)
+    with delta-sized maintenance."""
+    from veri_spark.operators.search import SearchConfig
+    from veri_spark.plans._base import scratch_store_root
+    from veri_spark.store import FeatureStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = emb.select(
+        F.col("embedding").cast("array<float>").alias("feature"),
+        F.col("vec_id").cast("string").alias("label"),
+        F.col("vec_id").alias("vec_id"),
+    )
+    shard = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") > 20)
+    corpus = table.filter(~shard)
+    delta = table.filter(shard)
+    store = FeatureStore(
+        spark,
+        scratch_store_root("annidx_" + sf_dir.strip("/").replace("/", "_")),
+        use_delta=False,
+    )
+    store.put_corpus("vectors", corpus)
+    store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id"
+    )
+    store.put_corpus("vectors", corpus.unionByName(delta))
+    store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id"
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    out = store.search(
+        "vectors",
+        [q],
+        SearchConfig(score_func="AnnoyVectorDistance", limit=10),
+        nprobe=2,
+        n_centroids=16,
+    )
+    return out.select(
+        F.col("label").cast("bigint").alias("vec_id"),
+        F.round("score", 6).alias("score"),
+    )

@@ -775,6 +775,7 @@ class FeatureStore:
         pq_m: int | None = None,
         pq_k: int = 16,
         kmeans_iters: int = 0,
+        seed_col: str | None = None,
     ) -> int:
         """The reference's Process pass (data/newsync.go:93-227): rebuild the
         ANN index from the live table and hot-swap it atomically. Here the
@@ -824,8 +825,17 @@ class FeatureStore:
                 F.col("__cv").cast("array<float>").alias("centroid_vec"),
             )
         else:
+            # seed_col (round 13): seed by a caller-named data column (e.g.
+            # the dataset's own id) instead of the content hash — seeds are
+            # then STABLE under inserts of new rows, which is what lets a
+            # delta ingest take the incremental path deterministically (and
+            # what makes the persisted-index serving path expressible as a
+            # SQL oracle, plans/knn.ann_persisted_incremental_search)
             cents = take_centroids(
-                df, n_centroids, id_col="__row_id", vector_col=vector_col
+                df,
+                n_centroids,
+                id_col=seed_col or "__row_id",
+                vector_col=vector_col,
             )
         final = self._index_path(name)
         if (
