@@ -195,10 +195,12 @@ def _matches_rows(spark, path):
 def test_dedup_stream_checkpoint_restart_and_replay_noop(spark, tmp_path):
     """Kill the stream between micro-batches, restart from the
     checkpoint, and the matches table + corpus + index must equal the
-    uninterrupted run; then force a full REPLAY (fresh checkpoint over
-    the same source) and the last-applied-batch marker must make it a
-    byte-level no-op (the foreachBatch at-least-once idempotency
-    contract, r12 advisor + verdict task 6)."""
+    uninterrupted run; a re-run against the INTACT checkpoint is a
+    byte-level no-op; and after a WIPED checkpoint, new data delivered
+    under recycled batch ids must still be ingested — the marker lives
+    inside the checkpoint, so batch-id reuse can reprocess (at-least-
+    once, duplicates) but can never silently DROP (at-most-once), the
+    round-13 review's failure case."""
     import shutil
 
     corpus, b1, b2, files, stream_dir = _stream_fixture(spark, tmp_path)
@@ -236,15 +238,49 @@ def test_dedup_stream_checkpoint_restart_and_replay_noop(spark, tmp_path):
     for g, r in zip(got_idx, ref_idx):
         assert sorted(map(tuple, g.collect())) == sorted(map(tuple, r.collect()))
 
-    # full replay: wipe the checkpoint so Spark re-delivers BOTH batches
-    # with fresh batch ids — the marker must no-op every one of them
+    # re-run against the INTACT checkpoint with no new files: nothing is
+    # re-delivered, nothing changes
     import os
 
     corpus_files = sorted(os.listdir(store._data_path("documents")))
-    shutil.rmtree(f"{store.root}/documents.dedup_checkpoint")
     store.dedup_stream("documents", _reader(spark, stream2))
     assert _matches_rows(spark, matches) == want
     assert sorted(os.listdir(store._data_path("documents"))) == corpus_files
+
+    # wipe the checkpoint AND add genuinely new docs: the fresh stream
+    # recycles batch ids from 0, and the marker died with the checkpoint
+    # — so the new docs MUST land in the corpus (no at-most-once drop)
+    # while the re-delivered old batches may re-append (at-least-once)
+    new_docs = b1.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    new_docs.coalesce(1).write.parquet(str(tmp_path / "src" / "b3"))
+    import glob
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "src" / "b3" / "*.parquet"))[0],
+        stream2 / "2.parquet",
+    )
+    shutil.rmtree(f"{store.root}/documents.dedup_checkpoint")
+    store.dedup_stream("documents", _reader(spark, stream2))
+    got_ids = {
+        r[0]
+        for r in store._read("documents").select("doc_id").collect()
+    }
+    new_ids = {r[0] for r in new_docs.select("doc_id").collect()}
+    assert new_ids <= got_ids  # the review's silent-drop case is closed
+    # re-delivered old batches appended again: duplicates, never loss
+    from collections import Counter
+
+    counts = Counter(
+        r[0] for r in store._read("documents").select("doc_id").collect()
+    )
+    b1_ids = {r[0] for r in b1.select("doc_id").collect()}
+    assert all(counts[i] == 2 for i in b1_ids)
+    assert all(counts[i] == 1 for i in new_ids)
+    # and the index is consistent with the (duplicated) corpus state
+    assert store._dedup_indexed("documents") is not None
 
 
 # ---------------------------------------------------------------------------

@@ -93,10 +93,27 @@ def test_wav_parser_reads_real_stdlib_wave_files(spark, tmp_path):
         w.writeframes(b"\x00" * (nframes * ch * 2))
         w.close()
         got = parse_wav_header(open(p, "rb").read())
-        assert got == (sr, ch, 16, nframes * ch * 2)
+        assert got == (sr, ch, 16, nframes * ch * 2, sr * ch * 2)
     assert parse_wav_header(b"RIFF") is None
     assert parse_wav_header(b"x" * 64) is None
     assert parse_wav_header(None) is None
+    # magic-valid header with a ZERO byte rate: must be unparseable (a
+    # NULL row), never a divide-by-zero that kills the scan
+    import struct
+
+    zero_rate = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 1, 0, 4, 1)
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert parse_wav_header(zero_rate) is None
+    from veri_spark.multimodal.binary import audio_meta
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(zero_rate))], "media_id bigint, media binary"
+    )
+    row = audio_meta(bad).collect()[0]
+    assert row["duration_ms"] is None and row["sample_rate"] is None
 
     from veri_spark.plans.registry import QUERIES
 

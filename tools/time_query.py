@@ -37,8 +37,11 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         runs.append(round(time.time() - t0, 3))
+    s = sorted(runs)
+    mid = len(s) // 2
+    med = s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
     print(json.dumps({"query": name, "root": root, "runs": runs,
-                      "median": sorted(runs)[len(runs) // 2]}))
+                      "median": med}))
     spark.stop()
 
 

@@ -264,15 +264,19 @@ def frame_sample(
 
 def parse_wav_header(
     data: bytes | None,
-) -> tuple[int, int, int, int] | None:
+) -> tuple[int, int, int, int, int] | None:
     """REAL pure-stdlib RIFF/WAVE header decode: (sample_rate, channels,
-    bits_per_sample, data_size) from the canonical 44-byte PCM layout, or
-    None if unrecognized/truncated (RIFF spec / WAVE format chunk:
-    'RIFF' size 'WAVE', 'fmt ' chunk with little-endian audioFormat(2)
-    channels(2) sampleRate(4) byteRate(4) blockAlign(2) bits(2), then the
-    'data' chunk id + little-endian size). The audio analog of
-    ``parse_image_header`` — the metadata tier a 100 TB media table
-    audits scan-side; sample decode stays behind ``decode_stub``."""
+    bits_per_sample, data_size, byte_rate) from the canonical 44-byte PCM
+    layout, or None if unrecognized/truncated (RIFF spec / WAVE format
+    chunk: 'RIFF' size 'WAVE', 'fmt ' chunk with little-endian
+    audioFormat(2) channels(2) sampleRate(4) byteRate(4) blockAlign(2)
+    bits(2), then the 'data' chunk id + little-endian size). byte_rate is
+    READ from the header field (bytes 28-31), never recomputed from
+    sr*ch*bits — for compressed formats the two genuinely differ, and
+    duration must follow the stream's own rate (round-13 review). The
+    audio analog of ``parse_image_header`` — the metadata tier a 100 TB
+    media table audits scan-side; sample decode stays behind
+    ``decode_stub``."""
     if not data or len(data) < 44:
         return None
     if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -281,11 +285,12 @@ def parse_wav_header(
         return None
     channels = int.from_bytes(data[22:24], "little")
     sample_rate = int.from_bytes(data[24:28], "little")
+    byte_rate = int.from_bytes(data[28:32], "little")
     bits = int.from_bytes(data[34:36], "little")
     data_size = int.from_bytes(data[40:44], "little")
-    if channels == 0 or sample_rate == 0 or bits == 0:
+    if channels == 0 or sample_rate == 0 or bits == 0 or byte_rate == 0:
         return None
-    return (sample_rate, channels, bits, data_size)
+    return (sample_rate, channels, bits, data_size, byte_rate)
 
 
 def audio_meta(
@@ -293,10 +298,12 @@ def audio_meta(
 ) -> DataFrame:
     """Arrow-batched REAL WAV-header decode over a binary column: one row
     per input with (id, sample_rate, channels, bits, duration_ms) — NULLs
-    for unparseable bytes. duration_ms = 1000 * data_size / byte_rate,
-    floored to exact integer milliseconds. Same scan-side shape as
-    ``image_dims``: (id, media) projected before mapInPandas, bytes never
-    leave the map task."""
+    for unparseable bytes. duration_ms = 1000 * data_size floor-divided
+    by the byte rate PARSED from the header (a zero byte rate is
+    unparseable, never a divide-by-zero — one corrupt row must yield a
+    NULL row, not kill the scan). Same scan-side shape as ``image_dims``:
+    (id, media) projected before mapInPandas, bytes never leave the map
+    task."""
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -317,9 +324,7 @@ def audio_meta(
                     "channels": [p[1] if p else None for p in parsed],
                     "bits": [p[2] if p else None for p in parsed],
                     "duration_ms": [
-                        (1000 * p[3]) // (p[0] * p[1] * p[2] // 8)
-                        if p
-                        else None
+                        (1000 * p[3]) // p[4] if p else None
                         for p in parsed
                     ],
                 }

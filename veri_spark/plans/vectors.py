@@ -1579,12 +1579,13 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
     a per-row exact-decimal fold. The Gram second-moment matrix is the
     one genuinely heavy term (246M scalar products at sf0.1), so it
     uses the sanctioned Arrow escape hatch (SURVEY §2.7): mapInPandas
-    emits one EXACT int64 64x64 partial per partition -- numpy computes
-    (1e12*u[a])*u[b] with the oracle's left-associated double multiply
-    and rounds half-away-from-zero via the exact trunc/frac identity
-    (bit-identical to Spark's and DuckDB's round for |x| < 2^51; every
-    quantized product is <= 1e12 so an int64 partial is overflow-safe
-    below 9.2e6 rows per partition) -- and a 4,096-group decimal merge
+    emits one EXACT int64 64x64 partial per 1024-row chunk -- numpy
+    computes (1e12*u[a])*u[b] with the oracle's left-associated double
+    multiply and rounds half-away-from-zero via the exact trunc/frac
+    identity (bit-identical to Spark's and DuckDB's round for
+    |x| < 2^51; every quantized product is <= 1e12, so a 1024-row chunk
+    partial is bounded ~1e15 and int64 cannot overflow at ANY corpus
+    size) -- and a 4,096-group decimal merge
     folds the partials exactly, order-proof. Zero joins, zero vec_id
     shuffles, no corpus-grain decimal arithmetic. Measured at sf0.1 on
     local[32]: 13.7 s (r12 join+decimal shape) -> ~4 s. The classic
@@ -1636,17 +1637,17 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
     )
 
     def gram_partials(batches):
-        # one exact int64 64x64 partial per partition; chunked so the
-        # (rows, 64, 64) product tensor stays ~35 MB
-        acc = None
-        d = 0
+        # one exact int64 64x64 partial per 1024-row CHUNK (not per
+        # partition): every partial is bounded by 1024 * 1e12 ~ 1e15 by
+        # construction, so no partition row count can overflow int64 at
+        # ANY corpus size (round-13 review); chunking also keeps the
+        # (rows, 64, 64) product tensor ~35 MB
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack(pdf["u"].to_numpy())
             d = mat.shape[1]
-            if acc is None:
-                acc = np.zeros((d, d), dtype=np.int64)
+            idx = np.arange(d, dtype=np.int32)
             for lo in range(0, mat.shape[0], 1024):
                 chunk = mat[lo:lo + 1024]
                 a = 1e12 * chunk
@@ -1657,17 +1658,14 @@ def embedding_pairwise_cosine_moments(spark, sf_dir):
                 q = t + np.where(
                     np.abs(frac) >= 0.5, np.copysign(1.0, prod), 0.0
                 )
-                acc += q.astype(np.int64).sum(axis=0)
-        if acc is None:
-            return
-        idx = np.arange(d, dtype=np.int32)
-        yield pd.DataFrame(
-            {
-                "pa": np.repeat(idx, d),
-                "pb": np.tile(idx, d),
-                "gl": acc.reshape(-1),
-            }
-        )
+                part = q.astype(np.int64).sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "pa": np.repeat(idx, d),
+                        "pb": np.tile(idx, d),
+                        "gl": part.reshape(-1),
+                    }
+                )
 
     # repartition so every core carries a slice of the product work (the
     # parquet scan alone yields too few splits to parallelize 246M
@@ -1831,18 +1829,22 @@ def mmd_label_groups(spark, sf_dir):
     )
     # per-label Gram without a join OR corpus-grain decimal arithmetic:
     # double posexplode of the SAME row (64x64 products per vector,
-    # never a vec_id shuffle), LONG partial sums per Spark partition
-    # (exact: every term is an integer <= 1e12 * max|v|^2, so a
-    # 128 MB-bounded partition cannot overflow int64 for any |v| <= 6),
+    # never a vec_id shuffle), LONG partial sums per Spark partition,
     # then a (label, 64, 64)-group DECIMAL merge over the bounded
-    # partials. persist(): the 8,192-row matrix feeds THREE consumers
-    # (both Frobenius folds and the cross inner product) that otherwise
-    # each replay the corpus explode.
+    # partials. The long-fold bound is ENFORCED by construction, not
+    # assumed (round-13 review): round-robin repartition to
+    # max(32, n/50k) partitions balances rows to +-1, so each
+    # per-partition group sums <= 50k terms of <= 1e12 * max|v|^2 —
+    # int64-safe for any |v| <= 13 at ANY corpus size. persist(): the
+    # 8,192-row matrix feeds THREE consumers (both Frobenius folds and
+    # the cross inner product) that otherwise each replay the corpus
+    # explode.
+    n_rows = emb.count()
     m = (
         emb.select(
             "label", F.col("embedding").cast("array<double>").alias("v")
         )
-        .repartition(32)
+        .repartition(max(32, -(-n_rows // 50_000)))
         .select("label", F.col("v"), F.posexplode("v").alias("pa", "va"))
         .select(
             "label",

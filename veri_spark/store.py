@@ -83,6 +83,26 @@ def delta_available() -> bool:
         return False
 
 
+def _swap_partition_dirs(final: str, tmp: str, keys: list[str]) -> None:
+    """Swap exactly ``keys`` partition subdirectories (``col=value``
+    names) from a freshly written ``tmp`` dataset into ``final``, then
+    drop ``tmp``. A key with no tmp counterpart (the partition became
+    empty) is simply removed from final. ONE implementation for the three
+    O(delta)-write sites (dedup bands/simhash buckets, IVF cells) so the
+    subtle points — missing-src handling, tmp cleanup, rename ordering —
+    cannot drift apart (round-13 review)."""
+    import shutil
+
+    for key in keys:
+        dst = os.path.join(final, key)
+        src = os.path.join(tmp, key)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+
+
 @dataclass
 class DatasetConfig:
     """Mirror of pb.DataConfig defaults (data/dataset.go:45-56).
@@ -903,8 +923,6 @@ class FeatureStore:
         ``__row_id`` already stamped; multiplicity-exact by construction
         (a fingerprint whose count changed re-derives ALL its live rows
         and drops ALL its stored rows)."""
-        import shutil
-
         prev = self.spark.read.parquet(final)
         orig_cols = [c for c in df.columns if c != "__row_id"]
         prev_fp = prev.withColumn("__row_id", F.xxhash64(*orig_cols))
@@ -952,14 +970,9 @@ class FeatureStore:
         out = carried.unionByName(new_assigned).drop("__row_id")
         tmp = final + ".tmp"
         out.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
-        for c in dirty:
-            dst = os.path.join(final, f"centroid_id={c}")
-            src = os.path.join(tmp, f"centroid_id={c}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            if os.path.exists(src):
-                os.rename(src, dst)
-        shutil.rmtree(tmp)
+        _swap_partition_dirs(
+            final, tmp, [f"centroid_id={c}" for c in dirty]
+        )
         with open(final + ".mutver", "w") as f:
             f.write(str(self._mutation_stamp(name)))
         self.last_index_refresh_info = {"cells_rewritten": len(dirty)}
@@ -1082,7 +1095,13 @@ class FeatureStore:
 
         if prev_bands is not None:
             known = prev_sim.select(id_col, "fp")
-            changed = live_fp.join(known, [id_col, "fp"], "left_anti")
+            # delta-sized; localCheckpoint because it feeds FOUR jobs
+            # (dirty-bucket collect, recompute count, and both signature
+            # writes) — each would otherwise replay the corpus-grain
+            # anti-join (round-13 review)
+            changed = live_fp.join(
+                known, [id_col, "fp"], "left_anti"
+            ).localCheckpoint()
             live_keys = live_fp.select(id_col, "fp")
             removed = known.join(live_keys, [id_col, "fp"], "left_anti")
             # dirty = buckets holding any added/changed fp or any fp whose
@@ -1118,34 +1137,47 @@ class FeatureStore:
             )
             # carry ONLY rows living in dirty buckets: the isin filter on
             # the partition column prunes every untouched bucket's files
-            # from the scan, and untouched buckets are never rewritten
-            carried_bands = prev_bands.filter(
-                F.col("bucket").isin(dirty)
-            ).drop("bucket").join(live_keys, [id_col, "fp"], "left_semi")
-            carried_sim = prev_sim.filter(
-                F.col("bucket").isin(dirty)
-            ).drop("bucket").join(live_keys, [id_col, "fp"], "left_semi")
+            # from the scan, and untouched buckets are never rewritten.
+            # The anti-join against changed ids makes a TORN prior swap
+            # self-healing (round-13 review): if a crash landed .bands
+            # already swapped but .simhash not, the next refresh derives
+            # `changed` from the stale .simhash, recomputes those docs,
+            # and the anti-join drops their already-updated .bands rows
+            # instead of carrying them into duplicates.
+            changed_ids = changed.select(id_col).distinct()
+            carried_bands = (
+                prev_bands.filter(F.col("bucket").isin(dirty))
+                .drop("bucket")
+                .join(live_keys, [id_col, "fp"], "left_semi")
+                .join(F.broadcast(changed_ids), id_col, "left_anti")
+            )
+            carried_sim = (
+                prev_sim.filter(F.col("bucket").isin(dirty))
+                .drop("bucket")
+                .join(live_keys, [id_col, "fp"], "left_semi")
+                .join(F.broadcast(changed_ids), id_col, "left_anti")
+            )
             out_bands = carried_bands.unionByName(new_bands)
             out_sim = carried_sim.unionByName(new_sim)
             tmp = final + ".tmp"
+            # write BOTH tmp outputs before swapping ANY directory: the
+            # crash window between the .bands and .simhash swaps is then
+            # rename-scale, not write-scale (and self-healing, above)
             for suffix, df in ((".bands", out_bands), (".simhash", out_sim)):
                 df.withColumn("bucket", bucket_of).write.mode(
                     "overwrite"
                 ).partitionBy("bucket").parquet(tmp + suffix)
+            for suffix in (".bands", ".simhash"):
                 if migrating:
                     # one-time layout swap: the old flat files cannot
                     # coexist with bucket=K directories
                     shutil.rmtree(final + suffix)
                     os.rename(tmp + suffix, final + suffix)
                     continue
-                for b in dirty:
-                    dst = os.path.join(final + suffix, f"bucket={b}")
-                    src = os.path.join(tmp + suffix, f"bucket={b}")
-                    if os.path.exists(dst):
-                        shutil.rmtree(dst)
-                    if os.path.exists(src):
-                        os.rename(src, dst)
-                shutil.rmtree(tmp + suffix)
+                _swap_partition_dirs(
+                    final + suffix, tmp + suffix,
+                    [f"bucket={b}" for b in dirty],
+                )
             buckets_rewritten = len(dirty)
         else:
             out_bands, out_sim = dedup_signature_index(
@@ -1157,6 +1189,7 @@ class FeatureStore:
                 df.withColumn("bucket", bucket_of).write.mode(
                     "overwrite"
                 ).partitionBy("bucket").parquet(tmp + suffix)
+            for suffix in (".bands", ".simhash"):
                 if os.path.exists(final + suffix):
                     shutil.rmtree(final + suffix)
                 os.rename(tmp + suffix, final + suffix)
@@ -1302,14 +1335,43 @@ class FeatureStore:
         (``batch=<id>``, overwritten on replay, so a retried micro-batch
         cannot duplicate candidate rows), and a last-applied-batch marker
         written AFTER the corpus append + index refresh makes a replay of
-        a fully applied batch a no-op. The one residual window is a crash
-        BETWEEN the corpus append and the marker write — closing it needs
-        a transactional table (Delta/Iceberg MERGE; the delta-spark probe
-        is env-blocked here), which is why the marker is ordered last:
-        replaying that window re-appends the batch to the corpus but
-        never double-counts matches."""
+        a fully applied batch a no-op. The marker lives INSIDE the
+        checkpoint directory — batch ids only identify content within one
+        checkpoint lifetime, so a marker that outlived the checkpoint
+        would silently DROP new data delivered under recycled ids
+        (at-most-once); tied together, a wiped checkpoint reprocesses the
+        source (at-least-once, duplicates possible, never loss). The one
+        residual window is a crash BETWEEN the corpus append and the
+        marker write — closing it needs a transactional table
+        (Delta/Iceberg MERGE; the delta-spark probe is env-blocked here),
+        which is why the marker is ordered last: replaying that window
+        re-appends the batch to the corpus but never double-counts
+        matches."""
         matches = f"{self.root}/{name}.dedup_matches"
-        marker = f"{self.root}/{name}.dedup_last_batch"
+        checkpoint = f"{self.root}/{name}.dedup_checkpoint"
+        marker = f"{checkpoint}/last_applied_batch"
+        # pre-round-13 layout migration: flat part files at the matches
+        # root cannot coexist with batch=<id> partition directories
+        # (partition discovery rejects mixed depths) — tuck them into a
+        # batch=-1 partition once
+        if os.path.isdir(matches):
+            legacy = [
+                f
+                for f in os.listdir(matches)
+                if f.endswith(".parquet") and os.path.isfile(
+                    os.path.join(matches, f)
+                )
+            ]
+            if legacy:
+                legacy_dir = os.path.join(matches, "batch=-1")
+                os.makedirs(legacy_dir, exist_ok=True)
+                for f in legacy:
+                    os.rename(
+                        os.path.join(matches, f), os.path.join(legacy_dir, f)
+                    )
+                success = os.path.join(matches, "_SUCCESS")
+                if os.path.exists(success):
+                    os.remove(success)
 
         def _step(batch_df: DataFrame, batch_id: int) -> None:
             if os.path.exists(marker) and batch_id <= int(open(marker).read()):
@@ -1327,9 +1389,7 @@ class FeatureStore:
 
         q = (
             stream.writeStream.foreachBatch(_step)
-            .option(
-                "checkpointLocation", f"{self.root}/{name}.dedup_checkpoint"
-            )
+            .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
