@@ -462,3 +462,78 @@ def test_persisted_incremental_search_serves_fresh_incremental_index(
     k = store.last_index_refresh_info["cells_rewritten"]
     assert 0 < k < 16  # incremental, and the delta touched < all cells
     assert store._indexed("vectors") is not None  # served fresh
+
+
+# ---------------------------------------------------------------------------
+# Round-13: continuous drift monitor (the A5 stats-refresh loop streamed)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_stream_scores_batches_and_flags_shift(spark, tmp_path):
+    """Per-micro-batch PSI equals a pure-Python recomputation from the
+    same persisted reference; an in-distribution batch stays under the
+    threshold while a shifted batch is flagged; replays are no-ops."""
+    import glob
+    import json
+    import math
+    import shutil
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value"
+    )
+    corpus = ev.filter(F.col("event_id") % 3 != 0)
+    b_ok = ev.filter(F.col("event_id") % 3 == 0)
+    b_shift = b_ok.select(
+        "event_id", (F.col("value") * 10 + 500).alias("value")
+    )
+
+    store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
+    store.put_corpus("events", corpus)
+
+    src = tmp_path / "src"
+    b_ok.coalesce(1).write.parquet(str(src / "b0"))
+    b_shift.coalesce(1).write.parquet(str(src / "b1"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    shutil.copy(glob.glob(str(src / "b0" / "*.parquet"))[0],
+                stream_dir / "0.parquet")
+    shutil.copy(glob.glob(str(src / "b1" / "*.parquet"))[0],
+                stream_dir / "1.parquet")
+
+    reader = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    alerts = store.drift_stream("events", reader, threshold=0.2)
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(alerts).collect()
+    }
+    assert set(rows) == {0, 1}
+
+    # pure-Python PSI from the same persisted reference
+    ref = json.load(open(f"{store.root}/events.drift_ref.json"))
+    lo, width, bins = ref["lo"], ref["width"], ref["bins"]
+    rc, rt = ref["counts"], sum(ref["counts"])
+
+    def psi_of(df):
+        got = [0] * bins
+        for r in df.select("value").collect():
+            b = min(bins - 1, max(0, math.floor((r["value"] - lo) / width)))
+            got[b] += 1
+        n = sum(got)
+        return sum(
+            ((g + 1) / (n + bins) - (c + 1) / (rt + bins))
+            * math.log(((g + 1) / (n + bins)) / ((c + 1) / (rt + bins)))
+            for g, c in zip(got, rc)
+        )
+
+    assert abs(rows[0]["psi"] - psi_of(b_ok)) < 1e-9
+    assert abs(rows[1]["psi"] - psi_of(b_shift)) < 1e-9
+    assert not rows[0]["drifted"] and rows[1]["drifted"]
+
+    # replay with the intact checkpoint: no re-delivery, nothing changes
+    before = sorted(glob.glob(f"{alerts}/batch=*/*.parquet"))
+    store.drift_stream("events", reader, threshold=0.2)
+    assert sorted(glob.glob(f"{alerts}/batch=*/*.parquet")) == before

@@ -1396,6 +1396,137 @@ class FeatureStore:
         q.awaitTermination(timeout_s)
         return matches
 
+    def drift_reference(
+        self, name: str, value_col: str = "value", bins: int = 16
+    ) -> dict:
+        """Build (or rebuild) the persisted drift REFERENCE for a corpus
+        column: fixed bin edges from the current min/max plus the bin
+        counts — the baseline `drift_stream` scores every incoming
+        micro-batch against (the streaming continuation of A5's
+        statistical-identity refresh test, stats.py). One corpus scan;
+        the histogram is ONE hash agg over at most `bins` groups."""
+        df = self._read(name)
+        lohi = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        width = (hi - lo) / bins or 1.0
+        counts = {
+            int(r["b"]): int(r["c"])
+            for r in df.select(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col(value_col).cast("double") - F.lit(lo))
+                        / F.lit(width)
+                    ),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        ref = {
+            "lo": lo,
+            "width": width,
+            "bins": bins,
+            "counts": [counts.get(i, 0) for i in range(bins)],
+        }
+        path = f"{self.root}/{name}.drift_ref.json"
+        with open(path + ".tmp", "w") as f:
+            json.dump(ref, f)
+        os.replace(path + ".tmp", path)
+        return ref
+
+    def drift_stream(
+        self,
+        name: str,
+        stream: DataFrame,
+        value_col: str = "value",
+        bins: int = 16,
+        threshold: float = 0.2,
+        timeout_s: int = 120,
+    ) -> str:
+        """STREAMING drift monitor: score every micro-batch's value
+        distribution against the persisted reference histogram with the
+        Population Stability Index (Laplace-smoothed bin proportions,
+        the scorecard-monitoring standard; PSI >= `threshold` flags the
+        batch). This is the reference's periodic stats-refresh loop
+        (data/newsync.go:137-167 DataInfo + the A5 identity test) run
+        CONTINUOUSLY: the corpus-side histogram is computed once by
+        ``drift_reference`` and read per batch as a tiny JSON — the
+        stream never rescans the corpus.
+
+        Same idempotency hardening as ``dedup_stream``: one
+        ``batch=<id>`` partition per micro-batch (replay overwrites,
+        never duplicates) and a last-applied-batch marker INSIDE the
+        checkpoint directory. Per-batch cost: one hash agg over <= bins
+        groups of the BATCH only. Returns the alerts path."""
+        ref = None
+        ref_path = f"{self.root}/{name}.drift_ref.json"
+        if os.path.exists(ref_path):
+            ref = json.load(open(ref_path))
+            if ref.get("bins") != bins:
+                ref = None
+        if ref is None:
+            ref = self.drift_reference(name, value_col, bins)
+        alerts = f"{self.root}/{name}.drift_alerts"
+        checkpoint = f"{self.root}/{name}.drift_checkpoint"
+        marker = f"{checkpoint}/last_applied_batch"
+        lo, width, ref_counts = ref["lo"], ref["width"], ref["counts"]
+        ref_total = sum(ref_counts)
+
+        def _step(batch_df: DataFrame, batch_id: int) -> None:
+            if os.path.exists(marker) and batch_id <= int(open(marker).read()):
+                return
+            got = {
+                int(r["b"]): int(r["c"])
+                for r in batch_df.select(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(value_col).cast("double") - F.lit(lo))
+                                / F.lit(width)
+                            ),
+                        ),
+                    )
+                    .cast("int")
+                    .alias("b")
+                )
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            import math
+
+            n = sum(got.values())
+            psi = 0.0
+            for i in range(bins):
+                # add-one smoothing keeps empty bins finite on BOTH sides
+                p = (ref_counts[i] + 1) / (ref_total + bins)
+                q = (got.get(i, 0) + 1) / (n + bins)
+                psi += (q - p) * math.log(q / p)
+            self.spark.createDataFrame(
+                [(int(batch_id), int(n), float(psi), psi >= threshold)],
+                "batch_id bigint, n_rows bigint, psi double, drifted boolean",
+            ).write.mode("overwrite").parquet(f"{alerts}/batch={batch_id}")
+            with open(marker, "w") as f:
+                f.write(str(batch_id))
+
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        return alerts
+
     # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
     def _cached_result(self, key: str, max_age_s: int) -> DataFrame | None:
         path = f"{self.root}/_cache/{key}"
