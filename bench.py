@@ -412,6 +412,8 @@ BENCH_QUERIES = [
     "multimodal_video_mp4_meta",
     # round-13: the persisted incremental IVF serving path under the gate
     "ann_persisted_incremental_search",
+    "distance_correlation_daily",
+    "siegel_repeated_median_trend",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

@@ -122,3 +122,73 @@ def test_hoeffding_d_matches_1948_formula(spark):
     got = QUERIES["hoeffding_d_daily"](spark, SF).collect()[0]
     assert got["n_days"] == n
     assert abs(got["d_hoeffding"] - d_stat) < 1e-7
+
+
+def _day_grain(spark):
+    days = {}
+    for r in (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("revq"),
+        )
+        .collect()
+    ):
+        d = days.setdefault(r["day"], [0, 0])
+        d[0] += r["revq"]
+        d[1] += 1
+    return days
+
+
+def test_distance_correlation_matches_double_centering(spark):
+    days = _day_grain(spark)
+    xs = [round(rev / 10000.0) for rev, _ in days.values()]
+    ys = [cnt for _, cnt in days.values()]
+    n = len(xs)
+    import math
+
+    def dcent(v):
+        a = [[abs(v[i] - v[j]) for j in range(n)] for i in range(n)]
+        rm = [sum(row) / n for row in a]
+        gm = sum(rm) / n
+        return [
+            [a[i][j] - rm[i] - rm[j] + gm for j in range(n)]
+            for i in range(n)
+        ]
+
+    A, B = dcent(xs), dcent(ys)
+    sab = sum(A[i][j] * B[i][j] for i in range(n) for j in range(n))
+    saa = sum(A[i][j] ** 2 for i in range(n) for j in range(n))
+    sbb = sum(B[i][j] ** 2 for i in range(n) for j in range(n))
+    want = math.sqrt(sab / math.sqrt(saa * sbb))
+    got = QUERIES["distance_correlation_daily"](spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["distance_correlation"] - want) < 1e-6
+    assert 0 <= got["distance_correlation"] <= 1
+
+
+def test_siegel_repeated_median_matches_literal(spark):
+    days = _day_grain(spark)
+    pts = sorted(
+        ((d.toordinal() - 719163), rev)  # days since 1970-01-01
+        for d, (rev, _) in days.items()
+    )
+    import statistics
+
+    def med(vals):
+        s = sorted(vals)
+        m = len(s)
+        lo, hi = (m + 1) // 2 - 1, (m + 2) // 2 - 1
+        return (s[lo] + s[hi]) / 2
+
+    inner = [
+        med([(yj - yi) / (xj - xi) for xj, yj in pts if xj != xi])
+        for xi, yi in pts
+    ]
+    slope = med(inner)
+    icept = med([y - slope * x for x, y in pts])
+    got = QUERIES["siegel_repeated_median_trend"](spark, SF).collect()[0]
+    assert got["n_days"] == len(pts)
+    assert abs(got["slope_cents_per_day"] - slope) < 1e-5
+    assert abs(got["intercept_cents"] - icept) < 1e-1
+    assert statistics is not None
