@@ -161,6 +161,10 @@ def test_dedup_stream_matches_batch_path(spark, tmp_path):
     stream_dir.mkdir()
     for i, f in enumerate(files):
         shutil.copy(f, stream_dir / f"{i}.parquet")
+        t = 1_600_000_000 + i * 60  # pin mtime: batch order is mtime order
+        import os as _os
+
+        _os.utime(stream_dir / f"{i}.parquet", (t, t))
 
     store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
     store.put_corpus("documents", corpus)

@@ -24,6 +24,17 @@ SF = "/root/testdata/sf0.001"
 NB = FeatureStore.DEDUP_INDEX_BUCKETS
 
 
+
+
+def _pin_mtime(path, order: int) -> None:
+    """FileStreamSource batches files in MODIFICATION-TIME order; copies
+    made microseconds apart can tie on coarse-mtime filesystems and flip
+    batch assignment between runs. Pin an explicit, strictly increasing
+    mtime per intended batch."""
+    t = 1_600_000_000 + order * 60
+    os.utime(path, (t, t))
+
+
 def _docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text"
@@ -211,6 +222,7 @@ def test_dedup_stream_checkpoint_restart_and_replay_noop(spark, tmp_path):
     ref.dedup_index_refresh("documents")
     for i, f in enumerate(files):
         shutil.copy(f, stream_dir / f"{i}.parquet")
+        _pin_mtime(stream_dir / f"{i}.parquet", i)
     ref_matches = ref.dedup_stream("documents", _reader(spark, stream_dir))
     want = _matches_rows(spark, ref_matches)
     want_corpus = sorted(map(tuple, ref._read("documents").collect()))
@@ -221,6 +233,7 @@ def test_dedup_stream_checkpoint_restart_and_replay_noop(spark, tmp_path):
     stream2 = tmp_path / "stream2"
     stream2.mkdir()
     shutil.copy(files[0], stream2 / "0.parquet")
+    _pin_mtime(stream2 / "0.parquet", 0)
     store = FeatureStore(spark, str(tmp_path / "st"), use_delta=False)
     store.put_corpus("documents", corpus)
     store.dedup_index_refresh("documents")
@@ -228,6 +241,7 @@ def test_dedup_stream_checkpoint_restart_and_replay_noop(spark, tmp_path):
     got_mid = _matches_rows(spark, matches)
     assert got_mid != want  # genuinely interrupted mid-stream
     shutil.copy(files[1], stream2 / "1.parquet")
+    _pin_mtime(stream2 / "1.parquet", 1)
     store.dedup_stream("documents", _reader(spark, stream2))
 
     assert _matches_rows(spark, matches) == want
@@ -262,6 +276,7 @@ def test_dedup_stream_checkpoint_restart_and_replay_noop(spark, tmp_path):
         glob.glob(str(tmp_path / "src" / "b3" / "*.parquet"))[0],
         stream2 / "2.parquet",
     )
+    _pin_mtime(stream2 / "2.parquet", 2)
     shutil.rmtree(f"{store.root}/documents.dedup_checkpoint")
     store.dedup_stream("documents", _reader(spark, stream2))
     got_ids = {
@@ -497,8 +512,10 @@ def test_drift_stream_scores_batches_and_flags_shift(spark, tmp_path):
     stream_dir.mkdir()
     shutil.copy(glob.glob(str(src / "b0" / "*.parquet"))[0],
                 stream_dir / "0.parquet")
+    _pin_mtime(stream_dir / "0.parquet", 0)
     shutil.copy(glob.glob(str(src / "b1" / "*.parquet"))[0],
                 stream_dir / "1.parquet")
+    _pin_mtime(stream_dir / "1.parquet", 1)
 
     reader = (
         spark.readStream.schema("event_id bigint, value double")
