@@ -167,6 +167,19 @@ def test_mp4_parser_walks_real_box_structure(spark):
     bad = struct.pack(">I", 9999) + b"ftypisom"
     assert parse_mp4_meta(bad) is None
     assert parse_mp4_meta(ftyp(b"isom")) is None  # no moov -> no timescale
+    # ISO BMFF size conventions (14496-12 §4.2, r13 advisor): size==1
+    # carries a 64-bit largesize after the type; size==0 extends the box
+    # to the end of the enclosing space (file for top-level boxes)
+    m = moov(48000, 960)
+    large_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(m) - 8)
+        + m[8:]
+    )
+    assert parse_mp4_meta(ftyp(b"isom") + large_moov) == ("isom", 48000, 960)
+    to_eof_moov = struct.pack(">I", 0) + b"moov" + m[8:]
+    assert parse_mp4_meta(ftyp(b"mp42") + to_eof_moov) == ("mp42", 48000, 960)
+    # truncated largesize header is rejected, not mis-read
+    assert parse_mp4_meta(ftyp(b"isom") + struct.pack(">I", 1) + b"moov") is None
 
     from veri_spark.plans.registry import QUERIES
 

@@ -341,36 +341,62 @@ def parse_mp4_meta(
     scan top-level boxes by their big-endian size fields for ftyp (major
     brand) and moov, then walk moov's children for mvhd (version-0 full
     box: timescale at offset 20, duration at 24). None for truncated or
-    non-BMFF bytes. The video analog of ``parse_image_header`` /
-    ``parse_wav_header``; frame decode stays behind ``decode_stub``."""
+    non-BMFF bytes. Handles all three ISO BMFF size conventions
+    (14496-12 §4.2): size==1 reads the 8-byte largesize that follows the
+    type, size==0 means the box extends to end-of-enclosure. The video
+    analog of ``parse_image_header`` / ``parse_wav_header``; frame
+    decode stays behind ``decode_stub``."""
     if not data or len(data) < 16:
         return None
+
+    def box_bounds(buf: bytes, i: int, end: int) -> tuple[bytes, int, int] | None:
+        """(type, payload_start, box_end) of the box at ``i``, or None
+        when the header is malformed/truncated within ``end``."""
+        size = int.from_bytes(buf[i:i + 4], "big")
+        typ = buf[i + 4:i + 8]
+        if size == 1:
+            if i + 16 > end:
+                return None
+            size = int.from_bytes(buf[i + 8:i + 16], "big")
+            if size < 16 or i + size > end:
+                return None
+            return (typ, i + 16, i + size)
+        if size == 0:  # box extends to the end of the enclosing space
+            return (typ, i + 8, end)
+        if size < 8 or i + size > end:
+            return None
+        return (typ, i + 8, i + size)
+
     brand = None
     timescale = duration = None
     i = 0
     n = len(data)
     while i + 8 <= n:
-        size = int.from_bytes(data[i:i + 4], "big")
-        typ = data[i + 4:i + 8]
-        if size < 8 or i + size > n:
+        b = box_bounds(data, i, n)
+        if b is None:
             return None
+        typ, payload, box_end = b
         if typ == b"ftyp":
-            if size < 12:
+            if box_end - payload < 4:
                 return None
-            brand = data[i + 8:i + 12].decode("ascii", errors="replace")
+            brand = data[payload:payload + 4].decode("ascii", errors="replace")
         elif typ == b"moov":
-            j = i + 8
-            end = i + size
+            j = payload
+            end = box_end
             while j + 8 <= end:
-                csize = int.from_bytes(data[j:j + 4], "big")
-                ctyp = data[j + 4:j + 8]
-                if csize < 8 or j + csize > end:
+                cb = box_bounds(data, j, end)
+                if cb is None:
                     return None
-                if ctyp == b"mvhd" and csize >= 28 and data[j + 8] == 0:
-                    timescale = int.from_bytes(data[j + 20:j + 24], "big")
-                    duration = int.from_bytes(data[j + 24:j + 28], "big")
-                j += csize
-        i += size
+                ctyp, cpayload, cend = cb
+                if ctyp == b"mvhd" and cend - cpayload >= 20 and data[cpayload] == 0:
+                    timescale = int.from_bytes(
+                        data[cpayload + 12:cpayload + 16], "big"
+                    )
+                    duration = int.from_bytes(
+                        data[cpayload + 16:cpayload + 20], "big"
+                    )
+                j = cend
+        i = box_end
     if brand is None or not timescale:
         return None
     return (brand, timescale, duration)

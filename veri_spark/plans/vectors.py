@@ -1835,11 +1835,31 @@ def mmd_label_groups(spark, sf_dir):
     # assumed (round-13 review): round-robin repartition to
     # max(32, n/50k) partitions balances rows to +-1, so each
     # per-partition group sums <= 50k terms of <= 1e12 * max|v|^2 —
-    # int64-safe for any |v| <= 13 at ANY corpus size. persist(): the
+    # int64-safe for any |v| <= 13 at ANY corpus size. The bound is
+    # CHECKED, not assumed (r13 advisor): the same job that counts rows
+    # also takes max|v|, and an out-of-bound coordinate raises instead
+    # of silently wrapping the non-ANSI long fold. persist(): the
     # 8,192-row matrix feeds THREE consumers (both Frobenius folds and
     # the cross inner product) that otherwise each replay the corpus
     # explode.
-    n_rows = emb.count()
+    meta = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col("embedding").cast("array<double>"), F.abs
+                )
+            )
+        ).alias("vmax"),
+    ).collect()[0]
+    n_rows = int(meta["n"])
+    if meta["vmax"] is not None and float(meta["vmax"]) > 13.0:
+        raise ValueError(
+            f"mmd_label_groups: max |coordinate| = {meta['vmax']} exceeds "
+            "the 13.0 bound that keeps the per-partition int64 partial "
+            "sums overflow-free (50k terms x 1e12 x |v|^2 < 2^63); "
+            "rescale the embeddings or lower the per-partition row cap"
+        )
     m = (
         emb.select(
             "label", F.col("embedding").cast("array<double>").alias("v")

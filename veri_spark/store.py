@@ -121,12 +121,6 @@ class DatasetConfig:
 
 
 class FeatureStore:
-    #: cell-level detail of the most recent refresh_index call on this
-    #: store ({"cells_rewritten": -1} = full rebuild, 0 = no-op, k = the
-    #: incremental path swapped k centroid directories); a safe default
-    #: before any refresh has run
-    last_index_refresh_info: dict = {"cells_rewritten": None}
-
     def __init__(self, spark: SparkSession, root: str, use_delta: bool | None = None):
         """``use_delta=None`` auto-detects delta-spark; when active, insert/
         delete/expire_now run as Delta ``MERGE``/``DELETE`` (ACID commit,
@@ -139,6 +133,11 @@ class FeatureStore:
         # K15 recursion guard: seen query UUIDs -> first-seen monotonic time
         # (the analog of QueryUUIDCache, node/nodeservice.go:120-135)
         self._seen_query_uuids: dict[str, float] = {}
+        #: cell-level detail of the most recent refresh_index call on this
+        #: store ({"cells_rewritten": -1} = full rebuild, 0 = no-op, k = the
+        #: incremental path swapped k centroid directories); per-instance —
+        #: a class-level default dict would alias across stores
+        self.last_index_refresh_info: dict = {"cells_rewritten": None}
         os.makedirs(self.root, exist_ok=True)
 
     # -- catalog ----------------------------------------------------------
@@ -796,6 +795,7 @@ class FeatureStore:
         pq_k: int = 16,
         kmeans_iters: int = 0,
         seed_col: str | None = None,
+        force_full: bool = False,
     ) -> int:
         """The reference's Process pass (data/newsync.go:93-227): rebuild the
         ANN index from the live table and hot-swap it atomically. Here the
@@ -827,7 +827,13 @@ class FeatureStore:
         the carry (partition pruning on the isin filter) nor rewritten.
         Row identity is the content fingerprint xxhash64(all columns),
         compared at COUNT grain per fingerprint so duplicate rows carry
-        with exact multiplicity. Cell-level refresh detail lands in
+        with exact multiplicity. A 64-bit fingerprint collision between
+        a changed and a carried row would silently carry stale data —
+        acceptably improbable (~n^2/2^65 for n distinct rows), but
+        ``force_full=True`` is the escape hatch: it skips the
+        incremental path entirely, so a scheduled periodic full rebuild
+        (e.g. every Nth nightly refresh) bounds how long any collision
+        could persist. Cell-level refresh detail lands in
         ``self.last_index_refresh_info``."""
         df = self._read(name)
         orig_cols = list(df.columns)
@@ -859,7 +865,8 @@ class FeatureStore:
             )
         final = self._index_path(name)
         if (
-            pq_m is None
+            not force_full
+            and pq_m is None
             and os.path.exists(final)
             and os.path.exists(final + ".centroids")
             and not os.path.exists(final + ".pq")
@@ -1039,6 +1046,7 @@ class FeatureStore:
         num_hashes: int = 16,
         bands: int = 4,
         shingle_k: int = 3,
+        force_full: bool = False,
     ) -> dict:
         """Rebuild the persisted dedup signature index (MinHash LSH band
         keys + SimHash words, both keyed by ``fp = xxhash64(text)``) from
@@ -1058,7 +1066,11 @@ class FeatureStore:
         the carry (partition pruning) nor rewritten. At 100 TB the
         signature index is itself TB-scale; a nightly refresh therefore
         pays O(delta) signature compute + O(touched buckets) write, never
-        a corpus-sized index rewrite. Returns ``{"indexed": n_docs,
+        a corpus-sized index rewrite. Carry identity is the 64-bit
+        content fingerprint at (id, fp) grain — a collision is acceptably
+        improbable but NOT detected; ``force_full=True`` bypasses the
+        carry entirely (schedule it every Nth refresh to bound how long
+        a collision could persist). Returns ``{"indexed": n_docs,
         "recomputed": n_delta, "carried": n_kept,
         "buckets_rewritten": k}`` (k = DEDUP_INDEX_BUCKETS on a full
         build).
@@ -1070,7 +1082,11 @@ class FeatureStore:
         final = self._dedup_index_path(name)
         prev_bands = prev_sim = None
         migrating = False
-        if os.path.exists(final + ".bands") and os.path.exists(final + ".simhash"):
+        if (
+            not force_full
+            and os.path.exists(final + ".bands")
+            and os.path.exists(final + ".simhash")
+        ):
             prev_bands = self.spark.read.parquet(final + ".bands")
             prev_sim = self.spark.read.parquet(final + ".simhash")
             if "bucket" not in prev_bands.columns:
@@ -1410,6 +1426,12 @@ class FeatureStore:
             F.min(F.col(value_col).cast("double")).alias("lo"),
             F.max(F.col(value_col).cast("double")).alias("hi"),
         ).collect()[0]
+        if lohi["lo"] is None or lohi["hi"] is None:
+            raise ValueError(
+                f"drift_reference({name!r}): column {value_col!r} has no "
+                "non-NULL values (empty corpus or all-NULL column) — no "
+                "histogram reference can be built"
+            )
         lo, hi = float(lohi["lo"]), float(lohi["hi"])
         width = (hi - lo) / bins or 1.0
         counts = {
