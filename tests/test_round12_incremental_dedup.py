@@ -104,10 +104,16 @@ def test_stale_index_falls_back_and_stays_correct(spark, tmp_path):
     store.dedup_index_refresh("documents")
     fresh = _pairs(store.dedup_delta_candidates("documents", delta))
 
-    # a corpus rewrite with identical content bumps the stamp: the index
-    # reads as stale and the query falls back to on-the-fly signatures —
-    # same candidates, no wrong-state serve
-    store.put_corpus("documents", corpus)
+    # round 14: an identical-content re-put is detected and SKIPPED — no
+    # stamp bump, the index stays fresh (the content-stamp guarantees the
+    # indexed state still describes the stored corpus)
+    assert store.put_corpus("documents", corpus) is False
+    assert store._dedup_indexed("documents") is not None
+
+    # a FORCED corpus rewrite bumps the stamp even with identical bytes:
+    # the index reads as stale and the query falls back to on-the-fly
+    # signatures — same candidates, no wrong-state serve
+    assert store.put_corpus("documents", corpus, skip_if_identical=False) is True
     assert store._dedup_indexed("documents") is None
     fallback = _pairs(store.dedup_delta_candidates("documents", delta))
     assert fallback == fresh

@@ -130,10 +130,11 @@ def test_noop_refresh_rewrites_nothing(spark, tmp_path):
     idx_root = store._dedup_index_path("documents")
     before = _bucket_listings(idx_root + ".bands")
 
-    # content-identical rewrite of the corpus bumps the mutation stamp
-    # (index reads as stale) but the refresh finds zero changed fps and
-    # must not touch a single file
-    store.put_corpus("documents", docs)
+    # content-identical rewrite of the corpus, FORCED past the round-14
+    # identical-content skip, bumps the mutation stamp (index reads as
+    # stale) but the refresh finds zero changed fps and must not touch a
+    # single file
+    store.put_corpus("documents", docs, skip_if_identical=False)
     assert store._dedup_indexed("documents") is None
     info = store.dedup_index_refresh("documents")
     assert info["recomputed"] == 0

@@ -1187,8 +1187,15 @@ def dedup_incremental_delta(spark, sf_dir):
         ),
         use_delta=False,
     )
+    # shared with dedup_incremental_simhash (round 14, r13 verdict task
+    # 1): one "dedupidx_<sf>" scratch store serves BOTH signature
+    # families — the index holds MinHash bands AND SimHash words, so
+    # whichever query runs first pays the build; the other's put_corpus
+    # is an identical-content skip and its if_needed refresh a
+    # zero-job stamp-grain no-op (pinned in
+    # tests/test_round14_damping.py)
     store.put_corpus("documents", corpus.select("doc_id", "text"))
-    store.dedup_index_refresh("documents")
+    store.dedup_index_refresh("documents", if_needed=True)
     return store.dedup_delta_candidates("documents", delta)
 
 

@@ -1434,15 +1434,19 @@ def dedup_incremental_simhash(spark, sf_dir):
     shard = portable_hash64(F.col("doc_id").cast("string")) % 10 == 7
     delta = docs.filter(shard)
     corpus = docs.filter(~shard)
+    # SAME scratch key as dedup_incremental_delta (round 14): the index
+    # already holds both signature families, so the pair builds the
+    # corpus + index ONCE per sweep — the second query's put_corpus is an
+    # identical-content skip and its refresh a zero-job stamp no-op
     store = FeatureStore(
         spark,
         scratch_store_root(
-            "dedupsim_" + sf_dir.strip("/").replace("/", "_")
+            "dedupidx_" + sf_dir.strip("/").replace("/", "_")
         ),
         use_delta=False,
     )
     store.put_corpus("documents", corpus.select("doc_id", "text"))
-    store.dedup_index_refresh("documents")
+    store.dedup_index_refresh("documents", if_needed=True)
     out = store.dedup_delta_simhash("documents", delta, max_hamming=3)
     return out.select(
         "delta_doc", "corpus_doc", F.col("hamming").cast("int").alias("hamming")

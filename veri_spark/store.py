@@ -796,6 +796,8 @@ class FeatureStore:
         kmeans_iters: int = 0,
         seed_col: str | None = None,
         force_full: bool = False,
+        if_needed: bool = False,
+        rel_tol: float = 0.01,
     ) -> int:
         """The reference's Process pass (data/newsync.go:93-227): rebuild the
         ANN index from the live table and hot-swap it atomically. Here the
@@ -834,7 +836,42 @@ class FeatureStore:
         incremental path entirely, so a scheduled periodic full rebuild
         (e.g. every Nth nightly refresh) bounds how long any collision
         could persist. Cell-level refresh detail lands in
-        ``self.last_index_refresh_info``."""
+        ``self.last_index_refresh_info``.
+
+        ``if_needed=True`` (round 14, r13 verdict task 3) wires the A5
+        identity test into the maintenance loop as the DEFAULT damping
+        guard — the reference's Process pass only rebuilds on dirty or
+        timeout (data/data.go:158-164, data/newsync.go:97-100), and this
+        is its Spark analog at two grains:
+
+        1. **Stamp grain** — the dataset mutation stamp is unchanged
+           since the index was built: skip EVERYTHING (no carry scan, no
+           stats pass; ZERO Spark jobs when the ``.ndocs`` sidecar is
+           warm — the untouched-corpus nightly run costs file reads
+           only).
+        2. **A5 identity grain** — the stamp moved but the live
+           ``data_info`` still passes ``statistical_identity`` against
+           the stats snapshot persisted WITH the index (its indexed
+           generation, not the last probe — drift accumulates against a
+           fixed baseline, so repeated sub-threshold drifts cannot creep
+           unbounded): restamp the index fresh and skip the rebuild.
+           This is deliberate approximate-serving semantics, exactly the
+           reference's damping: rows inserted since the indexed
+           generation are absent from probes until drift exceeds
+           ``rel_tol * max_distance`` (or a mutation makes the stats
+           fail A5), at which point the rebuild runs for real. Exact
+           search paths never consult the index and are unaffected.
+
+        The stats snapshot (``<index>.stats.json``) is computed and
+        persisted only on refreshes requested with ``if_needed=True`` —
+        one extra stats pass per ACTUAL rebuild buys every later skip —
+        so undamped callers pay nothing new. Skips are visible in
+        ``last_index_refresh_info["skipped"]`` ('stamp' | 'identity')."""
+        final = self._index_path(name)
+        if if_needed and not force_full:
+            n_skip = self._index_skip_check(name, final, rel_tol)
+            if n_skip is not None:
+                return n_skip
         df = self._read(name)
         orig_cols = list(df.columns)
         df = df.withColumn("__row_id", F.xxhash64(*orig_cols))
@@ -880,9 +917,11 @@ class FeatureStore:
                 for r in cents.collect()
             )
             if prev_cents == new_cents:
-                return self._refresh_index_incremental(
+                n = self._refresh_index_incremental(
                     name, df, cents, final, vector_col
                 )
+                self._finish_index_refresh(name, final, n, vector_col, if_needed)
+                return n
         self.last_index_refresh_info = {"cells_rewritten": -1}  # full build
         assigned = ivf_assign(df, cents, id_col="__row_id", vector_col=vector_col)
         books = None
@@ -917,7 +956,64 @@ class FeatureStore:
         # call refresh_index again to re-serve the fast path)
         with open(final + ".mutver", "w") as f:
             f.write(str(self._mutation_stamp(name)))
-        return self.spark.read.parquet(final).count()
+        n = self.spark.read.parquet(final).count()
+        self._finish_index_refresh(name, final, n, vector_col, if_needed)
+        return n
+
+    def _index_ndocs(self, final: str) -> int:
+        """Indexed row count from the ``.ndocs`` sidecar (zero Spark
+        jobs); falls back to one parquet count that re-seeds it."""
+        p = final + ".ndocs"
+        if os.path.exists(p):
+            return int(open(p).read())
+        n = self.spark.read.parquet(final).count()
+        with open(p, "w") as f:
+            f.write(str(n))
+        return n
+
+    def _finish_index_refresh(
+        self, name: str, final: str, n: int, vector_col: str, with_stats: bool
+    ) -> None:
+        """Post-refresh sidecars: the indexed row count (lets the stamp-
+        grain ``if_needed`` skip answer with zero jobs) and, for damped
+        callers, the indexed-generation ``data_info`` snapshot the A5
+        identity test compares against."""
+        with open(final + ".ndocs", "w") as f:
+            f.write(str(int(n)))
+        if with_stats:
+            info = ST.data_info(self._read(name), vector_col)
+            with open(final + ".stats.json.tmp", "w") as f:
+                json.dump(info, f)
+            os.replace(final + ".stats.json.tmp", final + ".stats.json")
+
+    def _index_skip_check(
+        self, name: str, final: str, rel_tol: float
+    ) -> int | None:
+        """The two-grain ``if_needed`` damping decision (see
+        ``refresh_index``): the indexed count on a skip, None when the
+        refresh must run."""
+        if not (os.path.exists(final) and os.path.exists(final + ".mutver")):
+            return None
+        cur = self._mutation_stamp(name)
+        if int(open(final + ".mutver").read()) == cur:
+            self.last_index_refresh_info = {
+                "cells_rewritten": 0, "skipped": "stamp",
+            }
+            return self._index_ndocs(final)
+        stats_file = final + ".stats.json"
+        if not os.path.exists(stats_file):
+            return None
+        baseline = json.load(open(stats_file))
+        if not self.index_refresh_needed(name, baseline, rel_tol):
+            # A5 passed: declare the existing index fresh for the current
+            # generation (approximate-serving damping, documented above)
+            with open(final + ".mutver", "w") as f:
+                f.write(str(cur))
+            self.last_index_refresh_info = {
+                "cells_rewritten": 0, "skipped": "identity",
+            }
+            return self._index_ndocs(final)
+        return None
 
     def _refresh_index_incremental(
         self, name: str, df, cents, final: str, vector_col: str
@@ -1013,14 +1109,52 @@ class FeatureStore:
     def _dedup_index_path(self, name: str) -> str:
         return f"{self.root}/{name}.dedupidx"
 
-    def put_corpus(self, name: str, df: DataFrame) -> None:
+    def put_corpus(
+        self, name: str, df: DataFrame, skip_if_identical: bool = True
+    ) -> bool:
         """Overwrite-write an arbitrary-schema corpus table (document shape,
         e.g. ``(doc_id, text, ...)``) under the store root. Corpus tables
         are shard-overwrite inputs to the dedup signature index, not keyed
         datum state, so they skip the bucketed upsert layout — the write is
         tmp + atomic rename like refresh_index, and it bumps the dataset's
         mutation stamp so a previously built signature index reads as
-        stale until the next ``dedup_index_refresh``."""
+        stale until the next ``dedup_index_refresh``.
+
+        ``skip_if_identical`` (round 14): when a stored corpus exists with
+        the same column set, both sides are reduced to an order-invariant
+        content stamp — (row count, bit_xor of xxhash64(row), decimal sum
+        of xxhash64(row)) in ONE scalar agg per side, no shuffle — and an
+        identical stamp SKIPS the write AND the mutation bump entirely, so
+        every index built on the prior generation stays fresh. A re-put of
+        the same content then costs two columnar scans instead of a
+        corpus-sized write + a full index refresh. A stamp collision needs
+        two different corpora agreeing on all three 64/128-bit reductions
+        at once — acceptably improbable (same class as the carry
+        fingerprint, see ``dedup_index_refresh``); pass
+        ``skip_if_identical=False`` to force the write. Returns True when
+        the corpus was written, False on the identical-content skip."""
+        final = self._data_path(name)
+        if skip_if_identical and os.path.exists(final):
+            prev = self.spark.read.parquet(final)
+            if set(prev.columns) == set(df.columns):
+                cols = sorted(df.columns)
+
+                def content_stamp(frame: DataFrame) -> tuple:
+                    r = (
+                        frame.select(
+                            F.xxhash64(*[F.col(c) for c in cols]).alias("h")
+                        )
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.expr("bit_xor(h)").alias("x"),
+                            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+                        )
+                        .collect()[0]
+                    )
+                    return (int(r["n"]), r["x"], None if r["s"] is None else int(r["s"]))
+
+                if content_stamp(prev) == content_stamp(df):
+                    return False
         tmp = self._data_path(name) + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
         final = self._data_path(name)
@@ -1031,6 +1165,7 @@ class FeatureStore:
         os.rename(tmp, final)
         self._bump_mutation(name)
         self._invalidate_count(name)
+        return True
 
     #: fp-hash partition grain of the persisted dedup signature index.
     #: 64 buckets keeps a bucket directory ~1/64 of the index (at 100 TB,
@@ -1047,6 +1182,7 @@ class FeatureStore:
         bands: int = 4,
         shingle_k: int = 3,
         force_full: bool = False,
+        if_needed: bool = False,
     ) -> dict:
         """Rebuild the persisted dedup signature index (MinHash LSH band
         keys + SimHash words, both keyed by ``fp = xxhash64(text)``) from
@@ -1074,12 +1210,40 @@ class FeatureStore:
         "recomputed": n_delta, "carried": n_kept,
         "buckets_rewritten": k}`` (k = DEDUP_INDEX_BUCKETS on a full
         build).
+
+        ``if_needed=True`` (round 14): the mutation-stamp grain of
+        ``refresh_index``'s damping — when the dataset stamp is unchanged
+        since the index was built, skip EVERYTHING, including the
+        delta-discovery anti-join scan (zero Spark jobs; the indexed doc
+        count answers from the ``.ndocs`` sidecar). Text corpora have no
+        A5 vector-stats analog, so stamp is the only damping grain here —
+        but ``put_corpus``'s identical-content skip keeps the stamp
+        unmoved on re-puts of unchanged corpora, which is what makes this
+        grain bite in practice (the shared-scratch-store gate queries and
+        any idempotent nightly re-run). The skip adds
+        ``"skipped": "stamp"`` to the returned dict.
         """
         from veri_spark.operators.dedup import dedup_signature_index
 
         nb = self.DEDUP_INDEX_BUCKETS
-        corpus = self._read(name)
         final = self._dedup_index_path(name)
+        if if_needed and not force_full:
+            stamp_file = final + ".mutver"
+            if (
+                os.path.exists(final + ".bands")
+                and os.path.exists(final + ".simhash")
+                and os.path.exists(stamp_file)
+                and int(open(stamp_file).read()) == self._mutation_stamp(name)
+            ):
+                n = self._index_ndocs(final + ".simhash")
+                return {
+                    "indexed": n,
+                    "recomputed": 0,
+                    "carried": n,
+                    "buckets_rewritten": 0,
+                    "skipped": "stamp",
+                }
+        corpus = self._read(name)
         prev_bands = prev_sim = None
         migrating = False
         if (
@@ -1142,6 +1306,8 @@ class FeatureStore:
                     .distinct()
                     .count()
                 )
+                with open(final + ".simhash.ndocs", "w") as f:
+                    f.write(str(n_docs))
                 return {
                     "indexed": n_docs,
                     "recomputed": 0,
@@ -1218,6 +1384,8 @@ class FeatureStore:
             .distinct()
             .count()
         )
+        with open(final + ".simhash.ndocs", "w") as f:
+            f.write(str(n_docs))
         if n_recomputed < 0:
             n_recomputed = n_docs
         return {
