@@ -357,8 +357,11 @@ BENCH_QUERIES = [
     "dedup_incremental_delta",
     # round-12: trained IVF-PQ end-to-end (coarse Lloyd x2 + one PQ Lloyd
     # round + two full serving replays) — SF-invariant training/compile
-    # fixed cost dominates
+    # fixed cost dominates. Round 14 (r13 verdict task 2): the training
+    # replay benches on EVEN rounds only (EXACT_AUDIT_EVERY_OTHER_ROUND);
+    # the seed-codebook SERVING path below is the every-round number.
     "ann_ivfpq_trained_audit",
+    "ann_ivfpq_seed_serving",
     # round-12 batch A/B: simhash incremental path + index-skew audit,
     # robust two-sample (Brunner-Munzel), ordered-trend (Jonckheere-
     # Terpstra, Page), outlier/randomness day-spine tests
@@ -458,6 +461,8 @@ HEAVY_TWO_RUN = {
     "dedup_incremental_delta",
     # round-12: 3 training loops + 2 serving replays — multi-job iterative
     "ann_ivfpq_trained_audit",
+    # round-14: the seed-serving half of the same audit — multi-job too
+    "ann_ivfpq_seed_serving",
     # round-12: store writes like its minhash sibling
     "dedup_incremental_simhash",
     # round-12: share the session graph frames (first run pays the edge
@@ -489,6 +494,10 @@ EXACT_AUDIT_EVERY_OTHER_ROUND = [
     "graph_triangle_census",
     "graph_triangle_doulion",
     "graph_common_neighbors",
+    # round-14 (r13 verdict task 2): the 2-generation codebook TRAINING
+    # comparison is offline-audit weight like the wedge census — its
+    # serving path benches every round as ann_ivfpq_seed_serving
+    "ann_ivfpq_trained_audit",
 ]
 
 # Round 12 (round-11 verdict task 3): the capped-trio COLD cache build is
