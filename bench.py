@@ -417,6 +417,10 @@ BENCH_QUERIES = [
     "ann_persisted_incremental_search",
     "distance_correlation_daily",
     "siegel_repeated_median_trend",
+    # round-14: the composed nine-stage curation pipeline (r13 verdict
+    # task 4) — one corpus scan, each tier consumes the prior tier's
+    # checkpointed survivors
+    "curation_pipeline_ledger",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at
@@ -463,6 +467,10 @@ HEAVY_TWO_RUN = {
     "ann_ivfpq_trained_audit",
     # round-14: the seed-serving half of the same audit — multi-job too
     "ann_ivfpq_seed_serving",
+    # round-14: nine checkpointed tiers + per-stage stats aggs — the
+    # composed pipeline is inherently multi-job; a median-of-3 would
+    # triple the checkpoint churn for no extra signal
+    "curation_pipeline_ledger",
     # round-12: store writes like its minhash sibling
     "dedup_incremental_simhash",
     # round-12: share the session graph frames (first run pays the edge

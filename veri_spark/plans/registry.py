@@ -49,3 +49,4 @@ from veri_spark.plans import stats_tests as _stats_tests  # noqa: F401,E402
 from veri_spark.plans import mleval as _mleval  # noqa: F401,E402
 from veri_spark.plans import quality as _quality  # noqa: F401,E402
 from veri_spark.plans import effects as _effects  # noqa: F401,E402
+from veri_spark.plans import curation as _curation  # noqa: F401,E402
