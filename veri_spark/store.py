@@ -1717,6 +1717,205 @@ class FeatureStore:
         q.awaitTermination(timeout_s)
         return alerts
 
+    # -- streaming EMBEDDING drift (A5's centroid identity, continuous) ----
+    def embedding_drift_reference(
+        self,
+        name: str,
+        label_col: str = "label",
+        vector_col: str = "embedding",
+    ) -> dict:
+        """Build (or rebuild) the persisted per-label EMBEDDING drift
+        reference: for each label, the corpus centroid, the max distance
+        to it, and the row count — the per-label grain of A5's
+        ``data_info`` (stats.py), persisted once so the streaming monitor
+        never rescans the corpus. One posexplode rollup for the
+        centroids ((label, dim) partial aggs — the vectors themselves
+        never shuffle), one centroid-join fold for the max distance."""
+        df = self._read(name)
+        base = df.select(
+            F.col(label_col).cast("string").alias("label"),
+            F.col(vector_col).cast("array<double>").alias("v"),
+        ).withColumn("__rid", F.monotonically_increasing_id())
+        x = base.select(
+            "label", "__rid", F.posexplode("v").alias("pos", "vv")
+        )
+        cent = x.groupBy("label", "pos").agg(F.avg("vv").alias("av"))
+        cent = cent.persist()
+        avg: dict[str, dict[int, float]] = {}
+        for r in cent.collect():
+            avg.setdefault(r["label"], {})[int(r["pos"])] = float(r["av"])
+        if not avg:
+            raise ValueError(
+                f"embedding_drift_reference({name!r}): no rows — no "
+                "reference can be built"
+            )
+        maxd = (
+            x.join(cent, ["label", "pos"])
+            .groupBy("label", "__rid")
+            .agg(
+                F.sum(
+                    (F.col("vv") - F.col("av")) * (F.col("vv") - F.col("av"))
+                ).alias("d2")
+            )
+            .groupBy("label")
+            .agg(
+                F.sqrt(F.max("d2")).alias("maxd"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        info = {r["label"]: r for r in maxd.collect()}
+        cent.unpersist()
+        ref = {
+            "labels": {
+                label: {
+                    "n": int(info[label]["n"]),
+                    "avg": [
+                        avg[label][p] for p in sorted(avg[label])
+                    ],
+                    "max_distance": float(info[label]["maxd"]),
+                }
+                for label in sorted(avg)
+            }
+        }
+        path = f"{self.root}/{name}.emb_drift_ref.json"
+        with open(path + ".tmp", "w") as f:
+            json.dump(ref, f)
+        os.replace(path + ".tmp", path)
+        return ref
+
+    @staticmethod
+    def _embedding_drift_rows(
+        batch_df: DataFrame,
+        ref: dict,
+        label_col: str,
+        vector_col: str,
+        rel_tol: float,
+    ) -> list[tuple]:
+        """Score one frame against the persisted reference — the SHARED
+        core of the batch check and the streaming monitor (the
+        batch==stream equivalence is by construction): per label, the L2
+        shift of the batch centroid from the reference centroid,
+        thresholded at ``rel_tol * max_distance`` (A5's d_avg term — a
+        micro-batch has no stable histogram, so the centroid is the
+        whole continuous signal). A label the reference has never seen
+        is drift by definition (shift NULL, drifted True)."""
+        import math
+
+        x = batch_df.select(
+            F.col(label_col).cast("string").alias("label"),
+            F.posexplode(F.col(vector_col).cast("array<double>")).alias(
+                "pos", "vv"
+            ),
+        )
+        got = x.groupBy("label", "pos").agg(
+            F.avg("vv").alias("av"), F.count(F.lit(1)).alias("n")
+        )
+        bavg: dict[str, dict[int, float]] = {}
+        bn: dict[str, int] = {}
+        for r in got.collect():
+            bavg.setdefault(r["label"], {})[int(r["pos"])] = float(r["av"])
+            bn[r["label"]] = int(r["n"])
+        rows = []
+        for label in sorted(bavg):
+            base = ref["labels"].get(label)
+            if base is None:
+                rows.append((label, bn[label], None, None, True))
+                continue
+            ra = base["avg"]
+            ba = [bavg[label][p] for p in sorted(bavg[label])]
+            m = min(len(ra), len(ba))
+            shift = math.sqrt(
+                sum((ba[i] - ra[i]) ** 2 for i in range(m))
+            )
+            thr = rel_tol * base["max_distance"]
+            rows.append((label, bn[label], float(shift), float(thr), shift > thr))
+        return rows
+
+    def embedding_drift_check(
+        self,
+        name: str,
+        df: DataFrame,
+        label_col: str = "label",
+        vector_col: str = "embedding",
+        rel_tol: float = 0.05,
+    ) -> DataFrame:
+        """BATCH-side drift check of ``df`` against the persisted
+        per-label reference (building it if absent): one row per label —
+        (label, n_rows, centroid_shift, threshold, drifted). The exact
+        scoring code the streaming monitor runs per micro-batch."""
+        ref_path = f"{self.root}/{name}.emb_drift_ref.json"
+        ref = (
+            json.load(open(ref_path))
+            if os.path.exists(ref_path)
+            else self.embedding_drift_reference(name, label_col, vector_col)
+        )
+        rows = self._embedding_drift_rows(
+            df, ref, label_col, vector_col, rel_tol
+        )
+        return self.spark.createDataFrame(
+            rows,
+            "label string, n_rows bigint, centroid_shift double, "
+            "threshold double, drifted boolean",
+        )
+
+    def embedding_drift_stream(
+        self,
+        name: str,
+        stream: DataFrame,
+        label_col: str = "label",
+        vector_col: str = "embedding",
+        rel_tol: float = 0.05,
+        timeout_s: int = 120,
+    ) -> str:
+        """STREAMING embedding-drift monitor (round 14, r13 verdict task
+        5): score every micro-batch's per-label centroids against the
+        persisted reference — the streaming sibling of the batch
+        `embedding_centroid_drift` query and the CONTINUOUS form of the
+        A5 identity test that `refresh_index(if_needed=True)` damps on:
+        a drifted alert here is the re-train-the-codebooks /
+        force-refresh trigger for the damped maintenance loop.
+
+        Same idempotency hardening as ``drift_stream`` / ``dedup_stream``:
+        one ``batch=<id>`` partition per micro-batch (replay overwrites,
+        never duplicates) and a last-applied-batch marker INSIDE the
+        checkpoint directory, so a replay against an intact checkpoint is
+        a no-op and a wiped checkpoint can reprocess but never silently
+        drop. Per-batch cost: one (label, dim) partial agg over the BATCH
+        only — the corpus-side centroids are a tiny JSON read once.
+        Returns the alerts path."""
+        ref_path = f"{self.root}/{name}.emb_drift_ref.json"
+        ref = (
+            json.load(open(ref_path))
+            if os.path.exists(ref_path)
+            else self.embedding_drift_reference(name, label_col, vector_col)
+        )
+        alerts = f"{self.root}/{name}.emb_drift_alerts"
+        checkpoint = f"{self.root}/{name}.emb_drift_checkpoint"
+        marker = f"{checkpoint}/last_applied_batch"
+
+        def _step(batch_df: DataFrame, batch_id: int) -> None:
+            if os.path.exists(marker) and batch_id <= int(open(marker).read()):
+                return
+            rows = self._embedding_drift_rows(
+                batch_df, ref, label_col, vector_col, rel_tol
+            )
+            self.spark.createDataFrame(
+                [(int(batch_id), *r) for r in rows],
+                "batch_id bigint, label string, n_rows bigint, "
+                "centroid_shift double, threshold double, drifted boolean",
+            ).write.mode("overwrite").parquet(f"{alerts}/batch={batch_id}")
+            with open(marker, "w") as f:
+                f.write(str(batch_id))
+
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        return alerts
+
     # -- result cache (K14, data/search.go:151-158,169-183,235-239) --------
     def _cached_result(self, key: str, max_age_s: int) -> DataFrame | None:
         path = f"{self.root}/_cache/{key}"
