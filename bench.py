@@ -421,6 +421,14 @@ BENCH_QUERIES = [
     # task 4) — one corpus scan, each tier consumes the prior tier's
     # checkpointed survivors
     "curation_pipeline_ledger",
+    # round-14 stats batch: combined location+scale (Lepage), the BWS
+    # tail-weighted rank test, Dunn's KW post-hoc, O'Brien's
+    # transformed-ANOVA scale test, Goodman-Kruskal lambda
+    "lepage_test_weekend_value",
+    "bws_test_weekend_value",
+    "dunn_posthoc_value_by_type",
+    "obrien_scale_value_by_type",
+    "goodman_kruskal_lambda_lang_source",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

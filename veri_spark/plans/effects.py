@@ -2159,3 +2159,88 @@ def stratified_ate_weekend_value(spark, sf_dir):
             6,
         ).alias("stratified_ate"),
     )
+
+
+@register(
+    "goodman_kruskal_lambda_lang_source",
+    """
+    WITH cell AS (SELECT lang, source, COUNT(*)::BIGINT AS nxy
+                  FROM documents GROUP BY lang, source),
+    mx AS (SELECT lang, SUM(nxy)::BIGINT AS nx, MAX(nxy)::BIGINT AS rowmax
+           FROM cell GROUP BY lang),
+    my AS (SELECT source, SUM(nxy)::BIGINT AS ny, MAX(nxy)::BIGINT AS colmax
+           FROM cell GROUP BY source),
+    t AS (SELECT SUM(nx)::BIGINT AS n, MAX(nx)::BIGINT AS maxrow FROM mx),
+    u AS (SELECT MAX(ny)::BIGINT AS maxcol FROM my),
+    sr AS (SELECT SUM(rowmax)::BIGINT AS srm FROM mx),
+    sc AS (SELECT SUM(colmax)::BIGINT AS scm FROM my)
+    SELECT t.n AS n_docs,
+           ROUND((sr.srm - u.maxcol) * 1.0 / (t.n - u.maxcol), 6)
+             AS lambda_source_given_lang,
+           ROUND((sc.scm - t.maxrow) * 1.0 / (t.n - t.maxrow), 6)
+             AS lambda_lang_given_source,
+           ROUND((sr.srm + sc.scm - u.maxcol - t.maxrow) * 1.0
+                 / (2 * t.n - u.maxcol - t.maxrow), 6) AS lambda_symmetric
+    FROM t CROSS JOIN u CROSS JOIN sr CROSS JOIN sc
+    """,
+)
+def goodman_kruskal_lambda_lang_source(spark, sf_dir):
+    """Goodman-Kruskal lambda between document language and source —
+    the PROPORTIONAL-REDUCTION-IN-ERROR association the chi-square
+    family (`lang_source_chi2`, `cramers_v_type_weekday`) and the
+    entropy family (`mutual_information_lang_source`,
+    `uncertainty_coeff_lang_source`) both lack: lambda(Y|X) = (sum_x
+    max_y n_xy - max_y n_y) / (N - max_y n_y) is literally "how many
+    fewer mistakes a modal guesser makes knowing X", 0 when X never
+    changes the modal Y (even under strong non-modal association —
+    exactly the blind spot that makes lambda the honest operational
+    answer to 'can I route by this field?'), 1 when X determines Y.
+    Both directions plus the symmetric average, all pure integer
+    counts with one final 6dp ratio — bit-exact by construction.
+
+    Scale: one (lang, source) cell aggregation (bounded domain), then
+    constant-size reductions. Brute-force check in
+    tests/test_round14_stats_brute.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    mx = cell.groupBy("lang").agg(
+        F.sum("nxy").cast("bigint").alias("nx"),
+        F.max("nxy").cast("bigint").alias("rowmax"),
+    )
+    my = cell.groupBy("source").agg(
+        F.sum("nxy").cast("bigint").alias("ny"),
+        F.max("nxy").cast("bigint").alias("colmax"),
+    )
+    t = mx.agg(
+        F.sum("nx").cast("bigint").alias("n"),
+        F.max("nx").cast("bigint").alias("maxrow"),
+        F.sum("rowmax").cast("bigint").alias("srm"),
+    )
+    u = my.agg(
+        F.max("ny").cast("bigint").alias("maxcol"),
+        F.sum("colmax").cast("bigint").alias("scm"),
+    )
+    j = t.crossJoin(F.broadcast(u))
+    return j.select(
+        F.col("n").alias("n_docs"),
+        F.round(
+            (F.col("srm") - F.col("maxcol"))
+            * F.lit(1.0)
+            / (F.col("n") - F.col("maxcol")),
+            6,
+        ).alias("lambda_source_given_lang"),
+        F.round(
+            (F.col("scm") - F.col("maxrow"))
+            * F.lit(1.0)
+            / (F.col("n") - F.col("maxrow")),
+            6,
+        ).alias("lambda_lang_given_source"),
+        F.round(
+            (F.col("srm") + F.col("scm") - F.col("maxcol") - F.col("maxrow"))
+            * F.lit(1.0)
+            / (2 * F.col("n") - F.col("maxcol") - F.col("maxrow")),
+            6,
+        ).alias("lambda_symmetric"),
+    )

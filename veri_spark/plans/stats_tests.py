@@ -2407,3 +2407,541 @@ def distance_correlation_daily(spark, sf_dir):
             ),
         ).alias("distance_correlation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 additions: the combined location+scale two-sample test (Lepage),
+# the BWS rank test, Dunn's post-hoc for the Kruskal-Wallis battery, and
+# O'Brien's transformed-ANOVA scale test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lepage_test_weekend_value",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT value, SUM(wk)::BIGINT AS f1, COUNT(*)::BIGINT AS l
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(f1)::BIGINT AS n1, SUM(l - f1)::BIGINT AS n2,
+                 SUM(l)::BIGINT AS nn
+          FROM g),
+    p AS (SELECT f1, l,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l + 1 AS mid2
+          FROM g),
+    sc AS (SELECT f1, l, mid2,
+                  LEAST(mid2, 2 * t.nn + 2 - mid2) AS s2
+           FROM p CROSS JOIN t),
+    s AS (SELECT SUM(CAST(f1 * mid2 AS DECIMAL(38,0))) AS w2,
+                 SUM(CAST(f1 * s2 AS DECIMAL(38,0))) AS ab2,
+                 SUM(CAST(l * s2 AS DECIMAL(38,0))) AS t1,
+                 SUM(CAST(l * s2 AS DECIMAL(38,0)) * s2) AS t2,
+                 SUM(CAST(l AS DECIMAL(38,0)) * l * l - l) AS tie3
+          FROM sc),
+    z AS (SELECT t.n1, t.n2,
+                 (s.w2::DOUBLE - t.n1 * (t.nn + 1.0))
+                 / (2.0 * sqrt(t.n1 * 1.0 * t.n2 / 12.0
+                               * ((t.nn + 1.0)
+                                  - s.tie3::DOUBLE
+                                    / (t.nn * 1.0 * (t.nn - 1.0))))) AS zw,
+                 (s.ab2::DOUBLE - t.n1 * s.t1::DOUBLE / t.nn)
+                 / sqrt(t.n1 * 1.0 * t.n2
+                        * (t.nn * s.t2::DOUBLE - s.t1::DOUBLE * s.t1::DOUBLE)
+                        / (t.nn * 1.0 * t.nn * (t.nn - 1.0))) AS za
+          FROM t CROSS JOIN s)
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           ROUND(zw, 6) AS z_wilcoxon, ROUND(za, 6) AS z_ansari,
+           ROUND(zw * zw + za * za, 6) AS lepage_l
+    FROM z
+    """,
+)
+def lepage_test_weekend_value(spark, sf_dir):
+    """Lepage's combined location-AND-scale two-sample test of weekend
+    vs weekday values: L = Z_W^2 + Z_AB^2, the sum of the squared
+    standardized Wilcoxon rank-sum (location) and Ansari-Bradley
+    (scale) statistics — the standard omnibus answer when either the
+    center OR the spread may have moved (L ~ chi^2_2 under H0), closing
+    the gap between `score_auc_mann_whitney`'s pure-location and
+    `ansari_bradley_weekend_value`'s pure-scale views. Both components
+    assemble from ONE value-domain prefix scan: doubled midranks mid2
+    keep W2 = sum f1*mid2 an exact integer under ties, the AB scores
+    and tie-corrected moments reuse the exact-decimal machinery of the
+    standalone AB query verbatim (same conditional-on-ties variance,
+    Hollander-Wolfe Ch. 5), and the Wilcoxon variance carries the
+    standard tie correction sum(l^3 - l)/(N(N-1)). Each z is one
+    fixed-order double expression over exact decimals.
+
+    Scale: identical to the AB query — one value-grain aggregation, one
+    prefix scan over the value DOMAIN (never the corpus), one bounded
+    reduce. tests/test_round14_stats_brute.py checks both z's and L
+    against a literal pure-Python midrank recomputation."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("wk").cast("bigint").alias("f1"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    t = g.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum(F.col("l") - F.col("f1")).cast("bigint").alias("n2"),
+        F.sum("l").cast("bigint").alias("nn"),
+    )
+    p = global_prefix_agg(
+        g, [F.col("value").asc()], "l", agg="sum", out_col="cl"
+    ).select(
+        "f1",
+        "l",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+    )
+    dec = "decimal(38,0)"
+    sc = p.crossJoin(F.broadcast(t)).select(
+        "f1", "l", "mid2", "n1", "n2", "nn",
+        F.least(
+            F.col("mid2"), F.lit(2) * F.col("nn") + F.lit(2) - F.col("mid2")
+        ).alias("s2"),
+    )
+    s = sc.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("nn").alias("nn"),
+        F.sum((F.col("f1") * F.col("mid2")).cast(dec)).alias("w2"),
+        F.sum((F.col("f1") * F.col("s2")).cast(dec)).alias("ab2"),
+        F.sum((F.col("l") * F.col("s2")).cast(dec)).alias("t1"),
+        F.sum((F.col("l") * F.col("s2")).cast(dec) * F.col("s2")).alias("t2"),
+        F.sum(
+            F.col("l").cast(dec) * F.col("l") * F.col("l") - F.col("l")
+        ).alias("tie3"),
+    )
+    nnd = F.col("nn") * F.lit(1.0)
+    zw = (
+        F.col("w2").cast("double") - F.col("n1") * (F.col("nn") + F.lit(1.0))
+    ) / (
+        F.lit(2.0)
+        * F.sqrt(
+            F.col("n1") * F.lit(1.0) * F.col("n2") / F.lit(12.0)
+            * (
+                (F.col("nn") + F.lit(1.0))
+                - F.col("tie3").cast("double")
+                / (nnd * (F.col("nn") - F.lit(1.0)))
+            )
+        )
+    )
+    za = (
+        F.col("ab2").cast("double")
+        - F.col("n1") * F.col("t1").cast("double") / F.col("nn")
+    ) / F.sqrt(
+        F.col("n1")
+        * F.lit(1.0)
+        * F.col("n2")
+        * (
+            F.col("nn") * F.col("t2").cast("double")
+            - F.col("t1").cast("double") * F.col("t1").cast("double")
+        )
+        / (nnd * F.col("nn") * (F.col("nn") - F.lit(1.0)))
+    )
+    return s.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(zw, 6).alias("z_wilcoxon"),
+        F.round(za, 6).alias("z_ansari"),
+        F.round(zw * zw + za * za, 6).alias("lepage_l"),
+    )
+
+
+@register(
+    "bws_test_weekend_value",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                      END AS wk
+               FROM events),
+    g AS (SELECT value, SUM(wk)::BIGINT AS f1,
+                 (COUNT(*) - SUM(wk))::BIGINT AS f0,
+                 COUNT(*)::BIGINT AS l
+          FROM e GROUP BY value),
+    t AS (SELECT SUM(f1)::BIGINT AS n1, SUM(f0)::BIGINT AS n2 FROM g),
+    p AS (SELECT f1, f0,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l + 1 AS mid2,
+                 SUM(f1) OVER (ORDER BY value ASC) AS cf1,
+                 SUM(f0) OVER (ORDER BY value ASC) AS cf0
+          FROM g),
+    xi AS (SELECT mid2, unnest(range((cf1 - f1 + 1)::BIGINT, (cf1 + 1)::BIGINT)) AS i
+           FROM p WHERE f1 > 0),
+    yi AS (SELECT mid2, unnest(range((cf0 - f0 + 1)::BIGINT, (cf0 + 1)::BIGINT)) AS i
+           FROM p WHERE f0 > 0),
+    bx AS (SELECT SUM(CAST(floor(1e9 *
+                 ((mid2 / 2.0 - (t.n1 + t.n2) * 1.0 / t.n1 * i)
+                  * (mid2 / 2.0 - (t.n1 + t.n2) * 1.0 / t.n1 * i))
+                 / ((i * 1.0 / (t.n1 + 1.0))
+                    * (1.0 - i * 1.0 / (t.n1 + 1.0))
+                    * (t.n2 * 1.0 * (t.n1 + t.n2) / t.n1))
+                 + 0.5) AS DECIMAL(38,0))) AS sq
+           FROM xi CROSS JOIN t),
+    by AS (SELECT SUM(CAST(floor(1e9 *
+                 ((mid2 / 2.0 - (t.n1 + t.n2) * 1.0 / t.n2 * i)
+                  * (mid2 / 2.0 - (t.n1 + t.n2) * 1.0 / t.n2 * i))
+                 / ((i * 1.0 / (t.n2 + 1.0))
+                    * (1.0 - i * 1.0 / (t.n2 + 1.0))
+                    * (t.n1 * 1.0 * (t.n1 + t.n2) / t.n2))
+                 + 0.5) AS DECIMAL(38,0))) AS sq
+           FROM yi CROSS JOIN t)
+    SELECT t.n1 AS n_weekend, t.n2 AS n_weekday,
+           ROUND(bx.sq::DOUBLE / 1e9 / t.n1, 6) AS b_weekend,
+           ROUND(by.sq::DOUBLE / 1e9 / t.n2, 6) AS b_weekday,
+           ROUND((bx.sq::DOUBLE / 1e9 / t.n1
+                  + by.sq::DOUBLE / 1e9 / t.n2) / 2.0, 6) AS bws_b
+    FROM t CROSS JOIN bx CROSS JOIN by
+    """,
+)
+def bws_test_weekend_value(spark, sf_dir):
+    """Baumgartner-Weiss-Schindler rank test of weekend vs weekday
+    values: B = (B_X + B_Y)/2 where each one-sided B is the
+    variance-WEIGHTED Cramer-von-Mises-type sum over that sample's
+    order statistics — the weighting 1/(i/(n+1) * (1-i/(n+1))) puts
+    mass on the distribution TAILS, which is exactly where the
+    unweighted rank tests (Wilcoxon, KS, CvM — all present in the
+    battery) are least sensitive; BWS dominates them in power across
+    most alternatives (Baumgartner et al. 1998, Biometrics 54). Ties
+    take combined-sample midranks (mid2/2, exact halves); the
+    within-sample index i expands from the value-domain prefix counts
+    (sequence-explode — each doc contributes one i), every per-term
+    double is one fixed-order expression of exact integers quantized
+    to NANOS before the sum, so the fold is order-free cross-engine.
+
+    Scale: one value-grain aggregation + one prefix scan over the value
+    DOMAIN; the expansion re-materializes N rows of two ints each —
+    map-only, no corpus re-scan. Brute-force check in
+    tests/test_round14_stats_brute.py."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = e.groupBy("value").agg(
+        F.sum("wk").cast("bigint").alias("f1"),
+        (F.count(F.lit(1)) - F.sum("wk")).cast("bigint").alias("f0"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    t = g.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f0").cast("bigint").alias("n2"),
+    )
+    p = global_prefix_agg(
+        g,
+        [F.col("value").asc()],
+        ["l", "f1", "f0"],
+        agg="sum",
+        out_col=["cl", "cf1", "cf0"],
+    ).select(
+        "f1",
+        "f0",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+        "cf1",
+        "cf0",
+    )
+
+    def side(fcol, cfcol, n_self, n_other):
+        rows = (
+            p.filter(F.col(fcol) > 0)
+            .select(
+                "mid2",
+                F.explode(
+                    F.sequence(
+                        F.col(cfcol) - F.col(fcol) + 1, F.col(cfcol)
+                    )
+                ).alias("i"),
+            )
+            .crossJoin(F.broadcast(t))
+        )
+        nn = (F.col("n1") + F.col("n2")) * F.lit(1.0)
+        num = (
+            F.col("mid2") / F.lit(2.0)
+            - nn / F.col(n_self) * F.col("i")
+        )
+        den = (
+            (F.col("i") * F.lit(1.0) / (F.col(n_self) + F.lit(1.0)))
+            * (
+                F.lit(1.0)
+                - F.col("i") * F.lit(1.0) / (F.col(n_self) + F.lit(1.0))
+            )
+            * (
+                F.col(n_other)
+                * F.lit(1.0)
+                * (F.col("n1") + F.col("n2"))
+                / F.col(n_self)
+            )
+        )
+        return rows.agg(
+            F.sum(
+                F.floor(F.lit(1e9) * (num * num) / den + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sq")
+        )
+
+    bx = side("f1", "cf1", "n1", "n2")
+    by = side("f0", "cf0", "n2", "n1")
+    out = t.crossJoin(F.broadcast(bx)).crossJoin(F.broadcast(by.withColumnRenamed("sq", "sq0")))
+    b1 = F.col("sq").cast("double") / F.lit(1e9) / F.col("n1")
+    b2 = F.col("sq0").cast("double") / F.lit(1e9) / F.col("n2")
+    return out.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(b1, 6).alias("b_weekend"),
+        F.round(b2, 6).alias("b_weekday"),
+        F.round((b1 + b2) / F.lit(2.0), 6).alias("bws_b"),
+    )
+
+
+@register(
+    "dunn_posthoc_value_by_type",
+    """
+    WITH e AS (SELECT event_type, value FROM events),
+    gv AS (SELECT value, COUNT(*)::BIGINT AS l FROM e GROUP BY value),
+    t AS (SELECT SUM(l)::BIGINT AS nn,
+                 SUM(CAST(l AS DECIMAL(38,0)) * l * l - l) AS tie3
+          FROM gv),
+    p AS (SELECT value,
+                 2 * (SUM(l) OVER (ORDER BY value ASC) - l) + l + 1 AS mid2
+          FROM gv),
+    gt AS (SELECT event_type, value, COUNT(*)::BIGINT AS c
+           FROM e GROUP BY event_type, value),
+    grp AS (SELECT event_type, SUM(c)::BIGINT AS n,
+                   SUM(CAST(c * mid2 AS DECIMAL(38,0))) AS r2
+            FROM gt JOIN p USING (value) GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND((a.r2::DOUBLE / (2.0 * a.n) - b.r2::DOUBLE / (2.0 * b.n))
+                 / sqrt((t.nn * (t.nn + 1.0) / 12.0
+                         - t.tie3::DOUBLE / (12.0 * (t.nn - 1.0)))
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS z_dunn
+    FROM grp a JOIN grp b ON a.event_type < b.event_type
+    CROSS JOIN t
+    ORDER BY type_a ASC, type_b ASC
+    """,
+)
+def dunn_posthoc_value_by_type(spark, sf_dir):
+    """Dunn's multiple-comparison post-hoc for the Kruskal-Wallis
+    battery: after `kruskal_wallis_value_by_type` rejects "all event
+    types share one value distribution", THIS is the test that says
+    WHICH pairs differ — per (type_a, type_b), the standardized
+    difference of mean midranks z = (Rbar_a - Rbar_b) /
+    sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_a + 1/n_b)) with the exact
+    tie correction T = sum(l^3 - l) over the pooled value domain
+    (Dunn 1964; the z's feed any alpha-adjustment — the battery's
+    `holm_weekday_conversion_tests` / `bh_weekday_conversion_fdr`
+    show both recipes). Mean ranks come from ONE pooled value-domain
+    prefix scan (doubled midranks, exact under ties) joined to the
+    (type, value) counts; each z is a fixed-order double expression
+    over exact decimal rank sums.
+
+    Scale: one (type, value) aggregation + one value-DOMAIN prefix
+    scan; the pair join is |types|^2 rows — bounded domain, broadcast.
+    Brute-force check in tests/test_round14_stats_brute.py."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", "value")
+    gv = e.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("l"))
+    dec = "decimal(38,0)"
+    t = gv.agg(
+        F.sum("l").cast("bigint").alias("nn"),
+        F.sum(
+            F.col("l").cast(dec) * F.col("l") * F.col("l") - F.col("l")
+        ).alias("tie3"),
+    )
+    p = global_prefix_agg(
+        gv, [F.col("value").asc()], "l", agg="sum", out_col="cl"
+    ).select(
+        "value",
+        (2 * (F.col("cl") - F.col("l")) + F.col("l") + 1).alias("mid2"),
+    )
+    gt = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grp = (
+        gt.join(p, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum((F.col("c") * F.col("mid2")).cast(dec)).alias("r2"),
+        )
+    )
+    a = grp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("r2").alias("r2a"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("r2").alias("r2b"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(t))
+    )
+    z = (
+        F.col("r2a").cast("double") / (F.lit(2.0) * F.col("n_a"))
+        - F.col("r2b").cast("double") / (F.lit(2.0) * F.col("n_b"))
+    ) / F.sqrt(
+        (
+            F.col("nn") * (F.col("nn") + F.lit(1.0)) / F.lit(12.0)
+            - F.col("tie3").cast("double")
+            / (F.lit(12.0) * (F.col("nn") - F.lit(1.0)))
+        )
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return pairs.select(
+        "type_a", "type_b", "n_a", "n_b", F.round(z, 6).alias("z_dunn")
+    ).orderBy(F.col("type_a").asc(), F.col("type_b").asc())
+
+
+@register(
+    "obrien_scale_value_by_type",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(100 * value + 0.5) AS BIGINT) AS q
+               FROM events),
+    gs AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                  SUM(CAST(q AS DECIMAL(38,0))) AS s,
+                  SUM(CAST(q AS DECIMAL(38,0)) * q) AS ss
+           FROM e GROUP BY event_type),
+    r AS (SELECT e.event_type,
+                 CAST(floor(
+                   ((2 * gs.n - 3)
+                    * CAST((gs.n * e.q - gs.s) AS DECIMAL(38,0))
+                    * (gs.n * e.q - gs.s)
+                    - (gs.n * gs.ss - gs.s * gs.s))::DOUBLE
+                   / (2.0 * gs.n * (gs.n - 1.0) * (gs.n - 2.0))
+                   + 0.5) AS BIGINT) AS rq
+          FROM e JOIN gs USING (event_type)
+          WHERE gs.n > 2),
+    gr AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                  SUM(CAST(rq AS DECIMAL(38,0))) AS sr,
+                  SUM(CAST(rq AS DECIMAL(38,0)) * rq) AS ssr
+           FROM r GROUP BY event_type),
+    agg AS (SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS nt,
+                   SUM(sr) AS stot,
+                   SUM(CAST(floor((sr::DOUBLE * sr::DOUBLE / n) / 1e3 + 0.5)
+                            AS DECIMAL(38,0))) AS sbq,
+                   SUM(ssr) AS sswr
+            FROM gr)
+    SELECT k AS n_groups, nt AS n_total,
+           ROUND(((sbq::DOUBLE * 1e3
+                   - floor((stot::DOUBLE * stot::DOUBLE / nt) / 1e3 + 0.5)
+                     * 1e3) / (k - 1.0))
+                 / ((sswr::DOUBLE - sbq::DOUBLE * 1e3) / (nt * 1.0 - k)),
+                 6) AS f_obrien
+    FROM agg
+    """,
+)
+def obrien_scale_value_by_type(spark, sf_dir):
+    """O'Brien's test for scale differences across event types: each
+    observation is replaced by O'Brien's (1979) transformed value
+    r = ((n-1.5) n (x - xbar)^2 - 0.5 s^2 (n-1)) / ((n-1)(n-2)) —
+    whose group mean is EXACTLY the group sample variance — and a
+    one-way ANOVA F runs on the r's. This completes the scale battery
+    (Bartlett assumes normality, Levene/Brown-Forsythe lose power on
+    heavy tails, Conover/AB/Mood are rank-only); O'Brien keeps ANOVA's
+    power while staying robust, and is the textbook recommendation when
+    the downstream analysis is itself an ANOVA. Exactness: values are
+    cent-quantized, so r's numerator folds as ONE exact DECIMAL(38,0)
+    expression per row ((2n-3)(nq - S)^2 - (n SS - S^2) over the
+    group-constant denominator 2n(n-1)(n-2)); the transformed values
+    are rounded to integers (relative error ~1e-8 at their scale),
+    making every downstream ANOVA sum an exact decimal fold; between-
+    group terms are milli-quantized per group (coarse enough that the
+    quantized magnitude fits the BIGINT range floor() maps doubles
+    into on both engines — a micro grain overflowed Spark's
+    floor-to-long at scale) before the final fixed-order F
+    expression. Groups with n <= 2 are excluded (the
+    transform divides by n-2).
+
+    Scale: two corpus scans (group moments, then the map-only
+    transform), one bounded group aggregation. Brute-force check in
+    tests/test_round14_stats_brute.py."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.lit(100) * F.col("value") + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    dec = "decimal(38,0)"
+    gs = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q").cast(dec)).alias("s"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("ss"),
+    )
+    rows = e.join(F.broadcast(gs), "event_type").filter(F.col("n") > 2)
+    anum = (
+        (2 * F.col("n") - 3)
+        * (F.col("n") * F.col("q") - F.col("s")).cast(dec)
+        * (F.col("n") * F.col("q") - F.col("s"))
+        - (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    rq = F.floor(
+        anum.cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("n")
+            * (F.col("n") - F.lit(1.0))
+            * (F.col("n") - F.lit(2.0))
+        )
+        + F.lit(0.5)
+    ).cast("bigint")
+    gr = (
+        rows.select("event_type", rq.alias("rq"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum(F.col("rq").cast(dec)).alias("sr"),
+            F.sum(F.col("rq").cast(dec) * F.col("rq")).alias("ssr"),
+        )
+    )
+    agg = gr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("nt"),
+        F.sum("sr").alias("stot"),
+        F.sum(
+            F.floor(
+                (
+                    F.col("sr").cast("double")
+                    * F.col("sr").cast("double")
+                    / F.col("ng")
+                )
+                / F.lit(1e3)
+                + F.lit(0.5)
+            ).cast(dec)
+        ).alias("sbq"),
+        F.sum("ssr").alias("sswr"),
+    )
+    ssb = (
+        F.col("sbq").cast("double") * F.lit(1e3)
+        - F.floor(
+            (
+                F.col("stot").cast("double")
+                * F.col("stot").cast("double")
+                / F.col("nt")
+            )
+            / F.lit(1e3)
+            + F.lit(0.5)
+        )
+        * F.lit(1e3)
+    )
+    ssw = F.col("sswr").cast("double") - F.col("sbq").cast("double") * F.lit(
+        1e3
+    )
+    f = (ssb / (F.col("k") - F.lit(1.0))) / (
+        ssw / (F.col("nt") * F.lit(1.0) - F.col("k"))
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(f, 6).alias("f_obrien"),
+    )
