@@ -421,6 +421,9 @@ BENCH_QUERIES = [
     # task 4) — one corpus scan, each tier consumes the prior tier's
     # checkpointed survivors
     "curation_pipeline_ledger",
+    # round-14: the damped maintenance loop (stamp + A5 skips) serving
+    # from the persisted index
+    "ann_damped_refresh_serving",
     # round-14 stats batch: combined location+scale (Lepage), the BWS
     # tail-weighted rank test, Dunn's KW post-hoc, O'Brien's
     # transformed-ANOVA scale test, Goodman-Kruskal lambda
@@ -479,6 +482,9 @@ HEAVY_TWO_RUN = {
     # composed pipeline is inherently multi-job; a median-of-3 would
     # triple the checkpoint churn for no extra signal
     "curation_pipeline_ledger",
+    # round-14: corpus write + full build on run 1; runs 2+ measure the
+    # damped skips (cold-run attribution keeps the build visible)
+    "ann_damped_refresh_serving",
     # round-12: store writes like its minhash sibling
     "dedup_incremental_simhash",
     # round-12: share the session graph frames (first run pays the edge

@@ -65,6 +65,19 @@ def test_ledger_chain_and_tier_reconciliation(spark):
         assert ledger[stage]["docs_out"] == tiers[tier]["n_out"]
 
 
+def test_tiers_consume_prior_frames_not_the_parquet(spark):
+    """The composition discipline the module docstring claims: every
+    survivor frame is lineage-truncated, so downstream tiers plan
+    against the prior tier's checkpointed rows — the documents parquet
+    appears in NO stage plan except the initial raw projection."""
+    fr = curation_stage_frames(spark, SF)
+    raw_plan = fr["raw"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "documents.parquet" in raw_plan
+    for key in ["s1", "s4", "s7", "packed"]:
+        plan = fr[key]._jdf.queryExecution().optimizedPlan().toString()
+        assert "documents.parquet" not in plan, key
+
+
 def test_stage_drop_sets_reconcile_brute_force(spark):
     fr = curation_stage_frames(spark, SF)
     s3, s4, s5, s6, s7 = (

@@ -605,3 +605,119 @@ def ann_persisted_incremental_search(spark, sf_dir):
         F.col("label").cast("bigint").alias("vec_id"),
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "ann_damped_refresh_serving",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 16),
+    cd AS (SELECT c.centroid_id, list_distance(c.cvec, q.qe) AS qd
+           FROM cents c, q),
+    probe AS (SELECT centroid_id FROM cd
+              ORDER BY qd ASC, centroid_id ASC LIMIT 2),
+    d AS (SELECT e.vec_id, c.centroid_id,
+                 list_distance(e.embedding::DOUBLE[], c.cvec) AS dist
+          FROM embeddings e CROSS JOIN cents c),
+    r AS (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, centroid_id ASC) AS rn
+          FROM d),
+    assigned AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+    cand AS (SELECT a.vec_id FROM assigned a
+             JOIN probe p ON a.centroid_id = p.centroid_id)
+    SELECT e.vec_id,
+           ROUND(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS score
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_damped_refresh_serving(spark, sf_dir):
+    """The round-14 DAMPED maintenance loop under the oracle gate — the
+    A5-identity sibling of `ann_persisted_incremental_search`: build the
+    persisted IVF index with ``refresh_index(if_needed=True)`` (which
+    also persists the indexed-generation A5 stats snapshot), re-put the
+    IDENTICAL corpus (the content-stamp skip keeps the mutation stamp
+    unmoved), take the ZERO-JOB stamp-grain refresh skip, then append a
+    statistically-identical delta — a RE-DELIVERED copy of the whole
+    shard under fresh labels, the classic at-least-once ingest
+    duplicate: a real stamp bump whose centroid/histogram stats are
+    identical by construction — and take the A5-grain skip, which
+    RESTAMPS the index fresh without rebuilding. Serving then reads the ORIGINAL index —
+    the reference's damping semantics exactly (data/data.go:158-164:
+    statistically-identical data does not trigger a rebuild), so the
+    oracle recomputes the IVF probe over the ORIGINAL corpus. The query
+    RAISES if either skip fails to take its intended grain, so a
+    damping regression surfaces as a gate FAILURE, not a silently
+    slower pass; the duplicate rows being absent from the served top-10
+    is the semantic claim the value-hash checks.
+
+    Scale: this is the nightly no-op/near-no-op maintenance run at
+    100 TB — file reads at stamp grain, ONE stats pass (map-only
+    centroid fold + one histogram agg) at identity grain; the index's
+    terabytes are neither read nor written on either skip."""
+    from veri_spark.operators.search import SearchConfig
+    from veri_spark.plans._base import scratch_store_root
+    from veri_spark.store import FeatureStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = emb.select(
+        F.col("embedding").cast("array<float>").alias("feature"),
+        F.col("vec_id").cast("string").alias("label"),
+        F.col("vec_id").alias("vec_id"),
+    )
+    store = FeatureStore(
+        spark,
+        scratch_store_root("anndamp_" + sf_dir.strip("/").replace("/", "_")),
+        use_delta=False,
+    )
+    store.put_corpus("vectors", table)
+    store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id",
+        if_needed=True,
+    )
+    # identical re-put: content stamp keeps the dataset stamp unmoved,
+    # so the damped refresh skips at stamp grain with zero jobs
+    store.put_corpus("vectors", table)
+    store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id",
+        if_needed=True,
+    )
+    if store.last_index_refresh_info.get("skipped") != "stamp":
+        raise RuntimeError(
+            "damped refresh did not take the stamp-grain skip: "
+            f"{store.last_index_refresh_info}"
+        )
+    # statistically-identical delta: a re-delivered copy of the whole
+    # shard (at-least-once ingest) — the stamp moves, but centroid,
+    # max-distance and histogram are IDENTICAL by construction, so A5
+    # passes and the index is restamped WITHOUT a rebuild
+    delta = table.select(
+        "feature",
+        F.concat(F.lit("dup"), F.col("label")).alias("label"),
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+    )
+    store.append_corpus("vectors", delta)
+    store.refresh_index(
+        "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id",
+        if_needed=True, rel_tol=0.05,
+    )
+    if store.last_index_refresh_info.get("skipped") != "identity":
+        raise RuntimeError(
+            "damped refresh did not take the A5-identity skip: "
+            f"{store.last_index_refresh_info}"
+        )
+    q = _query_vector(spark, sf_dir, 0)
+    out = store.search(
+        "vectors",
+        [q],
+        SearchConfig(score_func="AnnoyVectorDistance", limit=10),
+        nprobe=2,
+        n_centroids=16,
+    )
+    return out.select(
+        F.col("label").cast("bigint").alias("vec_id"),
+        F.round("score", 6).alias("score"),
+    )

@@ -869,7 +869,7 @@ class FeatureStore:
         ``last_index_refresh_info["skipped"]`` ('stamp' | 'identity')."""
         final = self._index_path(name)
         if if_needed and not force_full:
-            n_skip = self._index_skip_check(name, final, rel_tol)
+            n_skip = self._index_skip_check(name, final, rel_tol, vector_col)
             if n_skip is not None:
                 return n_skip
         df = self._read(name)
@@ -987,7 +987,7 @@ class FeatureStore:
             os.replace(final + ".stats.json.tmp", final + ".stats.json")
 
     def _index_skip_check(
-        self, name: str, final: str, rel_tol: float
+        self, name: str, final: str, rel_tol: float, vector_col: str
     ) -> int | None:
         """The two-grain ``if_needed`` damping decision (see
         ``refresh_index``): the indexed count on a skip, None when the
@@ -1004,7 +1004,7 @@ class FeatureStore:
         if not os.path.exists(stats_file):
             return None
         baseline = json.load(open(stats_file))
-        if not self.index_refresh_needed(name, baseline, rel_tol):
+        if not self.index_refresh_needed(name, baseline, rel_tol, vector_col):
             # A5 passed: declare the existing index fresh for the current
             # generation (approximate-serving damping, documented above)
             with open(final + ".mutver", "w") as f:
@@ -1942,7 +1942,11 @@ class FeatureStore:
 
     # -- A5/A6: stats-damped maintenance + bucket rebalance quotas ---------
     def index_refresh_needed(
-        self, name: str, baseline_info: dict, rel_tol: float = 0.01
+        self,
+        name: str,
+        baseline_info: dict,
+        rel_tol: float = 0.01,
+        vector_col: str = "feature",
     ) -> bool:
         """A5 re-aimed at maintenance (data/data.go:183): the reference
         damps peer REBALANCING when two datasets test statistically
@@ -1953,7 +1957,7 @@ class FeatureStore:
         histogram drift <= rel_tol * maxDistance). Cheap: one stats pass,
         no index work, no full compare of the data itself."""
         identical, _, _ = ST.statistical_identity(
-            self.data_info(name), baseline_info, rel_tol
+            ST.data_info(self._read(name), vector_col), baseline_info, rel_tol
         )
         return not identical
 
