@@ -432,6 +432,10 @@ BENCH_QUERIES = [
     "dunn_posthoc_value_by_type",
     "obrien_scale_value_by_type",
     "goodman_kruskal_lambda_lang_source",
+    # round-14 batch 2: Kuiper CDF drift (the KS machinery's
+    # rotation-invariant sibling), paired sign test
+    "kuiper_value_drift",
+    "sign_test_yoy_revenue",
 ]
 
 # m^1.5 offline audits and iterative multi-job loops (5-30 s each at

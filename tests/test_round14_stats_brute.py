@@ -202,3 +202,60 @@ def test_goodman_kruskal_lambda_counts(spark):
     assert abs(got["lambda_lang_given_source"] - lam_lgs) < 1e-6
     assert abs(got["lambda_symmetric"] - lam_sym) < 1e-6
     assert 0.0 <= got["lambda_symmetric"] <= 1.0
+
+
+def test_kuiper_matches_cdf_walk(spark):
+    rows = _events(spark)
+    x = sorted(r["value"] for r in rows if r["event_type"] == "click")
+    y = sorted(r["value"] for r in rows if r["event_type"] == "view")
+    n1, n2 = len(x), len(y)
+    grid = sorted(set(x) | set(y))
+    import bisect
+
+    dplus = dminus = 0
+    for v in grid:
+        c1 = bisect.bisect_right(x, v)
+        c2 = bisect.bisect_right(y, v)
+        dplus = max(dplus, c1 * n2 - c2 * n1)
+        dminus = max(dminus, c2 * n1 - c1 * n2)
+    got = QUERIES["kuiper_value_drift"](spark, SF).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["dplus_num"] == dplus and got["dminus_num"] == dminus
+    v_stat = (dplus + dminus) / (n1 * n2)
+    assert abs(got["kuiper_v"] - v_stat) < 1e-12
+    # Kuiper dominates KS: V = D+ + D- >= max(D+, D-) = D
+    ks = QUERIES["ks_value_drift"](spark, SF).collect()[0]
+    assert got["kuiper_v"] >= ks["ks_stat"] - 1e-12
+
+
+def test_sign_test_matches_pair_counts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    from collections import defaultdict as dd
+    from decimal import Decimal
+
+    days = dd(Decimal)
+    for r in li.collect():
+        d = r["l_shipdate"]
+        if d.year in (1996, 1997):
+            days[d] += Decimal(str(r["l_extendedprice"]))
+    cents = {d: int(v * 100) for d, v in days.items()}
+    npos = nneg = 0
+    for d, c in cents.items():
+        if d.year != 1996:
+            continue
+        try:
+            d2 = d.replace(year=1997)
+        except ValueError:
+            continue
+        if d2 in cents and cents[d2] != c:
+            if cents[d2] > c:
+                npos += 1
+            else:
+                nneg += 1
+    got = QUERIES["sign_test_yoy_revenue"](spark, SF).collect()[0]
+    assert got["n_plus"] == npos and got["n_minus"] == nneg
+    n = npos + nneg
+    assert got["n_pairs"] == n
+    assert abs(got["z_sign"] - (2.0 * npos - n) / math.sqrt(n)) < 1e-6

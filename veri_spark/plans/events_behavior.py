@@ -2106,3 +2106,107 @@ def bh_weekday_conversion_fdr(spark, sf_dir):
         )
         .orderBy(F.col("bh_rank").asc())
     )
+
+
+@register(
+    "kuiper_value_drift",
+    """
+    WITH ev AS (SELECT event_type, value FROM events
+                WHERE event_type IN ('click', 'view')),
+    c AS (SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS c1x,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                   AS c2x
+          FROM ev GROUP BY value),
+    cum AS (SELECT SUM(c1x) OVER (ORDER BY value ASC)::BIGINT AS c1,
+                   SUM(c2x) OVER (ORDER BY value ASC)::BIGINT AS c2
+            FROM c),
+    t AS (SELECT SUM(c1x)::BIGINT AS n1, SUM(c2x)::BIGINT AS n2 FROM c)
+    SELECT t.n1, t.n2,
+           MAX(GREATEST(cum.c1 * t.n2 - cum.c2 * t.n1, 0))::BIGINT
+             AS dplus_num,
+           MAX(GREATEST(cum.c2 * t.n1 - cum.c1 * t.n2, 0))::BIGINT
+             AS dminus_num,
+           ((MAX(GREATEST(cum.c1 * t.n2 - cum.c2 * t.n1, 0))
+             + MAX(GREATEST(cum.c2 * t.n1 - cum.c1 * t.n2, 0)))::DOUBLE
+              / (t.n1::DOUBLE * t.n2::DOUBLE)) AS kuiper_v,
+           ((MAX(GREATEST(cum.c1 * t.n2 - cum.c2 * t.n1, 0))
+             + MAX(GREATEST(cum.c2 * t.n1 - cum.c1 * t.n2, 0)))::DOUBLE
+              / (t.n1::DOUBLE * t.n2::DOUBLE))
+             * sqrt((t.n1::DOUBLE * t.n2::DOUBLE)
+                    / (t.n1::DOUBLE + t.n2::DOUBLE)) AS kuiper_lambda
+    FROM cum CROSS JOIN t GROUP BY t.n1, t.n2
+    """,
+)
+def kuiper_value_drift(spark, sf_dir):
+    """Two-sample KUIPER drift test between the `click` and `view`
+    value distributions: V = D+ + D- where D+ = sup(F1-F2) and
+    D- = sup(F2-F1) — the KS statistic's rotation-invariant sibling,
+    equally sensitive ACROSS the whole support where KS concentrates
+    power at the median (the canonical pick when tail or cyclic-shift
+    drift matters; Kuiper 1960, Stephens 1970). Runs on the identical
+    machinery as `ks_value_drift`: one partial-aggregated groupBy to
+    the value domain, ONE `global_prefix_agg` CDF pass, and both
+    suprema in exact integer cross-multiplied form
+    max(max(c1*n2 - c2*n1, 0)) so each max is order-insensitive;
+    kuiper_lambda = V * sqrt(n1*n2/(n1+n2)) feeds the V significance
+    series. Same 100 TB shape as KS: the value domain rides the range
+    partitioner, no unpartitioned window anywhere."""
+    from veri_spark.operators.ranking import global_prefix_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    c = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2x"),
+    ).localCheckpoint(eager=False)
+    cum = global_prefix_agg(
+        c, [F.col("value").asc()], ["c1x", "c2x"], agg="sum",
+        out_col=["c1", "c2"],
+    )
+    t = c.agg(
+        F.sum("c1x").cast("bigint").alias("n1"),
+        F.sum("c2x").cast("bigint").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    zero = F.lit(0).cast("bigint")
+    agg = (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.greatest(
+                    F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"),
+                    zero,
+                )
+            )
+            .cast("bigint")
+            .alias("dplus_num"),
+            F.max(
+                F.greatest(
+                    F.col("c2") * F.col("n1") - F.col("c1") * F.col("n2"),
+                    zero,
+                )
+            )
+            .cast("bigint")
+            .alias("dminus_num"),
+        )
+    )
+    v = (F.col("dplus_num") + F.col("dminus_num")).cast("double") / (
+        n1d * n2d
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "dplus_num",
+        "dminus_num",
+        v.alias("kuiper_v"),
+        (v * F.sqrt((n1d * n2d) / (n1d + n2d))).alias("kuiper_lambda"),
+    )

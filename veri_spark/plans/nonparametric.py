@@ -1778,3 +1778,90 @@ def siegel_repeated_median_trend(spark, sf_dir):
             F.round(F.col("icept"), 2).alias("intercept_cents"),
         )
     )
+
+
+@register(
+    "sign_test_yoy_revenue",
+    """
+    WITH d AS (SELECT l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           * 100 AS BIGINT) AS cents
+               FROM lineitem
+               WHERE l_shipdate >= DATE '1996-01-01'
+                 AND l_shipdate < DATE '1998-01-01'
+               GROUP BY l_shipdate),
+    p AS (SELECT b.cents - a.cents AS diff
+          FROM d a JOIN d b
+            ON EXTRACT(month FROM b.day) = EXTRACT(month FROM a.day)
+           AND EXTRACT(day FROM b.day) = EXTRACT(day FROM a.day)
+           AND EXTRACT(year FROM a.day) = 1996
+           AND EXTRACT(year FROM b.day) = 1997
+          WHERE b.cents <> a.cents),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT AS npos
+          FROM p)
+    SELECT n AS n_pairs, npos AS n_plus, (n - npos)::BIGINT AS n_minus,
+           CASE WHEN n > 0
+                THEN ROUND((2.0 * npos - n) / sqrt(n * 1.0), 6)
+                ELSE NULL END AS z_sign
+    FROM s
+    """,
+)
+def sign_test_yoy_revenue(spark, sf_dir):
+    """The paired SIGN test on year-over-year same-calendar-day revenue
+    (1996 vs 1997, the `wilcoxon_signed_rank_yoy` pairing): counts of
+    positive vs negative daily changes and z = (2 n+ - n)/sqrt(n) —
+    the assumption-free floor of the paired battery (the Wilcoxon
+    sibling adds rank magnitudes and buys power IF differences are
+    symmetric; the sign test needs nothing but exchangeable signs, so
+    a disagreement between the two z's is itself the diagnostic that
+    the yoy changes are skewed). Zero-difference pairs drop per the
+    standard convention. Pure integer counts from the same exact-cents
+    day join; one 6dp z.
+
+    Scale: one partial-aggregated scan to the bounded calendar-day
+    frame; the yoy self-join is |days| rows. Brute-force check in
+    tests/test_round14_stats_brute.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).groupBy(F.col("l_shipdate").alias("day")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = d.filter(F.year("day") == 1996).select(
+        F.month("day").alias("m"),
+        F.dayofmonth("day").alias("dd"),
+        F.col("cents").alias("ca"),
+    )
+    b = d.filter(F.year("day") == 1997).select(
+        F.month("day").alias("m"),
+        F.dayofmonth("day").alias("dd"),
+        F.col("cents").alias("cb"),
+    )
+    p = (
+        a.join(b, ["m", "dd"])
+        .select((F.col("cb") - F.col("ca")).alias("diff"))
+        .filter(F.col("diff") != 0)
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("npos"),
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.col("npos").alias("n_plus"),
+        (F.col("n") - F.col("npos")).cast("bigint").alias("n_minus"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                (F.lit(2.0) * F.col("npos") - F.col("n"))
+                / F.sqrt(F.col("n") * F.lit(1.0)),
+                6,
+            ),
+        ).alias("z_sign"),
+    )
