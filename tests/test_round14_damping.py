@@ -190,3 +190,37 @@ def test_refresh_index_identity_skip_and_drift_rebuild(spark, tmp_path):
     assert n == 702
     assert "skipped" not in store.last_index_refresh_info
     assert open(final + ".stats.json").read() != stats1
+
+
+def test_bench_cadence_configuration():
+    """Pin the round-14 bench wiring: the trained IVF-PQ audit is on the
+    even-round deferral cadence, its seed-serving sibling and the other
+    round-14 entries bench every round, and every benched name resolves
+    in the registry (a rename would otherwise surface only at the next
+    bench run)."""
+    import bench
+    from veri_spark.plans.registry import QUERIES
+
+    assert "ann_ivfpq_trained_audit" in bench.EXACT_AUDIT_EVERY_OTHER_ROUND
+    for name in [
+        "ann_ivfpq_seed_serving",
+        "curation_pipeline_ledger",
+        "ann_damped_refresh_serving",
+        "lepage_test_weekend_value",
+        "bws_test_weekend_value",
+        "dunn_posthoc_value_by_type",
+        "obrien_scale_value_by_type",
+        "goodman_kruskal_lambda_lang_source",
+        "kuiper_value_drift",
+        "sign_test_yoy_revenue",
+    ]:
+        assert name in bench.BENCH_QUERIES, name
+    unknown = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert unknown == []
+    unknown_defer = [
+        n
+        for n in bench.EXACT_AUDIT_EVERY_OTHER_ROUND
+        + bench.TRIO_COLD_EVERY_OTHER_ROUND
+        if n not in bench.BENCH_QUERIES
+    ]
+    assert unknown_defer == []
