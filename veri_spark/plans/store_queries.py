@@ -589,7 +589,15 @@ def ann_persisted_incremental_search(spark, sf_dir):
     store.refresh_index(
         "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id"
     )
-    store.put_corpus("vectors", corpus.unionByName(delta))
+    # round-14 optimization (guide §6 — write delta bytes, not corpus
+    # bytes): the delta ingest is an APPEND, exactly as documented above —
+    # the previous full-corpus put_corpus(corpus ∪ delta) re-wrote every
+    # corpus row AND paid put_corpus's two content-stamp aggs just to
+    # discover the overwrite was needed; at 100 TB that is a corpus-sized
+    # write for a shard-sized change. Final table content is identical
+    # (corpus ∪ delta), so the incremental refresh and the served top-10
+    # are bit-for-bit unchanged (oracle gate re-verified both SFs).
+    store.append_corpus("vectors", delta)
     store.refresh_index(
         "vectors", n_centroids=16, vector_col="feature", seed_col="vec_id"
     )
