@@ -73,8 +73,21 @@ def curation_stage_frames(spark, sf_dir) -> dict:
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus scan: every tier (and the benchmark shingle set) derives
-    # from this persisted projection — no re-scan of `documents` per tier
-    raw = docs.select("doc_id", "source", "lang", "text").persist()
+    # from this persisted projection — no re-scan of `documents` per tier.
+    # Round-14 optimization (guide §1.2 — don't recompute what a filter
+    # chain preserves): the per-doc char count `nc` and token count `ntok`
+    # are computed HERE, once, and carried through every tier — each tier
+    # only ever filters rows, never rewrites text, so the ledger stats,
+    # the Gopher word count, the mixture token mass and the packing
+    # lengths all read the carried integers instead of re-splitting the
+    # text (the before-shape tokenized the full surviving corpus once per
+    # stage — ~10 tokenization passes per run; at 100 TB that is the
+    # difference between one corpus tokenize and ten).
+    raw = docs.select(
+        "doc_id", "source", "lang", "text",
+        F.length("text").cast("bigint").alias("nc"),
+        F.size(tokens("text")).cast("bigint").alias("ntok"),
+    ).persist()
 
     # stage 0: clean/normalize — drop whitespace-only/empty docs (the
     # whole downstream tokenizes on single spaces)
@@ -217,7 +230,7 @@ def curation_stage_frames(spark, sf_dir) -> dict:
     # cross-multiplication chars*10 BETWEEN 42*wc AND 48*wc, >= 2 core
     # stopwords
     ws = tokens("text")
-    wc = F.size(ws).cast("bigint")
+    # wc == the carried ntok (size(tokens(text)) computed once at raw)
     wchars = F.aggregate(
         F.transform(ws, lambda w: F.length(w)),
         F.lit(0).cast("bigint"),
@@ -225,7 +238,7 @@ def curation_stage_frames(spark, sf_dir) -> dict:
     )
     sw = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS))).cast("bigint")
     s6 = (
-        s5.withColumn("__wc", wc)
+        s5.withColumn("__wc", F.col("ntok"))
         .withColumn("__wch", wchars)
         .withColumn("__sw", sw)
         .filter(
@@ -247,7 +260,7 @@ def curation_stage_frames(spark, sf_dir) -> dict:
     # physical repetition is the training loader's job, the ledger
     # records the kept mass.
     lm = s6.groupBy("lang").agg(
-        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens")
+        F.sum("ntok").cast("bigint").alias("n_tokens")
     )
     tt = lm.agg(F.sum("n_tokens").cast("double").alias("tot"))
     pp = lm.crossJoin(F.broadcast(tt)).select(
@@ -283,8 +296,7 @@ def curation_stage_frames(spark, sf_dir) -> dict:
     )
     packed = (
         s7.select(
-            "doc_id", "source",
-            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+            "doc_id", "source", F.col("ntok").alias("n_tokens"),
         )
         .withColumn(
             "cum_before",
@@ -497,20 +509,36 @@ def curation_pipeline_ledger(spark, sf_dir):
     rules, composition discipline, and the 100 TB shape."""
     frames = curation_stage_frames(spark, sf_dir)
 
-    def stage_stats(df):
-        r = df.agg(
+    # ONE stats job for all nine frames (round-14 optimization): every
+    # stage frame is already materialized (eager checkpoint / persisted
+    # raw), so a tagged union scans each one once and a single groupBy
+    # yields (docs, chars, toks) per stage — 9 collect() actions folded
+    # into 1. The sums read the CARRIED nc/ntok integers computed once at
+    # the raw projection (no re-tokenization per stage). Values are
+    # bit-identical: count/sum over the same rows and the same per-doc
+    # integers the old per-stage aggregates recomputed.
+    tagged = frames["raw"].select(
+        F.lit(-1).alias("__stage"), "nc", "ntok"
+    )
+    for k in range(8):
+        tagged = tagged.unionByName(
+            frames[f"s{k}"].select(
+                F.lit(k).alias("__stage"), "nc", "ntok"
+            )
+        )
+    by_stage = {
+        int(r["__stage"]): (int(r["docs"]), int(r["chars"]), int(r["toks"]))
+        for r in tagged.groupBy("__stage")
+        .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.coalesce(F.sum(F.length("text")), F.lit(0))
-            .cast("bigint")
-            .alias("chars"),
-            F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
-            .cast("bigint")
-            .alias("toks"),
-        ).collect()[0]
-        return int(r["docs"]), int(r["chars"]), int(r["toks"])
-
-    n_all = frames["raw"].count()
-    stats = [stage_stats(frames[f"s{k}"]) for k in range(8)]
+            F.coalesce(F.sum("nc"), F.lit(0)).cast("bigint").alias("chars"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("toks"),
+        )
+        .collect()
+    }
+    # a stage that drops every doc is absent from the grouped result
+    stats = [by_stage.get(k, (0, 0, 0)) for k in range(8)]
+    n_all = by_stage.get(-1, (0, 0, 0))[0]
     n_chunks = (
         frames["packed"].select("source", "chunk_id").distinct().count()
     )
