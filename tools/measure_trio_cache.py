@@ -83,7 +83,7 @@ def run_baseline(spark):
     return time.time() - t0, n
 
 
-def run_narrow(spark):
+def run_narrow(spark, storage_level=None):
     cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
     t0 = time.time()
     agg = _pair_agg(cund, deg).select(
@@ -93,7 +93,7 @@ def run_narrow(spark):
         F.col("aa_micro").cast("int").alias("aa_micro"),
     )
     cap = 128
-    agg = agg.persist()
+    agg = agg.persist(storage_level) if storage_level is not None else agg.persist()
     try:
         agg.count()
         unpacked = agg.select(
@@ -321,6 +321,126 @@ def run_prune(spark):
     return time.time() - t0, len(ja) + len(ra) + len(aa), {"kept": kept, "n": n_total}
 
 
+def run_narrow_disk(spark):
+    """Round-14: DISK_ONLY cache — skip heap residency entirely (the 8 g vs
+    32 g probe showed the in-memory columnar build is GC-bound, not
+    capacity-bound: more heap measured WORSE)."""
+    from pyspark import StorageLevel
+
+    return run_narrow(spark, StorageLevel.DISK_ONLY)
+
+
+def run_narrow_nocomp(spark):
+    """Round-14: keep the default MEMORY_AND_DISK level but disable the
+    per-batch compression encoders (dictionary/RLE attempts are CPU on the
+    cache-write path)."""
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    try:
+        return run_narrow(spark)
+    finally:
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+
+
+def run_parquet(spark):
+    """Round-14: scratch parquet write + 4 read-backs instead of the
+    columnar cache (guide §6 file-layout path)."""
+    import shutil
+    import tempfile
+
+    cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
+    cap = 128
+    tmp = tempfile.mkdtemp(prefix="trio_pq_")
+    t0 = time.time()
+    try:
+        _pair_agg(cund, deg).select(
+            "pk",
+            F.col("n_common").cast("int").alias("n_common"),
+            F.col("ra_micro").cast("int").alias("ra_micro"),
+            F.col("aa_micro").cast("int").alias("aa_micro"),
+        ).write.mode("overwrite").parquet(tmp)
+        agg = spark.read.parquet(tmp)
+        unpacked = agg.select(
+            F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
+            F.expr("pk & 4294967295").alias("part_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+            F.col("aa_micro").cast("bigint").alias("aa_micro"),
+        )
+        cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
+        ja = (
+            unpacked.join(
+                F.broadcast(cdeg.select(F.col("u").alias("part_a"), F.col("cd").alias("da"))),
+                "part_a",
+            )
+            .join(
+                F.broadcast(cdeg.select(F.col("u").alias("part_b"), F.col("cd").alias("db"))),
+                "part_b",
+            )
+            .select(
+                "part_a", "part_b", "n_common", "ra_micro", "aa_micro",
+                (F.col("n_common").cast("double") / (F.col("da") + F.col("db") - F.col("n_common"))).alias("jac"),
+            )
+            .orderBy(F.col("jac").desc(), F.col("n_common").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+            .limit(20)
+            .collect()
+        )
+        ra = (
+            unpacked.orderBy(F.col("ra_micro").desc(), F.col("n_common").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+            .limit(20).collect()
+        )
+        aa = (
+            unpacked.orderBy(F.col("aa_micro").desc(), F.col("n_common").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+            .limit(20).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return time.time() - t0, len(ja) + len(ra) + len(aa)
+
+
+def run_wgl(spark):
+    """Round-14: NO materialization at all — explode each pair row into 3
+    (ranker, score) rows and take the per-ranker top-20 in ONE job via a
+    rank-limit window: Spark's WindowGroupLimit pushes a per-partition
+    top-20-per-ranker below the exchange, so only 60 rows/partition
+    shuffle. Pays the wedge exchange once and writes nothing; the new cost
+    is the partition-local sort of the 3x-exploded aggregate."""
+    from pyspark.sql import Window
+
+    cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
+    cap = 128
+    t0 = time.time()
+    agg = _pair_agg(cund, deg).select(
+        F.expr("shiftrightunsigned(pk, 32)").alias("part_a"),
+        F.expr("pk & 4294967295").alias("part_b"),
+        "n_common", "ra_micro", "aa_micro",
+    )
+    cdeg = deg.select("u", F.least(F.col("d"), F.lit(cap)).alias("cd"))
+    withjac = (
+        agg.join(F.broadcast(cdeg.select(F.col("u").alias("part_a"), F.col("cd").alias("da"))), "part_a")
+        .join(F.broadcast(cdeg.select(F.col("u").alias("part_b"), F.col("cd").alias("db"))), "part_b")
+        .select(
+            "part_a", "part_b", "n_common", "ra_micro", "aa_micro",
+            (F.col("n_common").cast("double") / (F.col("da") + F.col("db") - F.col("n_common"))).alias("jac"),
+        )
+    )
+    tri = withjac.select(
+        "part_a", "part_b", "n_common", "ra_micro", "aa_micro", "jac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("jac").alias("ranker"), F.col("jac").alias("score")),
+                F.struct(F.lit("ra").alias("ranker"), F.col("ra_micro").cast("double").alias("score")),
+                F.struct(F.lit("aa").alias("ranker"), F.col("aa_micro").cast("double").alias("score")),
+            )
+        ).alias("rs"),
+    ).select("part_a", "part_b", "n_common", "ra_micro", "aa_micro", "jac", "rs.ranker", "rs.score")
+    w = Window.partitionBy("ranker").orderBy(
+        F.col("score").desc(), F.col("n_common").desc(),
+        F.col("part_a").asc(), F.col("part_b").asc(),
+    )
+    rows = tri.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).collect()
+    return time.time() - t0, len(rows)
+
+
 def main():
     variant = sys.argv[1]
     spark = get_spark("trio-measure")
@@ -333,6 +453,10 @@ def main():
         "narrow": run_narrow,
         "fused": run_fused,
         "prune": run_prune,
+        "narrow_disk": run_narrow_disk,
+        "narrow_nocomp": run_narrow_nocomp,
+        "parquet": run_parquet,
+        "wgl": run_wgl,
     }[variant]
     out = fn(spark)
     sec, n = out[0], out[1]

@@ -165,6 +165,18 @@ def jaccard_pairs(
         shingles = cap_stop_shingles(
             shingles.drop("n_sh"), id_col=id_col, max_doc_freq=max_doc_freq
         ).withColumn("n_sh", F.count(F.lit(1)).over(_W.partitionBy(id_col)))
+        if cache:
+            # Round-14 (guide §1.2): without this, BOTH self-join sides
+            # below re-derive the full tokenize→shingle→stop-cap→window
+            # lineage (before-plan of dedup_ngram_jaccard: 8 parquet
+            # scans, 26 Exchanges, no ReusedExchange across the aliased
+            # sides) — and the stop-list aggregate inside cap_stop_shingles
+            # re-reads the corpus once more per side. Materialize the
+            # capped, size-carrying shingle stream ONCE; the self-join
+            # then reads computed blocks. This is the same explicit
+            # checkpoint-the-shingle-set discipline the docstring already
+            # prescribes for cluster scale.
+            shingles = shingles.localCheckpoint(eager=True)
     if "n_sh" in shingles.columns:
         a = shingles.select(
             F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"

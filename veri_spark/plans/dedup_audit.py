@@ -852,7 +852,15 @@ def lsh_param_planner(spark, sf_dir):
     gsum = lambda c: F.sum(F.when(F.col("good"), F.col(c)).otherwise(0)).cast(  # noqa: E731
         "bigint"
     )
-    agg = p.agg(
+    # Round-14 (guide §1.2/§5): the old shape persisted this ONE-row agg
+    # and unioned four selects over it — but the four union branches race
+    # to populate the cache inside one action, each re-running the full
+    # pair-join lineage (before-plan: 20 parquet scans, 72 Exchanges).
+    # The aggregate is a single row by construction: collect it once
+    # (bounded collect, the registry's literal-frame discipline) and emit
+    # the four banding rows as literals. Division by 1e6 is the same
+    # bigint→double IEEE op the Catalyst expression performed.
+    r = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.when(F.col("good"), 1).otherwise(0)).cast("bigint").alias("n_good"),
         F.sum("p16_1").cast("bigint").alias("s16_1"),
@@ -863,24 +871,25 @@ def lsh_param_planner(spark, sf_dir):
         gsum("p4_4").alias("g4_4"),
         F.sum("p2_8").cast("bigint").alias("s2_8"),
         gsum("p2_8").alias("g2_8"),
-    ).persist()
-    rows = None
-    for b, r, s, g in (
-        (16, 1, "s16_1", "g16_1"),
-        (8, 2, "s8_2", "g8_2"),
-        (4, 4, "s4_4", "g4_4"),
-        (2, 8, "s2_8", "g2_8"),
-    ):
-        one = agg.select(
-            F.lit(b).cast("int").alias("bands"),
-            F.lit(r).cast("int").alias("rows_per_band"),
-            "n_pairs",
-            "n_good",
-            (F.col(s) / F.lit(1e6)).alias("expected_candidates"),
-            (F.col(g) / F.lit(1e6)).alias("expected_good"),
+    ).collect()[0]
+
+    def _micro(v):
+        return None if v is None else v / 1e6
+
+    data = [
+        (b, rr, r["n_pairs"], r["n_good"], _micro(r[s]), _micro(r[g]))
+        for b, rr, s, g in (
+            (16, 1, "s16_1", "g16_1"),
+            (8, 2, "s8_2", "g8_2"),
+            (4, 4, "s4_4", "g4_4"),
+            (2, 8, "s2_8", "g2_8"),
         )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows.orderBy(F.col("bands").desc())
+    ]
+    return spark.createDataFrame(
+        data,
+        "bands int, rows_per_band int, n_pairs bigint, n_good bigint,"
+        " expected_candidates double, expected_good double",
+    ).orderBy(F.col("bands").desc())
 
 
 
@@ -1030,6 +1039,17 @@ def winnowing_shared_fingerprints(spark, sf_dir):
                 )
             ).alias("f"),
         )
+        # Round-14 (guide §1.2): the fingerprint map — tokenize, 3-gram
+        # hash, window minima, array_distinct — is the expensive half of
+        # this query, and the self-join below otherwise re-derives it on
+        # BOTH sides (before-plan: 4 parquet scans / two full fingerprint
+        # subtrees; no ReusedExchange fires across the aliased sides).
+        # Materializing the compact (doc_id, f) stream once (eager local
+        # checkpoint, ~4 ints/row, fingerprints are ~1/4 of shingles by
+        # winnowing's own guarantee) makes both join sides read the same
+        # computed blocks; timed inside the bench action like every
+        # builder (bench times construction+collect together).
+        .localCheckpoint(eager=True)
     )
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
     pairs = (

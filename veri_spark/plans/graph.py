@@ -995,6 +995,21 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
         )
         return agg
 
+    # Round-14 (measured, tools/measure_trio_cache.py, fresh processes,
+    # 2 interleaved runs each): build the EPHEMERAL pair cache WITHOUT the
+    # per-batch compression encoders — the cache lives for exactly four
+    # scans inside this build and is dropped, so the dictionary/RLE
+    # encoding attempts are pure CPU+GC on the write path with no one to
+    # amortize against (the same GC churn that made a 32 g driver heap
+    # measurably SLOWER than 8 g on this build). narrow+compressed
+    # [34.1] s vs narrow+uncompressed [25.0, 24.1] s vs DISK_ONLY
+    # [30.5, 28.2] vs scratch-parquet [27.0, 30.1] vs a no-cache
+    # exploded-window one-pass [56.9, 46.6]. Conf is saved/restored so
+    # long-lived caches elsewhere keep the default (compression is the
+    # right trade for a cache that is read many times or must fit memory).
+    _comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
+    _comp_prev = spark.conf.get(_comp_key, "true")
+    spark.conf.set(_comp_key, "false")
     agg = build().persist()
     try:
         # populate the cache with a bare count FIRST so the expensive job
@@ -1074,6 +1089,7 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
         )
     finally:
         agg.unpersist()
+        spark.conf.set(_comp_key, _comp_prev)
     top20s = spark.createDataFrame(
         [tuple(r) for r in rows], _TOP20S_SCHEMA
     )

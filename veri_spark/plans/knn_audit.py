@@ -1086,8 +1086,16 @@ def knn_reciprocal_pairs(spark, sf_dir):
     from veri_spark.operators.similarity import knn_join, take_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_join(emb, take_centroids(emb, 8), k=3).select(
-        "src", "dst", "rank", "dist"
+    # Round-14 (guide §1.2): the IVF-blocked kNN join (centroid assign +
+    # within-cell pair fan-out + per-src rank) is the whole cost of this
+    # query, and the reversed self-join below otherwise rebuilds it on
+    # both sides (before-plan: 8 scans / two full knn_join subtrees).
+    # The edge list is 3n rows by construction — materialize it once and
+    # let both sides read the computed blocks.
+    edges = (
+        knn_join(emb, take_centroids(emb, 8), k=3)
+        .select("src", "dst", "rank", "dist")
+        .localCheckpoint(eager=True)
     )
     rev = edges.select(
         F.col("src").alias("r_dst"),

@@ -504,6 +504,12 @@ def zorder_multicol_audit(spark, sf_dir):
         (ntile_from_rank(F.col("__ry"), F.col("__n"), 256) - 1).alias("yb"),
     )
     m = b.select("xb", "yb", F.expr("((((xb >> 0) & 1) << 0) + (((yb >> 0) & 1) << 1)) + ((((xb >> 1) & 1) << 2) + (((yb >> 1) & 1) << 3)) + ((((xb >> 2) & 1) << 4) + (((yb >> 2) & 1) << 5)) + ((((xb >> 3) & 1) << 6) + (((yb >> 3) & 1) << 7)) + ((((xb >> 4) & 1) << 8) + (((yb >> 4) & 1) << 9)) + ((((xb >> 5) & 1) << 10) + (((yb >> 5) & 1) << 11)) + ((((xb >> 6) & 1) << 12) + (((yb >> 6) & 1) << 13)) + ((((xb >> 7) & 1) << 14) + (((yb >> 7) & 1) << 15))").alias("morton"))
+    # Round-14 (guide §1.2): both chunk layouts below re-rank the SAME
+    # (xb, yb, morton) frame — whose own lineage is the two expensive
+    # distributed global-rank passes — so without materialization the
+    # double-rank ran once per layout (before-plan: 35 Exchanges).
+    # The frame is three small ints per lineitem row; compute it once.
+    m = m.localCheckpoint(eager=True)
 
     def _chunks(order_cols):
         g = global_row_number(m, order_cols, rn_col="__rn")
@@ -519,7 +525,10 @@ def zorder_multicol_audit(spark, sf_dir):
             )
         )
 
-    c1 = _chunks(["xb", "yb", "morton"]).persist()
+    # c1 feeds two result branches (n_chunks + scan_single_sort); an
+    # eager checkpoint of the ~chunk-count-sized frame pays its rank pass
+    # exactly once where the old racing .persist() could pay it per branch
+    c1 = _chunks(["xb", "yb", "morton"]).localCheckpoint(eager=True)
     c2 = _chunks(["morton", "xb", "yb"])
     hit = (
         (F.col("xhi") >= 192) & (F.col("xlo") <= 255)
