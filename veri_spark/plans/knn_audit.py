@@ -1274,10 +1274,16 @@ def knn_distance_concentration(spark, sf_dir):
     ).select("vec_id", "embedding")
     a = s.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
     b = s.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    # Round-14 (guide §1.2, same probe as twonn_intrinsic_dimension): the
+    # pair-quadratic distance eval dominates; the codegen'd unrolled
+    # add-chain (euclidean_distance_fixed — same fold order + per-term
+    # coalesce, bit-identical) replaces the interpreted zip_with/aggregate
+    # kernel. dim derives from the corpus max like knn_join.
+    dim = int(emb.agg(F.max(F.size("embedding"))).collect()[0][0] or 0)
     p = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
         F.floor(
             F.lit(1e6)
-            * V.euclidean_distance(F.col("ea"), F.col("eb"))
+            * V.euclidean_distance_fixed(F.col("ea"), F.col("eb"), dim)
             + F.lit(0.5)
         )
         .cast("bigint")

@@ -1464,9 +1464,16 @@ def twonn_intrinsic_dimension(spark, sf_dir):
         F.col("vec_id").alias("anchor"), F.col("embedding").alias("ea")
     ).repartition(32, F.col("anchor"))
     b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("eb"))
+    # Round-14 (guide §1.2 measure-first): the n^2 distance eval IS this
+    # query — the interpreted zip_with/aggregate kernel on 4M pairs
+    # measured 4.0 s vs 1.7 s for the codegen'd unrolled add-chain
+    # (euclidean_distance_fixed, same fold order + per-term coalesce =
+    # bit-identical; s_nano matched exactly in the probe). dim derives
+    # from the corpus like knn_join does — one tiny aggregate job.
+    dim = int(emb.agg(F.max(F.size("embedding"))).collect()[0][0] or 0)
     pairs = a.join(F.broadcast(b), F.col("nb") != F.col("anchor")).select(
         "anchor",
-        V.euclidean_distance(F.col("ea"), F.col("eb")).alias("dist"),
+        V.euclidean_distance_fixed(F.col("ea"), F.col("eb"), dim).alias("dist"),
         "nb",
     )
     nn = topk_per_group(
