@@ -140,6 +140,20 @@ def jaccard_pairs(
     ``cache`` persists the shingle frame for the legacy (no-size) path,
     which reads it three times. At cluster scale prefer an explicit
     checkpoint/table for the shingle set.
+
+    ``cache=True`` semantics on the ``max_doc_freq`` path (r14 advisor
+    note on the round-14 change): the capped shingle stream is EAGERLY
+    ``localCheckpoint``ed, which (a) pays the materialization at
+    DataFrame-CONSTRUCTION time even if the returned join is never
+    executed — every registry caller executes it, so nothing is wasted
+    there; (b) frees the checkpointed blocks only via GC of the frame
+    (there is no unpersist path — bounded: the capped stream is
+    stop-shingle-truncated by construction); and (c) unlike the
+    ``persist()`` the flag previously implied, is NOT fault-tolerant to
+    executor loss — losing a block fails the job instead of recomputing
+    (the repo-wide localCheckpoint trade, see plans/graph.py ``_SHARED``).
+    Pass ``cache=False`` to keep construction lazy and lineage
+    recomputable.
     """
 
     if measure not in ("jaccard", "containment"):

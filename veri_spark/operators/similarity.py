@@ -512,12 +512,32 @@ def _micro_quantize_np(vecs):
     """Exact numpy replica of ``_micro_xm``: floor(1e6 * double(x) + 0.5)
     as int64. float->double cast, the one double multiply, the +0.5 and
     the floor are all single correctly-rounded IEEE ops, so the result is
-    bit-identical to the Spark expression on every element."""
+    bit-identical to the Spark expression on every element.
+
+    Malformed-input guard (r14 advisor): the old Catalyst floor expression
+    propagated null for a NaN element, but numpy's float64->int64 astype
+    would turn NaN into INT64_MIN — a silently wrong assignment/distance —
+    and a null or ragged-length vector would make ``np.stack`` raise a
+    shape error with no hint of the cause. Both now fail loudly instead:
+    the fixtures carry only finite fixed-dim vectors, so a hit here means
+    corrupt input, never valid data."""
     import numpy as np
 
-    return np.floor(
-        1e6 * np.stack(vecs).astype(np.float64) + 0.5
-    ).astype(np.int64)
+    try:
+        arr = np.stack(vecs).astype(np.float64)
+    except ValueError as exc:
+        raise ValueError(
+            "_micro_quantize_np: null or ragged-length embedding in batch "
+            "(all vectors must be non-null and share one dimension): "
+            f"{exc}"
+        ) from exc
+    if not np.isfinite(arr).all():
+        raise ValueError(
+            "_micro_quantize_np: non-finite embedding element (NaN/inf) — "
+            "refusing to quantize (int64 cast would silently map it to "
+            "INT64_MIN)"
+        )
+    return np.floor(1e6 * arr + 0.5).astype(np.int64)
 
 
 #: row-chunk size for the numpy micro kernels: bounds the (rows, k, dim)

@@ -399,6 +399,13 @@ def _copurchase_edges(spark, sf_dir) -> DataFrame:
         # + u<v filter + distinct, so the edge set is bit-identical. The
         # per-basket fan-out is |basket|^2, bounded by basket size exactly
         # like the join it replaces.
+        # Round-15 caveat: this formulation's Catalyst size ESTIMATE is
+        # ~1.4 MiB for the ~19 MB (1.2M-row) sf0.1 frame — and a
+        # localCheckpoint keeps the builder's estimate, so consumers
+        # joining the shared frame must not rely on auto-broadcast
+        # placement (the r14 LPA/katz regression: the planner broadcast
+        # the edge-grain side). Iterative consumers pin shuffle
+        # strategies explicitly (plans/graph_metrics.py).
         baskets = (
             load_table(spark, sf_dir, "lineitem")
             .groupBy("l_orderkey")
@@ -1018,9 +1025,16 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
     # right trade for a cache that is read many times or must fit memory).
     _comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
     _comp_prev = spark.conf.get(_comp_key, "true")
-    spark.conf.set(_comp_key, "false")
-    agg = build().persist()
+    # round-15 (r14 advisor): the conf flip and the persist() live INSIDE
+    # the try so a failure anywhere (analysis error in build(), a failed
+    # populate job) can never leave the session with cache compression
+    # disabled for every later long-lived cache. Note the flag is
+    # session-global while set: any frame another thread materializes
+    # during this bounded build window would also cache uncompressed.
+    agg = None
     try:
+        spark.conf.set(_comp_key, "false")
+        agg = build().persist()
         # populate the cache with a bare count FIRST so the expensive job
         # is the clean wedge+cache-write pass and every ranker branch is
         # a cheap cached scan
@@ -1097,7 +1111,8 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
             ja_rows + _score_rows("ra", "ra_micro") + _score_rows("aa", "aa_micro")
         )
     finally:
-        agg.unpersist()
+        if agg is not None:
+            agg.unpersist()
         spark.conf.set(_comp_key, _comp_prev)
     top20s = spark.createDataFrame(
         [tuple(r) for r in rows], _TOP20S_SCHEMA

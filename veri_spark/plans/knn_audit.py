@@ -1890,6 +1890,10 @@ def _ivfpq_audit_sql(include_trained: bool) -> str:
 # literal rows. Everything cached is bounded by construction (3 query
 # vectors, 30 exact rows, the 8+8x16 codebooks, and the two 3-tuple audit
 # rows); a new SparkSession can never see another session's cache.
+# IMMUTABLE-INPUT ASSUMPTION: no content stamp in the key — a rewrite of
+# the parquet under sf_dir within one application would replay stale
+# audit rows (see the _RANKED_SHARED note in plans/ranking_metrics.py;
+# the driver's fixture dirs are generated once and read-only).
 _IVFPQ_SHARED: dict = {}
 
 
