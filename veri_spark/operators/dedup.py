@@ -315,6 +315,35 @@ def minhash_candidate_pairs(
     )
 
 
+def _simhash_bit_sum_aggs(h_col: str = "h") -> list:
+    """The 32 occurrence-weighted SimHash bit sums as conditional
+    aggregates over a token-hash column: ``__s{b} = sum over token rows
+    of (bit b of h ? +1 : -1)``. Literal shift amounts, so every term is
+    whole-stage-codegen-friendly."""
+    return [
+        F.sum(
+            F.expr(
+                f"CASE WHEN (shiftright({h_col}, {b}) & 1) = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"__s{b}")
+        for b in range(32)
+    ]
+
+
+def _simhash_assemble():
+    """Assemble the 32-bit signature from the ``__s{b}`` bit-sum columns:
+    bit b is set when its sum is >= 0 — the identical compare and
+    identical integer sums as the old (id, bit)-grain aggregation, so
+    the signature is bit-for-bit unchanged."""
+    sig = F.lit(0).cast("bigint")
+    for b in range(32):
+        sig = sig + F.when(
+            F.col(f"__s{b}") >= 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
 def simhash32(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -325,27 +354,21 @@ def simhash32(
     weighted): bit b is set when sum over tokens of ±1 (sign = bit b of the
     token hash) is >= 0. Returns (id, simhash).
 
-    Plan shape: token explode x 32 bit rows -> groupBy(id, bit) sum ->
-    groupBy(id) assemble. Both aggregations partial-aggregate map-side.
+    Plan shape (round 15, guide §2.3 — shuffle fewer bytes): ONE token
+    explode -> ONE groupBy(id) computing all 32 bit sums as conditional
+    aggregates -> map-side signature assembly. The previous shape
+    exploded every token row into 32 (id, bit) rows and aggregated
+    twice — a 32x shuffle-row blowup for the same integer sums. The
+    per-bit sums and the >= 0 compares are identical, so the signature
+    is bit-identical (pinned by the unchanged DuckDB oracles of every
+    simhash consumer).
     """
     if parallelism:
         df = df.repartition(parallelism)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     toks = toks.withColumn("h", portable_hash64(F.col("tok")))
-    bits = toks.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
-    )
-    # shift amounts are columns, so use SQL exprs (the python shiftright/
-    # shiftleft helpers only accept literal ints)
-    signed = bits.withColumn(
-        "w", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
-    )
-    per_bit = signed.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
+    per = toks.groupBy(id_col).agg(*_simhash_bit_sum_aggs("h"))
+    return per.select(id_col, _simhash_assemble().alias("simhash"))
 
 
 def embedding_near_dup_pairs(
@@ -608,6 +631,7 @@ def dedup_signature_index(
     bands: int = 4,
     shingle_k: int = 3,
     parallelism: int | None = None,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable dedup signature state for a corpus (or a delta
     shard): MinHash LSH band keys ``(id, fp, band, band_key)`` and SimHash
@@ -624,8 +648,29 @@ def dedup_signature_index(
 
     Plan shape: id and fp are PACKED into one struct grouping key so fp
     rides the existing shingle -> signature -> band pipeline for free —
-    no corpus-grain join-back to re-attach it. Both outputs are one
-    shuffle each past the shared shingle/token explode.
+    no corpus-grain join-back to re-attach it.
+
+    ONE corpus pass for BOTH families (round 15, r14 verdict task 5;
+    guide §1.2): the text is tokenized once, the distinct shingle array
+    and the raw token array ride a single tagged explode
+    (kind 0 = shingle, kind 1 = token), and one groupBy(doc) computes
+    the 16 MinHash mins (over kind-0 rows) AND the 32 SimHash bit sums
+    (over kind-1 rows) as conditional aggregates in the same shuffle.
+    The previous shape ran two full corpus scans + tokenizations (one
+    per family); arithmetic per family is unchanged (same h31 mins,
+    same ±1 bit sums), so both outputs are bit-identical. The doc-grain
+    aggregate (~50 small columns per doc, bounded by |docs|) is
+    ``localCheckpoint``ed when ``cache=True`` so the two downstream
+    index writes replay doc-grain blocks instead of re-running the
+    corpus pass — eager, so the pass is paid at construction (every
+    caller executes both outputs or exactly one action); not
+    fault-tolerant to executor loss, like every checkpoint in this
+    repo.
+
+    Family membership is preserved exactly: a doc with tokens but fewer
+    than ``shingle_k`` words has SimHash rows and no band rows (the
+    ``__n_sh > 0`` filter replaces the old empty-array explode drop);
+    a doc with no tokens appears in neither family, as before.
     """
     packed = df.select(
         F.struct(
@@ -633,17 +678,75 @@ def dedup_signature_index(
         ).alias("__doc"),
         F.col(text_col),
     )
-    sh = doc_shingles(packed, "__doc", text_col, shingle_k, parallelism=parallelism)
-    sigs = minhash_signatures(sh, "__doc", num_hashes)
-    bk = minhash_band_keys(sigs, "__doc", num_hashes, bands)
+    if parallelism:
+        # the corpus fixture is one small parquet file = one input split;
+        # signature work is CPU-bound per row, so spread it (the
+        # doc_shingles rationale)
+        packed = packed.repartition(parallelism)
+    staged = packed.withColumn("__toks", tokens(text_col)).select(
+        "__doc",
+        F.array_distinct(
+            word_shingles(F.col("__toks"), shingle_k)
+        ).alias("__sh"),
+        "__toks",
+    )
+    tagged = F.concat(
+        F.transform(
+            F.col("__sh"),
+            lambda s: F.struct(F.lit(0).alias("kind"), s.alias("val")),
+        ),
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.struct(F.lit(1).alias("kind"), t.alias("val")),
+        ),
+    )
+    rows = staged.select("__doc", F.explode(tagged).alias("r")).select(
+        "__doc",
+        F.col("r.kind").alias("kind"),
+        portable_hash64(F.col("r.val")).alias("h"),
+    )
+    h31 = F.col("h") % MINHASH_PRIME
+    min_aggs = [
+        F.min(
+            F.when(
+                F.col("kind") == 0,
+                (F.lit(a) * h31 + F.lit(b)) % MINHASH_PRIME,
+            )
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.col("kind") == 1,
+                F.expr(
+                    f"CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                    " THEN 1 ELSE -1 END"
+                ),
+            )
+        ).alias(f"__s{b}")
+        for b in range(32)
+    ]
+    counts = [
+        F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("__n_sh"),
+        F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("__n_tok"),
+    ]
+    agg = rows.groupBy("__doc").agg(*min_aggs, *bit_aggs, *counts)
+    if cache:
+        agg = agg.localCheckpoint(eager=True)
+    bk = minhash_band_keys(
+        agg.filter(F.col("__n_sh") > 0), "__doc", num_hashes, bands
+    )
     band_rows = bk.select(
         F.col("__doc.id").alias(id_col),
         F.col("__doc.fp").alias("fp"),
         "band",
         "band_key",
     )
-    sim_rows = simhash32(packed, "__doc", text_col).select(
-        F.col("__doc.id").alias(id_col), F.col("__doc.fp").alias("fp"), "simhash"
+    sim_rows = agg.filter(F.col("__n_tok") > 0).select(
+        F.col("__doc.id").alias(id_col),
+        F.col("__doc.fp").alias("fp"),
+        _simhash_assemble().alias("simhash"),
     )
     return band_rows, sim_rows
 

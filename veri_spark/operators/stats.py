@@ -50,6 +50,13 @@ def data_info(df: DataFrame, vector_col: str = "feature") -> dict:
     """N, centroid, max distance, 64-bin histogram (A1-A4) — the DataInfo
     payload (proto:100-114). Histogram counts are normalized by N like the
     reference (newsync.go:163: ``hist[i] += 1/N``).
+
+    Three passes over the vector column (round 15, was four): centroid,
+    count+max, histogram. The histogram's normalizer reuses ``n`` from
+    the count+max agg instead of a fourth ``dists.count()`` scan — the
+    same deterministic frame, so freq = cnt/n is bit-identical; the
+    stats probe is what every damped refresh pays (A5), so one fewer
+    corpus scan per probe.
     """
     center = centroid(df, vector_col)
     dists = with_centroid_distance(df, center, vector_col)
@@ -58,7 +65,7 @@ def data_info(df: DataFrame, vector_col: str = "feature") -> dict:
     ).collect()[0]
     n, max_dist = row["n"], row["max_dist"]
     hist_rows = (
-        histogram_df(dists, max_dist).orderBy("bucket").collect()
+        histogram_df(dists, max_dist, total=n).orderBy("bucket").collect()
     )
     hist = [0.0] * HIST_BINS
     for r in hist_rows:
@@ -67,10 +74,16 @@ def data_info(df: DataFrame, vector_col: str = "feature") -> dict:
 
 
 def histogram_df(
-    dists: DataFrame, max_dist: float, dist_col: str = "dist", bins: int = HIST_BINS
+    dists: DataFrame,
+    max_dist: float,
+    dist_col: str = "dist",
+    bins: int = HIST_BINS,
+    total: int | None = None,
 ) -> DataFrame:
     """Bucketed distance histogram (A4, data/newsync.go:158-167): bucket =
     clamp(floor(d/max*bins), 0, bins-1); freq normalized by total count.
+    ``total`` skips the count scan when the caller already holds N for
+    the same frame (data_info's count+max agg).
     """
     if not max_dist or max_dist <= 0:
         max_dist = 1.0
@@ -79,7 +92,8 @@ def histogram_df(
         F.lit(bins - 1),
     ).cast("int")
     counts = dists.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
-    total = dists.count()
+    if total is None:
+        total = dists.count()
     return counts.withColumn("freq", F.col("cnt") / F.lit(float(total)))
 
 

