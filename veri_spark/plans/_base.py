@@ -65,6 +65,98 @@ def register(name: str, oracle: str | None = None):
 
 
 
+# ---------------------------------------------------------------------------
+# Session-shared SMALL calendar-grain frames (round 15, r14 verdict task 6).
+# The statistics tier's ~21 daily-revenue consumers each paid their own
+# lineitem scan + day aggregation — measured 0.6-0.9 s per query at sf0.1
+# (probe in OPTIMIZATION_r15.md) for a frame that is identical across all
+# of them and calendar-bounded (~2.4k rows at ANY scale factor).
+# ---------------------------------------------------------------------------
+
+_SHARED_FRAMES: dict = {}
+
+
+def shared_frame(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Session-scoped ``localCheckpoint``ed small frame shared across plan
+    modules (the plans/graph.py ``_SHARED`` discipline, hoisted for the
+    statistics tier). Keyed by (applicationId, sf_dir, name): nothing
+    persists across processes — every bench/oracle run recomputes from
+    parquet, and the FIRST consumer in a sweep pays the build (the
+    bench-documented cold-payer attribution). Only bounded calendar-grain
+    frames belong here (a few thousand rows at any SF). Assumes the
+    parquet under ``sf_dir`` is immutable for the life of the session
+    (the ranking_metrics._RANKED_SHARED convention); a checkpoint is not
+    in the catalog cache (clearCache can't drop it) and trades lineage
+    for replay speed — losing its blocks fails the job instead of
+    silently recomputing."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SHARED_FRAMES.get(key)
+    if df is None:
+        df = build().localCheckpoint(eager=False)
+        _SHARED_FRAMES[key] = df
+    return df
+
+
+def daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (day, cents) daily-revenue spine — ONE partial-aggregated
+    lineitem scan per session serving every temporal/nonparametric/
+    stats_tests consumer (each previously re-ran the scan: 0.6-0.9 s per
+    query at sf0.1). cents = SUM(l_extendedprice :: DECIMAL(28,10)) * 100
+    :: BIGINT is exact, so every downstream fold is bit-identical to the
+    inline build this replaces."""
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.groupBy(F.col("l_shipdate").alias("day")).agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+
+    return shared_frame(spark, sf_dir, "daily_cents_lineitem", build)
+
+
+def daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (day, revq, cnt) daily order spine from ``orders`` — exact
+    integer revenue cents and order count per order date, shared by the
+    dependence panel (hoeffding_d_daily, distance_correlation_daily).
+    revq = SUM(round(o_totalprice * 100) :: BIGINT) is exact, so derived
+    columns (e.g. dCor's round(revq / 10000.0)) are bit-identical."""
+
+    def build():
+        o = load_table(spark, sf_dir, "orders")
+        return o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revq"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+
+    return shared_frame(spark, sf_dir, "daily_orders", build)
+
+
+def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (x, y) daily event-volume frame on the day-offset index
+    (x = datediff(day, first day), y = events that day) shared by the
+    trend pair (theil_sen_daily_trend, mann_kendall_daily_trend), which
+    previously each paid the min-scan + count-scan."""
+
+    def build():
+        ev = load_table(spark, sf_dir, "events")
+        d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+        return (
+            ev.crossJoin(F.broadcast(d0))
+            .groupBy(
+                F.datediff(F.col("ts").cast("date"), F.col("day0"))
+                .cast("bigint")
+                .alias("x")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        )
+
+    return shared_frame(spark, sf_dir, "daily_event_counts", build)
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vid).select("embedding").first()

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: F401
 from veri_spark.functions.text import EN_STOPWORDS_SQL  # noqa: F401
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
-from veri_spark.plans._base import register  # noqa: F401
+from veri_spark.plans._base import daily_event_counts, register  # noqa: F401
 
 
 def _doc_scores(spark, sf_dir):
@@ -593,17 +593,7 @@ def theil_sen_daily_trend(spark, sf_dir):
     moment sums."""
     from veri_spark.operators.ranking import global_row_number
 
-    ev = load_table(spark, sf_dir, "events")
-    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
-    d = (
-        ev.crossJoin(F.broadcast(d0))
-        .groupBy(
-            F.datediff(F.col("ts").cast("date"), F.col("day0"))
-            .cast("bigint")
-            .alias("x")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    )
+    d = daily_event_counts(spark, sf_dir)
     a = d.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
     b = d.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
     pr = a.join(F.broadcast(b), F.col("xj") > F.col("xi")).select(

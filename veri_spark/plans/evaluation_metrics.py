@@ -18,7 +18,7 @@ from pyspark.sql import functions as F  # noqa: F401
 from veri_spark.functions.text import EN_STOPWORDS_SQL  # noqa: F401
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
-from veri_spark.plans._base import register  # noqa: F401
+from veri_spark.plans._base import daily_event_counts, register  # noqa: F401
 
 # Standard-normal 97.5th-percentile quantile, Python-precomputed (the
 # probit-literal rule above: never in-engine). Defining formula: Acklam
@@ -80,17 +80,7 @@ def mann_kendall_daily_trend(spark, sf_dir):
     (bigint / 18.0) — two correctly-rounded IEEE ops identical in both
     engines; the 95% verdict compares the UNROUNDED z against the
     Python-precomputed Acklam literal (never an in-engine quantile)."""
-    ev = load_table(spark, sf_dir, "events")
-    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
-    d = (
-        ev.crossJoin(F.broadcast(d0))
-        .groupBy(
-            F.datediff(F.col("ts").cast("date"), F.col("day0"))
-            .cast("bigint")
-            .alias("x")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    )
+    d = daily_event_counts(spark, sf_dir)
     a = d.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
     b = d.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
     s = a.join(F.broadcast(b), F.col("xj") > F.col("xi")).agg(

@@ -35,7 +35,7 @@ from veri_spark.functions.hashing import dd_hash, portable_hash64
 from veri_spark.operators.ranking import global_prefix_agg, global_row_number
 from veri_spark.sources.catalog import load_table
 
-from veri_spark.plans._base import register
+from veri_spark.plans._base import daily_cents, register
 
 # chi-square(4 df) 95% critical value — the event_type domain has 5
 # groups, so the Kruskal-Wallis statistic has 4 degrees of freedom. A
@@ -308,12 +308,7 @@ def runs_test_daily_revenue(spark, sf_dir):
     sigma^2 = (mu-1)(mu-2)/(n-1): one fixed-order double expression of
     exact integers, with degenerate cases (all-above, all-below, n<=1)
     guarded to NULL identically in both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
     m = d.agg(F.percentile("cents", F.lit(0.5)).alias("med"))
     s = (
         d.crossJoin(F.broadcast(m))
@@ -419,12 +414,7 @@ def acf_daily_revenue(spark, sf_dir):
     pairwise work happens on the calendar-bounded day frame (~2.5k rows
     regardless of SF), so the lag join is broadcast-sized at any data
     volume."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
     r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
         "rn", "cents"
     )
@@ -766,12 +756,7 @@ def durbin_watson_daily_revenue(spark, sf_dir):
     constant-series degenerate guards to NULL identically. Corpus cost:
     one partial-aggregated scan; everything after is the bounded
     calendar-day frame."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
     r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
         "rn", "cents"
     )
@@ -869,14 +854,12 @@ def wilcoxon_signed_rank_yoy(spark, sf_dir):
     Scale: one filtered partial-aggregated scan to the day grain
     (shipdate predicate pushed to parquet); everything after is the
     calendar-bounded pair frame."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
-    )
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
+    # grouping by l_shipdate commutes with a shipdate predicate, so the
+    # session-shared day grain + post-filter is the identical frame (the
+    # pushed-to-parquet predicate is traded for sharing the one scan)
+    d = daily_cents(spark, sf_dir).filter(
+        (F.col("day") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("day") < F.lit("1998-01-01").cast("date"))
     )
     a = d.filter(F.year("day") == 1996).select(
         F.month("day").alias("m"),
@@ -983,13 +966,9 @@ def friedman_weekday_revenue(spark, sf_dir):
 
     Scale: one partial-aggregated corpus scan to the day grain; the
     window runs inside 7-row calendar blocks."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d0 = li.agg(F.min("l_shipdate").alias("day0"))
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
+    # min(l_shipdate) over the corpus == min(day) over the day grain
+    d0 = d.agg(F.min("day").alias("day0"))
     w = d.crossJoin(F.broadcast(d0)).select(
         F.expr("CAST(datediff(day, day0) div 7 AS BIGINT)").alias("blk"),
         (F.dayofweek("day") - 1).cast("int").alias("wd"),
@@ -1181,12 +1160,7 @@ def theil_u2_daily_forecast(spark, sf_dir):
     forecasts exist so the comparison is paired); U2 is one
     double sqrt of their ratio with the degenerate-naive guard mirrored
     cross-engine. Corpus cost: one partial-aggregated scan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
     r = global_row_number(d, [F.col("day").asc()], rn_col="rn").select(
         "rn", "cents"
     )
@@ -1822,14 +1796,11 @@ def sign_test_yoy_revenue(spark, sf_dir):
     Scale: one partial-aggregated scan to the bounded calendar-day
     frame; the yoy self-join is |days| rows. Brute-force check in
     tests/test_round14_stats_brute.py."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01"))
-    ).groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
+    # shared day grain + post-filter == the filtered inline build
+    # (grouping by l_shipdate commutes with a shipdate predicate)
+    d = daily_cents(spark, sf_dir).filter(
+        (F.col("day") >= F.lit("1996-01-01"))
+        & (F.col("day") < F.lit("1998-01-01"))
     )
     a = d.filter(F.year("day") == 1996).select(
         F.month("day").alias("m"),

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F  # noqa: F401
 from veri_spark.operators.ranking import global_prefix_agg
 from veri_spark.sources.catalog import load_table
 
-from veri_spark.plans._base import register
+from veri_spark.plans._base import daily_cents, daily_orders, register
 
 # ---------------------------------------------------------------------------
 # Lanczos log-gamma (g = 7, n = 9) -- public-domain coefficients (Lanczos
@@ -787,12 +787,7 @@ def kendalls_w_weekday_revenue(spark, sf_dir):
 
     Scale: one corpus scan to the day frame; all ranking happens on
     calendar-bounded 7-row blocks."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
     d0 = d.agg(F.min("day").alias("day0"))
     w = d.crossJoin(F.broadcast(d0)).select(
         F.floor(F.datediff(F.col("day"), F.col("day0")) / 7)
@@ -1026,12 +1021,7 @@ def quade_test_weekday_revenue(spark, sf_dir):
 
     Scale: one corpus scan to the day frame; every ranking step is
     calendar-bounded."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = daily_cents(spark, sf_dir)
     d0 = d.agg(F.min("day").alias("day0"))
     w = d.crossJoin(F.broadcast(d0)).select(
         F.floor(F.datediff(F.col("day"), F.col("day0")) / 7)
@@ -2190,13 +2180,7 @@ def hoeffding_d_daily(spark, sf_dir):
     independent of corpus size; the corpus itself is touched by ONE
     scan to the day grain. The Spark crossJoin broadcasts the 2,399-row
     spine."""
-    o = load_table(spark, sf_dir, "orders")
-    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("revq"),
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-    )
+    d = daily_orders(spark, sf_dir)
     a = d.select(
         F.col("day").alias("da"),
         F.col("revq").alias("xa"),
@@ -2319,20 +2303,16 @@ def distance_correlation_daily(spark, sf_dir):
     (2,399 rows at any SF — the adjudicated bounded-frame exemption),
     ~5.8M rows with a broadcast self-join; the corpus itself is touched
     by ONE scan to the day grain."""
-    o = load_table(spark, sf_dir, "orders")
-    # persist the 2,399-row day grain: the pair frame is rebuilt by three
-    # consumers (row sums, grand totals, centered fold) and each rebuild
-    # would otherwise replay the corpus scan; the pair fan-out itself is a
-    # cheap broadcast self-join of the cached spine
-    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            / F.lit(10000.0)
-        )
-        .cast("bigint")
-        .alias("x"),
-        F.count(F.lit(1)).cast("bigint").alias("y"),
-    ).persist()
+    # round 15: the day grain rides the session-shared daily_orders
+    # checkpoint (x = round(revq / 10000.0) is derived from the exact
+    # revq sum, bit-identical to the inline build); the three pair-frame
+    # consumers now replay a 2,399-row checkpoint projection, so the
+    # per-query persist is gone
+    d = daily_orders(spark, sf_dir).select(
+        "day",
+        F.round(F.col("revq") / F.lit(10000.0)).cast("bigint").alias("x"),
+        F.col("cnt").alias("y"),
+    )
     a = d.select(
         F.col("day").alias("di"), F.col("x").alias("xa"), F.col("y").alias("ya")
     )

@@ -25,7 +25,7 @@ from veri_spark.operators.ranking import (  # noqa: F401
 )
 from veri_spark.sources.catalog import load_table  # noqa: F401
 
-from veri_spark.plans._base import register  # noqa: F401
+from veri_spark.plans._base import daily_cents, register  # noqa: F401
 
 
 @register(
@@ -492,12 +492,11 @@ _DAILY_CENTS_SQL = """
 
 
 def _daily_cents(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    # Round 15 (r14 verdict task 6): the (day, cents) spine is now the
+    # session-shared checkpoint in plans/_base.py — same frame content,
+    # built once per sweep instead of once per consumer (11 callers in
+    # this module alone).
+    return daily_cents(spark, sf_dir)
 
 
 _RHO_SQL = f"""
@@ -1414,12 +1413,7 @@ def page_trend_weekday_revenue(spark, sf_dir):
 
     Scale: one corpus scan to the day frame; the only windows are
     7-row blocks on the calendar-bounded week spine."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")) * 100)
-        .cast("bigint")
-        .alias("cents")
-    )
+    d = _daily_cents(spark, sf_dir)
     d0 = d.agg(F.min("day").alias("day0"))
     w = d.crossJoin(F.broadcast(d0)).select(
         F.floor(F.datediff(F.col("day"), F.col("day0")) / 7)
