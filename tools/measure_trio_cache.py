@@ -83,10 +83,123 @@ def run_baseline(spark):
     return time.time() - t0, n
 
 
-def run_narrow(spark, storage_level=None):
+def _pair_agg_invadj(cund, deg):
+    """Round-15 variant (r14 verdict task 4): generate wedges by
+    exploding per-endpoint adjacency ARRAYS instead of the cund-x-cund
+    self-join — ONE shuffle of the adjacency (the groupBy(w)
+    collect_list) instead of two join-side exchanges on w; the wedge
+    grain then exists only map-side before the pk partial aggregation.
+    |inv(w)| <= deg(w) (only w's neighbors can keep w in their capped
+    lists), so the per-row array is bounded by the max degree. The
+    wedge multiset (pair, dw) is identical, so all three rankers'
+    aggregates are bit-identical."""
+    wdeg = deg.select(F.col("u").alias("w"), F.col("d").alias("dw"))
+    inv = (
+        cund.select(F.col("u").alias("cu"), F.col("v").alias("w"))
+        .groupBy("w")
+        .agg(F.collect_list("cu").alias("cs"))
+        .join(F.broadcast(wdeg), "w")
+    )
+    return (
+        inv.select("dw", F.explode("cs").alias("cu"), "cs")
+        .select("dw", "cu", F.explode("cs").alias("cv"))
+        .filter(F.col("cu") < F.col("cv"))
+        .select(
+            F.expr("shiftleft(cu, 32) + cv").alias("pk"),
+            F.expr("1000000 div dw").alias("rw"),
+            F.expr(
+                "CAST(floor(1000000 / ln(CAST(dw AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("aw"),
+        )
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("rw").cast("bigint").alias("ra_micro"),
+            F.sum("aw").cast("bigint").alias("aa_micro"),
+        )
+    )
+
+
+def _pair_agg_invadj2(cund, deg):
+    """Like _pair_agg_invadj but generates each unordered pair exactly
+    once: sort the inverse-adjacency array, posexplode for cu, and take
+    cv only from the strictly-later slice — n(n-1)/2 generated rows
+    instead of n^2 filtered down. Same wedge multiset."""
+    wdeg = deg.select(F.col("u").alias("w"), F.col("d").alias("dw"))
+    inv = (
+        cund.select(F.col("u").alias("cu"), F.col("v").alias("w"))
+        .groupBy("w")
+        .agg(F.sort_array(F.collect_list("cu")).alias("cs"))
+        .join(F.broadcast(wdeg), "w")
+    )
+    return (
+        inv.select("dw", F.posexplode("cs").alias("i", "cu"), "cs")
+        .select(
+            "dw",
+            "cu",
+            F.explode(F.expr("slice(cs, i + 2, size(cs))")).alias("cv"),
+        )
+        .select(
+            F.expr("shiftleft(cu, 32) + cv").alias("pk"),
+            F.expr("1000000 div dw").alias("rw"),
+            F.expr(
+                "CAST(floor(1000000 / ln(CAST(dw AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("aw"),
+        )
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("rw").cast("bigint").alias("ra_micro"),
+            F.sum("aw").cast("bigint").alias("aa_micro"),
+        )
+    )
+
+
+def _pair_agg_packed(cund, deg):
+    """Round-15 §2.3 variant: every per-wedge quantity (1, rw, aw) is a
+    function of dw alone, so precompute their PACKED sum contribution on
+    the broadcast degree side (19k rows) and shuffle ONE bigint per
+    wedge instead of three — pw = 2^55 + rw*2^28 + aw. Carry-free at
+    cap=128 by construction: aw <= 128*1,442,695 < 2^28, sum(rw) <=
+    128*500,000 < 2^27, n_common <= 128, total < 2^62. Also removes the
+    per-wedge ln/floor/div (93.6M evaluations) — they run once per
+    distinct w. Unpack after the final agg; identical integer sums."""
+    P55, P28 = 1 << 55, 1 << 28
+    wdeg = F.broadcast(
+        deg.select(
+            F.col("u").alias("v"),
+            (
+                F.lit(P55)
+                + F.expr("1000000 div d") * F.lit(P28)
+                + F.expr(
+                    "CAST(floor(1000000 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)"
+                )
+            ).alias("pw"),
+        )
+    )
+    x = cund.join(wdeg, "v").select(
+        F.col("u").alias("cu"), F.col("v").alias("w"), "pw"
+    )
+    y = cund.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    return (
+        x.join(y, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .select(F.expr("shiftleft(cu, 32) + cv").alias("pk"), "pw")
+        .groupBy("pk")
+        .agg(F.sum("pw").alias("packed"))
+        .select(
+            "pk",
+            F.expr("shiftright(packed, 55)").alias("n_common"),
+            F.expr("shiftright(packed, 28) & 134217727").alias("ra_micro"),
+            F.expr("packed & 268435455").alias("aa_micro"),
+        )
+    )
+
+
+def run_narrow(spark, storage_level=None, agg_fn=None):
     cund, und, deg = _capped_adjacency_shared(spark, SF_DIR)
     t0 = time.time()
-    agg = _pair_agg(cund, deg).select(
+    agg = (agg_fn or _pair_agg)(cund, deg).select(
         "pk",
         F.col("n_common").cast("int").alias("n_common"),
         F.col("ra_micro").cast("int").alias("ra_micro"),
@@ -330,15 +443,33 @@ def run_narrow_disk(spark):
     return run_narrow(spark, StorageLevel.DISK_ONLY)
 
 
-def run_narrow_nocomp(spark):
+def run_narrow_nocomp(spark, agg_fn=None):
     """Round-14: keep the default MEMORY_AND_DISK level but disable the
     per-batch compression encoders (dictionary/RLE attempts are CPU on the
     cache-write path)."""
     spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     try:
-        return run_narrow(spark)
+        return run_narrow(spark, agg_fn=agg_fn)
     finally:
         spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+
+
+def run_packed_nocomp(spark):
+    """Round-15 §2.3: packed one-bigint wedge payload + the shipped
+    uncompressed narrow cache."""
+    return run_narrow_nocomp(spark, agg_fn=_pair_agg_packed)
+
+
+def run_invadj_nocomp(spark):
+    """Round-15 (r14 verdict task 4): inverse-adjacency wedge generation
+    + the shipped uncompressed narrow cache."""
+    return run_narrow_nocomp(spark, agg_fn=_pair_agg_invadj)
+
+
+def run_invadj2_nocomp(spark):
+    """Round-15: sorted-slice pair generation (each pair once) + the
+    shipped uncompressed narrow cache."""
+    return run_narrow_nocomp(spark, agg_fn=_pair_agg_invadj2)
 
 
 def run_parquet(spark):
@@ -455,6 +586,9 @@ def main():
         "prune": run_prune,
         "narrow_disk": run_narrow_disk,
         "narrow_nocomp": run_narrow_nocomp,
+        "packed_nocomp": run_packed_nocomp,
+        "invadj_nocomp": run_invadj_nocomp,
+        "invadj2_nocomp": run_invadj2_nocomp,
         "parquet": run_parquet,
         "wgl": run_wgl,
     }[variant]

@@ -981,32 +981,62 @@ def _capped_ranker_top20s(spark, sf_dir, cap: int = 128):
         return cached, cund, und, deg
 
     def build():
+        # Round 15 (guide §2.3; r14 verdict task 4): every per-wedge
+        # quantity (1, rw, aw) is a function of the shared neighbor's
+        # degree alone, so the broadcast degree side carries ONE
+        # pre-packed bigint pw = 2^55 + (1000000 div dw)*2^28 +
+        # floor(1e6/ln dw + 0.5) and each wedge row shuffles 8 payload
+        # bytes instead of 24 — and the 93.6M per-wedge ln/floor/div
+        # evaluations collapse to one per DISTINCT w (19k rows).
+        # Carry-free at cap=128 by construction: aa_sum <=
+        # 128*1,442,695 < 2^28, ra_sum <= 128*500,000 < 2^27,
+        # n_common <= 128 (count field tops out at exactly 2^62),
+        # total < 2^63 — so sum(pw) never crosses a field boundary,
+        # never overflows, and unpacking after the final agg yields the
+        # IDENTICAL integer sums (exceptAll-equivalence proven at
+        # sf0.001/0.01; oracle green both SFs). Fresh-process A/B
+        # (tools/measure_trio_cache.py, interleaved): narrow 3-int agg
+        # [36.6, 26.6, 26.3] s vs packed [22.4, 21.9, 21.8] s.
+        # The inverse-adjacency wedge generation (groupBy(w)
+        # collect_list + pair explode — one fewer adjacency exchange)
+        # was measured in the same harness and REJECTED: [34.4, 34.6,
+        # 33.3] s (two-explode) / [32.8, 36.8, 35.9] s (sorted-slice)
+        # vs the self-join's [24.7, 22.4, 24.5] s — array
+        # materialization costs more than the exchange it saves, and
+        # a hub's |inv(w)|^2 fan-out lands in ONE task either way.
         wdeg = F.broadcast(
-            deg.select(F.col("u").alias("v"), F.col("d").alias("dw"))
+            deg.select(
+                F.col("u").alias("v"),
+                (
+                    F.lit(1 << 55)
+                    + F.expr("1000000 div d") * F.lit(1 << 28)
+                    + F.expr(
+                        "CAST(floor(1000000 / ln(CAST(d AS DOUBLE)) + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).alias("pw"),
+            )
         )
         x = cund.join(wdeg, "v").select(
-            F.col("u").alias("cu"), F.col("v").alias("w"), "dw"
+            F.col("u").alias("cu"), F.col("v").alias("w"), "pw"
         )
         y = cund.select(F.col("u").alias("cv"), F.col("v").alias("w"))
         agg = (
             x.join(y, "w")
             .filter(F.col("cu") < F.col("cv"))
-            .select(
-                F.expr("shiftleft(cu, 32) + cv").alias("pk"),
-                F.expr("1000000 div dw").alias("rw"),
-                F.expr(
-                    "CAST(floor(1000000 / ln(CAST(dw AS DOUBLE)) + 0.5)"
-                    " AS BIGINT)"
-                ).alias("aw"),
-            )
+            .select(F.expr("shiftleft(cu, 32) + cv").alias("pk"), "pw")
             .groupBy("pk")
-            .agg(
+            .agg(F.sum("pw").alias("packed"))
+            .select(
                 # INT, not BIGINT: bounded by cap=128 (see docstring) —
                 # the cache write is what the slow boxes inflate, so
                 # store 20 bytes/row instead of 40
-                F.count(F.lit(1)).cast("int").alias("n_common"),
-                F.sum("rw").cast("int").alias("ra_micro"),
-                F.sum("aw").cast("int").alias("aa_micro"),
+                "pk",
+                F.expr("shiftright(packed, 55)").cast("int").alias("n_common"),
+                F.expr("shiftright(packed, 28) & 134217727")
+                .cast("int")
+                .alias("ra_micro"),
+                F.expr("packed & 268435455").cast("int").alias("aa_micro"),
             )
         )
         return agg
