@@ -157,6 +157,33 @@ def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame(spark, sf_dir, "daily_event_counts", build)
 
 
+def fan_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count, ONLY when the
+    frame is currently partitioned below it (round 15, guide §2.6/§6).
+
+    Why: the driver's parquet inputs are single-file/single-ROW-GROUP per
+    table, and a parquet scan cannot split one row group — so the first
+    map stage of every query runs as ONE task regardless of core count
+    (`spark.sql.files.minPartitionNum` cannot help; the extra splits come
+    up empty). Queries whose scan stage carries heavy per-row fan-out
+    (x60 replicate explodes, md5 digests, bigram tokenization) were
+    measured single-threaded at sf0.1: the randomization test's explode
+    stage ran 4.0-5.8 s in one task vs 0.7-1.3 s spread over 32.
+
+    Use it immediately before the fan-out, on a NARROW projection, and
+    only for order-insensitive downstream folds (the registry's exact
+    integer/decimal discipline). At scale the scan has >= cores splits
+    and this returns the frame UNCHANGED — the exchange only ever exists
+    where the input's split count is below the core count, so nothing
+    here is tuned to local mode. (`.rdd.getNumPartitions()` runs
+    planning, not a job.)"""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vid).select("embedding").first()

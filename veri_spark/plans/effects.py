@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from veri_spark.functions.text import EN_STOPWORDS_SQL, en_stopword_ratio
-from veri_spark.plans._base import register
+from veri_spark.plans._base import fan_parallel, register
 from veri_spark.plans.events_behavior import _acklam_probit
 from veri_spark.sources.catalog import load_table
 
@@ -1389,13 +1389,19 @@ def randomization_test_weekend_value(spark, sf_dir):
     Scale: one x60 explode (bounded fan-out) into a 120-row partial
     aggregate; the p-value folds a 60-row frame. At 100 TB the explode
     rides the existing scan (no shuffle grows with replicates)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "value",
-        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wkend"),
-        F.expr(
-            "CAST(conv('0' || substr(md5(CAST(event_id AS STRING)), 1, 15),"
-            " 16, 10) AS BIGINT)"
-        ).alias("h"),
+    # round 15: fan_parallel spreads the x60 replicate explode below —
+    # measured 4.0-5.8 s in ONE task (single-row-group scan) vs
+    # 0.7-1.3 s over 32; all downstream folds are exact decimal/int
+    # (order-insensitive), proven bit-identical by exceptAll
+    e = fan_parallel(
+        load_table(spark, sf_dir, "events").select(
+            "value",
+            F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wkend"),
+            F.expr(
+                "CAST(conv('0' || substr(md5(CAST(event_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
     )
     dec0 = F.lit(0).cast("decimal(18,2)")
     v = F.col("value")
@@ -1420,9 +1426,9 @@ def randomization_test_weekend_value(spark, sf_dir):
     ).select(
         "value",
         "r",
-        (
-            F.expr("h div CAST(pow(2, r) AS BIGINT)") % 2
-        ).cast("int").alias("side"),
+        # shiftright(h, r) == h div 2^r for the nonnegative 60-bit h —
+        # one shift instead of a per-row double pow + cast (round 15)
+        (F.expr("shiftright(h, r)") % 2).cast("int").alias("side"),
     )
     m = w.groupBy("r").agg(
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0))

@@ -22,6 +22,7 @@ from veri_spark.sources.catalog import load_table  # noqa: F401
 
 from veri_spark.plans._base import (  # noqa: F401
     _DD_CENTROIDS,
+    fan_parallel,
     _DD_CENTROID_DIST,
     _DD_SHINGLES,
     _DD_SPLIT_SHINGLES,
@@ -1544,7 +1545,11 @@ def poisson_bootstrap_ci(spark, sf_dir):
     follows the functions/hashing seeded form "seed|key" with the
     digest index j as the seed column; replicate r = 4j + slice.)"""
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    dg = ev.select(
+    # round 15: the x8 digest explode + md5 per (row, j) ran as ONE task
+    # on the single-row-group scan; spread the narrow (id, value) frame
+    # first (fan_parallel is a no-op once the scan has >= cores splits).
+    # full_m below stays on the un-repartitioned scan.
+    dg = fan_parallel(ev).select(
         "value",
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
         F.col("event_id"),

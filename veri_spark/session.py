@@ -30,6 +30,21 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Round 15 (guide §4.4's duplicated-expression hazard, builtin form):
+    # InferFiltersFromGenerate copies every explode's generator expression
+    # into an inferred `size(e) > 0 AND isnotnull(e)` filter, which then
+    # pushes below projections/exchanges — so a tokenize/transform explode
+    # evaluates its whole generator chain TWICE per row (filter + project),
+    # with the filter copy inlining the un-projected expression (split()
+    # re-evaluated per lambda element) and pinned below any repartition.
+    # Measured on the bigram pass at sf0.1: 2.4 s -> 0.44 s with the rule
+    # excluded, output bit-identical (explode already skips empty/null
+    # inputs; the inferred filter is a pure optimization that our
+    # always-nonempty corpora never benefit from). Scale-safe: the
+    # duplicated generator CPU doubles at 100 TB too.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
