@@ -214,6 +214,34 @@ def test_infer_filters_from_generate_is_excluded(spark):
     )
 
 
+def test_signature_index_single_family_matches_both(spark):
+    """families="minhash"/"simhash" return frames bit-identical to the
+    both-family slices, including the membership corner cases (a doc
+    with < shingle_k words has simhash rows but no band rows)."""
+    from veri_spark.operators.dedup import dedup_signature_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta"),  # tokens but no 3-shingle
+            (3, "zeta eta theta iota"),
+            (4, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        ],
+        "doc_id bigint, text string",
+    )
+    bands_b, sim_b = dedup_signature_index(df, cache=False)
+    bands_m, sim_m = dedup_signature_index(df, cache=False, families="minhash")
+    bands_s, sim_s = dedup_signature_index(df, cache=False, families="simhash")
+    assert sim_m is None and bands_s is None
+    assert bands_b.exceptAll(bands_m).count() == 0
+    assert bands_m.exceptAll(bands_b).count() == 0
+    assert sim_b.exceptAll(sim_s).count() == 0
+    assert sim_s.exceptAll(sim_b).count() == 0
+    # membership corner: doc 2 in simhash only
+    assert bands_m.filter(F.col("doc_id") == 2).count() == 0
+    assert sim_s.filter(F.col("doc_id") == 2).count() == 1
+
+
 def test_explode_output_unchanged_by_rule_exclusion(spark):
     """explode() itself drops empty/null arrays, so removing the inferred
     filter cannot change results — pin it on the corner cases."""

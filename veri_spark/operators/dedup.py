@@ -632,6 +632,7 @@ def dedup_signature_index(
     shingle_k: int = 3,
     parallelism: int | None = None,
     cache: bool = True,
+    families: str = "both",
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable dedup signature state for a corpus (or a delta
     shard): MinHash LSH band keys ``(id, fp, band, band_key)`` and SimHash
@@ -671,7 +672,24 @@ def dedup_signature_index(
     than ``shingle_k`` words has SimHash rows and no band rows (the
     ``__n_sh > 0`` filter replaces the old empty-array explode drop);
     a doc with no tokens appears in neither family, as before.
+
+    ``families`` scopes the pass (round 15): the delta sides of
+    ``dedup_delta_simhash`` / ``dedup_delta_candidates`` need exactly ONE
+    family, and the fused both-family aggregate made them pay the other
+    one too (before the fusion, laziness meant the discarded frame was
+    never computed — measured +0.8-1.2 s on the incremental simhash
+    query). With ``families="minhash"`` only the shingle rows are
+    exploded and only the 16 mins aggregated (``"simhash"``: only raw
+    tokens / 32 bit sums); the single-family expressions are the same
+    conditional aggregates evaluated over the same rows, so the
+    returned frame is bit-identical to the both-family slice. The
+    not-requested side of the returned tuple is None, and the doc-grain
+    checkpoint is skipped (a single downstream action replays nothing).
     """
+    if families not in ("both", "minhash", "simhash"):
+        raise ValueError(f"unknown families: {families!r}")
+    want_min = families in ("both", "minhash")
+    want_sim = families in ("both", "simhash")
     packed = df.select(
         F.struct(
             F.col(id_col).alias("id"), F.xxhash64(F.col(text_col)).alias("fp")
@@ -685,21 +703,33 @@ def dedup_signature_index(
         packed = packed.repartition(parallelism)
     staged = packed.withColumn("__toks", tokens(text_col)).select(
         "__doc",
-        F.array_distinct(
-            word_shingles(F.col("__toks"), shingle_k)
-        ).alias("__sh"),
+        *(
+            [
+                F.array_distinct(
+                    word_shingles(F.col("__toks"), shingle_k)
+                ).alias("__sh")
+            ]
+            if want_min
+            else []
+        ),
         "__toks",
     )
-    tagged = F.concat(
-        F.transform(
-            F.col("__sh"),
-            lambda s: F.struct(F.lit(0).alias("kind"), s.alias("val")),
-        ),
-        F.transform(
-            F.col("__toks"),
-            lambda t: F.struct(F.lit(1).alias("kind"), t.alias("val")),
-        ),
-    )
+    parts = []
+    if want_min:
+        parts.append(
+            F.transform(
+                F.col("__sh"),
+                lambda s: F.struct(F.lit(0).alias("kind"), s.alias("val")),
+            )
+        )
+    if want_sim:
+        parts.append(
+            F.transform(
+                F.col("__toks"),
+                lambda t: F.struct(F.lit(1).alias("kind"), t.alias("val")),
+            )
+        )
+    tagged = F.concat(*parts) if len(parts) == 2 else parts[0]
     rows = staged.select("__doc", F.explode(tagged).alias("r")).select(
         "__doc",
         F.col("r.kind").alias("kind"),
@@ -727,27 +757,43 @@ def dedup_signature_index(
         ).alias(f"__s{b}")
         for b in range(32)
     ]
-    counts = [
-        F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("__n_sh"),
-        F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("__n_tok"),
-    ]
-    agg = rows.groupBy("__doc").agg(*min_aggs, *bit_aggs, *counts)
-    if cache:
+    counts = []
+    if want_min:
+        counts.append(
+            F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("__n_sh")
+        )
+    if want_sim:
+        counts.append(
+            F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("__n_tok")
+        )
+    agg = rows.groupBy("__doc").agg(
+        *(min_aggs if want_min else []),
+        *(bit_aggs if want_sim else []),
+        *counts,
+    )
+    if cache and want_min and want_sim:
+        # two downstream index writes replay the doc-grain blocks; a
+        # single-family caller runs exactly one action, so there is
+        # nothing to share
         agg = agg.localCheckpoint(eager=True)
-    bk = minhash_band_keys(
-        agg.filter(F.col("__n_sh") > 0), "__doc", num_hashes, bands
-    )
-    band_rows = bk.select(
-        F.col("__doc.id").alias(id_col),
-        F.col("__doc.fp").alias("fp"),
-        "band",
-        "band_key",
-    )
-    sim_rows = agg.filter(F.col("__n_tok") > 0).select(
-        F.col("__doc.id").alias(id_col),
-        F.col("__doc.fp").alias("fp"),
-        _simhash_assemble().alias("simhash"),
-    )
+    band_rows = None
+    if want_min:
+        bk = minhash_band_keys(
+            agg.filter(F.col("__n_sh") > 0), "__doc", num_hashes, bands
+        )
+        band_rows = bk.select(
+            F.col("__doc.id").alias(id_col),
+            F.col("__doc.fp").alias("fp"),
+            "band",
+            "band_key",
+        )
+    sim_rows = None
+    if want_sim:
+        sim_rows = agg.filter(F.col("__n_tok") > 0).select(
+            F.col("__doc.id").alias(id_col),
+            F.col("__doc.fp").alias("fp"),
+            _simhash_assemble().alias("simhash"),
+        )
     return band_rows, sim_rows
 
 

@@ -92,6 +92,14 @@ def shared_frame(spark: SparkSession, sf_dir: str, name: str, build) -> DataFram
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _SHARED_FRAMES.get(key)
     if df is None:
+        # NOTE: AQE coalesces the builder's final shuffle of a
+        # few-thousand-row frame to ONE partition and the checkpoint
+        # freezes that. That is the RIGHT layout for the prefix/rank
+        # consumers (kpss and the ranking-operator family measured ~2x
+        # faster on 1 partition than 32 — dozens of tiny stages), but a
+        # consumer that fans the spine out n^2 (distance_correlation's
+        # 5.8M-row pair frame: 8.9 s single-task vs 2.1 s spread) must
+        # repartition its own copy before the fan-out.
         df = build().localCheckpoint(eager=False)
         _SHARED_FRAMES[key] = df
     return df

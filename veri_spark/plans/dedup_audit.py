@@ -1515,7 +1515,7 @@ def dedup_index_band_skew(spark, sf_dir):
     from veri_spark.operators.dedup import dedup_signature_index
 
     docs = load_table(spark, sf_dir, "documents")
-    bands, _ = dedup_signature_index(docs, parallelism=16)
+    bands, _ = dedup_signature_index(docs, parallelism=16, families="minhash")
     buckets = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("nb")
     )

@@ -1474,10 +1474,14 @@ class FeatureStore:
             index_bands = idx[0]
         else:
             index_bands, _ = dedup_signature_index(
-                self._read(name), id_col, text_col, num_hashes, bands, shingle_k
+                self._read(name), id_col, text_col, num_hashes, bands,
+                shingle_k, families="minhash",
             )
+        # the delta needs ONLY the band side; families= keeps the fused
+        # one-pass builder from paying the simhash aggregates too (r15)
         delta_bands, _ = dedup_signature_index(
-            delta, id_col, text_col, num_hashes, bands, shingle_k
+            delta, id_col, text_col, num_hashes, bands, shingle_k,
+            families="minhash",
         )
         return incremental_minhash_candidates(delta_bands, index_bands, id_col)
 
@@ -1503,9 +1507,14 @@ class FeatureStore:
             index_sim = idx[1]
         else:
             _, index_sim = dedup_signature_index(
-                self._read(name), id_col, text_col
+                self._read(name), id_col, text_col, families="simhash"
             )
-        _, delta_sim = dedup_signature_index(delta, id_col, text_col)
+        # simhash only: the delta never shingles, never runs the 16
+        # MinHash mins (r15 — the fused builder made the discarded
+        # family non-free)
+        _, delta_sim = dedup_signature_index(
+            delta, id_col, text_col, families="simhash"
+        )
         return incremental_simhash_candidates(
             delta_sim, index_sim, id_col, max_hamming
         )
