@@ -474,11 +474,19 @@ def connected_components(
     converged = False
     try:
         for it in range(max_iterations):
+            # round 15: pin shuffle_hash on the node-grain side — the
+            # unhinted plan broadcast-hash-joins the labels frame because
+            # the checkpointed edge lineage carries a tiny size estimate
+            # (the plans/graph_metrics.py LPA/katz hazard); a |V|-grain
+            # broadcast dies at scale while SHJ's per-partition build
+            # side stays |V|/partitions-bounded. Measured cost-free at
+            # sf0.1 (loop 1.08 s hinted vs 1.12 s unhinted, warm).
+            lab_h = labels.hint("shuffle_hash")
             neighbor_min = (
-                sym.join(labels, sym["v"] == labels["id"])
+                sym.join(lab_h, sym["v"] == lab_h["id"])
                 .groupBy("u")
                 .agg(F.min("cluster").alias("nmin"))
-            )
+            ).hint("shuffle_hash")
             updated = (
                 labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
                 .select(
