@@ -259,3 +259,37 @@ def test_explode_output_unchanged_by_rule_exclusion(spark):
             spark.conf.set("spark.sql.optimizer.excludedRules", prev)
     without_rule = sorted((r["k"], r["x"]) for r in out.collect())
     assert with_rule == without_rule == [("a", 1), ("a", 2)]
+
+
+def test_capped_pair_stats_matches_inline_build(spark):
+    """Batch 9: the session-shared capped pair aggregate is bit-identical
+    to the per-query jaccard_pairs build it replaced, and the derived
+    measures match the inline measure columns."""
+    from veri_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        pair_measure_col,
+    )
+    from veri_spark.plans.dedup import capped_pair_stats
+
+    shared = capped_pair_stats(spark, SF)
+    docs_inline = jaccard_pairs(
+        doc_shingles(
+            __import__("veri_spark.sources.catalog", fromlist=["load_table"])
+            .load_table(spark, SF, "documents"),
+            parallelism=16,
+        ),
+        max_doc_freq=64,
+    )
+    base_inline = docs_inline.select(
+        "doc_a", "doc_b", "n_a", "n_b", "n_common"
+    )
+    assert shared.exceptAll(base_inline).count() == 0
+    assert base_inline.exceptAll(shared).count() == 0
+    # measure derivation: same expression, same doubles
+    jac_shared = shared.withColumn(
+        "jaccard", pair_measure_col("jaccard")
+    ).select("doc_a", "doc_b", "jaccard")
+    jac_inline = docs_inline.select("doc_a", "doc_b", "jaccard")
+    assert jac_shared.exceptAll(jac_inline).count() == 0
+    assert jac_inline.exceptAll(jac_shared).count() == 0

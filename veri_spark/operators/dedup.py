@@ -112,6 +112,19 @@ def cap_stop_shingles(
     return shingles.join(F.broadcast(stop), "shingle", "left_anti")
 
 
+def pair_measure_col(measure: str):
+    """The similarity expression over a pair-stats frame carrying
+    (n_a, n_b, n_common) — module-level so a session-shared pair
+    aggregate (plans/dedup.capped_pair_stats, round 15) derives its
+    measure with the EXACT expression ``jaccard_pairs`` applies inline:
+    bigint/bigint division is the same IEEE double op either way, so the
+    shared-frame consumers are bit-identical to the per-query builds
+    they replaced."""
+    if measure == "containment":
+        return F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    return F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",
@@ -160,13 +173,7 @@ def jaccard_pairs(
         raise ValueError(f"measure must be jaccard|containment, got {measure!r}")
 
     def _score(df):
-        if measure == "containment":
-            val = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
-        else:
-            val = F.col("n_common") / (
-                F.col("n_a") + F.col("n_b") - F.col("n_common")
-            )
-        return df.withColumn(measure, val)
+        return df.withColumn(measure, pair_measure_col(measure))
 
     if max_doc_freq is not None:
         # sizes must reflect the capped universe: drop any pre-computed n_sh,

@@ -820,11 +820,15 @@ def lsh_param_planner(spark, sf_dir):
     pow()/exp() are not cross-engine bit-stable, squaring chains are),
     and each pair's probability quantizes to integer MICRO-UNITS before
     the order-insensitive sum. Same capped single-join pair plan as the
-    sweep queries; everything after it is map-side arithmetic."""
-    from veri_spark.operators.dedup import doc_shingles, jaccard_pairs
+    sweep queries; everything after it is map-side arithmetic. Round 15:
+    reads the session-shared ``capped_pair_stats`` aggregate (plans/
+    dedup.py) instead of rebuilding the pair join."""
+    from veri_spark.operators.dedup import pair_measure_col
+    from veri_spark.plans.dedup import capped_pair_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(doc_shingles(docs, parallelism=16), max_doc_freq=64)
+    pairs = capped_pair_stats(spark, sf_dir).withColumn(
+        "jaccard", pair_measure_col("jaccard")
+    )
     j = pairs.select(F.col("jaccard").alias("jac"))
     j = j.withColumn("t2", F.col("jac") * F.col("jac"))
     j = j.withColumn("t4", F.col("t2") * F.col("t2"))
