@@ -122,9 +122,13 @@ def test_stage_drop_sets_reconcile_brute_force(spark):
     assert s5 == {i for i in s4 if i >= 20} - flagged
 
     # --- stage 6: Gopher rules, pure Python ----------------------------
+    # (round 15: stage frames are narrow — text re-attached from the raw
+    # projection for the independent recomputation)
     texts = {
         int(r["doc_id"]): (r["text"], r["lang"], r["source"])
-        for r in fr["s5"].collect()
+        for r in fr["s5"]
+        .join(fr["raw"].select("doc_id", "text"), "doc_id")
+        .collect()
     }
     stop = set(EN_STOPWORDS)
 
@@ -140,7 +144,9 @@ def test_stage_drop_sets_reconcile_brute_force(spark):
     # --- stage 7: temperature-reweight sampler, pure Python ------------
     rows6 = [
         (int(r["doc_id"]), r["lang"], len(r["text"].split(" ")))
-        for r in fr["s6"].collect()
+        for r in fr["s6"]
+        .join(fr["raw"].select("doc_id", "text"), "doc_id")
+        .collect()
     ]
     mass = {}
     for _, lang, nt in rows6:
@@ -163,7 +169,9 @@ def test_stage_drop_sets_reconcile_brute_force(spark):
     # --- stage 8: packing, pure Python ---------------------------------
     rows7 = sorted(
         (r["source"], int(r["doc_id"]), len(r["text"].split(" ")))
-        for r in fr["s7"].collect()
+        for r in fr["s7"]
+        .join(fr["raw"].select("doc_id", "text"), "doc_id")
+        .collect()
     )
     chunks = set()
     cum = {}

@@ -306,10 +306,22 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     parallelism: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash LSH: distinct candidate pairs (doc_a < doc_b)
-    whose signatures collide in at least one band."""
-    sh = doc_shingles(df, id_col, text_col, shingle_k, parallelism=parallelism)
+    whose signatures collide in at least one band.
+
+    ``shingles`` (round 15): a precomputed ``(id, shingle)`` stream for
+    exactly ``df``'s documents — callers that already materialized the
+    shingle explode (the curation pipeline shares ONE stream across its
+    MinHash and decontamination tiers) pass it here to skip the
+    tokenize+explode; the signature/banding math downstream is
+    identical, so the candidate set is unchanged."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, id_col, text_col, shingle_k, parallelism=parallelism)
+    )
     sigs = minhash_signatures(sh, id_col, num_hashes)
     bk = minhash_band_keys(sigs, id_col, num_hashes, bands)
     a = bk.select(F.col(id_col).alias("doc_a"), "band", "band_key")
@@ -376,6 +388,39 @@ def simhash32(
     toks = toks.withColumn("h", portable_hash64(F.col("tok")))
     per = toks.groupBy(id_col).agg(*_simhash_bit_sum_aggs("h"))
     return per.select(id_col, _simhash_assemble().alias("simhash"))
+
+
+def simhash32_with_token_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """``(id, simhash, wchars, sw)``: the :func:`simhash32` aggregation
+    with two extra integer aggregates riding the SAME token explode and
+    groupBy — ``wchars`` = sum of token lengths, ``sw`` = count of
+    core-stopword tokens. The values are identical to the per-row HOF
+    forms ``aggregate(transform(ws, length), +)`` and
+    ``size(filter(ws, isin(stopwords)))`` (same tokens, same integer
+    sums), computed where the tokens are already exploded instead of a
+    second interpreted pass over the array. Round 15, for the curation
+    pipeline's single artifact pass (guide §1.2/§4.1)."""
+    from veri_spark.functions.text import EN_STOPWORDS
+
+    if parallelism:
+        df = df.repartition(parallelism)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = toks.withColumn("h", portable_hash64(F.col("tok")))
+    per = toks.groupBy(id_col).agg(
+        *_simhash_bit_sum_aggs("h"),
+        F.sum(F.length("tok")).cast("bigint").alias("wchars"),
+        F.sum(F.when(F.col("tok").isin(*EN_STOPWORDS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("sw"),
+    )
+    return per.select(
+        id_col, _simhash_assemble().alias("simhash"), "wchars", "sw"
+    )
 
 
 def embedding_near_dup_pairs(
@@ -599,6 +644,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     parallelism: int | None = None,
+    sigs_df: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs within a Hamming radius, found WITHOUT an
     all-pairs scan: the 32-bit signature splits into 4 bytes; by pigeonhole,
@@ -607,13 +653,24 @@ def simhash_hamming_pairs(
     recall is EXACT for max_hamming <= 3, and each band bucket holds just
     the docs sharing that byte. The verify step is one integer popcount
     (bit_count(xor)) per candidate.
+
+    ``sigs_df`` (round 15): precomputed ``(id, simhash)`` signatures for
+    exactly ``df``'s documents — callers that carry the signature as a
+    per-doc column (the curation pipeline computes it once at its raw
+    artifact pass) pass it here to skip the tokenize; the banding and
+    popcount verify are unchanged, so the pair set is identical
+    (signatures are a pure per-doc function of text).
     """
     if max_hamming > 3:
         raise ValueError(
             "byte banding guarantees recall only for max_hamming <= 3 "
             "(4 bands; h+1 bands are needed for Hamming distance h)"
         )
-    sigs = simhash32(df, id_col, text_col, parallelism=parallelism)
+    sigs = (
+        sigs_df
+        if sigs_df is not None
+        else simhash32(df, id_col, text_col, parallelism=parallelism)
+    )
     bands = sigs.select(
         F.col(id_col),
         "simhash",

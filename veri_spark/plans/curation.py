@@ -30,7 +30,12 @@ broadcast benchmark shingle set; Gopher is in-row arithmetic; the
 mixture rates are a |langs|-row broadcast; packing windows per source
 shard. Nothing in the composition adds a shuffle the standalone stages
 did not already have, and the survivor frames BETWEEN tiers carry only
-(doc_id, source, lang, text).
+fixed-width columns (doc_id, source, lang, nc, ntok + the not-yet-
+consumed artifacts) — since round 15 the corpus text never flows past
+the raw projection: every stage decision (md5 fingerprint, SimHash,
+Gopher counters, shingles) is a per-doc function of text computed once
+in the artifact pass, and ONE shared shingle stream feeds both the
+MinHash tier and decontamination (guide §8).
 """
 
 from __future__ import annotations
@@ -67,6 +72,7 @@ def curation_stage_frames(spark, sf_dir) -> dict:
     from veri_spark.operators.dedup import (
         doc_shingles,
         minhash_candidate_pairs,
+        simhash32_with_token_stats,
         simhash_hamming_pairs,
     )
     from veri_spark.operators.similarity import kmeans_micro_assign
@@ -89,34 +95,72 @@ def curation_stage_frames(spark, sf_dir) -> dict:
         F.size(tokens("text")).cast("bigint").alias("ntok"),
     ).persist()
 
-    # stage 0: clean/normalize — drop whitespace-only/empty docs (the
-    # whole downstream tokenizes on single spaces)
-    s0 = raw.filter(F.length(F.trim("text")) > 0).localCheckpoint()
+    # Round 15 (guide §8 — decide on light rows, move heavy bytes once):
+    # every stage DECISION is a per-doc function of text (exact md5
+    # fingerprint, 32-bit SimHash, Gopher counters, the shingle set), so
+    # they are all computed in ONE artifact pass here and the stage
+    # checkpoints carry only fixed-width columns from then on. The old
+    # shape checkpointed the corpus TEXT through all eight stages — at
+    # 100 TB that is eight corpus rewrites whose bytes never influence
+    # anything downstream. Text is touched exactly twice after raw: the
+    # benchmark shingle set (20 docs of raw) and nowhere else; the
+    # shared shingle stream below is the one corpus explode feeding both
+    # the MinHash tier and decontamination. `fan_parallel` spreads the
+    # artifact pass when the scan arrives in fewer splits than cores (a
+    # structural no-op at scale, see plans/_base.py).
+    from veri_spark.plans._base import fan_parallel
 
-    # stage 1: exact dedup — md5 of normalized text, keep lowest doc_id
-    # (dedup_tiered_pipeline tier 1)
-    d = s0.withColumn("fp", F.md5(F.lower(F.trim("text"))))
-    k1 = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    s0f = fan_parallel(raw.filter(F.length(F.trim("text")) > 0))
+    scalars = s0f.select(
+        "doc_id", "source", "lang", "nc", "ntok",
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
+    # (doc_id, simhash, wchars, sw) — ONE token explode/groupBy computes
+    # the SimHash bit sums AND the Gopher counters (identical integer
+    # sums to the per-row HOF forms, see the operator docstring); joined
+    # doc-grain with shuffle_hash pinned (a node-grain broadcast would
+    # die at scale, the plans/graph_metrics.py hazard)
+    art = simhash32_with_token_stats(s0f)
+    s0 = scalars.join(art.hint("shuffle_hash"), "doc_id").localCheckpoint()
+
+    # stage 1: exact dedup — md5 of normalized text (the carried fp),
+    # keep lowest doc_id (dedup_tiered_pipeline tier 1). min-over-window
+    # == the old groupBy(fp).min + self-join keeper selection, one
+    # corpus pass instead of two.
     s1 = (
-        d.join(k1, "fp")
+        s0.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
         .filter(F.col("doc_id") == F.col("keeper"))
         .drop("fp", "keeper")
         .localCheckpoint()
     )
 
     # stage 2: SimHash byte-banding at Hamming <= 3, drop the larger id
-    # of each near-dup pair (tier 2)
+    # of each near-dup pair (tier 2) — banding runs on the CARRIED
+    # signatures (computed once at the artifact pass; a pure per-doc
+    # function of text, so the pair set is identical)
     drop2 = (
-        simhash_hamming_pairs(s1, max_hamming=3, parallelism=16)
+        simhash_hamming_pairs(
+            s1, max_hamming=3, sigs_df=s1.select("doc_id", "simhash")
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(drop2, "doc_id", "left_anti").localCheckpoint()
+    s2 = s1.join(drop2, "doc_id", "left_anti").drop("simhash").localCheckpoint()
+
+    # the shared shingle stream: ONE corpus explode (over the cleaned
+    # docs) serving BOTH the MinHash tier and decontamination; each
+    # consumer semi-join-restricts it to its survivor set, which yields
+    # exactly the per-stage doc_shingles() it replaces
+    sh0 = doc_shingles(s0f, parallelism=16).persist()
 
     # stage 3: MinHash-banded candidates verified at trigram Jaccard
     # >= 0.5 as the integer condition 3i >= |A|+|B| (tier 3)
-    cand3 = minhash_candidate_pairs(s2, num_hashes=16, bands=4, parallelism=16)
-    sh = doc_shingles(s2, parallelism=16).persist()
+    sh = sh0.join(s2.select("doc_id"), "doc_id", "left_semi").persist()
+    cand3 = minhash_candidate_pairs(
+        s2, num_hashes=16, bands=4, shingles=sh
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     inter = (
         sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -212,7 +256,11 @@ def curation_stage_frames(spark, sf_dir) -> dict:
         .distinct()
     )
     flagged = (
-        doc_shingles(s4.filter(F.col("doc_id") >= 20), parallelism=16)
+        sh0.join(
+            s4.filter(F.col("doc_id") >= 20).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
         .join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -228,26 +276,17 @@ def curation_stage_frames(spark, sf_dir) -> dict:
     # stage 6: Gopher rule gate (gopher_quality_flags' integer rules):
     # word count in [20, 90], mean word length in [4.2, 4.8] as the
     # cross-multiplication chars*10 BETWEEN 42*wc AND 48*wc, >= 2 core
-    # stopwords
-    ws = tokens("text")
-    # wc == the carried ntok (size(tokens(text)) computed once at raw)
-    wchars = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    sw = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS))).cast("bigint")
+    # stopwords. All three counters (ntok == wc, wchars, sw) are carried
+    # from the round-15 artifact pass — the gate is now a pure row
+    # filter, no re-tokenization of the surviving corpus.
     s6 = (
-        s5.withColumn("__wc", F.col("ntok"))
-        .withColumn("__wch", wchars)
-        .withColumn("__sw", sw)
-        .filter(
-            F.col("__wc").between(20, 90)
-            & (F.col("__wch") * 10 >= 42 * F.col("__wc"))
-            & (F.col("__wch") * 10 <= 48 * F.col("__wc"))
-            & (F.col("__sw") >= 2)
+        s5.filter(
+            F.col("ntok").between(20, 90)
+            & (F.col("wchars") * 10 >= 42 * F.col("ntok"))
+            & (F.col("wchars") * 10 <= 48 * F.col("ntok"))
+            & (F.col("sw") >= 2)
         )
-        .drop("__wc", "__wch", "__sw")
+        .drop("wchars", "sw")
         .localCheckpoint()
     )
 
