@@ -293,3 +293,53 @@ def test_capped_pair_stats_matches_inline_build(spark):
     jac_inline = docs_inline.select("doc_a", "doc_b", "jaccard")
     assert jac_shared.exceptAll(jac_inline).count() == 0
     assert jac_inline.exceptAll(jac_shared).count() == 0
+
+
+def test_cell_label_pairs_matches_inline_build(spark):
+    """Batch 11: the session-shared cell pair frame reproduces the exact
+    join each consumer used to build inline, including self-pairs (the
+    consumers' old join conditions are now filters)."""
+    from pyspark.sql import functions as FF
+    from veri_spark.functions.vector import euclidean_distance_fixed
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+    from veri_spark.plans.knn_audit import _cell_label_pairs
+    from veri_spark.sources.catalog import load_table
+
+    shared = _cell_label_pairs(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    dim = int(emb.select(FF.size("embedding").alias("d")).first()["d"])
+    e = emb.select(
+        "vec_id", "label", FF.col("embedding").cast("array<double>").alias("x")
+    )
+    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
+    p = a.select(
+        "centroid_id", FF.col("vec_id").alias("pid"),
+        FF.col("label").alias("plabel"), FF.col("x").alias("xa"),
+    )
+    q = a.select(
+        "centroid_id", FF.col("vec_id").alias("qid"),
+        FF.col("label").alias("qlabel"), FF.col("x").alias("xb"),
+    )
+    inline = p.join(q, "centroid_id").select(
+        "pid", "qid", "plabel", "qlabel",
+        euclidean_distance_fixed(FF.col("xa"), FF.col("xb"), dim).alias("dist"),
+    )
+    assert shared.exceptAll(inline).count() == 0
+    assert inline.exceptAll(shared).count() == 0
+    # self-pairs ARE present (consumers filter them)
+    assert shared.filter(FF.col("pid") == FF.col("qid")).count() > 0
+
+
+def test_shared_knn_edges_matches_inline_knn_join(spark):
+    """Batch 11: the session-shared k=3 edge list == a fresh knn_join."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+    from veri_spark.plans.knn import shared_knn_edges_k3
+    from veri_spark.sources.catalog import load_table
+
+    shared = shared_knn_edges_k3(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    inline = knn_join(emb, take_centroids(emb, 8), k=3).select(
+        "src", "dst", "rank", "dist"
+    )
+    assert shared.exceptAll(inline).count() == 0
+    assert inline.exceptAll(shared).count() == 0

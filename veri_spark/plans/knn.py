@@ -846,6 +846,31 @@ def ann_ivf_recall_audit(spark, sf_dir):
 
 
 
+def shared_knn_edges_k3(spark, sf_dir):
+    """Session-shared IVF-blocked kNN edge list
+    ``knn_join(emb, take_centroids(emb, 8), k=3)`` -> (src, dst, rank,
+    dist) — 3n rows by construction (round 15, guide §1.2). Four
+    consumers rebuilt the identical assign + cell self-join + window
+    top-3: knn_join_ivf (returns it directly), knn_reciprocal_pairs
+    (mutual filter over it), knn_graph_hubness (in-degree over it) and
+    knn_join_recall_audit's nprobe=1 arm. One build per (applicationId,
+    sf_dir); first consumer in a sweep pays it. NOT interchangeable
+    with knn_audit's cast-double cell pair frame: this family computes
+    distances over the raw FLOAT arrays (different low bits), and both
+    are oracle-pinned as-is."""
+    from veri_spark.operators.similarity import knn_join, take_centroids
+    from veri_spark.plans._base import shared_frame
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return knn_join(emb, take_centroids(emb, 8), k=3).select(
+            "src", "dst", "rank", "dist"
+        )
+
+    return shared_frame(spark, sf_dir, "knn_edges_k3_c8", build)
+
+
+
 @register(
     "knn_join_ivf",
     f"""
@@ -880,11 +905,9 @@ def knn_join_ivf(spark, sf_dir):
     — the embedding-graph builder. One map-only literal-centroid
     assignment, a self-equi-join on centroid_id (cost sum(cell^2), cells
     kept constant-size by scaling the centroid count), per-source window
-    top-k with WindowGroupLimit pushdown."""
-    from veri_spark.operators.similarity import knn_join, take_centroids
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = knn_join(emb, take_centroids(emb, 8), k=3)
+    top-k with WindowGroupLimit pushdown. Round 15: reads the
+    session-shared ``shared_knn_edges_k3`` frame."""
+    out = shared_knn_edges_k3(spark, sf_dir)
     return out.select(
         "src", "dst", F.col("rank").cast("bigint").alias("rank"),
         F.round("dist", 6).alias("dist"),
@@ -1006,18 +1029,25 @@ def knn_join_recall_audit(spark, sf_dir):
 
     dim_row = emb.select(F.size("embedding").alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
+    # round 15 (guide §2.3): compute the pair distance BEFORE the window
+    # and project the arrays away — the old shape carried both dim-wide
+    # vectors through the window shuffle just to evaluate the sort key
+    # (~2 GB at sf0.1 for 4M brute pairs vs ~100 MB of (src, dst, d));
+    # same expression, same IEEE double, same ordering.
+    d = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
     w = Window.partitionBy("src").orderBy(
-        euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim).asc(),
-        F.col("dst").asc(),
+        F.col("__d").asc(), F.col("dst").asc()
     )
     exact = (
         a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", d.alias("__d"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("src", "dst")
     )
     exact = exact.persist()
-    ap1 = knn_join(emb, cents, k=3, nprobe=1).select("src", "dst")
+    # round 15: the nprobe=1 arm IS the session-shared edge list
+    ap1 = shared_knn_edges_k3(spark, sf_dir).select("src", "dst")
     ap2 = knn_join(emb, cents, k=3, nprobe=2).select("src", "dst")
     n_exact = exact.count()
     hit1 = exact.join(ap1, ["src", "dst"]).count()

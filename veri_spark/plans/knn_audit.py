@@ -402,6 +402,61 @@ def matryoshka_recall(spark, sf_dir):
 
 
 
+def _cell_label_pairs(spark, sf_dir):
+    """Session-shared IVF-cell-blocked LABELED pair frame
+    ``(pid, qid, plabel, qlabel, dist)`` over the cast-to-double
+    embeddings (round 15, guide §1.2): hard_example_mining,
+    knn_label_accuracy and label_noise_candidates each rebuilt the
+    identical literal-centroid assignment + within-cell self-join +
+    per-pair unrolled euclidean distance and differ only in the filter
+    (same-label / eval-vs-train split / self-exclusion) and the bounded
+    window or min-aggregate on top — all of which commute with building
+    the FULL pair set once (self-pairs included; every consumer's filter
+    reproduces exactly its old join condition). The frame drops the
+    vector payloads after the distance is computed, so the checkpoint
+    is five scalars per pair instead of two dim-wide arrays (§2.3).
+    Cost is the same sum(cell^2) fan-out each query already paid, now
+    paid once per (applicationId, sf_dir) by the first consumer in the
+    sweep (bench-documented cold-payer attribution). NOT interchangeable
+    with the knn_join edge family: that one computes distances over the
+    raw FLOAT arrays (different low bits), and both are oracle-pinned
+    as-is."""
+    from veri_spark.functions.vector import euclidean_distance_fixed
+    from veri_spark.operators.similarity import ivf_assign, take_centroids
+    from veri_spark.plans._base import shared_frame
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim_row = emb.select(F.size("embedding").alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
+        e = emb.select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("x"),
+        )
+        a = ivf_assign(
+            e, take_centroids(emb, 8), id_col="vec_id", vector_col="x"
+        )
+        p = a.select(
+            "centroid_id",
+            F.col("vec_id").alias("pid"),
+            F.col("label").alias("plabel"),
+            F.col("x").alias("xa"),
+        )
+        q = a.select(
+            "centroid_id",
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("x").alias("xb"),
+        )
+        dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
+        return p.join(q, "centroid_id").select(
+            "pid", "qid", "plabel", "qlabel", dist.alias("dist")
+        )
+
+    return shared_frame(spark, sf_dir, "cell_label_pairs_c8", build)
+
+
+
 @register(
     "hard_example_mining",
     f"""
@@ -448,37 +503,23 @@ def hard_example_mining(spark, sf_dir):
     hard anchors can rank harder than they are; none rank easier), and an
     anchor whose cell holds no same-label partner drops out of the
     worklist entirely. Same trade, same blocking key, both sides; no
-    unblocked corpus self-join anywhere."""
-    from veri_spark.operators.similarity import ivf_assign, take_centroids
-    from veri_spark.functions.vector import euclidean_distance_fixed
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
-    )
-    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
-    dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
+    unblocked corpus self-join anywhere. Round 15: both pair searches
+    read the session-shared ``_cell_label_pairs`` frame — the pos/neg
+    join conditions become filters over the full cell-blocked pair set
+    (same pairs, same stored distance)."""
+    pairs = _cell_label_pairs(spark, sf_dir)
     pos = (
-        a.select("centroid_id", "label", F.col("vec_id").alias("va"), F.col("x").alias("xa"))
-        .join(
-            a.select("centroid_id", "label", F.col("vec_id").alias("vb"), F.col("x").alias("xb")),
-            ["centroid_id", "label"],
+        pairs.filter(
+            (F.col("plabel") == F.col("qlabel"))
+            & (F.col("pid") != F.col("qid"))
         )
-        .filter(F.col("va") != F.col("vb"))
-        .groupBy(F.col("va").alias("vec_id"))
-        .agg(F.min(dist).alias("pos_dist"))
+        .groupBy(F.col("pid").alias("vec_id"))
+        .agg(F.min("dist").alias("pos_dist"))
     )
     neg = (
-        a.select("centroid_id", F.col("label").alias("la"), F.col("vec_id").alias("va"), F.col("x").alias("xa"))
-        .join(
-            a.select("centroid_id", F.col("label").alias("lb"), F.col("vec_id").alias("vb"), F.col("x").alias("xb")),
-            "centroid_id",
-        )
-        .filter(F.col("la") != F.col("lb"))
-        .groupBy(F.col("va").alias("vec_id"))
-        .agg(F.min(dist).alias("neg_dist"))
+        pairs.filter(F.col("plabel") != F.col("qlabel"))
+        .groupBy(F.col("pid").alias("vec_id"))
+        .agg(F.min("dist").alias("neg_dist"))
     )
     return (
         pos.join(neg, "vec_id")
@@ -541,11 +582,13 @@ def knn_graph_hubness(spark, sf_dir):
     points, which silently skews graph-walk retrieval and label
     propagation; this is the audit that detects it. One extra groupBy on
     dst over the kNN join's bounded edge set; orphans come from a
-    left anti-style count against the full node list."""
-    from veri_spark.operators.similarity import knn_join, take_centroids
+    left anti-style count against the full node list. Round 15: the
+    edge list is the session-shared plans/knn.shared_knn_edges_k3
+    frame."""
+    from veri_spark.plans.knn import shared_knn_edges_k3
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_join(emb, take_centroids(emb, 8), k=3).select("src", "dst")
+    edges = shared_knn_edges_k3(spark, sf_dir).select("src", "dst")
     indeg = (
         emb.select("vec_id")
         .join(
@@ -743,34 +786,25 @@ def knn_label_accuracy(spark, sf_dir):
     majority voting is two bounded window ranks. Eval points whose cell
     has no training rows drop out (the documented IVF recall trade).
     Vote ties break on the smaller label — deterministic in both
-    engines."""
-    from veri_spark.operators.similarity import ivf_assign, take_centroids
-    from veri_spark.functions.vector import euclidean_distance_fixed
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    engines. Round 15: the eval x train cell join reads the
+    session-shared ``_cell_label_pairs`` frame (the split is a filter
+    over the full cell-blocked pair set — same pairs, same stored
+    distance, same window)."""
+    pairs = _cell_label_pairs(spark, sf_dir)
+    pr0 = pairs.filter(
+        (F.col("pid") % 10 == 0) & (F.col("qid") % 10 != 0)
+    ).select(
+        F.col("pid").alias("eval_id"),
+        F.col("plabel").alias("true_label"),
+        F.col("qid").alias("train_id"),
+        F.col("qlabel").alias("nbr_label"),
+        "dist",
     )
-    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
-    ev = a.filter(F.col("vec_id") % 10 == 0).select(
-        "centroid_id",
-        F.col("vec_id").alias("eval_id"),
-        F.col("label").alias("true_label"),
-        F.col("x").alias("xa"),
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("dist").asc(), F.col("train_id").asc()
     )
-    tr = a.filter(F.col("vec_id") % 10 != 0).select(
-        "centroid_id",
-        F.col("vec_id").alias("train_id"),
-        F.col("label").alias("nbr_label"),
-        F.col("x").alias("xb"),
-    )
-    dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
-    w = Window.partitionBy("eval_id").orderBy(dist.asc(), F.col("train_id").asc())
     pr = (
-        ev.join(tr, "centroid_id")
-        .withColumn("rank", F.row_number().over(w))
+        pr0.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
     votes = pr.groupBy("eval_id", "true_label", "nbr_label").agg(
@@ -845,34 +879,17 @@ def label_noise_candidates(spark, sf_dir):
     aggregate over the bounded neighbor set. Ordering is on the
     UNROUNDED integer ratio with a vec_id tie-break, so the worklist
     boundary is deterministic. Vectors alone in their cell drop out
-    (no neighbors — the IVF trade, same as the classifier eval)."""
-    from veri_spark.operators.similarity import ivf_assign, take_centroids
-    from veri_spark.functions.vector import euclidean_distance_fixed
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    (no neighbors — the IVF trade, same as the classifier eval).
+    Round 15: the cell self-join reads the session-shared
+    ``_cell_label_pairs`` frame (self-exclusion is a filter over the
+    full pair set — same pairs, same stored distance, same window)."""
+    pairs = _cell_label_pairs(spark, sf_dir)
+    w = Window.partitionBy("pid").orderBy(
+        F.col("dist").asc(), F.col("qid").asc()
     )
-    a = ivf_assign(e, take_centroids(emb, 8), id_col="vec_id", vector_col="x")
-    p = a.select(
-        "centroid_id",
-        F.col("vec_id").alias("pid"),
-        F.col("label").alias("plabel"),
-        F.col("x").alias("xa"),
-    )
-    q = a.select(
-        "centroid_id",
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("nbr_label"),
-        F.col("x").alias("xb"),
-    )
-    dist = euclidean_distance_fixed(F.col("xa"), F.col("xb"), dim)
-    w = Window.partitionBy("pid").orderBy(dist.asc(), F.col("qid").asc())
     pr = (
-        p.join(q, "centroid_id")
-        .filter(F.col("pid") != F.col("qid"))
+        pairs.filter(F.col("pid") != F.col("qid"))
+        .withColumnRenamed("qlabel", "nbr_label")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
@@ -1083,20 +1100,17 @@ def knn_reciprocal_pairs(spark, sf_dir):
     key — never the corpus — so the mutual filter costs one hash join on
     an already-small frame at any scale. Both directions' ranks are
     emitted; full-id ordering."""
-    from veri_spark.operators.similarity import knn_join, take_centroids
-
-    emb = load_table(spark, sf_dir, "embeddings")
     # Round-14 (guide §1.2): the IVF-blocked kNN join (centroid assign +
     # within-cell pair fan-out + per-src rank) is the whole cost of this
     # query, and the reversed self-join below otherwise rebuilds it on
     # both sides (before-plan: 8 scans / two full knn_join subtrees).
-    # The edge list is 3n rows by construction — materialize it once and
-    # let both sides read the computed blocks.
-    edges = (
-        knn_join(emb, take_centroids(emb, 8), k=3)
-        .select("src", "dst", "rank", "dist")
-        .localCheckpoint(eager=True)
-    )
+    # Round 15: the materialized edge list is the SESSION-shared
+    # plans/knn.shared_knn_edges_k3 frame (same 3n rows), so the build
+    # is also shared with knn_join_ivf / knn_graph_hubness / the recall
+    # audit instead of being private to this query.
+    from veri_spark.plans.knn import shared_knn_edges_k3
+
+    edges = shared_knn_edges_k3(spark, sf_dir)
     rev = edges.select(
         F.col("src").alias("r_dst"),
         F.col("dst").alias("r_src"),
