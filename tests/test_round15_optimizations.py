@@ -343,3 +343,17 @@ def test_shared_knn_edges_matches_inline_knn_join(spark):
     )
     assert shared.exceptAll(inline).count() == 0
     assert inline.exceptAll(shared).count() == 0
+
+
+def test_shared_minhash_cands_matches_inline(spark):
+    """Batch 12: the session-shared (16,4) candidate set == a fresh
+    minhash_candidate_pairs build."""
+    from veri_spark.operators.dedup import minhash_candidate_pairs
+    from veri_spark.plans.dedup import shared_minhash_cands
+    from veri_spark.sources.catalog import load_table
+
+    shared = shared_minhash_cands(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    inline = minhash_candidate_pairs(docs, num_hashes=16, bands=4)
+    assert shared.exceptAll(inline).count() == 0
+    assert inline.exceptAll(shared).count() == 0

@@ -74,6 +74,29 @@ def capped_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame(spark, sf_dir, "capped_pairs_df64", build)
 
 
+def shared_minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared MinHash-LSH candidate pair set ``(doc_a, doc_b)``
+    over ``documents`` with the production (16 hashes, 4 bands) banding
+    (round 15, guide §1.2). Five queries rebuilt the identical
+    shingle -> 16-min-hash signature -> band-key -> band self-join ->
+    distinct chain: dedup_minhash_lsh (returns it), dedup_minhash_clusters
+    (connected components over it), cross_source_neardup_rate,
+    weighted_jaccard_rescore and minhash_estimate_error (each join
+    against it). One build per (applicationId, sf_dir); the first
+    consumer in a sweep pays it. Bounded: banding emits only colliding
+    pairs (the linear-plus-candidates scale shape all five consumers
+    already relied on)."""
+    from veri_spark.operators.dedup import minhash_candidate_pairs
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_candidate_pairs(
+            docs, num_hashes=16, bands=4, parallelism=16
+        )
+
+    return shared_frame(spark, sf_dir, "minhash_cands_16_4", build)
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -161,10 +184,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 16 hashes, 4 bands of 4."""
-    from veri_spark.operators.dedup import minhash_candidate_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, num_hashes=16, bands=4, parallelism=16)
+    return shared_minhash_cands(spark, sf_dir)
 
 
 
@@ -246,10 +266,9 @@ def dedup_minhash_clusters(spark, sf_dir):
     MinHash-LSH candidate edges by min-label propagation (iterative, edge
     set only — the corpus is never re-joined). The oracle computes the same
     closure with a recursive CTE."""
-    from veri_spark.operators.dedup import connected_components, minhash_candidate_pairs
+    from veri_spark.operators.dedup import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4, parallelism=16)
+    pairs = shared_minhash_cands(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -651,17 +670,10 @@ def minhash_estimate_error(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, parallelism=16).persist()
     sigs = minhash_signatures(sh, num_hashes=16).persist()
-    bands = minhash_band_keys(sigs, num_hashes=16, bands=4)
-    cands = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
-            ["band", "band_key"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # round 15: the candidate set is the session-shared
+    # shared_minhash_cands frame (identical banding chain) — the band
+    # self-join no longer rebuilds here
+    cands = shared_minhash_cands(spark, sf_dir)
 
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1014,10 +1026,8 @@ def cross_source_neardup_rate(spark, sf_dir):
     (doc_id, source) projection. At 100 TB the doc->source map rides the
     banded join's existing keys — only ids and 32-char band keys
     shuffle."""
-    from veri_spark.operators.dedup import minhash_candidate_pairs
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4, parallelism=16)
+    pairs = shared_minhash_cands(spark, sf_dir)
     src = docs.select("doc_id", "source")
     out = (
         pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")

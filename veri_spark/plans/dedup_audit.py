@@ -482,11 +482,13 @@ def weighted_jaccard_rescore(spark, sf_dir):
     table doubles as the stop-shingle cap (`cap_stop_shingles`) —
     ultra-common shingles get near-zero weight here, solving the same
     skew problem by weighting instead of dropping."""
-    from veri_spark.operators.dedup import doc_shingles, minhash_candidate_pairs
+    from veri_spark.operators.dedup import doc_shingles
+    from veri_spark.plans.dedup import shared_minhash_cands
 
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).persist()
-    cand = minhash_candidate_pairs(docs).persist()
+    # round 15: the session-shared candidate set (already checkpointed)
+    cand = shared_minhash_cands(spark, sf_dir)
     nd = sh.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     idf = (
         sh.groupBy("shingle")
