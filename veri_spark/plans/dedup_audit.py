@@ -1019,6 +1019,9 @@ def winnowing_shared_fingerprints(spark, sf_dir):
     from veri_spark.functions.text import tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # round 15: fan_parallel was measured here and NOT adopted (medians
+    # 3.31 pre vs 3.26 spread — the eager fingerprint checkpoint's
+    # explode already feeds a shuffle, so the spread bought nothing)
     w = docs.select("doc_id", tokens("text").alias("ws"))
     hs = w.select(
         "doc_id",
@@ -1248,9 +1251,14 @@ def dup_span_extents(spark, sf_dir):
     gaps-and-islands. At 100 TB everything shuffles on doc_id or the
     shingle hash; hot boilerplate shingles cost df-counting only."""
     from veri_spark.functions.text import tokens, word_shingles
+    from veri_spark.plans._base import fan_parallel
 
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", tokens("text").alias("ws"))
+    # round 15 (guide §2.6): spread the raw text before the tokenize +
+    # positional-shingle explode (single-split scan otherwise)
+    w = fan_parallel(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("ws")
+    )
     sh = w.select(
         "doc_id",
         F.posexplode(word_shingles(F.col("ws"), 3)).alias("pos", "shingle"),
@@ -1353,11 +1361,15 @@ def cdc_chunk_dedup(spark, sf_dir):
     distinct-count over chunk hashes (partial-aggregated). At 100 TB
     this is the same shape as the shingle pipeline: linear explode,
     banded reduce."""
-    docs = (
+    from veri_spark.plans._base import fan_parallel
+
+    docs = fan_parallel(
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", "text", F.length("text").cast("bigint").alias("len"))
     )
+    # round 15 (guide §2.6): the per-character candidate explode below
+    # otherwise runs in the single-split scan task
     from veri_spark.functions.hashing import portable_hash64
 
     cand = docs.select(
